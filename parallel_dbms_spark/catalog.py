@@ -1,0 +1,76 @@
+"""Directory -> catalog registration.
+
+The reference walks an input directory, parses each CSV's typed header,
+and registers a schema-only table per file stem
+(``initializeTablesFromCSVs``,
+/root/reference/src/headers/duckdb_manager.cpp:180-210). Here a table
+is a lazy DataFrame + temp view: no data is read until an action runs,
+and Catalyst handles pushdown/pruning into the scan.
+
+Two source dialects:
+- parquet directories (the driver's testdata): ``load_tables``
+- the reference's typed-header CSV dialect: ``sources.typed_csv``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import configure
+
+# Driver-provided testdata tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table, normalizing physical quirks.
+
+    events.ts is TIMESTAMP(NANOS) in the file; Spark scans it as int64
+    (nanosAsLong) and we convert to a microsecond timestamp — the same
+    truncation DuckDB applies, so oracle comparisons line up.
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load and register every table as a temp view (name = file stem)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the testdata views then run a SQL query.
+
+    The whole reference execution pipeline — parse, bind, optimize,
+    physical plan, operator traversal
+    (/root/reference/src/headers/duckdb_manager.cpp:236-263 +
+    /root/reference/src/main.cpp:622-677) — is this one call: Catalyst
+    plans and Tungsten executes.
+
+    The reference's non-standard ``ORDER BY c Asc|Desc`` keywords are
+    plain case-insensitive ASC/DESC to Spark's parser, so no dialect
+    rewrite is required.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(sql)

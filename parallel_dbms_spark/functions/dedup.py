@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each expressed as distributed DataFrame algebra (no
+driver-side pair loops, no O(n^2) global step unless explicitly the
+brute-force baseline):
+
+- exact:        hash-groupBy on normalized text
+- minhash+LSH:  shingle -> K minhashes -> bands -> bucket join
+- simhash:      64-bit sign-aggregated token hashes + hamming buckets
+- ngram-jaccard: candidate pairs via shared shingle, exact jaccard verify
+- embedding:    cosine near-dup via similarity.cosine (see similarity.py)
+
+Scale: every candidate-generation step is a groupBy/join on a hash key
+(shuffle on bounded-size keys); verification only touches candidate
+pairs. At 100 TB the shingle explode is the big intermediate — it is
+linear in corpus token count and never materialized to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Deterministic minhash permutation parameters: h_i(x) = (a_i*x + b_i) mod p.
+# 64-bit multiply wraps (Java semantics) — deterministic on every executor.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    # Small deterministic LCG so the permutation set is reproducible
+    # without numpy on the executors (these are driver-side literals).
+    params, state = [], seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % MINHASH_PRIME
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of lowercased text, as an array
+    column — built-ins only (split/sequence/transform), no UDF."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups with >1 identical (normalized) text.
+    Returns (fingerprint group key, n_dups, keep_id) — the survivor is
+    the minimum id, the classic deterministic policy."""
+    key = F.md5(F.encode(F.trim(F.col(text_col)), "UTF-8")).alias("text_hash")
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash array<long>[num_perm]) via array_min over the
+    transformed shingle-hash array — one pass, no explode."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, a=a, b=b: F.pmod(
+                        F.xxhash64(s) * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)
+                    ),
+                )
+            )
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sigs.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs.
+
+    banding: num_perm/bands rows per band; docs sharing any band bucket
+    become candidates (bucket groupBy-join, no all-pairs); candidates
+    are verified by estimated jaccard = fraction of matching minhashes.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    banded = sigs.select(
+        "id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("minhash", i * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "minhash", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_perm)
+    ).alias("est_jaccard")
+    return cands.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash(text_col, bits: int = 64):
+    """64-bit SimHash of whitespace tokens, built-ins only: per-token
+    xxhash64 -> per-bit +/-1 votes -> sign bit -> reassembled long."""
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(r"\S+"), F.lit(0))
+    hashes = F.transform(toks, F.xxhash64)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs. Candidate generation uses the standard
+    block trick: split the 64-bit hash into ``blocks`` chunks — any pair
+    within hamming distance < blocks shares at least one exact chunk
+    (pigeonhole), so an equi-join per chunk finds all of them without
+    an all-pairs comparison. Returns (id_a, id_b, hamming)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    )
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("sh", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.blk", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup: candidates = pairs sharing >=1
+    shingle (explode + self-equi-join on the shingle hash), then exact
+    |A∩B| / (|A|+|B|-|A∩B|). The join key is a single long — the
+    shuffle is on shingle hashes, never on text."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shash") == F.col("b.shash")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard")
+    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)

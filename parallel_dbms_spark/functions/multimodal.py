@@ -1,0 +1,94 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (extension surface — the container has no image/audio codecs,
+so the DECODE step is stubbed; the Spark-side plumbing — schema,
+partitioning, Arrow batch shapes — is real and tested).
+
+Pattern at 100 TB: binaries live in the lake as (binary payload, typed
+metadata struct); decode/feature-extract runs as mapInPandas over Arrow
+batches so each task streams batches instead of materializing a
+partition; outputs are fixed-width feature columns that downstream
+relational operators treat normally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# Schema of the multimodal envelope produced by attach_binary().
+MM_META_FIELDS = "kind string, byte_len bigint, sha256 string"
+
+
+def attach_binary(df: DataFrame, payload_col, kind: str = "blob") -> DataFrame:
+    """Wrap an existing column as an opaque binary payload + metadata
+    struct. In production the payload would come from
+    ``spark.read.format('binaryFile')`` or a lake column; here any
+    column (e.g. documents.text) can stand in as bytes."""
+    payload = F.encode(payload_col.cast("string"), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.length(F.col("payload")).alias("byte_len"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — image codecs are not available in this container.
+
+    The real implementation would be `PIL.Image.open(io.BytesIO(payload))`
+    inside `extract_features`' pandas batches; the surrounding Spark
+    plumbing (Arrow batch iteration, schema, partitioning) is what this
+    module actually exercises.
+    """
+    raise NotImplementedError("image decoding requires codec libraries not in this container")
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: bytes are
+    folded into ``dim`` buckets. Keeps tests meaningful (stable values,
+    right shape) without codecs."""
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [x / 997.0 for x in acc]
+
+
+def extract_features(df: DataFrame, dim: int = 8, use_stub: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload.
+
+    Arrow-batched: each pandas batch maps payload->feature vector. With
+    ``use_stub=False`` it would call the real decoder (NotImplementedError
+    here, by design)."""
+    out_schema = f"doc_id bigint, byte_len bigint, feature array<double>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                pdf["payload"].map(decode_image)  # raises: no codecs in container
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len),
+                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-frame-sampling *plan* shape: explode a (stubbed) frame
+    index list and keep every Nth — demonstrates the fan-out schema
+    (one row per sampled frame) used by real video pipelines."""
+    n_frames = (F.col("meta.byte_len") % 120 + 1).cast("int")  # stub frame count
+    return (
+        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .filter(F.col("frame_idx") % every_n == 0)
+        .select("doc_id", "frame_idx", "meta")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths over the ``embeddings`` table (vec_id, embedding[64], label):
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus, dot products via zip_with/aggregate (JVM-side, codegen), top-k
+  per query via window row_number. Exact; the baseline.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures bucket
+  the corpus; queries probe only their bucket (plus optional multiprobe
+  by flipping bits). Approximate; the 100 TB path — probe cost is
+  O(bucket), corpus is hashed once.
+
+No Python UDFs anywhere: the dot product is
+aggregate(zip_with(u, v, *), 0.0, +), which Catalyst turns into codegen
+loops over the arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(u):
+    return F.sqrt(dot(u, u))
+
+
+def cosine(u, v):
+    return dot(u, v) / (norm(u) * norm(v))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos) with k rows per
+    query, neighbors exclude the query itself. Queries are broadcast —
+    the corpus is scanned once regardless of query count."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side literals;
+    LCG + Box-Muller-free uniform in [-1,1] is plenty for LSH)."""
+    planes, state = [], seed
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signature(vec_col, dim: int, nbits: int = 16, seed: int = 7):
+    """Random-hyperplane (SimHash-for-vectors) signature as one long."""
+    planes = _hyperplanes(dim, nbits, seed)
+    sig = F.lit(0).cast("long")
+    for i, w in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in w]))
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 12,
+    num_tables: int = 4,
+) -> DataFrame:
+    """ANN top-k: ``num_tables`` independent signature tables; a pair is
+    a candidate if it collides in any table. Exact cosine re-rank of
+    candidates only. Recall < 1.0 by design — tested against
+    brute_force_topk overlap, not equality."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cand = None
+    for t in range(num_tables):
+        cs = c.withColumn("sig", rp_signature(F.col("cvec"), dim, nbits, seed=7 + t))
+        qs = q.withColumn("sig", rp_signature(F.col("qvec"), dim, nbits, seed=7 + t))
+        hit = cs.join(F.broadcast(qs), on="sig").select(
+            "query_id", "neighbor_id", "qvec", "cvec"
+        )
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

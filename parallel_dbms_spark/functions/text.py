@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (extension
+surface beyond the reference — SURVEY §7 phase 4).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen); no Python UDFs. Every helper returns Columns or
+a narrow DataFrame transform so filters/projections still push into the
+scan. Designed over the ``documents`` table (doc_id, text, lang,
+source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small embedded stopword list (public, ubiquitous words) — enough for
+# quality ratios without external assets.
+EN_STOPWORDS = (
+    "the of and a to in is you that it he was for on are as with his they i "
+    "at be this have from or one had by word but not what all were we when "
+    "your can said there use an each which she do how their if"
+).split()
+
+# Marker words per language for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "et"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "es": ("el", "los", "las", "es", "una", "para", "con", "por"),
+}
+
+TOKEN_PATTERN = r"\S+"
+# BPE-ish word/number/punctuation splitter: runs of letters, runs of
+# digits, or single non-space symbols — a cheap stand-in for a real
+# tokenizer's pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """Whitespace (or BPE-ish) token count, entirely JVM-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def tokens(text: Column, lowercase: bool = True, pattern: str = TOKEN_PATTERN) -> Column:
+    t = F.lower(text) if lowercase else text
+    return F.regexp_extract_all(t, F.lit(pattern), F.lit(0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, mostly words, some
+    stopwords, not digit/punct soup. Weights are arbitrary but fixed —
+    the point is a deterministic, scan-fused scoring pass."""
+    len_ok = F.least(F.length(text) / F.lit(400.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_ok
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stopword_ratio(text) * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio(text) * 5, F.lit(1.0)))
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Keyword-marker language ID: score = count of per-language marker
+    words among the tokens; argmax wins, 'und' (undetermined) on zero.
+    Expressed as a CASE over greatest() so it stays in codegen."""
+    toks = tokens(text)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed dict order = deterministic tie-break
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling-hash document fingerprint:
+    h = sum(code(c_i) * 31^i) mod 1e9+7, folded left-to-right as
+    h = (h*31 + code) % M via a higher-order aggregate — no UDF, stays
+    inside int64 (M*31 + 0x10FFFF << 2^63)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One scan-fused pass computing the whole text-analysis surface."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        token_count(t, BPE_ISH_PATTERN).alias("n_bpe_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        digit_ratio(t).alias("digit_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

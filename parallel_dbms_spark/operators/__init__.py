@@ -1,0 +1,25 @@
+from .relational import (
+    CMP_OPS,
+    aggregate,
+    filter_rows,
+    join_tables,
+    limit,
+    order_by,
+    project,
+    set_op,
+    top_k_per_group,
+)
+from .asof import asof_join
+
+__all__ = [
+    "CMP_OPS",
+    "aggregate",
+    "filter_rows",
+    "join_tables",
+    "limit",
+    "order_by",
+    "project",
+    "set_op",
+    "top_k_per_group",
+    "asof_join",
+]

@@ -1,0 +1,65 @@
+"""As-of join — an operator Spark lacks natively (SURVEY §2.3 row
+"hash / sort-merge / range / as-of joins").
+
+Implemented as a composition of built-in ops (union + window), not a
+pandas fallback: tag both sides, union, sort within each key by time,
+and carry the most recent right-side row forward with
+``last(..., ignorenulls=True)``. One shuffle on (key), partition-local
+ordering, no driver involvement — survives arbitrarily many rows per
+key as long as a single key's rows fit a partition (salt-by-time-range
+would be the next step for a pathological key at 100 TB).
+
+Matches DuckDB's ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``
+semantics (greatest r.ts <= l.ts), which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts and equal ``on`` key."""
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+    for c in lcols:
+        if c not in (on,):
+            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    for c in right_values:
+        l = l.withColumn(f"__r_{c}", F.lit(None).cast(dict(r.dtypes)[f"__r_{c}"]))
+
+    unioned = l.unionByName(r.select(*l.columns))
+    # Right rows sort before left rows at equal timestamps (__side 0 < 1)
+    # so an exactly-simultaneous right row IS visible to the left row.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in right_values
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if how == "inner":
+        out = out.filter(F.col(f"r_{right_values[0]}").isNotNull())
+    return out

@@ -1,0 +1,15 @@
+from .explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    formatted_plan,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+    "assert_pushed_filters",
+    "assert_read_schema_pruned",
+    "formatted_plan",
+]

@@ -1,0 +1,8 @@
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries
+
+# Importing the modules populates REGISTRY.
+from . import relational  # noqa: E402,F401
+from . import extensions  # noqa: E402,F401
+from . import streaming_q  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -1,0 +1,80 @@
+"""SparkSession factory and session normalization.
+
+Replaces the reference's catalog/session bootstrap
+(``DuckDBManager::create``, /root/reference/src/headers/duckdb_manager.cpp:30-39)
+with a SparkSession tuned for analytical work. Where the reference
+*disables* statistics propagation, we keep Catalyst statistics and
+enable AQE so plans re-optimize on runtime stats — the right call at
+100 TB, where static stats are stale and skew is the norm.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs every entry point applies, including when a
+# SparkSession is handed to us by an external driver (``configure``).
+_RUNTIME_CONFS = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+    # timestamp, so scan them as int64 ns and convert (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB (our oracle) is UTC-naive; pin the session so timestamp
+    # functions (date_trunc, window, ...) agree.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas-UDF path (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this build — leave as-is.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "parallel_dbms_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to the core count — at cluster scale you would
+    size these to data volume instead; AQE coalescing papers over the
+    difference either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

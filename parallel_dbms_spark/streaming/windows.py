@@ -1,0 +1,104 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has zero streaming constructs (SURVEY §1.5) — this is the
+extension surface. Streams are declared once as readStream transforms;
+for deterministic tests/oracles we replay the parquet fixture with an
+``availableNow`` trigger into a memory sink, which processes the whole
+backlog as a bounded stream and stops — identical semantics to a live
+run, minus waiting.
+
+Watermarks bound state: a 1-hour watermark on ts means window state
+older than (max event time - 1h) is evicted — the property that keeps
+a 100 TB/day stream's state finite.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scanned as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (ns -> µs ts conversion as in
+    catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour",
+                        watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "2 hours",
+                       slide: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity. State is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_batch(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+    """Drive a streaming DataFrame over the full fixture backlog
+    (trigger availableNow) into a memory sink; return the result as a
+    batch DataFrame. outputMode=complete so closed-and-open windows are
+    all present (deterministic replay for the oracle)."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        streaming_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
