@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # Deterministic minhash permutation parameters: h_i(x) = (a_i*x + b_i) mod p.
-# 64-bit multiply wraps (Java semantics) — deterministic on every executor.
-MINHASH_PRIME = (1 << 61) - 1
+# p is the Mersenne prime 2^31-1 so that with x,a,b < p the whole
+# expression a*x+b stays under 2^62 — no int64 overflow under Spark 4's
+# ANSI arithmetic (a 61-bit prime would overflow the multiply).
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -75,16 +77,20 @@ def minhash_signatures(
     """(id, minhash array<long>[num_perm]) via array_min over the
     transformed shingle-hash array — one pass, no explode."""
     sh = word_shingles(F.col(text_col), shingle_n)
+
+    def perm_hash(a: int, b: int):
+        # Factory closure: PySpark binds higher-order-function lambdas by
+        # arity, so the callback must have exactly one parameter (no
+        # default-arg capture). pmod the raw hash into the prime field
+        # first so a*h+b fits int64 under ANSI arithmetic.
+        return lambda s: F.pmod(
+            F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
+            F.lit(MINHASH_PRIME),
+        )
+
     sigs = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, a=a, b=b: F.pmod(
-                        F.xxhash64(s) * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)
-                    ),
-                )
-            )
+            F.array_min(F.transform(sh, perm_hash(a, b)))
             for a, b in _perm_params(num_perm)
         ]
     )
@@ -161,24 +167,44 @@ def minhash_lsh_pairs(
     return cands.select("id_a", "id_b", est).filter(F.col("est_jaccard") >= threshold)
 
 
+def _bit_masks(bits: int):
+    # Bit 63's mask is int64 min (1<<63 as a Python int would become a
+    # Decimal literal and overflow the long cast).
+    return F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+
+
 def simhash(text_col, bits: int = 64):
     """64-bit SimHash of whitespace tokens, built-ins only: per-token
-    xxhash64 -> per-bit +/-1 votes -> sign bit -> reassembled long."""
+    xxhash64 -> per-bit +/-1 votes -> sign bit -> reassembled long.
+
+    Single pass over the token hashes: one aggregate folds a 64-slot
+    vote array (zip_with against a constant mask array), instead of 64
+    independent traversals of the array per row.
+    """
+    masks = _bit_masks(bits)
     toks = F.regexp_extract_all(F.lower(text_col), F.lit(r"\S+"), F.lit(0))
-    hashes = F.transform(toks, F.xxhash64)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for i in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return out
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig_bits = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(
+        sig_bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def hamming64(a, b):
@@ -243,16 +269,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup: candidates = pairs sharing >=1
     shingle (explode + self-equi-join on the shingle hash), then exact
     |A∩B| / (|A|+|B|-|A∩B|). The join key is a single long — the
-    shuffle is on shingle hashes, never on text."""
+    shuffle is on shingle hashes, never on text.
+
+    Skew guard: a shingle present in more than ``max_shingle_df``
+    documents is dropped before the self-join (a stop-phrase shared by
+    millions of docs would otherwise make one join key quadratic). The
+    denominator still uses the full shingle-set sizes, so capped pairs
+    can only *under*-estimate jaccard — the standard df-cap trade-off.
+    The hot-shingle list is tiny by construction, so it broadcasts.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
     sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shash")
+        )
+        sh = sh.join(F.broadcast(hot), "shash", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shash") == F.col("b.shash")) & (F.col("a.id") < F.col("b.id")))

@@ -84,13 +84,25 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
 
 
 def rp_signature(vec_col, dim: int, nbits: int = 16, seed: int = 7):
-    """Random-hyperplane (SimHash-for-vectors) signature as one long."""
+    """Random-hyperplane (SimHash-for-vectors) signature as one long.
+
+    The planes ship as ONE array<array<double>> literal folded with
+    zip_with/aggregate — nbits unrolled dot-product expressions would
+    bloat the plan (nbits × dim duplicated subtrees) at real widths.
+    """
     planes = _hyperplanes(dim, nbits, seed)
-    sig = F.lit(0).cast("long")
-    for i, w in enumerate(planes):
-        proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in w]))
-        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return sig
+    planes_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(nbits)])
+    sig_bits = F.zip_with(
+        planes_col,
+        masks,
+        lambda p, m: F.when(dot(vec_col, p) > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        sig_bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def lsh_topk(

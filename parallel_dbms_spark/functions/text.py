@@ -80,8 +80,15 @@ def language_id(text: Column) -> Column:
     words among the tokens; argmax wins, 'und' (undetermined) on zero.
     Expressed as a CASE over greatest() so it stays in codegen."""
     toks = tokens(text)
+
+    def has_marker(markers):
+        # Factory closure: the HOF callback must have exactly one
+        # parameter — a default-arg capture would make PySpark treat it
+        # as the 2-arg (element, index) form.
+        return lambda t: t.isin(*markers)
+
     scores = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        lang: F.size(F.filter(toks, has_marker(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())

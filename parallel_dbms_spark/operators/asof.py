@@ -31,17 +31,22 @@ def asof_join(
     right_ts <= left_ts and equal ``on`` key."""
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    # The whole right row travels as ONE struct: ``last(__r, ignorenulls)``
+    # then picks the most recent right row wholesale. (Carrying value
+    # columns individually would be wrong twice over: a NULL value in
+    # the matched row would fall back to an older row's value, and
+    # inner-join filtering on a value column would drop legitimately-
+    # NULL matches.)
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
     )
     for c in lcols:
         if c not in (on,):
             r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
-    for c in right_values:
-        l = l.withColumn(f"__r_{c}", F.lit(None).cast(dict(r.dtypes)[f"__r_{c}"]))
+    l = l.withColumn("__r", F.lit(None).cast(dict(r.dtypes)["__r"]))
 
     unioned = l.unionByName(r.select(*l.columns))
     # Right rows sort before left rows at equal timestamps (__side 0 < 1)
@@ -54,12 +59,11 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         F.col("__side"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"r_{c}")
-            for c in right_values
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
     out = filled.filter(F.col("__side") == 1).drop("__side")
     if how == "inner":
-        out = out.filter(F.col(f"r_{right_values[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *lcols, *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right_values]
+    )

@@ -1,4 +1,5 @@
 from .windows import (
+    read_events_stream,
     run_stream_to_batch,
     session_window_agg,
     sliding_window_agg,
@@ -6,6 +7,7 @@ from .windows import (
 )
 
 __all__ = [
+    "read_events_stream",
     "run_stream_to_batch",
     "session_window_agg",
     "sliding_window_agg",

@@ -14,6 +14,9 @@ a 100 TB/day stream's state finite.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -32,12 +35,17 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (ns -> µs ts conversion as in
-    catalog.load_table)."""
+    catalog.load_table).
+
+    Spark's file stream source requires a *directory* (it monitors it
+    for new files), so the fixture file is staged into a temp dir — the
+    exact shape of a production landing zone, where files arrive into a
+    watched directory.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-    )
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staged, "part-0.parquet"))
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
