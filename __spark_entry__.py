@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` delegate to the package's query
+registry (parallel_dbms_spark/queries/): one entry per implemented
+operator from SURVEY.md §2 — reference parity (scan, filters incl. OR,
+computed projections, the five aggregates grouped+ungrouped, equi/
+theta/outer/semi/anti joins, multi-key ORDER BY, LIMIT), the §2.3 gap
+categories (windows, set ops, rollup/cube/grouping sets, subqueries),
+the LLM-data-pipeline operators (dedup exact/minhash/simhash/jaccard,
+text analysis, similarity search, multimodal), and Structured
+Streaming windows. Where a query is SQL-expressible its DuckDB oracle
+is registered; LSH/simhash/pandas-UDF queries are rows-only and get
+quality assertions in tests/ instead.
 """
 
 from __future__ import annotations
@@ -13,26 +19,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parallel_dbms_spark.queries import oracle_sql as _oracle_sql
+from parallel_dbms_spark.queries import queries as _queries
+from parallel_dbms_spark.queries.relational import flagship_revenue_by_nation
+from parallel_dbms_spark.session import configure
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: orders ⋈ customer ⋈
+    nation (broadcast), grouped revenue per nation."""
+    configure(spark)
+    return flagship_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracle_sql()

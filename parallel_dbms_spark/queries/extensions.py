@@ -1,0 +1,256 @@
+"""LLM-data-pipeline query surface: dedup, text analysis, similarity
+search, multimodal columns — the extension operators beyond the
+reference (SURVEY §7 phase 4), registered as first-class queries.
+
+Oracles: exact dedup, n-gram jaccard, text stats, brute-force cosine
+top-k, near-dup pairs, and multimodal metadata are all ANSI-SQL
+expressible in DuckDB (list lambdas mirror Spark's higher-order
+functions op-for-op so doubles match bit-for-bit — see
+tests/test_correctness.py). MinHash-LSH / SimHash / ANN-LSH candidate
+generation depends on xxhash64, which DuckDB lacks → rows-only checks;
+their quality is asserted in pytest (recall vs brute force, planted
+near-dup fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import dedup, multimodal, similarity, text
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb_double(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""SELECT md5(trim(text)) AS text_hash, COUNT(*) AS n_dups,
+                     MIN(doc_id) AS keep_id
+              FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    # Rows-only: banding buckets depend on xxhash64 (not in DuckDB).
+    # Estimated-jaccard quality is pytest-asserted against exact jaccard.
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""WITH toks AS (
+                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+               sh0 AS (
+                 SELECT doc_id,
+                        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+                             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                 for i in generate_series(1, len(w)-2)])
+                        END AS sh
+                 FROM toks),
+               sh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh0),
+               inter AS (
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4)
+               SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+               FROM inter WHERE inter / (na + nb - inter) >= 0.5""",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    # max_shingle_df=None here: at sf<=0.01 no shingle can exceed the
+    # default cap anyway (fewer docs than the cap), and the uncapped
+    # run is exactly the oracle's semantics. The skew-capped variant is
+    # exercised in tests and at bench scale.
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+_SW = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+_MARKER_SCORES = {
+    lang: f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+    f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in text.LANG_MARKERS.items()
+}
+_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(_MARKER_SCORES[lang] for lang in text.LANG_MARKERS)
+    + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_MARKER_SCORES[lang]} = greatest("
+        + ", ".join(_MARKER_SCORES[x] for x in text.LANG_MARKERS)
+        + f") THEN '{lang}'"
+        for lang in text.LANG_MARKERS
+    )
+    + " END"
+)
+
+_TEXT_STATS_SQL = rf"""SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) AS punct_ratio,
+  len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS digit_ratio,
+  len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t IN ({_SW})))
+    / greatest(len(regexp_extract_all(lower(text), '\S+')), 1) AS stopword_ratio,
+  0.4 * least(length(text) / 400.0, 1.0)
+    + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) * 4, 1.0))
+    + 0.2 * least(len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t IN ({_SW})))
+                  / greatest(len(regexp_extract_all(lower(text), '\S+')), 1) * 4, 1.0)
+    + 0.1 * (1.0 - least(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) * 5, 1.0))
+    AS quality,
+  {_LANG_CASE} AS lang_pred,
+  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_SQL, tags=("text",))
+def text_stats(spark, sf_dir):
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_lang_distribution",
+    oracle=f"SELECT {_LANG_CASE} AS lang_pred, COUNT(*) AS n FROM documents GROUP BY 1",
+    tags=("text", "groupby"),
+)
+def text_lang_distribution(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(text.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({u})), "
+    "i -> {u}[i] * {v}[i]), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(u: str, v: str) -> str:
+    return (
+        f"{_DOT.format(u=u, v=v)} / "
+        f"(sqrt({_DOT.format(u=u, v=u)}) * sqrt({_DOT.format(u=v, v=v)}))"
+    )
+
+
+_BF_TOPK_SQL = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 10),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'c.emb')} AS cos
+      FROM e c, q WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
+
+
+@register("sim_bruteforce_topk", oracle=_BF_TOPK_SQL, tags=("similarity",))
+def sim_bruteforce_topk(spark, sf_dir):
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register("sim_ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+def sim_ann_lsh_topk(spark, sf_dir):
+    # Rows-only: bucket membership depends on our hyperplane PRNG.
+    # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+_NEARDUP_SQL = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id % 10 = 0),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a.emb', 'b.emb')} AS cos
+      FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9"""
+
+
+@register("embedding_cosine_neardup", oracle=_NEARDUP_SQL, tags=("similarity", "dedup"))
+def embedding_cosine_neardup(spark, sf_dir):
+    e = _emb_double(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("u"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", similarity.cosine(F.col("u"), F.col("v")).alias("cos")
+    )
+    return pairs.filter(F.col("cos") >= 0.9)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    oracle="""SELECT doc_id, 'blob' AS kind,
+                     CAST(strlen(text) AS INTEGER) AS byte_len,
+                     sha256(text) AS sha256
+              FROM documents""",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark, sf_dir):
+    mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "pandas_udf"))
+def multimodal_features(spark, sf_dir):
+    # Rows-only: the deterministic fake feature vector lives in Python
+    # (mapInPandas); shape/stability asserted in pytest.
+    mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
+    return multimodal.extract_features(mm)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
+              FROM documents,
+                   unnest(generate_series(0, CAST(strlen(text) AS INTEGER) % 120)) AS t(f)
+              WHERE f % 10 = 0""",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
+    return multimodal.frame_sample_plan(mm).select("doc_id", "frame_idx")

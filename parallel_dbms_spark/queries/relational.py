@@ -1,0 +1,617 @@
+"""Reference-parity relational query surface.
+
+One registered query per operator of the reference's inventory
+(SURVEY §2.1 O1-O18: scan/pushdown/filter/projection/aggregate/join/
+sort/sink surface of /root/reference/src/main.cpp:636-674) plus the
+§2.3 gap categories (GROUP BY, windows, set ops, outer/semi/anti joins,
+grouping sets, subqueries, scalar functions) that the Spark engine gets
+natively. Every query has a DuckDB oracle.
+
+Float-determinism convention (so oracle value-hashes match bit-for-bit):
+the testdata's numeric columns are 2-decimal currency values stored as
+doubles, so both engines cast the RAW column to DECIMAL(18,2) (both
+round to the same exact decimal), do all arithmetic/aggregation in
+exact decimal, and cast the final result to DOUBLE. Plain double sums
+would differ in the low bits between engines (different accumulation
+order); exact decimal sums cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table, run_sql
+from ..operators import (
+    aggregate,
+    asof_join,
+    filter_rows,
+    join_tables,
+    limit,
+    order_by,
+    project,
+    set_op,
+    top_k_per_group,
+)
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _money(col: str):
+    """Exact-decimal view of a 2-decimal currency double (see module doc)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# O1/O5: scan + projection (column pruning reaches the parquet ReadSchema)
+# --------------------------------------------------------------------------
+@register(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem",
+    tags=("scan", "projection"),
+)
+def scan_project(spark, sf_dir):
+    return project(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+    )
+
+
+# --------------------------------------------------------------------------
+# O2/O3/O4: conjunctive filter, pushed into the scan by Catalyst
+# --------------------------------------------------------------------------
+@register(
+    "filter_pushdown_conj",
+    oracle="""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+              WHERE l_quantity < 5 AND l_discount > 0.05""",
+    tags=("filter", "pushdown"),
+)
+def filter_pushdown_conj(spark, sf_dir):
+    li = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        ("l_quantity", "<", 5.0),
+        ("l_discount", ">", 0.05),
+    )
+    return project(li, "l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# OR filters — the case the reference's scan throws on
+# (/root/reference/src/main.cpp:152-163) and its FILTER node drops.
+@register(
+    "filter_disjunction",
+    oracle="""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+              WHERE l_returnflag = 'R' OR l_quantity > 45""",
+    tags=("filter",),
+)
+def filter_disjunction(spark, sf_dir):
+    li = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        ("l_returnflag", "=", "R"),
+        ("l_quantity", ">", 45.0),
+        disjunction=True,
+    )
+    return project(li, "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+# Timestamp-typed filter (the reference's DATE filter path,
+# /root/reference/src/headers/table.cpp:50-81).
+@register(
+    "filter_date_range",
+    oracle="""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""",
+    tags=("filter", "timestamp"),
+)
+def filter_date_range(spark, sf_dir):
+    li = filter_rows(
+        _t(spark, sf_dir, "lineitem"),
+        ("l_shipdate", ">=", "1995-01-01 00:00:00"),
+        ("l_shipdate", "<", "1996-01-01 00:00:00"),
+    )
+    return project(li, "l_orderkey", "l_linenumber", "l_shipdate")
+
+
+# --------------------------------------------------------------------------
+# O5+: computed SELECT expressions (reference plans them but never
+# evaluates them, /root/reference/src/main.cpp:378-403)
+# --------------------------------------------------------------------------
+@register(
+    "project_expressions",
+    oracle="""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1 - l_discount) AS revenue,
+                     CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class
+              FROM lineitem""",
+    tags=("projection", "expressions"),
+)
+def project_expressions(spark, sf_dir):
+    return project(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice * (1 - l_discount) AS revenue",
+        "CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class",
+    )
+
+
+# --------------------------------------------------------------------------
+# O6/O8: ungrouped COUNT/SUM/AVG/MIN/MAX — the reference's GPU
+# reduction surface (/root/reference/src/cuda/aggregate.cu:88-242)
+# --------------------------------------------------------------------------
+@register(
+    "agg_ungrouped_all5",
+    oracle="""SELECT COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(l_extendedprice) AS avg_price,
+                     MIN(l_shipdate) AS min_ship,
+                     MAX(l_shipdate) AS max_ship
+              FROM lineitem""",
+    tags=("aggregate",),
+)
+def agg_ungrouped_all5(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+        (F.sum(_money("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# Same surface through the operator-library aggregate() helper.
+# l_quantity is integer-valued, so plain double SUM/AVG are exact in
+# both engines — no decimal detour needed.
+@register(
+    "agg_operator_stats",
+    oracle="""SELECT COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty,
+                     MAX(l_quantity) AS max_qty, SUM(l_quantity) AS sum_qty,
+                     AVG(l_quantity) AS avg_qty
+              FROM lineitem""",
+    tags=("aggregate",),
+)
+def agg_operator_stats(spark, sf_dir):
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            ("count", "*", "n_rows"),
+            ("min", "l_quantity", "min_qty"),
+            ("max", "l_quantity", "max_qty"),
+            ("sum", "l_quantity", "sum_qty"),
+            ("avg", "l_quantity", "avg_qty"),
+        ],
+    )
+
+
+# GROUP BY — the reference's biggest gap (no HASH_GROUP_BY dispatch,
+# /root/reference/src/main.cpp:636-674). TPC-H Q1 shape.
+@register(
+    "agg_grouped_q1",
+    oracle="""SELECT l_returnflag, l_linestatus,
+                     SUM(l_quantity) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                     AVG(l_quantity) AS avg_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(l_extendedprice) AS avg_price,
+                     COUNT(*) AS count_order
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus""",
+    tags=("aggregate", "groupby"),
+)
+def agg_grouped_q1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_money("l_extendedprice") * (F.lit(1) - _money("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            (F.sum(_money("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O9-O12: joins. The reference demotes every join to one inner BNLJ
+# kernel (/root/reference/src/main.cpp:654-665); here Catalyst picks
+# broadcast-hash / sort-merge and all join types exist.
+# --------------------------------------------------------------------------
+@register(
+    "join_broadcast_equi",
+    oracle="""SELECT c_mktsegment, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""",
+    tags=("join", "broadcast", "groupby"),
+)
+def join_broadcast_equi(spark, sf_dir):
+    j = join_tables(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        [("o_custkey", "=", "c_custkey")],
+        broadcast_right=True,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
+# Conjunctive equi+theta condition — correct AND fold (the reference's
+# CPU join overwrites instead of AND-ing, /root/reference/src/operators/join.cpp:166-175).
+@register(
+    "join_theta_conj",
+    oracle="""SELECT p_brand, COUNT(*) AS n_li
+              FROM lineitem JOIN part
+                ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+              GROUP BY p_brand""",
+    tags=("join", "theta"),
+)
+def join_theta_conj(spark, sf_dir):
+    j = join_tables(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        [("l_partkey", "=", "p_partkey"), ("l_extendedprice", ">", "p_retailprice")],
+    )
+    return j.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_li"))
+
+
+@register(
+    "join_left_outer",
+    oracle="""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey""",
+    tags=("join", "outer"),
+)
+def join_left_outer(spark, sf_dir):
+    j = join_tables(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        [("c_custkey", "=", "o_custkey")],
+        how="left",
+    )
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@register(
+    "join_semi",
+    oracle="""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    tags=("join", "semi"),
+)
+def join_semi(spark, sf_dir):
+    big = filter_rows(_t(spark, sf_dir, "orders"), ("o_totalprice", ">", 400000.0))
+    j = join_tables(
+        _t(spark, sf_dir, "customer"), big, [("c_custkey", "=", "o_custkey")],
+        how="left_semi",
+    )
+    return project(j, "c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    tags=("join", "anti"),
+)
+def join_anti(spark, sf_dir):
+    j = join_tables(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        [("c_custkey", "=", "o_custkey")],
+        how="left_anti",
+    )
+    return project(j, "c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# O13/O15: ORDER BY — multi-key, any size, strings included (the
+# reference sorts ONE column of ONE batch, /root/reference/src/main.cpp:405-544)
+# --------------------------------------------------------------------------
+@register(
+    "order_by_multikey",
+    oracle="""SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity FROM lineitem
+              ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+              LIMIT 100""",
+    tags=("sort", "limit"),
+)
+def order_by_multikey(spark, sf_dir):
+    li = project(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+    )
+    return limit(
+        order_by(li, ("l_shipdate", False), ("l_orderkey", True), ("l_linenumber", True)),
+        100,
+    )
+
+
+# Sort on a STRING key — the reference's CPU fallback path
+# (/root/reference/src/operators/cpu_sort.cpp:3-78); no special path here.
+@register(
+    "order_by_string",
+    oracle="""SELECT c_name, c_acctbal FROM customer
+              ORDER BY c_name ASC LIMIT 50""",
+    tags=("sort", "string"),
+)
+def order_by_string(spark, sf_dir):
+    c = project(_t(spark, sf_dir, "customer"), "c_name", "c_acctbal")
+    return limit(order_by(c, ("c_name", True)), 50)
+
+
+# TOP-N: orderBy+limit collapses to TakeOrderedAndProject (distributed
+# top-N, no global sort) — LIMIT is planned-but-absent in the reference.
+@register(
+    "top_n",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+    tags=("sort", "limit"),
+)
+def top_n(spark, sf_dir):
+    o = project(_t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
+    return limit(order_by(o, ("o_totalprice", False), ("o_orderkey", True)), 50)
+
+
+# --------------------------------------------------------------------------
+# §2.3 gap categories
+# --------------------------------------------------------------------------
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def distinct_values(spark, sf_dir):
+    return project(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "set_union",
+    oracle="""SELECT c_nationkey AS nationkey FROM customer
+              UNION SELECT s_nationkey AS nationkey FROM supplier""",
+    tags=("setop",),
+)
+def set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return set_op(c, s, "union")
+
+
+@register(
+    "set_intersect",
+    oracle="""SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT SELECT s_nationkey AS nationkey FROM supplier""",
+    tags=("setop",),
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return set_op(c, s, "intersect")
+
+
+@register(
+    "set_except",
+    oracle="""SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier""",
+    tags=("setop",),
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return set_op(c, s, "except")
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 3""",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark, sf_dir):
+    o = project(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(o, ["o_custkey"], [("o_totalprice", False), ("o_orderkey", True)], 3)
+
+
+@register(
+    "window_running_sum",
+    oracle="""SELECT o_custkey, o_orderkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) AS running_total
+              FROM orders""",
+    tags=("window",),
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_rank_lag",
+    oracle="""SELECT o_custkey, o_orderkey,
+                     CAST(rank() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rk,
+                     lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS prev_order
+              FROM orders""",
+    tags=("window",),
+)
+def window_rank_lag(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+@register(
+    "grouping_rollup",
+    oracle="""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+              FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+    tags=("rollup",),
+)
+def grouping_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "grouping_cube",
+    oracle="""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    tags=("cube",),
+)
+def grouping_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_GROUPING_SETS_SQL = """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"""
+
+
+@register("grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("grouping_sets", "sql"))
+def grouping_sets(spark, sf_dir):
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# O17/O18: the SQL frontend end-to-end (spark.sql ≡ the reference's
+# DuckDB parse/plan + custom traversal). Identical SQL text runs on
+# both engines.
+# --------------------------------------------------------------------------
+_CORRELATED_SQL = """SELECT c_custkey, c_name,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_custkey = c_custkey) AS total_spent
+FROM customer"""
+
+
+@register("sql_correlated_subquery", oracle=_CORRELATED_SQL, tags=("sql", "subquery"))
+def sql_correlated_subquery(spark, sf_dir):
+    # SampleTest query3's shape (/root/reference/src/SampleTest.zip):
+    # correlated scalar subquery, decorrelated by the optimizer.
+    return run_sql(spark, sf_dir, _CORRELATED_SQL)
+
+
+_COMMA_JOIN_SQL = """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o, customer c
+WHERE o.o_custkey = c.c_custkey AND c.c_acctbal > 5000"""
+
+
+@register("sql_comma_join", oracle=_COMMA_JOIN_SQL, tags=("sql", "join"))
+def sql_comma_join(spark, sf_dir):
+    # The reference's README documents joins via comma syntax + WHERE
+    # (/root/reference/README.md:65-81).
+    return run_sql(spark, sf_dir, _COMMA_JOIN_SQL)
+
+
+# --------------------------------------------------------------------------
+# As-of join (extension; DuckDB has native ASOF JOIN as the oracle)
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_events",
+    oracle="""SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                     c.value AS last_click_value
+              FROM events e ASOF JOIN
+                   (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click') c
+                ON e.user_id = c.user_id AND CAST(e.ts AS TIMESTAMP) >= c.ts""",
+    tags=("asof", "join"),
+)
+def asof_join_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (absent in the reference: projections are bare
+# column refs, /root/reference/src/main.cpp:385-396)
+# --------------------------------------------------------------------------
+@register(
+    "scalar_functions",
+    oracle="""SELECT o_orderkey,
+                     CAST(year(o_orderdate) AS INTEGER) AS yr,
+                     CAST(month(o_orderdate) AS INTEGER) AS mth,
+                     upper(substr(o_orderpriority, 1, 3)) AS prio3,
+                     CAST(length(o_orderstatus) AS INTEGER) AS status_len,
+                     concat(o_orderstatus, '-', o_orderpriority) AS tag
+              FROM orders""",
+    tags=("functions",),
+)
+def scalar_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship (entry()): join + group + sort across 3 tables
+# --------------------------------------------------------------------------
+@register(
+    "flagship_revenue_by_nation",
+    oracle="""SELECT n_name, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name""",
+    tags=("join", "groupby", "flagship"),
+)
+def flagship_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = join_tables(o, c, [("o_custkey", "=", "c_custkey")])
+    j = join_tables(j, n, [("c_nationkey", "=", "n_nationkey")], broadcast_right=True)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+    )

@@ -1,0 +1,89 @@
+"""Structured-Streaming query surface over the ``events`` table.
+
+Each registered query REALLY runs Structured Streaming: the events
+fixture is staged into a watched directory, read with ``readStream``,
+aggregated with watermarked event-time windows, and driven to
+completion with an ``availableNow`` trigger into a memory sink
+(streaming/windows.py). Because the replay is deterministic and the
+sums go through exact decimals, a plain batch SQL over the same events
+is a valid oracle — DuckDB computes the identical windows.
+
+Window-start semantics: Spark's ``F.window(ts, '1 hour')`` aligns to
+the epoch, i.e. ``date_trunc('hour', ts)`` — which is the oracle.
+events.ts is TIMESTAMP_NS in the parquet; both sides truncate to µs
+(Spark at scan via nanosAsLong + timestamp_micros, the oracle via
+``CAST(ts AS TIMESTAMP)``).
+"""
+
+from __future__ import annotations
+
+from ..streaming import (
+    read_events_stream,
+    run_stream_to_batch,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from .registry import register
+
+
+@register(
+    "stream_tumbling_hour",
+    oracle="""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                     event_type, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2""",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_hour(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(spark, tumbling_window_agg(events))
+
+
+@register(
+    "stream_sliding_2h",
+    oracle="""WITH x AS (
+                SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                               date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR])
+                         AS window_start,
+                       value
+                FROM events)
+              SELECT window_start, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+              FROM x GROUP BY window_start""",
+    tags=("streaming", "window"),
+)
+def stream_sliding_2h(spark, sf_dir):
+    # Every event lands in exactly two 2h/1h-slide windows: starts
+    # floor_hour(ts) and floor_hour(ts) - 1h — which is what the
+    # oracle's unnest materializes.
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(spark, sliding_window_agg(events))
+
+
+@register(
+    "stream_session_30m",
+    oracle="""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+              m AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              g AS (SELECT user_id, ts, value,
+                           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                    FROM m)
+              SELECT MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     user_id, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM g GROUP BY user_id, sid""",
+    tags=("streaming", "session_window"),
+)
+def stream_session_30m(spark, sf_dir):
+    # Session semantics: a session's window is [first_ts, last_ts+gap);
+    # an event exactly ``gap`` after the previous one starts a NEW
+    # session (window end is exclusive) — hence the oracle's ``>=`` in
+    # the gaps-and-islands flag.
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(spark, session_window_agg(events))

@@ -49,14 +49,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+# Sums/averages go through exact DECIMAL(18,2) then back to DOUBLE so
+# results are accumulation-order-independent — the same convention as
+# the batch query surface (queries/relational.py module doc): a
+# streaming run and its batch oracle then agree bit-for-bit.
+def _money(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
 def tumbling_window_agg(events: DataFrame, width: str = "1 hour",
                         watermark: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("win"), F.col("event_type"))
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money("value")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -72,7 +80,10 @@ def sliding_window_agg(events: DataFrame, width: str = "2 hours",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("win"))
-        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_money("value")).cast("double") / F.count("value")).alias("avg_value"),
+        )
         .select(F.col("win.start").alias("window_start"), "n_events", "avg_value")
     )
 
@@ -84,7 +95,10 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money("value")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),

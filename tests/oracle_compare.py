@@ -1,0 +1,82 @@
+"""Driver-mirroring oracle comparison: run a registered Spark query and
+its DuckDB oracle on the same parquet tables; compare row count, column
+names/order-insensitively, and exact values (floats included — the
+query surface is engineered for bit-identical doubles, see
+queries/relational.py module doc).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+from parallel_dbms_spark.catalog import TABLES
+
+__all__ = ["duck_connect", "run_compare", "CompareResult"]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    # DuckDB may hand back ns-precision timestamps; Spark µs. Compare at µs.
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+class CompareResult:
+    def __init__(self, name):
+        self.name = name
+        self.rows_match = False
+        self.schema_match = False
+        self.values_match = False
+        self.detail = ""
+
+    @property
+    def ok(self):
+        return self.rows_match and self.schema_match and self.values_match
+
+    def __repr__(self):
+        flags = f"rows={self.rows_match} schema={self.schema_match} values={self.values_match}"
+        return f"<{self.name}: {'OK' if self.ok else 'FAIL ' + flags + ' ' + self.detail}>"
+
+
+def run_compare(spark, con, name, fn, oracle, sf_dir) -> CompareResult:
+    res = CompareResult(name)
+    sdf = fn(spark, sf_dir)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = con.sql(oracle)
+    dcols = list(rel.columns)
+    drows = rel.fetchall()
+
+    res.rows_match = len(srows) == len(drows)
+    res.schema_match = sorted(scols) == sorted(dcols)
+    if not res.schema_match:
+        res.detail = f"spark cols {sorted(scols)} != duck cols {sorted(dcols)}"
+        return res
+    if not res.rows_match:
+        res.detail = f"spark {len(srows)} rows != duck {len(drows)} rows"
+
+    # Sort columns by name (the driver's convention), then rows.
+    sperm = sorted(range(len(scols)), key=lambda i: scols[i])
+    dperm = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    skey = sorted(tuple(_norm(r[i]) for i in sperm) for r in srows)
+    dkey = sorted(tuple(_norm(r[i]) for i in dperm) for r in drows)
+    res.values_match = skey == dkey
+    if not res.values_match and not res.detail:
+        for a, b in zip(skey, dkey):
+            if a != b:
+                res.detail = f"first diff: spark={a!r} duck={b!r}"
+                break
+    return res
