@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": {...}}
+
+Workloads mirror BASELINE.md's headline micro-benchmarks (ungrouped
+AVG, MAX(timestamp), single-column ORDER BY) plus the surfaces the
+reference never measured: grouped aggregate, broadcast join, minhash
+dedup, text analysis, streaming windows. Every query is forced to full
+execution with a noop sink (no driver collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.functions import dedup, text as text_fns
+from parallel_dbms_spark.queries import REGISTRY
+from parallel_dbms_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _exec(df):
+    # noop sink: full distributed execution, zero driver materialization.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n_li = li.count()
+
+    workloads = {
+        # BASELINE.md headliners
+        "agg_avg_float": lambda: _exec(li.agg(F.avg("l_extendedprice").alias("a"))),
+        "agg_max_date": lambda: _exec(li.agg(F.max("l_shipdate").alias("m"))),
+        "orderby_float": lambda: _exec(li.orderBy("l_extendedprice")),
+        "orderby_string": lambda: _exec(li.orderBy("l_returnflag", "l_orderkey")),
+        # wider surface
+        "groupby_q1": lambda: _exec(REGISTRY["agg_grouped_q1"].fn(spark, sf_dir)),
+        "join_broadcast": lambda: _exec(REGISTRY["join_broadcast_equi"].fn(spark, sf_dir)),
+        "join_big": lambda: _exec(
+            load_table(spark, sf_dir, "orders").join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "window_topk": lambda: _exec(REGISTRY["window_topk_per_group"].fn(spark, sf_dir)),
+        "dedup_exact": lambda: _exec(
+            dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+        ),
+        "dedup_minhash_lsh": lambda: _exec(
+            dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+        ),
+        "text_stats": lambda: _exec(
+            text_fns.text_stats(load_table(spark, sf_dir, "documents"))
+        ),
+        "stream_tumbling": lambda: REGISTRY["stream_tumbling_hour"].fn(spark, sf_dir).count(),
+    }
+
+    times, rates = {}, {}
+    for name, fn in workloads.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+    for name in ("agg_avg_float", "agg_max_date", "orderby_float"):
+        rates[name] = round(n_li / max(times[name], 1e-9))
+    return times, rates, n_li
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
+    spark = get_spark(app_name="bench", cpus=cpus)
+    # one warm-up action so JVM/codegen startup isn't billed to query 1
+    load_table(spark, SF_DIR, "region").count()
+    times, rates, n_li = bench_queries(spark, SF_DIR)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "lineitem_rows": n_li,
+        "rows_per_sec": rates,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

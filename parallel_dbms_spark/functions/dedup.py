@@ -74,27 +74,38 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<long>[num_perm]) via array_min over the
-    transformed shingle-hash array — one pass, no explode."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    """(id, minhash array<long>[num_perm]).
 
-    def perm_hash(a: int, b: int):
-        # Factory closure: PySpark binds higher-order-function lambdas by
-        # arity, so the callback must have exactly one parameter (no
-        # default-arg capture). pmod the raw hash into the prime field
-        # first so a*h+b fits int64 under ANSI arithmetic.
-        return lambda s: F.pmod(
-            F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
-            F.lit(MINHASH_PRIME),
+    Shape: explode shingles -> hash each shingle ONCE into the prime
+    field -> one hash-aggregate computing all ``num_perm`` mins in a
+    single pass. The naive alternative — num_perm array-transform
+    expressions over the shingle array — re-evaluates the shingle
+    split + xxhash64 per permutation (Catalyst does not CSE across
+    lambda bodies), which measured ~100x slower at sf0.1. Here the
+    shuffle key is the doc id and partial aggregation runs map-side,
+    so the reduce is cheap at any scale.
+
+    The permutation arithmetic stays inside int64 under ANSI mode:
+    h,a,b < 2^31 so h*a+b < 2^62 (see MINHASH_PRIME).
+    """
+    p = F.lit(MINHASH_PRIME)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select("id", F.pmod(F.xxhash64("shingle"), p).alias("h"))
+    params = _perm_params(num_perm)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("minhash"),
         )
-
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(sh, perm_hash(a, b)))
-            for a, b in _perm_params(num_perm)
-        ]
     )
-    return df.select(F.col(id_col).alias("id"), sigs.alias("minhash"))
 
 
 def minhash_lsh_pairs(

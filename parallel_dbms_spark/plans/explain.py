@@ -31,8 +31,9 @@ def assert_read_schema_pruned(df: DataFrame, max_cols: int) -> None:
     """Assert the parquet ReadSchema carries at most ``max_cols`` columns."""
     plan = formatted_plan(df)
     for ln in plan.splitlines():
-        if "ReadSchema" in ln:
-            ncols = ln.count(":")  # struct<a:bigint,b:double,...>
+        if "ReadSchema" in ln and "struct<" in ln:
+            struct = ln.split("struct<", 1)[1]
+            ncols = struct.count(":")  # one : per struct field
             assert ncols <= max_cols, f"scan reads {ncols} cols (> {max_cols}):\n{ln}"
             return
     raise AssertionError(f"no ReadSchema in plan:\n{plan}")

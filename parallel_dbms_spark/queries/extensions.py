@@ -190,9 +190,12 @@ def sim_bruteforce_topk(spark, sf_dir):
 def sim_ann_lsh_topk(spark, sf_dir):
     # Rows-only: bucket membership depends on our hyperplane PRNG.
     # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
+    # 6 bits x 16 tables: measured 0.56 recall@5 on this near-uniform
+    # corpus at ~25% of brute-force candidate cost; raise nbits as the
+    # corpus grows (bucket size ~ n/2^nbits per table).
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, k=5)
+    return similarity.lsh_topk(emb, queries, k=5, nbits=6, num_tables=16)
 
 
 _NEARDUP_SQL = f"""WITH e AS (

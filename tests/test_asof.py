@@ -1,0 +1,68 @@
+"""As-of join vs DuckDB's native ASOF JOIN on randomized data, plus the
+edge cases (NULL value in the matched row, simultaneous timestamps,
+left/inner difference) that a composition bug would break."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from pyspark.sql import Row
+
+from parallel_dbms_spark.operators import asof_join
+
+
+def _frames(spark, seed=5, n_left=300, n_right=120, n_keys=12):
+    rng = random.Random(seed)
+    left = [Row(k=rng.randrange(n_keys), ts=rng.randrange(10_000), lv=i) for i in range(n_left)]
+    right = [
+        Row(k=rng.randrange(n_keys), ts=rng.randrange(10_000), rv=float(i))
+        for i in range(n_right)
+    ]
+    return spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def test_asof_matches_duckdb(spark):
+    l, r = _frames(spark)
+    got = sorted(
+        (row.k, row.ts, row.lv, row.r_rv)
+        for row in asof_join(l, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]).collect()
+    )
+    con = duckdb.connect()
+    con.register("l", l.toPandas())
+    con.register("r", r.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                """SELECT l.k, l.ts, l.lv, r.rv FROM l ASOF JOIN r
+                   ON l.k = r.k AND l.ts >= r.ts"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_asof_left_keeps_unmatched(spark):
+    l = spark.createDataFrame([Row(k=1, ts=10), Row(k=2, ts=10)])
+    r = spark.createDataFrame([Row(k=1, ts=5, rv=1.0)])
+    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"], how="left")
+    rows = {row.k: row.r_rv for row in out.collect()}
+    assert rows == {1: 1.0, 2: None}
+
+
+def test_asof_inner_keeps_null_valued_match(spark):
+    # The match marker must be row-existence, not value-non-nullness.
+    l = spark.createDataFrame([(1, 10)], "k int, ts int")
+    r = spark.createDataFrame([(1, 10, None)], "k int, ts int, rv double")
+    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]).collect()
+    assert len(out) == 1 and out[0].r_rv is None
+
+
+def test_asof_null_value_does_not_leak_older_value(spark):
+    # Most recent right row has rv=NULL; an ignorenulls-per-column
+    # implementation would wrongly surface the OLDER 7.0.
+    l = spark.createDataFrame([(1, 20)], "k int, ts int")
+    r = spark.createDataFrame([(1, 5, 7.0), (1, 15, None)], "k int, ts int, rv double")
+    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]).collect()
+    assert len(out) == 1 and out[0].r_rv is None

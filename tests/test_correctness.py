@@ -1,0 +1,31 @@
+"""The local mirror of the driver's correctness gate: every registered
+query runs in Spark AND (where an oracle exists) as DuckDB SQL on the
+same parquet; row counts, column names, and exact values must match —
+floats included (see queries/relational.py's decimal convention)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_compare import run_compare
+from conftest import SF_CORRECT
+
+from parallel_dbms_spark.queries import REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = REGISTRY[name]
+    res = run_compare(spark, duck, name, spec.fn, spec.oracle, SF_CORRECT)
+    assert res.ok, repr(res)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    df = REGISTRY[name].fn(spark, SF_CORRECT)
+    n = df.count()
+    assert n >= 0
+    assert df.columns  # stable, non-empty schema

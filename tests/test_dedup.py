@@ -1,0 +1,84 @@
+"""Dedup-operator quality tests on planted fixtures: exact dedup finds
+exact copies, MinHash-LSH and SimHash find near-duplicates and their
+estimates track exact jaccard, and the jaccard df-cap only ever drops
+pairs (never invents them)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parallel_dbms_spark.functions import dedup
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red blue green".split()
+)
+
+
+def _corpus(spark, n_docs=60, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        rows.append(Row(doc_id=i, text=" ".join(rng.choice(WORDS) for _ in range(40))))
+    # planted exact duplicates: 100/101 copy docs 0/1
+    rows.append(Row(doc_id=100, text=rows[0].text))
+    rows.append(Row(doc_id=101, text=rows[1].text))
+    # planted near-duplicates: 200/201 edit one word of docs 2/3
+    for nd, src in ((200, 2), (201, 3)):
+        toks = rows[src].text.split()
+        toks[5] = "EDITED"
+        rows.append(Row(doc_id=nd, text=" ".join(toks)))
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates_finds_planted(spark):
+    df = _corpus(spark)
+    got = {(r.keep_id, r.n_dups) for r in dedup.exact_duplicates(df).collect()}
+    assert got == {(0, 2), (1, 2)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _corpus(spark)
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    # exact copies and one-word edits must all surface
+    assert {(0, 100), (1, 101), (2, 200), (3, 201)} <= pairs
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    df = _corpus(spark)
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.0).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=None).collect()
+    }
+    for pair in [(0, 100), (1, 101), (2, 200), (3, 201)]:
+        assert est[pair] == pytest.approx(exact[pair], abs=0.25)
+    # exact copies estimate 1.0
+    assert est[(0, 100)] == 1.0
+
+
+def test_simhash_identical_and_near(spark):
+    df = _corpus(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(df, max_hamming=10).collect()}
+    assert pairs[(0, 100)] == 0
+    assert pairs[(1, 101)] == 0
+    assert (2, 200) in pairs  # one-word edit within hamming 10
+
+
+def test_jaccard_df_cap_only_drops_pairs(spark):
+    df = _corpus(spark)
+    uncapped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None).collect()}
+    capped = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=3).collect()}
+    assert capped <= uncapped
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="one two")])
+    sh = df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert sh == ["one two"]  # shorter than n -> whole text is the shingle

@@ -1,0 +1,77 @@
+"""Text-analysis semantics and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from conftest import SF_SMOKE
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.functions import multimodal, text
+
+
+def test_language_id_known_samples(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the quick brown fox and the lazy dog of the farm"),
+            Row(t="le chat est dans la maison et les jardins"),
+            Row(t="der Hund ist nicht mit der Katze und das Haus"),
+            Row(t="el perro es una mascota para los gatos"),
+            Row(t="zzz qqq xxx"),
+        ]
+    )
+    got = [r.lang for r in df.select(text.language_id(F.col("t")).alias("lang")).collect()]
+    assert got == ["en", "fr", "de", "es", "und"]
+
+
+def test_quality_score_bounded(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stats = docs.select(text.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo and stats.hi <= 1.0
+
+
+def test_fingerprint_distinguishes_and_repeats(spark):
+    df = spark.createDataFrame([Row(t="hello world"), Row(t="hello world"), Row(t="hello worle")])
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(t="ab cd-12 ef!")])
+    out = df.select(
+        text.token_count(F.col("t")).alias("ws"),
+        text.token_count(F.col("t"), text.BPE_ISH_PATTERN).alias("bpe"),
+    ).collect()[0]
+    assert out.ws == 3  # whitespace tokens
+    assert out.bpe == 6  # ab / cd / - / 12 / ef / !
+
+
+def test_multimodal_features_shape_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    mm = multimodal.attach_binary(docs, F.col("text"))
+    a = multimodal.extract_features(mm, dim=8).collect()
+    b = multimodal.extract_features(mm, dim=8).collect()
+    assert len(a) == 50
+    for r in a:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+    assert sorted((r.doc_id, tuple(r.feature)) for r in a) == sorted(
+        (r.doc_id, tuple(r.feature)) for r in b
+    )
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_every_nth(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    mm = multimodal.attach_binary(docs, F.col("text"))
+    out = multimodal.frame_sample_plan(mm, every_n=10).collect()
+    assert out
+    for r in out:
+        assert r.frame_idx % 10 == 0
