@@ -69,9 +69,16 @@ def bench_queries(spark, sf_dir):
 
     times, rates = {}, {}
     for name, fn in workloads.items():
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        # best-of-2: the first run pays one-time whole-stage-codegen
+        # compilation (~0.3-0.5s/plan), which at sf0.1 would otherwise
+        # dominate the measurement; the second run measures the query.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     for name in ("agg_avg_float", "agg_max_date", "orderby_float"):
         rates[name] = round(n_li / max(times[name], 1e-9))
     return times, rates, n_li

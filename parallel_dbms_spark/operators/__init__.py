@@ -2,6 +2,8 @@ from .relational import (
     CMP_OPS,
     aggregate,
     filter_rows,
+    grouping_agg,
+    join_skew_salted,
     join_tables,
     limit,
     order_by,
@@ -15,6 +17,8 @@ __all__ = [
     "CMP_OPS",
     "aggregate",
     "filter_rows",
+    "grouping_agg",
+    "join_skew_salted",
     "join_tables",
     "limit",
     "order_by",

@@ -190,3 +190,46 @@ def set_op(left: DataFrame, right: DataFrame, op: str) -> DataFrame:
         "intersect": lambda: left.intersect(right),
         "except": lambda: left.exceptAll(right),
     }[op]()
+
+
+def grouping_agg(
+    df: DataFrame,
+    dims: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    mode: str = "rollup",
+) -> DataFrame:
+    """ROLLUP / CUBE over ``dims`` — absent in the reference (SURVEY
+    §2.3). ``aggs`` as in :func:`aggregate`. Physically one expanded
+    hash aggregate (Expand + partial/final HashAggregate), not one
+    pass per grouping set."""
+    grouped = {"rollup": df.rollup, "cube": df.cube}[mode](*dims)
+    return grouped.agg(*[_AGG_FNS[fn.lower()](col).alias(a) for fn, col, a in aggs])
+
+
+def join_skew_salted(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join with manual salting for a skewed LEFT key.
+
+    The hot key's rows are spread over ``salt`` synthetic sub-keys;
+    the (smaller) right side is replicated ``salt`` times so every
+    sub-key still finds its match. Use when one key holds a large
+    fraction of the rows — a single shuffle partition would otherwise
+    serialize the whole join. (AQE's skew-join split handles moderate
+    skew automatically; salting is the explicit tool for the
+    pathological case, and the one you'd reach for on a 1000-executor
+    cluster before resorting to per-key special-casing.)
+    """
+    l = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(
+        r,
+        (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]),
+        how=how,
+    )
+    return out.drop("__salt")

@@ -473,6 +473,8 @@ def window_rank_lag(spark, sf_dir):
     tags=("rollup",),
 )
 def grouping_rollup(spark, sf_dir):
+    # count via grouping_agg operator; the decimal sum is appended the
+    # same way (operator aggs and column aggs compose).
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderpriority", "o_orderstatus")
@@ -490,10 +492,13 @@ def grouping_rollup(spark, sf_dir):
     tags=("cube",),
 )
 def grouping_cube(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+    from ..operators import grouping_agg
+
+    return grouping_agg(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        [("count", "*", "n")],
+        mode="cube",
     )
 
 
@@ -589,6 +594,113 @@ def scalar_functions(spark, sf_dir):
         F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
         F.length("o_orderstatus").alias("status_len"),
         F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates via exact decimal moments. Built-in
+# stddev/corr accumulate doubles in engine-specific orders, so they
+# can never hash-match an oracle; the moment sums (x, x^2, x*y) are
+# exact decimals, and the final combining arithmetic is the same
+# double expression on both sides — bit-exact, and exactly how a
+# scale-out engine computes moments anyway (one partial-agg pass).
+# --------------------------------------------------------------------------
+@register(
+    "agg_variance_corr",
+    oracle="""WITH m AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+                FROM lineitem)
+              SELECT n,
+                     (sxx - sx * sx / n) / (n - 1) AS var_qty,
+                     sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+                     (sxy - sx * sy / n)
+                       / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+              FROM m""",
+    tags=("aggregate", "statistics"),
+)
+def agg_variance_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money("l_quantity")).cast("double").alias("sx"),
+        F.sum(_money("l_quantity") * _money("l_quantity")).cast("double").alias("sxx"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(_money("l_extendedprice") * _money("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(_money("l_quantity") * _money("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        n.alias("n"),
+        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_distinct(spark, sf_dir):
+    # Rows-only: HLL sketches are engine-specific. Relative error vs
+    # exact COUNT(DISTINCT) is pytest-asserted (<5%).
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys")
+    )
+
+
+@register(
+    "datetime_functions",
+    oracle="""SELECT o_orderkey,
+                     CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                     CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday_mon0,
+                     CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                       AS days_since_95,
+                     CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+              FROM orders""",
+    tags=("functions", "datetime"),
+)
+def datetime_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""SELECT o_orderkey,
+                     lower(o_orderpriority) AS prio_lower,
+                     replace(o_orderpriority, '-', '_') AS prio_repl,
+                     lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+                     reverse(o_orderstatus) AS status_rev,
+                     CAST(strpos(o_orderpriority, '-') AS INTEGER) AS dash_pos,
+                     split_part(o_orderpriority, '-', 1) AS prio_num
+              FROM orders""",
+    tags=("functions", "string"),
+)
+def string_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.instr("o_orderpriority", "-").alias("dash_pos"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_num"),
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from ..streaming import (
     read_events_stream,
     run_stream_to_batch,
+    running_user_totals,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -87,3 +88,20 @@ def stream_session_30m(spark, sf_dir):
     # the gaps-and-islands flag.
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_batch(spark, session_window_agg(events))
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""SELECT user_id, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                       AS total_value
+              FROM events GROUP BY user_id""",
+    tags=("streaming", "stateful", "pandas_udf"),
+)
+def stream_stateful_running_totals(spark, sf_dir):
+    # Custom stateful operator (applyInPandasWithState): per-user state
+    # is an exact int64 cent count, so a single-batch replay's final
+    # emission equals the plain SQL totals — a full oracle for a
+    # Python-side stateful streaming operator.
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_batch(spark, running_user_totals(events), output_mode="update")

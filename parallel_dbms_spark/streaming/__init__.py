@@ -1,3 +1,4 @@
+from .stateful import running_user_totals
 from .windows import (
     read_events_stream,
     run_stream_to_batch,
@@ -9,6 +10,7 @@ from .windows import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_batch",
+    "running_user_totals",
     "session_window_agg",
     "sliding_window_agg",
     "tumbling_window_agg",

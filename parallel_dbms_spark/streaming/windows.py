@@ -109,14 +109,17 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_stream_to_batch(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+def run_stream_to_batch(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming DataFrame over the full fixture backlog
     (trigger availableNow) into a memory sink; return the result as a
     batch DataFrame. outputMode=complete so closed-and-open windows are
-    all present (deterministic replay for the oracle)."""
+    all present (deterministic replay for the oracle); stateful
+    applyInPandasWithState operators require ``update``."""
     name = "s_" + uuid.uuid4().hex[:12]
     q = (
-        streaming_df.writeStream.outputMode("complete")
+        streaming_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,52 @@
+"""Tests for the skew-salted join, grouping wrappers, and approximate
+distinct."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row, functions as F
+
+from conftest import SF_SMOKE
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.operators import grouping_agg, join_skew_salted, join_tables
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of left rows share one hot key — the salted plan must return
+    # exactly the plain join's result.
+    rng = random.Random(3)
+    left = spark.createDataFrame(
+        [Row(k=(7 if rng.random() < 0.9 else rng.randrange(20)), lv=i) for i in range(2000)]
+    )
+    right = spark.createDataFrame([Row(rk=i, rv=f"r{i}") for i in range(20)])
+    plain = join_tables(left, right, [("k", "=", "rk")])
+    salted = join_skew_salted(left, right, "k", "rk", salt=8)
+    a = sorted((r.k, r.lv, r.rv) for r in plain.collect())
+    b = sorted((r.k, r.lv, r.rv) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([Row(k=1, lv=1), Row(k=99, lv=2)])
+    right = spark.createDataFrame([Row(rk=1, rv="x")])
+    out = join_skew_salted(left, right, "k", "rk", salt=4, how="left")
+    rows = {r.lv: r.rv for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_grouping_agg_rollup_counts(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    out = grouping_agg(o, ["o_orderstatus"], [("count", "*", "n")], mode="rollup")
+    rows = {r.o_orderstatus: r.n for r in out.collect()}
+    total = o.count()
+    assert rows[None] == total  # grand-total row
+    assert sum(v for k, v in rows.items() if k is not None) == total
+
+
+def test_approx_distinct_close_to_exact(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    approx = o.agg(F.approx_count_distinct("o_custkey").alias("a")).collect()[0].a
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(approx - exact) / exact < 0.05
