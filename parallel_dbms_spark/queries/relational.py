@@ -648,6 +648,50 @@ def agg_variance_corr(spark, sf_dir):
     )
 
 
+@register(
+    "agg_percentiles",
+    oracle="""SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+                     quantile_cont(l_extendedprice, 0.95) AS p95,
+                     quantile_cont(l_quantity, 0.5) AS med_qty
+              FROM lineitem""",
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles(spark, sf_dir):
+    # Exact interpolated percentile: Spark's percentile() and DuckDB's
+    # quantile_cont use the same linear interpolation over the sorted
+    # values, so results are bit-identical (verified at sf0.01).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile("l_quantity", 0.5).alias("med_qty"),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    oracle="""SELECT o_orderpriority,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+              FROM orders GROUP BY o_orderpriority""",
+    tags=("aggregate", "pivot"),
+)
+def pivot_status_counts(spark, sf_dir):
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    # pivot emits NULL for absent combinations; the FILTER-count oracle
+    # emits 0 — normalize.
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
 @register("agg_approx_distinct", oracle=None, tags=("aggregate", "approx"))
 def agg_approx_distinct(spark, sf_dir):
     # Rows-only: HLL sketches are engine-specific. Relative error vs

@@ -1,3 +1,11 @@
+from .lake import read_partitioned, write_bucketed_table, write_partitioned
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
 
-__all__ = ["read_typed_csv", "register_typed_csv_dir", "write_typed_csv"]
+__all__ = [
+    "read_partitioned",
+    "read_typed_csv",
+    "register_typed_csv_dir",
+    "write_bucketed_table",
+    "write_partitioned",
+    "write_typed_csv",
+]

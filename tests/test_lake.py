@@ -1,0 +1,60 @@
+"""Lake-layout physical design: partition pruning reaches the scan and
+bucketed tables join without an exchange — the write-time optimizations
+that carry the 100 TB case."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.plans import formatted_plan
+from parallel_dbms_spark.sources import (
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+
+    df = read_partitioned(spark, path).filter(F.col("order_year") == 1995)
+    plan = formatted_plan(df)
+    # the partition filter must prune directories at the scan, not
+    # filter rows afterwards
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    years = {r.order_year for r in df.select("order_year").distinct().collect()}
+    assert years == {1995}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed_table(orders, "orders_b", "o_custkey", 8, str(tmp_path / "ob"), sort_by="o_custkey")
+    write_bucketed_table(customer, "cust_b", "c_custkey", 8, str(tmp_path / "cb"), sort_by="c_custkey")
+    try:
+        # merge hint: at test scale the planner would broadcast the tiny
+        # dim (disabling bucketing); at the scale bucketing exists for,
+        # both sides are big and SMJ is what the planner picks anyway.
+        j = (
+            spark.table("orders_b")
+            .hint("merge")
+            .join(spark.table("cust_b"), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_name")
+        )
+        plan = formatted_plan(j)
+        # co-located join: the shuffle was paid at write time — the
+        # join plan must contain NO exchange.
+        assert "Exchange" not in plan, plan
+        assert j.count() == orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
