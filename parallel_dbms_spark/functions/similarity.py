@@ -105,6 +105,37 @@ def rp_signature(vec_col, dim: int, nbits: int = 16, seed: int = 7):
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT the all-pairs join: two
+    vectors are candidates iff they share a signature bucket in any
+    table; only candidates get the exact cosine verification. At
+    threshold 0.9 the pair's angle is ~25°, so per-table collision
+    probability is (1 - 25/180)^nbits ≈ 0.3 at 8 bits — across 8
+    tables recall is ~0.95 while the candidate set stays near-linear
+    in corpus size. Returns (id_a, id_b, cos)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = None
+    for t in range(num_tables):
+        sig = c.withColumn("sig", rp_signature(F.col("v"), dim, nbits, seed=7 + t))
+        a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
+        b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig")
+        hit = a.join(b, on="sig").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "va", "vb"
+        )
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    scored = cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

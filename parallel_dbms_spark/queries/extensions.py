@@ -110,20 +110,30 @@ _LANG_CASE = (
     + " END"
 )
 
+# SQL fragments mirroring functions/text.py expression-for-expression
+# (same association order -> bit-identical doubles; see
+# queries/relational.py module doc).
+_PUNCT_SQL = r"len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1)"
+_DIGIT_SQL = r"len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)"
+_SW_RATIO_SQL = (
+    rf"len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t IN ({_SW})))"
+    rf" / greatest(len(regexp_extract_all(lower(text), '\S+')), 1)"
+)
+_QUALITY_SQL = (
+    f"0.4 * least(length(text) / 400.0, 1.0)"
+    f" + 0.3 * (1.0 - least({_PUNCT_SQL} * 4, 1.0))"
+    f" + 0.2 * least({_SW_RATIO_SQL} * 4, 1.0)"
+    f" + 0.1 * (1.0 - least({_DIGIT_SQL} * 5, 1.0))"
+)
+
 _TEXT_STATS_SQL = rf"""SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
-  len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) AS punct_ratio,
-  len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS digit_ratio,
-  len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t IN ({_SW})))
-    / greatest(len(regexp_extract_all(lower(text), '\S+')), 1) AS stopword_ratio,
-  0.4 * least(length(text) / 400.0, 1.0)
-    + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) * 4, 1.0))
-    + 0.2 * least(len(list_filter(regexp_extract_all(lower(text), '\S+'), t -> t IN ({_SW})))
-                  / greatest(len(regexp_extract_all(lower(text), '\S+')), 1) * 4, 1.0)
-    + 0.1 * (1.0 - least(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) * 5, 1.0))
-    AS quality,
+  {_PUNCT_SQL} AS punct_ratio,
+  {_DIGIT_SQL} AS digit_ratio,
+  {_SW_RATIO_SQL} AS stopword_ratio,
+  {_QUALITY_SQL} AS quality,
   {_LANG_CASE} AS lang_pred,
   list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
@@ -215,6 +225,59 @@ def embedding_cosine_neardup(spark, sf_dir):
         "id_a", "id_b", similarity.cosine(F.col("u"), F.col("v")).alias("cos")
     )
     return pairs.filter(F.col("cos") >= 0.9)
+
+
+@register("embedding_neardup_lsh", oracle=None, tags=("similarity", "dedup", "lsh"))
+def embedding_neardup_lsh(spark, sf_dir):
+    # The scale path for near-dup pairs: bucket-join candidates (no
+    # all-pairs), exact cosine verify on candidates only. Rows-only;
+    # pytest asserts it recovers the brute-force pairs' majority.
+    # This corpus's closest pairs sit at cos ~0.5 (no planted
+    # near-identicals), so the threshold targets that neighborhood and
+    # nbits is low — wide-angle pairs need coarse buckets. A corpus
+    # with real 0.95+ duplicates would use threshold 0.9 / nbits 8+.
+    return similarity.lsh_neardup_pairs(
+        _emb_double(spark, sf_dir), threshold=0.45, nbits=4, num_tables=8
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data pipeline: quality filter -> language filter
+# -> exact dedup (min-id survivor) -> stats. The composition every
+# 100 TB corpus-cleaning job runs, as ONE lazy plan (scan-fused
+# filters, one window for survivor selection), with a full oracle.
+# --------------------------------------------------------------------------
+_PIPELINE_SQL = f"""WITH s AS (
+  SELECT doc_id, text,
+         {_QUALITY_SQL} AS quality,
+         {_LANG_CASE} AS lang_pred,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+  FROM documents),
+f AS (SELECT * FROM s WHERE quality >= 0.5 AND lang_pred = 'en'),
+k AS (SELECT doc_id, n_tokens, quality,
+             MIN(doc_id) OVER (PARTITION BY md5(trim(text))) AS keep
+      FROM f)
+SELECT doc_id, n_tokens, quality FROM k WHERE doc_id = keep"""
+
+
+@register("pipeline_clean_corpus", oracle=_PIPELINE_SQL, tags=("pipeline", "dedup", "text"))
+def pipeline_clean_corpus(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.language_id(F.col("text")).alias("lang_pred"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+    filt = enriched.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy(F.md5(F.encode(F.trim(F.col("text")), "UTF-8")))
+    kept = filt.withColumn("__keep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keep")
+    )
+    return kept.select("doc_id", "n_tokens", "quality")
 
 
 # --------------------------------------------------------------------------

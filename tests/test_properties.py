@@ -1,0 +1,84 @@
+"""Metamorphic property tests (SURVEY §5's upgrade over the reference's
+test story): algebraic identities that must hold for ANY data, checked
+on seeded random frames."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parallel_dbms_spark.operators import filter_rows, join_tables, set_op
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = random.Random(17)
+    rows = [
+        Row(
+            k=rng.randrange(15),
+            v=round(rng.uniform(0, 100), 2),
+            s=rng.choice(["a", "b", "c", None]),
+        )
+        for _ in range(800)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _rows(df):
+    # None-safe canonical ordering (NULLs sort before values)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+
+
+def test_filter_splitting(frame):
+    # σ(a ∧ b) == σ(a) ∘ σ(b)
+    both = filter_rows(frame, ("k", "<", 10), ("v", ">", 25.0))
+    chained = filter_rows(filter_rows(frame, ("k", "<", 10)), ("v", ">", 25.0))
+    assert _rows(both) == _rows(chained)
+
+
+def test_filter_complement_partitions_rows(frame):
+    # σ(p) ⊎ σ(¬p) == all rows with non-null p
+    p = filter_rows(frame, ("v", ">", 50.0))
+    notp = filter_rows(frame, ("v", "<=", 50.0))
+    assert p.count() + notp.count() == frame.filter(F.col("v").isNotNull()).count()
+
+
+def test_join_commutativity(spark, frame):
+    other = spark.createDataFrame([Row(rk=i, w=i * 10) for i in range(15)])
+    ab = join_tables(frame, other, [("k", "=", "rk")]).select("k", "v", "s", "rk", "w")
+    ba = join_tables(other, frame, [("rk", "=", "k")]).select("k", "v", "s", "rk", "w")
+    assert _rows(ab) == _rows(ba)
+
+
+def test_aggregate_over_union(spark, frame):
+    # sum over a union == sum of sums (on exact decimal)
+    half1 = frame.filter(F.col("k") < 8)
+    half2 = frame.filter(F.col("k") >= 8)
+    dec = F.col("v").cast("decimal(18,2)")
+    total = frame.agg(F.sum(dec)).collect()[0][0]
+    split = (
+        half1.agg(F.sum(dec)).collect()[0][0] or 0
+    ) + (half2.agg(F.sum(dec)).collect()[0][0] or 0)
+    assert total == split
+
+
+def test_union_all_counts(frame):
+    u = set_op(frame, frame, "union_all")
+    assert u.count() == 2 * frame.count()
+
+
+def test_distinct_idempotent(frame):
+    d1 = frame.select("k", "s").distinct()
+    d2 = d1.distinct()
+    assert _rows(d1) == _rows(d2)
+
+
+def test_topk_subset_of_sorted(frame):
+    top = frame.orderBy(F.col("v").desc()).limit(10).collect()
+    vs = sorted((r.v for r in frame.collect()), reverse=True)[:10]
+    assert sorted((r.v for r in top), reverse=True) == vs

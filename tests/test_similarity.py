@@ -32,6 +32,29 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_lsh_neardup_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("u"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine(F.col("u"), F.col("v")).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_neardup_pairs(
+            emb, threshold=0.45, nbits=4, num_tables=8
+        ).collect()
+    }
+    assert brute, "fixture should contain pairs above 0.45"
+    assert got <= brute  # exact verify: no false positives
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"neardup recall {recall:.2f}"
+
+
 def test_brute_force_excludes_self_and_ranks_k(spark):
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") < 5)
