@@ -320,3 +320,28 @@ def multimodal_features(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
     return multimodal.frame_sample_plan(mm).select("doc_id", "frame_idx")
+
+
+@register(
+    "pandas_zscore_by_type",
+    oracle="""WITH g AS (
+                SELECT event_id, event_type, value,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS s,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                                * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS ss,
+                       COUNT(*) OVER w AS n
+                FROM events WINDOW w AS (PARTITION BY event_type))
+              SELECT event_id, event_type, value,
+                     (value - (s / 100.0) / n)
+                       / sqrt(((ss / 10000.0) - (s / 100.0) * (s / 100.0) / n) / (n - 1)) AS z
+              FROM g""",
+    tags=("pandas_udf", "groupby"),
+)
+def pandas_zscore_by_type(spark, sf_dir):
+    # Grouped-map applyInPandas with an exact oracle: the pandas side
+    # computes the same int64-cent moments and double arithmetic the
+    # SQL window plan does (see functions/pandas_ops.py).
+    from ..functions.pandas_ops import zscore_by_group
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_by_group(ev, "event_type", "value", keep_cols=["event_id"])

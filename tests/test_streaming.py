@@ -48,6 +48,83 @@ def test_session_stream_equals_batch(spark):
     assert _sym_diff(s, b) == 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real late-data semantics: two files processed as two micro-batches
+    (maxFilesPerTrigger=1). Batch 1's max event time advances the
+    watermark; batch 2 contains an event OLDER than the watermark,
+    which append-mode must drop — its window was already finalized."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_dbms_spark.streaming.windows import EVENTS_SCHEMA, run_stream_to_batch
+
+    d = tmp_path / "watched"
+    d.mkdir()
+    H = 3_600_000_000_000  # 1h in ns
+    base = 1_600_000_000_000_000_000  # ns epoch, hour-aligned enough
+
+    def table(rows):
+        ids, tss = zip(*rows)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array([""] * len(rows)),
+            }
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        # parquet sink: supports checkpoint recovery (memory sink does
+        # not), so run 2 restores run 1's watermark from the checkpoint
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(d))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        q = (
+            streaming.tumbling_window_agg(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: hours 1,2,3 and 10 -> watermark persisted = 10h - 1h = 9h;
+    # append emits nothing yet (watermark was 0 during the batch)
+    pq.write_table(
+        table([(0, base + 1 * H), (1, base + 2 * H), (2, base + 3 * H), (3, base + 10 * H)]),
+        d / "a.parquet",
+    )
+    run_once()
+    # run 2 (same checkpoint -> watermark restored): one LATE event in
+    # hour 3 (< watermark) + one fresh at hour 11
+    pq.write_table(table([(100, base + 3 * H + 1000), (101, base + 11 * H)]), d / "b.parquet")
+    run_once()
+
+    rows = sorted(
+        (r.window_start, r.n_events) for r in spark.read.parquet(sink).collect()
+    )
+    # hours 1,2,3 finalized below the restored watermark; the LATE
+    # hour-3 event was dropped (count stays 1, not 2); hours 10/11 are
+    # still open at stream end -> not emitted in append mode
+    assert len(rows) == 3, rows
+    assert all(n == 1 for _, n in rows), f"late event leaked into a closed window: {rows}"
+
+
 def test_session_windows_respect_gap(spark):
     s = streaming.session_window_agg(_events(spark)).collect()
     for r in s:
