@@ -98,6 +98,33 @@ def language_id(text: Column) -> Column:
     return out
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the same regex
+# runs identically in Spark (Java regex) and the DuckDB oracle (RE2).
+# Order matters: SSN before PHONE (the phone pattern's digit/dash run
+# would otherwise consume SSN-shaped tokens first).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, URLs, phone-like digit runs, and SSN-shaped
+    tokens with typed placeholders — the standard first scrub pass of a
+    training-data pipeline. Chained regexp_replace stays fully inside
+    whole-stage codegen (one scan, no UDF).
+
+    Deliberately recall-biased: the phone pattern also captures other
+    long digit/dash runs (e.g. ISO dates) — over-scrubbing is the safe
+    direction for PII; tighten patterns per-corpus if dates matter."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 FP_MOD = 1_000_000_007
 FP_BASE = 31
 

@@ -345,3 +345,38 @@ def pandas_zscore_by_type(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return zscore_by_group(ev, "event_type", "value", keep_cols=["event_id"])
+
+
+_SCRUB_SQL = r"""SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        'https?://[^\s]+', '<URL>', 'g'),
+      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails
+FROM documents"""
+
+
+@register("text_scrub_pii", oracle=_SCRUB_SQL, tags=("text", "pii"))
+def text_scrub_pii(spark, sf_dir):
+    # Chained regexp_replace (RE2-compatible patterns run identically in
+    # Spark's Java regex and DuckDB's RE2) + per-doc URL/email counts.
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.scrub_pii(F.col("text")).alias("scrubbed"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"https?://[^\s]+"), F.lit(0))
+        ).alias("n_urls"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+                F.lit(0),
+            )
+        ).alias("n_emails"),
+    )

@@ -49,6 +49,20 @@ def test_token_counts(spark):
     assert out.bpe == 6  # ab / cd / - / 12 / ef / !
 
 
+def test_scrub_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="contact bob.smith+x@example.co.uk or visit https://a.example.com/path?q=1 now"),
+            Row(t="call +1 (415) 555-0199 ssn 123-45-6789 end"),
+            Row(t="clean text with no pii at all"),
+        ]
+    )
+    got = [r.s for r in df.select(text.scrub_pii(F.col("t")).alias("s")).collect()]
+    assert got[0] == "contact <EMAIL> or visit <URL> now"
+    assert got[1] == "call <PHONE> ssn <SSN> end"
+    assert got[2] == "clean text with no pii at all"
+
+
 def test_multimodal_features_shape_and_determinism(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     mm = multimodal.attach_binary(docs, F.col("text"))
