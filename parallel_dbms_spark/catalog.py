@@ -47,6 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# The sf_dir whose views are CURRENTLY registered, per session — a
+# view name can only point at one directory at a time, so this must be
+# "current", not "ever registered" (a set would serve stale views when
+# callers interleave directories). Re-registering 10 views on every
+# run_sql call would be needless work in a hot loop; re-registering on
+# a directory SWITCH is required for correctness.
+_CURRENT_DIR: dict[int, str] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -56,6 +65,8 @@ def load_tables(
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    if set(names) >= set(TABLES):
+        _CURRENT_DIR[id(spark)] = sf_dir
     return out
 
 
@@ -72,5 +83,6 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     plain case-insensitive ASC/DESC to Spark's parser, so no dialect
     rewrite is required.
     """
-    load_tables(spark, sf_dir)
+    if _CURRENT_DIR.get(id(spark)) != sf_dir:
+        load_tables(spark, sf_dir)
     return spark.sql(sql)

@@ -105,3 +105,20 @@ def stream_stateful_running_totals(spark, sf_dir):
     # Python-side stateful streaming operator.
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_batch(spark, running_user_totals(events), output_mode="update")
+
+
+@register(
+    "stream_dedup_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_users(spark, sf_dir):
+    # Streaming deduplication: dropDuplicates keeps the FIRST arrival
+    # per key in unbounded state (bound it with
+    # withWatermark + dropDuplicatesWithinWatermark when keys expire).
+    # Which physical row survives is arrival-order-dependent, so the
+    # query projects only the key — the surviving key SET is exactly
+    # DISTINCT user_id, a deterministic oracle.
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.select("user_id").dropDuplicates(["user_id"])
+    return run_stream_to_batch(spark, deduped, output_mode="append")

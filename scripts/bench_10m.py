@@ -47,15 +47,27 @@ def build(spark):
     return spark.read.parquet(DATA)
 
 
+def build_csv(spark, df):
+    """Same table as headerless CSV — the reference's input format, so
+    the avg-over-CSV row is apples-to-apples with its 12.2s (which is
+    dominated by CSV parse)."""
+    path = DATA + "_csv"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").option("header", False).csv(path)
+    return spark.read.schema("id long, value double, ts timestamp, grp long").csv(path)
+
+
 def main():
     spark = get_spark(app_name="bench10m")
     df = build(spark)
+    df_csv = build_csv(spark, df)
 
     def noop(d):
         d.write.format("noop").mode("overwrite").save()
 
     workloads = {
         "agg_avg_10m": lambda: noop(df.agg(F.avg("value").alias("a"))),
+        "agg_avg_10m_csv_input": lambda: noop(df_csv.agg(F.avg("value").alias("a"))),
         "agg_max_ts_10m": lambda: noop(df.agg(F.max("ts").alias("m"))),
         "orderby_10m": lambda: noop(df.orderBy("value")),
         "groupby_1k_10m": lambda: noop(
