@@ -12,8 +12,10 @@ from .relational import (
     top_k_per_group,
 )
 from .asof import asof_join
+from .range_join import time_band_join
 
 __all__ = [
+    "time_band_join",
     "CMP_OPS",
     "aggregate",
     "filter_rows",

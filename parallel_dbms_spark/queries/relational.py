@@ -771,3 +771,34 @@ def flagship_revenue_by_nation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "range_join_time_band",
+    oracle="""SELECT p.event_id, COUNT(c.event_id) AS n_clicks_30m
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id
+               AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+              GROUP BY p.event_id""",
+    tags=("join", "range"),
+)
+def range_join_time_band(spark, sf_dir):
+    # Banded time join: bucketed hash equi-join (see operators/range_join.py),
+    # NOT the nested loop the naive |l.ts-r.ts|<=band condition would plan.
+    from ..operators.range_join import time_band_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = time_band_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        band_seconds=1800, how="left",
+    )
+    return j.groupBy("event_id").agg(F.count("r_event_id").alias("n_clicks_30m"))
