@@ -55,6 +55,8 @@ def bench_queries(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
         ),
         "window_topk": lambda: _exec(REGISTRY["window_topk_per_group"].fn(spark, sf_dir)),
+        "tpch_q3_shape": lambda: _exec(REGISTRY["tpch_q3_shape"].fn(spark, sf_dir)),
+        "tpch_q5_shape": lambda: _exec(REGISTRY["tpch_q5_shape"].fn(spark, sf_dir)),
         "dedup_exact": lambda: _exec(
             dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
         ),

@@ -802,3 +802,119 @@ def range_join_time_band(spark, sf_dir):
         band_seconds=1800, how="left",
     )
     return j.groupBy("event_id").agg(F.count("r_event_id").alias("n_clicks_30m"))
+
+
+@register(
+    "json_extract_props",
+    oracle="""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val FROM events""",
+    tags=("functions", "json"),
+)
+def json_extract_props(spark, sf_dir):
+    # JSON scalar extraction from the events.props payload column.
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "json_agg_by_type",
+    oracle="""SELECT event_type,
+                     CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+                     COUNT(*) AS n
+              FROM events GROUP BY event_type""",
+    tags=("functions", "json", "groupby"),
+)
+def json_agg_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Classic analytical shapes: multi-way joins with selective filters,
+# exercising join ordering / AQE across 3 and 6 tables.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3_shape",
+    oracle="""SELECT l_orderkey, o_orderdate,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey ASC
+              LIMIT 10""",
+    tags=("join", "groupby", "sort", "tpch"),
+)
+def tpch_q3_shape(spark, sf_dir):
+    c = filter_rows(_t(spark, sf_dir, "customer"), ("c_mktsegment", "=", "BUILDING"))
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"), ("o_orderdate", "<", "1998-01-01 00:00:00")
+    )
+    li = filter_rows(
+        _t(spark, sf_dir, "lineitem"), ("l_shipdate", ">", "1996-01-01 00:00:00")
+    )
+    j = join_tables(join_tables(c, o, [("c_custkey", "=", "o_custkey")]),
+                    li, [("o_orderkey", "=", "l_orderkey")])
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_money("l_extendedprice") * (F.lit(1) - _money("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return limit(order_by(agg, ("revenue", False), ("l_orderkey", True)), 10)
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+              GROUP BY n_name""",
+    tags=("join", "groupby", "tpch"),
+)
+def tpch_q5_shape(spark, sf_dir):
+    # Six-table join: big fact tables shuffle on their keys, the three
+    # dims (supplier, nation, region) broadcast; Catalyst+AQE order it.
+    c = _t(spark, sf_dir, "customer")
+    o = filter_rows(
+        _t(spark, sf_dir, "orders"),
+        ("o_orderdate", ">=", "1996-01-01 00:00:00"),
+        ("o_orderdate", "<", "1999-01-01 00:00:00"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = filter_rows(_t(spark, sf_dir, "region"), ("r_name", "=", "ASIA"))
+    j = join_tables(c, o, [("c_custkey", "=", "o_custkey")])
+    j = join_tables(j, li, [("o_orderkey", "=", "l_orderkey")])
+    j = join_tables(
+        j, s, [("l_suppkey", "=", "s_suppkey"), ("c_nationkey", "=", "s_nationkey")],
+        broadcast_right=True,
+    )
+    j = join_tables(j, n, [("s_nationkey", "=", "n_nationkey")], broadcast_right=True)
+    j = join_tables(j, r, [("n_regionkey", "=", "r_regionkey")], broadcast_right=True)
+    return j.groupBy("n_name").agg(
+        F.sum(_money("l_extendedprice") * (F.lit(1) - _money("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
