@@ -208,6 +208,16 @@ def sim_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, nbits=6, num_tables=16)
 
 
+@register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf"))
+def sim_ivf_topk(spark, sf_dir):
+    # IVF(Flat) ANN: k-means coarse cells + nprobe probing. Rows-only:
+    # cell assignment depends on our deterministic seeding/Lloyd steps.
+    # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+
+
 _NEARDUP_SQL = f"""WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings WHERE vec_id % 10 = 0),

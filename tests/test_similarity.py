@@ -55,6 +55,34 @@ def test_lsh_neardup_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"neardup recall {recall:.2f}"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=5)
+    ivf = similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    # Probing half the cells (nprobe=4 of nlist=8) on a near-uniform
+    # corpus measured ~0.9 recall; floor at 0.6 for regressions.
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_rp_signatures_np_matches_expression_path(spark):
+    # The matmul UDF and the pure-expression signature must bucket
+    # identically (same hyperplanes, same sign test).
+    emb = _emb(spark).limit(50)
+    expr = emb.select(
+        "vec_id", similarity.rp_signature(F.col("embedding"), dim=64, nbits=8, seed=9).alias("s")
+    ).collect()
+    udf = similarity.rp_signatures_np(dim=64, nbits=8, num_tables=3, seed=7)
+    nps = emb.select("vec_id", udf("embedding").alias("s")).collect()
+    np_by_id = {r.vec_id: r.s for r in nps}
+    for r in expr:
+        # table index 2 of the multi-UDF uses seed 7+2=9 == expression seed
+        assert np_by_id[r.vec_id][2] == r.s
+
+
 def test_brute_force_excludes_self_and_ranks_k(spark):
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") < 5)
