@@ -66,6 +66,8 @@ def bench_queries(spark, sf_dir):
         "text_stats": lambda: _exec(
             text_fns.text_stats(load_table(spark, sf_dir, "documents"))
         ),
+        "sim_ann_lsh": lambda: _exec(REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir)),
+        "sim_ivf": lambda: _exec(REGISTRY["sim_ivf_topk"].fn(spark, sf_dir)),
         "stream_tumbling": lambda: REGISTRY["stream_tumbling_hour"].fn(spark, sf_dir).count(),
     }
 
