@@ -18,6 +18,7 @@ events.ts is TIMESTAMP_NS in the parquet; both sides truncate to µs
 from __future__ import annotations
 
 from ..streaming import (
+    click_purchase_attribution,
     read_events_stream,
     run_stream_to_batch,
     running_user_totals,
@@ -105,6 +106,30 @@ def stream_stateful_running_totals(spark, sf_dir):
     # Python-side stateful streaming operator.
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_batch(spark, running_user_totals(events), output_mode="update")
+
+
+@register(
+    "stream_stream_join_attrib",
+    oracle="""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                     CAST(c.ts AS TIMESTAMP) AS click_ts,
+                     CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+                     p.value AS purchase_value
+              FROM events c JOIN events p
+                ON c.user_id = p.user_id
+               AND c.event_type = 'click' AND p.event_type = 'purchase'
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""",
+    tags=("streaming", "stream_stream_join"),
+)
+def stream_stream_join_attrib(spark, sf_dir):
+    # Stream-stream interval join: two independent event streams
+    # (clicks, purchases), watermarked on both sides, joined on user
+    # within a 30-minute lookback. Inner matches emit immediately, so
+    # the availableNow replay equals the batch join — full oracle.
+    clicks = read_events_stream(spark, sf_dir).filter("event_type = 'click'")
+    purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
+    joined = click_purchase_attribution(clicks, purchases, lookback="30 minutes")
+    return run_stream_to_batch(spark, joined, output_mode="append")
 
 
 @register(

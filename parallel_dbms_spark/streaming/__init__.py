@@ -1,3 +1,4 @@
+from .joins import click_purchase_attribution
 from .stateful import running_user_totals
 from .windows import (
     read_events_stream,
@@ -8,6 +9,7 @@ from .windows import (
 )
 
 __all__ = [
+    "click_purchase_attribution",
     "read_events_stream",
     "run_stream_to_batch",
     "running_user_totals",

@@ -131,3 +131,23 @@ def test_session_windows_respect_gap(spark):
         assert r.session_end > r.session_start
         # a session's span is at least (n_events-1)*0 and end = last+30m
         assert r.n_events >= 1
+
+
+def test_stream_stream_join_equals_batch(spark):
+    # Inner interval join: streaming result must equal the same join
+    # computed on batch DataFrames (EliminateEventTimeWatermark makes
+    # the watermarks no-ops in batch — identical code path).
+    s = streaming.run_stream_to_batch(
+        spark,
+        streaming.click_purchase_attribution(
+            streaming.read_events_stream(spark, SF_SMOKE).filter("event_type = 'click'"),
+            streaming.read_events_stream(spark, SF_SMOKE).filter("event_type = 'purchase'"),
+        ),
+        output_mode="append",
+    )
+    ev = _events(spark)
+    b = streaming.click_purchase_attribution(
+        ev.filter("event_type = 'click'"), ev.filter("event_type = 'purchase'")
+    )
+    assert s.count() > 0
+    assert _sym_diff(s, b) == 0
