@@ -56,3 +56,62 @@ def zscore_by_group(
         return out
 
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: assign documents to context-window bins of at
+    most ``budget`` tokens, greedily in ``id_col`` order within each
+    ``group_col`` partition (the standard pretraining-data step that
+    turns variable-length documents into fixed-budget training rows).
+
+    Greedy close-when-full is inherently sequential per group — a
+    running total that RESETS on overflow is not a window function —
+    so it runs as a grouped-map pandas operator: one Arrow batch per
+    group, a vectorized-enough cumsum loop inside. Output is
+    deterministic (sort by id within group) and bins are contiguous id
+    ranges.
+
+    Scale: groups are shuffled once by ``group_col``; each group must
+    fit one task. For 100 TB, pre-split groups by a date/shard column
+    so each pandas group is a few hundred MB — packing quality is
+    unaffected because bins never cross documents anyway. A document
+    alone over budget gets its own bin (callers chunk oversized docs
+    upstream).
+
+    Returns (group_col, id_col, tokens_col, bin_id, bin_tokens) with
+    bin_id dense per group and bin_tokens the bin's total.
+    """
+    gtype = dict(df.dtypes)[group_col]
+    schema = (
+        f"{group_col} {gtype}, {id_col} long, {tokens_col} long, "
+        "bin_id long, bin_tokens long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        toks = pdf[tokens_col].astype("int64").to_numpy()
+        bins, totals = [], []
+        bin_id, running = 0, 0
+        for t in toks:
+            if running > 0 and running + t > budget:
+                bin_id += 1
+                running = 0
+            running += int(t)
+            bins.append(bin_id)
+            totals.append(running)
+        out = pdf[[group_col, id_col, tokens_col]].copy()
+        out["bin_id"] = bins
+        # bin_tokens = final total of the bin each row landed in
+        bt = pd.Series(totals).groupby(pd.Series(bins)).transform("max")
+        out["bin_tokens"] = bt.to_numpy()
+        return out
+
+    return df.select(group_col, id_col, tokens_col).groupBy(group_col).applyInPandas(
+        pack, schema=schema
+    )

@@ -357,6 +357,21 @@ def pandas_zscore_by_type(spark, sf_dir):
     return zscore_by_group(ev, "event_type", "value", keep_cols=["event_id"])
 
 
+@register("pack_sequences_2k", oracle=None, tags=("pandas_udf", "packing"))
+def pack_sequences_2k(spark, sf_dir):
+    # Sequence packing for pretraining: greedy close-when-full token
+    # binning per source (grouped-map pandas; inherently sequential per
+    # group, so no SQL oracle). Rows-only here; pytest asserts the
+    # packing invariants (budget respected, all docs packed, bins
+    # contiguous and greedy-tight).
+    from ..functions.pandas_ops import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048)
+
+
 _SCRUB_SQL = r"""SELECT doc_id,
   regexp_replace(
     regexp_replace(

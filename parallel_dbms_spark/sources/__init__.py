@@ -1,11 +1,16 @@
+from .jsonl import corrupt_records, jsonl_to_parquet, read_jsonl, write_jsonl
 from .lake import read_partitioned, write_bucketed_table, write_partitioned
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
 
 __all__ = [
+    "corrupt_records",
+    "jsonl_to_parquet",
+    "read_jsonl",
     "read_partitioned",
     "read_typed_csv",
     "register_typed_csv_dir",
     "write_bucketed_table",
+    "write_jsonl",
     "write_partitioned",
     "write_typed_csv",
 ]

@@ -89,3 +89,53 @@ def test_frame_sample_every_nth(spark):
     assert out
     for r in out:
         assert r.frame_idx % 10 == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+    from parallel_dbms_spark.functions.pandas_ops import pack_sequences
+    from parallel_dbms_spark.functions import text as text_fns
+
+    budget = 512
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id",
+        text_fns.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, budget=budget).collect()
+    assert len(packed) == docs.count()  # every doc packed exactly once
+    by_group = {}
+    for r in packed:
+        by_group.setdefault(r.source, []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # bins contiguous + dense in id order
+        bins = [r.bin_id for r in rows]
+        assert bins == sorted(bins) and bins[0] == 0
+        # budget respected unless a single doc exceeds it; totals correct;
+        # greedy-tight: the first doc of bin k+1 would overflow bin k
+        import collections
+        bt = collections.defaultdict(int)
+        first = {}
+        for r in rows:
+            bt[r.bin_id] += r.n_tokens
+            first.setdefault(r.bin_id, r.n_tokens)
+        for r in rows:
+            assert r.bin_tokens == bt[r.bin_id]
+            n_docs = sum(1 for x in rows if x.bin_id == r.bin_id)
+            assert bt[r.bin_id] <= budget or n_docs == 1
+        for b in range(1, max(bins) + 1):
+            assert bt[b - 1] + first[b] > budget
+
+
+def test_pack_sequences_deterministic(spark):
+    from pyspark.sql import functions as F
+    from parallel_dbms_spark.functions.pandas_ops import pack_sequences
+    from parallel_dbms_spark.functions import text as text_fns
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id",
+        text_fns.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    a = sorted(map(tuple, pack_sequences(docs, budget=1024).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7), budget=1024).collect()))
+    assert a == b
