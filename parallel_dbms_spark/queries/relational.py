@@ -918,3 +918,143 @@ def tpch_q5_shape(spark, sf_dir):
         .cast("double")
         .alias("revenue")
     )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle="""SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS promo_revenue_pct
+              FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    tags=("aggregate", "case_when", "tpch"),
+)
+def tpch_q14_shape(spark, sf_dir):
+    # Conditional aggregation (CASE WHEN inside SUM) — the expression
+    # class the reference's projection node can't evaluate at all
+    # (SURVEY §2.3 "Expressions in SELECT"). part is the small side:
+    # broadcast, no shuffle of lineitem.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * (F.lit(1) - _money("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            (F.lit(100.00) * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)).cast("double"))
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""WITH big AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 55),
+              j AS (
+                SELECT c_name, o.o_custkey, o.o_orderkey, o_orderdate, o_totalprice
+                FROM orders o
+                JOIN customer ON c_custkey = o_custkey
+                WHERE o.o_orderkey IN (SELECT l_orderkey FROM big))
+              SELECT j.c_name, j.o_custkey, j.o_orderkey, j.o_orderdate, j.o_totalprice,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+              FROM j JOIN lineitem ON j.o_orderkey = l_orderkey
+              GROUP BY 1, 2, 3, 4, 5""",
+    tags=("aggregate", "having", "semi_join", "tpch"),
+)
+def tpch_q18_shape(spark, sf_dir):
+    # Q18 shape: HAVING over a fact aggregate feeding a semi-join
+    # (IN-subquery), then re-aggregation. The HAVING output is tiny, so
+    # it broadcasts into the semi join — lineitem is scanned twice but
+    # never shuffled to the driver.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 55)
+        .select("l_orderkey")
+    )
+    j = (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        j.join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_money("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""SELECT o_orderkey, o_custkey, o_orderdate,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY epoch(o_orderdate)
+                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE) AS spend_30d
+              FROM orders""",
+    tags=("window", "range_frame"),
+)
+def window_range_frame(spark, sf_dir):
+    # RANGE (value-based) window frame — peers are rows within 30 days
+    # of event time, not a fixed row count; needs no self-join. The
+    # rows-frame twin is window_running_sum; together they cover both
+    # frame kinds.
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""WITH x AS (SELECT o_orderkey, o_totalprice,
+                                NULLIF(o_orderstatus, 'O') AS st
+                         FROM orders)
+              SELECT COALESCE(st, '<open>') AS status,
+                     COUNT(*) AS n_rows,
+                     COUNT(st) AS n_nonnull,
+                     SUM(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS n_f,
+                     CAST(SUM(CASE WHEN st IS NULL
+                              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS open_value
+              FROM x GROUP BY 1""",
+    tags=("null", "aggregate"),
+)
+def null_semantics(spark, sf_dir):
+    # Three-valued logic end-to-end, the semantics the reference has
+    # none of (SURVEY §1.2 "no NULL support"): NULLIF introduces NULLs,
+    # COUNT(col) skips them, COUNT(*) doesn't, <=> (null-safe equality
+    # ≡ IS NOT DISTINCT FROM) treats NULL as a comparable value, and
+    # conditional sums aggregate around them.
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return x.groupBy(F.coalesce(F.col("st"), F.lit("<open>")).alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.sum(F.when(F.col("st").eqNullSafe(F.lit("F")), 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("st").isNull(), _money("o_totalprice")).otherwise(zero))
+        .cast("double")
+        .alias("open_value"),
+    )
