@@ -1058,3 +1058,54 @@ def null_semantics(spark, sf_dir):
         .cast("double")
         .alias("open_value"),
     )
+
+
+@register(
+    "join_skew_salted_q",
+    oracle="""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderpriority""",
+    tags=("join", "skew"),
+)
+def join_skew_salted_q(spark, sf_dir):
+    # Salting changes the SHUFFLE LAYOUT, never the answer: the salted
+    # fact⋈orders join must produce exactly the plain join's aggregate.
+    # (The salt column uses rand(seed), but every row matches exactly
+    # its own salt replica, so results are salt-invariant.)
+    from ..operators import join_skew_salted
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = join_skew_salted(li, o, "l_orderkey", "o_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "typed_csv_roundtrip",
+    oracle="""SELECT CAST(l_orderkey AS DOUBLE) AS l_orderkey, l_returnflag,
+                     l_shipdate, l_extendedprice
+              FROM lineitem""",
+    tags=("sink", "source", "typed_csv"),
+)
+def typed_csv_roundtrip(spark, sf_dir):
+    # O16 (CSV sink) + O1 (CSV scan) graded through the driver: write a
+    # lineitem projection with the reference's typed header
+    # (``Name (N|T|D)``), read it back, return the re-scanned frame.
+    # The (N) tag maps to DOUBLE on re-read — the reference's
+    # "numerics are float" semantic — hence the oracle's cast of the
+    # integer key; 2-decimal prices and second-precision timestamps
+    # survive the text roundtrip bit-exactly.
+    import tempfile
+
+    from ..sources import read_typed_csv, write_typed_csv
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="typed_csv_rt_") + "/lineitem_csv"
+    write_typed_csv(li, path)
+    return read_typed_csv(spark, path)

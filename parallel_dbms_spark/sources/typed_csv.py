@@ -59,7 +59,14 @@ def read_typed_csv(spark: SparkSession, path: str) -> DataFrame:
     source gives the batching, projection pruning, and filter pushdown
     for free, across any number of files/partitions.
     """
-    first = sorted(glob.glob(path))[0] if any(c in path for c in "*?[") else path
+    if os.path.isdir(path):
+        # A distributed write's output: every part file carries the
+        # header; any one of them yields the schema.
+        first = sorted(glob.glob(os.path.join(path, "*.csv")))[0]
+    elif any(c in path for c in "*?["):
+        first = sorted(glob.glob(path))[0]
+    else:
+        first = path
     with open(first, encoding="utf-8") as fh:
         cols = parse_typed_header(fh.readline())
 
@@ -118,7 +125,7 @@ def write_typed_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.IntegerType,
                                    T.LongType, T.DecimalType)):
             tag = "N"
-        elif isinstance(f.dataType, (T.TimestampType, T.DateType)):
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             tag = "D"
             out = out.withColumn(
                 f.name, F.date_format(f.name, "yyyy-MM-dd HH:mm:ss")
