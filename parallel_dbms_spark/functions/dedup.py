@@ -274,6 +274,56 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs: label propagation to
+    the component-minimum id. Input (id_a, id_b) candidate/verified
+    pairs; output (id, cluster_id) for every id appearing in a pair,
+    cluster_id = min id of its component — the deterministic survivor
+    policy (keep cluster_id, drop the rest).
+
+    Each iteration is one join + one groupBy (both shuffle on id);
+    convergence needs O(component diameter) rounds — near-dup clusters
+    are dense and shallow (diameter 2-4), nothing like general graphs.
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow exponentially. A driver-side count per round checks
+    convergence — it reads one aggregate, never data.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

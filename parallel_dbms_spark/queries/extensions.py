@@ -57,9 +57,7 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=r"""WITH toks AS (
+_JACCARD_PAIRS_CTE = r"""toks AS (
                  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
                  FROM documents),
                sh0 AS (
@@ -75,9 +73,16 @@ def dedup_simhash(spark, sf_dir):
                         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
                  FROM sh a JOIN sh b
                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2, 3, 4)
-               SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
-               FROM inter WHERE inter / (na + nb - inter) >= 0.5""",
+                 GROUP BY 1, 2, 3, 4),
+               pairs AS (
+                 SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+                 FROM inter WHERE inter / (na + nb - inter) >= 0.5)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""WITH {_JACCARD_PAIRS_CTE}
+               SELECT id_a, id_b, jaccard FROM pairs""",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -86,6 +91,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # run is exactly the oracle's semantics. The skew-capped variant is
     # exercised in tests and at bench scale.
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+               nodes AS (SELECT id_a AS id FROM pairs
+                         UNION SELECT id_b FROM pairs),
+               edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                         UNION SELECT id_b AS u, id_a AS v FROM pairs),
+               cc(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.id = e.v)
+               SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id""",
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark, sf_dir):
+    # An ITERATIVE distributed algorithm with a full oracle: connected
+    # components (min-label propagation) over the deterministic n-gram
+    # jaccard pairs; DuckDB closes the same graph with a recursive CTE.
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+    return dedup.duplicate_clusters(pairs)
 
 
 # --------------------------------------------------------------------------

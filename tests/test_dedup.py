@@ -82,3 +82,23 @@ def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="one two")])
     sh = df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
     assert sh == ["one two"]  # shorter than n -> whole text is the shingle
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # A~B and B~C but never A~C: one cluster {1,2,3} labeled by min id;
+    # {7,8} a separate component.
+    from pyspark.sql import Row
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=3), Row(id_a=1, id_b=2), Row(id_a=7, id_b=8)]
+    )
+    got = {(r.id, r.cluster_id) for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_duplicate_clusters_long_path_converges(spark):
+    # Worst-case diameter: a 12-node path; label must propagate end to end.
+    from pyspark.sql import Row
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    got = dedup.duplicate_clusters(pairs).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert len(got) == 13

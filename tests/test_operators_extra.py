@@ -50,3 +50,23 @@ def test_approx_distinct_close_to_exact(spark):
     approx = o.agg(F.approx_count_distinct("o_custkey").alias("a")).collect()[0].a
     exact = o.select("o_custkey").distinct().count()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_count_min_sketch_tracks_exact_counts(spark):
+    # Sketch surface: a count-min sketch built distributed (partial
+    # sketches merged by the aggregate) must estimate key frequencies
+    # within eps*N of exact, and never under-count.
+    from pyspark.sql import functions as F
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_returnflag").cast("string").alias("k")
+    )
+    sk_bytes = li.agg(
+        F.count_min_sketch("k", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
+    ).collect()[0]["s"]
+    exact = {r.k: r.cnt for r in li.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(exact.values())
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk_bytes))
+    for k, cnt in exact.items():
+        est = sketch.estimateCount(k)
+        assert cnt <= est <= cnt + 0.001 * n + 1
