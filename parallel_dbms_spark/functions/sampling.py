@@ -1,0 +1,69 @@
+"""Corpus sampling and sharding — the mixing / last-mile steps of a
+training-data pipeline.
+
+- ``stratified_sample``: per-stratum Bernoulli sampling (``sampleBy``)
+  for corpus mixing ("10% of web, 100% of books"). Seeded and
+  scan-fused: each row is kept by hashing, no shuffle, no count pass.
+- ``deterministic_sample``: exact reproducibility across runs AND
+  partitionings — keep iff the first 4 hex digits of
+  md5(id || '|' || salt) fall under the fraction's threshold. Unlike
+  ``sample``/``sampleBy`` (whose outcome depends on partition layout),
+  this is a pure function of the row, so it survives repartitioning,
+  AQE re-plans, and engine changes; md5 is identical everywhere, so
+  the same rule runs in DuckDB — a full oracle for a sampler.
+- ``write_training_shards``: repartition to a fixed shard count, sort
+  within each shard, write. One shuffle; shard count and per-shard
+  order are the contract a downstream training loader relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_BUCKETS = 1 << 16  # 4 hex digits
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample. Strata absent from ``fractions``
+    are dropped (fraction 0.0) — the corpus-mixing convention."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def sample_threshold_hex(frac: float) -> str:
+    """4-hex-digit threshold: keep iff md5-prefix < this (lexicographic
+    on lowercase hex == numeric for fixed width)."""
+    return format(min(int(frac * HASH_BUCKETS), HASH_BUCKETS - 1), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, frac: float, id_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Keep a row iff substr(md5(id || '|' || salt), 1, 4) <
+    hex(frac * 2^16). Exactly reproducible regardless of partitioning;
+    change ``salt`` to draw an independent sample."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    prefix = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 4)
+    return df.filter(prefix < sample_threshold_hex(frac))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    sort_col: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Exactly ``n_shards`` output files, rows sorted by ``sort_col``
+    inside each shard (one shuffle; the sort is partition-local, never
+    global). Shard assignment is round-robin on the sort key's hash so
+    shards are size-balanced."""
+    (
+        df.repartition(n_shards, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )

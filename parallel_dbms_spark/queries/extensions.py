@@ -384,6 +384,23 @@ def pandas_zscore_by_type(spark, sf_dir):
     return zscore_by_group(ev, "event_type", "value", keep_cols=["event_id"])
 
 
+@register(
+    "corpus_sample_10pct",
+    oracle="""SELECT doc_id, lang, source
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 4) < '1999'""",
+    tags=("sampling",),
+)
+def corpus_sample_10pct(spark, sf_dir):
+    # Deterministic 10% corpus sample: partitioning-independent
+    # md5-prefix rule, identical in both engines — an exactly
+    # oracle-checked SAMPLER (0.1 * 2^16 = 0x1999).
+    from ..functions.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return deterministic_sample(docs, frac=0.1)
+
+
 @register("pack_sequences_2k", oracle=None, tags=("pandas_udf", "packing"))
 def pack_sequences_2k(spark, sf_dir):
     # Sequence packing for pretraining: greedy close-when-full token
