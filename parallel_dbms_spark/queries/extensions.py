@@ -449,3 +449,29 @@ def text_scrub_pii(spark, sf_dir):
             )
         ).alias("n_emails"),
     )
+
+
+@register(
+    "text_token_topk",
+    oracle=r"""WITH t AS (
+                 SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                 FROM documents)
+               SELECT tok, COUNT(*) AS n FROM t
+               GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""",
+    tags=("text", "explode", "topk"),
+)
+def text_token_topk(spark, sf_dir):
+    # Generator surface (explode ≡ LATERAL unnest): classic corpus
+    # word count -> global top-k with deterministic tie-break. The
+    # aggregate is map-side partial on the exploded tokens, and the
+    # final ORDER BY+LIMIT collapses to TakeOrderedAndProject.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )

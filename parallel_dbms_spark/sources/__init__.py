@@ -1,8 +1,14 @@
 from .jsonl import corrupt_records, jsonl_to_parquet, read_jsonl, write_jsonl
-from .lake import read_partitioned, write_bucketed_table, write_partitioned
+from .lake import (
+    compact_small_files,
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
 
 __all__ = [
+    "compact_small_files",
     "corrupt_records",
     "jsonl_to_parquet",
     "read_jsonl",

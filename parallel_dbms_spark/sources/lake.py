@@ -49,3 +49,36 @@ def write_bucketed_table(
 
 def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Lake maintenance: rewrite a directory of small files into
+    ~``target_file_mb``-sized files. Small-file sprawl is the classic
+    decay mode of a streaming/append table — every scan pays per-file
+    open/footer costs and the driver pays per-file listing; nightly
+    compaction restores scan throughput.
+
+    Sizing uses the actual on-disk bytes (driver-side listing, no data
+    read); ``coalesce`` avoids a shuffle — partitions are merged, not
+    redistributed. Writes to ``dst`` (atomic swap is the caller's move:
+    write + rename), returns the output file count.
+    """
+    import glob as _glob
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(src, "**", "*"), recursive=True)
+        if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src)
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(dst)
+    return n_files

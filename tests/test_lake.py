@@ -58,3 +58,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from parallel_dbms_spark.sources import compact_small_files
+    import glob
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "sprawl")
+    docs.repartition(32).write.parquet(src)  # 32 tiny files
+    assert len(glob.glob(src + "/part-*.parquet")) == 32
+    dst = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, dst, target_file_mb=128)
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == n == 1  # ~1 MB of data -> one 128 MB-target file
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
