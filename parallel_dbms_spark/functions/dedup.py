@@ -18,7 +18,7 @@ linear in corpus token count and never materialized to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Deterministic minhash permutation parameters: h_i(x) = (a_i*x + b_i) mod p.
 # p is the Mersenne prime 2^31-1 so that with x,a,b < p the whole
@@ -76,23 +76,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[num_perm]).
 
-    Shape: explode shingles -> hash each shingle ONCE into the prime
-    field -> one hash-aggregate computing all ``num_perm`` mins in a
-    single pass. The naive alternative — num_perm array-transform
-    expressions over the shingle array — re-evaluates the shingle
-    split + xxhash64 per permutation (Catalyst does not CSE across
-    lambda bodies), which measured ~100x slower at sf0.1. Here the
-    shuffle key is the doc id and partial aggregation runs map-side,
-    so the reduce is cheap at any scale.
+    Shape: posexplode TOKENS (cheap) -> hash each token once -> build
+    each shingle's hash from ``shingle_n`` consecutive token hashes
+    with window ``lead`` arithmetic in the prime field -> one
+    hash-aggregate computing all ``num_perm`` mins. Building shingle
+    STRINGS inside a higher-order transform (slice+concat_ws per
+    shingle) measured ~6x slower at sf0.1 — HOF lambdas evaluate
+    interpreted per element, and the string concat re-copies the
+    tokens; the window path is pure codegen arithmetic. The window and
+    the final groupBy share the ``id`` partitioning, so the whole
+    signature computation costs ONE shuffle.
 
-    The permutation arithmetic stays inside int64 under ANSI mode:
-    h,a,b < 2^31 so h*a+b < 2^62 (see MINHASH_PRIME).
+    Docs shorter than ``shingle_n`` tokens fold their available tokens
+    from position 0 (zero-padded) so every doc keeps a signature — the
+    same guarantee word_shingles' whole-text fallback gives.
+
+    All arithmetic stays inside int64 under ANSI mode: operands < 2^31
+    so products+adds < 2^62 (see MINHASH_PRIME).
     """
     p = F.lit(MINHASH_PRIME)
-    ex = df.select(
+    comb_base = F.lit(1_000_003)
+    tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select("id", F.pmod(F.xxhash64("shingle"), p).alias("h"))
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tk"
+        ),
+    ).select("id", "pos", F.pmod(F.xxhash64("tk"), p).alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("h", j).over(w) for j in range(1, shingle_n)]
+    sh = F.col("h")
+    for ld in leads:
+        sh = F.pmod(sh * comb_base + F.coalesce(ld, F.lit(0)), p)
+    valid = leads[-1].isNotNull() | (F.col("pos") == 0) if leads else F.lit(True)
+    ex = tok.select("id", sh.alias("h"), valid.alias("ok")).filter("ok")
     params = _perm_params(num_perm)
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p)).alias(f"__m{i}")
