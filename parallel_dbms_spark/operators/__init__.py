@@ -11,7 +11,7 @@ from .relational import (
     set_op,
     top_k_per_group,
 )
-from .asof import asof_join
+from .asof import asof_join, resample_ffill
 from .range_join import time_band_join
 
 __all__ = [
@@ -28,4 +28,5 @@ __all__ = [
     "set_op",
     "top_k_per_group",
     "asof_join",
+    "resample_ffill",
 ]

@@ -67,3 +67,49 @@ def asof_join(
     return out.select(
         *lcols, *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right_values]
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample with forward fill — the hypertable-rollup /
+    gap-fill surface, expressed as a COMPOSITION of existing operators
+    (grid generation + as-of join), no custom execution.
+
+    Per key: a regular ``step`` grid spanning [floor(min ts),
+    floor(max ts)], each grid point carrying the last observation at or
+    before it. Equal-timestamp observations are pre-aggregated to
+    MAX(value) so the fill is deterministic. Grid points before the
+    first observation have no value and are dropped (inner as-of).
+
+    Scale: the grid is generated with sequence()+explode — rows/key =
+    span/step, no driver involvement; the fill inherits asof_join's
+    single-shuffle window plan. Returns (key, grid_ts, r_<value>).
+    """
+    tcol = F.col(ts)
+    obs = events.groupBy(F.col(key), tcol.alias("__ts_o")).agg(
+        F.max(F.col(value)).alias(value)
+    )
+    bounds = events.groupBy(key).agg(
+        F.date_trunc("hour", F.min(tcol)).alias("__t0"),
+        F.date_trunc("hour", F.max(tcol)).alias("__t1"),
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        obs.select(key, F.col("__ts_o").alias("obs_ts"), F.col(value)),
+        on=key,
+        left_ts="grid_ts",
+        right_ts="obs_ts",
+        right_values=[value],
+        how="inner",
+    )

@@ -1109,3 +1109,30 @@ def typed_csv_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="typed_csv_rt_") + "/lineitem_csv"
     write_typed_csv(li, path)
     return read_typed_csv(spark, path)
+
+
+@register(
+    "resample_ffill_hourly",
+    oracle="""WITH obs AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+                FROM events GROUP BY 1, 2),
+              b AS (
+                SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+                       date_trunc('hour', MAX(ts)) AS t1
+                FROM obs GROUP BY 1),
+              g AS (
+                SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+                FROM b)
+              SELECT g.user_id, g.grid_ts, o.value AS r_value
+              FROM g ASOF JOIN obs o
+                ON g.user_id = o.user_id AND g.grid_ts >= o.ts""",
+    tags=("timeseries", "asof", "gap_fill"),
+)
+def resample_ffill_hourly(spark, sf_dir):
+    # Gap-fill rollup as a composition: sequence()-generated hourly grid
+    # + forward-fill as-of join; oracle is DuckDB generate_series + its
+    # native ASOF JOIN.
+    from ..operators import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample_ffill(ev, key="user_id", ts="ts", value="value", step="1 hour")

@@ -66,3 +66,23 @@ def test_asof_null_value_does_not_leak_older_value(spark):
     r = spark.createDataFrame([(1, 5, 7.0), (1, 15, None)], "k int, ts int, rv double")
     out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]).collect()
     assert len(out) == 1 and out[0].r_rv is None
+
+
+def test_resample_ffill_semantics(spark):
+    # Hand-built series: obs at 00:10 (v=1.0) and 02:30 (v=5.0).
+    # Hourly grid floor(00:10)=00:00 .. floor(02:30)=02:00.
+    # 00:00 has no obs at-or-before -> dropped (inner); 01:00 and
+    # 02:00 carry v=1.0 forward.
+    import datetime
+    from pyspark.sql import Row
+    from parallel_dbms_spark.operators import resample_ffill
+
+    rows = [
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 10), value=1.0),
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 2, 30), value=5.0),
+    ]
+    out = {
+        (r.user_id, r.grid_ts.hour): r.r_value
+        for r in resample_ffill(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {(1, 1): 1.0, (1, 2): 1.0}
