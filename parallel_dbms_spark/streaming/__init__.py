@@ -1,4 +1,5 @@
 from .joins import click_purchase_attribution
+from .sinks import write_stream_exactly_once
 from .stateful import running_user_totals
 from .windows import (
     read_events_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "session_window_agg",
     "sliding_window_agg",
     "tumbling_window_agg",
+    "write_stream_exactly_once",
 ]

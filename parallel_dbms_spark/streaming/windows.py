@@ -33,18 +33,26 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, staged: str | None = None
+) -> DataFrame:
     """events.parquet as a bounded stream (ns -> µs ts conversion as in
     catalog.load_table).
 
     Spark's file stream source requires a *directory* (it monitors it
     for new files), so the fixture file is staged into a temp dir — the
     exact shape of a production landing zone, where files arrive into a
-    watched directory.
+    watched directory. Pass ``staged`` to pin the directory (a restart
+    against a checkpoint must re-read the SAME source path).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staged = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staged, "part-0.parquet"))
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+    else:
+        os.makedirs(staged, exist_ok=True)
+    target = os.path.join(staged, "part-0.parquet")
+    if not os.path.exists(target):
+        shutil.copy(f"{sf_dir}/events.parquet", target)
     df = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

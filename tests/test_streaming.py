@@ -151,3 +151,25 @@ def test_stream_stream_join_equals_batch(spark):
     )
     assert s.count() > 0
     assert _sym_diff(s, b) == 0
+
+
+def test_exactly_once_sink_idempotent_restart(spark, tmp_path):
+    # Run the same bounded stream TWICE with the same checkpoint: the
+    # second run must re-emit nothing (all batches committed), and the
+    # output must equal the batch aggregation exactly once.
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")  # pinned: restart must re-read the same path
+    ev = streaming.read_events_stream(spark, SF_SMOKE, staged=src).filter(
+        "event_type = 'purchase'"
+    )
+    streaming.write_stream_exactly_once(ev, out, ckpt)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == _events(spark).filter("event_type = 'purchase'").count()
+    # "restart": same checkpoint, same (already fully consumed) source
+    ev2 = streaming.read_events_stream(spark, SF_SMOKE, staged=src).filter(
+        "event_type = 'purchase'"
+    )
+    streaming.write_stream_exactly_once(ev2, out, ckpt)
+    assert spark.read.parquet(out).count() == n1  # no duplicates
