@@ -12,6 +12,7 @@ from .relational import (
     top_k_per_group,
 )
 from .asof import asof_join, resample_ffill
+from .profile import profile_table
 from .range_join import time_band_join
 
 __all__ = [
@@ -28,5 +29,6 @@ __all__ = [
     "set_op",
     "top_k_per_group",
     "asof_join",
+    "profile_table",
     "resample_ffill",
 ]

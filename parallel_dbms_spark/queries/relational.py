@@ -1136,3 +1136,37 @@ def resample_ffill_hourly(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     return resample_ffill(ev, key="user_id", ts="ts", value="value", step="1 hour")
+
+
+@register(
+    "profile_orders",
+    oracle="""SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                     COUNT(DISTINCT o_orderkey) AS n_distinct,
+                     CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                     CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', COUNT(*),
+                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderstatus),
+                     MIN(o_orderstatus), MAX(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', COUNT(*),
+                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT o_orderdate),
+                     CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+              FROM orders""",
+    tags=("profiling", "aggregate"),
+)
+def profile_orders(spark, sf_dir):
+    # Data profiling: per-column row/null/ndv/min/max in one job —
+    # long format, stringified extrema (int/string/timestamp columns;
+    # float extrema stringification is engine-specific, so profile
+    # floats via the numeric surface instead).
+    from ..operators import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    )
