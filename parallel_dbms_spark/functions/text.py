@@ -157,3 +157,52 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Whitespace tokenization (matches the jaccard-shingle oracle
+    convention); score = tf * ln(N / df). Output carries only integer
+    columns (tf, df, rank) — the float score orders the rank but never
+    reaches the output, so the result is exactly oracle-comparable.
+
+    Scale notes: two hash aggregations (doc×term, then term) and one
+    term-keyed join — all map-side-combinable; the corpus size N joins
+    in as a broadcast scalar. The per-doc top-k is a bounded window
+    (rank ≤ k filter collapses to a running-rank scan, no full sort of
+    the corpus).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(doc_id),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            F.col("tf")
+            * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("__score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(doc_id, "term", "tf", "df", "rk")
+    )

@@ -12,8 +12,10 @@ from .relational import (
     top_k_per_group,
 )
 from .asof import asof_join, resample_ffill
+from .cdc import apply_changes, merge_upsert, snapshot_diff
 from .profile import profile_table
 from .range_join import time_band_join
+from .sessionize import session_stats, sessionize
 
 __all__ = [
     "time_band_join",
@@ -31,4 +33,9 @@ __all__ = [
     "asof_join",
     "profile_table",
     "resample_ffill",
+    "snapshot_diff",
+    "merge_upsert",
+    "apply_changes",
+    "sessionize",
+    "session_stats",
 ]

@@ -1,0 +1,96 @@
+"""Change-data-capture primitives: snapshot diff and MERGE-style upsert.
+
+The reference engine is read-only (CSV in, CSV out; no UPDATE/DELETE —
+/root/reference/README.md:65-81 lists only SELECT). A lakehouse
+pipeline needs both directions: diff two table snapshots into a change
+feed, and apply a change feed onto a base table (SCD-1 MERGE). Both are
+expressed as pure DataFrame joins so Catalyst picks the physical
+strategy (broadcast when one side is small, shuffled hash otherwise —
+AQE decides at runtime from actual sizes).
+
+Scale notes: both operators are a single equi-join on the key columns —
+one shuffle each side, skew handled by AQE skew-join splitting. No
+window, no sort, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of the same logical table into a change feed.
+
+    Returns one row per key whose state changed, with ``change_type``
+    ∈ {'I' (insert: key only in ``new``), 'D' (delete: key only in
+    ``old``), 'U' (update: key in both, compared columns differ)}.
+    Unchanged keys are dropped. Comparison is null-safe (NULL == NULL
+    counts as unchanged, via struct equality with eqNullSafe).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    keys = list(keys)
+
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in compare_cols]).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in compare_cols]).alias("__n")
+    )
+    j = o.join(n, on=keys, how="full")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("I"))
+        .when(F.col("__n").isNull(), F.lit("D"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("U"))
+    )
+    out = j.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
+    )
+    # Post-image for I/U, pre-image for D — what a downstream applier needs.
+    picked = F.when(F.col("change_type") == "D", F.col("__o")).otherwise(
+        F.col("__n")
+    )
+    return out.select(
+        *keys,
+        F.col("change_type"),
+        *[picked.getField(c).alias(c) for c in compare_cols],
+    )
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """SCD-1 MERGE: source rows win on key match, new keys are appended.
+
+    Equivalent to ``MERGE INTO target USING source ON keys WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``. Pure-DataFrame:
+    target ANTI-JOIN source (survivors) UNION ALL source. Column sets
+    must match; the result keeps target's column order.
+    """
+    keys = list(keys)
+    survivors = target.join(source, on=keys, how="left_anti")
+    return survivors.unionByName(source.select(*target.columns))
+
+
+def apply_changes(
+    target: DataFrame, changes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Apply a ``snapshot_diff``-shaped change feed onto a base table.
+
+    Deletes remove keys, inserts/updates upsert the post-image. The
+    composition ``apply_changes(old, snapshot_diff(old, new, k), k)``
+    reproduces ``new`` exactly — tested in tests/test_cdc.py.
+    """
+    keys = list(keys)
+    deletes = changes.filter(F.col("change_type") == "D").select(*keys)
+    upserts = changes.filter(F.col("change_type") != "D").drop("change_type")
+    kept = target.join(deletes, on=keys, how="left_anti")
+    return merge_upsert(kept, upserts.select(*target.columns), keys)

@@ -475,3 +475,54 @@ def text_token_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF + vector centroids (functions/text.py, functions/vectors.py)
+# --------------------------------------------------------------------------
+@register(
+    "text_tfidf_topk",
+    oracle=r"""WITH toks AS (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM documents),
+                   tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                          FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+                   n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                   scored AS (
+                 SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                        tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN n),
+                   ranked AS (
+                 SELECT doc_id, term, tf, df,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, term ASC) AS INTEGER) AS rk
+                 FROM scored)
+              SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "vector_centroids",
+    oracle="""WITH e AS (SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(embedding) AS val
+                     FROM embeddings)
+              SELECT label, CAST(pos AS INTEGER) AS pos,
+                     SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))
+                       AS sum_scaled,
+                     COUNT(*) AS n
+              FROM e GROUP BY 1, 2""",
+    tags=("vectors", "centroid"),
+)
+def vector_centroids(spark, sf_dir):
+    # Registered as the exact quantized form (see functions/vectors.py
+    # float-sum caveat); the natural double `centroids` is numpy-tested.
+    from ..functions import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return vectors.quantized_centroid_sums(emb)

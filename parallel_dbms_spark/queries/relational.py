@@ -1170,3 +1170,231 @@ def profile_orders(spark, sf_dir):
     return profile_table(
         _t(spark, sf_dir, "orders"), ["o_orderkey", "o_orderstatus", "o_orderdate"]
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape): multi-supplier
+# orders where exactly one supplier shipped last. The DataFrame build
+# uses semi/anti joins — the physical plans Catalyst would rewrite the
+# subqueries into anyway — so the operator surface is explicit.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q21_shape",
+    oracle="""SELECT s_name, COUNT(*) AS numwait
+              FROM supplier
+              JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE o_orderstatus = 'F'
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate > l1.l_shipdate)
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name ASC
+              LIMIT 10""",
+    tags=("join", "semi", "anti", "exists", "tpch"),
+)
+def tpch_q21_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = filter_rows(_t(spark, sf_dir, "orders"), ("o_orderstatus", "=", "F"))
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey"))
+        & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    not_latest_elsewhere = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    agg = not_latest_elsewhere.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return limit(order_by(agg, ("numwait", False), ("s_name", True)), 10)
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram: the bucket expression (divide/floor/least on
+# doubles) is IEEE-deterministic, so both engines bin identically; the
+# per-bucket bounds go through the exact-decimal convention.
+# --------------------------------------------------------------------------
+@register(
+    "agg_histogram",
+    oracle="""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+                     COUNT(*) AS n,
+                     CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+                     CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+              FROM orders GROUP BY 1""",
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_money("o_totalprice")).cast("double").alias("lo"),
+        F.max(_money("o_totalprice")).cast("double").alias("hi"),
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""WITH d AS (SELECT o_totalprice,
+                     NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+                     FROM orders)
+              SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n,
+                     CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+                     CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+              FROM d GROUP BY 1""",
+    tags=("window", "ntile"),
+)
+def window_ntile_deciles(spark, sf_dir):
+    # Single global NTILE: one-partition window, fine for a decile
+    # summary (the window input is the already-aggregated-down orders
+    # key+price projection, not the fact table). Tie-broken on the key
+    # so both engines assign identical deciles.
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    d = o.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_money("o_totalprice")).cast("double").alias("lo"),
+        F.max(_money("o_totalprice")).cast("double").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (operators/sessionize.py): gaps-and-islands with
+# a 30-minute inactivity gap. Both engines mark session starts with the
+# same floor-epoch gap test, then running-sum them into sequence ids.
+# --------------------------------------------------------------------------
+@register(
+    "sessionize_events",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+                   f AS (SELECT user_id, event_id, ts,
+                                CASE WHEN LAG(ts) OVER w IS NULL
+                                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                          - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                                     THEN 1 ELSE 0 END AS new_s
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   s AS (SELECT user_id, ts,
+                                CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                         FROM f)
+              SELECT user_id, session_seq,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end,
+                     COUNT(*) AS n_events,
+                     MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_s
+              FROM s GROUP BY 1, 2""",
+    tags=("window", "sessionize", "events"),
+)
+def sessionize_events(spark, sf_dir):
+    from ..operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff + MERGE upsert (operators/cdc.py). Snapshots are
+# derived deterministically from orders so the oracle can rebuild them.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_orders_diff",
+    oracle="""WITH old AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                           FROM orders WHERE o_orderkey % 97 <> 3),
+                   new AS (SELECT o_orderkey, o_orderstatus,
+                                  CASE WHEN o_orderkey % 11 = 0 THEN 'X-UPDATED'
+                                       ELSE o_orderpriority END AS o_orderpriority
+                           FROM orders WHERE o_orderkey % 89 <> 5),
+                   d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                                CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                                     WHEN n.o_orderkey IS NULL THEN 'D'
+                                     WHEN (o.o_orderstatus, o.o_orderpriority)
+                                          IS DISTINCT FROM
+                                          (n.o_orderstatus, n.o_orderpriority) THEN 'U'
+                                END AS change_type,
+                                CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                                     ELSE n.o_orderstatus END AS o_orderstatus,
+                                CASE WHEN n.o_orderkey IS NULL THEN o.o_orderpriority
+                                     ELSE n.o_orderpriority END AS o_orderpriority
+                         FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+              SELECT * FROM d WHERE change_type IS NOT NULL""",
+    tags=("cdc", "join"),
+)
+def cdc_orders_diff(spark, sf_dir):
+    from ..operators.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 3)
+    new = o.filter(F.col("o_orderkey") % 89 != 5).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-UPDATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""WITH src AS (
+                SELECT o_orderkey, 'U' AS o_orderstatus, o_orderpriority
+                FROM orders WHERE o_orderkey % 13 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000 AS o_orderkey,
+                       'N' AS o_orderstatus, o_orderpriority
+                FROM orders WHERE o_orderkey % 17 = 0),
+                   tgt AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                           FROM orders)
+              SELECT * FROM tgt
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src""",
+    tags=("cdc", "merge", "join"),
+)
+def merge_upsert_orders(spark, sf_dir):
+    from ..operators.cdc import merge_upsert
+
+    tgt = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    updates = tgt.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    inserts = (
+        tgt.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return merge_upsert(tgt, updates.unionByName(inserts), keys=["o_orderkey"])

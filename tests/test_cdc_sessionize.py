@@ -1,0 +1,136 @@
+"""Tests for CDC (snapshot diff, merge upsert, apply_changes roundtrip),
+batch sessionization, TF-IDF, and vector centroids."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import Row, functions as F
+
+from conftest import SF_SMOKE
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.functions import vectors
+from parallel_dbms_spark.functions.text import tfidf_top_terms
+from parallel_dbms_spark.operators import (
+    apply_changes,
+    merge_upsert,
+    session_stats,
+    sessionize,
+    snapshot_diff,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame([Row(k=k, a=a, b=b) for k, a, b in rows])
+
+
+def test_snapshot_diff_classifies(spark):
+    old = _snap(spark, [(1, "x", 1), (2, "y", 2), (3, "z", 3), (4, None, 4)])
+    new = _snap(spark, [(2, "y", 2), (3, "z", 99), (4, None, 4), (5, "w", 5)])
+    got = {
+        r.k: (r.change_type, r.a, r.b)
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # 1 deleted (pre-image), 3 updated (post-image), 5 inserted;
+    # 2 unchanged and 4 unchanged-with-NULL (null-safe compare) dropped.
+    assert got == {
+        1: ("D", "x", 1),
+        3: ("U", "z", 99),
+        5: ("I", "w", 5),
+    }
+
+
+def test_apply_changes_roundtrip(spark):
+    old = _snap(spark, [(1, "x", 1), (2, "y", 2), (3, "z", 3)])
+    new = _snap(spark, [(2, "y", 20), (3, "z", 3), (4, "w", 4)])
+    diff = snapshot_diff(old, new, keys=["k"])
+    rebuilt = apply_changes(old, diff, keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_merge_upsert_source_wins(spark):
+    tgt = _snap(spark, [(1, "x", 1), (2, "y", 2)])
+    src = _snap(spark, [(2, "Y", 22), (3, "n", 3)])
+    got = sorted(map(tuple, merge_upsert(tgt, src, keys=["k"]).collect()))
+    assert got == [(1, "x", 1), (2, "Y", 22), (3, "n", 3)]
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_splits_on_gap(spark):
+    # user 1: events at t+0,10,20 then a 45-min gap then t+65,70 -> 2 sessions
+    # user 2: single event -> 1 session
+    rows = [
+        Row(event_id=i, user_id=u, ts=_ts(m))
+        for i, (u, m) in enumerate(
+            [(1, 0), (1, 10), (1, 20), (1, 65), (1, 70), (2, 5)]
+        )
+    ]
+    ev = spark.createDataFrame(rows)
+    s = sessionize(ev, gap_minutes=30)
+    seqs = {
+        (r.user_id, r.ts.hour * 60 + r.ts.minute): r.session_seq
+        for r in s.collect()
+    }
+    assert seqs[(1, 0)] == seqs[(1, 10)] == seqs[(1, 20)] == 1
+    assert seqs[(2, 5)] == 1  # user 2's single event
+    assert seqs[(1, 65)] == seqs[(1, 70)] == 2
+
+    stats = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats[(1, 1)] == (3, 1200)
+    assert stats[(1, 2)] == (2, 300)
+    assert stats[(2, 1)] == (1, 0)
+
+
+def test_sessionize_events_covers_all_rows(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    stats = session_stats(ev)
+    total = stats.agg(F.sum("n_events").alias("n")).collect()[0].n
+    assert total == ev.count()
+
+
+def test_tfidf_unique_term_ranks_first(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat xylophone"),
+            Row(doc_id=2, text="the dog sat on the log"),
+            Row(doc_id=3, text="the cat and the dog"),
+        ]
+    )
+    top = tfidf_top_terms(docs, k=2)
+    first = {r.doc_id: r.term for r in top.filter(F.col("rk") == 1).collect()}
+    # doc 1's unique terms (df=1: 'mat', 'xylophone') share the max
+    # score; the deterministic term-asc tiebreak picks 'mat'.
+    assert first[1] == "mat"
+    doc1_top2 = {r.term for r in top.filter(F.col("doc_id") == 1).collect()}
+    assert doc1_top2 == {"mat", "xylophone"}
+    # 'the' appears in every doc -> idf 0 -> never in any top-2.
+    assert top.filter(F.col("term") == "the").count() == 0
+
+
+def test_centroids_match_numpy(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.label: np.array(r.centroid) for r in vectors.centroids(emb).collect()}
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
+        assert np.allclose(got[label], want, atol=1e-6)
+
+
+def test_quantized_centroids_consistent_with_natural(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = vectors.quantized_centroid_sums(emb, scale=1e6)
+    nat = {r.label: r.centroid for r in vectors.centroids(emb).collect()}
+    for r in q.collect():
+        approx = r.sum_scaled / (r.n * 1e6)
+        # floor-quantization at 1e-6 -> within 1e-6 of the true mean
+        assert abs(approx - nat[r.label][r.pos]) < 2e-6
