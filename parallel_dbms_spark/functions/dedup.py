@@ -386,3 +386,50 @@ def ngram_jaccard_pairs(
     )
     jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard")
     return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: flag corpus docs sharing any n-token
+    shingle with a benchmark (eval) set.
+
+    The standard contamination check for training data: any verbatim
+    n-gram overlap with an eval document disqualifies the training doc.
+    Returns (doc_id, n_hits) for flagged docs, n_hits = distinct
+    overlapping shingles.
+
+    Scale notes: the benchmark side is tiny relative to the corpus, so
+    its exploded shingle set broadcasts; the corpus side is one
+    generator expansion with no shuffle before the broadcast semi-join
+    shape (inner join + groupBy doc_id, map-side combinable). Shingles
+    stay as strings here (exact semantics, no hash collisions) — swap
+    in xxhash64 of the shingle to shrink the broadcast at larger
+    benchmark sizes.
+    """
+
+    def shingles(df: DataFrame):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        idx = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def gram(i):
+            return F.concat_ws(" ", F.slice(toks, i, n))
+
+        return df.select(
+            F.col("doc_id"),
+            F.explode(F.transform(idx, gram)).alias("shingle"),
+        ).dropDuplicates(["doc_id", "shingle"])
+
+    corpus_sh = shingles(corpus)
+    bench_sh = shingles(benchmark).select("shingle").distinct()
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -206,3 +206,108 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(doc_id, "term", "tf", "df", "rk")
     )
+
+
+def _ws_tokens(text_col: str) -> F.Column:
+    """Whitespace tokens of a trimmed, lowercased doc (oracle-matching
+    convention shared with the jaccard/TF-IDF surface)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - ``top_token_frac``: most frequent token's share of all tokens
+    - ``top_bigram_frac``: most frequent bigram's share of all bigrams
+    - ``dup_token_frac``: share of tokens whose token appears >1 time
+
+    High values flag boilerplate/spam for corpus filtering. Each
+    fraction is one exact-integer division, so results are
+    bit-identical to the SQL oracle.
+
+    Scale notes: explode → two hash aggregations (doc×token then doc),
+    both map-side combinable; no windows, no self-joins.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_ws_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tok_counts = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("__max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "__dup_c"
+        ),
+    )
+    big = df.select(
+        "doc_id",
+        F.explode(
+            # slice length must keep start+length within int32 (ANSI
+            # overflow nulls the result) — size(toks) is always enough.
+            F.zip_with(
+                _ws_tokens(text_col),
+                F.slice(
+                    _ws_tokens(text_col), 2, F.size(_ws_tokens(text_col))
+                ),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg").contains(" "))
+    # zip_with pads the tail with null; concat_ws drops nulls, leaving a
+    # lone final token with no space — the contains-space filter drops it.
+    bg_counts = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("__n_bg"), F.max("c").alias("__max_bg")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__max_c").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            (
+                F.col("__max_bg").cast("double") / F.col("__n_bg")
+            ).alias("top_bigram_frac"),
+            (F.col("__dup_c").cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    The embedding-pipeline front door: every chunk carries its parent
+    ``doc_id``, a 0-based ``chunk_idx``, its token count, and the chunk
+    text. Stride = chunk_tokens - overlap; the final chunk may be
+    shorter. Pure generator expressions (sequence/posexplode/slice) —
+    rows fan out executor-side with no shuffle at all until the caller
+    aggregates.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _ws_tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunked = df.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        toks.alias("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start"), chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

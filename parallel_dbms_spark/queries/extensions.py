@@ -526,3 +526,85 @@ def vector_centroids(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return vectors.quantized_centroid_sums(emb)
+
+
+# --------------------------------------------------------------------------
+# Corpus-quality depth: repetition signals, decontamination, chunking
+# --------------------------------------------------------------------------
+@register(
+    "text_repetition_stats",
+    oracle=r"""WITH toks AS (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM documents),
+                   tc AS (SELECT doc_id, term, COUNT(*) AS c
+                          FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                                 MAX(c) AS max_c,
+                                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+                          FROM tc GROUP BY 1),
+                   w AS (SELECT doc_id,
+                                regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                         FROM documents),
+                   bgl AS (SELECT doc_id,
+                                  unnest([array_to_string(w[i:i+1], ' ')
+                                          for i in generate_series(1, len(w)-1)]) AS bg
+                           FROM w WHERE len(w) >= 2),
+                   bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+                   bs AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS max_bg
+                          FROM bc GROUP BY 1)
+              SELECT ts.doc_id, ts.n_tokens,
+                     CAST(ts.max_c AS DOUBLE) / ts.n_tokens AS top_token_frac,
+                     CAST(bs.max_bg AS DOUBLE) / bs.n_bg AS top_bigram_frac,
+                     CAST(ts.dup_c AS DOUBLE) / ts.n_tokens AS dup_token_frac
+              FROM ts LEFT JOIN bs USING (doc_id)""",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "decontaminate_vs_benchmark",
+    oracle=r"""WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                      FROM documents),
+                   sh AS (SELECT doc_id,
+                                 unnest(list_distinct(
+                                   [array_to_string(w[i:i+7], ' ')
+                                    for i in generate_series(1, len(w)-7)])) AS shingle
+                          FROM w WHERE len(w) >= 8),
+                   bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0),
+                   corp AS (SELECT * FROM sh WHERE doc_id % 101 <> 0)
+              SELECT doc_id, COUNT(*) AS n_hits
+              FROM corp JOIN bench USING (shingle) GROUP BY 1""",
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_vs_benchmark(spark, sf_dir):
+    # Benchmark = every 101st doc standing in for a held-out eval set;
+    # flags the rest of the corpus on any verbatim 8-gram overlap.
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    return dedup.decontaminate(corpus, bench, n=8)
+
+
+@register(
+    "chunk_documents_32",
+    oracle=r"""WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                      FROM documents),
+                   s AS (SELECT doc_id, w,
+                                unnest(generate_series(1, greatest(len(w), 1), 24)) AS start,
+                                generate_subscripts(
+                                  generate_series(1, greatest(len(w), 1), 24), 1) - 1
+                                  AS chunk_idx
+                         FROM w)
+              SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                     CAST(len(w[start:start+31]) AS INTEGER) AS n_tokens,
+                     array_to_string(w[start:start+31], ' ') AS chunk_text
+              FROM s""",
+    tags=("text", "chunking"),
+)
+def chunk_documents_32(spark, sf_dir):
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)

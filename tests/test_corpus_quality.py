@@ -1,0 +1,69 @@
+"""Tests for repetition stats, decontamination, and document chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from parallel_dbms_spark.functions.dedup import decontaminate
+from parallel_dbms_spark.functions.text import chunk_documents, repetition_stats
+
+
+def test_repetition_stats_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),
+            Row(doc_id=2, text="all four tokens differ"),
+        ]
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: one token repeated 4x -> every fraction maxes out
+    assert got[1].n_tokens == 4
+    assert got[1].top_token_frac == 1.0
+    assert got[1].top_bigram_frac == 1.0  # "spam spam" x3
+    assert got[1].dup_token_frac == 1.0
+    # doc 2: all distinct -> no repetition, no duplicate mass
+    assert got[2].top_token_frac == 0.25
+    assert got[2].top_bigram_frac == 1.0 / 3.0
+    assert got[2].dup_token_frac == 0.0
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta theta")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's full 8-gram verbatim
+            Row(doc_id=1, text="intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            # shares 7 tokens but never a full 8-token run
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta DIFFERENT theta"),
+            Row(doc_id=3, text="completely unrelated words here padding more tokens now"),
+        ]
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(corpus, bench, n=8).collect()}
+    assert got == {1: 1}
+
+
+def test_chunk_documents_shapes(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10)))]
+    )
+    chunks = sorted(
+        (r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    )
+    # stride 2 over 10 tokens -> starts 0,2,4,6,8; last chunk truncated
+    assert [c[0] for c in chunks] == [0, 1, 2, 3, 4]
+    assert [c[1] for c in chunks] == [4, 4, 4, 4, 2]
+    assert chunks[0][2] == "t0 t1 t2 t3"
+    assert chunks[4][2] == "t8 t9"
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert chunks[0][2].split()[-2:] == chunks[1][2].split()[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
