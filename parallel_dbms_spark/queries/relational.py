@@ -1398,3 +1398,38 @@ def merge_upsert_orders(spark, sf_dir):
         .withColumn("o_orderstatus", F.lit("N"))
     )
     return merge_upsert(tgt, updates.unionByName(inserts), keys=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering key (sources/lake.py): the multi-dimensional
+# layout key behind z_order_write, exposed as a query so the bit
+# interleave itself is oracle-verified (identical bit ops in DuckDB).
+# --------------------------------------------------------------------------
+_ZBITS = 8
+_Z_TERMS = " | ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+
+@register(
+    "zorder_key_orders",
+    oracle=f"""WITH b AS (SELECT o_orderkey,
+                     o_custkey & 255 AS x,
+                     (CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) & 255 AS y
+                     FROM orders)
+              SELECT o_orderkey, CAST({_Z_TERMS} AS BIGINT) AS zval
+              FROM b""",
+    tags=("lake", "zorder"),
+)
+def zorder_key_orders(spark, sf_dir):
+    from ..sources.lake import z_value
+
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ (no direct long cast in ANSI mode);
+    # unix_timestamp interprets it in the pinned UTC session zone.
+    days = F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400).cast("long")
+    return o.select(
+        "o_orderkey",
+        z_value(F.col("o_custkey"), days, bits=_ZBITS).alias("zval"),
+    )

@@ -82,3 +82,85 @@ def compact_small_files(
     df = spark.read.format(fmt).load(src)
     df.coalesce(n_files).write.format(fmt).mode("overwrite").save(dst)
     return n_files
+
+
+def z_value(col_x, col_y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns.
+
+    Each input is masked to ``bits`` low bits, then bit-interleaved
+    (x in even positions, y in odd) into one long. Rows close in BOTH
+    dimensions land close on the z-curve, so sorting by z_value
+    clusters parquet row-groups in two dimensions at once — min/max
+    stats then prune scans filtered on EITHER column. Pure bit
+    arithmetic: deterministic, engine-portable, codegen-friendly.
+    """
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    x = col_x.cast("long").bitwiseAND(F.lit(mask))
+    y = col_y.cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def z_order_write(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a table clustered on the z-curve of two columns.
+
+    ``repartitionByRange`` on the z-value gives globally disjoint
+    z-ranges per file; the within-partition sort tightens row-group
+    stats. One shuffle at WRITE time buys multi-dimensional data
+    skipping on every subsequent scan — the lake-maintenance
+    counterpart of ``write_bucketed_table`` (which buys exchange-free
+    joins instead).
+    """
+    from pyspark.sql import functions as F
+
+    # Min-max-normalize each dimension into the full bit range first:
+    # raw values that span only a fraction of 2^bits would leave the
+    # high interleave bits constant and the curve degenerates to a
+    # single-column sort. One cheap stats pass + broadcast join — no
+    # global sort per column (ntile-ranking would need one).
+    stats = df.agg(
+        F.min(col_x).alias("__xmin"),
+        F.max(col_x).alias("__xmax"),
+        F.min(col_y).alias("__ymin"),
+        F.max(col_y).alias("__ymax"),
+    )
+    top = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        return F.floor(
+            (c - F.col(lo)).cast("double") * top / span
+        ).cast("long")
+
+    out = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z",
+        z_value(
+            norm(F.col(col_x), "__xmin", "__xmax"),
+            norm(F.col(col_y), "__ymin", "__ymax"),
+            bits=bits,
+        ),
+    ).drop("__xmin", "__xmax", "__ymin", "__ymax")
+    part = (
+        out.repartitionByRange(num_files, "__z")
+        if num_files
+        else out.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.format(fmt).mode(
+        "overwrite"
+    ).save(path)

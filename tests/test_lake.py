@@ -75,3 +75,44 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == docs.count()
     assert back.exceptAll(docs).count() == 0
+
+
+def test_z_order_write_clusters_both_dims(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.sources.lake import z_order_write
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    full_cust = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("s")
+    ).collect()[0].s
+    full_day = orders.agg((F.max("day") - F.min("day")).alias("s")).collect()[0].s
+
+    dst = str(tmp_path / "zordered")
+    z_order_write(orders, dst, "o_custkey", "day", bits=8, num_files=8)
+
+    spans_cust, spans_day = [], []
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        part = spark.read.parquet(f)
+        row = part.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+            (F.max("day") - F.min("day")).alias("d"),
+        ).collect()[0]
+        spans_cust.append(row.c)
+        spans_day.append(row.d)
+    # Z-order shrinks the per-file min/max window on BOTH dimensions at
+    # once (a single-column sort could only shrink one): that window is
+    # exactly what parquet row-group pruning uses.
+    assert sum(spans_cust) / len(spans_cust) < 0.7 * full_cust
+    assert sum(spans_day) / len(spans_day) < 0.7 * full_day
