@@ -69,6 +69,11 @@ def bench_queries(spark, sf_dir):
         "sim_ann_lsh": lambda: _exec(REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir)),
         "sim_ivf": lambda: _exec(REGISTRY["sim_ivf_topk"].fn(spark, sf_dir)),
         "stream_tumbling": lambda: REGISTRY["stream_tumbling_hour"].fn(spark, sf_dir).count(),
+        "tpch_q21": lambda: _exec(REGISTRY["tpch_q21_shape"].fn(spark, sf_dir)),
+        "sessionize": lambda: _exec(REGISTRY["sessionize_events"].fn(spark, sf_dir)),
+        "cdc_diff": lambda: _exec(REGISTRY["cdc_orders_diff"].fn(spark, sf_dir)),
+        "tfidf": lambda: _exec(REGISTRY["text_tfidf_topk"].fn(spark, sf_dir)),
+        "chunk_docs": lambda: _exec(REGISTRY["chunk_documents_32"].fn(spark, sf_dir)),
     }
 
     times, rates = {}, {}
