@@ -1433,3 +1433,91 @@ def zorder_key_orders(spark, sf_dir):
         "o_orderkey",
         z_value(F.col("o_custkey"), days, bits=_ZBITS).alias("zval"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event analytics: ordered funnel and weekly cohort retention. Both are
+# join + hash-agg compositions on user_id — one key, reusable
+# partitioning, no windows over the full event stream.
+# --------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+                   v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+                         WHERE event_type = 'view' GROUP BY 1),
+                   c AS (SELECT e.user_id, MIN(e.ts) AS t2
+                         FROM e JOIN v USING (user_id)
+                         WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+                   p AS (SELECT e.user_id, MIN(e.ts) AS t3
+                         FROM e JOIN c USING (user_id)
+                         WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+              SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+                     (SELECT COUNT(*) FROM c) AS n_click_after_view,
+                     (SELECT COUNT(*) FROM p) AS n_purchase_funnel""",
+    tags=("events", "funnel", "join"),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    # Strictly-ordered funnel: first view, first click at-or-after that
+    # view, first purchase at-or-after that click. Distinct users per
+    # stage; each stage is a filtered min-aggregation joined to the
+    # previous stage's per-user timestamps.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_funnel")))
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""WITH e AS (SELECT user_id,
+                     CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800 AS wk
+                     FROM events),
+                   f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+                   a AS (SELECT DISTINCT e.user_id, f.cohort_wk,
+                                e.wk - f.cohort_wk AS week_offset
+                         FROM e JOIN f USING (user_id))
+              SELECT cohort_wk, week_offset, COUNT(*) AS n_users
+              FROM a GROUP BY 1, 2""",
+    tags=("events", "cohort", "join"),
+)
+def cohort_retention_weekly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 604800).cast("long").alias("wk"),
+    )
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_wk", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
