@@ -1521,3 +1521,18 @@ def cohort_retention_weekly(spark, sf_dir):
     return a.groupBy("cohort_wk", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register("agg_approx_percentiles", oracle=None, tags=("aggregate", "approx"))
+def agg_approx_percentiles(spark, sf_dir):
+    # Rows-only: approx_percentile's sketch (Greenwald-Khanna) is
+    # engine-specific. Error vs the exact percentiles is
+    # pytest-asserted (<1% of the value at accuracy 10000) — together
+    # with approx_count_distinct (HLL) and count_min_sketch this
+    # completes the mergeable-sketch family: all three aggregate
+    # partition-local sketches and merge tiny state at the reduce.
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+        ).alias("p50_p95_p99")
+    )

@@ -116,3 +116,35 @@ def test_z_order_write_clusters_both_dims(spark, tmp_path):
     # exactly what parquet row-group pruning uses.
     assert sum(spans_cust) / len(spans_cust) < 0.7 * full_cust
     assert sum(spans_day) / len(spans_day) < 0.7 * full_day
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.plans import formatted_plan
+    from parallel_dbms_spark.sources.lake import read_partitioned, write_partitioned
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    dst = str(tmp_path / "orders_orc")
+    write_partitioned(orders, dst, partition_by=["o_orderstatus"], fmt="orc")
+
+    back = read_partitioned(spark, dst, fmt="orc")
+    assert back.count() == orders.count()
+
+    q = back.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+    ).select("o_orderkey", "o_totalprice")
+    plan = formatted_plan(q)
+    # partition column prunes directories; the value predicate reaches
+    # the ORC reader — same scan hygiene as the parquet path.
+    assert "PartitionFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1].split("\n")[0]
+    got = sorted(r.o_orderkey for r in q.collect())
+    want = sorted(
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+        ).collect()
+    )
+    assert got == want

@@ -70,3 +70,17 @@ def test_count_min_sketch_tracks_exact_counts(spark):
     for k, cnt in exact.items():
         est = sketch.estimateCount(k)
         assert cnt <= est <= cnt + 0.001 * n + 1
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from parallel_dbms_spark.queries import REGISTRY
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    approx = REGISTRY["agg_approx_percentiles"].fn(spark, SF_SMOKE).collect()[0][
+        "p50_p95_p99"
+    ]
+    exact = li.agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    ).collect()[0][0]
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= 0.01 * abs(e) + 1e-9

@@ -82,3 +82,76 @@ def test_topk_subset_of_sorted(frame):
     top = frame.orderBy(F.col("v").desc()).limit(10).collect()
     vs = sorted((r.v for r in frame.collect()), reverse=True)[:10]
     assert sorted((r.v for r in top), reverse=True) == vs
+
+
+# --------------------------------------------------------------------------
+# CDC / merge / sessionize algebraic identities
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def kv_pair(spark):
+    rng = random.Random(41)
+
+    def snap(seed_shift):
+        return spark.createDataFrame(
+            [
+                Row(k=i, a=rng.choice(["x", "y", "z", None]), b=rng.randrange(50))
+                for i in range(120)
+                if rng.random() < 0.8
+            ]
+        )
+
+    return snap(0), snap(1)
+
+
+def test_diff_then_apply_reconstructs(kv_pair):
+    from parallel_dbms_spark.operators import apply_changes, snapshot_diff
+
+    old, new = kv_pair
+    diff = snapshot_diff(old, new, keys=["k"])
+    rebuilt = apply_changes(old, diff, keys=["k"])
+    assert _rows(rebuilt) == _rows(new)
+
+
+def test_empty_diff_is_identity(kv_pair):
+    from parallel_dbms_spark.operators import snapshot_diff
+
+    old, _ = kv_pair
+    assert snapshot_diff(old, old, keys=["k"]).count() == 0
+
+
+def test_merge_upsert_idempotent(kv_pair):
+    from parallel_dbms_spark.operators import merge_upsert
+
+    tgt, src = kv_pair
+    once = merge_upsert(tgt, src, keys=["k"])
+    twice = merge_upsert(once, src, keys=["k"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_sessionize_partitions_events_and_orders_sessions(spark):
+    import datetime as dt
+
+    from parallel_dbms_spark.operators import session_stats
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        Row(
+            event_id=i,
+            user_id=rng.randrange(6),
+            ts=base + dt.timedelta(minutes=rng.randrange(0, 3000)),
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows)
+    stats = session_stats(ev, gap_minutes=30)
+    # every event lands in exactly one session
+    assert stats.agg(F.sum("n_events")).collect()[0][0] == 400
+    # sessions of one user never overlap: sorted by start, each starts
+    # > 30 min after the previous session's end
+    for r in stats.groupBy("user_id").agg(
+        F.collect_list(F.struct("session_start", "session_end")).alias("s")
+    ).collect():
+        spans = sorted((x.session_start, x.session_end) for x in r.s)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() > 30 * 60
