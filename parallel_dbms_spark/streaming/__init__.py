@@ -1,5 +1,5 @@
 from .joins import click_purchase_attribution
-from .sinks import write_stream_exactly_once
+from .sinks import stream_upsert_sink, write_stream_exactly_once
 from .stateful import running_user_totals
 from .windows import (
     read_events_stream,
@@ -15,6 +15,7 @@ __all__ = [
     "run_stream_to_batch",
     "running_user_totals",
     "session_window_agg",
+    "stream_upsert_sink",
     "sliding_window_agg",
     "tumbling_window_agg",
     "write_stream_exactly_once",

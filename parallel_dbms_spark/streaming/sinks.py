@@ -43,3 +43,67 @@ def write_stream_exactly_once(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_upsert_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    trigger_available_now: bool = True,
+):
+    """Continuously MERGE a streaming change feed into a parquet
+    serving table (streaming CDC apply).
+
+    Each micro-batch is upserted via ``operators.cdc.merge_upsert``:
+    batch rows win on key match, new keys append. The rewrite is
+    idempotent per batch (same batch replayed after a crash converges
+    to the same table state), giving exactly-once *table state* on top
+    of the at-least-once foreachBatch contract.
+
+    Scale note: this local implementation rewrites the whole table per
+    batch (parquet has no transactional row-level replace); on a real
+    lake the same ``merge_upsert`` plan feeds a format with commit
+    atomicity — only the join strategy matters here, and it is the
+    broadcast-when-small CDC join. Partition the serving table by a
+    key prefix to rewrite only touched partitions.
+    """
+    import os
+
+    from ..operators.cdc import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        # One surviving row per key within the batch; callers needing
+        # last-write-wins should pre-reduce with max-by-timestamp.
+        batch_df = batch_df.dropDuplicates(keys)
+        staged = f"{path}__staged"
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            target = spark.read.parquet(path)
+            merged = merge_upsert(
+                target, batch_df.select(*target.columns), keys
+            )
+        else:
+            merged = batch_df
+        # write-then-swap: never read and overwrite the same files in
+        # one job (parquet scans are lazy — an in-place overwrite would
+        # truncate its own input).
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(staged, path)
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q

@@ -173,3 +173,40 @@ def test_exactly_once_sink_idempotent_restart(spark, tmp_path):
     )
     streaming.write_stream_exactly_once(ev2, out, ckpt)
     assert spark.read.parquet(out).count() == n1  # no duplicates
+
+
+def test_stream_upsert_sink_applies_changes(spark, tmp_path):
+    # Streaming CDC apply: micro-batches MERGE into a parquet serving
+    # table — updates win on key match, new keys append, and a restart
+    # with nothing new leaves the table untouched.
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    spark.createDataFrame(
+        [Row(k=i, v="a") for i in range(10)]
+    ).write.mode("append").parquet(src)
+
+    def run():
+        feed = (
+            spark.readStream.schema("k long, v string").parquet(src)
+        )
+        streaming.stream_upsert_sink(feed, out, ckpt, keys=["k"])
+
+    run()
+    t1 = {r.k: r.v for r in spark.read.parquet(out).collect()}
+    assert t1 == {i: "a" for i in range(10)}
+
+    # phase 2: updates for 5..9, inserts for 10..14
+    spark.createDataFrame(
+        [Row(k=i, v="b") for i in range(5, 15)]
+    ).write.mode("append").parquet(src)
+    run()
+    t2 = {r.k: r.v for r in spark.read.parquet(out).collect()}
+    assert t2 == {**{i: "a" for i in range(5)}, **{i: "b" for i in range(5, 15)}}
+
+    # phase 3: restart with no new data — identical table state
+    run()
+    assert {r.k: r.v for r in spark.read.parquet(out).collect()} == t2
