@@ -228,8 +228,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Scale notes: explode → two hash aggregations (doc×token then doc),
     both map-side combinable; no windows, no self-joins.
     """
-    toks = df.select(
-        "doc_id", F.explode(_ws_tokens(text_col)).alias("term")
+    # Tokenize once per row; both explode paths read the materialized
+    # array instead of re-running the regex split 3x.
+    base = df.select("doc_id", _ws_tokens(text_col).alias("__w"))
+    toks = base.select(
+        "doc_id", F.explode(F.col("__w")).alias("term")
     ).filter(F.col("term") != "")
     tok_counts = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("c")
@@ -241,16 +244,14 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "__dup_c"
         ),
     )
-    big = df.select(
+    big = base.select(
         "doc_id",
         F.explode(
             # slice length must keep start+length within int32 (ANSI
-            # overflow nulls the result) — size(toks) is always enough.
+            # overflow nulls the result) — size(__w) is always enough.
             F.zip_with(
-                _ws_tokens(text_col),
-                F.slice(
-                    _ws_tokens(text_col), 2, F.size(_ws_tokens(text_col))
-                ),
+                F.col("__w"),
+                F.slice(F.col("__w"), 2, F.size(F.col("__w"))),
                 lambda a, b: F.concat_ws(" ", a, b),
             )
         ).alias("bg"),
@@ -297,12 +298,18 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = _ws_tokens(text_col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
-    chunked = df.select(
+    # Tokenize once, then derive starts from the materialized array —
+    # the regex split runs one time per row, not per reference.
+    base = df.select("doc_id", _ws_tokens(text_col).alias("__toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("__toks")), F.lit(1)),
+        F.lit(stride),
+    )
+    chunked = base.select(
         "doc_id",
         F.posexplode(starts).alias("chunk_idx", "start"),
-        toks.alias("__toks"),
+        F.col("__toks"),
     )
     piece = F.slice(F.col("__toks"), F.col("start"), chunk_tokens)
     return chunked.select(
