@@ -115,3 +115,35 @@ def pack_sequences(
     return df.select(group_col, id_col, tokens_col).groupBy(group_col).applyInPandas(
         pack, schema=schema
     )
+
+
+def weighted_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """User-defined AGGREGATE via a pandas GROUPED_AGG UDF.
+
+    sum(w*v)/sum(w) per group — the UDAF extension point the reference
+    lacks entirely (SURVEY §2.3 UDF/UDAF row). The UDF receives each
+    group's columns as Arrow-backed pandas Series and returns one
+    scalar; Spark runs it as a real aggregate (works in groupBy *and*
+    over windows). Float sums are order-dependent → rows-only check,
+    pytest-asserted against the exact decimal SQL within 1e-9.
+
+    Scale: partial aggregation does NOT apply to pandas GROUPED_AGG —
+    all of a group's rows shuffle to one task. Bounded-cardinality
+    group keys only; for high-cardinality keys express the same thing
+    with built-ins (sum(w*v)/sum(w)) which DO combine map-side.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    return df.groupBy(group_col).agg(
+        wmean(F.col(value_col), F.col(weight_col)).alias("weighted_mean")
+    )

@@ -318,3 +318,32 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def sentence_udtf():
+    """Python UDTF (user-defined TABLE function, Spark 4): one text in,
+    a row per sentence out — the UDTF extension point of SURVEY §2.3's
+    UDF/UDAF/UDTF row. Returns the class for registration:
+
+        spark.udtf.register("split_sentences", sentence_udtf())
+        spark.sql("SELECT d.doc_id, s.* FROM documents d, "
+                  "LATERAL split_sentences(d.text) s")
+
+    For this segmentation the generator built-ins (posexplode of a
+    split) are the fast JVM path — tested equivalent; the UDTF form is
+    the escape hatch for logic that genuinely needs Python per row
+    (model-based segmenters, tokenizer libraries).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(". ")):
+                s = raw.strip()
+                if s:
+                    yield i, s
+
+    return SplitSentences

@@ -608,3 +608,43 @@ def decontaminate_vs_benchmark(spark, sf_dir):
 )
 def chunk_documents_32(spark, sf_dir):
     return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+# --------------------------------------------------------------------------
+# UDAF / UDTF extension points (SURVEY §2.3 UDF/UDAF/UDTF row)
+# --------------------------------------------------------------------------
+@register(
+    "udaf_weighted_mean",
+    oracle=None,
+    tags=("pandas_udf", "udaf", "aggregate"),
+)
+def udaf_weighted_mean(spark, sf_dir):
+    # Rows-only: pandas GROUPED_AGG float sums are order-dependent.
+    # Accuracy vs the exact-decimal expression is pytest-asserted
+    # (test_corpus_quality.py::test_weighted_mean_udaf_matches_exact).
+    from ..functions.pandas_ops import weighted_mean_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_mean_by_group(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+@register(
+    "udtf_sentences",
+    oracle=None,
+    tags=("pandas_udf", "udtf", "text"),
+)
+def udtf_sentences(spark, sf_dir):
+    # Python UDTF via LATERAL join; equivalence to the JVM generator
+    # path is pytest-asserted (test_sentence_udtf_matches_explode).
+    from ..catalog import run_sql
+    from ..functions.text import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    return run_sql(
+        spark,
+        sf_dir,
+        "SELECT d.doc_id, s.sent_idx, s.sentence "
+        "FROM documents d, LATERAL split_sentences(d.text) s",
+    )

@@ -67,3 +67,72 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_sentence_udtf_matches_explode(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.text import sentence_udtf
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="First one. Second two. Third"),
+            Row(doc_id=2, text="Only sentence"),
+        ]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("split_sentences", sentence_udtf())
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.doc_id, s.sent_idx, s.sentence "
+                "FROM udtf_docs d, LATERAL split_sentences(d.text) s"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split("text", r"\. ")).alias("sent_idx", "sentence"),
+            )
+            .filter(F.trim("sentence") != "")
+            .select("doc_id", "sent_idx", F.trim("sentence").alias("sentence"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_weighted_mean_udaf_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.functions.pandas_ops import weighted_mean_by_group
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r[0]: r.weighted_mean
+        for r in weighted_mean_by_group(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        ).collect()
+    }
+    exact = {
+        r[0]: r.wm
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_quantity").cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            ).alias("wm")
+        )
+        .collect()
+    }
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= 1e-9 * abs(exact[k])
