@@ -1536,3 +1536,22 @@ def agg_approx_percentiles(spark, sf_dir):
             "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
         ).alias("p50_p95_p99")
     )
+
+
+@register("agg_hll_reaggregate", oracle=None, tags=("aggregate", "approx", "sketch"))
+def agg_hll_reaggregate(spark, sf_dir):
+    # Mergeable-sketch REaggregation: per-day HLL sketches of distinct
+    # users union-merged into weekly estimates WITHOUT rescanning the
+    # events — the pattern that makes 100 TB rollup cubes cheap (store
+    # binary sketches per fine grain, merge for any coarser grain).
+    # Rows-only: sketch estimates are engine-specific; accuracy vs
+    # exact weekly COUNT(DISTINCT) is pytest-asserted (<5%).
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .select(F.col("week").cast("string").alias("week"), "approx_users")
+    )

@@ -84,3 +84,24 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()[0][0]
     for a, e in zip(approx, exact):
         assert abs(a - e) <= 0.01 * abs(e) + 1e-9
+
+
+def test_hll_reaggregation_close_to_exact(spark):
+    from parallel_dbms_spark.queries import REGISTRY
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r.week: r.approx_users
+        for r in REGISTRY["agg_hll_reaggregate"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        str(r.week): r.n
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk in exact:
+        assert abs(approx[wk] - exact[wk]) <= max(0.05 * exact[wk], 2)
