@@ -36,3 +36,35 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return functools.reduce(DataFrame.unionByName, parts)
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Join-key skew diagnosis: the ``top`` heaviest keys with each
+    key's share of all rows and its ratio to the mean key load.
+
+    Run this BEFORE a big join: a skew_ratio in the hundreds means one
+    shuffle partition will receive that multiple of the average work —
+    the signal to salt the key (``join_skew_salted``) or rely on AQE
+    skew-splitting. Two map-side-combinable aggregations; the totals
+    ride along as a broadcast scalar.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key),
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias("row_share"),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("__nkeys")
+                / F.col("__total")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top)
+    )

@@ -1555,3 +1555,22 @@ def agg_hll_reaggregate(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
         .select(F.col("week").cast("string").alias("week"), "approx_users")
     )
+
+
+@register(
+    "profile_skew_lineitem",
+    oracle="""WITH c AS (SELECT l_orderkey, COUNT(*) AS n_rows
+                         FROM lineitem GROUP BY 1),
+                   t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c)
+              SELECT l_orderkey, n_rows,
+                     CAST(n_rows AS DOUBLE) / total AS row_share,
+                     CAST(n_rows AS DOUBLE) * nkeys / total AS skew_ratio
+              FROM c, t
+              ORDER BY n_rows DESC, l_orderkey ASC
+              LIMIT 10""",
+    tags=("profile", "skew"),
+)
+def profile_skew_lineitem(spark, sf_dir):
+    from ..operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=10)
