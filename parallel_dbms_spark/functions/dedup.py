@@ -433,3 +433,42 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs by Levenshtein distance with length
+    blocking: only strings whose lengths differ by at most ``max_dist``
+    can be within that edit distance, so the self-join runs per
+    length-bucket band instead of all-pairs.
+
+    Scale notes: the blocking key bounds each join bucket; for corpora
+    where one length dominates add a second blocking column (prefix,
+    phonetic code) to the join key. The levenshtein filter itself is a
+    JVM built-in evaluated only on candidates that survive blocking.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.length(name_col).alias("len_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.length(name_col).alias("len_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("len_b") >= F.col("len_a") - max_dist)
+        & (F.col("len_b") <= F.col("len_a") + max_dist),
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -648,3 +648,22 @@ def udtf_sentences(spark, sf_dir):
         "SELECT d.doc_id, s.sent_idx, s.sentence "
         "FROM documents d, LATERAL split_sentences(d.text) s",
     )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""WITH c AS (SELECT c_custkey, c_name FROM customer
+                         WHERE c_custkey < 500)
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+              FROM c a JOIN c b
+                ON a.c_custkey < b.c_custkey
+               AND abs(length(a.c_name) - length(b.c_name)) <= 1
+              WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    tags=("dedup", "fuzzy", "join"),
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 500
+    )
+    return dedup.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)

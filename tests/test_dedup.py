@@ -102,3 +102,24 @@ def test_duplicate_clusters_long_path_converges(spark):
     got = dedup.duplicate_clusters(pairs).collect()
     assert {r.cluster_id for r in got} == {0}
     assert len(got) == 13
+
+
+def test_fuzzy_pairs_planted_typos(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.dedup import fuzzy_pairs
+
+    rows = [
+        Row(id=1, name="jonathan smith"),
+        Row(id=2, name="jonathan smyth"),   # 1 substitution of 1
+        Row(id=3, name="jonathan smithe"),  # 1 insertion of 1
+        Row(id=4, name="entirely different"),
+        Row(id=5, name="jon smith"),        # distance 5 from 1 — excluded
+    ]
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_pairs(
+            spark.createDataFrame(rows), "id", "name", max_dist=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1}
