@@ -67,3 +67,31 @@ def write_training_shards(
         .mode(mode)
         .save(path)
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic k rows per group: rank rows inside each group by
+    md5(id || salt) and keep the first k. Like deterministic_sample,
+    the choice is a pure function of the row id — stable across
+    partitioning, retries, and engines — but with an exact per-group
+    quota instead of a global fraction (balanced eval sets, per-class
+    caps). Change ``salt`` to draw a different (still deterministic)
+    sample. One window over the group key; no global sort.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.encode(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)), "UTF-8")
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -1574,3 +1574,67 @@ def profile_skew_lineitem(spark, sf_dir):
     from ..operators.profile import skew_report
 
     return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=10)
+
+
+@register(
+    "validate_orders",
+    oracle="""SELECT 'not_null:o_custkey' AS rule,
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations
+              FROM orders
+              UNION ALL
+              SELECT 'in_set:o_orderstatus',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                    AND o_orderstatus NOT IN ('O','F','P')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'range:o_totalprice',
+                     CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                    AND (o_totalprice < 0 OR o_totalprice > 600000)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'unique:o_orderkey',
+                     CAST(COALESCE(SUM(n), 0) AS BIGINT)
+              FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                    HAVING COUNT(*) > 1)
+              UNION ALL
+              SELECT 'references:o_custkey',
+                     CAST(COUNT(*) AS BIGINT)
+              FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL""",
+    tags=("validate", "quality"),
+)
+def validate_orders(spark, sf_dir):
+    # Data-quality gate over orders: NULLs, domain, range, key
+    # uniqueness, and referential integrity vs customer — one report.
+    from ..operators.validate import check_rules
+
+    return check_rules(
+        _t(spark, sf_dir, "orders"),
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        in_set={"o_orderstatus": ["O", "F", "P"]},
+        ranges={"o_totalprice": (0, 600000)},
+        references={"o_custkey": (_t(spark, sf_dir, "customer"), "c_custkey")},
+    )
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""WITH r AS (SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || 's0') ASC,
+                                doc_id ASC) AS rk
+                     FROM documents)
+              SELECT doc_id, lang FROM r WHERE rk <= 20""",
+    tags=("sampling",),
+)
+def sample_k_per_group_q(spark, sf_dir):
+    # Deterministic per-class cap: 20 docs per language, chosen by
+    # md5 rank — identical draw in any engine / partitioning.
+    from ..functions.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_k_per_group(docs, "lang", "doc_id", k=20)

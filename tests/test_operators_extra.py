@@ -105,3 +105,54 @@ def test_hll_reaggregation_close_to_exact(spark):
     assert set(approx) == set(exact)
     for wk in exact:
         assert abs(approx[wk] - exact[wk]) <= max(0.05 * exact[wk], 2)
+
+
+def test_check_rules_planted_violations(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.operators.validate import check_rules
+
+    child = spark.createDataFrame(
+        [
+            Row(k=1, fk=10, st="A", v=5.0),
+            Row(k=1, fk=11, st="B", v=-1.0),   # dup key, bad range
+            Row(k=2, fk=99, st="X", v=50.0),   # orphan fk, bad domain
+            Row(k=3, fk=None, st="A", v=2.0),  # null fk (not_null + ref skips null)
+        ]
+    )
+    parent = spark.createDataFrame([Row(pk=i) for i in (10, 11, 12)])
+    got = {
+        r.rule: r.n_violations
+        for r in check_rules(
+            child,
+            not_null=["fk"],
+            unique=["k"],
+            in_set={"st": ["A", "B"]},
+            ranges={"v": (0.0, 100.0)},
+            references={"fk": (parent, "pk")},
+        ).collect()
+    }
+    assert got == {
+        "not_null:fk": 1,
+        "unique:k": 2,       # both rows of the duplicated key count
+        "in_set:st": 1,
+        "range:v": 1,
+        "references:fk": 1,  # 99 is orphaned; NULL fk not counted here
+    }
+
+
+def test_sample_k_per_group_quota_and_determinism(spark):
+    from parallel_dbms_spark.functions.sampling import sample_k_per_group
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    s1 = sample_k_per_group(docs, "lang", "doc_id", k=5)
+    sizes = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    group_sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, group_sizes[lang])
+    # deterministic: same draw on repartitioned input
+    s2 = sample_k_per_group(docs.repartition(13), "lang", "doc_id", k=5)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    # a different salt draws a different sample
+    s3 = sample_k_per_group(docs, "lang", "doc_id", k=5, salt="other")
+    assert sorted(map(tuple, s1.collect())) != sorted(map(tuple, s3.collect()))
