@@ -1638,3 +1638,25 @@ def sample_k_per_group_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_k_per_group(docs, "lang", "doc_id", k=20)
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""SELECT l_orderkey, l_linenumber, metric, value
+              FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                    FROM lineitem WHERE l_orderkey < 200)
+              UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))""",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    # Wide -> long reshape (melt), the inverse of pivot_status_counts.
+    # Values pass through unchanged, so doubles compare exactly.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
