@@ -4,5 +4,6 @@ from .registry import REGISTRY, QuerySpec, oracle_sql, queries
 from . import relational  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
