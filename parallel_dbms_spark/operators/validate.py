@@ -19,7 +19,7 @@ from __future__ import annotations
 import functools
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,32 @@ def check_rules(
     if not parts:
         raise ValueError("no rules given")
     return functools.reduce(DataFrame.unionByName, parts)
+
+
+def observed(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    ranges: dict[str, tuple] | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Attach in-flight quality metrics to a DataFrame — zero extra scans.
+
+    ``df.observe`` piggybacks aggregate metrics (row count, per-column
+    null counts, out-of-range counts) onto whatever action the caller
+    runs next: the metrics are accumulated inside the same tasks that
+    execute the real job, so a 100 TB write gets its quality report for
+    free instead of via a second full read (which is what
+    :func:`check_rules` costs when run standalone). Read
+    ``observation.get`` after the action completes.
+    """
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = F.col(c).isNotNull() & ((F.col(c) < lo) | (F.col(c) > hi))
+        metrics.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"oor_{c}")
+        )
+    obs = Observation()
+    return df.observe(obs, *metrics), obs

@@ -17,8 +17,12 @@ events.ts is TIMESTAMP_NS in the parquet; both sides truncate to µs
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
 from ..streaming import (
     click_purchase_attribution,
+    enrich_stream,
     read_events_stream,
     run_stream_to_batch,
     running_user_totals,
@@ -130,6 +134,30 @@ def stream_stream_join_attrib(spark, sf_dir):
     purchases = read_events_stream(spark, sf_dir).filter("event_type = 'purchase'")
     joined = click_purchase_attribution(clicks, purchases, lookback="30 minutes")
     return run_stream_to_batch(spark, joined, output_mode="append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""SELECT c_mktsegment, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment""",
+    tags=("streaming", "stream_static_join"),
+)
+def stream_static_enrich(spark, sf_dir):
+    # Stream-static enrichment: the event firehose picks up customer
+    # attributes from a broadcast dimension inside each micro-batch,
+    # then aggregates per segment. No stream-side shuffle before the
+    # aggregation, no cross-batch join state — the replayed total
+    # equals the batch join exactly (full oracle).
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_stream(events, dim, on=F.expr("user_id = c_custkey"))
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_batch(spark, agg)
 
 
 @register(

@@ -29,6 +29,14 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning: when a selective dimension
+    # feeds a shuffle join over a big fact, build a bloom filter from
+    # the dim keys and apply it in the fact's scan — rows that can't
+    # join never enter the shuffle. At 100 TB this is the difference
+    # between shuffling the whole fact table and shuffling the ~1% that
+    # survives (size thresholds keep it off for tiny local inputs;
+    # tests lower them to assert the plan shape).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

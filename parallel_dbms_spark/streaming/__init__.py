@@ -1,4 +1,4 @@
-from .joins import click_purchase_attribution
+from .joins import click_purchase_attribution, enrich_stream
 from .sinks import stream_upsert_sink, write_stream_exactly_once
 from .stateful import running_user_totals
 from .windows import (
@@ -11,6 +11,7 @@ from .windows import (
 
 __all__ = [
     "click_purchase_attribution",
+    "enrich_stream",
     "read_events_stream",
     "run_stream_to_batch",
     "running_user_totals",

@@ -17,6 +17,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream is
+    joined against a (slowly-changing) static dimension.
+
+    The static side is broadcast — no shuffle of the stream, no join
+    state kept between micro-batches (unlike stream-stream joins the
+    static side is re-readable, so nothing needs buffering). This is
+    the standard "attach dimension attributes to an event firehose"
+    shape; at scale the only requirement is that the dim fits the
+    broadcast budget (pre-aggregate or pre-filter it if not).
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def click_purchase_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -87,3 +87,48 @@ def test_aggregate_uses_hash_aggregate_with_partial(spark):
     assert "HashAggregate" in plan
     # partial + final split (map-side combine before the shuffle)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # With a selective dim feeding a shuffle join, the optimizer builds
+    # a bloom filter from the dim keys and applies it on the fact side
+    # BEFORE the shuffle (might_contain in the fact's filter). Size
+    # thresholds keep it off for tiny local data, so lower them here;
+    # session.py enables the feature itself.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in formatted_plan(j)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_observed_metrics_ride_along_with_the_action(spark):
+    from parallel_dbms_spark.operators.validate import observed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    df, obs = observed(
+        o, not_null=["o_custkey"], ranges={"o_totalprice": (0.0, 1e7)}
+    )
+    n = df.count()  # the observation accumulates inside this job
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_o_custkey"] == 0
+    assert got["oor_o_totalprice"] == 0
