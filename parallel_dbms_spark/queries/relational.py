@@ -1660,3 +1660,71 @@ def unpivot_lineitem_metrics(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+@register(
+    "window_analytics_full",
+    oracle="""SELECT o_custkey, o_orderkey,
+                     CAST(round(percent_rank() OVER w * 1e9) AS BIGINT) AS pr_e9,
+                     CAST(round(cume_dist() OVER w * 1e9) AS BIGINT) AS cd_e9,
+                     first_value(o_orderkey) OVER w AS first_ok,
+                     last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                                           AND UNBOUNDED FOLLOWING) AS last_ok,
+                     nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey
+                                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                                             AND UNBOUNDED FOLLOWING) AS second_ok,
+                     lead(o_orderkey) OVER w AS next_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    tags=("window", "analytics"),
+)
+def window_analytics_full(spark, sf_dir):
+    # The full analytic-function surface in one query: relative-position
+    # functions (percent_rank, cume_dist — quantized to integer 1e-9
+    # grid so the double ratios hash identically), positional values
+    # over an unbounded frame (first/last/nth), and lookahead (lead).
+    # One window spec = one shuffle + one partition-local sort.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w) * 1e9).cast("long").alias("pr_e9"),
+        F.round(F.cume_dist().over(w) * 1e9).cast("long").alias("cd_e9"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""SELECT o_orderpriority, COUNT(*) AS n_rows,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                       AS avg_value,
+                     CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+                     CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+              FROM orders GROUP BY o_orderpriority""",
+    tags=("incremental", "aggregate"),
+)
+def incremental_rollup_merge(spark, sf_dir):
+    # Incremental-view maintenance: history (orders before 1998) was
+    # rolled up once; the 1998+ delta arrives later and is merged as
+    # mergeable state (operators/incremental.py) WITHOUT rescanning
+    # history. The oracle is the full recompute — merge-of-parts must
+    # equal it exactly, which is the associativity the state algebra
+    # guarantees (sums in exact decimal).
+    from ..operators.incremental import agg_state, finalize, merge_states
+
+    o = _t(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderdate") < "1998-01-01")
+    delta = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    state = agg_state(hist, ["o_orderpriority"], "o_totalprice")
+    state = merge_states(state, agg_state(delta, ["o_orderpriority"], "o_totalprice"),
+                         ["o_orderpriority"])
+    return finalize(state, ["o_orderpriority"])

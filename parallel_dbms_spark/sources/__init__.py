@@ -1,6 +1,7 @@
 from .jsonl import corrupt_records, jsonl_to_parquet, read_jsonl, write_jsonl
 from .lake import (
     compact_small_files,
+    overwrite_partitions,
     read_partitioned,
     write_bucketed_table,
     write_partitioned,
@@ -11,6 +12,7 @@ __all__ = [
     "compact_small_files",
     "corrupt_records",
     "jsonl_to_parquet",
+    "overwrite_partitions",
     "read_jsonl",
     "read_partitioned",
     "read_typed_csv",

@@ -30,6 +30,30 @@ def write_partitioned(
     df.write.partitionBy(*partition_by).format(fmt).mode(mode).save(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving all other partitions of the table
+    untouched.
+
+    This is the idempotent daily-backfill primitive: re-running a day's
+    job rewrites that day's directory atomically-per-partition instead
+    of (a) clobbering the whole table (static overwrite) or (b)
+    duplicating rows (append). Requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, set here at
+    write scope via the DataFrameWriter option so the session default
+    stays untouched.
+    """
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -148,3 +148,52 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_overwrite_partitions_replaces_only_touched_days(spark, tmp_path):
+    from parallel_dbms_spark.sources import overwrite_partitions
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_dyn")
+    write_partitioned(orders, path, ["order_year"])
+    before = read_partitioned(spark, path)
+    n_total = before.count()
+    n_1995 = before.filter(F.col("order_year") == 1995).count()
+    assert n_1995 > 0
+
+    # Backfill 1995 with a corrected load (half the rows) — dynamic
+    # overwrite must replace 1995 and leave every other year untouched.
+    corrected = (
+        orders.filter(F.col("order_year") == 1995)
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    n_corrected = corrected.count()
+    overwrite_partitions(corrected, path, ["order_year"])
+
+    after = read_partitioned(spark, path)
+    assert after.filter(F.col("order_year") == 1995).count() == n_corrected
+    assert after.count() == n_total - n_1995 + n_corrected
+
+
+def test_incremental_merge_is_order_invariant(spark):
+    from parallel_dbms_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    # Split into 3 arbitrary increments, merge in two different orders;
+    # both must equal the direct full-table state.
+    parts = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    states = [agg_state(p, ["o_orderstatus"], "o_totalprice") for p in parts]
+    keys = ["o_orderstatus"]
+    m_fwd = merge_states(merge_states(states[0], states[1], keys), states[2], keys)
+    m_rev = merge_states(states[2], merge_states(states[1], states[0], keys), keys)
+    full = agg_state(orders, keys, "o_totalprice")
+
+    rows = lambda df: sorted(map(tuple, finalize(df, keys).collect()))  # noqa: E731
+    assert rows(m_fwd) == rows(full)
+    assert rows(m_rev) == rows(full)
