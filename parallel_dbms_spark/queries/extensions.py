@@ -667,3 +667,27 @@ def dedup_fuzzy_names(spark, sf_dir):
         F.col("c_custkey") < 500
     )
     return dedup.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+@register(
+    "surrogate_keys_dense_check",
+    oracle="""SELECT COUNT(*) AS n, COUNT(*) AS n_distinct,
+                     CAST(0 AS BIGINT) AS lo, COUNT(*) - 1 AS hi
+              FROM lineitem""",
+    tags=("ids",),
+)
+def surrogate_keys_dense_check(spark, sf_dir):
+    # Which row gets which id is partitioning-dependent, but the id SET
+    # is exactly {0..n-1} — count/distinct/min/max are deterministic and
+    # oracle-checkable. (functions/ids.py: no global sort, the big table
+    # is never shuffled; only the per-partition count frame is.)
+    from ..functions.ids import assign_surrogate_keys
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ids = assign_surrogate_keys(li, "row_id", dense=True)
+    return ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("row_id").alias("n_distinct"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+    )

@@ -96,6 +96,63 @@ def read_typed_csv(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_typed_csv_quarantined(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Permissive ingestion: (good_rows, quarantined_rows).
+
+    The reference *silently skips* unparseable numerics, desynchronizing
+    the column (/root/reference/src/headers/table.cpp:194-201) — the
+    worst possible failure mode. Here every cell is read as a string
+    first (cannot fail), then validated with ``try_cast``: a row is
+    quarantined if any N cell is non-null but not numeric, or any D
+    cell is non-null but not a recognized timestamp. Good rows get the
+    real types; bad rows keep their raw strings for repair.
+
+    Scale: two scan-fused filters over one distributed read — no
+    ``_corrupt_record`` column (whose filter requires caching the whole
+    input), no driver involvement, same pushdown properties as any scan.
+    """
+    if os.path.isdir(path):
+        first = sorted(glob.glob(os.path.join(path, "*.csv")))[0]
+    elif any(c in path for c in "*?["):
+        first = sorted(glob.glob(path))[0]
+    else:
+        first = path
+    with open(first, encoding="utf-8") as fh:
+        cols = parse_typed_header(fh.readline())
+
+    raw_schema = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n, _, _ in cols]
+    )
+    raw = (
+        spark.read.schema(raw_schema).option("header", "true").csv(path)
+    )
+
+    def parsed(name: str, tag: str):
+        if tag == "N":
+            return F.col(name).try_cast("double")
+        if tag == "D":
+            return F.coalesce(
+                F.try_to_timestamp(F.col(name)),
+                F.try_to_timestamp(F.col(name), F.lit("yyyy-MM-dd H:mm:ss")),
+            )
+        return F.col(name)
+
+    bad = F.lit(False)
+    for name, tag, _ in cols:
+        if tag in ("N", "D"):
+            bad = bad | (F.col(name).isNotNull() & parsed(name, tag).isNull())
+
+    good = raw.filter(~bad).select(
+        *[parsed(n, tag).alias(n) for n, tag, _ in cols]
+    )
+    for name, _, is_pk in cols:
+        if is_pk:
+            good = good.withMetadata(name, {"primary_key": True})
+    return good, raw.filter(bad)
+
+
 def register_typed_csv_dir(spark: SparkSession, directory: str) -> dict[str, DataFrame]:
     """Register every ``*.csv`` in a directory as a temp view named by
     file stem — the reference's ``initializeTablesFromCSVs``

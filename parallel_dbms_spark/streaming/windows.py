@@ -34,7 +34,11 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, staged: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    staged: str | None = None,
+    n_files: int = 1,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """events.parquet as a bounded stream (ns -> µs ts conversion as in
     catalog.load_table).
@@ -44,16 +48,34 @@ def read_events_stream(
     exact shape of a production landing zone, where files arrive into a
     watched directory. Pass ``staged`` to pin the directory (a restart
     against a checkpoint must re-read the SAME source path).
+
+    ``n_files`` > 1 stages the fixture as that many parquet files;
+    combined with ``max_files_per_trigger`` the replay then runs as
+    MULTIPLE micro-batches — exercising cross-batch state (window
+    accumulation, watermark advancement) instead of a single-batch
+    pass, which is what a live stream actually does.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if staged is None:
         staged = tempfile.mkdtemp(prefix="events_stream_")
     else:
         os.makedirs(staged, exist_ok=True)
-    target = os.path.join(staged, "part-0.parquet")
-    if not os.path.exists(target):
-        shutil.copy(f"{sf_dir}/events.parquet", target)
-    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
+    if n_files <= 1:
+        target = os.path.join(staged, "part-0.parquet")
+        if not os.path.exists(target):
+            shutil.copy(f"{sf_dir}/events.parquet", target)
+    elif not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    df = reader.parquet(staged)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 

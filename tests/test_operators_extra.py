@@ -156,3 +156,30 @@ def test_sample_k_per_group_quota_and_determinism(spark):
     # a different salt draws a different sample
     s3 = sample_k_per_group(docs, "lang", "doc_id", k=5, salt="other")
     assert sorted(map(tuple, s1.collect())) != sorted(map(tuple, s3.collect()))
+
+
+def test_surrogate_keys_sparse_unique(spark):
+    from parallel_dbms_spark.functions.ids import assign_surrogate_keys
+
+    li = load_table(spark, SF_SMOKE, "lineitem").repartition(8)
+    n = li.count()
+    ids = assign_surrogate_keys(li, "row_id")
+    assert ids.select("row_id").distinct().count() == n
+
+
+def test_surrogate_keys_dense_gap_free(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.ids import assign_surrogate_keys
+
+    li = load_table(spark, SF_SMOKE, "lineitem").repartition(8)
+    n = li.count()
+    ids = assign_surrogate_keys(li, "row_id", dense=True)
+    stats = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("row_id").alias("nd"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+    ).collect()[0]
+    # dense = a gap-free permutation of 0..n-1
+    assert (stats.n, stats.nd, stats.lo, stats.hi) == (n, n, 0, n - 1)

@@ -210,3 +210,41 @@ def test_stream_upsert_sink_applies_changes(spark, tmp_path):
     # phase 3: restart with no new data — identical table state
     run()
     assert {r.k: r.v for r in spark.read.parquet(out).collect()} == t2
+
+
+def test_multi_micro_batch_replay_equals_batch(spark, tmp_path):
+    # A REAL multi-batch stream: the fixture staged as 4 files,
+    # maxFilesPerTrigger=1 -> availableNow replays it as ~4 micro-
+    # batches. Window state must accumulate correctly ACROSS batches;
+    # the final complete-mode result equals the one-shot batch
+    # aggregation (same oracle as stream_tumbling_hour).
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+        tumbling_window_agg,
+    )
+
+    events = read_events_stream(
+        spark, SF_SMOKE, staged=str(tmp_path / "ev4"),
+        n_files=4, max_files_per_trigger=1,
+    )
+    got = run_stream_to_batch(spark, tumbling_window_agg(events))
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = (
+        batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

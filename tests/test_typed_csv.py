@@ -47,3 +47,27 @@ def test_roundtrip(spark, tmp_path):
     orig = sorted(map(tuple, df.collect()))
     got = sorted(map(tuple, back.collect()))
     assert got == orig
+
+
+def test_quarantined_read_splits_good_and_bad(spark, tmp_path):
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv_quarantined
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "Id (N) (P),Name (T),Joined (D)\n"
+        "1,alice,2020-01-02\n"
+        "2,bob,2020-01-03 04:05:06\n"
+        "not_a_number,carol,2020-01-04\n"      # bad N cell
+        "4,dave,not_a_date\n"                  # bad D cell
+        "5,,\n"                                # empty cells are NULL, not bad
+    )
+    good, bad = read_typed_csv_quarantined(spark, str(p))
+    assert good.count() == 3
+    assert bad.count() == 2
+    assert dict(good.dtypes) == {"Id": "double", "Name": "string", "Joined": "timestamp"}
+    # bad rows keep raw strings for repair
+    bad_ids = {r.Id for r in bad.collect()}
+    assert bad_ids == {"not_a_number", "4"}
+    # the NULL-celled row is good, with real NULLs
+    row5 = good.filter("Id = 5").collect()[0]
+    assert row5.Name is None and row5.Joined is None
