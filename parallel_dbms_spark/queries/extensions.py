@@ -691,3 +691,28 @@ def surrogate_keys_dense_check(spark, sf_dir):
         F.min("row_id").alias("lo"),
         F.max("row_id").alias("hi"),
     )
+
+
+@register(
+    "json_variant_agg",
+    oracle="""SELECT event_type,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS sum_k
+              FROM events GROUP BY event_type""",
+    tags=("json", "variant"),
+)
+def json_variant_agg(spark, sf_dir):
+    # Spark 4 VariantType: parse the JSON ONCE into a binary variant
+    # (typed, shreddable), then extract typed paths with variant_get —
+    # the lakehouse-native semi-structured path. At scale this beats
+    # get_json_object re-parsing the string per extraction, and parquet
+    # variant shredding pushes the path reads into the scan.
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select("event_type", F.variant_get("v", "$.k", "bigint").alias("k"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )

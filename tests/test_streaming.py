@@ -248,3 +248,44 @@ def test_multi_micro_batch_replay_equals_batch(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
+    # RocksDB-backed state store: state lives off-heap/on-disk per
+    # executor instead of in JVM heap — the config that keeps
+    # billion-key streaming state from OOMing at scale. The windowed
+    # aggregation must produce identical results under it.
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.streaming import (
+        read_events_stream,
+        run_stream_to_batch,
+        tumbling_window_agg,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        events = read_events_stream(
+            spark, SF_SMOKE, staged=str(tmp_path / "ev_rocks"),
+            n_files=2, max_files_per_trigger=1,
+        )
+        got = run_stream_to_batch(spark, tumbling_window_agg(events))
+        want = (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set(key, old)
