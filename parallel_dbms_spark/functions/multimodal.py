@@ -82,6 +82,47 @@ def extract_features(df: DataFrame, dim: int = 8, use_stub: bool = True) -> Data
     return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, use_stub: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: binary in -> binary out, batch-wise.
+
+    The pixel math is stubbed (no codecs in this container): the "resized
+    image" is a deterministic even-stride resample of the payload bytes
+    to exactly ``width*height`` bytes. Everything around it is the real
+    production shape — binary columns through Arrow batches in AND out,
+    per-row output size fixed by the op's parameters, no driver hop, no
+    partition materialization. Swap ``_fake_resize`` for
+    PIL ``Image.resize`` + re-encode and nothing else changes.
+    """
+
+    def _fake_resize(payload: bytes, n_out: int) -> bytes:
+        if len(payload) == 0:
+            return bytes(n_out)
+        step = len(payload) / n_out
+        return bytes(payload[int(i * step)] for i in range(n_out))
+
+    n_out = width * height
+    out_schema = "doc_id bigint, payload binary, width int, height int, byte_len bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                pdf["payload"].map(decode_image)  # raises: no codecs in container
+            resized = pdf["payload"].map(lambda p: _fake_resize(bytes(p), n_out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "byte_len": resized.map(len),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-frame-sampling *plan* shape: explode a (stubbed) frame
     index list and keep every Nth — demonstrates the fan-out schema

@@ -716,3 +716,19 @@ def json_variant_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""SELECT doc_id, 32 AS width, 32 AS height,
+                     CAST(1024 AS BIGINT) AS byte_len
+              FROM documents""",
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark, sf_dir):
+    # The resized payload itself is Python-deterministic (pytest covers
+    # byte equality); the oracle checks the op's hard invariant — every
+    # row comes back exactly once with exactly width*height bytes.
+    mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
+    out = multimodal.resize_images(mm, width=32, height=32)
+    return out.select("doc_id", "width", "height", "byte_len")

@@ -139,3 +139,20 @@ def test_pack_sequences_deterministic(spark):
     a = sorted(map(tuple, pack_sequences(docs, budget=1024).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(7), budget=1024).collect()))
     assert a == b
+
+
+def test_resize_images_deterministic_fixed_size(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.functions import multimodal
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    mm = multimodal.attach_binary(docs, F.col("text"))
+    a = multimodal.resize_images(mm, width=8, height=4)
+    rows = {r.doc_id: bytes(r.payload) for r in a.collect()}
+    assert all(len(p) == 32 for p in rows.values())
+    # deterministic: a second run produces byte-identical payloads
+    b = multimodal.resize_images(mm, width=8, height=4)
+    rows2 = {r.doc_id: bytes(r.payload) for r in b.collect()}
+    assert rows == rows2
