@@ -1,0 +1,131 @@
+"""Seeded random-SQL differential harness (sqllogictest-lite).
+
+A bounded ANSI-SQL grammar generates queries over lineitem; each query
+text runs VERBATIM through both Spark (catalog.run_sql) and DuckDB on
+the same parquet — engine-vs-engine differential testing, the direct
+scale-up of the reference's CPU-vs-GPU differential harnesses
+(/root/reference/src/RadixSort/main_signed.cu:118-155,
+/root/reference/src/cuda/aggregate_all.cu:300-398) applied to the whole
+SQL surface instead of single kernels.
+
+Determinism rules baked into the grammar (same conventions as the
+registered query surface): additive aggregates go through exact
+DECIMAL(18,2) before the final DOUBLE cast; MIN/MAX/COUNT are
+order-free; no LIMIT without a total order; no bare double sums.
+Seeds are fixed → the corpus is stable across runs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from conftest import SF_SMOKE
+from oracle_compare import run_compare
+
+from parallel_dbms_spark.catalog import run_sql
+
+DIMS = ["l_returnflag", "l_linestatus"]
+NUMS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INTS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+def _pred(rng: random.Random) -> str:
+    kind = rng.randrange(4)
+    op = rng.choice(["<", "<=", "=", "!=", ">", ">="])
+    if kind == 0:
+        return f"l_quantity {op} {rng.randint(1, 50)}"
+    if kind == 1:
+        return f"l_discount {op} 0.0{rng.randint(1, 9)}"
+    if kind == 2:
+        return f"l_returnflag {rng.choice(['=', '!='])} '{rng.choice('ANR')}'"
+    return (
+        f"l_shipdate {op} TIMESTAMP "
+        f"'199{rng.randint(5, 8)}-{rng.randint(1, 12):02d}-01 00:00:00'"
+    )
+
+
+def _where(rng: random.Random) -> str:
+    n = rng.randint(0, 3)
+    if n == 0:
+        return ""
+    parts = [_pred(rng) for _ in range(n)]
+    glue = rng.choice([" AND ", " OR "])
+    return " WHERE " + ("(" + glue.join(parts) + ")")
+
+
+def _agg_exprs(rng: random.Random) -> list[str]:
+    out = ["COUNT(*) AS n"]
+    for i, c in enumerate(rng.sample(NUMS, rng.randint(1, 3))):
+        fn = rng.choice(["SUM", "MIN", "MAX"])
+        if fn == "SUM":
+            out.append(
+                f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS a{i}"
+            )
+        else:
+            out.append(f"{fn}({c}) AS a{i}")
+    return out
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    if rng.random() < 0.6:
+        keys = rng.sample(DIMS + ["l_linenumber"], rng.randint(1, 2))
+        sel = ", ".join(keys + _agg_exprs(rng))
+        return (
+            f"SELECT {sel} FROM lineitem{_where(rng)} "
+            f"GROUP BY {', '.join(keys)}"
+        )
+    cols = rng.sample(INTS + DIMS + NUMS, rng.randint(2, 5))
+    return f"SELECT {', '.join(cols)} FROM lineitem{_where(rng)}"
+
+
+def gen_query_v2(seed: int) -> str:
+    """Wider shapes: join, HAVING, DISTINCT, ORDER BY + LIMIT.
+
+    ORDER BY sorts every output column with explicit NULLS FIRST (Spark
+    defaults NULLS FIRST on ASC, DuckDB NULLS LAST — the one dialect
+    divergence in this subset), making the order total up to full-row
+    duplicates, which LIMIT then treats identically in both engines.
+    """
+    rng = random.Random(10_000 + seed)
+    kind = rng.randrange(3)
+    if kind == 0:  # join + aggregate [+ HAVING]
+        keys = rng.sample(["o_orderpriority", "o_orderstatus"] + DIMS, rng.randint(1, 2))
+        sel = ", ".join(keys + _agg_exprs(rng))
+        having = f" HAVING COUNT(*) > {rng.randint(0, 20)}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {sel} FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            f"{_where(rng)} GROUP BY {', '.join(keys)}{having}"
+        )
+    if kind == 1:  # DISTINCT projection
+        cols = rng.sample(DIMS + ["l_linenumber", "l_quantity"], rng.randint(1, 3))
+        return f"SELECT DISTINCT {', '.join(cols)} FROM lineitem{_where(rng)}"
+    # ORDER BY every column + LIMIT
+    cols = rng.sample(INTS + DIMS + NUMS, rng.randint(2, 4))
+    order = ", ".join(
+        f"{c} {rng.choice(['ASC', 'DESC'])} NULLS FIRST" for c in cols
+    )
+    return (
+        f"SELECT {', '.join(cols)} FROM lineitem{_where(rng)} "
+        f"ORDER BY {order} LIMIT {rng.randint(1, 500)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_sql_differential(spark, duck, seed):
+    q = gen_query(seed)
+    res = run_compare(
+        spark, duck, f"fuzz_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_sql_differential_v2(spark, duck, seed):
+    q = gen_query_v2(seed)
+    res = run_compare(
+        spark, duck, f"fuzz2_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
