@@ -289,3 +289,64 @@ def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     finally:
         spark.conf.set(key, old)
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    # Late-data policy, the semantic watermarks exist for: an event
+    # whose window closed before the late-event watermark is DROPPED.
+    # Spark 3.4+ filters late rows with the PREVIOUS batch's watermark
+    # (eventTimeWatermarkForLateEvents), so the drop engages one batch
+    # after the watermark advances: batch 0 sets max=13:00 (watermark
+    # 12:00), batch 1 advances it again (max 13:30 -> 12:30), batch 2
+    # delivers a 03:30 straggler (window [03:00,04:00) far below the
+    # 12:00 late-event watermark -> dropped) plus an on-time 14:00 row.
+    import os
+    import time
+
+    from pyspark.sql import Row, functions as F
+
+    from parallel_dbms_spark.streaming import run_stream_to_batch
+    from parallel_dbms_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        tumbling_window_agg,
+    )
+
+    staged = str(tmp_path / "late_ev")
+    os.makedirs(staged)
+    day_ns = 86_400 * 1_000_000_000
+    base = 1_700_000_000_000_000_000 // day_ns * day_ns  # midnight-aligned
+
+    def ns(hhmm: str) -> int:
+        h, m = map(int, hhmm.split(":"))
+        return base + (h * 3600 + m * 60) * 1_000_000_000
+
+    def write_file(name, rows, mtime):
+        pdf = spark.createDataFrame(
+            [Row(event_id=i, ts=ns(t), user_id=1, event_type="click",
+                 value=1.0, props="{}") for i, t in enumerate(rows)],
+            schema=EVENTS_SCHEMA,
+        )
+        tmp = str(tmp_path / ("w_" + name))
+        pdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(staged, name)
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_file("b1.parquet", ["12:10", "12:50", "13:00"], t0)
+    write_file("b2.parquet", ["13:30"], t0 + 100)
+    write_file("b3.parquet", ["03:30", "14:00"], t0 + 200)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    got = run_stream_to_batch(
+        spark, tumbling_window_agg(stream), output_mode="update"
+    )
+    starts = {r.window_start.strftime("%H:%M") for r in got.collect()}
+    assert "03:00" not in starts, "late event beyond watermark must be dropped"
+    assert {"12:00", "13:00", "14:00"} <= starts
