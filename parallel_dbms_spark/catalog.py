@@ -36,14 +36,20 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table, normalizing physical quirks.
 
-    events.ts is TIMESTAMP(NANOS) in the file; Spark scans it as int64
-    (nanosAsLong) and we convert to a microsecond timestamp — the same
-    truncation DuckDB applies, so oracle comparisons line up.
+    Timestamps have shipped in two physical forms: TIMESTAMP(NANOS)
+    (scanned as int64 via nanosAsLong, converted here) and plain
+    timestamp[us] with no zone (scanned as TIMESTAMP_NTZ). Both are
+    normalized to the session-zone TIMESTAMP type — the session zone is
+    pinned to UTC (session.py), so wall-clock values are bit-identical
+    to DuckDB's naive reading and downstream epoch casts stay legal.
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -41,7 +41,8 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
     prev_ts = F.lag(F.col(ts)).over(w)
-    gap_s = F.col(ts).cast("long") - prev_ts.cast("long")
+    # via an explicit timestamp cast so TIMESTAMP_NTZ inputs stay legal
+    gap_s = F.col(ts).cast("timestamp").cast("long") - prev_ts.cast("timestamp").cast("long")
     new_session = F.when(
         prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -67,7 +68,8 @@ def session_stats(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias(
-            "duration_s"
-        ),
+        (
+            F.max(F.col(ts).cast("timestamp").cast("long"))
+            - F.min(F.col(ts).cast("timestamp").cast("long"))
+        ).alias("duration_s"),
     )

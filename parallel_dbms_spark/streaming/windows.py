@@ -32,6 +32,12 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+# Same table with ts as a real timestamp — the shape of the staged
+# stream when the fixture ships timestamp[us] instead of TIMESTAMP(NANOS).
+EVENTS_SCHEMA_TS = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.TimestampType()) for f in EVENTS_SCHEMA]
+)
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -56,27 +62,36 @@ def read_events_stream(
     pass, which is what a live stream actually does.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture has shipped ts as TIMESTAMP(NANOS) (scanned int64 via
+    # nanosAsLong) and as timestamp[us]; stage accordingly.
+    legacy_ns = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts") == "bigint"
     if staged is None:
         staged = tempfile.mkdtemp(prefix="events_stream_")
     else:
         os.makedirs(staged, exist_ok=True)
-    if n_files <= 1:
+    if legacy_ns and n_files <= 1:
         target = os.path.join(staged, "part-0.parquet")
         if not os.path.exists(target):
             shutil.copy(f"{sf_dir}/events.parquet", target)
     elif not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        # Restage through load_table so ts lands as a session-zone (UTC)
+        # timestamp regardless of the fixture's physical encoding.
+        from ..catalog import load_table
+
         (
-            spark.read.schema(EVENTS_SCHEMA)
-            .parquet(f"{sf_dir}/events.parquet")
+            load_table(spark, sf_dir, "events")
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(staged)
         )
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = EVENTS_SCHEMA if legacy_ns and n_files <= 1 else EVENTS_SCHEMA_TS
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     df = reader.parquet(staged)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if schema is EVENTS_SCHEMA:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 # Sums/averages go through exact DECIMAL(18,2) then back to DOUBLE so
