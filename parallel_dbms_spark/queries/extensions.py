@@ -732,3 +732,44 @@ def multimodal_resize(spark, sf_dir):
     mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
     out = multimodal.resize_images(mm, width=32, height=32)
     return out.select("doc_id", "width", "height", "byte_len")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=r"""WITH toks AS (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM documents),
+                   t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+                   dl AS (SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY 1),
+                   tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+                          WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2),
+                   dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+                   sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+                   sd AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sumdl FROM dl),
+                   per AS (
+                 SELECT tf.doc_id,
+                        CAST(FLOOR(
+                          ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                          * (tf * (1.2 + 1.0)
+                             / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) * n / sumdl))))
+                          * 1000000.0) AS BIGINT) AS s_e6
+                 FROM tf JOIN dfx ON tf.term = dfx.term
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 CROSS JOIN sc CROSS JOIN sd),
+                   agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+                                  CAST(SUM(s_e6) AS BIGINT) AS score_e6
+                           FROM per GROUP BY 1)
+              SELECT doc_id, n_terms, score_e6,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                          AS INTEGER) AS rk
+              FROM agg QUALIFY rk <= 20""",
+    tags=("text", "bm25", "search"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 relevance search over the documents corpus — the classic
+    keyword-retrieval scorer a training-data pipeline uses to mine
+    topic-relevant documents at corpus scale."""
+    return text.bm25_topk(
+        _docs(spark, sf_dir), terms=("spark", "join", "filter"), k=20
+    )

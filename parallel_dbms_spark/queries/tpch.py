@@ -620,3 +620,36 @@ def tpch_q22_shape(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.sum(bal).cast("double").alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — "important stock": grouped value with a global-fraction
+# threshold (HAVING SUM(...) > fraction * SUM over everything). Adapted:
+# no partsupp, so per-supplier lineitem revenue share. The threshold
+# comparison stays in exact decimals on both sides (0.001 is a decimal
+# literal, never a double) so boundary rows can't flip between engines.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q11_shape",
+    oracle="""WITH per AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+                FROM lineitem GROUP BY l_suppkey)
+              SELECT l_suppkey, CAST(val AS DOUBLE) AS value
+              FROM per
+              WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,3)) FROM per)""",
+    tags=("tpch", "agg", "subquery"),
+)
+def tpch_q11_shape(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("val"))
+    # Uncorrelated scalar subquery decorrelated as a broadcast 1-row
+    # crossJoin — per is scanned twice but the reduced (grouped) form
+    # is tiny; at 100 TB the grouped intermediate is worth caching.
+    tot = per.agg(F.sum("val").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.col("__tot") * F.expr("CAST(0.001 AS DECIMAL(6,3))"))
+        .select("l_suppkey", F.col("val").cast("double").alias("value"))
+    )

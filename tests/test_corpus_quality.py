@@ -136,3 +136,31 @@ def test_weighted_mean_udaf_matches_exact(spark):
     }
     for k in exact:
         assert abs(got[k] - exact[k]) <= 1e-9 * abs(exact[k])
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    from parallel_dbms_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark join filter"),
+            Row(doc_id=2, text="spark appears once in a much longer document "
+                               "with many other words diluting its relevance"),
+            Row(doc_id=3, text="nothing relevant here at all"),
+            Row(doc_id=4, text="join filter"),
+        ]
+    )
+    got = bm25_topk(docs, terms=("spark", "join", "filter"), k=10).collect()
+    by_id = {r.doc_id: r for r in got}
+    # doc 3 matches no query term -> absent
+    assert 3 not in by_id
+    # doc 1 hits all three terms with high tf in a short doc -> rank 1
+    assert by_id[1].rk == 1 and by_id[1].n_terms == 3
+    # ranks are dense, ordered by the quantized score
+    ordered = sorted(got, key=lambda r: r.rk)
+    scores = [r.score_e6 for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.rk for r in ordered] == list(range(1, len(got) + 1))
+    # length normalization: doc 2's single diluted hit scores below
+    # doc 4's two exact hits
+    assert by_id[4].score_e6 > by_id[2].score_e6
