@@ -472,3 +472,55 @@ def fuzzy_pairs(
         "id_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection — the dedup pipeline's final step.
+
+    Given ``duplicate_clusters`` output (id, cluster_id), pick ONE
+    representative per cluster: the doc with the most whitespace tokens
+    (richest content), tie-broken by smallest doc_id. Docs in no
+    cluster are their own singleton cluster and trivially kept. The
+    ranking key is integer-only, so selection is engine-exact.
+
+    Returns (cluster_id, kept_doc_id, n_tokens, n_members).
+
+    Scale: one broadcast-or-shuffle join docs⋈clusters on doc id, then
+    a window over cluster_id — bounded by cluster size, which the
+    upstream pair generation already caps via shingle df limits.
+    """
+    from pyspark.sql import Window
+
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    d = docs.select(F.col(doc_id), ntok.alias("n_tokens"))
+    lbl = clusters.select(F.col("id"), F.col("cluster_id").alias("__cl"))
+    j = d.join(lbl, d[doc_id] == lbl["id"], "left").select(
+        F.col(doc_id),
+        F.coalesce(F.col("__cl"), F.col(doc_id)).alias("cluster_id"),
+        F.col("n_tokens"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col(doc_id).asc()
+    )
+    wall = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(doc_id).alias("kept_doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -95,3 +95,32 @@ def sample_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fracs: tuple[float, float] = (0.8, 0.1),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic 3-way train/val/test assignment.
+
+    Same md5-prefix rule as ``deterministic_sample``: the split label
+    is a pure function of (id, salt), so it is reproducible across
+    partitionings, engines, and reruns, and the three sets are disjoint
+    and exhaustive BY CONSTRUCTION (one threshold comparison per row,
+    no sampling races). fracs = (train, val); test takes the rest.
+
+    Scale: a narrow projection — no shuffle, no state; the labeled
+    frame feeds partitioned writes (one directory per split).
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    prefix = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 4)
+    t_train = sample_threshold_hex(fracs[0])
+    t_val = sample_threshold_hex(fracs[0] + fracs[1])
+    return df.withColumn(
+        "split",
+        F.when(prefix < t_train, F.lit("train"))
+        .when(prefix < t_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

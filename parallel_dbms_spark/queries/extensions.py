@@ -773,3 +773,64 @@ def text_bm25_topk(spark, sf_dir):
     return text.bm25_topk(
         _docs(spark, sf_dir), terms=("spark", "join", "filter"), k=20
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""SELECT doc_id,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4)
+                               < 'cccc' THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4)
+                               < 'e666' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents""",
+    tags=("sampling", "split"),
+)
+def split_train_val_test(spark, sf_dir):
+    # Deterministic 80/10/10 split: the label is a pure md5 function of
+    # the id, so sets are disjoint + exhaustive by construction and
+    # identical across engines/partitionings (0.8*2^16=0xcccc,
+    # 0.9*2^16=0xe666) — exactly oracle-checked row-by-row.
+    from ..functions.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs, fracs=(0.8, 0.1))
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+               nodes AS (SELECT id_a AS id FROM pairs
+                         UNION SELECT id_b FROM pairs),
+               edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                         UNION SELECT id_b AS u, id_a AS v FROM pairs),
+               cc(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.id = e.v),
+               lbl AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+               d AS (SELECT doc_id,
+                            COALESCE(l.cluster_id, doc_id) AS cluster_id,
+                            CAST(len(list_filter(
+                              regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+                     FROM documents LEFT JOIN lbl l ON doc_id = l.id),
+               r AS (SELECT *,
+                            ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id ASC) AS rk,
+                            COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+                     FROM d)
+               SELECT cluster_id, doc_id AS kept_doc_id, n_tokens,
+                      CAST(n_members AS BIGINT) AS n_members
+               FROM r WHERE rk = 1""",
+    tags=("dedup", "clustering", "pipeline"),
+)
+def dedup_keep_canonical(spark, sf_dir):
+    # The dedup pipeline's last mile: connected-component clusters ->
+    # keep one canonical doc per cluster (most tokens, min-id
+    # tie-break); singletons keep themselves. Integer-only ranking
+    # keys, so the full pipeline (pairs -> closure -> selection) is
+    # exactly oracle-checked end-to-end.
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, max_shingle_df=None)
+    return dedup.keep_canonical(docs, dedup.duplicate_clusters(pairs))

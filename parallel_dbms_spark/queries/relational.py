@@ -1728,3 +1728,87 @@ def incremental_rollup_merge(spark, sf_dir):
     state = merge_states(state, agg_state(delta, ["o_orderpriority"], "o_totalprice"),
                          ["o_orderpriority"])
     return finalize(state, ["o_orderpriority"])
+
+
+@register(
+    "window_rolling_median",
+    oracle="""WITH r AS (
+                SELECT o_custkey, o_orderkey,
+                       median(CAST(o_totalprice AS DOUBLE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_median,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders)
+              SELECT o_custkey, o_orderkey, roll_median FROM r WHERE rn >= 5""",
+    tags=("window", "median"),
+)
+def window_rolling_median(spark, sf_dir):
+    # Rolling 5-order median spend per customer. Restricted to full
+    # 5-row frames so the median is a pure SELECTION (3rd of 5) — no
+    # even-count interpolation, hence bit-exact across engines. Spark's
+    # median aggregate rejects window frames, so the frame's 5 values
+    # are collected, sorted, and indexed — O(frame) state per row, fine
+    # for any constant frame width.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame_vals = F.sort_array(
+        F.collect_list(F.col("o_totalprice").cast("double")).over(
+            w.rowsBetween(-4, 0)
+        )
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.element_at(frame_vals, 3).alias("roll_median"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") >= 5)
+        .drop("__rn")
+    )
+
+
+@register(
+    "daily_orders_gapfilled",
+    oracle="""WITH daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1),
+                   bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+                   spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                             FROM bounds)
+              SELECT spine.day AS day, COALESCE(n_orders, 0) AS n_orders,
+                     CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue
+              FROM spine LEFT JOIN daily ON spine.day = daily.day""",
+    tags=("timeseries", "gapfill"),
+)
+def daily_orders_gapfilled(spark, sf_dir):
+    # Date-spine gap fill: a calendar spine (sequence+explode, no
+    # driver loop) left-joined to the daily rollup so empty days emit
+    # explicit zero rows — the shape behind every time-series dashboard
+    # and the batch twin of streaming's "emit empty windows" concern.
+    # The spine is tiny (one row per day) and broadcast; the rollup is
+    # one map-side-combinable aggregation of the fact table.
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).alias("rev"),
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

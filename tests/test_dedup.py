@@ -123,3 +123,28 @@ def test_fuzzy_pairs_planted_typos(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 1}
+
+
+def test_keep_canonical_picks_longest_and_covers_all_docs(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="short dup text"),
+            Row(doc_id=2, text="short dup text plus richer longer content"),
+            Row(doc_id=3, text="a lone singleton document"),
+            Row(doc_id=4, text="short dup text"),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(id=1, cluster_id=1), Row(id=2, cluster_id=1), Row(id=4, cluster_id=1)]
+    )
+    got = {r.cluster_id: r for r in keep_canonical(docs, clusters).collect()}
+    # cluster 1: doc 2 has the most tokens -> canonical; 3 members
+    assert got[1].kept_doc_id == 2 and got[1].n_members == 3
+    # singleton doc 3 forms its own cluster and keeps itself
+    assert got[3].kept_doc_id == 3 and got[3].n_members == 1
+    # every doc accounted for exactly once across clusters
+    assert sum(r.n_members for r in got.values()) == 4

@@ -63,3 +63,26 @@ def test_write_training_shards_contract(spark, tmp_path):
     for f in files:  # per-shard sortedness
         ids = [r.doc_id for r in spark.read.parquet(f).collect()]
         assert ids == sorted(ids)
+
+
+def test_train_val_test_split_disjoint_exhaustive_and_stable(spark):
+    from parallel_dbms_spark.functions.sampling import train_val_test_split
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = train_val_test_split(docs).collect()
+    labels = {r.doc_id: r.split for r in s1}
+    # exhaustive: every row labeled with one of the three classes
+    assert len(labels) == 2000
+    assert set(labels.values()) == {"train", "val", "test"}
+    # proportions near 80/10/10
+    from collections import Counter
+
+    c = Counter(labels.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    # partition-invariant: a different partitioning yields identical labels
+    s2 = train_val_test_split(docs.repartition(13)).collect()
+    assert {r.doc_id: r.split for r in s2} == labels
+    # a different salt draws an independent assignment
+    s3 = train_val_test_split(docs, salt="other").collect()
+    assert {r.doc_id: r.split for r in s3} != labels
