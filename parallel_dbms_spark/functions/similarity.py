@@ -364,3 +364,181 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ/ADC) — the memory-bound ANN scale path
+# --------------------------------------------------------------------------
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 5,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks on a deterministic corpus sample.
+
+    Vectors are L2-normalized, split into ``m`` contiguous subspaces,
+    and each subspace gets ``ksub`` Lloyd-iterated L2 centroids.
+    Training on a bounded sample is the standard PQ recipe (the
+    codebook is model parameters, size m*ksub*dsub floats — constant
+    in corpus size); the sample is drawn by xxhash64 order so it is
+    reproducible and partitioning-independent. Returns an
+    (m, ksub, dim/m) float64 numpy array.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    X = X / n
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    codebooks = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ksub].copy()  # deterministic seeding from the hash-ordered sample
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                hit = a == c
+                if hit.any():
+                    C[c] = S[hit].mean(axis=0)
+        codebooks[j] = C
+    return codebooks
+
+
+def _pq_encode_udf(codebooks):
+    """array<float> vector -> array<int> of m codes (nearest codeword
+    per subspace on the normalized vector), one vectorized pass per
+    Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        V = V / n
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = V[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 64,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC ANN top-k with exact re-rank.
+
+    The corpus is stored as m-byte codes (here m ints; 8 bytes/vector
+    vs 256 for float32x64 — the 32x compression that lets 100 TB of
+    embeddings fit a cluster's RAM). Each executor scores codes against
+    per-query lookup tables (LUT[j][code] = dot(q_subspace,
+    codeword_j)) — a gather+sum per row, no float vector ever
+    rescanned — keeps the per-partition top k*refine, and only those
+    candidates fetch their full vector for the exact cosine re-rank.
+
+    Queries are collected to the driver (they are the small side —
+    same broadcast assumption as brute_force_topk) and ship inside the
+    UDF closure as LUTs, never as a join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebooks = pq_train_codebooks(
+        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    dsub = codebooks.shape[2]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    # LUTs: (n_queries, m, ksub) — dot of each query subspace with each codeword.
+    luts = np.einsum("qjd,jkd->qjk", Qn.reshape(len(Q), m, dsub), codebooks)
+
+    nper = k * refine
+    enc = _pq_encode_udf(codebooks)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                # ADC: sum over subspaces of LUT[j][code_j] ~= cos(q, v)
+                s = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
+                mask = ids != qids[qi]
+                s_m, ids_m = s[mask], ids[mask]
+                top = np.argsort(-s_m, kind="stable")[:nper]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(ids_m[top])
+                out_s.append(s_m[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cand = codes.mapInPandas(
+        score_partition, "query_id long, neighbor_id long, adc double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= nper)
+        .drop("__r", "adc")
+    )
+    # Exact re-rank: only ~k*refine vectors per query are fetched.
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = short.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -834,3 +834,14 @@ def dedup_keep_canonical(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, max_shingle_df=None)
     return dedup.keep_canonical(docs, dedup.duplicate_clusters(pairs))
+
+
+@register("sim_pq_topk", oracle=None, tags=("similarity", "pq"))
+def sim_pq_topk(spark, sf_dir):
+    # PQ/ADC ANN: 16-subspace product-quantized codes scanned with
+    # per-query lookup tables, exact re-rank of the short list.
+    # Rows-only: codebooks come from our deterministic sampled Lloyd
+    # training. Recall vs brute force is pytest-asserted.
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(emb, queries, k=5, m=16, ksub=64)

