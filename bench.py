@@ -74,6 +74,11 @@ def bench_queries(spark, sf_dir):
         "cdc_diff": lambda: _exec(REGISTRY["cdc_orders_diff"].fn(spark, sf_dir)),
         "tfidf": lambda: _exec(REGISTRY["text_tfidf_topk"].fn(spark, sf_dir)),
         "chunk_docs": lambda: _exec(REGISTRY["chunk_documents_32"].fn(spark, sf_dir)),
+        "bm25_topk": lambda: _exec(REGISTRY["text_bm25_topk"].fn(spark, sf_dir)),
+        "sim_pq": lambda: _exec(REGISTRY["sim_pq_topk"].fn(spark, sf_dir)),
+        "hybrid_retrieval": lambda: _exec(
+            REGISTRY["pipeline_hybrid_retrieval"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}

@@ -413,3 +413,34 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select(doc_id, "n_terms", "score_e6", "rk")
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      doc_id: str = "doc_id") -> DataFrame:
+    """Per-document zlib compression ratio — a classic corpus-quality
+    signal: highly compressible text (ratio << 1 relative to prose) is
+    boilerplate/repetition; near-incompressible text is noise/binary
+    junk. Both tails get filtered in pretraining pipelines.
+
+    zlib is CPU-bound Python, so this is an Arrow-batched pandas UDF
+    (the sanctioned slow path); level 6 matches the common default.
+    Ratio = deflated bytes / raw utf-8 bytes, 1.0 for empty docs.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: the module's future-annotations mode stringifies
+    # them, which pandas_udf's signature introspection rejects
+    @pandas_udf("double")
+    def zratio(s):
+        def one(t):
+            b = (t or "").encode("utf-8")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    return df.select(F.col(doc_id), zratio(F.col(text_col)).alias("z_ratio"))

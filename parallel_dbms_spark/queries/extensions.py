@@ -734,9 +734,9 @@ def multimodal_resize(spark, sf_dir):
     return out.select("doc_id", "width", "height", "byte_len")
 
 
-@register(
-    "text_bm25_topk",
-    oracle=r"""WITH toks AS (
+# BM25 CTE chain shared by the keyword-retrieval query and the hybrid
+# (keyword -> vector re-rank) pipeline; ``bm`` ends with ranked docs.
+_BM25_CTES = r"""toks AS (
                  SELECT doc_id,
                         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
                  FROM documents),
@@ -759,11 +759,17 @@ def multimodal_resize(spark, sf_dir):
                  CROSS JOIN sc CROSS JOIN sd),
                    agg AS (SELECT doc_id, COUNT(*) AS n_terms,
                                   CAST(SUM(s_e6) AS BIGINT) AS score_e6
-                           FROM per GROUP BY 1)
-              SELECT doc_id, n_terms, score_e6,
-                     CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC)
-                          AS INTEGER) AS rk
-              FROM agg QUALIFY rk <= 20""",
+                           FROM per GROUP BY 1),
+                   bm AS (SELECT doc_id, n_terms, score_e6,
+                                 CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                                      AS INTEGER) AS rk
+                          FROM agg)"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""WITH {_BM25_CTES}
+              SELECT doc_id, n_terms, score_e6, rk FROM bm WHERE rk <= 20""",
     tags=("text", "bm25", "search"),
 )
 def text_bm25_topk(spark, sf_dir):
@@ -845,3 +851,56 @@ def sim_pq_topk(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(emb, queries, k=5, m=16, ksub=64)
+
+
+@register(
+    "pipeline_hybrid_retrieval",
+    oracle=f"""WITH {_BM25_CTES},
+               shortlist AS (SELECT doc_id, score_e6 FROM bm WHERE rk <= 20),
+               e AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                     FROM embeddings),
+               qv AS (SELECT emb AS q FROM e WHERE vec_id = 0),
+               s AS (SELECT doc_id, score_e6 AS bm25_e6,
+                            {_cos_sql('qv.q', 'e.emb')} AS cos
+                     FROM shortlist JOIN e ON doc_id = e.vec_id CROSS JOIN qv)
+               SELECT doc_id, bm25_e6, cos,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+                           AS INTEGER) AS rank
+               FROM s""",
+    tags=("text", "similarity", "pipeline", "search"),
+)
+def pipeline_hybrid_retrieval(spark, sf_dir):
+    # Hybrid search — the retrieval shape RAG pipelines run at corpus
+    # scale: a cheap high-recall keyword stage (BM25 over an inverted
+    # scan) shortlists 20 docs, then only those fetch embeddings for
+    # exact cosine re-rank against the query vector (vec_id 0 stands in
+    # for the encoded query). The vector side touches 20 rows, not the
+    # corpus. Fully oracle-checked end-to-end: quantized BM25 + the
+    # fold-ordered cosine both match DuckDB bit-for-bit.
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    shortlist = text.bm25_topk(
+        docs, terms=("spark", "join", "filter"), k=20
+    ).select("doc_id", F.col("score_e6").alias("bm25_e6"))
+    emb = _emb_double(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    s = (
+        shortlist.join(emb, shortlist["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25_e6",
+            similarity.cosine(F.col("q"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    return s.withColumn("rank", F.row_number().over(w).cast("integer"))
+
+
+@register("text_compression_ratio", oracle=None, tags=("text", "quality"))
+def text_compression_ratio(spark, sf_dir):
+    # Rows-only: zlib lives outside SQL. Monotonicity (repetitive <
+    # varied) and determinism are pytest-asserted.
+    return text.compression_ratio(_docs(spark, sf_dir))

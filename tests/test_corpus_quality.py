@@ -164,3 +164,23 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     # length normalization: doc 2's single diluted hit scores below
     # doc 4's two exact hits
     assert by_id[4].score_e6 > by_id[2].score_e6
+
+
+def test_compression_ratio_separates_repetitive_from_varied(spark):
+    from parallel_dbms_spark.functions.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 200),
+            Row(doc_id=2, text=" ".join(f"w{i}x{i * 7 % 97}" for i in range(200))),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    got = {r.doc_id: r.z_ratio for r in compression_ratio(docs).collect()}
+    assert got[1] < 0.1            # pure repetition deflates to almost nothing
+    assert got[2] > got[1] * 3     # varied text compresses far less
+    assert got[3] == 1.0           # empty doc convention
+    # deterministic across partitionings
+    again = {r.doc_id: r.z_ratio
+             for r in compression_ratio(docs.repartition(3)).collect()}
+    assert again == got
