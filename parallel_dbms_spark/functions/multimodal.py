@@ -133,3 +133,44 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         .filter(F.col("frame_idx") % every_n == 0)
         .select("doc_id", "frame_idx", "meta")
     )
+
+
+def audio_window_energy(
+    df: DataFrame, frame_bytes: int = 256, use_stub: bool = True
+) -> DataFrame:
+    """Audio-modality plumbing: per-window RMS energy over a binary
+    payload — the framing/feature shape of VAD, silence trimming, and
+    loudness normalization in audio pipelines.
+
+    The codec step is stubbed (no audio libs in this container): the
+    payload's raw bytes stand in for PCM samples; windows are fixed
+    ``frame_bytes`` slices. Real shape everywhere else: binary in via
+    Arrow batches, ONE output row per (doc, window) — the fan-out
+    happens executor-side inside mapInPandas, and window count scales
+    with payload size, never with driver memory. Swap the stub for
+    soundfile/ffmpeg decode and the schema/partitioning is unchanged.
+    """
+    import numpy as np
+
+    out_schema = "doc_id bigint, window_idx int, n_bytes int, rms double"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, nb, rms = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not use_stub:
+                    decode_image(bytes(payload))  # raises: no codecs here
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) == 0:
+                    continue
+                for w in range(0, len(buf), frame_bytes):
+                    chunk = buf[w : w + frame_bytes].astype(np.float64) - 128.0
+                    ids.append(did)
+                    widx.append(w // frame_bytes)
+                    nb.append(len(chunk))
+                    rms.append(float(np.sqrt((chunk * chunk).mean())))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": widx, "n_bytes": nb, "rms": rms}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)

@@ -904,3 +904,30 @@ def text_compression_ratio(spark, sf_dir):
     # Rows-only: zlib lives outside SQL. Monotonicity (repetitive <
     # varied) and determinism are pytest-asserted.
     return text.compression_ratio(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""SELECT lang, {_LANG_CASE} AS lang_pred, COUNT(*) AS n
+               FROM documents GROUP BY 1, 2""",
+    tags=("text", "eval"),
+)
+def lang_id_confusion(spark, sf_dir):
+    # Classifier evaluation as a query: the labeled lang column crossed
+    # with the marker-based prediction — the confusion matrix every
+    # corpus language filter gets judged by. One hash aggregation.
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", text.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("multimodal_audio_energy", oracle=None, tags=("multimodal", "audio"))
+def multimodal_audio_energy(spark, sf_dir):
+    # Audio framing plumbing over the binary column (decode stubbed —
+    # documented in functions/multimodal.py). Rows-only; windowing
+    # invariants are pytest-asserted.
+    mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
+    return multimodal.audio_window_energy(mm, frame_bytes=256)

@@ -7,6 +7,7 @@ from .lake import (
     write_partitioned,
 )
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
+from .typed_csv_ds import TypedCSVDataSource, register_typed_csv
 
 __all__ = [
     "compact_small_files",
@@ -16,6 +17,8 @@ __all__ = [
     "read_jsonl",
     "read_partitioned",
     "read_typed_csv",
+    "register_typed_csv",
+    "TypedCSVDataSource",
     "register_typed_csv_dir",
     "write_bucketed_table",
     "write_jsonl",

@@ -1,0 +1,112 @@
+"""The typed-header CSV dialect as a REGISTERED Spark data source.
+
+``sources/typed_csv.py`` is the fast path (explicit schema over the
+JVM CSV scanner). This module exposes the same dialect as a pluggable
+Spark 4 Python DataSource, so the format participates in the normal
+reader API:
+
+    spark.dataSource.register(TypedCSVDataSource)
+    df = spark.read.format("typed_csv").load("/data/orders.csv")
+
+Dialect (/root/reference/README.md:133-149, header parser
+``parseCSVHeader`` /root/reference/src/headers/duckdb_manager.cpp:52-140):
+header ``Name (T|N|D) [(P)]`` per column; N -> double, T -> string,
+D -> µs timestamp; empty cells are NULL; ``(P)`` is metadata only.
+
+Scale shape: ``partitions()`` returns one InputPartition per file, so
+a directory of landing files fans out across executors; each partition
+parses only its own file (no driver materialization — the driver reads
+exactly one header line to derive the schema). The Python-level parse
+costs more per row than the JVM scanner — use this surface for dialect
+fidelity and pluggability, the explicit-schema path for bulk scans.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import glob
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .typed_csv import parse_typed_header
+
+
+def _files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.csv")))
+    return sorted(glob.glob(path)) or [path]
+
+
+def _schema_for(path: str) -> tuple[T.StructType, list[str]]:
+    first = _files(path)[0]
+    with open(first, encoding="utf-8") as fh:
+        cols = parse_typed_header(fh.readline())
+    spark_t = {"N": T.DoubleType(), "T": T.StringType(), "D": T.TimestampType()}
+    schema = T.StructType(
+        [
+            T.StructField(
+                name,
+                spark_t[tag],
+                nullable=True,
+                # same (P) metadata convention as the fast path
+                metadata={"primary_key": True} if pk else {},
+            )
+            for name, tag, pk in cols
+        ]
+    )
+    return schema, [tag for _, tag, _ in cols]
+
+
+def _parse_cell(raw: str, tag: str):
+    if raw == "":
+        return None
+    if tag == "N":
+        return float(raw)
+    if tag == "D":
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in raw else "%Y-%m-%d"
+        return datetime.datetime.strptime(raw, fmt)
+    return raw
+
+
+class TypedCSVReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("typed_csv requires a path (.load(path))")
+        self.tags = [
+            {"double": "N", "string": "T", "timestamp": "D"}[f.dataType.simpleString()]
+            for f in schema.fields
+        ]
+
+    def partitions(self):
+        # one partition per landing file: executor-side parallel parse
+        return [InputPartition(f) for f in _files(self.path)]
+
+    def read(self, partition):
+        with open(partition.value, encoding="utf-8", newline="") as fh:
+            rows = csv.reader(fh)
+            next(rows)  # typed header
+            for row in rows:
+                yield tuple(
+                    _parse_cell(raw, tag) for raw, tag in zip(row, self.tags)
+                )
+
+
+class TypedCSVDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "typed_csv"
+
+    def schema(self):
+        return _schema_for(self.options.get("path", ""))[0]
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return TypedCSVReader(self.options, schema)
+
+
+def register_typed_csv(spark) -> None:
+    """Idempotently register the format for this session."""
+    spark.dataSource.register(TypedCSVDataSource)

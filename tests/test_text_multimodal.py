@@ -156,3 +156,27 @@ def test_resize_images_deterministic_fixed_size(spark):
     b = multimodal.resize_images(mm, width=8, height=4)
     rows2 = {r.doc_id: bytes(r.payload) for r in b.collect()}
     assert rows == rows2
+
+
+def test_audio_window_energy_framing_invariants(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions import multimodal
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 600), Row(doc_id=2, text="abc"), Row(doc_id=3, text="")]
+    )
+    mm = multimodal.attach_binary(docs, F.col("text"))
+    got = multimodal.audio_window_energy(mm, frame_bytes=256).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 600 bytes -> windows of 256,256,88; indexes dense from 0
+    w1 = sorted(by_doc[1], key=lambda r: r.window_idx)
+    assert [r.n_bytes for r in w1] == [256, 256, 88]
+    assert [r.window_idx for r in w1] == [0, 1, 2]
+    # constant payload ('x'=120, bias 128) -> rms == 8 exactly
+    assert all(abs(r.rms - 8.0) < 1e-12 for r in w1)
+    # short doc -> one window; empty doc -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_bytes == 3
+    assert 3 not in by_doc

@@ -71,3 +71,20 @@ def test_quarantined_read_splits_good_and_bad(spark, tmp_path):
     # the NULL-celled row is good, with real NULLs
     row5 = good.filter("Id = 5").collect()[0]
     assert row5.Name is None and row5.Joined is None
+
+
+def test_python_datasource_matches_fast_path(spark):
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv
+    from parallel_dbms_spark.sources.typed_csv_ds import register_typed_csv
+
+    register_typed_csv(spark)
+    for fname in sorted(os.listdir(FIX)):
+        if not fname.endswith(".csv"):
+            continue
+        path = os.path.join(FIX, fname)
+        ds = spark.read.format("typed_csv").load(path)
+        fast = read_typed_csv(spark, path)
+        assert ds.schema == fast.schema, fname
+        a = sorted(map(tuple, ds.collect()))
+        b = sorted(map(tuple, fast.collect()))
+        assert a == b, f"datasource != fast path for {fname}"
