@@ -444,3 +444,45 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         return s.map(one)
 
     return df.select(F.col(doc_id), zratio(F.col(text_col)).alias("z_ratio"))
+
+
+def unigram_surprisal(
+    df: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model surprisal per document — the classic
+    LM-based corpus quality filter (CCNet-style): documents whose
+    tokens are improbable under the corpus's own unigram model are
+    noise/junk candidates; improbably LOW surprisal means boilerplate.
+
+    The model IS the corpus term-frequency table: s(t) = -ln(tf_t /
+    total_tokens). Per-token surprisal quantizes to 1e-6 ints BEFORE
+    the per-doc sum (order-invariant integer aggregation, exactly
+    oracle-comparable); the mean divides two exact ints at the end.
+
+    Scale: one tokenize pass; the (doc,term) and term aggregations are
+    map-side combinable; the vocabulary rides into the per-doc join on
+    its natural term key (no broadcast assumption: vocab can be huge).
+    """
+    toks = df.select(
+        F.col(doc_id),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf_doc"))
+    vocab = doc_tf.groupBy("term").agg(F.sum("tf_doc").alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("__total"))
+    s_e6 = F.floor(
+        -F.log(F.col("tf").cast("double") / F.col("__total")) * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        doc_tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(doc_id), F.col("tf_doc"), s_e6.alias("__s_e6"))
+    )
+    return scored.groupBy(doc_id).agg(
+        F.sum("tf_doc").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf_doc") * F.col("__s_e6")).alias("surprisal_e6"),
+        (
+            F.sum(F.col("tf_doc") * F.col("__s_e6")).cast("double")
+            / F.sum("tf_doc").cast("double")
+        ).alias("avg_surprisal_e6"),
+    )

@@ -931,3 +931,46 @@ def multimodal_audio_energy(spark, sf_dir):
     # invariants are pytest-asserted.
     mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
     return multimodal.audio_window_energy(mm, frame_bytes=256)
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=r"""WITH toks AS (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                 FROM documents),
+                   t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+                   doc_tf AS (SELECT doc_id, term, COUNT(*) AS tf_doc
+                              FROM t2 GROUP BY 1, 2),
+                   vocab AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf
+                             FROM doc_tf GROUP BY 1),
+                   tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM vocab),
+                   sc AS (SELECT doc_tf.doc_id, doc_tf.tf_doc,
+                                 CAST(FLOOR(-ln(CAST(tf AS DOUBLE) / total)
+                                            * 1000000.0) AS BIGINT) AS s_e6
+                          FROM doc_tf JOIN vocab ON doc_tf.term = vocab.term
+                          CROSS JOIN tot)
+              SELECT doc_id,
+                     CAST(SUM(tf_doc) AS BIGINT) AS n_tokens,
+                     CAST(SUM(tf_doc * s_e6) AS BIGINT) AS surprisal_e6,
+                     CAST(SUM(tf_doc * s_e6) AS DOUBLE) / CAST(SUM(tf_doc) AS DOUBLE)
+                       AS avg_surprisal_e6
+              FROM sc GROUP BY 1""",
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_surprisal(spark, sf_dir):
+    # LM-based quality scoring with the corpus's own unigram model —
+    # quantized-exact, so the whole model-train + score pipeline is
+    # oracle-checked end-to-end.
+    return text.unigram_surprisal(_docs(spark, sf_dir))
+
+
+@register("graph_pagerank_neardup", oracle=None, tags=("graph", "iterative"))
+def graph_pagerank_neardup(spark, sf_dir):
+    # PageRank centrality over the near-duplicate graph: hub documents
+    # of dense duplicate neighborhoods. Rows-only (iterative float
+    # accumulation); the algorithm is numpy-differential-tested.
+    from ..functions.graph import pagerank
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+    return pagerank(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
