@@ -1812,3 +1812,49 @@ def daily_orders_gapfilled(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "revenue_share_by_nation",
+    oracle="""WITH rev AS (
+                SELECT r_name, n_name,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nat_rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY 1, 2)
+              SELECT r_name, n_name, CAST(nat_rev AS DOUBLE) AS nation_revenue,
+                     CAST(nat_rev AS DOUBLE)
+                       / CAST(SUM(nat_rev) OVER (PARTITION BY r_name) AS DOUBLE)
+                       AS share_of_region
+              FROM rev""",
+    tags=("window", "share", "join"),
+)
+def revenue_share_by_nation(spark, sf_dir):
+    # Percent-of-parent: each nation's revenue share inside its region.
+    # The grouped sums stay in exact decimal through the window total
+    # (order-invariant), doubles appear only in the final division —
+    # one deterministic float op, identical in both engines. The window
+    # runs over the ~25-row aggregate, never the fact table.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_money("o_totalprice")).alias("nat_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("nat_rev").cast("double").alias("nation_revenue"),
+        (
+            F.col("nat_rev").cast("double")
+            / F.sum("nat_rev").over(w).cast("double")
+        ).alias("share_of_region"),
+    )

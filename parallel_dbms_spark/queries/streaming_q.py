@@ -175,3 +175,26 @@ def stream_dedup_users(spark, sf_dir):
     events = read_events_stream(spark, sf_dir)
     deduped = events.select("user_id").dropDuplicates(["user_id"])
     return run_stream_to_batch(spark, deduped, output_mode="append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    # The state-BOUNDED dedup: dropDuplicatesWithinWatermark evicts a
+    # key's dedup state once the watermark passes its event time — the
+    # form that survives an unbounded stream (plain dropDuplicates
+    # state grows forever). On the single-batch fixture replay the
+    # watermark starts at zero, so every duplicate is within range and
+    # the surviving key set is exactly DISTINCT (user_id, event_type) —
+    # a deterministic oracle for a watermark-dependent operator.
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_batch(spark, deduped, output_mode="append")
