@@ -197,3 +197,22 @@ def test_incremental_merge_is_order_invariant(spark):
     rows = lambda df: sorted(map(tuple, finalize(df, keys).collect()))  # noqa: E731
     assert rows(m_fwd) == rows(full)
     assert rows(m_rev) == rows(full)
+
+
+def test_merge_schema_evolution_reads_old_and_new_files(spark, tmp_path):
+    # Landing zones evolve: later files grow columns. mergeSchema
+    # reconciles old+new footers; old rows surface NULL for the added
+    # column — no rewrite of historical files.
+    t = str(tmp_path / "evolving")
+    spark.range(5).select("id", F.lit("a").alias("v")).write.mode("append").parquet(t)
+    (
+        spark.range(5, 10)
+        .select("id", F.lit("b").alias("v"), (F.col("id") * 10).alias("extra"))
+        .write.mode("append")
+        .parquet(t)
+    )
+    got = spark.read.option("mergeSchema", True).parquet(t)
+    assert set(got.columns) == {"id", "v", "extra"}
+    rows = {r.id: (r.v, r.extra) for r in got.collect()}
+    assert rows[0] == ("a", None)
+    assert rows[7] == ("b", 70)
