@@ -1,6 +1,6 @@
 from .joins import click_purchase_attribution, enrich_stream
 from .sinks import stream_upsert_sink, write_stream_exactly_once
-from .stateful import running_user_totals
+from .stateful import running_user_max, running_user_totals, tws_available
 from .windows import (
     read_events_stream,
     run_stream_to_batch,
@@ -14,7 +14,9 @@ __all__ = [
     "enrich_stream",
     "read_events_stream",
     "run_stream_to_batch",
+    "running_user_max",
     "running_user_totals",
+    "tws_available",
     "session_window_agg",
     "stream_upsert_sink",
     "sliding_window_agg",

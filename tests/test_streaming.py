@@ -350,3 +350,23 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     starts = {r.window_start.strftime("%H:%M") for r in got.collect()}
     assert "03:00" not in starts, "late event beyond watermark must be dropped"
     assert {"12:00", "13:00", "14:00"} <= starts
+
+
+def test_running_user_max_typed_state(spark):
+    import pytest
+
+    from parallel_dbms_spark.streaming.stateful import running_user_max, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (absent here)")
+    ev = streaming.read_events_stream(spark, SF_SMOKE)
+    got = streaming.run_stream_to_batch(spark, running_user_max(ev), output_mode="update")
+    expect = {
+        (r.user_id, r.n, round(r.mx, 9))
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    final = {(r.user_id, r.n_events, round(r.max_value, 9)) for r in got.collect()}
+    assert expect <= final
