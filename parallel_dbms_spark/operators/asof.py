@@ -26,9 +26,16 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    right_ts <= left_ts and equal ``on`` key."""
+    right_ts <= left_ts and equal ``on`` key (direction="backward"),
+    or the EARLIEST right row with right_ts >= left_ts
+    (direction="forward" — "next reading at or after"). The forward
+    form is the same one-shuffle window plan run in descending time
+    order; DuckDB's ``ASOF JOIN ... ON l.ts <= r.ts`` is its oracle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     # The whole right row travels as ONE struct: ``last(__r, ignorenulls)``
@@ -51,9 +58,12 @@ def asof_join(
     unioned = l.unionByName(r.select(*l.columns))
     # Right rows sort before left rows at equal timestamps (__side 0 < 1)
     # so an exactly-simultaneous right row IS visible to the left row.
+    # Forward = the identical scan in descending time order: "last right
+    # seen" then means "smallest right_ts >= left_ts".
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -974,3 +974,51 @@ def graph_pagerank_neardup(spark, sf_dir):
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
     return pagerank(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+
+
+@register(
+    "corpus_report_by_source",
+    oracle=r"""WITH t AS (SELECT source, doc_id, trim(text) AS tt,
+                      CAST(len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x <> '')) AS BIGINT) AS ntok
+               FROM documents),
+                   d AS (SELECT tt FROM t GROUP BY tt HAVING COUNT(*) > 1)
+              SELECT source,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                     CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                     CAST(SUM(CASE WHEN d.tt IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_docs
+              FROM t LEFT JOIN d ON t.tt = d.tt
+              GROUP BY source""",
+    tags=("text", "report", "pipeline"),
+)
+def corpus_report_by_source(spark, sf_dir):
+    # The per-source "report card" a data curator reads before mixing
+    # corpora: volume, token mass, and exact-duplicate exposure per
+    # source. Integer aggregates + one final division — exact. Two hash
+    # aggregations (text-hash dup set, per-source rollup) + one join.
+    docs = _docs(spark, sf_dir)
+    ntok = F.size(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    t = docs.select("source", "doc_id", F.trim(F.col("text")).alias("tt"), ntok.alias("ntok"))
+    d = (
+        t.groupBy("tt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("tt", F.lit(1).alias("__isdup"))
+    )
+    return (
+        t.join(d, "tt", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum(F.when(F.col("__isdup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+    )

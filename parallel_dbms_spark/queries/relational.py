@@ -1858,3 +1858,35 @@ def revenue_share_by_nation(spark, sf_dir):
             / F.sum("nat_rev").over(w).cast("double")
         ).alias("share_of_region"),
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                     p.value AS next_purchase_value
+              FROM events e ASOF JOIN
+                   (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase') p
+                ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) <= p.ts""",
+    tags=("asof", "join", "forward"),
+)
+def asof_join_forward(spark, sf_dir):
+    # Forward as-of: each event picks the user's NEXT purchase at or
+    # after it — the attribution-lookahead twin of the backward join,
+    # same single-shuffle window plan in descending time order.
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("next_purchase_value")
+    )

@@ -86,3 +86,34 @@ def test_resample_ffill_semantics(spark):
         for r in resample_ffill(spark.createDataFrame(rows)).collect()
     }
     assert out == {(1, 1): 1.0, (1, 2): 1.0}
+
+
+def test_forward_asof_picks_earliest_at_or_after(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, lts=5), Row(k=1, lts=7), Row(k=1, lts=21), Row(k=2, lts=1)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=7, v="a"), Row(k=1, rts=10, v="b"), Row(k=1, rts=20, v="c")]
+    )
+    got = {
+        (r.k, r.lts): r.r_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["v"], direction="forward",
+        ).collect()
+    }
+    # simultaneous right row IS visible; strictly-later rows pick the next
+    assert got == {(1, 5): "a", (1, 7): "a"}  # lts=21 and k=2 have no next -> dropped
+    # outer keeps the unmatched rows with NULL
+    outer = {
+        (r.k, r.lts): r.r_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["v"], how="left", direction="forward",
+        ).collect()
+    }
+    assert outer[(1, 21)] is None and outer[(2, 1)] is None and outer[(1, 5)] == "a"
