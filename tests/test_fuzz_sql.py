@@ -129,3 +129,63 @@ def test_random_sql_differential_v2(spark, duck, seed):
         spark, duck, f"fuzz2_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
     )
     assert res.ok, f"{q}\n{res!r}"
+
+
+def gen_query_v3(seed: int) -> str:
+    """Third wave: CASE expressions, set ops, scalar functions, and
+    windowed aggregates — each shape deterministic by construction
+    (set ops are set-semantics in both engines; window sums stay in
+    exact decimal over a total order)."""
+    rng = random.Random(20_000 + seed)
+    kind = rng.randrange(4)
+    if kind == 0:  # CASE + integer arithmetic projection
+        lo, hi = sorted((rng.randint(1, 25), rng.randint(26, 50)))
+        return (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN l_quantity < {lo} THEN 'lo' "
+            f"WHEN l_quantity < {hi} THEN 'mid' ELSE 'hi' END AS bucket, "
+            f"l_orderkey % {rng.randint(2, 97)} AS m, "
+            f"l_linenumber * {rng.randint(2, 9)} + {rng.randint(0, 5)} AS a "
+            f"FROM lineitem{_where(rng)}"
+        )
+    if kind == 1:  # set ops between two filtered projections
+        op = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        cols = ", ".join(rng.sample(DIMS + ["l_linenumber"], 2))
+        return (
+            f"SELECT {cols} FROM lineitem WHERE l_quantity < {rng.randint(10, 40)} "
+            f"{op} SELECT {cols} FROM lineitem WHERE l_discount > 0.0{rng.randint(1, 8)}"
+        )
+    if kind == 2:  # scalar string/date functions
+        return (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"upper(l_returnflag) AS rf, length(l_linestatus) AS ls_len, "
+            f"CAST(year(l_shipdate) AS INTEGER) AS yr, "
+            f"CAST(month(l_shipdate) AS INTEGER) AS mth, "
+            f"concat(l_returnflag, '_', l_linestatus) AS tag "
+            f"FROM lineitem{_where(rng)}"
+        )
+    # windowed: exact-decimal cumulative sum. The fixture's
+    # (l_orderkey, l_linenumber) is NOT unique (caught by this very
+    # fuzzer, seed 20), so the order lists every numeric column —
+    # any remaining ties are full duplicates in all output columns,
+    # making the cumulative output deterministic either way.
+    part = rng.choice(DIMS)
+    order = "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_partkey, l_suppkey"
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS INTEGER) AS rn, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY {part} "
+        f"ORDER BY {order} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty "
+        f"FROM lineitem{_where(rng)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_random_sql_differential_v3(spark, duck, seed):
+    q = gen_query_v3(seed)
+    res = run_compare(
+        spark, duck, f"fuzz3_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
