@@ -280,14 +280,17 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF(Flat) ANN top-k: corpus partitioned by nearest-centroid cell;
     each query probes its ``nprobe`` closest cells and exact-reranks
     only those cells' vectors. At scale the corpus assignment is the
     write-side partitioning (cluster-by cell into parquet); here it is
     computed inline. Recall grows with nprobe/nlist; tested against
-    brute_force_topk overlap."""
-    centroids = ivf_train_centroids(corpus, nlist, iters, id_col, vec_col)
+    brute_force_topk overlap. Pass ``centroids`` (load_centroids) to
+    reuse a persisted model instead of retraining."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, nlist, iters, id_col, vec_col)
     assign = _nearest_cell_udf(centroids)
     probe = _top_cells_udf(centroids, nprobe)
     c = corpus.select(
@@ -454,6 +457,7 @@ def pq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
 ) -> DataFrame:
     """PQ/ADC ANN top-k with exact re-rank.
 
@@ -472,9 +476,10 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    codebooks = pq_train_codebooks(
-        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
-    )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
     dsub = codebooks.shape[2]
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -542,3 +547,49 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Model persistence — trained ANN artifacts (IVF centroids, PQ
+# codebooks) are model parameters, not data: train once on a sample,
+# persist as parquet, reuse across jobs/sessions. At 100 TB retraining
+# per query would re-scan the corpus sample every time; a saved model
+# is a broadcast-sized read.
+# --------------------------------------------------------------------------
+def save_centroids(spark, centroids, path: str) -> None:
+    """Persist an IVF centroid matrix as (cell, vec) parquet rows."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, vec array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str):
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [list(r["vec"]) for r in rows]
+
+
+def save_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as (subspace, code, vec) parquet rows."""
+    m, ksub, _ = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["vec"])
+    cb = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cb[r["subspace"]][r["code"]] = r["vec"]
+    return cb

@@ -20,6 +20,14 @@ _RUNTIME_CONFS = {
     # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
     # timestamp, so scan them as int64 ns and convert (catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] with no zone would scan as TIMESTAMP_NTZ; typing it
+    # as session-zone TIMESTAMP at the SCAN (instead of a post-scan
+    # cast) keeps range predicates on time columns pushable into the
+    # parquet reader — at 100 TB that is row-group pruning on every
+    # time filter. Session zone is pinned UTC below, so values are
+    # identical either way; catalog.load_table keeps a cast fallback
+    # for sessions where this conf is absent.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB (our oracle) is UTC-naive; pin the session so timestamp
     # functions (date_trunc, window, ...) agree.
     "spark.sql.session.timeZone": "UTC",

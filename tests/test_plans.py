@@ -132,3 +132,13 @@ def test_observed_metrics_ride_along_with_the_action(spark):
     assert got["n_rows"] == n
     assert got["null_o_custkey"] == 0
     assert got["oor_o_totalprice"] == 0
+
+
+def test_timestamp_filter_pushes_to_parquet_scan(spark):
+    # Time-range pruning is the 100 TB workhorse: the fixture's
+    # timestamp[us] columns must scan as session-zone TIMESTAMP (conf
+    # in session.py), not TIMESTAMP_NTZ + cast — a cast above the scan
+    # would strand the predicate and force full reads.
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = ev.filter(F.col("ts") > "1996-06-01").select("event_id", "ts")
+    assert_pushed_filters(df, "ts")

@@ -125,3 +125,27 @@ def test_pq_recall_vs_brute_force(spark):
     for r in pq.collect():
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_model_persistence_roundtrip_and_reuse(spark, tmp_path):
+    import numpy as np
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # IVF centroids roundtrip exactly and reproduce the query result
+    cents = similarity.ivf_train_centroids(emb, nlist=8, iters=1)
+    similarity.save_centroids(spark, cents, str(tmp_path / "cents"))
+    loaded = similarity.load_centroids(spark, str(tmp_path / "cents"))
+    assert loaded == cents
+    a = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, k=3, centroids=cents).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, k=3, centroids=loaded).collect()))
+    assert a == b
+    # PQ codebooks roundtrip bit-exactly
+    cb = similarity.pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    similarity.save_codebooks(spark, cb, str(tmp_path / "cb"))
+    cb2 = similarity.load_codebooks(spark, str(tmp_path / "cb"))
+    assert cb2.shape == cb.shape and np.array_equal(cb, cb2)
+    got = similarity.pq_topk(emb, queries, k=3, m=8, ksub=16, codebooks=cb2)
+    assert got.count() == 15
