@@ -1,16 +1,22 @@
 from .jsonl import corrupt_records, jsonl_to_parquet, read_jsonl, write_jsonl
 from .lake import (
     compact_small_files,
+    list_versions_at,
     overwrite_partitions,
     read_partitioned,
+    read_version,
     write_bucketed_table,
     write_partitioned,
+    write_version,
 )
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
 from .typed_csv_ds import TypedCSVDataSource, register_typed_csv
 
 __all__ = [
     "compact_small_files",
+    "list_versions_at",
+    "read_version",
+    "write_version",
     "corrupt_records",
     "jsonl_to_parquet",
     "overwrite_partitions",

@@ -188,3 +188,55 @@ def z_order_write(
     part.sortWithinPartitions("__z").drop("__z").write.format(fmt).mode(
         "overwrite"
     ).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables (time travel, lakehouse-lite)
+# ---------------------------------------------------------------------------
+def write_version(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot version of a table.
+
+    Layout: ``path/v=N/`` parquet per version — plain directories, no
+    manifest server. Writers only ever CREATE a new ``v=N`` directory
+    (never mutate an old one), so concurrent readers of any existing
+    version are unaffected — the property that makes time travel,
+    reproducible training runs ("train on v7"), and safe rollback work
+    on object storage. Returns the new version number.
+
+    At 100 TB: each version is an independent parquet dataset with full
+    pushdown/pruning; storage cost is per-version (dedupe via
+    partition-level reuse is the next step a real table format adds).
+    """
+    import os
+
+    v = (max(list_versions_at(path), default=0)) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={v}"))
+    return v
+
+
+def list_versions_at(path: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", d)
+        if m and os.path.exists(os.path.join(path, d, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a table snapshot: latest complete version by default, or
+    time-travel to an explicit ``version``."""
+    import os
+
+    versions = list_versions_at(path)
+    if not versions:
+        raise FileNotFoundError(f"no complete versions under {path}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))

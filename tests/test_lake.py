@@ -216,3 +216,28 @@ def test_merge_schema_evolution_reads_old_and_new_files(spark, tmp_path):
     rows = {r.id: (r.v, r.extra) for r in got.collect()}
     assert rows[0] == ("a", None)
     assert rows[7] == ("b", 70)
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from parallel_dbms_spark.sources import (
+        list_versions_at,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "vt")
+    v1 = write_version(spark.range(5).withColumn("val", F.lit("a")), t)
+    v2 = write_version(spark.range(3).withColumn("val", F.lit("b")), t)
+    assert (v1, v2) == (1, 2)
+    assert list_versions_at(t) == [1, 2]
+    # latest by default; explicit time travel to v1
+    assert read_version(spark, t).count() == 3
+    old = read_version(spark, t, version=1)
+    assert old.count() == 5 and old.select("val").distinct().collect()[0][0] == "a"
+    # versions are immutable: a new write never touches v1/v2
+    write_version(spark.range(1).withColumn("val", F.lit("c")), t)
+    assert read_version(spark, t, version=1).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, t, version=99)
