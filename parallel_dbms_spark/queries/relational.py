@@ -1890,3 +1890,44 @@ def asof_join_forward(spark, sf_dir):
     return j.select(
         "event_id", "user_id", "ts", F.col("r_value").alias("next_purchase_value")
     )
+
+
+@register(
+    "anomaly_hourly_counts",
+    oracle="""WITH hc AS (
+                SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+                   stats AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS ssq
+                FROM hc GROUP BY 1)
+              SELECT hc.event_type, hr, CAST(c AS BIGINT) AS c
+              FROM hc JOIN stats ON hc.event_type = stats.event_type
+              WHERE (c * n - s) * (c * n - s) > 9 * (n * ssq - s * s)
+                AND c * n > s""",
+    tags=("anomaly", "agg"),
+)
+def anomaly_hourly_counts(spark, sf_dir):
+    # Spike detection with ZERO floats: hours where the count exceeds
+    # mean + 3σ of that event type's hourly distribution, via the
+    # all-integer identity z² > 9 ⟺ (c·n − s)² > 9·(n·ssq − s²) — so a
+    # statistical detector is exactly oracle-checked. (int64 is ample
+    # here; at counts beyond ~3e9·hours the squares need DECIMAL(38).)
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hc.groupBy(F.col("event_type").alias("__et")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    d = F.col("c") * F.col("n") - F.col("s")
+    return (
+        hc.join(F.broadcast(stats), hc["event_type"] == stats["__et"])
+        .filter((d * d > 9 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))) & (d > 0))
+        .select("event_type", "hr", F.col("c").cast("long").alias("c"))
+    )

@@ -198,3 +198,40 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .select("user_id", "event_type")
     )
     return run_stream_to_batch(spark, deduped, output_mode="append")
+
+
+@register(
+    "stream_trending_event_types",
+    oracle="""WITH counts AS (
+                SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                       event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2)
+              SELECT window_start, event_type, n_events,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                          ORDER BY n_events DESC, event_type ASC) AS INTEGER) AS rk
+              FROM counts QUALIFY rk <= 3""",
+    tags=("streaming", "window", "rank"),
+)
+def stream_trending_event_types(spark, sf_dir):
+    # Trending = streaming windowed counts + serve-side rank: ranking
+    # isn't a streaming-supported op in append mode, so the stream
+    # produces the per-window counts (the heavy, stateful part) and the
+    # rank runs on the sink's output — the standard lambda-free serving
+    # pattern. Deterministic end to end, so fully oracle-checked.
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    sunk = run_stream_to_batch(spark, counts, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        sunk.withColumn("rk", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rk") <= 3)
+    )
