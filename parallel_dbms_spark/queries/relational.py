@@ -1931,3 +1931,30 @@ def anomaly_hourly_counts(spark, sf_dir):
         .filter((d * d > 9 * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))) & (d > 0))
         .select("event_type", "hr", F.col("c").cast("long").alias("c"))
     )
+
+
+@register(
+    "agg_two_stage_distinct",
+    oracle="""SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+                     CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps
+              FROM lineitem GROUP BY l_returnflag""",
+    tags=("agg", "distinct", "skew"),
+)
+def agg_two_stage_distinct(spark, sf_dir):
+    # COUNT(DISTINCT) the scale-safe way: dedup on (key, value) first
+    # (map-side combinable — the shuffle carries distinct pairs, not
+    # rows), then count per key. Avoids the Expand-operator blowup of
+    # multi-distinct aggregates: each distinct column deduped in its
+    # own bounded aggregation, joined back on the group key.
+    li = _t(spark, sf_dir, "lineitem")
+
+    def nd(col, alias):
+        return (
+            li.select("l_returnflag", col).distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+    return nd("l_partkey", "nd_parts").join(
+        nd("l_suppkey", "nd_supps"), "l_returnflag"
+    )
