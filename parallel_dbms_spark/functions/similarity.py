@@ -593,3 +593,78 @@ def load_codebooks(spark, path: str):
     for r in rows:
         cb[r["subspace"]][r["code"]] = r["vec"]
     return cb
+
+
+# --------------------------------------------------------------------------
+# IVF serving path: write-side clustering + partition-pruned probes
+# --------------------------------------------------------------------------
+def write_ivf_clustered(
+    corpus: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by IVF cell (``cell=N/``
+    directories). This is what 'the corpus assignment is the write-side
+    partitioning' means at scale: a query probing ``nprobe`` cells then
+    READS only those directories — partition pruning turns ANN serving
+    into a fraction-of-corpus scan, no index server required."""
+    assign = _nearest_cell_udf(centroids)
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).cast("int").alias("cell")
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_served(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_clustered`` layout: per-query
+    probe cells come from the persisted model, the scan carries a
+    ``cell IN (...)`` predicate that prunes to the probed directories,
+    and only those cells' vectors are exact-reranked. Identical
+    candidate semantics to the inline ``ivf_topk`` under the same
+    centroids — asserted in tests."""
+    probe = _top_cells_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(*[int(x) for x in probed]))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

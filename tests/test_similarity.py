@@ -149,3 +149,24 @@ def test_model_persistence_roundtrip_and_reuse(spark, tmp_path):
     assert cb2.shape == cb.shape and np.array_equal(cb, cb2)
     got = similarity.pq_topk(emb, queries, k=3, m=8, ksub=16, codebooks=cb2)
     assert got.count() == 15
+
+
+def test_ivf_served_layout_matches_inline_and_prunes(spark, tmp_path):
+    import os
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_train_centroids(emb, nlist=8, iters=1)
+    path = str(tmp_path / "ivf_corpus")
+    similarity.write_ivf_clustered(emb, cents, path)
+    # physical layout: one directory per populated cell
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells) >= 2
+    served = similarity.ivf_topk_served(
+        spark, path, queries, cents, k=3, nprobe=4
+    )
+    inline = similarity.ivf_topk(emb, queries, k=3, nprobe=4, centroids=cents)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+    # the scan is partition-pruned to the probed cells
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan
