@@ -79,6 +79,17 @@ def bench_queries(spark, sf_dir):
         "hybrid_retrieval": lambda: _exec(
             REGISTRY["pipeline_hybrid_retrieval"].fn(spark, sf_dir)
         ),
+        # the two rewritten joins (r3): length-bucketed fuzzy self-join
+        # and band-bucketed range join — timed so a regression back to
+        # a nested-loop plan shows up as a cliff here
+        "dedup_fuzzy": lambda: _exec(REGISTRY["dedup_fuzzy_names"].fn(spark, sf_dir)),
+        "range_join_band": lambda: _exec(
+            REGISTRY["range_join_time_band"].fn(spark, sf_dir)
+        ),
+        "ntile_distributed": lambda: _exec(
+            REGISTRY["window_ntile_deciles"].fn(spark, sf_dir)
+        ),
+        "theta_only_bnlj": lambda: _exec(REGISTRY["join_theta_only"].fn(spark, sf_dir)),
     }
 
     times, rates = {}, {}

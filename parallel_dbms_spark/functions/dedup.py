@@ -443,8 +443,17 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Fuzzy-duplicate pairs by Levenshtein distance with length
     blocking: only strings whose lengths differ by at most ``max_dist``
-    can be within that edit distance, so the self-join runs per
-    length-bucket band instead of all-pairs.
+    can be within that edit distance.
+
+    The length band is expressed as an EQUI-join, not a pair of
+    inequalities: the right side explodes into ``2*max_dist+1`` bucket
+    rows {len-d..len+d} and the join key is ``len_a == len_bucket``,
+    the same trick as ``operators.range_join.time_band_join``. A pure
+    inequality condition would force Catalyst into a broadcast
+    nested-loop / cartesian plan — all-pairs, the shape that dies at
+    scale — while the bucketed form is a plain shuffled hash join that
+    partitions by length. Each qualifying pair lands in exactly one
+    bucket (the one equal to ``len_a``), so no dedup pass is needed.
 
     Scale notes: the blocking key bounds each join bucket; for corpora
     where one length dominates add a second blocking column (prefix,
@@ -460,12 +469,18 @@ def fuzzy_pairs(
         F.col(id_col).alias("id_b"),
         F.col(name_col).alias("name_b"),
         F.length(name_col).alias("len_b"),
+    ).withColumn(
+        "len_bucket",
+        F.explode(
+            F.sequence(
+                F.col("len_b") - max_dist, F.col("len_b") + max_dist
+            )
+        ),
     )
     cand = a.join(
         b,
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("len_b") >= F.col("len_a") - max_dist)
-        & (F.col("len_b") <= F.col("len_a") + max_dist),
+        (F.col("len_a") == F.col("len_bucket"))
+        & (F.col("id_a") < F.col("id_b")),
     )
     return cand.select(
         "id_a",

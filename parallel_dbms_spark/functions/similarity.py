@@ -400,6 +400,11 @@ def pq_train_codebooks(
         .collect()
     )
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    if len(X) < ksub:
+        raise ValueError(
+            f"PQ codebook training needs >= ksub={ksub} sample vectors, "
+            f"got {len(X)}; lower ksub or raise the sample size"
+        )
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0
     X = X / n
@@ -643,10 +648,16 @@ def ivf_topk_served(
         F.col(vec_col).alias("qvec"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    probed = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    if not probed:
+        # empty query side -> empty result with the stable schema
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos double, rank int",
+        )
     c = (
         spark.read.parquet(path)
-        .filter(F.col("cell").isin(*[int(x) for x in probed]))
+        .filter(F.col("cell").isin(probed))
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),

@@ -407,11 +407,22 @@ def bm25_topk(
     agg = per.groupBy(doc_id).agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("__s_e6").alias("score_e6")
     )
-    w = Window.orderBy(F.col("score_e6").desc(), F.col(doc_id).asc())
-    return (
-        agg.withColumn("rk", F.row_number().over(w).cast("integer"))
-        .filter(F.col("rk") <= k)
-        .select(doc_id, "n_terms", "score_e6", "rk")
+    # Top-k via orderBy().limit(k) -> TakeOrderedAndProject: each
+    # partition keeps its k best, the driver merges k*P rows. An
+    # unpartitioned row_number window here would instead drag EVERY
+    # scoring doc into one partition (WindowExec "No Partition
+    # Defined") — the pattern that dies at corpus scale. Ranks are
+    # derived AFTER the limit, over exactly k rows (constant partition
+    # key: single-partition by construction and by intent).
+    top = agg.orderBy(F.col("score_e6").desc(), F.col(doc_id).asc()).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score_e6").desc(), F.col(doc_id).asc()
+    )
+    return top.select(
+        doc_id,
+        "n_terms",
+        "score_e6",
+        F.row_number().over(w).cast("integer").alias("rk"),
     )
 
 

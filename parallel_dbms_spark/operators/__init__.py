@@ -2,10 +2,12 @@ from .relational import (
     CMP_OPS,
     aggregate,
     filter_rows,
+    global_row_number,
     grouping_agg,
     join_skew_salted,
     join_tables,
     limit,
+    ntile_distributed,
     order_by,
     project,
     set_op,
@@ -30,6 +32,8 @@ __all__ = [
     "project",
     "set_op",
     "top_k_per_group",
+    "global_row_number",
+    "ntile_distributed",
     "asof_join",
     "profile_table",
     "resample_ffill",

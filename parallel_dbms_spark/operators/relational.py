@@ -233,3 +233,127 @@ def join_skew_salted(
         how=how,
     )
     return out.drop("__salt")
+
+
+def _range_partitioned_rn(
+    df: DataFrame, order_by: Sequence, num_partitions: int | None
+):
+    """Shared machinery for :func:`global_row_number` /
+    :func:`ntile_distributed`: range-partition on the total order,
+    number rows inside each range partition, and produce the
+    per-partition counts needed to turn local numbers into global ones.
+
+    Returns ``(numbered, counts)`` where ``numbered`` carries
+    ``__pid`` (materialized range-partition id) and ``__rn_local``,
+    and ``counts`` is one ``(__pid, __cnt)`` row per partition.
+
+    The range-partition exchange is CONSUMED TWICE (once by the count
+    aggregation, once by the local window) inside one action; Spark's
+    ReuseExchange executes it once, so both consumers see identical
+    partition boundaries — no cache, no driver collect, no
+    recomputation race.
+    """
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = df.repartitionByRange(p, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    numbered = ranged.withColumn("__rn_local", F.row_number().over(w_local))
+    return numbered, counts
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence,
+    num_partitions: int | None = None,
+    row_col: str = "rn",
+) -> DataFrame:
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY ...)`` — the scalable
+    form of the global-rank pattern.
+
+    An unpartitioned window moves EVERY row into one partition
+    (WindowExec "No Partition Defined" — one task ranks 100 TB). This
+    computes identical numbers in parallel, the textbook way:
+
+    1. ``repartitionByRange`` on the order keys — Spark samples the
+       key distribution, so range partitions are balanced, and range
+       partition ``i`` holds keys strictly before partition ``i+1``'s;
+    2. per-partition local ``row_number`` (window PARTITIONED by the
+       materialized range-partition id — every partition ranks
+       concurrently);
+    3. per-partition counts (one row per partition) cumulated into
+       start offsets — a P-row window, broadcast-joined back;
+       ``global rn = offset(pid) + local rn``.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreak
+    column) for deterministic output — same requirement the
+    single-partition form has.
+    """
+    numbered, counts = _range_partitioned_rn(df, order_by, num_partitions)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            row_col,
+            (F.col("__off") + F.col("__rn_local")).cast("bigint"),
+        )
+        .drop("__pid", "__rn_local", "__off")
+    )
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order_by: Sequence,
+    n_buckets: int,
+    num_partitions: int | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Distributed ``NTILE(n) OVER (ORDER BY ...)`` — exact standard
+    semantics (first ``n_rows % n`` buckets get one extra row) without
+    the single-partition global window.
+
+    Built on :func:`global_row_number`; the total row count comes from
+    summing the per-partition counts (a broadcast scalar), and the
+    bucket is closed-form in (rn, n): with q = n_rows // n and
+    r = n_rows % n, rows 1..r*(q+1) land in buckets of size q+1, the
+    rest in buckets of size q.
+    """
+    numbered, counts = _range_partitioned_rn(df, order_by, num_partitions)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    total = counts.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    rn = F.col("__off") + F.col("__rn_local")
+    q = F.floor(F.col("__n") / n_buckets)
+    r = F.col("__n") % n_buckets
+    head = r * (q + 1)  # rows in the oversized leading buckets
+    bucket = (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
+        # greatest(q,1): the branch is unreachable when q == 0 (every
+        # rn <= head then), but ANSI mode would still reject a /0 expr
+        .otherwise(r + F.floor((rn - head - 1) / F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__pid", "__rn_local", "__off", "__n")
+    )

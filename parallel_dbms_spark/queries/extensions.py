@@ -895,7 +895,13 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
             similarity.cosine(F.col("q"), F.col("embedding")).alias("cos"),
         )
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    # s is the 20-row shortlist, so a single partition IS the design —
+    # the constant partition key says so explicitly (and avoids the
+    # unpartitioned-WindowExec pattern that invites copy-paste onto
+    # unbounded inputs).
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cos").desc(), F.col("doc_id").asc()
+    )
     return s.withColumn("rank", F.row_number().over(w).cast("integer"))
 
 

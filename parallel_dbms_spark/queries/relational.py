@@ -263,6 +263,30 @@ def join_theta_conj(spark, sf_dir):
     return j.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_li"))
 
 
+# PURE theta join — no equality conjunct at all, the exact workload of
+# the reference's block-nested-loop CUDA kernel
+# (/root/reference/src/Join/join.cu:161-336; condition structs
+# /root/reference/src/operators/join.h:9-14). With no equi-key Catalyst
+# cannot hash-partition, so the only scale-sane plan is broadcasting
+# the SMALL side into a BroadcastNestedLoopJoin — the distributed
+# analogue of the kernel's shared-memory inner table. Plan-asserted in
+# tests/test_plans.py (broadcast NLJ, never CartesianProduct).
+@register(
+    "join_theta_only",
+    oracle="""SELECT n_name, r_name
+              FROM nation JOIN region ON n_nationkey > r_regionkey""",
+    tags=("join", "theta", "bnlj"),
+)
+def join_theta_only(spark, sf_dir):
+    j = join_tables(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        [("n_nationkey", ">", "r_regionkey")],
+        broadcast_right=True,
+    )
+    return project(j, "n_name", "r_name")
+
+
 @register(
     "join_left_outer",
     oracle="""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
@@ -1030,7 +1054,7 @@ def window_range_frame(spark, sf_dir):
               SELECT COALESCE(st, '<open>') AS status,
                      COUNT(*) AS n_rows,
                      COUNT(st) AS n_nonnull,
-                     SUM(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS n_f,
+                     CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
                      CAST(SUM(CASE WHEN st IS NULL
                               THEN CAST(o_totalprice AS DECIMAL(18,2))
                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS open_value
@@ -1141,20 +1165,20 @@ def resample_ffill_hourly(spark, sf_dir):
 @register(
     "profile_orders",
     oracle="""SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
-                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+                     CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                      COUNT(DISTINCT o_orderkey) AS n_distinct,
                      CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
                      CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
               FROM orders
               UNION ALL
               SELECT 'o_orderstatus', COUNT(*),
-                     SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      COUNT(DISTINCT o_orderstatus),
                      MIN(o_orderstatus), MAX(o_orderstatus)
               FROM orders
               UNION ALL
               SELECT 'o_orderdate', COUNT(*),
-                     SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      COUNT(DISTINCT o_orderdate),
                      CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
               FROM orders""",
@@ -1270,13 +1294,22 @@ def agg_histogram(spark, sf_dir):
     tags=("window", "ntile"),
 )
 def window_ntile_deciles(spark, sf_dir):
-    # Single global NTILE: one-partition window, fine for a decile
-    # summary (the window input is the already-aggregated-down orders
-    # key+price projection, not the fact table). Tie-broken on the key
-    # so both engines assign identical deciles.
+    # Exact NTILE semantics WITHOUT the single-partition global window:
+    # ntile_distributed range-partitions on (price, key), numbers rows
+    # per partition in parallel, and offsets with broadcast partition
+    # counts (operators/relational.py). Tie-broken on the key so both
+    # engines assign identical deciles. The input here is every orders
+    # row — the full fact table — which is exactly why the global
+    # WindowExec form is banned.
+    from ..operators import ntile_distributed
+
     o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    d = o.withColumn("decile", F.ntile(10).over(w))
+    d = ntile_distributed(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        n_buckets=10,
+        out_col="decile",
+    )
     return d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(_money("o_totalprice")).cast("double").alias("lo"),

@@ -206,12 +206,29 @@ def write_version(df: DataFrame, path: str) -> int:
     At 100 TB: each version is an independent parquet dataset with full
     pushdown/pruning; storage cost is per-version (dedupe via
     partition-level reuse is the next step a real table format adds).
+
+    Concurrency: readers of existing versions are always safe; WRITERS
+    race on max(v)+1 (check-then-act). ``errorifexists`` makes the
+    loser fail cleanly instead of corrupting, and the retry loop below
+    claims the next free number — adequate for a handful of concurrent
+    writers; a real multi-writer table needs a log/manifest with
+    atomic compare-and-swap (what Delta/Iceberg add).
     """
     import os
 
     v = (max(list_versions_at(path), default=0)) + 1
-    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={v}"))
-    return v
+    for _ in range(16):
+        try:
+            df.write.mode("errorifexists").parquet(os.path.join(path, f"v={v}"))
+            return v
+        except Exception:
+            # collision iff the target dir exists (an in-flight writer
+            # has no _SUCCESS yet, so probe the directory, not the
+            # version list); anything else is a real write error
+            if not os.path.isdir(os.path.join(path, f"v={v}")):
+                raise
+            v += 1
+    raise RuntimeError(f"could not claim a version under {path} after 16 tries")
 
 
 def list_versions_at(path: str) -> list[int]:

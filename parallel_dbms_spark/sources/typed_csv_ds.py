@@ -61,13 +61,24 @@ def _schema_for(path: str) -> tuple[T.StructType, list[str]]:
 
 
 def _parse_cell(raw: str, tag: str):
+    # malformed N/D cells yield NULL, matching the fast path's
+    # PERMISSIVE csv mode + try_to_timestamp (a bad cell must not fail
+    # the job); fractional seconds are accepted like try_to_timestamp
     if raw == "":
         return None
     if tag == "N":
-        return float(raw)
+        try:
+            return float(raw)
+        except ValueError:
+            return None
     if tag == "D":
         fmt = "%Y-%m-%d %H:%M:%S" if " " in raw else "%Y-%m-%d"
-        return datetime.datetime.strptime(raw, fmt)
+        if "." in raw:
+            fmt += ".%f"
+        try:
+            return datetime.datetime.strptime(raw, fmt)
+        except ValueError:
+            return None
     return raw
 
 

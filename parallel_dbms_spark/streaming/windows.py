@@ -69,6 +69,18 @@ def read_events_stream(
         staged = tempfile.mkdtemp(prefix="events_stream_")
     else:
         os.makedirs(staged, exist_ok=True)
+    # Stamp the directory with the physical staging mode; a reuse with
+    # a DIFFERENT (encoding, n_files) wipes and restages, so one dir
+    # can never mix int64-nanos and µs-timestamp parquet files. (The
+    # leading underscore keeps the marker invisible to the file
+    # source.)
+    mode = "ns-raw" if (legacy_ns and n_files <= 1) else f"us-{n_files}"
+    marker = os.path.join(staged, "_staging_mode")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read().strip() != mode:
+                shutil.rmtree(staged)
+                os.makedirs(staged)
     if legacy_ns and n_files <= 1:
         target = os.path.join(staged, "part-0.parquet")
         if not os.path.exists(target):
@@ -84,6 +96,8 @@ def read_events_stream(
             .write.mode("overwrite")
             .parquet(staged)
         )
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(mode)
     schema = EVENTS_SCHEMA if legacy_ns and n_files <= 1 else EVENTS_SCHEMA_TS
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

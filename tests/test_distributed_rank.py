@@ -1,0 +1,61 @@
+"""global_row_number / ntile_distributed must equal the single-
+partition global-window forms exactly — same numbers, computed with
+range partitioning + broadcast offsets instead of one giant task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from conftest import SF_SMOKE
+
+from parallel_dbms_spark.catalog import load_table
+from parallel_dbms_spark.operators import global_row_number, ntile_distributed
+
+def _order():
+    return [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+
+
+def _orders(spark):
+    return load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def test_global_row_number_matches_global_window(spark):
+    o = _orders(spark)
+    got = global_row_number(o, _order(), num_partitions=7, row_col="rn")
+    w = Window.orderBy(*_order())
+    want = o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_ntile_matches_global_window_ntile(spark):
+    o = _orders(spark)
+    got = ntile_distributed(o, _order(), n_buckets=10, num_partitions=7)
+    w = Window.orderBy(*_order())
+    want = o.withColumn("bucket", F.ntile(10).over(w))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_ntile_fewer_rows_than_buckets(spark):
+    # n < buckets: every row is its own bucket 1..n, standard semantics
+    o = _orders(spark).orderBy("o_orderkey").limit(4)
+    got = ntile_distributed(o, _order(), n_buckets=10, num_partitions=3)
+    w = Window.orderBy(*_order())
+    want = o.withColumn("bucket", F.ntile(10).over(w))
+    assert sorted(r["bucket"] for r in got.collect()) == [1, 2, 3, 4]
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_row_numbers_are_a_permutation(spark):
+    o = _orders(spark)
+    n = o.count()
+    got = global_row_number(o, _order(), num_partitions=5)
+    stats = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rn").alias("nd"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).first()
+    assert (stats["n"], stats["nd"], stats["lo"], stats["hi"]) == (n, n, 1, n)

@@ -142,3 +142,66 @@ def test_timestamp_filter_pushes_to_parquet_scan(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     df = ev.filter(F.col("ts") > "1996-06-01").select("event_id", "ts")
     assert_pushed_filters(df, "ts")
+
+
+def test_pure_theta_join_is_broadcast_nlj_not_cartesian(spark):
+    # No equi conjunct at all (the reference BNLJ kernel's workload,
+    # /root/reference/src/Join/join.cu:161-336): the only scale-sane
+    # plan is broadcasting the small side -> BroadcastNestedLoopJoin.
+    n = load_table(spark, SF_SMOKE, "nation")
+    r = load_table(spark, SF_SMOKE, "region")
+    df = join_tables(
+        n, r, [("n_nationkey", ">", "r_regionkey")], broadcast_right=True
+    )
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_plans_as_hash_join_not_bnlj(spark):
+    # The length-band blocking is an EQUI key (exploded buckets), so
+    # the self-join must be hash-based — a BNLJ/cartesian here would be
+    # all-pairs at corpus scale.
+    from parallel_dbms_spark.functions.dedup import fuzzy_pairs
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    df = fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark):
+    # Top-k must collapse to TakeOrderedAndProject; an unpartitioned
+    # row_number window would single-partition every scoring doc.
+    from parallel_dbms_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = bm25_topk(docs, terms=("spark", "join", "filter"), k=20)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_distributed_rank_has_no_unpartitioned_window(spark):
+    # global_row_number/ntile_distributed replace the global-window
+    # pattern: every WindowExec in their plans must carry a partition
+    # spec (the P-row offset window is partitioned by a constant).
+    from parallel_dbms_spark.operators import ntile_distributed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    df = ntile_distributed(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        n_buckets=10,
+    )
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        # WindowExec's argument line prints the partition spec after
+        # the function list; an empty spec renders as ", [], ["
+        if "Arguments" in ln and "windowspecdefinition" in ln:
+            assert ", [], [" not in ln, f"unpartitioned window:\n{ln}"

@@ -1,0 +1,55 @@
+"""The driver grades the first 50 exported registry entries
+(CORRECTNESS_r{N}.json). This pins the curated DRIVER_WINDOW: exactly
+50 entries, every one registered AND oracle-backed (hash-checkable,
+not rows-only), first in export order, and collectively spanning every
+operator family of SURVEY §2 plus the LLM-pipeline and streaming
+surfaces — so no family ships without a driver-graded proof row.
+"""
+
+from __future__ import annotations
+
+from parallel_dbms_spark.queries import REGISTRY, oracle_sql, queries
+from parallel_dbms_spark.queries.registry import DRIVER_WINDOW
+
+REQUIRED_FAMILIES = {
+    # reference parity
+    "scan", "filter", "pushdown", "projection", "aggregate", "groupby",
+    "join", "theta", "bnlj", "outer", "anti", "sort", "limit", "source",
+    "sink", "sql", "subquery",
+    # §2.3 gap categories
+    "distinct", "setop", "window", "rollup", "null", "functions", "json",
+    "asof", "range", "skew", "ntile",
+    # extensions the brief grades first-class
+    "dedup", "jaccard", "clustering", "fuzzy", "text", "tfidf", "bm25",
+    "similarity", "vectors", "multimodal", "pipeline", "streaming",
+    "session_window", "watermark", "tpch", "cdc", "sessionize",
+    "timeseries", "profiling", "pandas_udf",
+}
+
+
+def test_window_is_exactly_the_first_fifty():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(queries())[:50] == list(DRIVER_WINDOW)
+
+
+def test_window_entries_registered_and_oracle_backed():
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"window names not registered: {missing}"
+    rows_only = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
+    assert not rows_only, f"rows-only entries waste window slots: {rows_only}"
+    sql = oracle_sql()
+    assert all(n in sql for n in DRIVER_WINDOW)
+
+
+def test_window_spans_every_operator_family():
+    covered = set()
+    for n in DRIVER_WINDOW:
+        covered.update(REGISTRY[n].tags)
+    gaps = REQUIRED_FAMILIES - covered
+    assert not gaps, f"driver window misses families: {sorted(gaps)}"
+
+
+def test_export_preserves_all_queries():
+    # curation reorders, never drops: everything registered is exported
+    assert set(queries()) == set(REGISTRY)
