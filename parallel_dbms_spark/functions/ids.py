@@ -33,20 +33,15 @@ def assign_surrogate_keys(
         "__pid", F.spark_partition_id()
     )
     # Per-partition counts: as many rows as partitions — tiny. The
-    # window runs over that tiny frame only (NOT the data), so the
-    # single-partition window warning is a non-issue by construction.
+    # prefix sum over that tiny frame is window-free (array-packed
+    # cumulation, operators.relational.cumulative_offsets), so no
+    # WindowExec — partitioned or not — ever sees the data.
+    from ..operators.relational import cumulative_offsets
+
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.withColumn(
-        "__offset",
-        F.coalesce(
-            F.sum("__n").over(
-                Window.orderBy("__pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("__pid", "__offset")
+    offsets = cumulative_offsets(
+        counts, cnt_col="__n", off_col="__offset"
+    )
     w_local = Window.partitionBy("__pid").orderBy("__mid")
     return (
         tagged.join(F.broadcast(offsets), "__pid")

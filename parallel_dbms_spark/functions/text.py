@@ -372,7 +372,6 @@ def bm25_topk(
     the (doc,term) tf aggregation; df/N/sumdl are broadcast scalars;
     the final top-k is a TakeOrdered, never a full sort.
     """
-    from pyspark.sql import Window
 
     toks = df.select(
         F.col(doc_id),
@@ -412,17 +411,26 @@ def bm25_topk(
     # unpartitioned row_number window here would instead drag EVERY
     # scoring doc into one partition (WindowExec "No Partition
     # Defined") — the pattern that dies at corpus scale. Ranks are
-    # derived AFTER the limit, over exactly k rows (constant partition
-    # key: single-partition by construction and by intent).
+    # derived AFTER the limit, over exactly k rows, window-free:
+    # pack into one sorted array (negated score -> score desc, id asc)
+    # and posexplode, so rk = array position + 1.
     top = agg.orderBy(F.col("score_e6").desc(), F.col(doc_id).asc()).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("score_e6").desc(), F.col(doc_id).asc()
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score_e6")).alias("ns"),
+                    F.col(doc_id).alias("d"),
+                    F.col("n_terms").alias("nt"),
+                )
+            )
+        ).alias("arr")
     )
-    return top.select(
-        doc_id,
-        "n_terms",
-        "score_e6",
-        F.row_number().over(w).cast("integer").alias("rk"),
+    return packed.select(F.posexplode("arr").alias("pos", "x")).select(
+        F.col("x.d").alias(doc_id),
+        F.col("x.nt").alias("n_terms"),
+        (-F.col("x.ns")).alias("score_e6"),
+        (F.col("pos") + 1).cast("integer").alias("rk"),
     )
 
 

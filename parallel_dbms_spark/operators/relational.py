@@ -235,6 +235,50 @@ def join_skew_salted(
     return out.drop("__salt")
 
 
+def cumulative_offsets(
+    counts: DataFrame,
+    pid_col: str = "__pid",
+    cnt_col: str = "__cnt",
+    off_col: str = "__off",
+) -> DataFrame:
+    """Exclusive prefix sum over a tiny one-row-per-partition frame
+    WITHOUT a window: pack the rows into one sorted array, cumulate
+    with array built-ins, explode back to rows.
+
+    Why not a window: even a P-row global window plans as a
+    single-partition WindowExec and logs the "No Partition Defined"
+    scale warning, and a constant partition key gets constant-folded
+    back to the same empty spec. This stays warning-free by
+    construction. Cost is O(P²) additions inside array expressions —
+    microseconds for any realistic partition count.
+    """
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(pid_col).alias("p"), F.col(cnt_col).alias("c")
+                )
+            )
+        ).alias("arr")
+    )
+    cum = packed.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["p"].alias(pid_col),
+                    F.aggregate(
+                        F.slice(F.col("arr"), F.lit(1), i),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, y: acc + y["c"],
+                    ).alias(off_col),
+                ),
+            )
+        ).alias("s")
+    )
+    return cum.select(f"s.{pid_col}", f"s.{off_col}")
+
+
 def _range_partitioned_rn(
     df: DataFrame, order_by: Sequence, num_partitions: int | None
 ):
@@ -293,15 +337,7 @@ def global_row_number(
     single-partition form has.
     """
     numbered, counts = _range_partitioned_rn(df, order_by, num_partitions)
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offsets = cumulative_offsets(counts)
     return (
         numbered.join(F.broadcast(offsets), "__pid")
         .withColumn(
@@ -330,15 +366,7 @@ def ntile_distributed(
     rest in buckets of size q.
     """
     numbered, counts = _range_partitioned_rn(df, order_by, num_partitions)
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offsets = cumulative_offsets(counts)
     total = counts.agg(F.sum("__cnt").cast("bigint").alias("__n"))
     rn = F.col("__off") + F.col("__rn_local")
     q = F.floor(F.col("__n") / n_buckets)

@@ -878,7 +878,6 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
     # for the encoded query). The vector side touches 20 rows, not the
     # corpus. Fully oracle-checked end-to-end: quantized BM25 + the
     # fold-ordered cosine both match DuckDB bit-for-bit.
-    from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
     shortlist = text.bm25_topk(
@@ -895,14 +894,28 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
             similarity.cosine(F.col("q"), F.col("embedding")).alias("cos"),
         )
     )
-    # s is the 20-row shortlist, so a single partition IS the design —
-    # the constant partition key says so explicitly (and avoids the
-    # unpartitioned-WindowExec pattern that invites copy-paste onto
-    # unbounded inputs).
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("cos").desc(), F.col("doc_id").asc()
+    # s is the 20-row shortlist, so ranking it needs no window at all:
+    # pack into one sorted array (negated cos -> cos desc, id asc) and
+    # posexplode — rank = position + 1. Window-free by construction,
+    # so the unpartitioned-WindowExec pattern can't be copy-pasted
+    # from here onto unbounded inputs.
+    packed = s.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos")).alias("nc"),
+                    F.col("doc_id").alias("d"),
+                    F.col("bm25_e6").alias("b"),
+                )
+            )
+        ).alias("arr")
     )
-    return s.withColumn("rank", F.row_number().over(w).cast("integer"))
+    return packed.select(F.posexplode("arr").alias("pos", "x")).select(
+        F.col("x.d").alias("doc_id"),
+        F.col("x.b").alias("bm25_e6"),
+        (-F.col("x.nc")).alias("cos"),
+        (F.col("pos") + 1).cast("integer").alias("rank"),
+    )
 
 
 @register("text_compression_ratio", oracle=None, tags=("text", "quality"))
