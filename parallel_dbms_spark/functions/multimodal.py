@@ -1,7 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
-metadata (extension surface — the container has no image/audio codecs,
-so the DECODE step is stubbed; the Spark-side plumbing — schema,
-partitioning, Arrow batch shapes — is real and tested).
+metadata (extension surface).
+
+Decode support is format-honest: uncompressed formats that need no
+codec library — PPM/PGM (netpbm), 24-bit BMP, 16-bit PCM WAV — decode
+FOR REAL (pure stdlib + numpy, see :func:`decode_image` /
+:func:`decode_wav`); compressed formats (JPEG/PNG/MP3/...) raise
+``NotImplementedError`` because their codecs are not in this
+container. The Spark-side plumbing — schema, partitioning, Arrow batch
+shapes — is identical either way and fully tested.
 
 Pattern at 100 TB: binaries live in the lake as (binary payload, typed
 metadata struct); decode/feature-extract runs as mapInPandas over Arrow
@@ -14,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -38,15 +45,108 @@ def attach_binary(df: DataFrame, payload_col, kind: str = "blob") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — image codecs are not available in this container.
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """Raw netpbm: P6 (RGB) -> (h, w, 3) uint8, P5 (gray) -> (h, w).
+    Header = magic, width, height, maxval as whitespace-separated
+    tokens, ``#`` comments allowed; pixel data follows the single
+    whitespace after maxval."""
+    magic = payload[:2]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
 
-    The real implementation would be `PIL.Image.open(io.BytesIO(payload))`
-    inside `extract_features`' pandas batches; the surrounding Spark
-    plumbing (Arrow batch iteration, schema, partitioning) is what this
-    module actually exercises.
-    """
-    raise NotImplementedError("image decoding requires codec libraries not in this container")
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> raw P6/P5 bytes (the re-encode side
+    of the resize pipeline)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    magic = b"P5" if gray else b"P6"
+    return magic + f" {w} {h} 255\n".encode("ascii") + arr.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB. Rows are stored
+    bottom-up, 4-byte padded, BGR order — all undone here."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got {bpp}bpp/c{compression})")
+    flipped, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not flipped:
+        img = img[::-1]  # bottom-up -> top-down
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a uint8 numpy array — REAL for the
+    codec-free formats (raw netpbm P5/P6, uncompressed 24-bit BMP),
+    ``NotImplementedError`` for compressed formats whose codec
+    libraries (PIL/libjpeg/libpng) are not in this container. The
+    mapInPandas call sites are format-agnostic: adding JPEG support
+    later is one more dispatch arm, nothing else changes."""
+    magic = bytes(payload[:2])
+    if magic in (b"P5", b"P6"):
+        return _decode_netpbm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
+    raise NotImplementedError(
+        f"no codec for magic {magic!r}: compressed formats (JPEG/PNG/...) "
+        "need codec libraries not in this container"
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV -> (float64 samples in [-1, 1) with shape
+    (n, channels), sample_rate). Pure stdlib ``wave`` + numpy — real
+    audio decode, no codec library involved."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        n, ch = wf.getnframes(), wf.getnchannels()
+        raw = np.frombuffer(wf.readframes(n), dtype="<i2")
+        return raw.reshape(-1, ch).astype(np.float64) / 32768.0, wf.getframerate()
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    return img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+
+
+def _nearest_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index gather — the real
+    pixel math, vectorized in numpy."""
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[yi][:, xi]
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
@@ -59,23 +159,39 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [x / 997.0 for x in acc]
 
 
+def _image_feature(payload: bytes, dim: int) -> list[float]:
+    """REAL feature vector from a decoded image: grayscale intensity
+    mean-pooled into ``dim`` buckets, normalized to [0, 1]."""
+    g = _to_gray(decode_image(payload)).ravel()
+    idx = (np.arange(g.size) * dim) // max(g.size, 1)
+    sums = np.bincount(idx, weights=g, minlength=dim)
+    cnts = np.bincount(idx, minlength=dim).clip(min=1)
+    return (sums / cnts / 255.0).tolist()
+
+
 def extract_features(df: DataFrame, dim: int = 8, use_stub: bool = True) -> DataFrame:
     """mapInPandas feature extraction over the binary payload.
 
-    Arrow-batched: each pandas batch maps payload->feature vector. With
-    ``use_stub=False`` it would call the real decoder (NotImplementedError
-    here, by design)."""
-    out_schema = f"doc_id bigint, byte_len bigint, feature array<double>"
+    Arrow-batched: each pandas batch maps payload->feature vector.
+    ``use_stub=False`` runs the REAL decoder + grayscale pooled
+    features (netpbm/BMP payloads; compressed formats raise for lack
+    of codecs); the default stub folds raw bytes so text-as-bytes
+    fixtures still exercise the identical plumbing."""
+    out_schema = "doc_id bigint, byte_len bigint, feature array<double>"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                pdf["payload"].map(decode_image)  # raises: no codecs in container
+            if use_stub:
+                feats = pdf["payload"].map(lambda p: _fake_feature(p, dim))
+            else:
+                feats = pdf["payload"].map(
+                    lambda p: _image_feature(bytes(p), dim)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": pdf["payload"].map(len),
-                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                    "feature": feats,
                 }
             )
 
@@ -87,13 +203,13 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize: binary in -> binary out, batch-wise.
 
-    The pixel math is stubbed (no codecs in this container): the "resized
-    image" is a deterministic even-stride resample of the payload bytes
-    to exactly ``width*height`` bytes. Everything around it is the real
-    production shape — binary columns through Arrow batches in AND out,
-    per-row output size fixed by the op's parameters, no driver hop, no
-    partition materialization. Swap ``_fake_resize`` for
-    PIL ``Image.resize`` + re-encode and nothing else changes.
+    ``use_stub=False`` is the REAL path for codec-free formats: decode
+    (netpbm/BMP) -> nearest-neighbor resample to (height, width) ->
+    re-encode as raw PPM/PGM. The stub resamples raw payload bytes to
+    exactly ``width*height`` so text-as-bytes fixtures flow through the
+    same shape. Either way the production shape holds — binary columns
+    through Arrow batches in AND out, per-row output size fixed by the
+    op's parameters, no driver hop, no partition materialization.
     """
 
     def _fake_resize(payload: bytes, n_out: int) -> bytes:
@@ -102,14 +218,18 @@ def resize_images(
         step = len(payload) / n_out
         return bytes(payload[int(i * step)] for i in range(n_out))
 
+    def _real_resize(payload: bytes) -> bytes:
+        return encode_ppm(_nearest_resize(decode_image(payload), width, height))
+
     n_out = width * height
     out_schema = "doc_id bigint, payload binary, width int, height int, byte_len bigint"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:
-                pdf["payload"].map(decode_image)  # raises: no codecs in container
-            resized = pdf["payload"].map(lambda p: _fake_resize(bytes(p), n_out))
+            if use_stub:
+                resized = pdf["payload"].map(lambda p: _fake_resize(bytes(p), n_out))
+            else:
+                resized = pdf["payload"].map(lambda p: _real_resize(bytes(p)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -142,29 +262,31 @@ def audio_window_energy(
     payload — the framing/feature shape of VAD, silence trimming, and
     loudness normalization in audio pipelines.
 
-    The codec step is stubbed (no audio libs in this container): the
-    payload's raw bytes stand in for PCM samples; windows are fixed
-    ``frame_bytes`` slices. Real shape everywhere else: binary in via
-    Arrow batches, ONE output row per (doc, window) — the fan-out
-    happens executor-side inside mapInPandas, and window count scales
-    with payload size, never with driver memory. Swap the stub for
-    soundfile/ffmpeg decode and the schema/partitioning is unchanged.
+    ``use_stub=False`` is REAL audio: the payload is decoded as 16-bit
+    PCM WAV (stdlib ``wave``, :func:`decode_wav`), windows are
+    ``frame_bytes`` samples of the channel-mean signal, RMS is over
+    [-1, 1) floats. The stub treats raw payload bytes as 8-bit
+    samples so text-as-bytes fixtures run the same shape. Either way:
+    binary in via Arrow batches, ONE output row per (doc, window) —
+    the fan-out happens executor-side inside mapInPandas, and window
+    count scales with payload size, never with driver memory.
     """
-    import numpy as np
-
     out_schema = "doc_id bigint, window_idx int, n_bytes int, rms double"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widx, nb, rms = [], [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if not use_stub:
-                    decode_image(bytes(payload))  # raises: no codecs here
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(buf) == 0:
+                if use_stub:
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    sig = buf.astype(np.float64) - 128.0
+                else:
+                    samples, _rate = decode_wav(bytes(payload))
+                    sig = samples.mean(axis=1)  # downmix to mono
+                if len(sig) == 0:
                     continue
-                for w in range(0, len(buf), frame_bytes):
-                    chunk = buf[w : w + frame_bytes].astype(np.float64) - 128.0
+                for w in range(0, len(sig), frame_bytes):
+                    chunk = sig[w : w + frame_bytes]
                     ids.append(did)
                     widx.append(w // frame_bytes)
                     nb.append(len(chunk))

@@ -347,6 +347,35 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_real",
+    oracle=None,
+    tags=("multimodal", "pandas_udf", "decode"),
+)
+def multimodal_decode_real(spark, sf_dir):
+    # REAL image decode end-to-end: each doc's text is packaged as a
+    # raw 4x4 P6 PPM payload (header + first 48 bytes, right-padded)
+    # using only JVM built-ins, then multimodal.extract_features with
+    # use_stub=False runs the actual netpbm decoder + grayscale pooled
+    # features inside mapInPandas. Rows-only (features are Python-side
+    # floats); decoder-correctness is pixel-asserted in
+    # tests/test_multimodal_decode.py.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6 4 4 255\n"), "UTF-8"),
+            # byte-level slice+pad (BINARY substring/rpad): exactly 48
+            # pixel bytes even for multi-byte UTF-8 text
+            F.rpad(
+                F.substring(F.encode(F.col("text"), "UTF-8"), 1, 48),
+                48,
+                F.lit(b"x"),
+            ),
+        ).alias("payload"),
+    )
+    return multimodal.extract_features(docs, dim=4, use_stub=False)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""SELECT doc_id, CAST(f AS INTEGER) AS frame_idx
               FROM documents,
