@@ -124,3 +124,46 @@ def train_val_test_split(
         .when(prefix < t_val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "w0",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: k rows per
+    group, inclusion probability proportional to ``weight_col``
+    (Efraimidis–Spirakis A-ES).
+
+    Each row draws u in (0, 1) from a DETERMINISTIC hash of (id, salt)
+    — not rand(), so the draw is a pure function of the row and
+    reproducible across partitionings, retries, and engines — and gets
+    key = -ln(u) / w (the exponential-race form of u^(1/w); same
+    order, better numerics). The k SMALLEST keys per group win. Zero
+    or negative weights never win against any positive weight (key =
+    +inf).
+
+    Scale: one window over the group key (partition-parallel after one
+    shuffle), no global sort, no per-group state beyond the running
+    rank. Change ``salt`` for an independent draw.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+    # map int64 hash -> u in (0, 1): (h mod M + M-ish offset) scaled;
+    # abs+1 keeps u strictly positive so ln(u) is finite
+    m = F.lit(1 << 40)
+    u = ((F.pmod(h, m) + F.lit(0.5)) / m.cast("double"))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    win = Window.partitionBy(group_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

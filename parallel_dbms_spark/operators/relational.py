@@ -385,3 +385,39 @@ def ntile_distributed(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__pid", "__rn_local", "__off", "__n")
     )
+
+
+def bucket_by_quantiles(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    rel_err: float = 0.001,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Value-based quantile bucketing — the APPROXIMATE, fully
+    scan-parallel alternative to exact :func:`ntile_distributed`.
+
+    One ``approx_percentile`` aggregation (mergeable sketch, bounded
+    memory) produces the B-1 boundary values; they broadcast to every
+    task and each row's bucket is ``1 + #boundaries below its value``
+    — a pure projection, no range shuffle, no rank at all. Bucket
+    POPULATIONS are approximate (off by the sketch's rank error at the
+    boundaries); bucket MEMBERSHIP is exact w.r.t. the boundaries. At
+    100 TB this is the decile formulation to prefer whenever "equal
+    count" can tolerate sketch error, because it reads the data twice
+    and shuffles nothing.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(
+            col, probs, max(int(1.0 / rel_err), n_buckets)
+        ).alias("__bounds")
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__bounds"), lambda b: b < F.col(col))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__bounds")
+    )

@@ -1991,3 +1991,69 @@ def agg_two_stage_distinct(spark, sf_dir):
     return nd("l_partkey", "nd_parts").join(
         nd("l_suppkey", "nd_supps"), "l_returnflag"
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""SELECT o_orderpriority,
+                     quantile_disc(o_totalprice, 0.25) AS p25,
+                     quantile_disc(o_totalprice, 0.50) AS p50,
+                     quantile_disc(o_totalprice, 0.90) AS p90
+              FROM orders GROUP BY o_orderpriority""",
+    tags=("aggregate", "percentile", "disc"),
+)
+def agg_percentile_disc(spark, sf_dir):
+    # DISCRETE percentiles (SQL-standard PERCENTILE_DISC): the result
+    # is an actual data value, not an interpolation — so unlike
+    # continuous percentiles it is bit-exact across engines and fully
+    # oracle-checkable (DuckDB quantile_disc picks the same element).
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__pdisc_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM __pdisc_orders GROUP BY o_orderpriority""")
+
+
+@register(
+    "agg_quantile_buckets_approx",
+    oracle=None,
+    tags=("aggregate", "approx", "ntile", "sketch"),
+)
+def agg_quantile_buckets_approx(spark, sf_dir):
+    # The 100 TB decile formulation: approx_percentile boundary sketch
+    # + broadcast value-bucketing (operators.bucket_by_quantiles) — no
+    # range shuffle, no rank. Rows-only (sketch boundaries are
+    # approximate by design); population tolerance and boundary
+    # ordering are pytest-asserted against exact NTILE.
+    from ..operators.relational import bucket_by_quantiles
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    d = bucket_by_quantiles(o, "o_totalprice", n_buckets=10)
+    return d.groupBy(F.col("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_money("o_totalprice")).cast("double").alias("lo"),
+        F.max(_money("o_totalprice")).cast("double").alias("hi"),
+    )
+
+
+@register(
+    "sample_weighted_k_per_group",
+    oracle=None,
+    tags=("sampling", "weighted"),
+)
+def sample_weighted_k_per_group(spark, sf_dir):
+    # Deterministic Efraimidis-Spirakis weighted sampling: 20 docs per
+    # language, inclusion odds proportional to document length. Rows-
+    # only (the draw depends on xxhash64, absent in DuckDB);
+    # determinism + weight-monotonicity are pytest-asserted.
+    from ..functions.sampling import weighted_sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    return weighted_sample_k_per_group(
+        d, group_col="lang", id_col="doc_id", weight_col="n_chars", k=20
+    )

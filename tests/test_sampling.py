@@ -86,3 +86,66 @@ def test_train_val_test_split_disjoint_exhaustive_and_stable(spark):
     # a different salt draws an independent assignment
     s3 = train_val_test_split(docs, salt="other").collect()
     assert {r.doc_id: r.split for r in s3} != labels
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.length("text").alias("w")
+    )
+    a = weighted_sample_k_per_group(docs, "lang", "doc_id", "w", k=10)
+    b = weighted_sample_k_per_group(docs, "lang", "doc_id", "w", k=10)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # per-group quota respected
+    counts = a.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+    # a different salt draws a different sample
+    c = weighted_sample_k_per_group(docs, "lang", "doc_id", "w", k=10, salt="w1")
+    assert sorted(r["doc_id"] for r in c.collect()) != sorted(
+        r["doc_id"] for r in a.collect()
+    )
+
+
+def test_weighted_sample_zero_weight_never_beats_positive(spark):
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [(i, "g", 1.0 if i < 5 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_k_per_group(df, "g", "doc_id", "w", k=5)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_quantile_buckets_close_to_exact_ntile(spark):
+    from parallel_dbms_spark.operators import ntile_distributed
+    from parallel_dbms_spark.operators.relational import bucket_by_quantiles
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    approx = bucket_by_quantiles(o, "o_totalprice", n_buckets=10)
+    counts = {
+        r["bucket"]: r["count"]
+        for r in approx.groupBy("bucket").count().collect()
+    }
+    # all 10 buckets present, populations within 20% of n/10 at this SF
+    assert set(counts) == set(range(1, 11))
+    assert sum(counts.values()) == n
+    for c in counts.values():
+        assert abs(c - n / 10) < 0.2 * n / 10, counts
+    # value-ordering: max of bucket i <= min of bucket i+1
+    stats = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in approx.groupBy("bucket")
+        .agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        )
+        .collect()
+    }
+    for i in range(1, 10):
+        assert stats[i][1] <= stats[i + 1][0]
