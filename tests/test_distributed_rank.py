@@ -59,3 +59,9 @@ def test_row_numbers_are_a_permutation(spark):
         F.max("rn").alias("hi"),
     ).first()
     assert (stats["n"], stats["nd"], stats["lo"], stats["hi"]) == (n, n, 1, n)
+
+
+def test_empty_input_yields_empty_output(spark):
+    o = _orders(spark).filter("o_orderkey < 0")
+    assert global_row_number(o, _order(), num_partitions=4).count() == 0
+    assert ntile_distributed(o, _order(), n_buckets=10).count() == 0

@@ -88,3 +88,31 @@ def test_python_datasource_matches_fast_path(spark):
         a = sorted(map(tuple, ds.collect()))
         b = sorted(map(tuple, fast.collect()))
         assert a == b, f"datasource != fast path for {fname}"
+
+
+def test_python_datasource_matches_fast_path_on_dirty_input(spark, tmp_path):
+    # Malformed N/D cells must yield NULL in BOTH paths (the fast
+    # path's PERMISSIVE mode and the DataSource's per-cell try/except)
+    # — one bad cell never fails the job; fractional seconds parse.
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv
+    from parallel_dbms_spark.sources.typed_csv_ds import register_typed_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "Id (N),Name (T),When (D)\n"
+        "1,ok,2021-01-02 03:04:05\n"
+        "oops,bad-number,2021-01-02\n"
+        "3,frac,2021-01-02 03:04:05.250000\n"
+        "4,bad-date,not-a-date\n"
+        "5,,\n"
+    )
+    register_typed_csv(spark)
+    ds = spark.read.format("typed_csv").load(str(p))
+    fast = read_typed_csv(spark, str(p))
+    a = sorted(map(tuple, ds.collect()), key=str)
+    b = sorted(map(tuple, fast.collect()), key=str)
+    assert a == b
+    byname = {r.Name: r for r in ds.collect()}
+    assert byname["bad-number"].Id is None
+    assert byname["bad-date"].When is None
+    assert byname["frac"].When.microsecond == 250000
