@@ -5,6 +5,7 @@ from .lake import (
     overwrite_partitions,
     read_partitioned,
     read_version,
+    vacuum_versions,
     write_bucketed_table,
     write_partitioned,
     write_version,
@@ -16,6 +17,7 @@ __all__ = [
     "compact_small_files",
     "list_versions_at",
     "read_version",
+    "vacuum_versions",
     "write_version",
     "corrupt_records",
     "jsonl_to_parquet",

@@ -257,3 +257,24 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def vacuum_versions(path: str, keep_last: int = 3) -> list[int]:
+    """Retention for versioned tables: delete all but the newest
+    ``keep_last`` complete versions (incomplete/no-_SUCCESS directories
+    are never touched — they may be in-flight writers). Returns the
+    versions removed.
+
+    Readers pin a version by path (``read_version``), so vacuum is the
+    ONE operation that can break a reader; production systems gate it
+    on a retention window for exactly that reason — callers own that
+    policy here.
+    """
+    import os
+    import shutil
+
+    versions = list_versions_at(path)
+    doomed = versions[:-keep_last] if keep_last > 0 else versions
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return doomed

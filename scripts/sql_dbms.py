@@ -7,7 +7,12 @@ Reference invocation (/root/reference/src/main.cpp:719-794, README):
 This invocation (use_gpu accepted and ignored — Catalyst/Tungsten pick
 the physical strategy):
 
-    python scripts/sql_dbms.py <csv_dir> "<SQL>" [anything]
+    python scripts/sql_dbms.py <csv_dir> "<SQL>" [anything] [--explain]
+
+``--explain`` also prints the formatted physical plan — the analogue
+of the reference printing its DuckDB physical tree before executing
+(/root/reference/src/main.cpp:622-677): it shows PushedFilters,
+ReadSchema pruning, join strategy, and exchange placement.
 
 Behavior parity: every ``*.csv`` in <csv_dir> is registered as a table
 named by file stem (typed ``Name (N|T|D) [(P)]`` headers); the SQL runs
@@ -27,10 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    if len(sys.argv) < 3:
-        print('usage: python scripts/sql_dbms.py <csv_dir> "<SQL>" [use_gpu]', file=sys.stderr)
+    argv = [a for a in sys.argv[1:] if a != "--explain"]
+    explain = "--explain" in sys.argv[1:]
+    if len(argv) < 2:
+        print(
+            'usage: python scripts/sql_dbms.py <csv_dir> "<SQL>" [use_gpu] [--explain]',
+            file=sys.stderr,
+        )
         sys.exit(2)
-    csv_dir, sql = sys.argv[1], sys.argv[2]
+    csv_dir, sql = argv[0], argv[1]
 
     from parallel_dbms_spark.session import get_spark
     from parallel_dbms_spark.sources import register_typed_csv_dir, write_typed_csv
@@ -43,6 +53,10 @@ def main():
     print(f"registered tables: {', '.join(sorted(tables))}")
 
     result = spark.sql(sql)
+    if explain:
+        from parallel_dbms_spark.plans import formatted_plan
+
+        print(formatted_plan(result))
     result.show(50, truncate=False)
 
     out_dir = os.path.join(os.getcwd(), "output")

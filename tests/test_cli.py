@@ -30,3 +30,15 @@ def test_cli_runs_golden_query1_end_to_end(tmp_path):
     content = open(parts[0]).read().splitlines()
     assert content[0].startswith("AverageSalary (N)")
     assert content[1].startswith("75667.05")
+
+
+def test_cli_explain_prints_physical_plan(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "sql_dbms.py"),
+         os.path.join(FIX, "data"),
+         "SELECT Name FROM Employees WHERE Salary > 1000", "--explain"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Physical Plan" in proc.stdout
+    assert "PushedFilters" in proc.stdout  # filter reached the scan

@@ -241,3 +241,25 @@ def test_versioned_table_time_travel(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_version(spark, t, version=99)
+
+
+def test_vacuum_versions_keeps_newest_complete(spark, tmp_path):
+    import os
+
+    from parallel_dbms_spark.sources.lake import (
+        list_versions_at,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    t = str(tmp_path / "vt")
+    for i in range(5):
+        write_version(spark.range(i + 1), t)
+    # an in-flight (no _SUCCESS) directory must never be vacuumed
+    os.makedirs(os.path.join(t, "v=99"))
+    removed = vacuum_versions(t, keep_last=2)
+    assert removed == [1, 2, 3]
+    assert list_versions_at(t) == [4, 5]
+    assert os.path.isdir(os.path.join(t, "v=99"))
+    assert read_version(spark, t).count() == 5  # latest survives intact
