@@ -1,5 +1,9 @@
 from .joins import click_purchase_attribution, enrich_stream
-from .sinks import stream_upsert_sink, write_stream_exactly_once
+from .sinks import (
+    stream_to_versioned_table,
+    stream_upsert_sink,
+    write_stream_exactly_once,
+)
 from .stateful import running_user_max, running_user_totals, tws_available
 from .windows import (
     read_events_stream,
@@ -19,6 +23,7 @@ __all__ = [
     "tws_available",
     "session_window_agg",
     "stream_upsert_sink",
+    "stream_to_versioned_table",
     "sliding_window_agg",
     "tumbling_window_agg",
     "write_stream_exactly_once",

@@ -370,3 +370,29 @@ def test_running_user_max_typed_state(spark):
     }
     final = {(r.user_id, r.n_events, round(r.max_value, 9)) for r in got.collect()}
     assert expect <= final
+
+
+def test_stream_to_versioned_table_lands_pinned_versions(spark, tmp_path):
+    from parallel_dbms_spark.sources.lake import list_versions_at, read_version
+    from parallel_dbms_spark.streaming import (
+        read_events_stream,
+        stream_to_versioned_table,
+    )
+
+    ev = read_events_stream(
+        spark,
+        SF_SMOKE,
+        staged=str(tmp_path / "staged"),
+        n_files=3,
+        max_files_per_trigger=1,
+    ).select("event_id", "user_id", "ts")
+    t = str(tmp_path / "versioned")
+    stream_to_versioned_table(ev, t, checkpoint=str(tmp_path / "ckpt"))
+    versions = list_versions_at(t)
+    assert len(versions) >= 1
+    # union of all versions == the full fixture (each batch is one version)
+    total = 0
+    for v in versions:
+        total += read_version(spark, t, version=v).count()
+    batch = spark.read.parquet(str(tmp_path / "staged")).count()
+    assert total == batch
