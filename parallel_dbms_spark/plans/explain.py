@@ -49,3 +49,39 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Lines containing a window spec with NO partition columns — the
+    single-partition scale killer (every row through one task).
+
+    Rendering key (empirical, Spark 4): inside
+    ``windowspecdefinition(...)`` the FIRST argument is the first
+    partition column when partitioned, the first ORDER column
+    (carrying ``ASC``/``DESC NULLS``) when only ordered, and the
+    ``specifiedwindowframe(...)`` itself when the spec is empty — so
+    the first argument tells the three shapes apart where bracket
+    counting cannot.
+    """
+    out = []
+    for ln in plan.splitlines():
+        pos, flagged = 0, False
+        while not flagged:
+            i = ln.find("windowspecdefinition(", pos)
+            if i < 0:
+                break
+            first = ln[i + len("windowspecdefinition(") :].split(",", 1)[0]
+            if first.startswith("specifiedwindowframe") or (
+                " ASC" in first or " DESC" in first
+            ):
+                flagged = True
+            pos = i + 1
+        if flagged:
+            out.append(ln)
+    return out
+
+
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    bad = unpartitioned_windows(plan)
+    assert not bad, f"unpartitioned window(s):\n" + "\n".join(bad)
