@@ -189,3 +189,54 @@ def test_random_sql_differential_v3(spark, duck, seed):
         spark, duck, f"fuzz3_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
     )
     assert res.ok, f"{q}\n{res!r}"
+
+
+def gen_query_v4(seed: int) -> str:
+    """Fourth wave: subqueries — correlated/uncorrelated EXISTS,
+    NOT EXISTS, IN, NOT IN (NOT IN only over non-null keys: its
+    three-valued NULL semantics are identical in both engines but a
+    NULL in the list annihilates the result to empty, which would make
+    every such seed vacuous), and scalar subqueries compared against
+    aggregates — the decorrelation surface (SampleTest query3's shape,
+    fuzzed)."""
+    rng = random.Random(30_000 + seed)
+    kind = rng.randrange(4)
+    if kind == 0:  # correlated EXISTS / NOT EXISTS against orders
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT o_orderkey, o_orderpriority FROM orders WHERE {neg}EXISTS ("
+            f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"AND l_quantity > {rng.randint(30, 49)})"
+        )
+    if kind == 1:  # IN / NOT IN over a filtered key set
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            f"WHERE l_orderkey {neg}IN ("
+            f"SELECT o_orderkey FROM orders WHERE o_orderpriority = "
+            f"'{rng.choice(['1-URGENT', '2-HIGH', '5-LOW'])}')"
+        )
+    if kind == 2:  # uncorrelated scalar subquery in a predicate
+        frac = rng.choice(["0.5", "0.8", "1.0", "1.2"])
+        return (
+            f"SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            f"WHERE CAST(l_extendedprice AS DECIMAL(18,2)) > {frac} * ("
+            f"SELECT CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            f"AS DECIMAL(18,2)) FROM lineitem)"
+        )
+    # correlated scalar subquery in SELECT (query3 shape)
+    return (
+        f"SELECT o_orderkey, "
+        f"CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey "
+        f"AND l_quantity > {rng.randint(10, 45)}) AS BIGINT) AS n_big "
+        f"FROM orders WHERE o_orderkey % {rng.randint(2, 7)} = 0"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_sql_differential_v4(spark, duck, seed):
+    q = gen_query_v4(seed)
+    res = run_compare(
+        spark, duck, f"fuzz4_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
