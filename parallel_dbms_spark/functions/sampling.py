@@ -167,3 +167,32 @@ def weighted_sample_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Deterministic corpus mixing: per-stratum sampling rates ("50% of
+    web, 100% of books") applied with the md5-threshold rule, so the
+    mix is a pure function of (id, salt) — reproducible across
+    partitionings, retries, and engines, and expressible in SQL for a
+    full oracle (unlike ``sampleBy``, whose draw depends on partition
+    layout). Strata absent from ``fractions`` are dropped — the
+    corpus-mixing convention.
+
+    Scale: one scan-fused CASE over the threshold table (broadcast as
+    a literal map), zero shuffle, zero state.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    prefix = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 4)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == stratum)
+            & (prefix < sample_threshold_hex(frac))
+        )
+    return df.filter(keep)

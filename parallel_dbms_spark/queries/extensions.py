@@ -1070,3 +1070,29 @@ def corpus_report_by_source(spark, sf_dir):
             .alias("dup_docs"),
         )
     )
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle="""SELECT doc_id, source, lang
+              FROM documents
+              WHERE (source = 'src0'
+                     AND substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4) < 'ffff')
+                 OR (source = 'src1'
+                     AND substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4) < '8000')
+                 OR (source = 'src2'
+                     AND substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4) < '1999')""",
+    tags=("sampling", "pipeline", "mix"),
+)
+def corpus_mix_weighted(spark, sf_dir):
+    # Corpus mixing with per-source rates (keep all of src0, half of
+    # src1, 10% of src2, drop the rest) — the md5-threshold rule makes
+    # the mix a pure function of (doc_id, salt) and therefore exactly
+    # oracle-checkable; 1.0 clamps to the max 4-hex threshold 0xffff,
+    # 0.5 = 0x8000, 0.1 = 0x1999.
+    from ..functions.sampling import mix_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return mix_corpus(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, strata_col="source"
+    )
