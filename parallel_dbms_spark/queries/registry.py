@@ -119,8 +119,25 @@ def _ordered() -> list[str]:
     return window + rest
 
 
+def _configured(fn):
+    """Exported queries may run on a DRIVER-provided SparkSession that
+    lacks our runtime confs (UTC zone, nanos-as-long scan, AQE, bloom
+    pruning). ``session.configure`` is idempotent and runtime-settable,
+    so every exported entry normalizes the session it is handed."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import configure
+
+        configure(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: REGISTRY[name].fn for name in _ordered()}
+    return {name: _configured(REGISTRY[name].fn) for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
