@@ -539,3 +539,62 @@ def keep_canonical(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the exact-substring
+    signal behind span-level training-data dedup (verbatim passages
+    repeated across documents get down-weighted or cut, not just
+    whole-document duplicates; cf. the "deduplicating training data"
+    line of work).
+
+    Emits one row per (doc, token position) whose word n-gram also
+    occurs in at least ``min_docs`` distinct documents (itself
+    included): (doc_id, pos, gram_md5, n_docs). Positions are 1-based;
+    docs shorter than ``n`` tokens produce no spans.
+
+    Scale: positional shingles are generated executor-side
+    (transform over sequence — no UDF, no fan-out shuffle); the only
+    shuffles are a groupBy on the 16-byte gram digest and the
+    digest-keyed join back. The gram TEXT never moves — md5 digests
+    do. A df-cap on ultra-hot grams (stop phrases) composes exactly
+    like ``ngram_jaccard_pairs``' guard if needed.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(toks) - (n - 1)
+    g = (
+        df.select(F.col(id_col), toks.alias("__t"), k.alias("__k"))
+        .filter(F.col("__k") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__k")),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__t"), i, n)
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("gram_md5"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gram_md5").alias("gram_md5"))
+    )
+    stats = (
+        g.groupBy("gram_md5")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return g.join(stats, "gram_md5").select(id_col, "pos", "gram_md5", "n_docs")

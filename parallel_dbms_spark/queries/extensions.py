@@ -1096,3 +1096,29 @@ def corpus_mix_weighted(spark, sf_dir):
     return mix_corpus(
         docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, strata_col="source"
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=r"""WITH t AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+               g1 AS (SELECT doc_id, w,
+                       CAST(unnest(generate_series(1, len(w)-7)) AS INTEGER) AS pos
+                FROM t WHERE len(w) >= 8),
+               g AS (SELECT doc_id, pos,
+                       md5(array_to_string(w[pos:pos+7], ' ')) AS gram_md5
+                FROM g1),
+               st AS (SELECT gram_md5,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+               SELECT g.doc_id, g.pos, g.gram_md5, st.n_docs
+               FROM g JOIN st USING (gram_md5)""",
+    tags=("dedup", "spans", "ngram"),
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    # Span-level exact-substring dedup signal: every (doc, position)
+    # whose 8-gram repeats verbatim across >= 2 documents, fully
+    # oracle-checked (both engines digest the same 1-based token
+    # slices to md5).
+    return dedup.duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2)

@@ -148,3 +148,26 @@ def test_keep_canonical_picks_longest_and_covers_all_docs(spark):
     assert got[3].kept_doc_id == 3 and got[3].n_members == 1
     # every doc accounted for exactly once across clusters
     assert sum(r.n_members for r in got.values()) == 4
+
+
+def test_duplicate_spans_finds_planted_passage(spark):
+    from parallel_dbms_spark.functions.dedup import duplicate_spans
+
+    passage = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, f"intro words here {passage} tail one"),
+        (2, f"{passage} completely different ending text follows now"),
+        (3, "no shared content in this document at all whatsoever yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_spans(df, n=8, min_docs=2)
+    hits = got.collect()
+    assert {r["doc_id"] for r in hits} == {1, 2}
+    assert all(r["n_docs"] == 2 for r in hits)
+    # doc 2's shared passage starts at token position 1
+    assert min(r["pos"] for r in hits if r["doc_id"] == 2) == 1
+    # doc 1's copy starts after its 3 intro tokens -> position 4
+    assert min(r["pos"] for r in hits if r["doc_id"] == 1) == 4
+    # a doc shorter than n produces no spans
+    tiny = spark.createDataFrame([(9, "just three words")], "doc_id long, text string")
+    assert duplicate_spans(tiny, n=8).count() == 0
