@@ -598,3 +598,45 @@ def duplicate_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return g.join(stats, "gram_md5").select(id_col, "pos", "gram_md5", "n_docs")
+
+
+def merge_span_intervals(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Collapse per-position duplicate-span hits into intervals: each
+    maximal run of CONSECUTIVE flagged start positions within a doc
+    becomes one (start_pos, end_pos, n_tokens) row, where end_pos
+    covers the last flagged n-gram's final token. (Two runs whose
+    token coverage merely overlaps — a gap of < n unflagged start
+    positions — stay separate rows; union-of-coverage is one
+    ``gap <= n-1`` tweak of the island key if a consumer wants it.)
+    The classic gaps-and-islands rewrite: island id = pos - dense
+    position rank, per doc.
+
+    Scale: one window + one aggregation, both PARTITIONED by doc id —
+    state per task is one doc's flagged positions. Feeding this from
+    :func:`duplicate_spans` gives the actionable artifact (cut/keep
+    intervals) instead of millions of per-position rows.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        spans.select(id_col, "pos")
+        .dropDuplicates([id_col, "pos"])
+        .withColumn("__island", F.col("pos") - F.row_number().over(w))
+    )
+    return (
+        isl.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (n - 1)).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1122,3 +1122,37 @@ def dedup_duplicate_spans(spark, sf_dir):
     # oracle-checked (both engines digest the same 1-based token
     # slices to md5).
     return dedup.duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
+    "dedup_span_intervals",
+    oracle=r"""WITH t AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+               g1 AS (SELECT doc_id, w,
+                       CAST(unnest(generate_series(1, len(w)-7)) AS INTEGER) AS pos
+                FROM t WHERE len(w) >= 8),
+               g AS (SELECT doc_id, pos,
+                       md5(array_to_string(w[pos:pos+7], ' ')) AS gram_md5
+                FROM g1),
+               st AS (SELECT gram_md5 FROM g
+                      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+               hit AS (SELECT DISTINCT doc_id, pos FROM g JOIN st USING (gram_md5)),
+               isl AS (SELECT doc_id, pos,
+                       pos - CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                                  AS INTEGER) AS island
+                FROM hit)
+               SELECT doc_id,
+                      MIN(pos) AS start_pos,
+                      MAX(pos) + 7 AS end_pos,
+                      CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+               FROM isl GROUP BY doc_id, island""",
+    tags=("dedup", "spans", "window"),
+)
+def dedup_span_intervals(spark, sf_dir):
+    # The actionable form of span dedup: consecutive duplicated
+    # positions merged into maximal cut/keep intervals per document
+    # (gaps-and-islands, doc-partitioned). Both engines run the same
+    # island arithmetic, so intervals match exactly.
+    spans = dedup.duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+    return dedup.merge_span_intervals(spans, n=8)

@@ -171,3 +171,21 @@ def test_duplicate_spans_finds_planted_passage(spark):
     # a doc shorter than n produces no spans
     tiny = spark.createDataFrame([(9, "just three words")], "doc_id long, text string")
     assert duplicate_spans(tiny, n=8).count() == 0
+
+
+def test_merge_span_intervals_collapses_consecutive_positions(spark):
+    from parallel_dbms_spark.functions.dedup import merge_span_intervals
+
+    spans = spark.createDataFrame(
+        [(1, 4), (1, 5), (1, 6), (1, 10), (2, 1)],
+        "doc_id long, pos int",
+    )
+    got = {
+        (r["doc_id"], r["start_pos"]): (r["end_pos"], r["n_tokens"])
+        for r in merge_span_intervals(spans, n=8).collect()
+    }
+    # positions 4-6 merge into one island covering tokens 4..13
+    assert got[(1, 4)] == (13, 10)
+    # isolated position 10 is its own island (tokens 10..17)
+    assert got[(1, 10)] == (17, 8)
+    assert got[(2, 1)] == (8, 8)
