@@ -640,3 +640,56 @@ def merge_span_intervals(
             (F.col("end_pos") - F.col("start_pos") + 1).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def cut_spans(
+    df: DataFrame,
+    intervals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite documents with duplicated spans REMOVED — the final step
+    of the span-dedup pipeline (detect → merge → cut). ``intervals``
+    is :func:`merge_span_intervals` output; tokens whose 1-based
+    position falls inside any of the doc's intervals are dropped and
+    the survivors re-joined with single spaces.
+
+    Returns (id, clean_text, n_tokens_cut). Docs with no intervals
+    pass through re-joined (whitespace-normalized, same tokens).
+
+    Scale: intervals aggregate to ONE array row per affected doc
+    (bounded by that doc's span count), one equi-join on the doc id,
+    and the token surgery is all array built-ins executor-side — no
+    UDF, no fan-out, text never shuffles more than once.
+    """
+    iv = intervals.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").cast("int").alias("s"),
+                F.col("end_pos").cast("int").alias("e"),
+            )
+        ).alias("__iv")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    no_iv = F.col("__iv").isNull()
+    keep = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct((i + 1).alias("pos"), t.alias("t")),
+        ),
+        lambda s: no_iv
+        | ~F.exists(
+            F.col("__iv"),
+            lambda v: (s["pos"] >= v["s"]) & (s["pos"] <= v["e"]),
+        ),
+    )
+    return (
+        df.join(iv, on=id_col, how="left")
+        .select(
+            id_col,
+            F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias(
+                "clean_text"
+            ),
+            (F.size(toks) - F.size(keep)).cast("bigint").alias("n_tokens_cut"),
+        )
+    )

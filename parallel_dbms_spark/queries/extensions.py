@@ -1156,3 +1156,52 @@ def dedup_span_intervals(spark, sf_dir):
     # island arithmetic, so intervals match exactly.
     spans = dedup.duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2)
     return dedup.merge_span_intervals(spans, n=8)
+
+
+@register(
+    "dedup_cut_spans",
+    oracle=r"""WITH t AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents),
+               g1 AS (SELECT doc_id, w,
+                       CAST(unnest(generate_series(1, len(w)-7)) AS INTEGER) AS pos
+                FROM t WHERE len(w) >= 8),
+               g AS (SELECT doc_id, pos,
+                       md5(array_to_string(w[pos:pos+7], ' ')) AS gram_md5
+                FROM g1),
+               st AS (SELECT gram_md5 FROM g
+                      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+               hit AS (SELECT DISTINCT doc_id, pos FROM g JOIN st USING (gram_md5)),
+               isl AS (SELECT doc_id, pos,
+                       pos - CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                                  AS INTEGER) AS island
+                FROM hit),
+               iv0 AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+                       FROM isl GROUP BY doc_id, island),
+               iv AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs
+                      FROM iv0 GROUP BY doc_id),
+               d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                     FROM documents),
+               keepx AS (SELECT d.doc_id, tk,
+                       list_filter(generate_series(1, len(tk)),
+                                   i -> iv.ivs IS NULL OR
+                                        len(list_filter(iv.ivs,
+                                            v -> i >= v.s AND i <= v.e)) = 0) AS keep
+                FROM d LEFT JOIN iv USING (doc_id))
+               SELECT doc_id,
+                      COALESCE(array_to_string(list_transform(keep, i -> tk[i]), ' '),
+                               '') AS clean_text,
+                      CAST(len(tk) - len(keep) AS BIGINT) AS n_tokens_cut
+               FROM keepx""",
+    tags=("dedup", "spans", "pipeline"),
+)
+def dedup_cut_spans(spark, sf_dir):
+    # The full span-dedup pipeline end-to-end: detect verbatim 8-gram
+    # repeats -> merge runs into intervals -> CUT those token ranges
+    # out of the text. Fully oracle-checked including the rewritten
+    # strings (COALESCE: DuckDB stringifies an empty list to NULL,
+    # Spark's concat_ws to '' — fully-cut docs hit that edge).
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicate_spans(docs, n=8, min_docs=2)
+    iv = dedup.merge_span_intervals(spans, n=8)
+    return dedup.cut_spans(docs, iv)

@@ -189,3 +189,27 @@ def test_merge_span_intervals_collapses_consecutive_positions(spark):
     # isolated position 10 is its own island (tokens 10..17)
     assert got[(1, 10)] == (17, 8)
     assert got[(2, 1)] == (8, 8)
+
+
+def test_cut_spans_removes_planted_passage(spark):
+    from parallel_dbms_spark.functions.dedup import (
+        cut_spans,
+        duplicate_spans,
+        merge_span_intervals,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"keep one two {passage} keep three"),
+        (2, f"{passage} unique suffix here for document two"),
+        (3, "entirely original words that appear nowhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, n=8, min_docs=2)
+    iv = merge_span_intervals(spans, n=8)
+    out = {r["doc_id"]: r for r in cut_spans(df, iv).collect()}
+    assert out[1]["clean_text"] == "keep one two keep three"
+    assert out[1]["n_tokens_cut"] == 8
+    assert out[2]["clean_text"] == "unique suffix here for document two"
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_tokens_cut"] == 0
