@@ -90,6 +90,8 @@ def bench_queries(spark, sf_dir):
             REGISTRY["window_ntile_deciles"].fn(spark, sf_dir)
         ),
         "theta_only_bnlj": lambda: _exec(REGISTRY["join_theta_only"].fn(spark, sf_dir)),
+        "dedup_spans_cut": lambda: _exec(REGISTRY["dedup_cut_spans"].fn(spark, sf_dir)),
+        "corpus_mix": lambda: _exec(REGISTRY["corpus_mix_weighted"].fn(spark, sf_dir)),
     }
 
     times, rates = {}, {}
