@@ -505,3 +505,47 @@ def unigram_surprisal(
             / F.sum("tf_doc").cast("double")
         ).alias("avg_surprisal_e6"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+    form: str = "NFKC",
+) -> DataFrame:
+    """Unicode normalization (default NFKC) + whitespace collapse — the
+    standard first normalization pass of an LLM data pipeline
+    (fullwidth forms, ligatures, compatibility characters all fold to
+    canonical text before tokenization/dedup, so visually-identical
+    strings hash identically).
+
+    unicodedata is stdlib-but-Python, so this is an Arrow-batched
+    pandas UDF (the sanctioned slow path, like compression_ratio); the
+    whitespace collapse afterwards runs as a codegen regexp. Returns
+    (id, norm_text, changed).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: future-annotations mode stringifies them, which
+    # pandas_udf signature introspection rejects (module convention)
+    @pandas_udf("string")
+    def norm(s):
+        return s.map(lambda t: unicodedata.normalize(form, t or ""))
+
+    out = df.select(
+        F.col(doc_id),
+        F.col(text_col).alias("__raw"),
+        F.regexp_replace(
+            F.trim(norm(F.col(text_col))), r"\s+", " "
+        ).alias("norm_text"),
+    )
+    return out.select(
+        doc_id,
+        "norm_text",
+        (
+            F.col("norm_text")
+            != F.regexp_replace(F.trim(F.col("__raw")), r"\s+", " ")
+        ).alias("changed"),
+    )

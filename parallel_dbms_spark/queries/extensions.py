@@ -1205,3 +1205,15 @@ def dedup_cut_spans(spark, sf_dir):
     spans = dedup.duplicate_spans(docs, n=8, min_docs=2)
     iv = dedup.merge_span_intervals(spans, n=8)
     return dedup.cut_spans(docs, iv)
+
+
+@register(
+    "text_normalize_unicode",
+    oracle=None,
+    tags=("text", "pandas_udf", "normalize"),
+)
+def text_normalize_unicode(spark, sf_dir):
+    # NFKC + whitespace-collapse normalization pass. Rows-only
+    # (unicodedata lives in Python); fold correctness (fullwidth,
+    # ligature, NBSP) is pytest-asserted on planted strings.
+    return text.normalize_unicode(_docs(spark, sf_dir))

@@ -180,3 +180,17 @@ def test_audio_window_energy_framing_invariants(spark):
     # short doc -> one window; empty doc -> no rows
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_bytes == 3
     assert 3 not in by_doc
+
+
+def test_normalize_unicode_folds_compatibility_forms(spark):
+    rows = [
+        (1, "ﬁnal ｆｕｌｌｗｉｄｔｈ text"),  # ligature fi, fullwidth, NBSP
+        (2, "already  plain   ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.normalize_unicode(df).collect()}
+    assert out[1]["norm_text"] == "final fullwidth text"
+    assert out[1]["changed"] is True
+    # whitespace-only difference does not count as a unicode change
+    assert out[2]["norm_text"] == "already plain ascii"
+    assert out[2]["changed"] is False
