@@ -271,7 +271,7 @@ def audio_window_energy(
     the fan-out happens executor-side inside mapInPandas, and window
     count scales with payload size, never with driver memory.
     """
-    out_schema = "doc_id bigint, window_idx int, n_bytes int, rms double"
+    out_schema = "doc_id bigint, window_idx int, n_samples int, rms double"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -292,7 +292,7 @@ def audio_window_energy(
                     nb.append(len(chunk))
                     rms.append(float(np.sqrt((chunk * chunk).mean())))
             yield pd.DataFrame(
-                {"doc_id": ids, "window_idx": widx, "n_bytes": nb, "rms": rms}
+                {"doc_id": ids, "window_idx": widx, "n_samples": nb, "rms": rms}
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)

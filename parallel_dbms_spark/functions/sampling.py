@@ -142,9 +142,10 @@ def weighted_sample_k_per_group(
     — not rand(), so the draw is a pure function of the row and
     reproducible across partitionings, retries, and engines — and gets
     key = -ln(u) / w (the exponential-race form of u^(1/w); same
-    order, better numerics). The k SMALLEST keys per group win. Zero
-    or negative weights never win against any positive weight (key =
-    +inf).
+    order, better numerics). The k SMALLEST keys per group win. Rows
+    with zero/negative/null weight have inclusion probability 0 and
+    are EXCLUDED up front — a group with fewer than k positive-weight
+    rows returns only those rows, never a zero-weight filler.
 
     Scale: one window over the group key (partition-parallel after one
     shuffle), no global sort, no per-group state beyond the running
@@ -153,17 +154,18 @@ def weighted_sample_k_per_group(
     from pyspark.sql import Window
 
     h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
-    # map int64 hash -> u in (0, 1): (h mod M + M-ish offset) scaled;
-    # abs+1 keeps u strictly positive so ln(u) is finite
+    # map int64 hash -> u in (0, 1): (h mod M + 0.5) scaled keeps u
+    # strictly inside the open interval so ln(u) is finite
     m = F.lit(1 << 40)
     u = ((F.pmod(h, m) + F.lit(0.5)) / m.cast("double"))
     w = F.col(weight_col).cast("double")
-    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    eligible = df.filter(w > 0)  # p(include) = 0 for w <= 0 or null
+    key = -F.log(u) / w
     win = Window.partitionBy(group_col).orderBy(
         key.asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("__rk", F.row_number().over(win))
+        eligible.withColumn("__rk", F.row_number().over(win))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
@@ -191,8 +193,14 @@ def mix_corpus(
     prefix = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 4)
     keep = F.lit(False)
     for stratum, frac in fractions.items():
-        keep = keep | (
-            (F.col(strata_col) == stratum)
-            & (prefix < sample_threshold_hex(frac))
-        )
+        if frac >= 1.0:
+            # keep the whole stratum — a hash test with the clamped
+            # 0xffff threshold would silently drop the 1-in-65536 rows
+            # whose prefix is exactly 'ffff'
+            cond = F.col(strata_col) == stratum
+        else:
+            cond = (F.col(strata_col) == stratum) & (
+                prefix < sample_threshold_hex(frac)
+            )
+        keep = keep | cond
     return df.filter(keep)

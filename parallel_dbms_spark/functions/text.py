@@ -411,26 +411,13 @@ def bm25_topk(
     # unpartitioned row_number window here would instead drag EVERY
     # scoring doc into one partition (WindowExec "No Partition
     # Defined") — the pattern that dies at corpus scale. Ranks are
-    # derived AFTER the limit, over exactly k rows, window-free:
-    # pack into one sorted array (negated score -> score desc, id asc)
-    # and posexplode, so rk = array position + 1.
+    # derived AFTER the limit, over exactly k rows, window-free
+    # (operators.relational.rank_small_result).
+    from ..operators.relational import rank_small_result
+
     top = agg.orderBy(F.col("score_e6").desc(), F.col(doc_id).asc()).limit(k)
-    packed = top.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    (-F.col("score_e6")).alias("ns"),
-                    F.col(doc_id).alias("d"),
-                    F.col("n_terms").alias("nt"),
-                )
-            )
-        ).alias("arr")
-    )
-    return packed.select(F.posexplode("arr").alias("pos", "x")).select(
-        F.col("x.d").alias(doc_id),
-        F.col("x.nt").alias("n_terms"),
-        (-F.col("x.ns")).alias("score_e6"),
-        (F.col("pos") + 1).cast("integer").alias("rk"),
+    return rank_small_result(top, "score_e6", doc_id, rank_col="rk").select(
+        doc_id, "n_terms", "score_e6", "rk"
     )
 
 
@@ -544,8 +531,12 @@ def normalize_unicode(
     return out.select(
         doc_id,
         "norm_text",
-        (
+        # coalesce: NULL text normalizes to '' (a change), but the
+        # null-propagating != would report changed = NULL and the row
+        # would vanish from both filter(changed) and filter(~changed)
+        F.coalesce(
             F.col("norm_text")
-            != F.regexp_replace(F.trim(F.col("__raw")), r"\s+", " ")
+            != F.regexp_replace(F.trim(F.col("__raw")), r"\s+", " "),
+            F.lit(True),
         ).alias("changed"),
     )

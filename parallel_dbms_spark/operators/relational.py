@@ -421,3 +421,41 @@ def bucket_by_quantiles(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__bounds")
     )
+
+
+def rank_small_result(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    descending: bool = True,
+) -> DataFrame:
+    """Rank a SMALL result frame (top-k shortlist, a few hundred rows
+    at most) by (key, id asc) without any window operator: pack into
+    one sorted array (key negated for descending order so the
+    tie-break id stays ascending), posexplode, rank = position + 1.
+
+    This is the companion of :func:`cumulative_offsets` — the
+    window-free idiom for frames already reduced to driver-scale
+    cardinality, immune to the single-partition WindowExec shape.
+    All non-key columns ride along unchanged; the rank is INT."""
+    others = [c for c in df.columns if c not in (key_col, id_col)]
+    key = F.col(key_col)
+    packed = df.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-key if descending else key).alias("k"),
+                    F.col(id_col).alias("i"),
+                    *[F.col(c).alias(c) for c in others],
+                )
+            )
+        ).alias("arr")
+    )
+    x = packed.select(F.posexplode("arr").alias("pos", "s"))
+    return x.select(
+        F.col("s.i").alias(id_col),
+        *[F.col(f"s.{c}").alias(c) for c in others],
+        (-F.col("s.k") if descending else F.col("s.k")).alias(key_col),
+        (F.col("pos") + 1).cast("integer").alias(rank_col),
+    )

@@ -63,6 +63,21 @@ def unpartitioned_windows(plan: str) -> list[str]:
     the first argument tells the three shapes apart where bracket
     counting cannot.
     """
+    def first_arg(s: str) -> str:
+        # paren-aware scan to the first TOP-LEVEL comma, so expression
+        # keys like coalesce(a, b) ASC stay one argument
+        depth = 0
+        for j, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    return s[:j]
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return s[:j]
+        return s
+
     out = []
     for ln in plan.splitlines():
         pos, flagged = 0, False
@@ -70,7 +85,7 @@ def unpartitioned_windows(plan: str) -> list[str]:
             i = ln.find("windowspecdefinition(", pos)
             if i < 0:
                 break
-            first = ln[i + len("windowspecdefinition(") :].split(",", 1)[0]
+            first = first_arg(ln[i + len("windowspecdefinition(") :])
             if first.startswith("specifiedwindowframe") or (
                 " ASC" in first or " DESC" in first
             ):

@@ -923,27 +923,14 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
             similarity.cosine(F.col("q"), F.col("embedding")).alias("cos"),
         )
     )
-    # s is the 20-row shortlist, so ranking it needs no window at all:
-    # pack into one sorted array (negated cos -> cos desc, id asc) and
-    # posexplode — rank = position + 1. Window-free by construction,
-    # so the unpartitioned-WindowExec pattern can't be copy-pasted
-    # from here onto unbounded inputs.
-    packed = s.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    (-F.col("cos")).alias("nc"),
-                    F.col("doc_id").alias("d"),
-                    F.col("bm25_e6").alias("b"),
-                )
-            )
-        ).alias("arr")
-    )
-    return packed.select(F.posexplode("arr").alias("pos", "x")).select(
-        F.col("x.d").alias("doc_id"),
-        F.col("x.b").alias("bm25_e6"),
-        (-F.col("x.nc")).alias("cos"),
-        (F.col("pos") + 1).cast("integer").alias("rank"),
+    # s is the 20-row shortlist, so ranking it needs no window at all
+    # (operators.relational.rank_small_result: pack -> sort_array ->
+    # posexplode) — window-free by construction, so the unpartitioned-
+    # WindowExec pattern can't be copy-pasted onto unbounded inputs.
+    from ..operators.relational import rank_small_result
+
+    return rank_small_result(s, "cos", "doc_id", rank_col="rank").select(
+        "doc_id", "bm25_e6", "cos", "rank"
     )
 
 
@@ -1076,8 +1063,7 @@ def corpus_report_by_source(spark, sf_dir):
     "corpus_mix_weighted",
     oracle="""SELECT doc_id, source, lang
               FROM documents
-              WHERE (source = 'src0'
-                     AND substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4) < 'ffff')
+              WHERE source = 'src0'
                  OR (source = 'src1'
                      AND substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4) < '8000')
                  OR (source = 'src2'

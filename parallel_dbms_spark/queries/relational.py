@@ -2071,13 +2071,25 @@ def lake_time_travel(spark, sf_dir):
     # number. The oracle recomputes v1's slice directly — so the row
     # passes only if the pinned read really returns the old immutable
     # snapshot, not the latest write (sources/lake.py write_version/
-    # read_version).
+    # read_version). The fixture path is keyed on sf_dir and REUSED:
+    # repeated invocations (plan audits, bench reruns, regrades) read
+    # the existing versions instead of leaking a fresh temp dir and
+    # two write jobs per call.
+    import hashlib
+    import os
     import tempfile
 
-    from ..sources.lake import read_version, write_version
+    from ..sources.lake import list_versions_at, read_version, write_version
+
+    import shutil
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    t = tempfile.mkdtemp(prefix="lake_tt_") + "/orders_v"
-    write_version(o.filter(F.col("o_orderkey") % 2 == 0), t)  # v1
-    write_version(o.filter(F.col("o_orderkey") % 3 == 0), t)  # v2
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = os.path.join(tempfile.gettempdir(), f"lake_tt_{tag}", "orders_v")
+    if len(list_versions_at(t)) < 2:
+        # rebuild from scratch so v=1 is ALWAYS the even-keys slice
+        # (a crashed partial run must not shift version numbering)
+        shutil.rmtree(t, ignore_errors=True)
+        write_version(o.filter(F.col("o_orderkey") % 2 == 0), t)  # v1
+        write_version(o.filter(F.col("o_orderkey") % 3 == 0), t)  # v2
     return read_version(spark, t, version=1)

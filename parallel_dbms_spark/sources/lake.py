@@ -218,16 +218,26 @@ def write_version(df: DataFrame, path: str) -> int:
 
     v = (max(list_versions_at(path), default=0)) + 1
     for _ in range(16):
+        # pre-probe: a directory that already exists (complete or an
+        # in-flight writer's) is a lost race -> try the next number
+        # without attempting a write
+        if os.path.isdir(os.path.join(path, f"v={v}")):
+            v += 1
+            continue
         try:
             df.write.mode("errorifexists").parquet(os.path.join(path, f"v={v}"))
             return v
-        except Exception:
-            # collision iff the target dir exists (an in-flight writer
-            # has no _SUCCESS yet, so probe the directory, not the
-            # version list); anything else is a real write error
-            if not os.path.isdir(os.path.join(path, f"v={v}")):
-                raise
-            v += 1
+        except Exception as e:
+            # retry ONLY the errorifexists collision (two writers raced
+            # between probe and write). Any other failure re-raises —
+            # Spark creates the directory before a job can fail, so
+            # probing the dir here would misread a genuine write error
+            # (OOM, bad data) as a collision and retry it 16 times.
+            msg = str(e)
+            if "PATH_ALREADY_EXISTS" in msg or "already exists" in msg:
+                v += 1
+                continue
+            raise
     raise RuntimeError(f"could not claim a version under {path} after 16 tries")
 
 

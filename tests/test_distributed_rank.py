@@ -65,3 +65,18 @@ def test_empty_input_yields_empty_output(spark):
     o = _orders(spark).filter("o_orderkey < 0")
     assert global_row_number(o, _order(), num_partitions=4).count() == 0
     assert ntile_distributed(o, _order(), n_buckets=10).count() == 0
+
+
+def test_rank_small_result_matches_window_ranking(spark):
+    from parallel_dbms_spark.operators.relational import rank_small_result
+
+    o = _orders(spark).orderBy(F.col("o_totalprice").desc()).limit(50)
+    got = rank_small_result(o, "o_totalprice", "o_orderkey", rank_col="rk")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    want = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("integer").alias("rk"),
+    )
+    assert got.select("o_orderkey", "o_totalprice", "rk").exceptAll(want).isEmpty()
+    assert want.exceptAll(got.select("o_orderkey", "o_totalprice", "rk")).isEmpty()

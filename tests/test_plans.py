@@ -226,3 +226,21 @@ def test_plan_doctor_audit_flags_known_shapes(spark):
     info_g, red_g = audit(formatted_plan(good), ())
     assert not red_g
     assert any(x.startswith("exchanges=") for x in info_g)
+
+
+def test_unpartitioned_window_detector_handles_expression_keys(spark):
+    from pyspark.sql import Window
+
+    from parallel_dbms_spark.plans import unpartitioned_windows
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    # order key is an expression CONTAINING a comma — the case a naive
+    # first-comma split misparses
+    w = Window.orderBy(F.coalesce(F.col("n_name"), F.lit("zz")))
+    bad = n.withColumn("rn", F.row_number().over(w))
+    assert unpartitioned_windows(formatted_plan(bad))
+    w_ok = Window.partitionBy("n_regionkey").orderBy(
+        F.coalesce(F.col("n_name"), F.lit("zz"))
+    )
+    good = n.withColumn("rn", F.row_number().over(w_ok))
+    assert not unpartitioned_windows(formatted_plan(good))

@@ -149,3 +149,26 @@ def test_quantile_buckets_close_to_exact_ntile(spark):
     }
     for i in range(1, 10):
         assert stats[i][1] <= stats[i + 1][0]
+
+
+def test_weighted_sample_never_pads_with_zero_weight_rows(spark):
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [(i, "g", 1.0 if i < 3 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_k_per_group(df, "g", "doc_id", "w", k=5)
+    # only the 3 positive-weight rows qualify — no zero-weight filler
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+
+
+def test_mix_corpus_fraction_one_keeps_entire_stratum(spark):
+    from parallel_dbms_spark.functions.sampling import mix_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source"
+    )
+    n_src0 = docs.filter("source = 'src0'").count()
+    mixed = mix_corpus(docs, {"src0": 1.0})
+    assert mixed.count() == n_src0  # no 1-in-65536 'ffff' dropout

@@ -173,12 +173,12 @@ def test_audio_window_energy_framing_invariants(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     # 600 bytes -> windows of 256,256,88; indexes dense from 0
     w1 = sorted(by_doc[1], key=lambda r: r.window_idx)
-    assert [r.n_bytes for r in w1] == [256, 256, 88]
+    assert [r.n_samples for r in w1] == [256, 256, 88]
     assert [r.window_idx for r in w1] == [0, 1, 2]
     # constant payload ('x'=120, bias 128) -> rms == 8 exactly
     assert all(abs(r.rms - 8.0) < 1e-12 for r in w1)
     # short doc -> one window; empty doc -> no rows
-    assert len(by_doc[2]) == 1 and by_doc[2][0].n_bytes == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_samples == 3
     assert 3 not in by_doc
 
 
@@ -193,4 +193,13 @@ def test_normalize_unicode_folds_compatibility_forms(spark):
     assert out[1]["changed"] is True
     # whitespace-only difference does not count as a unicode change
     assert out[2]["norm_text"] == "already plain ascii"
+    assert out[2]["changed"] is False
+
+
+def test_normalize_unicode_null_text_is_changed_not_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "plain")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.normalize_unicode(df).collect()}
+    assert out[1]["norm_text"] == "" and out[1]["changed"] is True
     assert out[2]["changed"] is False
