@@ -1,6 +1,9 @@
 from .relational import (
     CMP_OPS,
     aggregate,
+    bucket_by_quantiles,
+    bucket_by_quantiles_grouped,
+    cumulative_offsets,
     filter_rows,
     global_row_number,
     grouping_agg,
@@ -10,6 +13,7 @@ from .relational import (
     ntile_distributed,
     order_by,
     project,
+    rank_small_result,
     set_op,
     top_k_per_group,
 )
@@ -34,6 +38,10 @@ __all__ = [
     "top_k_per_group",
     "global_row_number",
     "ntile_distributed",
+    "bucket_by_quantiles",
+    "bucket_by_quantiles_grouped",
+    "rank_small_result",
+    "cumulative_offsets",
     "asof_join",
     "profile_table",
     "resample_ffill",

@@ -459,3 +459,37 @@ def rank_small_result(
         (-F.col("s.k") if descending else F.col("s.k")).alias(key_col),
         (F.col("pos") + 1).cast("integer").alias(rank_col),
     )
+
+
+def bucket_by_quantiles_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    n_buckets: int,
+    rel_err: float = 0.001,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Per-group :func:`bucket_by_quantiles`: each group gets its OWN
+    quantile boundaries (one grouped ``approx_percentile`` pass), so
+    bucket 3 of a small-valued group and bucket 3 of a large-valued
+    group each hold ~1/B of their group.
+
+    Scale: boundaries are one row per group — broadcast when group
+    count is dimension-like (the normal case); for millions of groups
+    drop the broadcast hint and let AQE shuffle the tiny side. Bucket
+    assignment stays a projection either way.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            col, probs, max(int(1.0 / rel_err), n_buckets)
+        ).alias("__bounds")
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__bounds"), lambda b: b < F.col(col))
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__bounds")
+    )

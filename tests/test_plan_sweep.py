@@ -11,7 +11,7 @@ import pytest
 
 from conftest import SF_SMOKE
 
-from parallel_dbms_spark.plans import formatted_plan
+from parallel_dbms_spark.plans import formatted_plan, unpartitioned_windows
 from parallel_dbms_spark.queries import REGISTRY
 
 # Streaming queries execute on .fn() (they run the stream to a batch);
@@ -27,6 +27,10 @@ def test_no_cartesian_and_no_row_python(spark, name):
     df = spec.fn(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    bad_windows = unpartitioned_windows(plan)
+    assert not bad_windows, (
+        f"{name} has a single-partition window:\n" + "\n".join(bad_windows)
+    )
     if "pandas_udf" not in spec.tags:
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan or True  # Arrow-batched is acceptable

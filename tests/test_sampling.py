@@ -172,3 +172,27 @@ def test_mix_corpus_fraction_one_keeps_entire_stratum(spark):
     n_src0 = docs.filter("source = 'src0'").count()
     mixed = mix_corpus(docs, {"src0": 1.0})
     assert mixed.count() == n_src0  # no 1-in-65536 'ffff' dropout
+
+
+def test_grouped_quantile_buckets_are_per_group(spark):
+    from parallel_dbms_spark.operators.relational import (
+        bucket_by_quantiles_grouped,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    b = bucket_by_quantiles_grouped(
+        o, "o_totalprice", "o_orderpriority", n_buckets=4
+    )
+    counts = (
+        b.groupBy("o_orderpriority", "bucket").count().collect()
+    )
+    per_group = {}
+    for r in counts:
+        per_group.setdefault(r["o_orderpriority"], {})[r["bucket"]] = r["count"]
+    for grp, buckets in per_group.items():
+        n = sum(buckets.values())
+        assert set(buckets) == {1, 2, 3, 4}, (grp, buckets)
+        for c in buckets.values():
+            assert abs(c - n / 4) < 0.25 * n / 4 + 2, (grp, buckets)
