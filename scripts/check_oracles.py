@@ -2,6 +2,7 @@
 oracle (the driver's CORRECTNESS gate, locally). Usage:
 
     python scripts/check_oracles.py [sf_dir] [name_filter ...]
+    python scripts/check_oracles.py [sf_dir] --window   # the graded 50
 """
 
 from __future__ import annotations
@@ -20,7 +21,12 @@ from parallel_dbms_spark.session import get_spark
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    if "--window" in sys.argv[2:]:
+        from parallel_dbms_spark.queries.registry import DRIVER_WINDOW
+
+        names = list(DRIVER_WINDOW)
+    else:
+        names = sys.argv[2:] or list(REGISTRY)
     spark = get_spark(cpus=16)
     con = duck_connect(sf_dir)
     n_ok = n_fail = 0
