@@ -155,3 +155,101 @@ def test_sessionize_partitions_events_and_orders_sessions(spark):
         spans = sorted((x.session_start, x.session_end) for x in r.s)
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert (s2 - e1).total_seconds() > 30 * 60
+
+
+# ---- round-3 operators: identities on seeded random frames ----------------
+
+
+def _rand_frame(spark, seed, n=300, dup_keys=True):
+    rng = random.Random(seed)
+    rows = [
+        Row(
+            id=i,
+            k=rng.randrange(8),
+            v=round(rng.uniform(-50, 50), 2) if dup_keys else float(i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_ntile_distributed_equals_global_window_on_random_frames(spark, seed):
+    from pyspark.sql import Window
+
+    from parallel_dbms_spark.operators import ntile_distributed
+
+    df = _rand_frame(spark, seed)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = ntile_distributed(df, order, n_buckets=7, num_partitions=5)
+    want = df.withColumn("bucket", F.ntile(7).over(Window.orderBy(*order)))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_fuzzy_pairs_bucketing_loses_no_pairs(spark, seed):
+    # the exploded length-bucket equi-join must find EXACTLY the pairs
+    # a brute-force cross check finds
+    import itertools
+
+    from parallel_dbms_spark.functions.dedup import fuzzy_pairs
+
+    rng = random.Random(seed)
+    words = ["graft", "graff", "craft", "spark", "spars", "sparse", "park"]
+    rows = [
+        Row(id=i, name=rng.choice(words) + rng.choice(["", "s"]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+    want = {
+        (x.id, y.id)
+        for x, y in itertools.combinations(rows, 2)
+        if lev(x.name, y.name) <= 1
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 13])
+def test_merged_intervals_are_disjoint_and_cover_all_positions(spark, seed):
+    from parallel_dbms_spark.functions.dedup import merge_span_intervals
+
+    rng = random.Random(seed)
+    spans = [
+        Row(doc_id=rng.randrange(5), pos=rng.randrange(1, 40))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(spans).dropDuplicates(["doc_id", "pos"])
+    n = 6
+    iv = merge_span_intervals(df, n=n).collect()
+    flagged = {
+        (r["doc_id"], r["pos"]) for r in df.collect()
+    }
+    by_doc = {}
+    for r in iv:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, ivs in by_doc.items():
+        ivs = sorted(ivs, key=lambda r: r["start_pos"])
+        starts_in_doc = sorted(p for d, p in flagged if d == doc)
+        # every flagged start position lies inside exactly one interval
+        for p in starts_in_doc:
+            hits = [
+                r for r in ivs if r["start_pos"] <= p <= r["end_pos"]
+            ]
+            assert len(hits) >= 1
+        # interval run-starts are flagged positions and runs don't
+        # share start positions
+        assert len({r["start_pos"] for r in ivs}) == len(ivs)
+        for r in ivs:
+            assert (doc, r["start_pos"]) in flagged
+            assert r["end_pos"] == r["start_pos"] + r["n_tokens"] - 1
