@@ -679,3 +679,148 @@ def ivf_topk_served(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF k-means coarse
+    quantizer, then prune within each cluster — a member is a semantic
+    duplicate if its cosine to any LOWER-ID member of the same cluster
+    is >= ``threshold``. Greedy-by-id makes the survivor set
+    deterministic (the paper prunes in random order; id order is the
+    reproducible equivalent).
+
+    This is an LLM-pipeline operator the reference engine has no
+    analogue for (its nearest surface is exact-match CSV dedup): it
+    removes *semantically* redundant documents that no exact or
+    near-exact (minhash) pass can see.
+
+    Returns (id, cell, keep, max_cos_earlier) for every corpus row.
+
+    Scale: the O(n^2) pairwise work is confined to one cluster per
+    task — exactly the SemDeDup recipe, where nlist is chosen so the
+    expected cluster (N/nlist) fits a worker (the paper uses 50k
+    clusters for 100M+ docs; cost per cluster is one (m x dim) @
+    (dim x m) matmul). The cluster assignment is one Arrow-batched
+    matmul pass; the groupBy("cell") shuffles each vector exactly
+    once, keyed by cell. Only the nlist x dim centroid matrix ever
+    reaches the driver.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, nlist, iters, id_col, vec_col)
+    assign = _nearest_cell_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).cast("long").alias("cell"),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        g = m @ m.T
+        # max cosine to any strictly-earlier (lower-id) cluster member;
+        # diagonal and upper triangle masked so row 0 reports -1.0
+        g[np.triu_indices(len(m))] = -1.0
+        mx = g.max(axis=1, initial=-1.0)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "keep": mx < threshold,
+                "max_cos_earlier": mx,
+            }
+        )
+
+    out_schema = "id long, cell long, keep boolean, max_cos_earlier double"
+    return c.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
+def mean_vector(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Distributed column-mean of an embedding column: posexplode ->
+    groupBy(pos) -> avg. One map-side-combined shuffle of (pos,
+    partial) pairs; only the dim-length mean reaches the driver."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    out = [0.0] * len(rows)
+    for r in rows:
+        out[r["pos"]] = float(r["m"])
+    return out
+
+
+def power_iteration_pc1(
+    corpus: DataFrame,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    center: bool = True,
+):
+    """First principal component of the embedding cloud by distributed
+    power iteration on the (never materialized) covariance matrix.
+
+    Each iteration computes y = sum_i (v_i . x) * v_i as two fused
+    DataFrame steps: a codegen dot product per row, then a
+    posexplode -> groupBy(pos) -> sum((v_i.x) * v_ij) shuffle of
+    (pos, partial-sum) pairs — map-side combined, so the shuffle
+    volume is #partitions * dim regardless of corpus size. Only the
+    dim-length iterate (model parameters) ever reaches the driver;
+    the dim x dim covariance never exists anywhere.
+
+    With ``center=True`` the mean vector is computed once (one extra
+    pass) and subtracted inside the expression, giving true PCA; the
+    data is never rewritten. Start vector is all-ones/sqrt(dim) —
+    deterministic, and non-orthogonal to PC1 for any non-adversarial
+    cloud.
+
+    Returns (component: list[float] unit-norm, eigenvalue: float
+    Rayleigh quotient of the covariance scaled by N, i.e. explained
+    sum of squares).
+    """
+    import math
+
+    head = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is None:
+        raise ValueError("power_iteration_pc1: empty corpus")
+    dim = head["d"]
+    mu = mean_vector(corpus, vec_col) if center else [0.0] * dim
+    mu_lit = F.array(*[F.lit(c) for c in mu])
+    v = F.zip_with(F.col(vec_col), mu_lit, lambda a, b: a - b)
+    vecs = corpus.select(v.alias("v"))
+    x = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    for _ in range(iters):
+        x_lit = F.array(*[F.lit(float(c)) for c in x])
+        t = vecs.select(
+            dot(F.col("v"), x_lit).alias("s"),
+            F.posexplode(F.col("v")).alias("pos", "vj"),
+        )
+        rows = (
+            t.groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("vj")).alias("y"))
+            .collect()
+        )
+        y = [0.0] * dim
+        for r in rows:
+            y[r["pos"]] = float(r["y"])
+        nrm = math.sqrt(sum(c * c for c in y))
+        if nrm == 0.0:
+            break
+        lam = sum(a * b for a, b in zip(x, y))  # Rayleigh: x . (A x)
+        x = [c / nrm for c in y]
+    return x, lam

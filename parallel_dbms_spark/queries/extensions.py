@@ -278,6 +278,37 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+@register("dedup_semantic", oracle=None, tags=("similarity", "dedup", "semantic"))
+def dedup_semantic(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): k-means cluster the embeddings, then
+    # greedy within-cluster cosine pruning — drops documents that are
+    # *semantically* redundant even when no exact/minhash pass fires.
+    # Rows-only: cell assignment depends on our deterministic k-means
+    # seeding; survivor correctness is pytest-asserted on planted
+    # near-identical groups (tests/test_similarity.py). Every corpus
+    # row comes back classified, so the row count is the corpus size.
+    return similarity.semantic_dedup(
+        _emb_double(spark, sf_dir), threshold=0.95, nlist=16, iters=1
+    )
+
+
+@register("embedding_pca_pc1", oracle=None, tags=("similarity", "pca"))
+def embedding_pca_pc1(spark, sf_dir):
+    # First principal component by distributed power iteration: the
+    # covariance matrix never exists; each step is a codegen dot
+    # product + one map-side-combined (pos, partial-sum) shuffle. The
+    # returned frame is the dim-length loading vector (model
+    # parameters) plus its explained sum of squares — numerics are
+    # differential-tested against numpy eigh in tests/test_similarity.py.
+    comp, lam = similarity.power_iteration_pc1(
+        _emb_double(spark, sf_dir), iters=6
+    )
+    return spark.createDataFrame(
+        [(i, float(c), float(lam)) for i, c in enumerate(comp)],
+        "pos int, loading double, explained_ss double",
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end training-data pipeline: quality filter -> language filter
 # -> exact dedup (min-id survivor) -> stats. The composition every

@@ -170,3 +170,84 @@ def test_ivf_served_layout_matches_inline_and_prunes(spark, tmp_path):
     # the scan is partition-pruned to the probed cells
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan or "cell#" in plan
+
+
+def test_semantic_dedup_prunes_planted_near_duplicates(spark):
+    # 3 planted groups of near-identical directions + 4 orthogonal-ish
+    # singletons; exactly one survivor per planted group, singletons kept.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for g in range(3):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(4):  # 4 copies with tiny noise -> cos > 0.999
+            v = base + rng.normal(size=16) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    eye = np.eye(16)
+    for s in range(4):  # axis-aligned singletons, mutually orthogonal
+        rows.append((vid, [float(x) for x in eye[s + 4]]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, threshold=0.95, nlist=2, iters=1, id_col="vec_id"
+    ).toPandas()
+    assert len(out) == len(rows)  # every row classified
+    kept = set(out[out["keep"]]["id"])
+    # one survivor (the min id, greedy-by-id) per planted group
+    for g in range(3):
+        members = set(range(g * 4, g * 4 + 4))
+        assert kept & members == {g * 4}
+    # all singletons survive
+    assert {12, 13, 14, 15} <= kept
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark):
+    emb = _emb(spark).limit(50)
+    out = similarity.semantic_dedup(emb, threshold=1.000001, nlist=4, iters=1)
+    assert out.filter(~F.col("keep")).count() == 0
+
+
+def test_power_iteration_matches_numpy_pc1(spark):
+    # Planted anisotropy (a dominant direction 5x stronger than the
+    # isotropic noise floor) so power iteration's (lam2/lam1)^t rate
+    # actually converges; the driver fixtures' random embeddings are
+    # near-isotropic (eigengap ~7%) where NO power method converges in
+    # bounded iters — that is a property of the data, not the operator.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    d = 16
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    X = rng.normal(size=(500, d)) + np.outer(rng.normal(size=500) * 5.0, u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    comp, lam = similarity.power_iteration_pc1(df, iters=12)
+    Xc = X - X.mean(axis=0)
+    w, V = np.linalg.eigh(Xc.T @ Xc)
+    ref = V[:, -1]
+    c = np.asarray(comp)
+    assert abs(float(c @ ref)) > 0.999  # same direction up to sign
+    assert abs(lam - w[-1]) / w[-1] < 0.01  # Rayleigh ~ top eigenvalue
+    assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+
+
+def test_power_iteration_uncentered_tracks_gram_top_eig(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8)) + 2.0  # strong mean -> uncentered PC1 ~ mean
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    comp, lam = similarity.power_iteration_pc1(df, iters=10, center=False)
+    w, V = np.linalg.eigh(X.T @ X)
+    assert abs(float(np.asarray(comp) @ V[:, -1])) > 0.999
+    assert abs(lam - w[-1]) / w[-1] < 0.01
