@@ -124,25 +124,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    threshold: float = 0.7,
 ) -> DataFrame:
-    """MinHash LSH near-dup pairs.
-
-    banding: num_perm/bands rows per band; docs sharing any band bucket
-    become candidates (bucket groupBy-join, no all-pairs); candidates
-    are verified by estimated jaccard = fraction of matching minhashes.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
-    """
+    """LSH banding of ``minhash_signatures``: (id, minhash, band,
+    bucket), one row per (doc, band). Docs sharing (band, bucket) are
+    near-dup candidates. Shared by the batch pair generator
+    (``minhash_lsh_pairs``) and the streaming micro-batch dedup
+    (``streaming.dedup``), so both paths bucket identically."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "minhash",
         F.explode(
@@ -166,6 +163,24 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "minhash", "bb.band", "bb.bucket")
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs.
+
+    banding: num_perm/bands rows per band; docs sharing any band bucket
+    become candidates (bucket groupBy-join, no all-pairs); candidates
+    are verified by estimated jaccard = fraction of matching minhashes.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    banded = minhash_bands(df, text_col, id_col, num_perm, bands, shingle_n)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -494,6 +494,64 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model surprisal per document — one order up from
+    ``unigram_surprisal``: the corpus's own conditional model
+    P(w2|w1) = c(w1,w2)/c(w1) scores every adjacent token pair, so
+    repeated boilerplate *phrases* (not just common words) read as
+    improbably low surprisal and junk token sequences as improbably
+    high. This is the KenLM-style filter of CCNet/Gopher pipelines,
+    restricted to order 2 so the model stays a plain aggregate table.
+
+    Same exactness contract as the unigram pass: per-bigram surprisal
+    quantizes to 1e-6 ints BEFORE the per-doc sum (order-invariant
+    integer aggregation, oracle-comparable bit-for-bit); the mean is
+    one division of exact ints at the end. Documents with fewer than
+    two tokens have no bigrams and drop out — same on both engines.
+
+    Scale: tokens stay put — pairing is a positional self-lookup
+    inside the exploded array (F.get, no self-join); the (w1,w2) and
+    (w1) model aggregations are map-side combinable, and the model
+    joins back on its natural (w1,w2) key — no broadcast assumption,
+    the bigram table can be arbitrarily large.
+    """
+    t = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    ex = df.select(F.col(doc_id), t.alias("__t")).select(
+        F.col(doc_id),
+        F.col("__t"),
+        F.posexplode("__t").alias("__pos", "w1"),
+    )
+    # F.get is 0-based and NULL-safe past the end (no ANSI throw); the
+    # filter keeps only positions with a successor.
+    bi = ex.filter(F.col("__pos") < F.size("__t") - 1).select(
+        F.col(doc_id),
+        F.col("w1"),
+        F.get("__t", F.col("__pos") + 1).alias("w2"),
+    )
+    doc_bi = bi.groupBy(doc_id, "w1", "w2").agg(F.count(F.lit(1)).alias("tf_doc"))
+    c2 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf_doc").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    s_e6 = F.floor(
+        -F.log(F.col("n2").cast("double") / F.col("n1").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    model = c2.join(c1, "w1").select("w1", "w2", s_e6.alias("__s_e6"))
+    scored = doc_bi.join(model, ["w1", "w2"])
+    return scored.groupBy(doc_id).agg(
+        F.sum("tf_doc").cast("long").alias("n_bigrams"),
+        F.sum(F.col("tf_doc") * F.col("__s_e6")).alias("surprisal_e6"),
+        (
+            F.sum(F.col("tf_doc") * F.col("__s_e6")).cast("double")
+            / F.sum("tf_doc").cast("double")
+        ).alias("avg_surprisal_e6"),
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",

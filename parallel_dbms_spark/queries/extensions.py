@@ -1031,6 +1031,42 @@ def text_unigram_surprisal(spark, sf_dir):
     return text.unigram_surprisal(_docs(spark, sf_dir))
 
 
+@register(
+    "text_bigram_surprisal",
+    oracle=r"""WITH d AS (
+                 SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                    x -> x <> '') AS l
+                 FROM documents),
+                   ix AS (SELECT doc_id, l,
+                                 unnest(generate_series(1, len(l) - 1)) AS i
+                          FROM d),
+                   b AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM ix),
+                   doc_bi AS (SELECT doc_id, w1, w2, COUNT(*) AS tf_doc
+                              FROM b GROUP BY 1, 2, 3),
+                   c2 AS (SELECT w1, w2, CAST(SUM(tf_doc) AS BIGINT) AS n2
+                          FROM doc_bi GROUP BY 1, 2),
+                   c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1
+                          FROM c2 GROUP BY 1),
+                   s AS (SELECT w1, w2,
+                                CAST(FLOOR(-ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                                           * 1000000.0) AS BIGINT) AS s_e6
+                         FROM c2 JOIN c1 USING (w1))
+              SELECT doc_id,
+                     CAST(SUM(tf_doc) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(tf_doc * s_e6) AS BIGINT) AS surprisal_e6,
+                     CAST(SUM(tf_doc * s_e6) AS DOUBLE) / CAST(SUM(tf_doc) AS DOUBLE)
+                       AS avg_surprisal_e6
+              FROM doc_bi JOIN s USING (w1, w2) GROUP BY 1""",
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_surprisal(spark, sf_dir):
+    # Conditional bigram LM P(w2|w1) trained on the corpus itself and
+    # scored back per document — model training AND scoring both
+    # oracle-checked exactly (quantized-int aggregation).
+    return text.bigram_surprisal(_docs(spark, sf_dir))
+
+
 @register("graph_pagerank_neardup", oracle=None, tags=("graph", "iterative"))
 def graph_pagerank_neardup(spark, sf_dir):
     # PageRank centrality over the near-duplicate graph: hub documents

@@ -235,3 +235,52 @@ def stream_trending_event_types(spark, sf_dir):
         sunk.withColumn("rk", F.row_number().over(w).cast("integer"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register("stream_neardup_dedup_docs", oracle=None, tags=("streaming", "dedup", "lsh"))
+def stream_neardup_dedup_docs(spark, sf_dir):
+    # Streaming MinHash-LSH dedup over the documents table, REALLY run
+    # as two id-ordered micro-batches with durable band state between
+    # them (streaming/dedup.py). Rows-only (LSH bucketing uses our
+    # hash PRNG); stream≡batch equivalence and cross-batch duplicate
+    # drops are pytest-asserted (tests/test_streaming.py). Fresh temp
+    # dirs per invocation: the band registry is stateful by design, so
+    # a rerun must not see the previous run's state.
+    import os
+    import tempfile
+
+    from ..streaming.dedup import stream_neardup_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    root = tempfile.mkdtemp(prefix="stream_neardup_")
+    src = os.path.join(root, "feed")
+    # two files, id-ordered arrival: older mtime = lower ids
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = [
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    ]
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    past = __import__("time").time() - 3600
+    for f in first:
+        os.utime(f, (past, past))
+    feed = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_neardup_dedup(
+        feed,
+        os.path.join(root, "kept"),
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    return (
+        spark.read.parquet(os.path.join(root, "kept"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,3 +1,4 @@
+from .dedup import neardup_reference_kept, stream_neardup_dedup
 from .joins import click_purchase_attribution, enrich_stream
 from .sinks import (
     stream_to_versioned_table,
@@ -16,6 +17,8 @@ from .windows import (
 __all__ = [
     "click_purchase_attribution",
     "enrich_stream",
+    "neardup_reference_kept",
+    "stream_neardup_dedup",
     "read_events_stream",
     "run_stream_to_batch",
     "running_user_max",

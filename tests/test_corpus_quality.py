@@ -184,3 +184,31 @@ def test_compression_ratio_separates_repetitive_from_varied(spark):
     again = {r.doc_id: r.z_ratio
              for r in compression_ratio(docs.repartition(3)).collect()}
     assert again == got
+
+
+def test_bigram_surprisal_semantics_planted(spark):
+    # Corpus: the phrase "a b" dominates, so P(b|a) is high and a doc
+    # made of it scores LOW avg surprisal; a doc whose bigrams are all
+    # unique scores HIGH. Docs under 2 tokens produce no row.
+    from parallel_dbms_spark.functions.text import bigram_surprisal
+
+    rows = [
+        (1, "a b a b a b a b"),     # the dominant phrase: P(b|a) high
+        (2, "a c a d a e a f"),     # same context 'a', rare successors
+        (3, "a b a b"),             # more of the phrase
+        (4, "solo"),                # 1 token -> no bigrams -> no row
+        (5, ""),                    # empty -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 7
+    assert out[2]["n_bigrams"] == 7
+    # predictable phrase scores lower than rare continuations
+    assert out[1]["avg_surprisal_e6"] < out[2]["avg_surprisal_e6"]
+    # exactness: c(a)=10 total a-contexts, c(a,b)=6 -> P(b|a)=0.6;
+    # (b,a) is b's only successor -> P=1 -> surprisal 0
+    import math
+
+    s_ab = math.floor(-math.log(6 / 10) * 1e6)
+    assert out[3]["surprisal_e6"] == 2 * s_ab  # (a,b)x2 + (b,a)x1 at 0

@@ -396,3 +396,69 @@ def test_stream_to_versioned_table_lands_pinned_versions(spark, tmp_path):
         total += read_version(spark, t, version=v).count()
     batch = spark.read.parquet(str(tmp_path / "staged")).count()
     assert total == batch
+
+
+def test_stream_neardup_dedup_equals_batch_reference(spark, tmp_path):
+    # Near-dups planted ACROSS micro-batches: batch 2 re-sends light
+    # paraphrases of batch 1 docs. The streaming pass (band state +
+    # greedy-by-id within batch) must keep exactly what the batch
+    # reference keeps, and a checkpointed restart with no new files
+    # must emit nothing new.
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.streaming import (
+        neardup_reference_kept,
+        stream_neardup_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every day"
+    )
+    uniq = [
+        "completely different text about spark distributed query engines",
+        "another unrelated document describing parquet column pruning",
+        "a third standalone text on watermark semantics in streams",
+        "fourth text entirely about broadcast hash join thresholds",
+    ]
+    b1 = [Row(doc_id=1, text=base), Row(doc_id=2, text=uniq[0]),
+          Row(doc_id=3, text=uniq[1])]
+    # 11/13 near-dup base; 12 dup of a batch-1 unique; 14 fresh
+    b2 = [Row(doc_id=11, text=base + " extra"),
+          Row(doc_id=12, text=uniq[0]),
+          Row(doc_id=13, text="indeed " + base),
+          Row(doc_id=14, text=uniq[2]),
+          Row(doc_id=15, text=uniq[3])]
+
+    src = str(tmp_path / "docs_feed")
+    out = str(tmp_path / "kept")
+    state = str(tmp_path / "band_state")
+    ckpt = str(tmp_path / "ckpt_neardup")
+
+    spark.createDataFrame(b1).write.mode("append").parquet(src)
+
+    def run():
+        feed = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_neardup_dedup(feed, out, state, ckpt)
+
+    run()
+    spark.createDataFrame(b2).write.mode("append").parquet(src)
+    run()
+
+    kept_stream = sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    )
+    all_docs = spark.createDataFrame(b1 + b2)
+    kept_batch = sorted(
+        r.doc_id for r in neardup_reference_kept(all_docs).collect()
+    )
+    assert kept_stream == kept_batch
+    assert 1 in kept_stream and 2 in kept_stream  # originals survive
+    assert 11 not in kept_stream and 13 not in kept_stream  # paraphrases drop
+    assert 12 not in kept_stream  # exact cross-batch dup drops
+    assert 14 in kept_stream and 15 in kept_stream  # fresh docs survive
+
+    # restart with nothing new: no new output rows
+    n_before = spark.read.parquet(out).count()
+    run()
+    assert spark.read.parquet(out).count() == n_before
