@@ -92,6 +92,19 @@ def bench_queries(spark, sf_dir):
         "theta_only_bnlj": lambda: _exec(REGISTRY["join_theta_only"].fn(spark, sf_dir)),
         "dedup_spans_cut": lambda: _exec(REGISTRY["dedup_cut_spans"].fn(spark, sf_dir)),
         "corpus_mix": lambda: _exec(REGISTRY["corpus_mix_weighted"].fn(spark, sf_dir)),
+        # r3 additions: cluster-confined semantic dedup, conditional
+        # bigram LM scoring, and the streaming LSH dedup end-to-end
+        "dedup_semantic": lambda: _exec(REGISTRY["dedup_semantic"].fn(spark, sf_dir)),
+        "bigram_surprisal": lambda: _exec(
+            REGISTRY["text_bigram_surprisal"].fn(spark, sf_dir)
+        ),
+        "stream_neardup": lambda: REGISTRY["stream_neardup_dedup_docs"]
+        .fn(spark, sf_dir)
+        .count(),
+        "bpe_tokenize": lambda: _exec(REGISTRY["text_bpe_tokens"].fn(spark, sf_dir)),
+        "heavy_hitters": lambda: _exec(
+            REGISTRY["text_heavy_hitters"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}

@@ -1270,3 +1270,42 @@ def text_normalize_unicode(spark, sf_dir):
     # (unicodedata lives in Python); fold correctness (fullwidth,
     # ligature, NBSP) is pytest-asserted on planted strings.
     return text.normalize_unicode(_docs(spark, sf_dir))
+
+
+@register("text_bpe_tokens", oracle=None, tags=("text", "tokenizer", "pandas_udf"))
+def text_bpe_tokens(spark, sf_dir):
+    # Learned BPE subword tokenization (Sennrich 2016): merges trained
+    # driver-side on the bounded word-frequency table (model-sized
+    # data, like IVF centroids), applied in one Arrow-batched pass.
+    # Rows-only: the token arrays aren't SQL-expressible; learning
+    # determinism, reconstruction, and compression are pytest-asserted
+    # (tests/test_corpus_quality.py).
+    from ..functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.learn_bpe(docs, n_merges=100, vocab_cap=20_000)
+    return bpe.apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=r"""WITH toks AS (
+                 SELECT unnest(list_filter(
+                          regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x <> '')) AS term
+                 FROM documents)
+              SELECT term, COUNT(*) AS n
+              FROM toks GROUP BY 1
+              ORDER BY n DESC, term ASC LIMIT 20""",
+    tags=("text", "frequency", "pandas_udf"),
+)
+def text_heavy_hitters(spark, sf_dir):
+    # Two-pass Misra-Gries heavy hitters: bounded per-partition state
+    # produces a candidate superset, exact counts verify — top-k is
+    # EXACT (not sketch-approximate) whenever the k-th count clears
+    # n/cap, which the cap guarantees at this vocabulary size. The
+    # oracle is the plain exact top-k, so the whole two-pass path is
+    # value-checked end to end.
+    from ..functions.frequency import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=20, cap=65_536)

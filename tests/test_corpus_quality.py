@@ -212,3 +212,102 @@ def test_bigram_surprisal_semantics_planted(spark):
 
     s_ab = math.floor(-math.log(6 / 10) * 1e6)
     assert out[3]["surprisal_e6"] == 2 * s_ab  # (a,b)x2 + (b,a)x1 at 0
+
+
+def test_bpe_learns_sennrich_example_merges(spark):
+    # The canonical BPE walkthrough (Sennrich et al. 2016 §3.2 style):
+    # with 'low' x5 and 'lower' x2 etc the first merges fuse the most
+    # frequent adjacent pairs, deterministically.
+    from parallel_dbms_spark.functions.bpe import (
+        learn_bpe_from_vocab,
+        encode_word,
+    )
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_bpe_from_vocab(vocab, n_merges=10)
+    # 'es' (9), then 'est' (9), then 'est</w>' (9) are the classic
+    # first merges of this vocabulary
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    # with only the first 3 merges applied, 'newest' keeps the est</w>
+    # suffix as its learned subword
+    ranks3 = {tuple(p): i for i, p in enumerate(merges[:3])}
+    toks = encode_word("newest", ranks3)
+    assert "".join(toks) == "newest</w>"
+    assert "est</w>" in toks
+    # with all 10 merges this frequent word fuses completely
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["newest</w>"]
+    # an unseen word still encodes (falls back to learned pieces/chars)
+    unseen = encode_word("lowest", ranks)
+    assert "".join(unseen) == "lowest</w>"
+
+
+def test_bpe_distributed_learn_apply_roundtrip(spark):
+    from parallel_dbms_spark.functions.bpe import apply_bpe, learn_bpe
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on the mats"),
+        (3, "a cat and a mat and a hat"),
+    ] * 5
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, n_merges=50)
+    assert merges  # something repeated, so something merged
+    out = apply_bpe(df, merges).collect()
+    assert len(out) == df.count()
+    by_id = {r["doc_id"]: r for r in out}
+    src = {i: t for i, (_, t) in enumerate(rows)}
+    for i, r in by_id.items():
+        # stripping the end-of-word markers reconstructs the text
+        joined = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert joined == " ".join(src[i].lower().split())
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+    # merges learned => fewer BPE tokens than characters
+    chars = sum(len(t.replace(" ", "")) for t in src.values())
+    n_toks = sum(r["n_bpe_tokens"] for r in out)
+    assert n_toks < chars
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.frequency import heavy_hitters
+
+    # Zipf-ish corpus: term_i appears ~N/i times, plus long-tail noise
+    rows = []
+    doc = 0
+    for i in range(1, 40):
+        for _ in range(200 // i):
+            rows.append((doc, f"term{i} filler{doc % 97} junk{doc % 31}"))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    hh = heavy_hitters(df, k=10, cap=64).collect()
+    full = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(r["term"], r["n"]) for r in hh] == [
+        (r["term"], r["n"]) for r in full
+    ]
+
+
+def test_heavy_hitters_small_cap_still_superset_of_head(spark):
+    # Even a tiny cap must keep the single dominant term (MG bound).
+    from parallel_dbms_spark.functions.frequency import heavy_hitters
+
+    rows = [(i, "dominant " + f"rare{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    hh = heavy_hitters(df, k=1, cap=8).collect()
+    assert hh[0]["term"] == "dominant"
+    assert hh[0]["n"] == 500
