@@ -253,3 +253,108 @@ def test_merged_intervals_are_disjoint_and_cover_all_positions(spark, seed):
         for r in ivs:
             assert (doc, r["start_pos"]) in flagged
             assert r["end_pos"] == r["start_pos"] + r["n_tokens"] - 1
+
+
+@pytest.fixture(scope="module")
+def text_frame(spark):
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(rng.choices(vocab, k=rng.randrange(0, 30))),
+        )
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_heavy_hitters_partition_invariant_and_exact(text_frame, parts):
+    # the two-pass top-k must not depend on the physical layout, and
+    # must equal the exact groupBy top-k at any partitioning
+    from parallel_dbms_spark.functions.frequency import heavy_hitters
+
+    df = text_frame.repartition(parts)
+    hh = [(r["term"], r["n"]) for r in heavy_hitters(df, k=8, cap=512).collect()]
+    exact = [
+        (r["term"], r["n"])
+        for r in (
+            df.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("term").asc())
+            .limit(8)
+            .collect()
+        )
+    ]
+    assert hh == exact
+
+
+def test_bigram_surprisal_partition_invariant(text_frame):
+    from parallel_dbms_spark.functions.text import bigram_surprisal
+
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_e6"])
+        for r in bigram_surprisal(text_frame.repartition(1)).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_e6"])
+        for r in bigram_surprisal(text_frame.repartition(9)).collect()
+    }
+    assert a == b and a  # identical, and non-empty
+
+
+def test_bpe_apply_partition_invariant(text_frame):
+    from parallel_dbms_spark.functions.bpe import apply_bpe, learn_bpe
+
+    merges = learn_bpe(text_frame, n_merges=30)
+    a = {
+        r["doc_id"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe(text_frame.repartition(2), merges).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["bpe_tokens"])
+        for r in apply_bpe(text_frame.repartition(11), merges).collect()
+    }
+    assert a == b
+
+
+def test_semantic_dedup_survivors_partition_invariant(spark):
+    import numpy as np
+
+    from parallel_dbms_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(120):
+        base = rng.normal(size=8)
+        rows.append((i, [float(x) for x in base]))
+        if i % 4 == 0:  # plant a near-dup of every 4th vector
+            rows.append((1000 + i, [float(x) for x in base + rng.normal(size=8) * 1e-3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = lambda d: sorted(
+        r["id"] for r in semantic_dedup(d, threshold=0.95, nlist=4, iters=1).collect() if r["keep"]
+    )
+    assert kept(df.repartition(1)) == kept(df.repartition(13))
+
+
+def test_stream_neardup_reference_partition_invariant(spark):
+    from parallel_dbms_spark.streaming import neardup_reference_kept
+
+    rng = random.Random(53)
+    vocab = [f"tok{i}" for i in range(60)]
+    base_docs = [" ".join(rng.choices(vocab, k=20)) for _ in range(40)]
+    rows = []
+    for i, t in enumerate(base_docs):
+        rows.append(Row(doc_id=i, text=t))
+        if i % 5 == 0:  # exact dup with higher id
+            rows.append(Row(doc_id=100 + i, text=t))
+    df = spark.createDataFrame(rows)
+    kept = lambda d: sorted(r["doc_id"] for r in neardup_reference_kept(d).collect())
+    k1 = kept(df.repartition(1))
+    assert k1 == kept(df.repartition(7))
+    # every planted exact dup is dropped, every original kept
+    assert all(i in k1 for i in range(40))
+    assert all(100 + i not in k1 for i in range(0, 40, 5))
