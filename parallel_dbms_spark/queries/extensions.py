@@ -1309,3 +1309,23 @@ def text_heavy_hitters(spark, sf_dir):
     from ..functions.frequency import heavy_hitters
 
     return heavy_hitters(_docs(spark, sf_dir), k=20, cap=65_536)
+
+
+@register("regression_quality_signal", oracle=None, tags=("regression", "ml"))
+def regression_quality_signal(spark, sf_dir):
+    # In-database OLS: one sufficient-statistics pass (X'X, X'y sums),
+    # numpy solve on the driver, codegen dot-product scoring — the
+    # quality-classifier stage of a corpus pipeline with zero UDFs.
+    # Rows-only (float sums are order-dependent); coefficients are
+    # numpy-lstsq differential-tested in tests/test_similarity.py.
+    from ..functions.regression import fit_and_score
+    from ..functions.text import stopword_ratio, token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        token_count(F.col("text")).cast("double").alias("n_tok"),
+        stopword_ratio(F.col("text")).alias("sw_ratio"),
+    )
+    scored = fit_and_score(d, ["n_tok", "sw_ratio"], "n_chars")
+    return scored.select("doc_id", "prediction", "residual")

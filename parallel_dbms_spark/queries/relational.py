@@ -2093,3 +2093,59 @@ def lake_time_travel(spark, sf_dir):
         write_version(o.filter(F.col("o_orderkey") % 2 == 0), t)  # v1
         write_version(o.filter(F.col("o_orderkey") % 3 == 0), t)  # v2
     return read_version(spark, t, version=1)
+
+
+# --------------------------------------------------------------------------
+# Per-group linear trend (regression slope), all-integer exact sums.
+# The anomaly query's zero-float discipline applied to OLS: x = epoch
+# seconds since 2024-01-01 (BIGINT), y = value in cents (exact via
+# DECIMAL), all five sufficient statistics are int64 sums, and the
+# slope is one double division of identical integers on both engines —
+# so a *regression* is value-hash exact. num/den stay within int64 at
+# the fixtures' ranges (30-day x-span, <=1k rows/user; den <= ~3e18).
+# --------------------------------------------------------------------------
+@register(
+    "trend_slope_per_user",
+    oracle="""WITH p AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         - 1704067200 AS x,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                FROM events),
+                   s AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM p GROUP BY 1)
+              SELECT user_id, n,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s
+              FROM s WHERE n * sxx - sx * sx <> 0""",
+    tags=("aggregate", "regression", "timeseries"),
+)
+def trend_slope_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    p = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(den != 0)
+        .select(
+            "user_id",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("slope_cents_per_s"),
+        )
+    )

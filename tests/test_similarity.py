@@ -251,3 +251,65 @@ def test_power_iteration_uncentered_tracks_gram_top_eig(spark):
     w, V = np.linalg.eigh(X.T @ X)
     assert abs(float(np.asarray(comp) @ V[:, -1])) > 0.999
     assert abs(lam - w[-1]) / w[-1] < 0.01
+
+
+def test_linear_fit_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from parallel_dbms_spark.functions.regression import (
+        fit_and_score,
+        linear_fit,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 400
+    x1, x2 = rng.normal(size=n), rng.uniform(-2, 2, size=n)
+    y = 3.0 + 1.5 * x1 - 2.25 * x2 + rng.normal(scale=0.1, size=n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    coefs, b0 = linear_fit(df, ["x1", "x2"], "y")
+    X = np.column_stack([np.ones(n), x1, x2])
+    ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(b0 - ref[0]) < 1e-8
+    assert abs(coefs["x1"] - ref[1]) < 1e-8
+    assert abs(coefs["x2"] - ref[2]) < 1e-8
+    # scoring is exact linear algebra on the same frame
+    scored = fit_and_score(df, ["x1", "x2"], "y")
+    rss = scored.selectExpr("sum(residual * residual) as rss").head()["rss"]
+    assert rss / n < 0.02  # noise-floor residuals
+
+
+def test_linear_fit_ridge_shrinks_coefficients(spark):
+    import numpy as np
+
+    from parallel_dbms_spark.functions.regression import linear_fit
+
+    rng = np.random.default_rng(23)
+    n = 200
+    x = rng.normal(size=n)
+    y = 5.0 * x + rng.normal(scale=0.05, size=n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    c0, _ = linear_fit(df, ["x"], "y", l2=0.0)
+    c1, _ = linear_fit(df, ["x"], "y", l2=1000.0)
+    assert abs(c1["x"]) < abs(c0["x"])  # penalty shrinks the slope
+    assert abs(c0["x"] - 5.0) < 0.05
+
+
+def test_linear_fit_singular_raises_clear_error(spark):
+    import pytest
+
+    from parallel_dbms_spark.functions.regression import linear_fit
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0, 2.0), (2.0, 0.0, 4.0), (3.0, 0.0, 6.0)],
+        "x double, const double, y double",
+    )
+    with pytest.raises(ValueError, match="singular"):
+        linear_fit(df, ["x", "const"], "y")
+    # ridge regularization rescues the collinear fit
+    coefs, _ = linear_fit(df, ["x", "const"], "y", l2=1e-6)
+    assert abs(coefs["x"] - 2.0) < 1e-3
