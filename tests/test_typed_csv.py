@@ -116,3 +116,49 @@ def test_python_datasource_matches_fast_path_on_dirty_input(spark, tmp_path):
     assert byname["bad-number"].Id is None
     assert byname["bad-date"].When is None
     assert byname["frac"].When.microsecond == 250000
+
+
+def test_python_datasource_streams_typed_csv_incrementally(spark, tmp_path):
+    # The streaming face of the dialect: tail a landing directory; a
+    # checkpointed restart consumes ONLY newly landed files, and the
+    # accumulated stream output equals a batch read of the same files.
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv
+    from parallel_dbms_spark.sources.typed_csv_ds import register_typed_csv
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    header = "Id (N),Name (T),When (D)\n"
+    (land / "batch-000.csv").write_text(
+        header + "1,a,2021-01-01\n2,b,2021-01-02 03:00:00\n"
+    )
+    register_typed_csv(spark)
+
+    def run():
+        feed = spark.readStream.format("typed_csv").load(str(land))
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = sorted(map(tuple, spark.read.parquet(out).collect()), key=str)
+    want1 = sorted(map(tuple, read_typed_csv(spark, str(land)).collect()), key=str)
+    assert got1 == want1 and len(got1) == 2
+
+    # a second landing file, incl. a malformed numeric cell -> NULL
+    (land / "batch-001.csv").write_text(header + "3,c,2021-01-03\nbad,d,\n")
+    run()
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()), key=str)
+    want2 = sorted(map(tuple, read_typed_csv(spark, str(land)).collect()), key=str)
+    assert got2 == want2 and len(got2) == 4
+    assert any(r[0] is None and r[1] == "d" for r in got2)
+
+    # restart with nothing new: no new rows
+    run()
+    assert spark.read.parquet(out).count() == 4
