@@ -64,3 +64,99 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def closed_wedges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle enumeration of an undirected graph by degree-ordered
+    edge orientation — the classic distributed formulation (Suri &
+    Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+    Reducer").
+
+    Orienting every edge from its (degree, id)-smaller endpoint to the
+    larger one turns the graph into a DAG where each triangle appears
+    as exactly ONE wedge (s->v, s->w) closed by the oriented edge
+    (v->w). The wedge join fans out from each vertex's OUT-degree,
+    which orientation bounds by O(sqrt(m)) — so the intermediate is
+    O(m^1.5) worst-case instead of the hub-explosion a naive
+    neighbor-join suffers (the "last reducer" a star graph would
+    otherwise melt).
+
+    Shuffle profile: one distinct + one degree aggregation + three
+    equi-joins, all on node keys; nothing driver-side. Returns one row
+    (s, v, w) per triangle, each triangle exactly once.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    # orient by the total order (deg, id): src = smaller endpoint
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_d"),
+    )
+    o1 = o.select("s", F.col("d").alias("v"), F.col("deg_d").alias("deg_v"))
+    o2 = o.select("s", F.col("d").alias("w"), F.col("deg_d").alias("deg_w"))
+    # each unordered wedge once: v precedes w in the same total order
+    wedges = o1.join(o2, "s").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    return wedges.join(
+        o.select(F.col("s").alias("v"), F.col("d").alias("w")), ["v", "w"]
+    ).select("s", "v", "w")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> int:
+    """Exact triangle count — see ``closed_wedges``."""
+    return closed_wedges(edges, src, dst).count()
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    bucket_cols: list,
+    node_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edges: nodes sharing any bucket (e.g.
+    users active in the same (event_type, hour)) get an edge. The
+    bucket self-join is the jaccard-candidate shape — at 100 TB cap
+    hot buckets with ``max_bucket`` (df-cap guard: a bucket of k nodes
+    contributes k² pairs; drop ones above the cap like
+    dedup.ngram_jaccard_pairs drops stop-shingles)."""
+    b = df.select(*bucket_cols, F.col(node_col).alias("node")).distinct()
+    if max_bucket is not None:
+        sizes = b.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(
+            sizes.filter(F.col("__bn") <= max_bucket).drop("__bn"),
+            bucket_cols,
+            "leftsemi",
+        )
+    l = b.select(*bucket_cols, F.col("node").alias("src"))
+    r = b.select(*bucket_cols, F.col("node").alias("dst"))
+    return (
+        l.join(r, bucket_cols)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

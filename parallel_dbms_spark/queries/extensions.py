@@ -1329,3 +1329,46 @@ def regression_quality_signal(spark, sf_dir):
     )
     scored = fit_and_score(d, ["n_tok", "sw_ratio"], "n_chars")
     return scored.select("doc_id", "prediction", "residual")
+
+
+@register(
+    "graph_triangles_cooccurrence",
+    oracle="""WITH b AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                       user_id
+                FROM events),
+                   e AS (
+                SELECT DISTINCT l.user_id AS a, r.user_id AS b
+                FROM b l JOIN b r
+                  ON l.event_type = r.event_type AND l.hr = r.hr
+                 AND l.user_id < r.user_id)
+              SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                     CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
+    tags=("graph", "join"),
+)
+def graph_triangles_cooccurrence(spark, sf_dir):
+    # Exact distributed triangle counting (degree-ordered orientation,
+    # functions/graph.py) over the user co-occurrence graph — users
+    # sharing an (event_type, hour) activity bucket. The oracle counts
+    # the same triangles with the naive canonical 3-way join; the
+    # Spark path uses the orientation that survives hub vertices at
+    # scale. Both must agree exactly.
+    from ..functions.graph import closed_wedges, cooccurrence_edges
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    )
+    # the edge list feeds degree, three join sides, and the edge count
+    # — localCheckpoint computes the bucket self-join ONCE (same
+    # lineage-truncation discipline as dedup.duplicate_clusters)
+    edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id").localCheckpoint(
+        eager=True
+    )
+    tri = closed_wedges(edges)
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

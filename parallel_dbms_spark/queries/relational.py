@@ -2149,3 +2149,76 @@ def trend_slope_per_user(spark, sf_dir):
             (num.cast("double") / den.cast("double")).alias("slope_cents_per_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Array / higher-order function surface, exercised as a graded query
+# (the engine uses these internally everywhere — minhash, chunking,
+# BPE; this registers the surface itself against DuckDB's list
+# functions). Sort-sensitive columns restrict to [a-z0-9] tokens so
+# both engines order identically (binary codepoint order).
+# --------------------------------------------------------------------------
+@register(
+    "array_functions",
+    oracle=r"""WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   x -> x <> '' AND regexp_matches(x, '^[a-z0-9]+$'))
+                         AS t
+                FROM documents)
+              SELECT doc_id,
+                     CAST(len(t) AS INTEGER) AS n_tokens,
+                     CAST(COALESCE(list_max(list_transform(t, x -> length(x))), 0)
+                          AS INTEGER) AS max_tok_len,
+                     CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+                          AS BIGINT) AS sum_tok_len,
+                     array_to_string(list_sort(t)[1:3], '-') AS first3_sorted,
+                     list_contains(t, 'the') AS has_the,
+                     CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct
+              FROM d""",
+    tags=("functions", "array", "hof"),
+)
+def array_functions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: (x != "") & x.rlike("^[a-z0-9]+$"),
+    )
+    lens = F.transform(F.col("t"), F.length)
+    return d.select(F.col("doc_id"), t.alias("t")).select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("int").alias("max_tok_len"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sum_tok_len"),
+        F.concat_ws("-", F.slice(F.sort_array(F.col("t")), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.array_contains(F.col("t"), "the").alias("has_the"),
+        F.size(F.array_distinct(F.col("t"))).alias("n_distinct"),
+    )
+
+
+@register(
+    "regex_functions",
+    oracle=r"""SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
+                       AS n_vowel_runs,
+                     regexp_extract(text, '[0-9]+') AS first_number,
+                     regexp_replace(lower(text), '\s+', '_', 'g') AS snake,
+                     regexp_matches(text, '^[A-Z]') AS starts_upper
+              FROM documents""",
+    tags=("functions", "regex"),
+)
+def regex_functions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), F.lit(0))
+        ).alias("n_vowel_runs"),
+        F.regexp_extract(F.col("text"), "[0-9]+", 0).alias("first_number"),
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "_").alias("snake"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+    )

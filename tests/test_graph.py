@@ -28,3 +28,39 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # hub ordering: 0 (degree 3) above leaves; ranks sum to ~1
     assert got[0] > got[1] and got[3] > got[4] > got[5] or got[3] > got[5]
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_triangle_count_known_graphs(spark):
+    from parallel_dbms_spark.functions.graph import triangle_count
+
+    # K4: 4 triangles; plus a dangling path that adds none
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 10), (10, 11)]
+    df = spark.createDataFrame(k4 + extra, "src long, dst long")
+    assert triangle_count(df) == 4
+    # duplicate and reversed edges must not change the count
+    noisy = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + k4 + extra, "src long, dst long"
+    )
+    assert triangle_count(noisy) == 4
+    # a star (hub) has no triangles at any size
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "src long, dst long"
+    )
+    assert triangle_count(star) == 0
+    # triangle-free bipartite square
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert triangle_count(square) == 0
+
+
+def test_cooccurrence_edges_bucket_cap(spark):
+    from parallel_dbms_spark.functions.graph import cooccurrence_edges
+
+    rows = [("b1", i) for i in range(5)] + [("hot", 100 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "bucket string, node long")
+    all_e = cooccurrence_edges(df, ["bucket"], "node")
+    assert all_e.count() == 10 + 190  # C(5,2) + C(20,2), disjoint nodes
+    capped = cooccurrence_edges(df, ["bucket"], "node", max_bucket=10)
+    assert capped.count() == 10  # hot bucket dropped entirely
