@@ -204,3 +204,45 @@ def mix_corpus(
             )
         keep = keep | cond
     return df.filter(keep)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 4,
+    salt: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling over a DENSE 0..n-1 id space —
+    the contrastive-training companion of the positive near-dup pairs:
+    each anchor gets ``k`` pseudo-random partners
+    ``neg_j(i) = (i*A + j*B + salt) mod n`` (fixed odd multipliers),
+    shifted one slot if the draw hits the anchor itself.
+
+    A pure row function of (id, j): reproducible across engines,
+    partitionings, and retries — and therefore fully SQL-expressible
+    (the registered query's DuckDB oracle runs the same arithmetic).
+    Returns (anchor_id, j, neg_id).
+
+    Scale: zero shuffle — the id space size rides in as a broadcast
+    scalar and the draw is scan-fused arithmetic. Assumes dense ids
+    (use ids.assign_surrogate_keys first when they aren't); id*A must
+    stay inside int64, which holds to ~3.5e9 rows with this A.
+    """
+    A, B = F.lit(2654435761), F.lit(40503)
+    n_tab = df.agg(F.count(F.lit(1)).alias("__n"))
+    ex = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+            F.col("__n"),
+        )
+    )
+    raw = F.pmod(
+        F.col("anchor_id") * A + F.col("j") * B + F.lit(int(salt)), F.col("__n")
+    )
+    neg = F.when(raw == F.col("anchor_id"), F.pmod(raw + 1, F.col("__n"))).otherwise(
+        raw
+    )
+    return ex.select("anchor_id", "j", neg.cast("long").alias("neg_id"))

@@ -1372,3 +1372,87 @@ def graph_triangles_cooccurrence(spark, sf_dir):
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "sample_contrastive_negatives",
+    oracle="""WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+                   ex AS (
+                SELECT vec_id AS anchor_id, j, cnt
+                FROM embeddings CROSS JOIN n
+                CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)),
+                   d AS (
+                SELECT anchor_id, j,
+                       (anchor_id * 2654435761 + j * 40503 + 7) % cnt AS raw,
+                       cnt
+                FROM ex)
+              SELECT anchor_id, CAST(j AS INTEGER) AS j,
+                     CAST(CASE WHEN raw = anchor_id THEN (raw + 1) % cnt
+                               ELSE raw END AS BIGINT) AS neg_id
+              FROM d""",
+    tags=("sampling", "contrastive"),
+)
+def sample_contrastive_negatives(spark, sf_dir):
+    # Deterministic negatives for contrastive training: a pure row
+    # function of (anchor, j) over the dense id space, so the SQL
+    # oracle reproduces the exact draw — sampling itself is graded on
+    # values, not just shape.
+    from ..functions.sampling import negative_samples
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = negative_samples(emb, id_col="vec_id", k=4, salt=7)
+    return out.select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
+
+
+@register("pipeline_pretrain_mix", oracle=None, tags=("pipeline", "dedup", "text", "pandas_udf"))
+def pipeline_pretrain_mix(spark, sf_dir):
+    # The FULL pretraining-data pipeline as one lazy composition:
+    #   normalize (NFKC) -> language filter -> quality + LM-surprisal
+    #   filters -> exact dedup (min-id survivor) -> per-source corpus
+    #   mix -> context-window sequence packing.
+    # Every stage is an operator graded elsewhere on its own (oracle or
+    # pytest); this query grades the COMPOSITION end to end. Rows-only
+    # (NFKC runs in a pandas UDF); invariants are pytest-asserted
+    # (tests/test_sampling.py::test_pipeline_pretrain_mix_invariants).
+    from pyspark.sql import Window
+
+    from ..functions.pandas_ops import pack_sequences
+    from ..functions.sampling import mix_corpus
+
+    docs = _docs(spark, sf_dir)
+    norm = text.normalize_unicode(docs).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    docs2 = norm.join(docs.select("doc_id", "source"), "doc_id")
+    enriched = docs2.select(
+        "doc_id",
+        "source",
+        "text",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.language_id(F.col("text")).alias("lang_pred"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+    filt = enriched.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    # LM filter: drop the extreme-surprisal tail (junk) per the corpus
+    # model; the join keys the per-doc scores back onto the survivors
+    surp = text.unigram_surprisal(docs2).select(
+        "doc_id", "avg_surprisal_e6"
+    )
+    filt = (
+        filt.join(surp, "doc_id")
+        .filter(F.col("avg_surprisal_e6") < 12_000_000)  # < ~12 nats/token
+        .drop("avg_surprisal_e6")
+    )
+    w = Window.partitionBy(F.md5(F.encode(F.trim(F.col("text")), "UTF-8")))
+    deduped = (
+        filt.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    # fixture sources are src0..src19: keep evens fully, odds at 50%
+    rates = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(20)}
+    mixed = mix_corpus(deduped, rates)
+    packed = pack_sequences(mixed, budget=512)
+    return packed.select("doc_id", "source", "n_tokens", "bin_id")

@@ -2222,3 +2222,41 @@ def regex_functions(spark, sf_dir):
         F.regexp_replace(F.lower(F.col("text")), r"\s+", "_").alias("snake"),
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
     )
+
+
+@register(
+    "winsorize_prices",
+    oracle="""WITH q AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+                       quantile_cont(l_extendedprice, 0.99) AS p99
+                FROM lineitem)
+              SELECT l_orderkey, l_linenumber,
+                     GREATEST(p01, LEAST(p99, l_extendedprice)) AS price_w,
+                     (l_extendedprice < p01 OR l_extendedprice > p99) AS clipped
+              FROM lineitem CROSS JOIN q""",
+    tags=("aggregate", "percentile", "cleaning"),
+)
+def winsorize_prices(spark, sf_dir):
+    # Winsorization (P1/P99 clamp) — the outlier-trimming pass of a
+    # numeric cleaning pipeline. Spark's percentile() interpolates
+    # identically to DuckDB's quantile_cont (proven by agg_percentiles'
+    # value-hash), so the clamp bounds — and therefore every clamped
+    # value — are engine-exact. The percentile is ONE mergeable
+    # aggregation; the clamp is a scan-fused projection against the
+    # broadcast bounds; nothing reshuffles the fact table.
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.percentile("l_extendedprice", 0.01).alias("p01"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+    return li.crossJoin(F.broadcast(q)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))).alias(
+            "price_w"
+        ),
+        (
+            (F.col("l_extendedprice") < F.col("p01"))
+            | (F.col("l_extendedprice") > F.col("p99"))
+        ).alias("clipped"),
+    )

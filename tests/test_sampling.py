@@ -196,3 +196,53 @@ def test_grouped_quantile_buckets_are_per_group(spark):
         assert set(buckets) == {1, 2, 3, 4}, (grp, buckets)
         for c in buckets.values():
             assert abs(c - n / 4) < 0.25 * n / 4 + 2, (grp, buckets)
+
+
+def test_negative_samples_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.sampling import negative_samples
+
+    df = spark.range(0, 200).select(F.col("id").alias("vec_id"))
+    out = negative_samples(df, k=4, salt=7)
+    rows = out.collect()
+    assert len(rows) == 800  # k per anchor
+    assert all(r.neg_id != r.anchor_id for r in rows)  # never self
+    assert all(0 <= r.neg_id < 200 for r in rows)  # stays in id space
+    # pure function of (id, j): identical under any partitioning
+    again = sorted(map(tuple, negative_samples(df.repartition(9), k=4, salt=7).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # a different salt draws a different (still valid) sample
+    other = negative_samples(df, k=4, salt=8)
+    assert sorted(map(tuple, other.collect())) != sorted(map(tuple, rows))
+
+
+def test_pipeline_pretrain_mix_invariants(spark):
+    from conftest import SF_SMOKE
+    from parallel_dbms_spark.queries import REGISTRY
+
+    out = REGISTRY["pipeline_pretrain_mix"].fn(spark, SF_SMOKE).collect()
+    assert out, "pipeline should keep a nonempty corpus"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))  # dedup stage: no doc twice
+    # packing: no bin exceeds the budget within (source, bin)
+    bins = {}
+    for r in out:
+        bins.setdefault((r.source, r.bin_id), 0)
+        bins[(r.source, r.bin_id)] += r.n_tokens
+    oversized = {k: v for k, v in bins.items() if v > 512}
+    # a single doc longer than the budget gets its own bin; only
+    # multi-doc bins must respect it
+    from collections import Counter
+
+    per_bin = Counter((r.source, r.bin_id) for r in out)
+    for k in oversized:
+        assert per_bin[k] == 1
+    # odd sources are downsampled to ~50%: strictly fewer docs kept
+    # than evens on this corpus
+    n_even = sum(1 for r in out if int(r.source[3:]) % 2 == 0)
+    n_odd = sum(1 for r in out if int(r.source[3:]) % 2 == 1)
+    assert n_odd < n_even
+    # determinism under re-invocation
+    again = REGISTRY["pipeline_pretrain_mix"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
