@@ -18,7 +18,7 @@ from .relational import (
     top_k_per_group,
 )
 from .asof import asof_join, resample_ffill
-from .cdc import apply_changes, merge_upsert, snapshot_diff
+from .cdc import apply_changes, merge_upsert, scd2_history, snapshot_diff
 from .profile import profile_table
 from .range_join import time_band_join
 from .sessionize import session_stats, sessionize
@@ -48,6 +48,7 @@ __all__ = [
     "snapshot_diff",
     "merge_upsert",
     "apply_changes",
+    "scd2_history",
     "sessionize",
     "session_stats",
 ]

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,6 +78,54 @@ def merge_upsert(
     keys = list(keys)
     survivors = target.join(source, on=keys, how="left_anti")
     return survivors.unionByName(source.select(*target.columns))
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a timestamped
+    change feed: one row per (key, attribute-state) validity interval.
+
+    Consecutive rows of a key whose tracked attributes are identical
+    are collapsed into one interval (null-safe comparison), so the
+    output is the minimal interval set. Each interval carries
+    ``valid_from`` (first change ts), ``valid_to`` (next state's ts,
+    NULL while current) and ``is_current``.
+
+    The reference engine has no notion of mutation at all
+    (/root/reference/README.md:65-81 — SELECT only); this is the
+    lakehouse dimension-build the reference's users would script
+    around it. All three windows below are PARTITIONED BY the key —
+    per-key state only, no global window, so the plan is one shuffle
+    on the key and scales with the number of keys.
+
+    ``tiebreak`` orders rows that share the same ``ts_col`` within a
+    key (pass a unique id column to make the history deterministic).
+    """
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    marked = changes.withColumn(
+        "__is_start",
+        # first row of the key, or attribute state differs from the
+        # previous row (null-safe: NULL==NULL is "unchanged")
+        F.lag(state).over(w).isNull()
+        | ~F.lag(state).over(w).eqNullSafe(state),
+    )
+    starts = marked.filter(F.col("__is_start")).drop("__is_start")
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return starts.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
 
 
 def apply_changes(

@@ -2260,3 +2260,47 @@ def winsorize_prices(spark, sf_dir):
             | (F.col("l_extendedprice") > F.col("p99"))
         ).alias("clipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Type-2 slowly-changing dimension (operators/cdc.py scd2_history): the
+# mutation-history surface the reference (SELECT-only,
+# /root/reference/README.md:65-81) has no answer to. Each user's
+# event_type stream collapses into minimal validity intervals; every
+# window is PARTITIONED BY user_id, so the plan is one shuffle on the
+# key and holds at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_state",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                                event_type
+                         FROM events),
+                   m AS (SELECT user_id, event_id, ts, event_type,
+                                CASE WHEN ROW_NUMBER() OVER w = 1
+                                       OR LAG(event_type) OVER w
+                                          IS DISTINCT FROM event_type
+                                     THEN 1 ELSE 0 END AS is_start
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   s AS (SELECT user_id, event_id, ts, event_type
+                         FROM m WHERE is_start = 1)
+              SELECT user_id, event_type, ts AS valid_from,
+                     LEAD(ts) OVER w2 AS valid_to,
+                     LEAD(ts) OVER w2 IS NULL AS is_current
+              FROM s
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    tags=("cdc", "scd2", "window", "events"),
+)
+def scd2_user_state(spark, sf_dir):
+    from ..operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return scd2_history(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    )

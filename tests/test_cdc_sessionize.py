@@ -134,3 +134,91 @@ def test_quantized_centroids_consistent_with_natural(spark):
         approx = r.sum_scaled / (r.n * 1e6)
         # floor-quantization at 1e-6 -> within 1e-6 of the true mean
         assert abs(approx - nat[r.label][r.pos]) < 2e-6
+
+
+# ---------------------------------------------------------------- SCD2
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, ts=dt.datetime(2024, 1, d), seq=s, st=st) for k, d, s, st in rows]
+    )
+
+
+def test_scd2_collapses_and_intervals(spark):
+    from parallel_dbms_spark.operators import scd2_history
+
+    feed = _feed(
+        spark,
+        [
+            # key 1: A, A (collapse), B, B (collapse), A again (new interval)
+            (1, 1, 0, "A"),
+            (1, 2, 0, "A"),
+            (1, 3, 0, "B"),
+            (1, 4, 0, "B"),
+            (1, 5, 0, "A"),
+            # key 2: single state
+            (2, 1, 0, "Z"),
+        ],
+    )
+    out = scd2_history(
+        feed, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+    )
+    rows = sorted(
+        (r.k, r.st, r.valid_from.day, r.valid_to.day if r.valid_to else None, r.is_current)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "A", 1, 3, False),
+        (1, "A", 5, None, True),
+        (1, "B", 3, 5, False),
+        (2, "Z", 1, None, True),
+    ]
+
+
+def test_scd2_null_state_and_tiebreak(spark):
+    from parallel_dbms_spark.operators import scd2_history
+
+    feed = _feed(
+        spark,
+        [
+            # NULL state is a real state; consecutive NULLs collapse
+            (7, 1, 0, None),
+            (7, 1, 1, None),  # same ts, ordered by seq
+            (7, 2, 0, "X"),
+            (7, 3, 0, None),
+        ],
+    )
+    out = scd2_history(
+        feed, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+    )
+    rows = sorted(
+        ((r.st or "-"), r.valid_from.day, r.valid_to.day if r.valid_to else None)
+        for r in out.collect()
+    )
+    assert rows == [("-", 1, 2), ("-", 3, None), ("X", 2, 3)]
+
+
+def test_scd2_exactly_one_current_per_key(spark):
+    from parallel_dbms_spark.operators import scd2_history
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = scd2_history(
+        ev, keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    ).cache()
+    n_keys = ev.select("user_id").distinct().count()
+    cur = out.filter(F.col("is_current")).groupBy("user_id").count()
+    assert cur.count() == n_keys
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # intervals tile: every non-current interval's valid_to equals the
+    # next interval's valid_from (no gaps, no overlaps)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = out.withColumn("nxt_from", F.lead("valid_from").over(w))
+    bad = nxt.filter(
+        (F.col("valid_to").isNotNull()) & (F.col("valid_to") != F.col("nxt_from"))
+    )
+    assert bad.count() == 0
+    out.unpersist()
