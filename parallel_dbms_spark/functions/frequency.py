@@ -84,3 +84,81 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return exact.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+
+
+# ------------------------------------------------------------------ CMS
+# Count-min sketch (Cormode & Muthukrishnan 2005): a mergeable
+# fixed-size frequency summary. The sketch IS a DataFrame of
+# (d, w, cnt) counter cells — depth*width rows regardless of corpus
+# size — built with ONE map-side-combined aggregation. Complements
+# ``heavy_hitters`` (exact two-pass): CMS answers point-frequency
+# queries over streams/shards you can no longer rescan, and sketches
+# from different days/shards merge by cell-wise addition (exactly —
+# tested), the same re-aggregation discipline as the HLL surface.
+# Estimates overcount only: err <= n*e/width with prob 1-(1/2)^depth.
+
+
+def _cms_cells(df: DataFrame, term_col: str, depth: int, width: int):
+    """One (d, w) cell coordinate per (row, hash-seed)."""
+    hashes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    return df.select(F.posexplode(hashes).alias("d", "w"))
+
+
+def cms_build(
+    df: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Sketch the multiset of ``term_col`` values into (d, w, cnt)
+    counters. Zero cells are omitted (they read as 0 downstream)."""
+    return (
+        _cms_cells(df, term_col, depth, width)
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shaped sketches — the linearity that makes
+    CMS shard/day re-aggregable: merge(build(A), build(B)) ==
+    build(A ++ B) EXACTLY, not approximately (counters are sums)."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates for ``terms``: (term, est). The
+    estimate is min over the depth counters the term hashes to —
+    never an undercount. The sketch (depth*width rows, bounded) is
+    broadcast; the probe is an equi-join, no shuffle of ``terms``."""
+    probes = terms.select(
+        F.col(term_col).alias("term"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("d", "w"),
+    )
+    hits = probes.join(F.broadcast(sketch), on=["d", "w"], how="left").select(
+        "term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return hits.groupBy("term").agg(F.min("cnt").alias("est"))

@@ -1456,3 +1456,24 @@ def pipeline_pretrain_mix(spark, sf_dir):
     mixed = mix_corpus(deduped, rates)
     packed = pack_sequences(mixed, budget=512)
     return packed.select("doc_id", "source", "n_tokens", "bin_id")
+
+
+@register("freq_cms_estimates", oracle=None, tags=("frequency", "sketch"))
+def freq_cms_estimates(spark, sf_dir):
+    # Count-min sketch point-frequency estimates for the exact top-20
+    # terms. Rows-only for the driver (the estimate depends on
+    # xxhash64 cell placement DuckDB cannot replay); the one-sided
+    # error guarantee (est >= true, tight for heavy terms) and exact
+    # merge linearity are pytest-asserted in test_corpus_quality.py.
+    from ..functions.frequency import (
+        _tokens,
+        cms_build,
+        cms_estimate,
+        heavy_hitters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = _tokens(docs, "text")
+    sketch = cms_build(toks, depth=4, width=8192)
+    probes = heavy_hitters(docs, k=20, cap=65_536).select("term")
+    return cms_estimate(sketch, probes, depth=4, width=8192)

@@ -311,3 +311,57 @@ def test_heavy_hitters_small_cap_still_superset_of_head(spark):
     hh = heavy_hitters(df, k=1, cap=8).collect()
     assert hh[0]["term"] == "dominant"
     assert hh[0]["n"] == 500
+
+
+# ------------------------------------------------------------------ CMS
+def _zipf_terms(spark):
+    # term_i appears ~1000/i times: t1 x1000, t2 x500, t3 x333, ...
+    rows = []
+    for i in range(1, 40):
+        rows.extend([Row(term=f"t{i}")] * (1000 // i))
+    return spark.createDataFrame(rows)
+
+
+def test_cms_never_undercounts_and_is_tight_on_heavy_terms(spark):
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_estimate
+
+    terms = _zipf_terms(spark)
+    true = {r.term: r.n for r in
+            terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sk = cms_build(terms, depth=4, width=2048)
+    probes = terms.select("term").distinct()
+    est = {r.term: r.est for r in
+           cms_estimate(sk, probes, depth=4, width=2048).collect()}
+    assert set(est) == set(true)
+    n_total = sum(true.values())
+    for t, n in true.items():
+        assert est[t] >= n, (t, est[t], n)  # one-sided error guarantee
+        # standard CMS bound: overcount <= e*n/width w.h.p.; at this
+        # width/corpus it is ~0-5 counts
+        assert est[t] - n <= max(8, 3 * n_total // 2048), (t, est[t], n)
+    # heavy head is exact at this width with high probability
+    assert est["t1"] == true["t1"]
+
+
+def test_cms_absent_term_estimates_near_zero(spark):
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_estimate
+
+    terms = _zipf_terms(spark)
+    sk = cms_build(terms, depth=4, width=2048)
+    ghosts = spark.createDataFrame([Row(term="never-seen-xyz"), Row(term="ghost2")])
+    est = {r.term: r.est for r in
+           cms_estimate(sk, ghosts, depth=4, width=2048).collect()}
+    assert est["never-seen-xyz"] <= 8 and est["ghost2"] <= 8
+
+
+def test_cms_merge_is_exactly_linear(spark):
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_merge
+
+    terms = _zipf_terms(spark).withColumn(
+        "half", F.xxhash64("term", F.lit(99)) % 2 == 0
+    )
+    a, b = terms.filter("half"), terms.filter("not half")
+    merged = {(r.d, r.w): r.cnt for r in
+              cms_merge(cms_build(a), cms_build(b)).collect()}
+    whole = {(r.d, r.w): r.cnt for r in cms_build(terms).collect()}
+    assert merged == whole  # counters are sums -> merge is EXACT
