@@ -1477,3 +1477,33 @@ def freq_cms_estimates(spark, sf_dir):
     sketch = cms_build(toks, depth=4, width=8192)
     probes = heavy_hitters(docs, k=20, cap=65_536).select("term")
     return cms_estimate(sketch, probes, depth=4, width=8192)
+
+
+@register("classifier_lang_logit", oracle=None, tags=("regression", "ml", "classifier"))
+def classifier_lang_logit(spark, sf_dir):
+    # In-database LOGISTIC regression (IRLS): per Newton step one
+    # sufficient-statistics aggregation (gradient + Hessian sums),
+    # d×d solve on the driver, sigmoid-codegen scoring — the binary
+    # quality/language classifier stage of a corpus pipeline with
+    # zero UDFs. Rows-only (float sums are order-dependent);
+    # coefficients are numpy-IRLS differential-tested in
+    # tests/test_similarity.py.
+    from ..functions.regression import logistic_fit, predict_proba_expr
+    from ..functions.text import stopword_ratio, token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+        stopword_ratio(F.col("text")).alias("sw_ratio"),
+        (F.length("text") / (token_count(F.col("text")) + F.lit(1.0))).alias(
+            "avg_tok_len"
+        ),
+    ).cache()
+    coefs, b0 = logistic_fit(d, ["sw_ratio", "avg_tok_len"], "is_en", iters=10, l2=1e-4)
+    p = predict_proba_expr(coefs, b0)
+    return d.select(
+        "doc_id",
+        p.alias("p_en"),
+        (p > 0.5).alias("pred_en"),
+        F.col("is_en").cast("boolean").alias("true_en"),
+    )

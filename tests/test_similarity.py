@@ -313,3 +313,76 @@ def test_linear_fit_singular_raises_clear_error(spark):
     # ridge regularization rescues the collinear fit
     coefs, _ = linear_fit(df, ["x", "const"], "y", l2=1e-6)
     assert abs(coefs["x"] - 2.0) < 1e-3
+
+
+def test_logistic_fit_matches_numpy_irls(spark):
+    # Same algorithm run both ways on the same data -> coefficients
+    # agree to float tolerance (Newton converges to the unique MLE).
+    import numpy as np
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.regression import logistic_fit
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    z = 0.8 * x1 - 1.4 * x2 + 0.3
+    p = 1.0 / (1.0 + np.exp(-z))
+    y = (rng.random(n) < p).astype(float)
+    df = spark.createDataFrame(
+        [Row(x1=float(a), x2=float(b), y=float(c)) for a, b, c in zip(x1, x2, y)]
+    )
+    coefs, b0 = logistic_fit(df, ["x1", "x2"], "y", iters=15)
+
+    # reference IRLS in numpy (unregularized; l2 default is 1e-8)
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.zeros(3)
+    for _ in range(15):
+        zz = np.clip(X @ beta, -30, 30)
+        pp = 1.0 / (1.0 + np.exp(-zz))
+        g = X.T @ (pp - y)
+        H = X.T @ (X * (pp * (1 - pp))[:, None])
+        step = np.linalg.solve(H, g)
+        beta = beta - step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    assert abs(b0 - beta[0]) < 1e-6
+    assert abs(coefs["x1"] - beta[1]) < 1e-6
+    assert abs(coefs["x2"] - beta[2]) < 1e-6
+    # and the MLE recovered the planted signs/rough magnitudes
+    assert coefs["x1"] > 0.5 and coefs["x2"] < -1.0
+
+
+def test_logistic_fit_scores_separable_data_accurately(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.regression import (
+        logistic_fit,
+        predict_proba_expr,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    x = rng.normal(size=n)
+    y = (x > 0.2).astype(float)  # separable -> l2 keeps Newton sane
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b)) for a, b in zip(x, y)]
+    )
+    coefs, b0 = logistic_fit(df, ["x"], "y", iters=25, l2=1e-3)
+    scored = df.withColumn("p", predict_proba_expr(coefs, b0))
+    acc_row = scored.selectExpr(
+        "avg(cast((p > 0.5) = (y > 0.5) as double)) as acc"
+    ).head()
+    assert acc_row.acc > 0.97
+
+
+def test_logistic_fit_empty_input_raises(spark):
+    import pytest as _pytest
+
+    from parallel_dbms_spark.functions.regression import logistic_fit
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with _pytest.raises(ValueError, match="empty"):
+        logistic_fit(empty, ["x"], "y")
