@@ -2304,3 +2304,54 @@ def scd2_user_state(spark, sf_dir):
         attr_cols=["event_type"],
         tiebreak=["event_id"],
     )
+
+
+# --------------------------------------------------------------------------
+# File-level data skipping (sources/lake.py write_manifest/read_skipping):
+# Delta/Iceberg-style min/max pruning rebuilt on plain parquet. The query
+# writes orders range-clustered on o_orderdate, profiles per-file stats
+# into a _manifest sidecar, then answers a one-year question opening only
+# the files whose ranges overlap. The oracle is the SAME question as a
+# full-scan filter — pruning must be semantically invisible, which is
+# exactly what the value-hash asserts.
+# --------------------------------------------------------------------------
+@register(
+    "lake_skipping_scan",
+    oracle="""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+              GROUP BY 1""",
+    tags=("lake", "data-skipping", "source"),
+)
+def lake_skipping_scan(spark, sf_dir):
+    import datetime as _dt
+    import tempfile
+
+    from ..sources.lake import read_skipping, write_manifest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = tempfile.mkdtemp(prefix="lake_skip_") + "/orders"
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(t)
+    )
+    write_manifest(spark, t, ["o_orderdate"])
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1995, 12, 31, 23, 59, 59)
+    pruned, n_read, n_total = read_skipping(spark, t, "o_orderdate", lo, hi)
+    assert n_read < n_total, "range-clustered write must enable pruning"
+    return pruned.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents"),
+    )

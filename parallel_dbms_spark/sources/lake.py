@@ -288,3 +288,81 @@ def vacuum_versions(path: str, keep_last: int = 3) -> list[int]:
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (manifest min/max stats, Delta/Iceberg-style)
+# ---------------------------------------------------------------------------
+def write_manifest(
+    spark: SparkSession, path: str, stats_cols: list[str]
+) -> int:
+    """Compute per-file min/max/count stats for an existing parquet
+    table and persist them under ``<path>/_manifest`` (underscore-
+    prefixed paths are invisible to Spark/Hadoop file listings, so the
+    table itself reads unchanged).
+
+    This is the data-skipping half of what a Delta/Iceberg txn log
+    provides: one row per physical file, columns
+    ``file, n_rows, <c>_min, <c>_max`` per stats column. The stats
+    pass is a single aggregation grouped on ``_metadata.file_path``
+    (Spark's hidden per-row file provenance column) — no extra scan
+    per column, no driver loops. Returns the number of files profiled.
+
+    At 100 TB / 128 MB files the manifest is ~800k rows — kilobytes
+    per file — which is why real lakehouses can plan petabyte tables
+    from one small sidecar; re-run after compaction/z-order rewrites.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    man = (
+        df.select(F.col("_metadata.file_path").alias("file"), *stats_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
+    return spark.read.parquet(path + "/_manifest").count()
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+):
+    """Scan a manifest-carrying table with file-level pruning: files
+    whose [min,max] range for ``col`` cannot intersect [lo,hi] are
+    never opened. Returns (DataFrame, n_files_read, n_files_total).
+
+    The manifest is file-count-sized, not data-sized, so collecting
+    the pruned file list to the driver is the same bounded
+    model-parameter pattern as IVF centroids (at extreme file counts,
+    partition the manifest itself by the stats column — the hierarchy
+    real table formats use). The residual row filter is still applied
+    (file stats prove non-membership, never membership), and still
+    pushes down into the surviving files' row groups.
+    """
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(path + "/_manifest")
+    keep = man
+    if lo is not None:
+        keep = keep.filter(F.col(f"{col}_max") >= F.lit(lo))
+    if hi is not None:
+        keep = keep.filter(F.col(f"{col}_min") <= F.lit(hi))
+    files = [r.file for r in keep.select("file").collect()]
+    n_total = man.count()
+    schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], schema), 0, n_total
+    df = spark.read.schema(schema).parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df, len(files), n_total

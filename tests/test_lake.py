@@ -263,3 +263,44 @@ def test_vacuum_versions_keeps_newest_complete(spark, tmp_path):
     assert list_versions_at(t) == [4, 5]
     assert os.path.isdir(os.path.join(t, "v=99"))
     assert read_version(spark, t).count() == 5  # latest survives intact
+
+
+def test_manifest_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    from parallel_dbms_spark.sources.lake import read_skipping, write_manifest
+
+    t = str(tmp_path / "skip")
+    # 10 files with disjoint key ranges (range-partitioned write)
+    df = spark.range(0, 10_000).withColumn("val", F.col("id") * 2)
+    df.repartitionByRange(10, "id").sortWithinPartitions("id").write.parquet(t)
+    n_files = write_manifest(spark, t, ["id"])
+    assert n_files == 10
+
+    # point-ish range: only ~1 file overlaps [4200, 4300]
+    got, n_read, n_total = read_skipping(spark, t, "id", lo=4200, hi=4300)
+    assert n_total == 10 and n_read <= 2  # pruned, not listed-and-filtered
+    expect = df.filter((F.col("id") >= 4200) & (F.col("id") <= 4300))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in expect.collect()
+    )
+    # residual filter still applies inside surviving files
+    assert got.count() == expect.count() == 101
+
+    # open interval: lo only
+    got2, n_read2, _ = read_skipping(spark, t, "id", lo=9000)
+    assert n_read2 <= 2 and got2.count() == 1000
+
+    # disjoint range reads ZERO files and returns an empty, typed frame
+    got3, n_read3, _ = read_skipping(spark, t, "id", lo=50_000)
+    assert n_read3 == 0 and got3.count() == 0
+    assert got3.schema == spark.read.parquet(t).schema
+
+
+def test_manifest_is_invisible_to_plain_reads(spark, tmp_path):
+    from parallel_dbms_spark.sources.lake import write_manifest
+
+    t = str(tmp_path / "skip2")
+    spark.range(0, 100).write.parquet(t)
+    write_manifest(spark, t, ["id"])
+    # underscore dir must not leak into the table's own scan
+    assert spark.read.parquet(t).count() == 100
+    assert spark.read.parquet(t).columns == ["id"]
