@@ -1507,3 +1507,17 @@ def classifier_lang_logit(spark, sf_dir):
         (p > 0.5).alias("pred_en"),
         F.col("is_en").cast("boolean").alias("true_en"),
     )
+
+
+@register("sim_int8_topk", oracle=None, tags=("similarity", "quantization"))
+def sim_int8_topk(spark, sf_dir):
+    # Scalar-quantized (SQ8) brute-force top-k: int64-exact integer
+    # dot products over 4x-smaller vectors. Rows-only (the int8
+    # rounding is not SQL-replayable in DuckDB's list ops at equal
+    # float semantics); recall>0.9 and per-score agreement vs the
+    # float path are pytest-asserted in test_similarity.py.
+    from ..functions.similarity import int8_topk
+
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 199 == 0)
+    return int8_topk(emb, queries, k=5)

@@ -386,3 +386,47 @@ def test_logistic_fit_empty_input_raises(spark):
     empty = spark.createDataFrame([], "x double, y double")
     with _pytest.raises(ValueError, match="empty"):
         logistic_fit(empty, ["x"], "y")
+
+
+def test_int8_quantization_bounds_and_reconstruction(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.similarity import quantize_int8
+
+    rng = np.random.default_rng(3)
+    vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(50)]
+    vecs.append([0.0] * 16)  # all-zero edge case
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+    out = quantize_int8(df).collect()
+    for r in out:
+        assert all(-127 <= qi <= 127 for qi in r.q)
+        # reconstruction error per element <= scale/2 (round-off)
+        for x, qi in zip(r.embedding, r.q):
+            assert abs(qi * r.q_scale - x) <= r.q_scale / 2 + 1e-12
+    zero = [r for r in out if r.vec_id == 50][0]
+    assert all(qi == 0 for qi in zero.q)
+
+
+def test_int8_topk_recall_vs_float_brute_force(spark):
+    from conftest import SF_SMOKE
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.functions.similarity import (
+        brute_force_topk,
+        int8_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    got = int8_topk(emb, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(g & e) / len(e) > 0.9  # SQ8 keeps ordering almost intact
+    # and the scores themselves agree closely where pairs overlap
+    ce = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    for r in got.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ce:
+            assert abs(r.cos8 - ce[key]) < 0.02
