@@ -2355,3 +2355,34 @@ def lake_skipping_scan(spark, sf_dir):
             F.floor(F.col("o_totalprice") * 100).cast("long")
         ).alias("cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-sidecar point lookup (sources/lake.py write_bloom_manifest/
+# read_point_lookup): equality probes on an UNCLUSTERED key, where
+# min/max stats prune nothing. The oracle is the plain equality
+# filter — Bloom pruning must be semantically invisible (filters prove
+# absence only; false positives cost I/O, never rows).
+# --------------------------------------------------------------------------
+@register(
+    "lake_bloom_point_lookup",
+    oracle="""SELECT o_orderkey, o_custkey, o_orderstatus
+              FROM orders WHERE o_orderkey = 32""",
+    tags=("lake", "bloom", "data-skipping", "source"),
+)
+def lake_bloom_point_lookup(spark, sf_dir):
+    import tempfile
+
+    from ..sources.lake import read_point_lookup, write_bloom_manifest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t = tempfile.mkdtemp(prefix="lake_bloom_") + "/orders"
+    # hash-spread on a DIFFERENT column: the lookup key is deliberately
+    # unclustered, the worst case for range stats
+    o.repartition(12, "o_custkey").write.parquet(t)
+    write_bloom_manifest(spark, t, "o_orderkey")
+    pruned, n_read, n_total = read_point_lookup(spark, t, "o_orderkey", 32)
+    assert n_read < n_total, "bloom sidecar must prune an equality probe"
+    return pruned

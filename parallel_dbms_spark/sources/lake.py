@@ -366,3 +366,137 @@ def read_skipping(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df, len(files), n_total
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 5,
+) -> int:
+    """Per-file Bloom filters for point-lookup skipping — the equality
+    complement of ``write_manifest``'s range stats (a needle-in-100TB
+    ``WHERE id = ?`` prunes nothing by min/max when files aren't
+    clustered on ``id``, but a per-file Bloom filter kills almost
+    every file).
+
+    Each file's filter is ``n_bits`` bits packed into array<long>,
+    built with ONE aggregation: k xxhash64 probes per row ->
+    posexplode to (file, word, bit-mask) -> bit_or per word. Stored
+    under ``<path>/_bloom_<col>`` (underscore dir: invisible to table
+    scans). ~(n_bits/8) bytes per file — 0.5 KB at the default — so
+    even million-file tables keep the sidecar driver-loadable.
+    False-positive rate ~ (1-e^{-kn/m})^k; at 10k distinct keys/file
+    and 4096 bits expect ~2-3% of files surviving wrongly — they cost
+    one pushed-down scan each, never a wrong answer (Bloom proves
+    absence only).
+    """
+    from pyspark.sql import functions as F
+
+    n_words = (n_bits + 63) // 64
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), F.col(col).alias("__v")
+    )
+    # k bit positions per row -> (word index, single-bit mask)
+    probes = df.select(
+        "file",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("bit"),
+    ).select(
+        "file",
+        (F.col("bit") / 64).cast("int").alias("word"),
+        # SQL shiftleft takes a column shift amount (the PySpark
+        # wrapper pins it to a Python int, hence expr)
+        F.expr("shiftleft(1L, int(bit % 64))").alias("mask"),
+    )
+    words = probes.groupBy("file", "word").agg(
+        F.bit_or("mask").alias("bits")
+    )
+    packed = words.groupBy("file").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("sparse")
+    ).select(
+        "file",
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+        "sparse",
+    )
+    out = path + f"/_bloom_{col}"
+    packed.coalesce(1).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+):
+    """Equality scan through the Bloom sidecar: only files whose
+    filter admits ``value`` are opened; the real predicate still
+    applies inside them (Bloom false positives cost I/O, never
+    correctness). Returns (DataFrame, n_files_read, n_files_total).
+
+    The probe hashes must be bit-identical to the build hashes, so
+    they are computed by Spark's own xxhash64 over a one-row frame
+    typed like the data column (a driver-side reimplementation would
+    silently diverge on type widths). The sidecar membership test is
+    a sparse-word lookup: every probe bit's word must be present with
+    that bit set.
+    """
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(path + f"/_bloom_{col}")
+    head = man.head()
+    if head is None:
+        raise ValueError(f"empty bloom manifest at {path}/_bloom_{col}")
+    n_bits, n_hashes = head.n_bits, head.n_hashes
+
+    schema = spark.read.parquet(path).schema
+    typ = schema[col].dataType.simpleString()
+    lit = F.lit(value).cast(typ)
+    probe_rows = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(n_bits))
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .collect()
+    )
+    def _admits(word: int, mask: int):
+        # single-arg lambda on purpose: PySpark binds higher-order-
+        # function callbacks by arity, so default-arg captures would
+        # be mistaken for extra lambda parameters
+        def check(s):
+            return (s.getField("word") == F.lit(word)) & (
+                s.getField("bits").bitwiseAND(F.lit(mask)) == F.lit(mask)
+            )
+
+        return check
+
+    cond = F.lit(True)
+    for r in probe_rows:
+        word, mask = int(r.bit) // 64, 1 << (int(r.bit) % 64)
+        cond = cond & F.exists(F.col("sparse"), _admits(word, mask))
+    files = [r.file for r in man.filter(cond).select("file").collect()]
+    n_total = man.count()
+    if not files:
+        return spark.createDataFrame([], schema), 0, n_total
+    df = spark.read.schema(schema).parquet(*files).filter(
+        F.col(col) == F.lit(value).cast(typ)
+    )
+    return df, len(files), n_total

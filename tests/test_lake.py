@@ -304,3 +304,30 @@ def test_manifest_is_invisible_to_plain_reads(spark, tmp_path):
     # underscore dir must not leak into the table's own scan
     assert spark.read.parquet(t).count() == 100
     assert spark.read.parquet(t).columns == ["id"]
+
+
+def test_bloom_manifest_point_lookup_prunes_and_matches(spark, tmp_path):
+    from parallel_dbms_spark.sources.lake import (
+        read_point_lookup,
+        write_bloom_manifest,
+    )
+
+    t = str(tmp_path / "bloom")
+    # 12 files, keys NOT clustered (hash-spread) -> min/max stats are
+    # useless here; only the bloom filter can prune equality probes.
+    df = spark.range(0, 6000).withColumn("val", F.col("id") % 7)
+    df.repartition(12, "val").write.parquet(t)  # id spread across files
+    n = write_bloom_manifest(spark, t, "id")
+    assert n == spark.read.parquet(t).select("_metadata.file_path").distinct().count()
+
+    got, n_read, n_total = read_point_lookup(spark, t, "id", 4242)
+    rows = got.collect()
+    assert [r.id for r in rows] == [4242]
+    assert rows[0].val == 4242 % 7
+    # each key lives in exactly one file; bloom fp-rate keeps reads low
+    assert n_read < n_total
+
+    # absent key: typically zero files admit it; never a wrong row
+    got2, n_read2, _ = read_point_lookup(spark, t, "id", 999_999)
+    assert got2.count() == 0
+    assert n_read2 <= max(2, n_total // 3)  # generous fp headroom
