@@ -105,6 +105,19 @@ def bench_queries(spark, sf_dir):
         "heavy_hitters": lambda: _exec(
             REGISTRY["text_heavy_hitters"].fn(spark, sf_dir)
         ),
+        # r3 wave 2: SCD2 dimension build (batch), lake data skipping
+        # (manifest write + pruned read), bloom point lookup, CMS
+        # sketching, int8-quantized ANN, in-database IRLS classifier
+        "scd2_dimension": lambda: _exec(REGISTRY["scd2_user_state"].fn(spark, sf_dir)),
+        "lake_skipping": lambda: _exec(REGISTRY["lake_skipping_scan"].fn(spark, sf_dir)),
+        "bloom_lookup": lambda: _exec(
+            REGISTRY["lake_bloom_point_lookup"].fn(spark, sf_dir)
+        ),
+        "cms_sketch": lambda: _exec(REGISTRY["freq_cms_estimates"].fn(spark, sf_dir)),
+        "sim_int8": lambda: _exec(REGISTRY["sim_int8_topk"].fn(spark, sf_dir)),
+        "logit_classifier": lambda: _exec(
+            REGISTRY["classifier_lang_logit"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}

@@ -42,7 +42,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/filter/project/aggregate (O1-O8)
     "scan_project",
     "filter_pushdown_conj",
-    "filter_disjunction",
     "agg_ungrouped_all5",
     "agg_grouped_q1",
     "grouping_rollup",
@@ -53,7 +52,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_outer",
     "join_anti",
     # sort/limit (O13-O15), distinct/set ops
-    "order_by_multikey",
     "top_n",
     "distinct_values",
     "set_except",
@@ -96,12 +94,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_topk",
     # similarity / vectors
     "sim_bruteforce_topk",
-    "embedding_cosine_neardup",
     "vector_centroids",
     # multimodal, sampling, end-to-end pipeline
-    "multimodal_meta",
     "multimodal_resize",
     "pipeline_clean_corpus",
+    # SCD2 (batch + streamed), lake data skipping (range + bloom)
+    "scd2_user_state",
+    "stream_scd2_dimension",
+    "lake_skipping_scan",
+    "lake_bloom_point_lookup",
 )
 
 

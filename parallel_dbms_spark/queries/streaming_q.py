@@ -284,3 +284,46 @@ def stream_neardup_dedup_docs(spark, sf_dir):
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_scd2_dimension",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                                event_type
+                         FROM events),
+                   m AS (SELECT user_id, event_id, ts, event_type,
+                                CASE WHEN ROW_NUMBER() OVER w = 1
+                                       OR LAG(event_type) OVER w
+                                          IS DISTINCT FROM event_type
+                                     THEN 1 ELSE 0 END AS is_start
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   s AS (SELECT user_id, event_id, ts, event_type
+                         FROM m WHERE is_start = 1)
+              SELECT user_id, event_type, ts AS valid_from,
+                     LEAD(ts) OVER w2 AS valid_to,
+                     LEAD(ts) OVER w2 IS NULL AS is_current
+              FROM s
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    tags=("streaming", "cdc", "scd2"),
+)
+def stream_scd2_dimension(spark, sf_dir):
+    # The streamed feed is replayed in 3 micro-batches through the
+    # foreachBatch SCD2 sink (per-key incremental interval refresh);
+    # the served dimension must be bit-identical to the batch rebuild,
+    # so the batch window SQL is a valid oracle for the STREAMING path.
+    import tempfile
+
+    from ..streaming.sinks import stream_scd2_sink
+
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    feed = read_events_stream(
+        spark, sf_dir, staged=root + "/src",
+        n_files=3, max_files_per_trigger=1,
+    ).select("user_id", "event_id", "ts", "event_type")
+    stream_scd2_sink(
+        feed, root + "/out", root + "/ck",
+        keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    )
+    return spark.read.parquet(root + "/out/dim")

@@ -23,7 +23,8 @@ REQUIRED_FAMILIES = {
     "dedup", "jaccard", "clustering", "fuzzy", "text", "tfidf", "bm25",
     "similarity", "vectors", "multimodal", "pipeline", "streaming",
     "session_window", "watermark", "tpch", "cdc", "sessionize",
-    "timeseries", "profiling", "pandas_udf",
+    "timeseries", "profiling", "pandas_udf", "scd2", "lake",
+    "data-skipping", "bloom",
 }
 
 

@@ -462,3 +462,43 @@ def test_stream_neardup_dedup_equals_batch_reference(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     run()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_scd2_sink_equals_batch_history(spark, tmp_path):
+    # Micro-batched SCD2 maintenance over 4 file-batches must land the
+    # SAME dimension as the one-shot batch rebuild over the full feed.
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.operators import scd2_history
+    from parallel_dbms_spark.streaming import read_events_stream
+    from parallel_dbms_spark.streaming.sinks import stream_scd2_sink
+
+    feed = read_events_stream(
+        spark, SF_SMOKE, staged=str(tmp_path / "scd2src"),
+        n_files=4, max_files_per_trigger=1,
+    ).select("user_id", "event_id", "ts", "event_type")
+    root = str(tmp_path / "scd2")
+    stream_scd2_sink(
+        feed, root, str(tmp_path / "ck"),
+        keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    )
+    got = spark.read.parquet(root + "/dim")
+
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    want = scd2_history(
+        batch, keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    )
+    assert got.count() == want.count()
+    # null-safe row-set equality (valid_to is NULL on current rows, and
+    # plain equi-anti-join would treat NULL != NULL as a mismatch)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    # exactly one current row per user in the served dimension
+    cur = got.filter(F.col("is_current")).groupBy("user_id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
