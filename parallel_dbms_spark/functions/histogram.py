@@ -1,0 +1,123 @@
+"""Mergeable equi-width histograms — the quantile companion of the
+count-min sketch (frequencies) and HLL (distincts) re-aggregation
+surfaces.
+
+``approx_percentile`` answers a one-shot quantile question but Spark
+exposes no way to MERGE yesterday's digest with today's. An equi-width
+histogram over a known value range is the classic fix: bucket counts
+are plain integer sums, so
+
+- the sketch is ONE map-side-combined aggregation (n_buckets rows out,
+  corpus-size-independent),
+- shard/day sketches merge by bucket-wise addition EXACTLY (tested),
+- any quantile is answered from the merged sketch by cumulative-count
+  walk + linear interpolation inside the landing bucket, with error
+  bounded by one bucket width.
+
+Bucket math is exact integer arithmetic on deterministic doubles, so
+the BUILD is value-hash oracle-able in plain SQL (DuckDB computes the
+identical floor expression) — unlike GK/t-digest sketches whose
+internals are engine-private.
+
+The reference engine has no aggregate beyond COUNT/SUM/AVG/MIN/MAX
+(/root/reference/src/operators/aggregate.cpp:10-48); this whole
+surface is gap-category work per SURVEY §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Bucket counts over [lo, hi): (bucket, cnt), bucket in
+    [0, n_buckets-1], out-of-range values clamped into the edge
+    buckets (so totals always reconcile with row counts). Empty
+    buckets are omitted — they read as 0 downstream."""
+    if not hi > lo:
+        raise ValueError(f"histogram_sketch: need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise sum — EXACT (integer counters), the property that
+    makes per-day/per-shard histograms re-aggregable into any rollup."""
+    if not sketches:
+        raise ValueError("histogram_merge: need at least one sketch")
+    acc = sketches[0]
+    for s in sketches[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantiles_from_histogram(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a (merged) sketch: for each q, walk the
+    cumulative counts to the landing bucket and interpolate linearly
+    inside it. Max error = one bucket width ((hi-lo)/n_buckets).
+
+    Distributed shape: the sketch is already tiny (<= n_buckets rows),
+    so the cumulative walk is a single-partition window over bounded
+    data BY CONSTRUCTION — the safe kind of global window (state is
+    n_buckets, not the corpus). Returns (q, est).
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    out = None
+    for q in qs:
+        # first bucket whose cumulative count reaches q*total
+        hit = (
+            cum.filter(F.col("cum") >= F.lit(float(q)) * F.col("total"))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                (
+                    F.lit(lo)
+                    + (
+                        F.col("bucket").cast("double")
+                        # fractional position of the q-th row inside
+                        # the landing bucket
+                        + (
+                            F.lit(float(q)) * F.col("total")
+                            - (F.col("cum") - F.col("cnt"))
+                        )
+                        / F.col("cnt")
+                    )
+                    * F.lit(width)
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -2386,3 +2386,97 @@ def lake_bloom_point_lookup(spark, sf_dir):
     pruned, n_read, n_total = read_point_lookup(spark, t, "o_orderkey", 32)
     assert n_read < n_total, "bloom sidecar must prune an equality probe"
     return pruned
+
+
+# --------------------------------------------------------------------------
+# Mergeable equi-width histogram (functions/histogram.py): bucket counts
+# are exact integers over deterministic double arithmetic, so the BUILD
+# value-hashes against the identical SQL floor expression — unlike
+# GK/t-digest sketches whose internals are engine-private. Merge
+# linearity and quantile interpolation are pytest-asserted.
+# --------------------------------------------------------------------------
+@register(
+    "agg_histogram_prices",
+    oracle="""SELECT CAST(GREATEST(0, LEAST(99,
+                       FLOOR(l_extendedprice / 1000.0))) AS INTEGER) AS bucket,
+                     COUNT(*) AS cnt
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1""",
+    tags=("aggregate", "histogram", "sketch"),
+)
+def agg_histogram_prices(spark, sf_dir):
+    from ..functions.histogram import histogram_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_sketch(li, "l_extendedprice", 0.0, 100_000.0, 100)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations (operators/dq.py): Great-Expectations/Delta-
+# constraints shape as a DataFrame program — all row-local rules in ONE
+# conditional-sum scan, uniqueness as a key groupBy, referential
+# integrity as a broadcast anti-join. The oracle recomputes every rule
+# as plain SQL, so the whole report value-hashes.
+# --------------------------------------------------------------------------
+@register(
+    "dq_orders_expectations",
+    oracle="""SELECT 'not_null(o_orderkey)' AS rule,
+                     CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                     COUNT(*) AS n_rows,
+                     SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+              FROM orders
+              UNION ALL
+              SELECT 'in_set(o_orderstatus)',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                    AND o_orderstatus NOT IN ('O','F','P')
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     COUNT(*),
+                     SUM(CASE WHEN o_orderstatus IS NOT NULL
+                               AND o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END) = 0
+              FROM orders
+              UNION ALL
+              SELECT 'in_range(o_totalprice)',
+                     CAST(SUM(CASE WHEN o_totalprice < 0
+                                     OR o_totalprice > 10000000
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     COUNT(*),
+                     SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 10000000
+                              THEN 1 ELSE 0 END) = 0
+              FROM orders
+              UNION ALL
+              SELECT 'unique(o_orderkey)',
+                     CAST(COALESCE((SELECT SUM(c) FROM (
+                         SELECT COUNT(*) AS c FROM orders
+                         GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT),
+                     (SELECT COUNT(*) FROM orders),
+                     COALESCE((SELECT SUM(c) FROM (
+                         SELECT COUNT(*) AS c FROM orders
+                         GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) = 0
+              UNION ALL
+              SELECT 'ref_integrity(o_custkey)',
+                     CAST((SELECT COUNT(*) FROM orders o
+                           WHERE o.o_custkey IS NOT NULL
+                             AND NOT EXISTS (SELECT 1 FROM customer c
+                                             WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+                     (SELECT COUNT(*) FROM orders),
+                     (SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey)) = 0""",
+    tags=("dq", "constraints", "aggregate", "join"),
+)
+def dq_orders_expectations(spark, sf_dir):
+    from ..operators.dq import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return check_expectations(o, [
+        {"type": "not_null", "col": "o_orderkey"},
+        {"type": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"type": "in_range", "col": "o_totalprice", "lo": 0, "hi": 10_000_000},
+        {"type": "unique", "cols": ["o_orderkey"]},
+        {"type": "ref_integrity", "col": "o_custkey", "ref": c,
+         "ref_col": "c_custkey"},
+    ])

@@ -372,7 +372,7 @@ def write_bloom_manifest(
     spark: SparkSession,
     path: str,
     col: str,
-    n_bits: int = 4096,
+    n_bits: int | None = None,
     n_hashes: int = 5,
 ) -> int:
     """Per-file Bloom filters for point-lookup skipping — the equality
@@ -385,19 +385,32 @@ def write_bloom_manifest(
     built with ONE aggregation: k xxhash64 probes per row ->
     posexplode to (file, word, bit-mask) -> bit_or per word. Stored
     under ``<path>/_bloom_<col>`` (underscore dir: invisible to table
-    scans). ~(n_bits/8) bytes per file — 0.5 KB at the default — so
-    even million-file tables keep the sidecar driver-loadable.
-    False-positive rate ~ (1-e^{-kn/m})^k; at 10k distinct keys/file
-    and 4096 bits expect ~2-3% of files surviving wrongly — they cost
-    one pushed-down scan each, never a wrong answer (Bloom proves
-    absence only).
+    scans). ~(n_bits/8) bytes per file, so even million-file tables
+    keep the sidecar driver-loadable.
+
+    ``n_bits=None`` auto-sizes to ~10 bits per row of the LARGEST
+    file (next power of two, floor 4096): a fixed bitset silently
+    saturates once rows/file outgrows it — every bit set, zero
+    pruning — which is a performance cliff, not a correctness bug,
+    and exactly the kind that only shows up at scale. False-positive
+    rate ~ (1-e^{-kn/m})^k ≈ 1% at 10 bits/key, k=5; false positives
+    cost one pushed-down scan each, never a wrong answer (Bloom
+    proves absence only).
     """
     from pyspark.sql import functions as F
 
-    n_words = (n_bits + 63) // 64
     df = spark.read.parquet(path).select(
         F.col("_metadata.file_path").alias("file"), F.col(col).alias("__v")
     )
+    if n_bits is None:
+        mx = (
+            df.groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m")).head()
+        )
+        rows_per_file = int(mx.m or 1)
+        n_bits = 4096
+        while n_bits < 10 * rows_per_file:
+            n_bits <<= 1
     # k bit positions per row -> (word index, single-bit mask)
     probes = df.select(
         "file",

@@ -183,3 +183,61 @@ def test_surrogate_keys_dense_gap_free(spark):
     ).collect()[0]
     # dense = a gap-free permutation of 0..n-1
     assert (stats.n, stats.nd, stats.lo, stats.hi) == (n, n, 0, n - 1)
+
+
+# ------------------------------------------------------------ histogram
+def test_histogram_merge_exactly_linear_and_totals_reconcile(spark):
+    from pyspark.sql import Row, functions as F
+
+    from parallel_dbms_spark.functions.histogram import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = list(rng.normal(50, 20, size=4000)) + [-999.0, 999.0]  # clamp edges
+    df = spark.createDataFrame([Row(i=i, x=float(v)) for i, v in enumerate(vals)])
+    a, b = df.filter("i % 2 = 0"), df.filter("i % 2 = 1")
+    whole = {r.bucket: r.cnt for r in
+             histogram_sketch(df, "x", 0.0, 100.0, 64).collect()}
+    merged = {r.bucket: r.cnt for r in histogram_merge(
+        histogram_sketch(a, "x", 0.0, 100.0, 64),
+        histogram_sketch(b, "x", 0.0, 100.0, 64),
+    ).collect()}
+    assert merged == whole
+    assert sum(whole.values()) == len(vals)  # clamping loses nothing
+    assert 0 in whole and 63 in whole  # out-of-range landed in edges
+
+
+def test_histogram_quantiles_within_one_bucket_width(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.histogram import (
+        histogram_sketch,
+        quantiles_from_histogram,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vals = [float(v) for v in rng.uniform(0, 100, size=8000)]
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    sk = histogram_sketch(df, "x", 0.0, 100.0, 128)
+    got = {r.q: r.est for r in
+           quantiles_from_histogram(sk, [0.1, 0.5, 0.9, 0.99], 0.0, 100.0, 128).collect()}
+    width = 100.0 / 128
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = float(np.quantile(vals, q))
+        assert abs(got[q] - true) <= width + 1e-9, (q, got[q], true)
+
+
+def test_histogram_rejects_bad_range(spark):
+    import pytest as _pytest
+
+    from parallel_dbms_spark.functions.histogram import histogram_sketch
+
+    df = spark.range(5).selectExpr("cast(id as double) as x")
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "x", 10.0, 10.0)
