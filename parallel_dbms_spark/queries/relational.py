@@ -2480,3 +2480,41 @@ def dq_orders_expectations(spark, sf_dir):
         {"type": "ref_integrity", "col": "o_custkey", "ref": c,
          "ref_col": "c_custkey"},
     ])
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle="""WITH sk AS (
+                SELECT CAST(GREATEST(0, LEAST(99,
+                         FLOOR(l_extendedprice / 1000.0))) AS INTEGER) AS bucket,
+                       COUNT(*) AS cnt
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                GROUP BY 1),
+                   c AS (
+                SELECT bucket, cnt,
+                       SUM(cnt) OVER (ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(cnt) OVER () AS total
+                FROM sk),
+                   qs AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                         CAST(0.9 AS DOUBLE),
+                                         CAST(0.99 AS DOUBLE)]) AS q)
+              SELECT qs.q AS q,
+                     (SELECT 0.0 + (CAST(bucket AS DOUBLE)
+                              + (qs.q * total - (cum - cnt)) / cnt) * 1000.0
+                      FROM c WHERE cum >= qs.q * total
+                      ORDER BY bucket LIMIT 1) AS est
+              FROM qs""",
+    tags=("aggregate", "histogram", "sketch", "window"),
+)
+def agg_histogram_quantiles(spark, sf_dir):
+    # Quantiles FROM the mergeable sketch: the cumulative walk is a
+    # window over <=100 rows BY CONSTRUCTION (sketch size, not corpus
+    # size) — the safe global window. The oracle replays the identical
+    # double arithmetic, so even the interpolation value-hashes.
+    from ..functions.histogram import histogram_sketch, quantiles_from_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = histogram_sketch(li, "l_extendedprice", 0.0, 100_000.0, 100)
+    return quantiles_from_histogram(sk, [0.5, 0.9, 0.99], 0.0, 100_000.0, 100)

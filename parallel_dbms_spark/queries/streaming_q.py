@@ -327,3 +327,35 @@ def stream_scd2_dimension(spark, sf_dir):
         attr_cols=["event_type"], tiebreak=["event_id"],
     )
     return spark.read.parquet(root + "/out/dim")
+
+
+@register(
+    "stream_histogram_value",
+    oracle="""SELECT CAST(GREATEST(0, LEAST(63,
+                       FLOOR(value / 15.625))) AS INTEGER) AS bucket,
+                     COUNT(*) AS cnt
+              FROM events
+              WHERE value IS NOT NULL
+              GROUP BY 1""",
+    tags=("streaming", "histogram", "sketch"),
+)
+def stream_histogram_value(spark, sf_dir):
+    # Running histogram over the streamed events.value: 3 micro-batches
+    # sketched and bucket-wise merged. Merge linearity is exact, so the
+    # plain batch GROUP BY is a valid oracle for the streaming path —
+    # bucket width 1000/64 = 15.625 is exact in binary, keeping the
+    # floor arithmetic bit-identical across engines.
+    import tempfile
+
+    from ..streaming.sinks import stream_histogram_sink
+
+    root = tempfile.mkdtemp(prefix="stream_hist_")
+    feed = read_events_stream(
+        spark, sf_dir, staged=root + "/src",
+        n_files=3, max_files_per_trigger=1,
+    )
+    stream_histogram_sink(
+        feed, root + "/sk", root + "/ck",
+        col="value", lo=0.0, hi=1000.0, n_buckets=64,
+    )
+    return spark.read.parquet(root + "/sk")

@@ -218,3 +218,53 @@ def stream_scd2_sink(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_histogram_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+    trigger_available_now: bool = True,
+):
+    """Maintain a running equi-width histogram over a stream: each
+    micro-batch is sketched (``functions.histogram.histogram_sketch``)
+    and bucket-wise SUMMED into the stored sketch. Because histogram
+    merge is EXACTLY linear, the final sketch equals the one-shot
+    batch build over the whole feed — bit-identical, which is what
+    the registered query's oracle asserts. State is <= n_buckets rows
+    forever, the streaming-aggregation shape watermarks exist to
+    approximate for unbounded keys — here the key space is bounded by
+    construction, so no watermark is needed at all.
+    """
+    import os
+    import shutil
+
+    from ..functions.histogram import histogram_merge, histogram_sketch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sk = histogram_sketch(batch_df, col, lo, hi, n_buckets)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            sk = histogram_merge(spark.read.parquet(path), sk)
+        staged = f"{path}__staged"
+        sk.coalesce(1).write.mode("overwrite").parquet(staged)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(staged, path)
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q

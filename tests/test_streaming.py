@@ -502,3 +502,25 @@ def test_stream_scd2_sink_equals_batch_history(spark, tmp_path):
     # exactly one current row per user in the served dimension
     cur = got.filter(F.col("is_current")).groupBy("user_id").count()
     assert cur.filter(F.col("count") != 1).count() == 0
+
+
+def test_stream_histogram_sink_equals_batch_sketch(spark, tmp_path):
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.functions.histogram import histogram_sketch
+    from parallel_dbms_spark.streaming import read_events_stream
+    from parallel_dbms_spark.streaming.sinks import stream_histogram_sink
+
+    feed = read_events_stream(
+        spark, SF_SMOKE, staged=str(tmp_path / "src"),
+        n_files=4, max_files_per_trigger=1,
+    )
+    out = str(tmp_path / "sk")
+    stream_histogram_sink(
+        feed, out, str(tmp_path / "ck"),
+        col="value", lo=0.0, hi=1000.0, n_buckets=64,
+    )
+    got = {r.bucket: r.cnt for r in spark.read.parquet(out).collect()}
+    want = {r.bucket: r.cnt for r in histogram_sketch(
+        load_table(spark, SF_SMOKE, "events"), "value", 0.0, 1000.0, 64
+    ).collect()}
+    assert got == want  # linearity: streamed merge == one-shot build
