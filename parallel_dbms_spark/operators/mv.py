@@ -1,0 +1,138 @@
+"""Materialized views with re-aggregation rewrite — answer a coarser
+aggregate question from a stored partial aggregate instead of the
+fact table.
+
+The warehouse classic (Calcite/Snowflake-style MV rewrite), cut to
+its load-bearing core: a view grouped on G storing re-aggregable
+measures can answer ANY question grouped on G' ⊆ G with measures
+derivable from the stored ones —
+
+    sum   <- SUM(sum)        count <- SUM(count)
+    min   <- MIN(min)        max   <- MAX(max)
+    avg   <- SUM(sum)/SUM(count)   (never stored: avg is not
+                                    re-aggregable, its parts are)
+
+At 100 TB the fact table is the expensive thing; the MV is
+(cardinality of G) rows. A question the rewrite accepts costs a scan
+of the MV — orders of magnitude less I/O — and returns EXACTLY the
+full recompute (integer measures re-sum exactly; the driver oracle
+value-hashes this). A question it cannot prove answerable raises
+instead of silently recomputing, so callers choose the fallback
+explicitly.
+
+Maintenance composes with the rest of the lake surface:
+``operators/incremental.py`` refreshes a stored rollup from a delta,
+and ``sources/lake.py`` versioning gives MV snapshots time travel.
+
+The reference has no GROUP BY at all (no HASH_GROUP_BY case in
+/root/reference/src/main.cpp:636-674), let alone stored rollups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["define_mv", "mv_answer"]
+
+_STORE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def define_mv(
+    fact: DataFrame,
+    path: str,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> None:
+    """Materialize ``fact`` grouped on ``group_cols``.
+
+    ``measures`` maps stored column name -> (fn, source_col) with fn in
+    {sum, count, min, max}; ``count`` counts non-null source values.
+    Integer-typed sums stay exact (re-aggregation is associative); for
+    doubles prefer a scaled BIGINT source column if the consumer needs
+    value-hash equality with a recompute.
+
+    The rollup is one map-side-combined aggregation; metadata lands in
+    a ``_mv.json`` sidecar (underscore: invisible to table scans).
+    """
+    aggs = []
+    for out, (fn, src) in measures.items():
+        if fn == "sum":
+            aggs.append(F.sum(src).alias(out))
+        elif fn == "count":
+            aggs.append(F.count(src).alias(out))
+        elif fn == "min":
+            aggs.append(F.min(src).alias(out))
+        elif fn == "max":
+            aggs.append(F.max(src).alias(out))
+        else:
+            raise ValueError(f"measure fn must be sum/count/min/max, got {fn}")
+    fact.groupBy(*group_cols).agg(*aggs).write.mode("overwrite").parquet(path)
+    meta = {
+        "group_cols": list(group_cols),
+        "measures": {k: list(v) for k, v in measures.items()},
+    }
+    with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def _load_meta(path: str) -> dict:
+    with open(os.path.join(path, "_mv.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def mv_answer(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    want: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Answer ``SELECT group_cols, want... GROUP BY group_cols`` from
+    the MV at ``path``.
+
+    ``want`` maps output column -> (fn, source_col) where fn adds
+    ``avg`` to the storable set. Raises ValueError with the precise
+    containment violation when the MV cannot prove the answer —
+    requested groups not a subset of the view's, or a measure whose
+    parts were not stored.
+    """
+    meta = _load_meta(path)
+    mv_groups = set(meta["group_cols"])
+    stored = {
+        (fn, src): out for out, (fn, src) in meta["measures"].items()
+    }
+    missing = [g for g in group_cols if g not in mv_groups]
+    if missing:
+        raise ValueError(
+            f"mv_answer: group cols {missing} not in the view's grouping "
+            f"{sorted(mv_groups)} — the MV is too coarse for this question"
+        )
+
+    aggs = []
+    for out, (fn, src) in want.items():
+        if fn in ("sum", "count", "min", "max"):
+            key = (fn, src)
+            if key not in stored:
+                raise ValueError(
+                    f"mv_answer: {fn}({src}) not derivable — the view "
+                    f"stores {sorted(meta['measures'])}"
+                )
+            aggs.append(_STORE[fn](stored[key]).alias(out))
+        elif fn == "avg":
+            s, c = ("sum", src), ("count", src)
+            if s not in stored or c not in stored:
+                raise ValueError(
+                    f"mv_answer: avg({src}) needs stored sum({src}) AND "
+                    f"count({src})"
+                )
+            aggs.append(
+                (
+                    F.sum(stored[s]).cast("double")
+                    / F.sum(stored[c]).cast("double")
+                ).alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported measure fn: {fn}")
+    return spark.read.parquet(path).groupBy(*group_cols).agg(*aggs)

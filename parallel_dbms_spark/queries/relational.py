@@ -2518,3 +2518,46 @@ def agg_histogram_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     sk = histogram_sketch(li, "l_extendedprice", 0.0, 100_000.0, 100)
     return quantiles_from_histogram(sk, [0.5, 0.9, 0.99], 0.0, 100_000.0, 100)
+
+
+# --------------------------------------------------------------------------
+# Materialized-view rewrite (operators/mv.py): the monthly rollup is
+# materialized once, then a per-priority question is answered by
+# RE-AGGREGATING the (priority, month) view — the fact table is not
+# scanned. The oracle recomputes from the raw table, so the value-hash
+# proves the rewrite exact (integer cents re-sum associatively; the
+# derived avg is one double division on both sides).
+# --------------------------------------------------------------------------
+@register(
+    "mv_rollup_rewrite",
+    oracle="""SELECT o_orderpriority,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) AS avg_cents
+              FROM orders
+              GROUP BY 1""",
+    tags=("mv", "aggregate", "rollup", "lake"),
+)
+def mv_rollup_rewrite(spark, sf_dir):
+    import tempfile
+
+    from ..operators.mv import define_mv, mv_answer
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    p = tempfile.mkdtemp(prefix="mv_rollup_") + "/mv"
+    define_mv(
+        o, p,
+        group_cols=["o_orderpriority", "mon"],
+        measures={"sum_cents": ("sum", "cents"), "n_cents": ("count", "cents")},
+    )
+    return mv_answer(
+        spark, p, ["o_orderpriority"],
+        {"total_cents": ("sum", "cents"), "n": ("count", "cents"),
+         "avg_cents": ("avg", "cents")},
+    )
