@@ -118,6 +118,15 @@ def bench_queries(spark, sf_dir):
         "logit_classifier": lambda: _exec(
             REGISTRY["classifier_lang_logit"].fn(spark, sf_dir)
         ),
+        # r3 wave 3: mergeable histogram (build + sketch quantiles),
+        # declarative DQ expectations, MV re-aggregation rewrite
+        "histogram_quantiles": lambda: _exec(
+            REGISTRY["agg_histogram_quantiles"].fn(spark, sf_dir)
+        ),
+        "dq_expectations": lambda: _exec(
+            REGISTRY["dq_orders_expectations"].fn(spark, sf_dir)
+        ),
+        "mv_rewrite": lambda: _exec(REGISTRY["mv_rollup_rewrite"].fn(spark, sf_dir)),
     }
 
     times, rates = {}, {}
