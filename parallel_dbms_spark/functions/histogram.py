@@ -75,24 +75,25 @@ def quantiles_from_histogram(
     cumulative counts to the landing bucket and interpolate linearly
     inside it. Max error = one bucket width ((hi-lo)/n_buckets).
 
-    Distributed shape: the sketch is already tiny (<= n_buckets rows),
-    so the cumulative walk is a single-partition window over bounded
-    data BY CONSTRUCTION — the safe kind of global window (state is
-    n_buckets, not the corpus). Returns (q, est).
+    Distributed shape: the sketch is tiny (<= n_buckets rows) BY
+    CONSTRUCTION, so the cumulative walk is computed with a broadcast
+    triangular self-join (cum(b) = sum of cnt over buckets <= b) plus
+    a broadcast grand total — O(n_buckets²) pairs of bounded data and
+    ZERO windows, keeping the registry-wide no-unpartitioned-window
+    invariant airtight instead of carving a "bounded window" loophole
+    a future query could copy unboundedly. Returns (q, est).
     """
-    from pyspark.sql import Window
-
     width = (hi - lo) / n_buckets
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = sketch.select(
-        "bucket",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(
-            Window.orderBy("bucket").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    b = sketch.select(
+        F.col("bucket").alias("b_bucket"), F.col("cnt").alias("b_cnt")
+    )
+    cum = (
+        sketch.join(F.broadcast(b), F.col("b_bucket") <= F.col("bucket"))
+        .groupBy("bucket", "cnt")
+        .agg(F.sum("b_cnt").alias("cum"))
+        .crossJoin(
+            F.broadcast(sketch.agg(F.sum("cnt").alias("total")))
+        )
     )
     out = None
     for q in qs:

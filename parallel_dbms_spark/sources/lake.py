@@ -302,7 +302,10 @@ def write_manifest(
     table itself reads unchanged).
 
     This is the data-skipping half of what a Delta/Iceberg txn log
-    provides: one row per physical file, columns
+    provides (the reference's sink keeps no stats at all — it spools
+    plain CSV with a typed header,
+    /root/reference/src/headers/table.cpp:252-307, so every query
+    re-reads every byte): one row per physical file, columns
     ``file, n_rows, <c>_min, <c>_max`` per stats column. The stats
     pass is a single aggregation grouped on ``_metadata.file_path``
     (Spark's hidden per-row file provenance column) — no extra scan
