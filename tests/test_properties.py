@@ -358,3 +358,84 @@ def test_stream_neardup_reference_partition_invariant(spark):
     # every planted exact dup is dropped, every original kept
     assert all(i in k1 for i in range(40))
     assert all(100 + i not in k1 for i in range(0, 40, 5))
+
+
+def test_scd2_partition_invariant(spark):
+    import datetime as dt
+
+    from parallel_dbms_spark.operators import scd2_history
+
+    rng = random.Random(17)
+    rows = [
+        Row(
+            k=rng.randrange(12),
+            ts=dt.datetime(2024, 1, 1 + rng.randrange(25)),
+            seq=i,
+            st=rng.choice(["A", "B", "C", None]),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def hist(d):
+        return sorted(
+            (r.k, r.st or "-", r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(
+                d, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+            ).collect()
+        )
+
+    assert hist(df.repartition(1)) == hist(df.repartition(11))
+
+
+def test_histogram_partition_invariant_exact(spark):
+    from parallel_dbms_spark.functions.histogram import histogram_sketch
+
+    rng = random.Random(23)
+    df = spark.createDataFrame(
+        [Row(x=rng.uniform(-10, 110)) for _ in range(3000)]
+    )
+    sk = lambda d: sorted(
+        (r.bucket, r.cnt)
+        for r in histogram_sketch(d, "x", 0.0, 100.0, 32).collect()
+    )
+    assert sk(df.repartition(1)) == sk(df.repartition(9))
+
+
+def test_cms_partition_invariant_exact(spark):
+    from parallel_dbms_spark.functions.frequency import cms_build
+
+    rng = random.Random(29)
+    df = spark.createDataFrame(
+        [Row(term=f"t{rng.randrange(50)}") for _ in range(2000)]
+    )
+    sk = lambda d: sorted(
+        (r.d, r.w, r.cnt) for r in cms_build(d, width=256).collect()
+    )
+    assert sk(df.repartition(1)) == sk(df.repartition(9))
+
+
+def test_mv_rewrite_invariant_under_view_regrouping(spark, tmp_path):
+    # Answering from a FINER view must equal answering from a coarser
+    # one whenever both contain the question — re-aggregation is
+    # associative on the stored measures.
+    from parallel_dbms_spark.operators.mv import define_mv, mv_answer
+
+    rng = random.Random(31)
+    df = spark.createDataFrame(
+        [
+            Row(a=rng.randrange(4), b=rng.randrange(6), c=rng.randrange(3),
+                v=rng.randrange(1000))
+            for _ in range(2000)
+        ]
+    )
+    fine, coarse = str(tmp_path / "fine"), str(tmp_path / "coarse")
+    meas = {"s": ("sum", "v"), "n": ("count", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v")}
+    define_mv(df, fine, ["a", "b", "c"], meas)
+    define_mv(df, coarse, ["a", "b"], meas)
+    want = {"s": ("sum", "v"), "n": ("count", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v"), "m": ("avg", "v")}
+    f = sorted(tuple(r) for r in mv_answer(spark, fine, ["a"], want).collect())
+    c = sorted(tuple(r) for r in mv_answer(spark, coarse, ["a"], want).collect())
+    assert f == c
