@@ -142,3 +142,35 @@ def apply_changes(
     upserts = changes.filter(F.col("change_type") != "D").drop("change_type")
     kept = target.join(deletes, on=keys, how="left_anti")
     return merge_upsert(kept, upserts.select(*target.columns), keys)
+
+
+def pit_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    attr_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time enrichment: attach to each fact row the SCD2
+    dimension state that was valid AT the fact's timestamp — the
+    feature-store join that prevents label leakage (training rows must
+    see yesterday's dimension, not today's).
+
+    Because ``scd2_history`` intervals tile (valid_to == next row's
+    valid_from, verified in tests), "state at ts" is exactly the
+    latest ``valid_from`` <= ts — a backward as-of join on the key,
+    with no residual interval filter needed. One shuffle on the key,
+    same plan as ``operators.asof.asof_join`` (which implements it).
+    """
+    from .asof import asof_join
+
+    return asof_join(
+        facts,
+        dim,
+        on=key,
+        left_ts=fact_ts,
+        right_ts="valid_from",
+        right_values=list(attr_cols),
+        how=how,
+    )

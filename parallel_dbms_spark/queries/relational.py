@@ -2561,3 +2561,50 @@ def mv_rollup_rewrite(spark, sf_dir):
         {"total_cents": ("sum", "cents"), "n": ("count", "cents"),
          "avg_cents": ("avg", "cents")},
     )
+
+
+@register(
+    "scd2_pit_enrich",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                                event_type
+                         FROM events),
+                   m AS (SELECT user_id, event_id, ts, event_type,
+                                CASE WHEN ROW_NUMBER() OVER w = 1
+                                       OR LAG(event_type) OVER w
+                                          IS DISTINCT FROM event_type
+                                     THEN 1 ELSE 0 END AS is_start
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   dim AS (SELECT user_id, event_type, ts AS valid_from
+                           FROM m WHERE is_start = 1),
+                   facts AS (SELECT user_id, event_id,
+                                    ts + INTERVAL 30 MINUTE AS fts
+                             FROM e WHERE event_id % 13 = 0)
+              SELECT f.user_id, f.event_id, f.fts,
+                     d.event_type AS r_event_type
+              FROM facts f
+              ASOF JOIN dim d
+                ON f.user_id = d.user_id AND f.fts >= d.valid_from""",
+    tags=("cdc", "scd2", "asof", "join", "timeseries"),
+)
+def scd2_pit_enrich(spark, sf_dir):
+    # Point-in-time enrichment (operators/cdc.py pit_enrich): facts 30
+    # minutes after each 13th event must see the dimension state AS OF
+    # that moment — DuckDB's native ASOF JOIN against the same
+    # recursively-derived dimension is the oracle.
+    from ..operators.cdc import pit_enrich, scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    dim = scd2_history(
+        ev, keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    )
+    facts = ev.filter(F.col("event_id") % 13 == 0).select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("fts"),
+    )
+    return pit_enrich(facts, dim, key="user_id", fact_ts="fts",
+                      attr_cols=["event_type"])

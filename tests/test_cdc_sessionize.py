@@ -222,3 +222,33 @@ def test_scd2_exactly_one_current_per_key(spark):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_pit_enrich_sees_past_state_never_future(spark):
+    from parallel_dbms_spark.operators.cdc import pit_enrich, scd2_history
+
+    feed = _feed(
+        spark,
+        [(1, 1, 0, "A"), (1, 5, 0, "B"), (1, 9, 0, "C"), (2, 3, 0, "Z")],
+    )
+    dim = scd2_history(
+        feed, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(k=1, fid=10, fts=dt.datetime(2024, 1, 1)),   # exactly at A
+            Row(k=1, fid=11, fts=dt.datetime(2024, 1, 4)),   # inside A
+            Row(k=1, fid=12, fts=dt.datetime(2024, 1, 5)),   # exactly at B
+            Row(k=1, fid=13, fts=dt.datetime(2024, 1, 30)),  # after last -> C
+            Row(k=2, fid=14, fts=dt.datetime(2024, 1, 2)),   # before first
+            Row(k=3, fid=15, fts=dt.datetime(2024, 1, 2)),   # unknown key
+        ]
+    )
+    got = {r.fid: r.r_st for r in pit_enrich(
+        facts, dim, key="k", fact_ts="fts", attr_cols=["st"]
+    ).collect()}
+    assert got == {10: "A", 11: "A", 12: "B", 13: "C"}  # 14,15 dropped (inner)
+    left = {r.fid: r.r_st for r in pit_enrich(
+        facts, dim, key="k", fact_ts="fts", attr_cols=["st"], how="left"
+    ).collect()}
+    assert left[14] is None and left[15] is None and len(left) == 6
