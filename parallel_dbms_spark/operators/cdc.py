@@ -174,3 +174,33 @@ def pit_enrich(
         right_values=list(attr_cols),
         how=how,
     )
+
+
+def state_durations(
+    dim: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    horizon,
+) -> DataFrame:
+    """Duration-weighted state statistics from SCD2 intervals: per
+    (key, state) total seconds spent in that state, open intervals
+    closed at ``horizon`` (the "as of now" clock — pass the feed's max
+    timestamp or a wall-clock literal).
+
+    "How long was each user in state X" is the canonical SCD2
+    consumer after point-in-time joins. Interval seconds are integer
+    epoch differences — exact, order-independent sums, so the whole
+    computation value-hashes against SQL. One groupBy on
+    (key, state); no windows at all (the intervals already encode the
+    ordering work).
+    """
+    keys, attr_cols = list(keys), list(attr_cols)
+    end = F.coalesce(F.col("valid_to"), F.lit(horizon).cast("timestamp"))
+    dur = F.unix_timestamp(end) - F.unix_timestamp(F.col("valid_from"))
+    return (
+        dim.groupBy(*keys, *attr_cols)
+        .agg(
+            F.sum(dur).alias("total_s"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

@@ -85,10 +85,13 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
       {"type": "predicate", "expr": "<sql the row must satisfy>"}
       {"type": "unique", "cols": [c, ...]}
       {"type": "ref_integrity", "col": c, "ref": DataFrame, "ref_col": rc}
+      {"type": "k_anonymity", "cols": [c, ...], "k": n}
     """
     spark = df.sparkSession
     row_rules = [
-        r for r in rules if r["type"] not in ("unique", "ref_integrity")
+        r
+        for r in rules
+        if r["type"] not in ("unique", "ref_integrity", "k_anonymity")
     ]
     results = []
 
@@ -118,6 +121,25 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             )
             v = int(dup.v)
             results.append((_rule_name(r), v, n, v == 0))
+        elif r["type"] == "k_anonymity":
+            # privacy guard: every quasi-identifier combination must
+            # describe at least k individuals — rows in smaller groups
+            # are re-identifiable and count as violations. Same single
+            # groupBy shape as ``unique`` (which is k_anonymity's
+            # mirror image: unique wants groups == 1, k-anon wants
+            # groups >= k).
+            cols, k = list(r["cols"]), int(r["k"])
+            small = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") < k)
+                .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("v"))
+                .head()
+            )
+            v = int(small.v)
+            results.append(
+                (f"k_anonymity({','.join(cols)},k={k})", v, n, v == 0)
+            )
         elif r["type"] == "ref_integrity":
             ref = r["ref"].select(
                 F.col(r["ref_col"]).alias(r["col"])

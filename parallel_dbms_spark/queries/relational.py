@@ -2608,3 +2608,51 @@ def scd2_pit_enrich(spark, sf_dir):
     )
     return pit_enrich(facts, dim, key="user_id", fact_ts="fts",
                       attr_cols=["event_type"])
+
+
+@register(
+    "scd2_time_in_state",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                                event_type
+                         FROM events),
+                   m AS (SELECT user_id, event_id, ts, event_type,
+                                CASE WHEN ROW_NUMBER() OVER w = 1
+                                       OR LAG(event_type) OVER w
+                                          IS DISTINCT FROM event_type
+                                     THEN 1 ELSE 0 END AS is_start
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   s AS (SELECT user_id, event_id, ts, event_type
+                         FROM m WHERE is_start = 1),
+                   iv AS (SELECT user_id, event_type, ts AS valid_from,
+                                 LEAD(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS valid_to
+                          FROM s)
+              SELECT user_id, event_type,
+                     CAST(SUM(CAST(FLOOR(epoch(COALESCE(valid_to,
+                                TIMESTAMP '2024-02-01'))) AS BIGINT)
+                              - CAST(FLOOR(epoch(valid_from)) AS BIGINT))
+                          AS BIGINT) AS total_s,
+                     COUNT(*) AS n_intervals
+              FROM iv GROUP BY 1, 2""",
+    tags=("cdc", "scd2", "aggregate", "timeseries"),
+)
+def scd2_time_in_state(spark, sf_dir):
+    # Duration-weighted state stats (operators/cdc.py state_durations):
+    # integer epoch sums over the SCD2 intervals, open intervals closed
+    # at a fixed horizon just past the feed — exact and value-hashed.
+    import datetime as _dt
+
+    from ..operators.cdc import scd2_history, state_durations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    dim = scd2_history(
+        ev, keys=["user_id"], ts_col="ts",
+        attr_cols=["event_type"], tiebreak=["event_id"],
+    )
+    return state_durations(
+        dim, keys=["user_id"], attr_cols=["event_type"],
+        horizon=_dt.datetime(2024, 2, 1),
+    )

@@ -252,3 +252,24 @@ def test_pit_enrich_sees_past_state_never_future(spark):
         facts, dim, key="k", fact_ts="fts", attr_cols=["st"], how="left"
     ).collect()}
     assert left[14] is None and left[15] is None and len(left) == 6
+
+
+def test_state_durations_sum_to_horizon_span(spark):
+    from parallel_dbms_spark.operators.cdc import scd2_history, state_durations
+
+    feed = _feed(
+        spark, [(1, 1, 0, "A"), (1, 5, 0, "B"), (1, 11, 0, "A"), (2, 3, 0, "Z")]
+    )
+    dim = scd2_history(
+        feed, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+    )
+    horizon = dt.datetime(2024, 1, 31)
+    out = state_durations(dim, ["k"], ["st"], horizon).collect()
+    by = {(r.k, r.st): (r.total_s, r.n_intervals) for r in out}
+    day = 86_400
+    # k=1: A for [1,5)=4d + [11,31)=20d in 2 intervals; B for [5,11)=6d
+    assert by[(1, "A")] == (24 * day, 2)
+    assert by[(1, "B")] == (6 * day, 1)
+    # per-key totals cover first-change -> horizon exactly (tiling)
+    assert sum(s for (k, _), (s, _n) in by.items() if k == 1) == 30 * day
+    assert by[(2, "Z")] == (28 * day, 1)

@@ -59,3 +59,20 @@ def test_unknown_rule_raises(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="unknown expectation"):
         check_expectations(df, [{"type": "nope", "col": "id"}])
+
+
+def test_k_anonymity_counts_reidentifiable_rows(spark):
+    df = spark.createDataFrame(
+        [Row(zip="100", age=30)] * 5
+        + [Row(zip="200", age=40)] * 2
+        + [Row(zip="300", age=50)]  # singleton: re-identifiable
+    )
+    out = {r.rule: (r.n_violations, r.passed) for r in check_expectations(
+        df, [{"type": "k_anonymity", "cols": ["zip", "age"], "k": 3}]
+    ).collect()}
+    # groups of size 2 and 1 violate k=3 -> 3 rows re-identifiable
+    assert out["k_anonymity(zip,age,k=3)"] == (3, False)
+    ok = check_expectations(
+        df, [{"type": "k_anonymity", "cols": ["zip", "age"], "k": 1}]
+    ).head()
+    assert ok.passed and ok.n_violations == 0
