@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     right_values: list[str],
@@ -29,13 +29,15 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    right_ts <= left_ts and equal ``on`` key (direction="backward"),
+    right_ts <= left_ts and equal ``on`` key(s) — a single column name
+    or a composite-key list (direction="backward"),
     or the EARLIEST right row with right_ts >= left_ts
     (direction="forward" — "next reading at or after"). The forward
     form is the same one-shuffle window plan run in descending time
     order; DuckDB's ``ASOF JOIN ... ON l.ts <= r.ts`` is its oracle."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    on = [on] if isinstance(on, str) else list(on)  # composite keys ok
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     # The whole right row travels as ONE struct: ``last(__r, ignorenulls)``
@@ -45,13 +47,13 @@ def asof_join(
     # inner-join filtering on a value column would drop legitimately-
     # NULL matches.)
     r = right.select(
-        F.col(on),
+        *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
     )
     for c in lcols:
-        if c not in (on,):
+        if c not in on:
             r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
     l = l.withColumn("__r", F.lit(None).cast(dict(r.dtypes)["__r"]))
 
@@ -62,7 +64,7 @@ def asof_join(
     # seen" then means "smallest right_ts >= left_ts".
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*on)
         .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )

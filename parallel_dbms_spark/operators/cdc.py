@@ -147,7 +147,7 @@ def apply_changes(
 def pit_enrich(
     facts: DataFrame,
     dim: DataFrame,
-    key: str,
+    key: str | list[str],
     fact_ts: str,
     attr_cols: Sequence[str],
     how: str = "inner",

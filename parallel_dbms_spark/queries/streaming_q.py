@@ -359,3 +359,46 @@ def stream_histogram_value(spark, sf_dir):
         col="value", lo=0.0, hi=1000.0, n_buckets=64,
     )
     return spark.read.parquet(root + "/sk")
+
+
+@register(
+    "stream_dq_report",
+    oracle="""WITH t AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                     CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_rng
+              FROM events)
+              SELECT 'not_null(user_id)' AS rule, v_null AS n_violations,
+                     n AS n_rows, v_null = 0 AS passed FROM t
+              UNION ALL
+              SELECT 'in_range(value)', v_rng, n, v_rng = 0 FROM t""",
+    tags=("streaming", "dq", "constraints"),
+)
+def stream_dq_report(spark, sf_dir):
+    # Streamed DQ observability, then rolled up: per-batch reports land
+    # keyed by batch id; summing violations/rows across batches must
+    # equal the one-shot batch check (conditional sums are linear in
+    # the rows), which is the SQL oracle.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.sinks import stream_dq_sink
+
+    root = tempfile.mkdtemp(prefix="stream_dq_")
+    feed = read_events_stream(
+        spark, sf_dir, staged=root + "/src",
+        n_files=3, max_files_per_trigger=1,
+    )
+    stream_dq_sink(
+        feed, root + "/dq", root + "/ck",
+        rules=[
+            {"type": "not_null", "col": "user_id"},
+            {"type": "in_range", "col": "value", "lo": 0.0},
+        ],
+    )
+    rep = spark.read.parquet(root + "/dq")
+    return rep.groupBy("rule").agg(
+        F.sum("n_violations").alias("n_violations"),
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum("n_violations") == 0).alias("passed"),
+    )

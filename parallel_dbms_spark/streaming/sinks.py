@@ -268,3 +268,49 @@ def stream_histogram_sink(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_dq_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    rules: list[dict],
+    trigger_available_now: bool = True,
+):
+    """Streaming data-quality observability: run the declarative
+    expectation suite (``operators.dq.check_expectations``) on every
+    micro-batch and land the per-batch report keyed by batch id
+    (idempotent overwrite — the exactly-once recipe).
+
+    The landed table is (batch_id, rule, n_violations, n_rows,
+    passed): the feed a quality dashboard tails and an alerting job
+    thresholds. Row-local rules cost ONE conditional-sum pass over
+    each batch; relational rules (unique within batch, ref-integrity
+    against a static dim) add one bounded job each. Cross-batch
+    uniqueness belongs to the serving-table MERGE, not the in-flight
+    check.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dq import check_expectations
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = check_expectations(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q

@@ -117,3 +117,29 @@ def test_forward_asof_picks_earliest_at_or_after(spark):
         ).collect()
     }
     assert outer[(1, 21)] is None and outer[(2, 1)] is None and outer[(1, 5)] == "a"
+
+
+def test_asof_join_composite_key(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.operators.asof import asof_join
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    left = spark.createDataFrame([
+        Row(a=1, b="x", lts=t(5)),
+        Row(a=1, b="y", lts=t(5)),   # same a, different b -> different match
+        Row(a=2, b="x", lts=t(5)),
+    ])
+    right = spark.createDataFrame([
+        Row(a=1, b="x", rts=t(1), v="ax1"),
+        Row(a=1, b="x", rts=t(4), v="ax4"),
+        Row(a=1, b="y", rts=t(2), v="ay2"),
+        Row(a=2, b="x", rts=t(9), v="late"),  # after left ts -> no match
+    ])
+    got = {(r.a, r.b): r.r_v for r in asof_join(
+        left, right, on=["a", "b"], left_ts="lts", right_ts="rts",
+        right_values=["v"],
+    ).collect()}
+    assert got == {(1, "x"): "ax4", (1, "y"): "ay2"}

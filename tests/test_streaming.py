@@ -524,3 +524,32 @@ def test_stream_histogram_sink_equals_batch_sketch(spark, tmp_path):
         load_table(spark, SF_SMOKE, "events"), "value", 0.0, 1000.0, 64
     ).collect()}
     assert got == want  # linearity: streamed merge == one-shot build
+
+
+def test_stream_dq_sink_reports_per_batch_and_totals_reconcile(spark, tmp_path):
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.streaming import read_events_stream
+    from parallel_dbms_spark.streaming.sinks import stream_dq_sink
+
+    feed = read_events_stream(
+        spark, SF_SMOKE, staged=str(tmp_path / "src"),
+        n_files=3, max_files_per_trigger=1,
+    )
+    out = str(tmp_path / "dq")
+    stream_dq_sink(
+        feed, out, str(tmp_path / "ck"),
+        rules=[
+            {"type": "not_null", "col": "user_id"},
+            {"type": "in_range", "col": "value", "lo": 0.0},
+            {"type": "unique", "cols": ["event_id"]},
+        ],
+    )
+    rep = spark.read.parquet(out)
+    # 3 batches x 3 rules, and per-rule n_rows sums to the full feed
+    assert rep.select("batch_id").distinct().count() == 3
+    assert rep.count() == 9
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    per_rule = rep.groupBy("rule").sum("n_rows").collect()
+    assert all(r["sum(n_rows)"] == n_total for r in per_rule)
+    # event_id is unique globally, hence within every batch
+    assert rep.filter("rule like 'unique%' and not passed").count() == 0
