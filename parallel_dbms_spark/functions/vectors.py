@@ -62,3 +62,52 @@ def quantized_centroid_sums(
         ).alias("sum_scaled"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def centroid_drift(
+    emb: DataFrame,
+    split_col,
+    label: str = "label",
+    vec: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Day-over-day (or cohort-vs-cohort) centroid drift monitor, in
+    exact integer arithmetic so the whole statistic value-hashes.
+
+    ``split_col`` is a boolean column splitting the corpus into
+    cohorts A (true) and B (false). Per (label, dim) the two cohorts'
+    floor-scaled sums and counts are computed in ONE aggregation pass
+    (conditional sums — no second scan, no join); the per-label drift
+    numerator sums |sa*nb - sb*na| over dims: zero iff the cohort
+    mean vectors are identical at the quantization, monotone in the
+    centroid gap, and — being integer — exactly reproducible by any
+    engine. (A float cosine between centroids is the human-friendly
+    derivative; computing it from these sums is one driver-side
+    division away and deliberately NOT baked in, to keep the
+    monitored quantity hashable.)
+    """
+    e = emb.select(
+        F.col(label),
+        split_col.alias("__a"),
+        F.posexplode(F.col(vec)).alias("pos", "val"),
+    ).select(
+        label,
+        "__a",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(scale))
+        .cast("long")
+        .alias("q"),
+    )
+    per_dim = e.groupBy(label, "pos").agg(
+        F.sum(F.when(F.col("__a"), F.col("q")).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("__a"), F.col("q")).otherwise(F.lit(0))).alias("sb"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    return per_dim.groupBy(label).agg(
+        F.sum(
+            F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        ).alias("drift_num"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )

@@ -1521,3 +1521,37 @@ def sim_int8_topk(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 199 == 0)
     return int8_topk(emb, queries, k=5)
+
+
+@register(
+    "vector_centroid_drift",
+    oracle="""WITH e AS (SELECT vec_id, label,
+                                unnest(embedding) AS val,
+                                generate_subscripts(embedding, 1) - 1 AS pos,
+                                vec_id % 2 = 0 AS a
+                         FROM embeddings),
+                   q AS (SELECT label, pos, a,
+                                CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0)
+                                     AS BIGINT) AS qv
+                         FROM e),
+                   d AS (SELECT label, pos,
+                                SUM(CASE WHEN a THEN qv ELSE 0 END) AS sa,
+                                CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                                SUM(CASE WHEN NOT a THEN qv ELSE 0 END) AS sb,
+                                CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                         FROM q GROUP BY 1, 2)
+              SELECT label,
+                     CAST(SUM(ABS(sa * nb - sb * na)) AS BIGINT) AS drift_num,
+                     MAX(na) AS n_a, MAX(nb) AS n_b
+              FROM d GROUP BY 1""",
+    tags=("vectors", "drift", "aggregate"),
+)
+def vector_centroid_drift(spark, sf_dir):
+    # Cohort drift over the embedding table (even vs odd ids as the
+    # deterministic stand-in for day-over-day): integer cross-product
+    # drift numerator per label — engine-exact, monotone in centroid
+    # gap (functions/vectors.py centroid_drift).
+    from ..functions.vectors import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, F.col("vec_id") % 2 == 0)

@@ -2656,3 +2656,34 @@ def scd2_time_in_state(spark, sf_dir):
         dim, keys=["user_id"], attr_cols=["event_type"],
         horizon=_dt.datetime(2024, 2, 1),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              FROM customer c,
+                   LATERAL (SELECT o_orderkey, o_totalprice
+                            FROM orders
+                            WHERE o_custkey = c.c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC
+                            LIMIT 2) o
+              WHERE c.c_custkey % 10 = 0""",
+    tags=("sql", "subquery", "lateral", "join"),
+)
+def sql_lateral_topk(spark, sf_dir):
+    # LATERAL correlated derived table — the "top-2 orders per
+    # customer" idiom both engines parse natively (Spark decorrelates
+    # to a ranked window join; DuckDB to a dependent join). Same SQL
+    # text on both sides: the frontend parity point of SURVEY §2.2
+    # taken past the reference's comma-join-only grammar.
+    return run_sql(
+        spark, sf_dir,
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM customer c,
+                LATERAL (SELECT o_orderkey, o_totalprice
+                         FROM orders
+                         WHERE o_custkey = c.c_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                         LIMIT 2) o
+           WHERE c.c_custkey % 10 = 0""",
+    )

@@ -273,3 +273,26 @@ def test_state_durations_sum_to_horizon_span(spark):
     # per-key totals cover first-change -> horizon exactly (tiling)
     assert sum(s for (k, _), (s, _n) in by.items() if k == 1) == 30 * day
     assert by[(2, "Z")] == (28 * day, 1)
+
+
+def test_centroid_drift_zero_for_identical_cohorts_positive_for_shifted(spark):
+    import numpy as np
+
+    from parallel_dbms_spark.functions.vectors import centroid_drift
+
+    rng = np.random.default_rng(13)
+    base = [[float(x) for x in rng.normal(size=8)] for _ in range(40)]
+    # cohort A = cohort B exactly -> drift 0
+    rows = [(i, 0, v) for i, v in enumerate(base)]
+    rows += [(100 + i, 0, v) for i, v in enumerate(base)]
+    # label 1: cohort B shifted -> strictly positive drift
+    rows += [(200 + i, 1, v) for i, v in enumerate(base)]
+    rows += [(300 + i, 1, [x + 0.5 for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r.label: r.drift_num for r in centroid_drift(
+        df, F.col("vec_id") % 200 < 100
+    ).collect()}
+    assert out[0] == 0
+    assert out[1] > 0
