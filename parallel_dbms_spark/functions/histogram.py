@@ -95,30 +95,27 @@ def quantiles_from_histogram(
             F.broadcast(sketch.agg(F.sum("cnt").alias("total")))
         )
     )
-    out = None
-    for q in qs:
-        # first bucket whose cumulative count reaches q*total
-        hit = (
-            cum.filter(F.col("cum") >= F.lit(float(q)) * F.col("total"))
-            .orderBy("bucket")
-            .limit(1)
-            .select(
-                F.lit(float(q)).alias("q"),
-                (
-                    F.lit(lo)
-                    + (
-                        F.col("bucket").cast("double")
-                        # fractional position of the q-th row inside
-                        # the landing bucket
-                        + (
-                            F.lit(float(q)) * F.col("total")
-                            - (F.col("cum") - F.col("cnt"))
-                        )
-                        / F.col("cnt")
-                    )
-                    * F.lit(width)
-                ).alias("est"),
-            )
+    # ALL quantiles in one pass: broadcast the q-list against the
+    # bounded cum frame, keep rows whose cumulative count reaches
+    # q*total, min_by picks each q's first (landing) bucket. One plan
+    # regardless of len(qs) — a per-q union would replay the
+    # triangular join len(qs) times.
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bucket").cast("double")
+            # fractional position of the q-th row inside the landing bucket
+            + (F.col("q") * F.col("total") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
         )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+        * F.lit(width)
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .withColumn("__est", est)
+        .groupBy("q")
+        .agg(F.min_by(F.col("__est"), F.col("bucket")).alias("est"))
+    )
