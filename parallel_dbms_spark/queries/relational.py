@@ -2687,3 +2687,45 @@ def sql_lateral_topk(spark, sf_dir):
                          LIMIT 2) o
            WHERE c.c_custkey % 10 = 0""",
     )
+
+
+@register(
+    "window_moving_avg_7d",
+    oracle="""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                value
+                         FROM events WHERE user_id % 37 = 0),
+                   w AS (SELECT event_id, user_id, ts,
+                                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                     OVER win AS DOUBLE) AS sum_7d,
+                                COUNT(value) OVER win AS n_7d
+                         FROM e
+                         WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                                        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                              AND CURRENT ROW))
+              SELECT event_id, user_id, ts, sum_7d / n_7d AS avg_7d, n_7d
+              FROM w""",
+    tags=("window", "timeseries", "events"),
+)
+def window_moving_avg_7d(spark, sf_dir):
+    # Trailing time-INTERVAL window frame (7-day moving average per
+    # user): Spark range frames are numeric, so the frame runs on
+    # integer epoch seconds — semantically identical to DuckDB's
+    # native RANGE INTERVAL frame, which is the oracle. The exact
+    # decimal sum divided by the count keeps the average bit-stable
+    # (same discipline as the streaming window sums). Partitioned by
+    # user — per-key state only.
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 37 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    sum_7d = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    n_7d = F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (sum_7d / n_7d).alias("avg_7d"),
+        n_7d.alias("n_7d"),
+    )

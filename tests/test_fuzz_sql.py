@@ -240,3 +240,54 @@ def test_random_sql_differential_v4(spark, duck, seed):
         spark, duck, f"fuzz4_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
     )
     assert res.ok, f"{q}\n{res!r}"
+
+
+def gen_query_v5(seed: int) -> str:
+    """Fifth wave: LATERAL correlated derived tables (per-group top-k
+    with a randomized k/ordering), multiset EXCEPT ALL/INTERSECT ALL,
+    and GROUPING SETS with grouping() disambiguation — the surfaces
+    added in round 3, fuzzed with the same verbatim-SQL-on-both-engines
+    contract."""
+    rng = random.Random(40_000 + seed)
+    kind = rng.randrange(3)
+    if kind == 0:  # LATERAL top-k per customer
+        k = rng.randint(1, 3)
+        mod = rng.randint(7, 23)
+        direction = rng.choice(["ASC", "DESC"])
+        return (
+            f"SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+            f"FROM customer c, LATERAL ("
+            f"SELECT o_orderkey, o_totalprice FROM orders "
+            f"WHERE o_custkey = c.c_custkey "
+            f"ORDER BY o_totalprice {direction}, o_orderkey ASC LIMIT {k}) o "
+            f"WHERE c.c_custkey % {mod} = 0"
+        )
+    if kind == 1:  # multiset set ops over projections with dup rows
+        op = rng.choice(["EXCEPT ALL", "INTERSECT ALL"])
+        a, b = rng.sample([2, 3, 4, 5], 2)
+        return (
+            f"SELECT l_linenumber, l_returnflag FROM lineitem "
+            f"WHERE l_orderkey % {a} = 0 "
+            f"{op} "
+            f"SELECT l_linenumber, l_returnflag FROM lineitem "
+            f"WHERE l_orderkey % {b} = 0"
+        )
+    # GROUPING SETS with grouping() flags
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(grouping(l_returnflag) AS INTEGER) AS g_rf, "
+        "CAST(grouping(l_linestatus) AS INTEGER) AS g_ls, "
+        "COUNT(*) AS n "
+        "FROM lineitem "
+        f"WHERE l_quantity < {rng.randint(10, 50)} "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_random_sql_differential_v5(spark, duck, seed):
+    q = gen_query_v5(seed)
+    res = run_compare(
+        spark, duck, f"fuzz5_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
