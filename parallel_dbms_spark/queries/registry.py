@@ -57,7 +57,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "set_except",
     # windows, subqueries, functions, nulls
     "window_topk_per_group",
-    "window_range_frame",
+    "window_moving_avg_7d",
     "window_ntile_deciles",
     "sql_correlated_subquery",
     "scalar_functions",
@@ -66,18 +66,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # source/sink (O1/O16)
     "typed_csv_roundtrip",
     # temporal joins, skew handling, timeseries
-    "asof_join_events",
+    "scd2_pit_enrich",
     "range_join_time_band",
     "join_skew_salted_q",
-    "agg_two_stage_distinct",
+    "agg_histogram_quantiles",
     "resample_ffill_hourly",
     # profiling / cdc / sessionize / flagship
     "profile_orders",
-    "cdc_orders_diff",
+    "dq_orders_expectations",
     "sessionize_events",
     "flagship_revenue_by_nation",
     # TPC-H shapes
-    "tpch_q5_shape",
+    "mv_rollup_rewrite",
     "tpch_q21_shape",
     # structured streaming (batch-SQL oracles)
     "stream_tumbling_hour",

@@ -24,7 +24,7 @@ REQUIRED_FAMILIES = {
     "similarity", "vectors", "multimodal", "pipeline", "streaming",
     "session_window", "watermark", "tpch", "cdc", "sessionize",
     "timeseries", "profiling", "pandas_udf", "scd2", "lake",
-    "data-skipping", "bloom",
+    "data-skipping", "bloom", "histogram", "sketch", "mv", "dq",
 }
 
 
