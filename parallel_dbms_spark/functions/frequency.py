@@ -162,3 +162,28 @@ def cms_estimate(
         "term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return hits.groupBy("term").agg(F.min("cnt").alias("est"))
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches — the
+    CMS inner-product estimator (Cormode & Muthukrishnan §4.2):
+    |A ⋈_k B| = Σ_k fa(k)·fb(k), estimated as min over the depth rows
+    of Σ_w a[d,w]·b[d,w]. Like point estimates it never undercounts
+    (hash collisions only add), so it is a safe admission check before
+    launching an expensive join: plan for AT LEAST the true output.
+
+    Inputs are ``cms_build`` outputs over each side's join key at the
+    SAME (depth, width). The estimate touches only sketch cells —
+    2·depth·width counters — never the tables; at 100 TB that is the
+    entire point (the query optimizer's ndv-product heuristic, done
+    with one cheap pre-pass each side and zero assumptions about
+    independence). Returns a single row (est bigint).
+    """
+    aa = a.select("d", "w", F.col("cnt").alias("a_cnt"))
+    bb = b.select("d", "w", F.col("cnt").alias("b_cnt"))
+    per_row = (
+        aa.join(bb, on=["d", "w"])  # absent cells are zero -> drop out
+        .groupBy("d")
+        .agg(F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est"))

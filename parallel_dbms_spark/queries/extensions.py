@@ -1555,3 +1555,23 @@ def vector_centroid_drift(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_drift(emb, F.col("vec_id") % 2 == 0)
+
+
+@register("freq_join_cardinality_est", oracle=None, tags=("frequency", "sketch", "join"))
+def freq_join_cardinality_est(spark, sf_dir):
+    # CMS inner-product join-size estimate (orders ⋈ lineitem on
+    # orderkey) from two key sketches — never an undercount; the true
+    # size and tightness are pytest-asserted. Rows-only (xxhash cell
+    # placement). The sketches see only the key columns; the estimate
+    # never touches either table again.
+    from ..functions.frequency import cms_build, cms_inner_product
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("term")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("term")
+    )
+    return cms_inner_product(
+        cms_build(o, width=16384), cms_build(li, width=16384)
+    )

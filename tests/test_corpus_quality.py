@@ -365,3 +365,36 @@ def test_cms_merge_is_exactly_linear(spark):
               cms_merge(cms_build(a), cms_build(b)).collect()}
     whole = {(r.d, r.w): r.cnt for r in cms_build(terms).collect()}
     assert merged == whole  # counters are sums -> merge is EXACT
+
+
+def test_cms_inner_product_bounds_join_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_inner_product
+
+    # two multisets over a small key domain with known join size
+    a = spark.createDataFrame(
+        [Row(term=f"k{i % 17}") for i in range(800)]
+    )
+    b = spark.createDataFrame(
+        [Row(term=f"k{i % 23}") for i in range(600)]
+    )
+    true = a.join(b, on="term").count()
+    est = cms_inner_product(
+        cms_build(a, width=2048), cms_build(b, width=2048)
+    ).head().est
+    assert est >= true  # one-sided, like point estimates
+    # with 17/23 distinct keys in 2048 cells collisions are rare ->
+    # tight (allow a generous 5% + additive slack)
+    assert est - true <= max(64, true // 20), (est, true)
+
+
+def test_cms_inner_product_disjoint_keys_near_zero(spark):
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_inner_product
+
+    a = spark.createDataFrame([Row(term=f"a{i}") for i in range(300)])
+    b = spark.createDataFrame([Row(term=f"b{i}") for i in range(300)])
+    est = cms_inner_product(
+        cms_build(a, width=4096), cms_build(b, width=4096)
+    ).head().est
+    assert est <= 300  # true join size is 0; collisions only
