@@ -65,3 +65,79 @@ def time_band_join(
         )
     )
     return l.join(r, cond, how=how).drop("__bucket", "__r_on", "__r_us")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval × interval overlap join on a shared key: pairs with
+    ``l.start <= r.end AND r.start <= l.end`` (closed intervals) —
+    sessions × campaigns, downtimes × deploys, validity × validity.
+
+    Same discipline as ``time_band_join``, generalized to two interval
+    sides: BOTH sides explode into every ``bucket_seconds`` grid cell
+    their interval touches, the join is a hash equi-join on
+    (key, bucket), and the overlap predicate is a residual filter. A
+    pair overlapping across several shared cells would duplicate, so
+    each pair is claimed exactly once in the FIRST cell both intervals
+    inhabit — ``bucket == greatest(l_start_bucket, r_start_bucket)``
+    — which costs zero extra shuffles (the claim is part of the join
+    condition).
+
+    Replication per row = interval_length/bucket_seconds + 1; pick the
+    bucket near the P95 interval length so it stays a small constant.
+    Zero-/negative-length intervals (end < start) are dropped — they
+    overlap nothing under the closed-interval definition anyway.
+    Output: all left columns + right columns prefixed ``r_``.
+    """
+    b_us = bucket_seconds * 1_000_000
+
+    def cover(df, s, e):
+        return F.sequence(
+            F.floor(F.unix_micros(F.col(s)) / F.lit(b_us)),
+            F.floor(F.unix_micros(F.col(e)) / F.lit(b_us)),
+        )
+
+    l = (
+        left.filter(F.col(left_end) >= F.col(left_start))
+        .withColumn("__lsb", F.floor(F.unix_micros(F.col(left_start)) / F.lit(b_us)))
+        .withColumn("__bucket", F.explode(cover(left, left_start, left_end)))
+    )
+    r = right.filter(F.col(right_end) >= F.col(right_start)).select(
+        F.col(on).alias("__r_on"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    r = (
+        r.withColumn(
+            "__rsb", F.floor(F.unix_micros(F.col(f"r_{right_start}")) / F.lit(b_us))
+        )
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.col("__rsb"),
+                    F.floor(
+                        F.unix_micros(F.col(f"r_{right_end}")) / F.lit(b_us)
+                    ),
+                )
+            ),
+        )
+    )
+    cond = (
+        (l[on] == r["__r_on"])
+        & (l["__bucket"] == r["__bucket"])
+        # claim the pair exactly once: in the first shared cell
+        & (l["__bucket"] == F.greatest(l["__lsb"], r["__rsb"]))
+        # residual overlap check (closed intervals)
+        & (l[left_start] <= r[f"r_{right_end}"])
+        & (r[f"r_{right_start}"] <= l[left_end])
+    )
+    return l.join(r, cond, how=how).drop("__bucket", "__lsb", "__rsb", "__r_on")

@@ -2729,3 +2729,50 @@ def window_moving_avg_7d(spark, sf_dir):
         (sum_7d / n_7d).alias("avg_7d"),
         n_7d.alias("n_7d"),
     )
+
+
+@register(
+    "interval_overlap_sessions",
+    oracle="""WITH a AS (SELECT user_id, event_id AS a_id,
+                                CAST(ts AS TIMESTAMP) AS a_start,
+                                CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS a_end
+                         FROM events WHERE event_id % 11 = 0),
+                   b AS (SELECT user_id, event_id AS b_id,
+                                CAST(ts AS TIMESTAMP) AS b_start,
+                                CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS b_end
+                         FROM events WHERE event_id % 13 = 0)
+              SELECT a.user_id, a.a_id, b.b_id
+              FROM a JOIN b
+                ON a.user_id = b.user_id
+               AND a.a_start <= b.b_end
+               AND b.b_start <= a.a_end""",
+    tags=("range", "join", "timeseries", "events"),
+)
+def interval_overlap_sessions(spark, sf_dir):
+    # Interval × interval overlap join (operators/range_join.py
+    # interval_overlap_join): both sides bucket-exploded, hash
+    # equi-join on (key, cell), pair claimed once in the first shared
+    # cell — no nested loop anywhere. The oracle is the naive
+    # inequality join, which DuckDB can afford at oracle scale.
+    from ..operators.range_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 11 == 0).select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_id") % 13 == 0).select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("b_end"),
+    )
+    out = interval_overlap_join(
+        a, b, on="user_id",
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+        bucket_seconds=3600,
+    )
+    return out.select("user_id", "a_id", F.col("r_b_id").alias("b_id"))

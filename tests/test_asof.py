@@ -143,3 +143,36 @@ def test_asof_join_composite_key(spark):
         right_values=["v"],
     ).collect()}
     assert got == {(1, "x"): "ax4", (1, "y"): "ay2"}
+
+
+def test_interval_overlap_join_exact_pairs_no_dups(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.operators.range_join import interval_overlap_join
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame([
+        Row(k=1, lid=1, ls=t(1), le=t(3)),      # overlaps r1, r2
+        Row(k=1, lid=2, ls=t(10), le=t(11)),    # overlaps nothing
+        Row(k=1, lid=3, ls=t(4), le=t(4)),      # point interval, touches r2 end
+        Row(k=2, lid=4, ls=t(1), le=t(3)),      # other key
+        Row(k=1, lid=5, ls=t(5), le=t(4)),      # invalid (end<start) -> dropped
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rid=1, rs=t(0), re=t(1, 30)),  # long overlap with lid=1
+        Row(k=1, rid=2, rs=t(2, 30), re=t(4)),  # overlaps lid=1 AND lid=3
+        Row(k=2, rid=3, rs=t(2), re=t(2, 30)),
+    ])
+    got = sorted(
+        (r.lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, on="k",
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_seconds=1800,
+        ).collect()
+    )
+    # each overlapping pair EXACTLY once despite multi-cell overlaps
+    assert got == [(1, 1), (1, 2), (3, 2), (4, 3)]
