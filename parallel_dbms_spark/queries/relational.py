@@ -2776,3 +2776,99 @@ def interval_overlap_sessions(spark, sf_dir):
         bucket_seconds=3600,
     )
     return out.select("user_id", "a_id", F.col("r_b_id").alias("b_id"))
+
+
+@register(
+    "robust_zscore_prices",
+    oracle="""WITH med AS (SELECT l_returnflag,
+                                 quantile_cont(l_extendedprice, 0.5) AS med
+                          FROM lineitem GROUP BY 1),
+                   mad AS (SELECT l.l_returnflag,
+                                  quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad
+                           FROM lineitem l JOIN med m
+                             ON l.l_returnflag = m.l_returnflag
+                           GROUP BY 1),
+                   s AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                                (l.l_extendedprice - m.med) / (1.4826 * d.mad)
+                                  AS rz
+                         FROM lineitem l
+                         JOIN med m ON l.l_returnflag = m.l_returnflag
+                         JOIN mad d ON l.l_returnflag = d.l_returnflag)
+              SELECT l_orderkey, l_linenumber, l_returnflag, rz,
+                     ABS(rz) > 3.5 AS is_outlier
+              FROM s""",
+    tags=("aggregate", "percentile", "cleaning", "join"),
+)
+def robust_zscore_prices(spark, sf_dir):
+    # Robust z-score (median/MAD with the 1.4826 normal-consistency
+    # constant): the outlier score that, unlike mean/stddev, is not
+    # dragged by the outliers it hunts. Two grouped exact-percentile
+    # passes (Spark percentile ≡ DuckDB quantile_cont, proven by
+    # agg_percentiles' value-hash) + two broadcast joins of group-
+    # cardinality frames; the fact table is scanned, never shuffled.
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (
+                (F.col("l_extendedprice") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+            ).alias("rz"),
+        )
+    )
+    return scored.withColumn("is_outlier", F.abs(F.col("rz")) > 3.5)
+
+
+@register(
+    "categorical_drift_event_types",
+    oracle="""WITH c AS (SELECT event_type,
+                                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                                CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                         FROM events GROUP BY 1),
+                   t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                                CAST(SUM(nb) AS BIGINT) AS tb FROM c)
+              SELECT c.event_type, c.na, c.nb,
+                     CAST(ABS(c.na * t.tb - c.nb * t.ta) AS BIGINT) AS drift_num
+              FROM c CROSS JOIN t""",
+    tags=("aggregate", "drift", "events"),
+)
+def categorical_drift_event_types(spark, sf_dir):
+    # Categorical-distribution drift between two cohorts (even/odd
+    # users as the deterministic day-over-day stand-in): per category
+    # the cross-product numerator |na*Tb - nb*Ta| is zero iff the
+    # category's share is identical in both cohorts — the integer-
+    # exact core of a chi-square test, hashable across engines (the
+    # sibling of vector_centroid_drift for categorical columns). One
+    # conditional-sum aggregation + a broadcast of the two totals.
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    t = c.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "na",
+        "nb",
+        F.abs(F.col("na") * F.col("tb") - F.col("nb") * F.col("ta"))
+        .cast("long")
+        .alias("drift_num"),
+    )
