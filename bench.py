@@ -127,6 +127,18 @@ def bench_queries(spark, sf_dir):
             REGISTRY["dq_orders_expectations"].fn(spark, sf_dir)
         ),
         "mv_rewrite": lambda: _exec(REGISTRY["mv_rollup_rewrite"].fn(spark, sf_dir)),
+        "interval_overlap": lambda: _exec(
+            REGISTRY["interval_overlap_sessions"].fn(spark, sf_dir)
+        ),
+        "robust_zscore": lambda: _exec(
+            REGISTRY["robust_zscore_prices"].fn(spark, sf_dir)
+        ),
+        "moving_avg_7d": lambda: _exec(
+            REGISTRY["window_moving_avg_7d"].fn(spark, sf_dir)
+        ),
+        "scd2_pit_enrich": lambda: _exec(
+            REGISTRY["scd2_pit_enrich"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}
