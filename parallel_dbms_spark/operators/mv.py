@@ -35,7 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["define_mv", "mv_answer"]
+__all__ = ["define_mv", "mv_answer", "mv_refresh"]
 
 _STORE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
@@ -136,3 +136,60 @@ def mv_answer(
         else:
             raise ValueError(f"unsupported measure fn: {fn}")
     return spark.read.parquet(path).groupBy(*group_cols).agg(*aggs)
+
+
+def mv_refresh(spark: SparkSession, path: str, delta: DataFrame) -> None:
+    """Incrementally fold a DELTA of new fact rows into a materialized
+    view — the maintenance half of the MV story (``define_mv`` builds,
+    ``mv_answer`` rewrites, this keeps the view current without
+    touching history).
+
+    The delta is rolled up with the view's own grouping/measures (one
+    aggregation over the delta only), then merged group-wise: sums and
+    counts ADD, mins/maxes FOLD — the same associativity that makes
+    ``mv_answer``'s re-aggregation exact, applied across time instead
+    of across groups. Cost is O(delta + |view|), never O(history).
+    Refresh-then-answer equals define-on-full-history exactly (tested).
+
+    Caveat (inherent to partial-aggregate views, not this code): a
+    DELETE/UPDATE delta cannot be folded into min/max (not invertible);
+    append-only deltas are the contract, matching the reference's
+    append-only world and the training-data pipelines this engine
+    targets.
+    """
+    meta = _load_meta(path)
+    group_cols = meta["group_cols"]
+    measures = {k: tuple(v) for k, v in meta["measures"].items()}
+    aggs = []
+    for out, (fn, src) in measures.items():
+        if fn == "sum":
+            aggs.append(F.sum(src).alias(out))
+        elif fn == "count":
+            aggs.append(F.count(src).alias(out))
+        elif fn == "min":
+            aggs.append(F.min(src).alias(out))
+        elif fn == "max":
+            aggs.append(F.max(src).alias(out))
+    d = delta.groupBy(*group_cols).agg(*aggs)
+    old = spark.read.parquet(path)
+    merged_aggs = []
+    for out, (fn, _src) in measures.items():
+        if fn in ("sum", "count"):
+            merged_aggs.append(F.sum(out).alias(out))
+        elif fn == "min":
+            merged_aggs.append(F.min(out).alias(out))
+        elif fn == "max":
+            merged_aggs.append(F.max(out).alias(out))
+    merged = old.unionByName(d).groupBy(*group_cols).agg(*merged_aggs)
+    # write-then-swap: never overwrite a lazy scan's own input files
+    import os
+    import shutil
+
+    staged = f"{path}__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(path, "_mv.json"), encoding="utf-8") as fh:
+        meta_raw = fh.read()
+    shutil.rmtree(path)
+    os.replace(staged, path)
+    with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
+        fh.write(meta_raw)
