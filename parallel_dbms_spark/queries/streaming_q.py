@@ -402,3 +402,47 @@ def stream_dq_report(spark, sf_dir):
         F.sum("n_rows").alias("n_rows"),
         (F.sum("n_violations") == 0).alias("passed"),
     )
+
+
+@register(
+    "stream_mv_event_rollup",
+    oracle="""SELECT event_type,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                     COUNT(value) AS n,
+                     CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS min_cents,
+                     CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS max_cents
+              FROM events GROUP BY 1""",
+    tags=("streaming", "mv", "aggregate"),
+)
+def stream_mv_event_rollup(spark, sf_dir):
+    # Streamed MV maintenance: batch 1 defines, batches 2-3 fold in
+    # incrementally. Associative merge => the final view equals the
+    # one-shot batch GROUP BY over the whole feed, which is the SQL
+    # oracle (integer cents keep every measure exact).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.sinks import stream_mv_sink
+
+    root = tempfile.mkdtemp(prefix="stream_mv_")
+    feed = read_events_stream(
+        spark, sf_dir, staged=root + "/src",
+        n_files=3, max_files_per_trigger=1,
+    ).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    stream_mv_sink(
+        feed, root + "/mv", root + "/ck",
+        group_cols=["event_type"],
+        measures={
+            "sum_cents": ("sum", "cents"),
+            "n": ("count", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return spark.read.parquet(root + "/mv")

@@ -314,3 +314,51 @@ def stream_dq_sink(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_mv_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    measures: dict,
+    trigger_available_now: bool = True,
+):
+    """Maintain a materialized view over a stream: the first batch
+    defines the view (``operators.mv.define_mv``), every later batch
+    folds in incrementally (``mv_refresh``). Because the fold is the
+    same associative merge ``mv_answer`` relies on, the streamed view
+    equals the one-shot batch build over the whole feed — the
+    registered query's oracle. Per-batch cost is O(batch + |view|);
+    the full history is never rescanned.
+
+    Replay caveat: unlike the histogram/SCD2 sinks (pure functions of
+    idempotently-overwritten state), a re-folded batch after a crash
+    between write and checkpoint commit would double-count; a
+    production deployment guards with a committed-batch-id marker in
+    the view dir. Out of scope here — availableNow test replays are
+    checkpoint-gated, so the invariant holds for this surface.
+    """
+    import os
+
+    from ..operators.mv import define_mv, mv_refresh
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(path, "_mv.json")):
+            mv_refresh(spark, path, batch_df)
+        else:
+            define_mv(batch_df, path, group_cols, measures)
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q

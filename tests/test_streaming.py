@@ -553,3 +553,35 @@ def test_stream_dq_sink_reports_per_batch_and_totals_reconcile(spark, tmp_path):
     assert all(r["sum(n_rows)"] == n_total for r in per_rule)
     # event_id is unique globally, hence within every batch
     assert rep.filter("rule like 'unique%' and not passed").count() == 0
+
+
+def test_stream_mv_sink_equals_batch_rollup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.streaming import read_events_stream
+    from parallel_dbms_spark.streaming.sinks import stream_mv_sink
+
+    feed = read_events_stream(
+        spark, SF_SMOKE, staged=str(tmp_path / "src"),
+        n_files=4, max_files_per_trigger=1,
+    ).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = str(tmp_path / "mv")
+    stream_mv_sink(
+        feed, out, str(tmp_path / "ck"),
+        group_cols=["event_type"],
+        measures={"s": ("sum", "cents"), "n": ("count", "cents"),
+                  "lo": ("min", "cents"), "hi": ("max", "cents")},
+    )
+    got = {r.event_type: (r.s, r.n, r.lo, r.hi)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.event_type: (r.s, r.n, r.lo, r.hi) for r in
+            load_table(spark, SF_SMOKE, "events")
+            .select("event_type", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+            .groupBy("event_type")
+            .agg(F.sum("cents").alias("s"), F.count("cents").alias("n"),
+                 F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+            .collect()}
+    assert got == want
