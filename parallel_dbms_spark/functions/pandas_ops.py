@@ -147,3 +147,45 @@ def weighted_mean_by_group(
     return df.groupBy(group_col).agg(
         wmean(F.col(value_col), F.col(weight_col)).alias("weighted_mean")
     )
+
+
+def ewma_by_key(
+    df,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+):
+    """Exponentially weighted moving average per key — the recursive
+    smoother (s_t = α·x_t + (1-α)·s_{t-1}) that windowed SQL cannot
+    express (every output depends on the ENTIRE per-key prefix, not a
+    bounded frame), hence the sanctioned Arrow path: applyInPandas
+    with one vectorized ``Series.ewm`` per key group.
+
+    Scale: one shuffle on the key; per-task state is one key's series
+    (the same bound as sessionize/asof — salt by time range if a
+    single key outgrows a partition). Output: key, ts, value, ewma.
+    Differential-tested against pandas ewm directly and against the
+    closed-form recursion on a hand-computed series.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ module style)
+
+    schema = (
+        f"{key} long, {ts} timestamp, {value} double, {out_col} double"
+    )
+
+    def smooth(pdf):
+        import pandas as pd  # noqa: F401
+
+        pdf = pdf.sort_values(ts, kind="mergesort")  # stable: ties keep input order
+        pdf[out_col] = (
+            pdf[value].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf[[key, ts, value, out_col]]
+
+    return (
+        df.select(key, ts, value)
+        .groupBy(key)
+        .applyInPandas(smooth, schema=schema)
+    )

@@ -1575,3 +1575,17 @@ def freq_join_cardinality_est(spark, sf_dir):
     return cms_inner_product(
         cms_build(o, width=16384), cms_build(li, width=16384)
     )
+
+
+@register("timeseries_ewma_user_value", oracle=None, tags=("timeseries", "pandas_udf"))
+def timeseries_ewma_user_value(spark, sf_dir):
+    # Per-user EWMA of event values — the recursive smoother SQL
+    # windows cannot express (unbounded prefix dependence), via ONE
+    # applyInPandas pass per key group. Rows-only; the recursion is
+    # differential-tested by hand in test_corpus_quality.py.
+    from ..functions.pandas_ops import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 53 == 0
+    )
+    return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)

@@ -398,3 +398,27 @@ def test_cms_inner_product_disjoint_keys_near_zero(spark):
         cms_build(a, width=4096), cms_build(b, width=4096)
     ).head().est
     assert est <= 300  # true join size is 0; collisions only
+
+
+def test_ewma_matches_recursion_and_is_partition_invariant(spark):
+    import datetime as dt
+
+    from parallel_dbms_spark.functions.pandas_ops import ewma_by_key
+
+    rows = [
+        Row(k=1, ts=dt.datetime(2024, 1, d), v=float(x))
+        for d, x in [(1, 10.0), (2, 20.0), (3, 10.0), (4, 0.0)]
+    ] + [Row(k=2, ts=dt.datetime(2024, 1, 1), v=5.0)]
+    df = spark.createDataFrame(rows)
+    out = {(r.k, r.ts.day): r.ewma for r in
+           ewma_by_key(df, "k", "ts", "v", alpha=0.5).collect()}
+    # hand recursion, adjust=False: s1=10, s2=15, s3=12.5, s4=6.25
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 15.0
+    assert out[(1, 3)] == 12.5
+    assert out[(1, 4)] == 6.25
+    assert out[(2, 1)] == 5.0
+    # partition layout must not change the smoothing
+    out13 = {(r.k, r.ts.day): r.ewma for r in
+             ewma_by_key(df.repartition(13), "k", "ts", "v", alpha=0.5).collect()}
+    assert out13 == out
