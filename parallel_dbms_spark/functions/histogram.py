@@ -119,3 +119,29 @@ def quantiles_from_histogram(
         .groupBy("q")
         .agg(F.min_by(F.col("__est"), F.col("bucket")).alias("est"))
     )
+
+
+def histogram_sketch_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """One histogram per group — (group_cols..., bucket, cnt). Same
+    exact-integer contract as ``histogram_sketch``; the aggregation key
+    grows to (group, bucket), still one map-side-combined pass and at
+    most |groups|·n_buckets output rows. Per-group quantiles follow by
+    running the cumulative walk per group key downstream."""
+    if not hi > lo:
+        raise ValueError(f"histogram_sketch_grouped: need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

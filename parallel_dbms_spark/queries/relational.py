@@ -2872,3 +2872,26 @@ def categorical_drift_event_types(spark, sf_dir):
         .cast("long")
         .alias("drift_num"),
     )
+
+
+@register(
+    "agg_histogram_by_flag",
+    oracle="""SELECT l_returnflag,
+                     CAST(GREATEST(0, LEAST(63,
+                       FLOOR(l_extendedprice / 1562.5))) AS INTEGER) AS bucket,
+                     COUNT(*) AS cnt
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1, 2""",
+    tags=("aggregate", "histogram", "sketch", "groupby"),
+)
+def agg_histogram_by_flag(spark, sf_dir):
+    # Per-group histograms (functions/histogram.py grouped variant):
+    # bucket width 100000/64 = 1562.5 is exact in binary, keeping the
+    # floor arithmetic engine-identical.
+    from ..functions.histogram import histogram_sketch_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_sketch_grouped(
+        li, ["l_returnflag"], "l_extendedprice", 0.0, 100_000.0, 64
+    )
