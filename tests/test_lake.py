@@ -331,3 +331,24 @@ def test_bloom_manifest_point_lookup_prunes_and_matches(spark, tmp_path):
     got2, n_read2, _ = read_point_lookup(spark, t, "id", 999_999)
     assert got2.count() == 0
     assert n_read2 <= max(2, n_total // 3)  # generous fp headroom
+
+
+def test_bloom_autosize_prevents_saturation_on_big_files(spark, tmp_path):
+    # The scale cliff this guards: a FIXED bitset saturates once
+    # rows/file outgrows it (every bit set -> zero pruning). Auto-size
+    # must pick >= 10 bits per row of the largest file.
+    from parallel_dbms_spark.sources.lake import (
+        read_point_lookup,
+        write_bloom_manifest,
+    )
+
+    t = str(tmp_path / "bigbloom")
+    spark.range(0, 40_000).withColumn("g", F.col("id") % 4).repartition(
+        4, "g"
+    ).write.parquet(t)
+    write_bloom_manifest(spark, t, "id")
+    man = spark.read.parquet(t + "/_bloom_id").head()
+    assert man.n_bits >= 10 * 10_000  # ~10k rows/file -> >= 100k bits
+    got, n_read, n_total = read_point_lookup(spark, t, "id", 31_337)
+    assert [r.id for r in got.collect()] == [31_337]
+    assert n_read < n_total  # still prunes at this density
