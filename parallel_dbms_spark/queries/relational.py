@@ -2895,3 +2895,37 @@ def agg_histogram_by_flag(spark, sf_dir):
     return histogram_sketch_grouped(
         li, ["l_returnflag"], "l_extendedprice", 0.0, 100_000.0, 64
     )
+
+
+@register(
+    "lake_zorder_2d_skipping",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders
+              WHERE o_custkey BETWEEN 100 AND 200
+                AND o_totalprice BETWEEN 50000 AND 150000""",
+    tags=("lake", "data-skipping", "zorder", "source"),
+)
+def lake_zorder_2d_skipping(spark, sf_dir):
+    # Z-order + manifest, composed: the table is rewritten clustered
+    # on the (custkey, totalprice) z-curve, per-file min/max stats are
+    # profiled for BOTH columns, and a 2-D box query prunes to the
+    # files whose rectangles intersect it — multi-dimensional data
+    # skipping from ONE layout, the thing neither a single-column sort
+    # nor hash layout can give. The oracle is the plain 2-predicate
+    # filter: pruning must change nothing but I/O.
+    import tempfile
+
+    from ..sources.lake import read_skipping_multi, write_manifest, z_order_write
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_z2d_") + "/orders"
+    z_order_write(o, t, "o_custkey", "o_totalprice", num_files=16)
+    write_manifest(spark, t, ["o_custkey", "o_totalprice"])
+    pruned, n_read, n_total = read_skipping_multi(
+        spark, t,
+        {"o_custkey": (100, 200), "o_totalprice": (50_000.0, 150_000.0)},
+    )
+    assert n_read < n_total, "z-ordered layout must prune a 2-D box query"
+    return pruned

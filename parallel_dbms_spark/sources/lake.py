@@ -516,3 +516,40 @@ def read_point_lookup(
         F.col(col) == F.lit(value).cast(typ)
     )
     return df, len(files), n_total
+
+
+def read_skipping_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict,
+):
+    """Multi-predicate file skipping: ``ranges`` maps column ->
+    (lo, hi) (either bound None for open); a file survives only if
+    EVERY predicate's [min,max] stats overlap — the intersection of
+    the per-column prunes, which is where a Z-ordered layout earns
+    its keep (per-file ranges are tight in BOTH dimensions, so the
+    intersection gets sharp; a single-column sort gives tight ranges
+    in one dimension only). Residual filters still apply. Returns
+    (DataFrame, n_files_read, n_files_total).
+    """
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(path + "/_manifest")
+    keep = man
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            keep = keep.filter(F.col(f"{col}_max") >= F.lit(lo))
+        if hi is not None:
+            keep = keep.filter(F.col(f"{col}_min") <= F.lit(hi))
+    files = [r.file for r in keep.select("file").collect()]
+    n_total = man.count()
+    schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], schema), 0, n_total
+    df = spark.read.schema(schema).parquet(*files)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df, len(files), n_total

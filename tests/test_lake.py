@@ -352,3 +352,42 @@ def test_bloom_autosize_prevents_saturation_on_big_files(spark, tmp_path):
     got, n_read, n_total = read_point_lookup(spark, t, "id", 31_337)
     assert [r.id for r in got.collect()] == [31_337]
     assert n_read < n_total  # still prunes at this density
+
+
+def test_zorder_manifest_2d_prunes_tighter_than_1d_sort(spark, tmp_path):
+    # The point of z-order: a 2-D box query prunes on BOTH dims. A
+    # layout sorted on x alone gives tight x-ranges but full-span
+    # y-ranges per file, so the same box prunes strictly fewer files.
+    from parallel_dbms_spark.sources.lake import (
+        read_skipping_multi,
+        write_manifest,
+        z_order_write,
+    )
+
+    # independent dims (modular-arithmetic pairs like (id*a%m, id*b%m)
+    # are secretly functions of each other and break the comparison)
+    df = (
+        spark.range(0, 20_000)
+        .withColumn("x", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)))
+        .withColumn("y", F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)))
+    )
+    # y-only range: the x-sorted layout is blind to it (every file
+    # spans all of y), the z-curve keeps per-file y-ranges tight too
+    box = {"y": (100, 199)}
+
+    tz = str(tmp_path / "z")
+    z_order_write(df, tz, "x", "y", num_files=16)
+    write_manifest(spark, tz, ["x", "y"])
+    got_z, nz, tot = read_skipping_multi(spark, tz, box)
+
+    tx = str(tmp_path / "x")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(tx)
+    write_manifest(spark, tx, ["x", "y"])
+    got_x, nx, _ = read_skipping_multi(spark, tx, box)
+
+    expect = sorted(
+        r.id for r in df.filter(F.col("y").between(100, 199)).collect()
+    )
+    assert sorted(r.id for r in got_z.collect()) == expect
+    assert sorted(r.id for r in got_x.collect()) == expect
+    assert nz < nx == tot  # x-sort prunes nothing on y; z-curve does
