@@ -391,3 +391,34 @@ def test_zorder_manifest_2d_prunes_tighter_than_1d_sort(spark, tmp_path):
     assert sorted(r.id for r in got_z.collect()) == expect
     assert sorted(r.id for r in got_x.collect()) == expect
     assert nz < nx == tot  # x-sort prunes nothing on y; z-curve does
+
+
+def test_bucketed_table_makes_keyed_windows_exchange_free(spark, tmp_path):
+    # The write-once/shuffle-never pattern extended from joins to the
+    # whole per-key-window family (sessionize, as-of, SCD2): a table
+    # bucketed AND sorted on the window key satisfies the window's
+    # required distribution, so the plan has ZERO Exchange — the
+    # shuffle the SCD2/sessionize plans pay per query is paid once at
+    # write time instead.
+    from pyspark.sql import Window
+
+    from parallel_dbms_spark.sources.lake import write_bucketed_table
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 40).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 3).alias("v"),
+    )
+    write_bucketed_table(
+        df, "ev_bwin", bucket_by="k", num_buckets=8,
+        path=str(tmp_path / "ev_bwin"), sort_by="k",
+    )
+    t = spark.table("ev_bwin")
+    w = Window.partitionBy("k").orderBy("seq")
+    out = t.withColumn("prev", F.lag("v").over(w))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the window result is still correct
+    row = out.filter((F.col("k") == 1) & (F.col("seq") == 41)).head()
+    assert row.prev == 3  # previous seq for k=1 is 1 -> v=3
+    spark.sql("DROP TABLE IF EXISTS ev_bwin")
