@@ -1,0 +1,104 @@
+"""Hypothesis property tests — machine-generated edge cases for the
+operators whose invariants are algebraic (interval tiling, counter
+linearity, merge idempotence), complementing the seeded-random
+property suite with shrinking counterexamples.
+
+Each example drives real Spark jobs, so examples are few and frames
+small; Hypothesis spends its budget on STRUCTURE (duplicates, ties,
+NULLs, singletons) rather than volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+feed_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # key
+        st.integers(1, 20),                     # day (ties likely)
+        st.sampled_from(["A", "B", None]),      # state incl. NULL
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=feed_rows)
+@SETTINGS
+def test_scd2_intervals_tile_and_have_one_current(spark, rows):
+    from parallel_dbms_spark.operators import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            Row(k=k, ts=dt.datetime(2024, 1, d), seq=i, st=s)
+            for i, (k, d, s) in enumerate(rows)
+        ]
+    )
+    out = scd2_history(
+        df, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
+    ).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval per key, and it is last
+        assert sum(r.valid_to is None for r in ivs) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        # intervals tile: no gaps, no overlaps
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        # consecutive intervals always differ in state (collapsed)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.st != b.st or (a.st is None) != (b.st is None) or a.st != b.st
+
+
+terms = st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60)
+
+
+@given(ts=terms)
+@SETTINGS
+def test_cms_split_merge_linearity_any_split(spark, ts):
+    from parallel_dbms_spark.functions.frequency import cms_build, cms_merge
+
+    df = spark.createDataFrame([Row(term=t, i=i) for i, t in enumerate(ts)])
+    a, b = df.filter("i % 2 = 0"), df.filter("i % 2 = 1")
+    whole = {(r.d, r.w): r.cnt for r in cms_build(df, width=64).collect()}
+    parts = [cms_build(x, width=64) for x in (a, b) if not x.isEmpty()]
+    merged = {(r.d, r.w): r.cnt for r in cms_merge(*parts).collect()}
+    assert merged == whole
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-3, 3)), min_size=1, max_size=20
+)
+
+
+@given(t_rows=kv_rows, s_rows=kv_rows)
+@SETTINGS
+def test_merge_upsert_source_wins_and_is_idempotent(spark, t_rows, s_rows):
+    from parallel_dbms_spark.operators import merge_upsert
+
+    t = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in dict(t_rows).items()]
+    )
+    s = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in dict(s_rows).items()]
+    )
+    once = merge_upsert(t, s, ["k"])
+    twice = merge_upsert(once, s, ["k"])
+    got_once = {r.k: r.v for r in once.collect()}
+    got_twice = {r.k: r.v for r in twice.collect()}
+    assert got_once == got_twice  # applying the same source again: no-op
+    want = {**dict(t_rows), **dict(s_rows)}  # source wins on collision
+    assert got_once == want
