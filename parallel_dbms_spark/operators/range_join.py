@@ -77,6 +77,7 @@ def interval_overlap_join(
     right_end: str,
     bucket_seconds: int,
     how: str = "inner",
+    max_cells: int = 4096,
 ) -> DataFrame:
     """Interval × interval overlap join on a shared key: pairs with
     ``l.start <= r.end AND r.start <= l.end`` (closed intervals) —
@@ -95,10 +96,17 @@ def interval_overlap_join(
     Replication per row = interval_length/bucket_seconds + 1; pick the
     bucket near the P95 interval length so it stays a small constant.
     Zero-/negative-length intervals (end < start) are dropped — they
-    overlap nothing under the closed-interval definition anyway.
+    overlap nothing under the closed-interval definition anyway — and
+    so are intervals spanning more than ``max_cells`` grid cells: one
+    dirty year-9999 timestamp would otherwise explode into millions of
+    grid rows and take the stage down with it. Legitimate long
+    intervals belong to a larger ``bucket_seconds``; rows dropped by
+    the cap are a data-quality signal (count them with a
+    ``check_expectations`` in_range rule upstream), not silent noise.
     Output: all left columns + right columns prefixed ``r_``.
     """
     b_us = bucket_seconds * 1_000_000
+    span_cap = F.lit(max_cells).cast("long")
 
     def cover(df, s, e):
         return F.sequence(
@@ -108,10 +116,19 @@ def interval_overlap_join(
 
     l = (
         left.filter(F.col(left_end) >= F.col(left_start))
+        .filter(
+            (F.unix_micros(F.col(left_end)) - F.unix_micros(F.col(left_start)))
+            / F.lit(b_us)
+            < span_cap
+        )
         .withColumn("__lsb", F.floor(F.unix_micros(F.col(left_start)) / F.lit(b_us)))
         .withColumn("__bucket", F.explode(cover(left, left_start, left_end)))
     )
-    r = right.filter(F.col(right_end) >= F.col(right_start)).select(
+    r = right.filter(F.col(right_end) >= F.col(right_start)).filter(
+        (F.unix_micros(F.col(right_end)) - F.unix_micros(F.col(right_start)))
+        / F.lit(b_us)
+        < span_cap
+    ).select(
         F.col(on).alias("__r_on"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
     )

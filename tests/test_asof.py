@@ -176,3 +176,30 @@ def test_interval_overlap_join_exact_pairs_no_dups(spark):
     )
     # each overlapping pair EXACTLY once despite multi-cell overlaps
     assert got == [(1, 1), (1, 2), (3, 2), (4, 3)]
+
+
+def test_interval_overlap_join_caps_runaway_intervals(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame([
+        Row(k=1, lid=1, ls=dt.datetime(2024, 1, 1), le=dt.datetime(2024, 1, 1, 2)),
+        # dirty: year-9999 end would be ~70M hourly cells -> dropped
+        Row(k=1, lid=2, ls=dt.datetime(2024, 1, 1), le=dt.datetime(9999, 1, 1)),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rid=1, rs=dt.datetime(2024, 1, 1, 1), re=dt.datetime(2024, 1, 1, 3)),
+    ])
+    got = [
+        (r.lid, r.r_rid)
+        for r in interval_overlap_join(
+            left, right, on="k",
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_seconds=3600,
+        ).collect()
+    ]
+    assert got == [(1, 1)]  # clean pair joins; the runaway row is dropped
