@@ -100,3 +100,61 @@ def assert_no_unpartitioned_window(df: DataFrame) -> None:
     plan = formatted_plan(df)
     bad = unpartitioned_windows(plan)
     assert not bad, f"unpartitioned window(s):\n" + "\n".join(bad)
+
+
+def execution_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` to a noop sink and return the aggregated SQL
+    metrics of its physical plan — the observability hook a perf
+    harness needs beyond wall time: rows produced per operator class
+    and bytes/files actually read by the scans (i.e. whether pruning
+    REALLY happened, not just appeared in EXPLAIN).
+
+    Returns {"scan_output_rows", "scan_files_read", "scan_bytes_read",
+    "shuffle_bytes_written"} summed over the executed plan's nodes.
+    Metric names are Spark-internal but stable across 3.x/4.x
+    ("number of output rows", "number of files read", "size of files
+    read", "shuffle bytes written").
+    """
+    # Execute THIS QueryExecution (a noop DataFrameWriter would plan a
+    # fresh one, leaving these metric objects untouched at zero).
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    plan = qe.executedPlan()
+
+    out = {
+        "scan_output_rows": 0,
+        "scan_files_read": 0,
+        "scan_bytes_read": 0,
+        "shuffle_bytes_written": 0,
+    }
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            # AQE wraps the real tree; metrics live on the final plan
+            walk(node.finalPhysicalPlan())
+            return
+        if name in ("QueryStage", "ShuffleQueryStage", "BroadcastQueryStage", "ResultQueryStage"):
+            walk(node.plan())
+            return
+        m = node.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            metric_name = kv._2().name().toString()
+            val = kv._2().value()
+            if "Scan" in name:
+                if metric_name == "Some(number of output rows)":
+                    out["scan_output_rows"] += val
+                elif metric_name == "Some(number of files read)":
+                    out["scan_files_read"] += val
+                elif metric_name == "Some(size of files read)":
+                    out["scan_bytes_read"] += val
+            if metric_name == "Some(shuffle bytes written)":
+                out["shuffle_bytes_written"] += val
+        it2 = node.children().iterator()
+        while it2.hasNext():
+            walk(it2.next())
+
+    walk(plan)
+    return out

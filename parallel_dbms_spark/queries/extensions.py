@@ -1589,3 +1589,38 @@ def timeseries_ewma_user_value(spark, sf_dir):
         F.col("user_id") % 53 == 0
     )
     return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=None,
+    tags=("pipeline", "lake", "source", "data-skipping"),
+)
+def pipeline_shard_manifest(spark, sf_dir):
+    # The LAST mile of the pretraining pipeline: the cleaned corpus
+    # lands as size-balanced sorted shards (write_training_shards) and
+    # is immediately profiled into a min/max manifest — so the very
+    # next consumer (a data loader picking a doc_id range, a backfill
+    # re-reading one slice) starts from data-skipping instead of a
+    # full listing. Returns per-shard stats read back from the
+    # manifest (rows-only: file paths are tmpdir-specific).
+    import tempfile
+
+    from ..functions.sampling import write_training_shards
+    from ..sources.lake import write_manifest
+
+    docs = _docs(spark, sf_dir)
+    # min-id survivor per exact text hash (one groupBy + semi-join)
+    keep = (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean = docs.join(keep, "doc_id", "leftsemi")
+    t = tempfile.mkdtemp(prefix="shards_") + "/corpus"
+    write_training_shards(clean, t, n_shards=8, sort_col="doc_id")
+    write_manifest(spark, t, ["doc_id"])
+    man = spark.read.parquet(t + "/_manifest")
+    return man.select("n_rows", "doc_id_min", "doc_id_max").orderBy(
+        "doc_id_min"
+    )

@@ -244,3 +244,28 @@ def test_unpartitioned_window_detector_handles_expression_keys(spark):
     )
     good = n.withColumn("rn", F.row_number().over(w_ok))
     assert not unpartitioned_windows(formatted_plan(good))
+
+
+def test_execution_metrics_prove_mapside_combine_and_file_pruning(spark, tmp_path):
+    # EXPLAIN says what SHOULD happen; executed-plan metrics say what
+    # DID: (a) a grouped agg's shuffle carries partial rows, not the
+    # corpus; (b) a manifest-pruned read opens fewer files.
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.plans.explain import execution_metrics
+    from parallel_dbms_spark.sources.lake import read_skipping, write_manifest
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    m = execution_metrics(li.groupBy("l_returnflag").count())
+    assert m["scan_output_rows"] == li.count()
+    # 6k scanned rows reduce to a few hundred shuffle bytes: the
+    # partial/final split did its job before the exchange
+    assert 0 < m["shuffle_bytes_written"] < 10_000
+
+    t = str(tmp_path / "skip")
+    spark.range(0, 10_000).repartitionByRange(10, "id").write.parquet(t)
+    write_manifest(spark, t, ["id"])
+    pruned, n_read, n_total = read_skipping(spark, t, "id", lo=500, hi=700)
+    mp = execution_metrics(pruned)
+    assert mp["scan_files_read"] == n_read < n_total  # pruning REALLY read less
