@@ -2806,6 +2806,10 @@ def robust_zscore_prices(spark, sf_dir):
     # passes (Spark percentile ≡ DuckDB quantile_cont, proven by
     # agg_percentiles' value-hash) + two broadcast joins of group-
     # cardinality frames; the fact table is scanned, never shuffled.
+    # Scale note: EXACT percentile buffers a group's values; beyond
+    # ~10^7 rows/group swap both passes to approx_percentile (same
+    # plan shape, bounded state) or the mergeable histogram sketch —
+    # exactness here is what makes the oracle bit-checkable.
     li = _t(spark, sf_dir, "lineitem")
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.5).alias("med")
