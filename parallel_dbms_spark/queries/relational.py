@@ -2933,3 +2933,48 @@ def lake_zorder_2d_skipping(spark, sf_dir):
     )
     assert n_read < n_total, "z-ordered layout must prune a 2-D box query"
     return pruned
+
+
+@register(
+    "sql_nulls_ordering",
+    oracle="""SELECT event_id,
+                     CASE WHEN event_id % 10 = 0 THEN NULL
+                          ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+              FROM events
+              ORDER BY v ASC NULLS LAST, event_id ASC
+              LIMIT 50""",
+    tags=("sql", "sort", "null"),
+)
+def sql_nulls_ordering(spark, sf_dir):
+    # Explicit NULLS LAST pins the one place engine defaults diverge
+    # (Spark sorts NULLS FIRST on ASC, DuckDB NULLS LAST) — the same
+    # SQL text runs verbatim on both and must produce the same rows.
+    return run_sql(
+        spark, sf_dir,
+        """SELECT event_id,
+                  CASE WHEN event_id % 10 = 0 THEN NULL
+                       ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+           FROM events
+           ORDER BY v ASC NULLS LAST, event_id ASC
+           LIMIT 50""",
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem
+              GROUP BY ALL""",
+    tags=("sql", "groupby", "aggregate"),
+)
+def sql_group_by_all(spark, sf_dir):
+    # GROUP BY ALL — the modern shorthand both engines parse natively
+    # (every non-aggregate select item becomes a grouping key).
+    return run_sql(
+        spark, sf_dir,
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           FROM lineitem
+           GROUP BY ALL""",
+    )
