@@ -154,3 +154,23 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     return spark.createDataFrame(
         results, "rule string, n_violations long, n_rows long, passed boolean"
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None):
+    """Order-independent content checksum: xxhash64 of each row's
+    column struct, summed exactly in DECIMAL(38,0) (no int64 overflow
+    at any row count, no ANSI-mode throw). Equal layouts, partition
+    counts, and row orders of the same data produce the SAME value;
+    any mutated/dropped/duplicated row changes it.
+
+    The cross-copy integrity check a migration needs: run on source
+    and target, compare two numbers — no sort, no join, one
+    aggregation pass each side. Returns (n_rows, checksum) as a
+    one-row DataFrame.
+    """
+    cols = cols or df.columns
+    h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).alias("checksum"),
+    )

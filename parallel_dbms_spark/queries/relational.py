@@ -2978,3 +2978,14 @@ def sql_group_by_all(spark, sf_dir):
            FROM lineitem
            GROUP BY ALL""",
     )
+
+
+@register("dq_table_checksum", oracle=None, tags=("dq", "aggregate"))
+def dq_table_checksum(spark, sf_dir):
+    # Order-independent content checksum of orders (operators/dq.py
+    # table_checksum) — the two-number cross-copy integrity check.
+    # Rows-only (xxhash64 is Spark-internal); layout invariance and
+    # mutation sensitivity are pytest-asserted in test_dq.py.
+    from ..operators.dq import table_checksum
+
+    return table_checksum(_t(spark, sf_dir, "orders"))

@@ -76,3 +76,22 @@ def test_k_anonymity_counts_reidentifiable_rows(spark):
         df, [{"type": "k_anonymity", "cols": ["zip", "age"], "k": 1}]
     ).head()
     assert ok.passed and ok.n_violations == 0
+
+
+def test_table_checksum_layout_invariant_and_mutation_sensitive(spark):
+    from parallel_dbms_spark.operators.dq import table_checksum
+
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 3)
+    base = table_checksum(df).head()
+    # layout-invariant: repartition/order changes nothing
+    assert table_checksum(df.repartition(13)).head() == base
+    assert table_checksum(df.orderBy(F.desc("id"))).head() == base
+    # mutation-sensitive: one changed value, one dropped row, one dup
+    mut = df.withColumn("v", F.when(F.col("id") == 42, 0).otherwise(F.col("v")))
+    assert table_checksum(mut).head().checksum != base.checksum
+    assert table_checksum(df.filter("id <> 7")).head().checksum != base.checksum
+    dup = df.unionAll(df.filter("id = 9"))
+    assert table_checksum(dup).head().checksum != base.checksum
+    # column subset checks just that projection
+    sub = table_checksum(df, ["id"]).head()
+    assert sub.checksum != base.checksum and sub.n_rows == base.n_rows
