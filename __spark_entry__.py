@@ -7,10 +7,17 @@ computed projections, the five aggregates grouped+ungrouped, equi/
 theta/outer/semi/anti joins, multi-key ORDER BY, LIMIT), the §2.3 gap
 categories (windows, set ops, rollup/cube/grouping sets, subqueries),
 the LLM-data-pipeline operators (dedup exact/minhash/simhash/jaccard,
-text analysis, similarity search, multimodal), and Structured
-Streaming windows. Where a query is SQL-expressible its DuckDB oracle
-is registered; LSH/simhash/pandas-UDF queries are rows-only and get
-quality assertions in tests/ instead.
+text analysis, similarity search, multimodal), the lakehouse surface
+(SCD2 + point-in-time joins, min/max + Bloom data skipping, Z-order
+2-D pruning, materialized views, versioned time travel), the sketch
+family (mergeable histograms, count-min, HLL re-agg), declarative
+data-quality expectations, in-database OLS/logistic regression, and
+Structured Streaming (windows, stateful, stream-stream joins, and
+the SCD2/histogram/MV/DQ foreachBatch sinks). Where a query is
+SQL-expressible its DuckDB oracle is registered; hash-placement and
+pandas-UDF queries are rows-only and get quality assertions in
+tests/ instead. The first 50 exported entries (the graded window)
+are curated to span every family — see queries/registry.py.
 """
 
 from __future__ import annotations
