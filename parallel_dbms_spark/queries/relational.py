@@ -2989,3 +2989,32 @@ def dq_table_checksum(spark, sf_dir):
     from ..operators.dq import table_checksum
 
     return table_checksum(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "sql_trycast_values_ilike",
+    oracle="""SELECT t.k, t.raw, TRY_CAST(t.raw AS BIGINT) AS num,
+                     n.n_name
+              FROM (VALUES (1, '42', 'ALGERIA'), (2, 'x7', 'brazil'),
+                           (3, '8', 'CANADA'), (4, '', 'no-such-%')) AS t(k, raw, pat)
+              LEFT JOIN nation n ON n.n_name ILIKE t.pat
+              ORDER BY t.k""",
+    tags=("sql", "functions", "null", "join"),
+)
+def sql_trycast_values_ilike(spark, sf_dir):
+    # Column naming note: the driver's comparator sorts rows by the
+    # alphabetically-first column, so the unique key ``k`` must sort
+    # before the nullable ``num`` (None is unorderable against int).
+    # Three more verbatim-SQL parity points in one query: TRY_CAST
+    # (error-safe cast -> NULL, never throw, even under Spark's ANSI
+    # mode), inline VALUES tables with column aliases, and ILIKE
+    # case-insensitive matching — identical text on both engines.
+    return run_sql(
+        spark, sf_dir,
+        """SELECT t.k, t.raw, TRY_CAST(t.raw AS BIGINT) AS num,
+                  n.n_name
+           FROM (VALUES (1, '42', 'ALGERIA'), (2, 'x7', 'brazil'),
+                        (3, '8', 'CANADA'), (4, '', 'no-such-%')) AS t(k, raw, pat)
+           LEFT JOIN nation n ON n.n_name ILIKE t.pat
+           ORDER BY t.k""",
+    )
