@@ -291,3 +291,51 @@ def test_random_sql_differential_v5(spark, duck, seed):
         spark, duck, f"fuzz5_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
     )
     assert res.ok, f"{q}\n{res!r}"
+
+
+def gen_query_v6(seed: int) -> str:
+    """Sixth wave: NULLS FIRST/LAST ordering (randomized direction and
+    null placement over a partially-NULL expression), TRY_CAST over
+    mixed-validity strings, and GROUP BY ALL — pinning the parity
+    points of the round's SQL additions under randomization."""
+    rng = random.Random(50_000 + seed)
+    kind = rng.randrange(3)
+    if kind == 0:  # explicit null ordering, both directions
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["FIRST", "LAST"])
+        mod = rng.randint(5, 12)
+        return (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN l_orderkey % {mod} = 0 THEN NULL "
+            f"ELSE l_linenumber END AS v "
+            f"FROM lineitem "
+            f"ORDER BY v {direction} NULLS {nulls}, l_orderkey, l_linenumber "
+            f"LIMIT {rng.randint(20, 80)}"
+        )
+    if kind == 1:  # TRY_CAST over sometimes-numeric strings
+        mod = rng.randint(2, 5)
+        return (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"TRY_CAST(CASE WHEN l_linenumber % {mod} = 0 "
+            f"THEN CAST(l_orderkey AS STRING) ELSE 'x' END AS BIGINT) AS num "
+            f"FROM lineitem WHERE l_orderkey % 7 = 0"
+        )
+    # GROUP BY ALL with a randomized dim pair
+    d1, d2 = random.Random(seed).sample(
+        ["l_returnflag", "l_linestatus", "l_linenumber"], 2
+    )
+    return (
+        f"SELECT {d1}, {d2}, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+        f"FROM lineitem WHERE l_quantity < {rng.randint(20, 50)} "
+        f"GROUP BY ALL"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_sql_differential_v6(spark, duck, seed):
+    q = gen_query_v6(seed)
+    res = run_compare(
+        spark, duck, f"fuzz6_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"
