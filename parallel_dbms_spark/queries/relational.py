@@ -3018,3 +3018,41 @@ def sql_trycast_values_ilike(spark, sf_dir):
            LEFT JOIN nation n ON n.n_name ILIKE t.pat
            ORDER BY t.k""",
     )
+
+
+@register(
+    "agg_bitmap_distinct_weekly",
+    oracle="""SELECT event_type,
+                     CAST(date_trunc('week', ts) AS VARCHAR) AS week,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+              FROM events GROUP BY 1, 2""",
+    tags=("aggregate", "bitmap", "distinct", "sketch"),
+)
+def agg_bitmap_distinct_weekly(spark, sf_dir):
+    # EXACT mergeable distinct counting — the value-hash-checkable twin
+    # of agg_hll_reaggregate: per-(type, day) bitmap indexes of user
+    # ids, OR-merged to weeks, popcounted (functions/bitmaps.py). The
+    # raw events shuffle exactly once (into daily bitmaps); the weekly
+    # answer — and any future monthly/quarterly one — reaggregates
+    # 4 KB bitsets. Reference parity: COUNT(DISTINCT) done by kernels
+    # that rescan raw values per question (src/operators/aggregate.h).
+    from ..functions.bitmaps import rollup_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        "user_id",
+    )
+    out = rollup_distinct(
+        ev,
+        fine_keys=("event_type", "wk", "day"),
+        coarse_keys=("event_type", "wk"),
+        id_col="user_id",
+    )
+    return out.select(
+        "event_type",
+        # DuckDB's date_trunc('week') yields DATE; match its text form
+        F.col("wk").cast("date").cast("string").alias("week"),
+        "n_distinct",
+    )

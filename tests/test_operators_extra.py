@@ -241,3 +241,66 @@ def test_histogram_rejects_bad_range(spark):
     df = spark.range(5).selectExpr("cast(id as double) as x")
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram_sketch(df, "x", 10.0, 10.0)
+
+
+# ---------------------------------------------------------------------------
+# bitmap exact-distinct (functions/bitmaps.py)
+# ---------------------------------------------------------------------------
+def test_bitmap_rollup_equals_count_distinct(spark):
+    from parallel_dbms_spark.functions import bitmaps
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("wk"),
+        "user_id",
+    )
+    got = {
+        (r["event_type"], r["wk"]): r["n_distinct"]
+        for r in bitmaps.rollup_distinct(
+            ev, ("event_type", "wk", "day"), ("event_type", "wk"), "user_id"
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["wk"]): r["n"]
+        for r in ev.groupBy("event_type", "wk")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bitmap_merge_is_exact_across_bucket_boundaries(spark):
+    # ids straddling the 32768-id bucket boundary, with overlap between
+    # the two fine cells — OR-merge must union, not double-count.
+    from parallel_dbms_spark.functions import bitmaps
+
+    a = spark.range(32760, 32780).withColumn("cell", F.lit("a"))
+    b = spark.range(32770, 32790).withColumn("cell", F.lit("b"))
+    df = a.union(b).withColumn("g", F.lit("all"))
+    fine = bitmaps.build_bitmaps(df, ("g", "cell"), "id")
+    out = bitmaps.count_distinct(
+        bitmaps.merge_bitmaps(fine, ("g",)), ("g",)
+    ).collect()
+    assert out[0]["n_distinct"] == 30  # 32760..32789
+
+
+def test_bitmap_exact_on_signed_ids(spark):
+    # Negative ids get their own buckets (0 holds -32768..0, -1 the
+    # next block down): +5 / -5 must NOT collide, and a range spanning
+    # several negative and positive buckets stays exact.
+    from parallel_dbms_spark.functions import bitmaps
+
+    df = spark.createDataFrame(
+        [Row(g="x", id=5), Row(g="x", id=-5), Row(g="x", id=7)]
+    )
+    out = bitmaps.rollup_distinct(df, ("g",), ("g",), "id").collect()
+    assert out[0]["n_distinct"] == 3
+
+    wide = (
+        spark.range(-40000, 40000)
+        .union(spark.range(-5, 5))  # planted duplicates
+        .withColumn("g", F.lit("x"))
+    )
+    out = bitmaps.rollup_distinct(wide, ("g",), ("g",), "id").collect()
+    assert out[0]["n_distinct"] == 80000
