@@ -38,11 +38,14 @@ feed_rows = st.lists(
 def test_scd2_intervals_tile_and_have_one_current(spark, rows):
     from parallel_dbms_spark.operators import scd2_history
 
+    # explicit schema: Hypothesis can generate an all-None ``st``
+    # column, which defeats schema inference
     df = spark.createDataFrame(
         [
             Row(k=k, ts=dt.datetime(2024, 1, d), seq=i, st=s)
             for i, (k, d, s) in enumerate(rows)
-        ]
+        ],
+        schema="k bigint, ts timestamp, seq bigint, st string",
     )
     out = scd2_history(
         df, keys=["k"], ts_col="ts", attr_cols=["st"], tiebreak=["seq"]
