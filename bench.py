@@ -63,6 +63,11 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash_lsh": lambda: _exec(
             dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
         ),
+        "dedup_prefix_jaccard": lambda: _exec(
+            dedup.prefix_jaccard_pairs(
+                load_table(spark, sf_dir, "documents"), threshold=0.8
+            )
+        ),
         "text_stats": lambda: _exec(
             text_fns.text_stats(load_table(spark, sf_dir, "documents"))
         ),

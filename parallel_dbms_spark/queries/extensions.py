@@ -94,6 +94,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_jaccard",
+    oracle=f"""WITH {_JACCARD_PAIRS_CTE}
+               SELECT id_a, id_b, jaccard FROM pairs""",
+    tags=("dedup", "jaccard", "prefix_filter"),
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    # Same answer as dedup_ngram_jaccard (same oracle), different
+    # physics: PPJoin-style prefix filtering joins only each doc's
+    # rarest |A|-ceil(t|A|)+1 shingles, so candidate volume falls as
+    # the threshold rises and hot common shingles never become join
+    # keys — completeness preserved (no df-cap under-estimation).
+    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_clusters",
     oracle=f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
                nodes AS (SELECT id_a AS id FROM pairs

@@ -213,3 +213,59 @@ def test_cut_spans_removes_planted_passage(spark):
     assert out[2]["clean_text"] == "unique suffix here for document two"
     assert out[3]["clean_text"] == rows[2][1]
     assert out[3]["n_tokens_cut"] == 0
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+def test_prefix_jaccard_equals_sharing_based_join(spark):
+    # Same pairs, same jaccard values as the share-one-shingle
+    # baseline, at two thresholds (prefix filtering is lossless).
+    df = _corpus(spark)
+    for t in (0.5, 0.8):
+        a = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in dedup.prefix_jaccard_pairs(df, threshold=t).collect()
+        }
+        b = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=t, max_shingle_df=None
+            ).collect()
+        }
+        assert a == b and len(a) >= 4
+
+
+def test_prefix_jaccard_finds_planted(spark):
+    df = _corpus(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.prefix_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert {(0, 100), (1, 101), (2, 200), (3, 201)} <= pairs
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # The point of the prefix: the candidate join touches strictly
+    # fewer (id, shingle) rows than the full explode. Count the rows
+    # each design would feed its self-join with.
+    df = _corpus(spark)
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        dedup.word_shingles(F.col("text"), 3).alias("sh"),
+    ).select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    full_rows = sh.count()
+
+    t = 0.8
+    plen = (
+        sh.select(
+            "id",
+            (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.first("p").alias("p"))
+        .agg(F.sum("p").alias("total"))
+        .collect()[0]["total"]
+    )
+    # prefix rows are ~(1-t) of the full explode
+    assert plen < 0.35 * full_rows
