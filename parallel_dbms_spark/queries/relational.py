@@ -3056,3 +3056,106 @@ def agg_bitmap_distinct_weekly(spark, sf_dir):
         F.col("wk").cast("date").cast("string").alias("week"),
         "n_distinct",
     )
+
+
+@register(
+    "union_by_name_drift",
+    oracle="""SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM (SELECT o_orderkey, o_orderstatus FROM orders
+                    WHERE o_orderkey % 3 = 0
+                    UNION ALL BY NAME
+                    SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 3 = 1)""",
+    tags=("set", "schema_evolution"),
+)
+def union_by_name_drift(spark, sf_dir):
+    # Schema-drift ingestion: two landing batches whose column sets
+    # differ (a column added/dropped between pipeline versions) are
+    # unioned BY NAME, absent columns padded with NULL — Spark
+    # unionByName(allowMissingColumns=True) == DuckDB UNION ALL BY
+    # NAME. The positional-union trap (silently pairing unrelated
+    # columns) is exactly what this surface exists to avoid.
+    o = _t(spark, sf_dir, "orders")
+    b1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return b1.unionByName(b2, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "agg_mode_listagg",
+    oracle="""WITH c AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                                COUNT(*) AS n
+                         FROM orders GROUP BY 1, 2),
+                   m AS (SELECT st, MIN(pr) AS mode_priority
+                         FROM (SELECT st, pr, n,
+                                      MAX(n) OVER (PARTITION BY st) AS mx
+                               FROM c)
+                         WHERE n = mx GROUP BY st),
+                   l AS (SELECT o_orderstatus AS st,
+                                string_agg(DISTINCT o_orderpriority, ','
+                                           ORDER BY o_orderpriority) AS priorities
+                         FROM orders GROUP BY 1)
+              SELECT m.st AS o_orderstatus, m.mode_priority, l.priorities
+              FROM m JOIN l ON m.st = l.st""",
+    tags=("aggregate", "mode", "listagg"),
+)
+def agg_mode_listagg(spark, sf_dir):
+    # Two aggregate surfaces the reference lacks entirely, both made
+    # DETERMINISTIC so the value-hash gate can check them: modal value
+    # per group (F.mode breaks ties arbitrarily -> recompute as
+    # min-priority-among-max-count) and LISTAGG/string_agg (order
+    # pinned by sorting the collected set before joining).
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("st")
+    mode = (
+        counts.withColumn("mx", F.max("n").over(w))
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("st")
+        .agg(F.min("pr").alias("mode_priority"))
+    )
+    lst = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities")
+    )
+    return mode.join(lst, "st").select(
+        F.col("st").alias("o_orderstatus"), "mode_priority", "priorities"
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""SELECT p1.p_partkey,
+                     CAST(p1.p_retailprice AS DOUBLE) AS price,
+                     CAST(p1.p_size AS INTEGER) AS psize
+              FROM part p1
+              WHERE NOT EXISTS (
+                SELECT 1 FROM part p2
+                WHERE p2.p_retailprice <= p1.p_retailprice
+                  AND p2.p_size <= p1.p_size
+                  AND (p2.p_retailprice < p1.p_retailprice
+                       OR p2.p_size < p1.p_size))""",
+    tags=("skyline", "pandas_udf"),
+)
+def pareto_frontier_parts(spark, sf_dir):
+    # SKYLINE: cheapest-and-smallest parts (nothing both <= and
+    # strictly < in a dimension). The oracle is the quadratic NOT
+    # EXISTS self-join; the engine answers with the two-level local
+    # frontier reduction (operators/skyline.py) — no self-join at all.
+    from ..operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("psize"),
+    )
+    return skyline_2d(p, "price", "psize")

@@ -304,3 +304,51 @@ def test_bitmap_exact_on_signed_ids(spark):
     )
     out = bitmaps.rollup_distinct(wide, ("g",), ("g",), "id").collect()
     assert out[0]["n_distinct"] == 80000
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier (operators/skyline.py)
+# ---------------------------------------------------------------------------
+def _skyline_naive(points):
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for j, (x2, y2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_naive_and_is_partition_invariant(spark):
+    from parallel_dbms_spark.operators.skyline import skyline_2d
+
+    random.seed(7)
+    pts = [(random.randint(0, 50), random.randint(0, 50)) for _ in range(400)]
+    pts += [(0, 50), (50, 0), (3, 3), (3, 3)]  # corners + exact dup pair
+    df = spark.createDataFrame(
+        [Row(i=i, x=x, y=y) for i, (x, y) in enumerate(pts)]
+    )
+    want = _skyline_naive(pts)
+    for parts in (1, 7):
+        got = sorted(
+            (r.x, r.y) for r in skyline_2d(df.repartition(parts), "x", "y").collect()
+        )
+        assert got == want
+
+
+def test_skyline_keeps_equal_duplicates_and_survives_anticorrelated(spark):
+    from parallel_dbms_spark.operators.skyline import skyline_2d
+
+    # anti-correlated staircase: EVERY point is on the frontier
+    stairs = [(i, 100 - i) for i in range(100)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in stairs])
+    assert skyline_2d(df, "x", "y").count() == 100
+
+    dup = spark.createDataFrame(
+        [Row(x=1, y=1), Row(x=1, y=1), Row(x=0, y=5), Row(x=2, y=2)]
+    )
+    got = sorted((r.x, r.y) for r in skyline_2d(dup, "x", "y").collect())
+    assert got == [(0, 5), (1, 1), (1, 1)]  # dominated (2,2) out, dups in
