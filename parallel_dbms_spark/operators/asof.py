@@ -27,6 +27,7 @@ def asof_join(
     right_values: list[str],
     how: str = "inner",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts <= left_ts and equal ``on`` key(s) — a single column name
@@ -34,7 +35,15 @@ def asof_join(
     or the EARLIEST right row with right_ts >= left_ts
     (direction="forward" — "next reading at or after"). The forward
     form is the same one-shuffle window plan run in descending time
-    order; DuckDB's ``ASOF JOIN ... ON l.ts <= r.ts`` is its oracle."""
+    order; DuckDB's ``ASOF JOIN ... ON l.ts <= r.ts`` is its oracle.
+
+    ``tolerance`` (an interval string, e.g. ``"2 hours"``) bounds how
+    stale a match may be: a matched right row further than the
+    tolerance from left_ts is treated as NO match (pandas
+    ``merge_asof(tolerance=...)`` semantics) — dropped under
+    how="inner", NULL-filled under how="left". Applied as a post-fill
+    predicate on the carried right timestamp, so the plan is unchanged
+    (one shuffle, no extra join)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = [on] if isinstance(on, str) else list(on)  # composite keys ok
@@ -50,7 +59,11 @@ def asof_join(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
+        # the matched row's own timestamp rides along for tolerance
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(c) for c in right_values],
+        ).alias("__r"),
     )
     for c in lcols:
         if c not in on:
@@ -74,6 +87,15 @@ def asof_join(
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
     out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        gap = (
+            F.col(left_ts) - F.col("__r.__rts")
+            if direction == "backward"
+            else F.col("__r.__rts") - F.col(left_ts)
+        )
+        within = gap <= F.expr(f"INTERVAL {tolerance}")
+        # NULL condition (no match at all) falls through to NULL
+        out = out.withColumn("__r", F.when(within, F.col("__r")))
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())
     return out.select(

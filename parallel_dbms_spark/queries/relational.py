@@ -3159,3 +3159,85 @@ def pareto_frontier_parts(spark, sf_dir):
         F.col("p_size").cast("int").alias("psize"),
     )
     return skyline_2d(p, "price", "psize")
+
+
+@register(
+    "window_distinct_trailing_7d",
+    oracle="""WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                 user_id
+                          FROM events),
+                   days AS (SELECT DISTINCT day FROM du)
+              SELECT CAST(d.day AS VARCHAR) AS day,
+                     CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
+              FROM days d
+              JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+              GROUP BY 1""",
+    tags=("window", "distinct", "timeseries"),
+)
+def window_distinct_trailing_7d(spark, sf_dir):
+    # Trailing-7-day EXACT distinct users per active day (rolling MAU
+    # shape). COUNT(DISTINCT) is not window-decomposable — the classic
+    # answer is a per-day state machine or a range self-join. Scale
+    # design: dedupe to (day, user) FIRST (the only pass over raw
+    # events), then replicate each surviving pair to the <=7 target
+    # days it can serve via sequence+explode and run one exact
+    # distinct agg keyed by (target_day, user). Replication factor is
+    # a constant 7x of the *deduped* pairs, not of the raw events, and
+    # every stage is a plain hash shuffle — no global window, no
+    # quadratic day x day join.
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    grid = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    out = grid.join(days, "day").groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_users_7d")
+    )
+    return out.select(F.col("day").cast("string").alias("day"), "n_users_7d")
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""WITH j AS MATERIALIZED (
+                SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                       c.value AS last_click_value, c.ts AS match_ts
+                FROM events e ASOF JOIN
+                     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                      FROM events WHERE event_type = 'click') c
+                  ON e.user_id = c.user_id
+                 AND CAST(e.ts AS TIMESTAMP) >= c.ts)
+              -- MATERIALIZED: DuckDB would otherwise push the age
+              -- filter INTO the ASOF join ("Multiple ASOF JOIN
+              -- inequalities" binder error)
+              SELECT event_id, user_id, ts, last_click_value
+              FROM j WHERE match_ts >= ts - INTERVAL 2 HOUR""",
+    tags=("asof", "join", "tolerance"),
+)
+def asof_join_tolerance(spark, sf_dir):
+    # Bounded-staleness as-of (pandas merge_asof tolerance=...): the
+    # latest click counts only if it is at most 2 h old. Oracle =
+    # native ASOF JOIN then an age filter — equivalent because ASOF
+    # already picked the LATEST match, so "match exists within
+    # tolerance" == "the latest match is within tolerance".
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        tolerance="2 hours",
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
+    )

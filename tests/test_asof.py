@@ -203,3 +203,60 @@ def test_interval_overlap_join_caps_runaway_intervals(spark):
         ).collect()
     ]
     assert got == [(1, 1)]  # clean pair joins; the runaway row is dropped
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=at(0), lv=1),    # match 30 min old -> inside 2h
+         Row(k=2, ts=at(0), lv=2),    # match exactly 120 min old -> kept (<=)
+         Row(k=3, ts=at(0), lv=3),    # match 121 min old -> dropped
+         Row(k=4, ts=at(0), lv=4)]    # no match at all
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=at(-30), rv=10.0),
+         Row(k=2, ts=at(-120), rv=20.0),
+         Row(k=3, ts=at(-121), rv=30.0)]
+    )
+    inner = {
+        r.lv: r.r_rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["rv"], tolerance="2 hours",
+        ).collect()
+    }
+    assert inner == {1: 10.0, 2: 20.0}
+
+    left_join = {
+        r.lv: r.r_rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["rv"], how="left", tolerance="2 hours",
+        ).collect()
+    }
+    assert left_join == {1: 10.0, 2: 20.0, 3: None, 4: None}
+
+
+def test_asof_tolerance_forward_direction(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([Row(k=1, ts=t0, lv=1), Row(k=2, ts=t0, lv=2)])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t0 + dt.timedelta(minutes=10), rv=1.5),
+         Row(k=2, ts=t0 + dt.timedelta(hours=3), rv=2.5)]
+    )
+    got = {
+        r.lv: r.r_rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["rv"], direction="forward", tolerance="1 hour",
+        ).collect()
+    }
+    assert got == {1: 1.5}
