@@ -160,3 +160,46 @@ def cooccurrence_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def bfs_hops(edges: DataFrame, source, max_hops: int = 6) -> DataFrame:
+    """Single-source shortest HOP counts over an undirected edge list
+    — breadth-first frontier expansion, the iterative-algorithm shape
+    Spark answers with a bounded loop of joins (same discipline as
+    ``pagerank``/``duplicate_clusters``: localCheckpoint truncates the
+    lineage each round so round k doesn't replay rounds 1..k-1).
+
+    Per round: frontier ⋈ edges -> neighbors, anti-join against the
+    settled set (a node's FIRST visit is its shortest hop count —
+    that's BFS), append, repeat. Terminates at ``max_hops`` or an
+    empty frontier, whichever first. Each round is one shuffle join on
+    the node key; the settled set only grows, so the anti-join's right
+    side is the (small) result, not the graph.
+
+    Returns (node, hops) for every node reachable within ``max_hops``,
+    source included at hops 0.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    node_t = dict(edges.dtypes)["src"]
+    dist = spark.createDataFrame([(source, 0)], f"node {node_t}, hops int")
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

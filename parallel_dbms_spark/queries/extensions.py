@@ -1639,3 +1639,43 @@ def pipeline_shard_manifest(spark, sf_dir):
     return man.select("n_rows", "doc_id_min", "doc_id_max").orderBy(
         "doc_id_min"
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""WITH RECURSIVE b AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                       user_id
+                FROM events),
+                   e0 AS (
+                SELECT DISTINCT l.user_id AS src, r.user_id AS dst
+                FROM b l JOIN b r
+                  ON l.event_type = r.event_type AND l.hr = r.hr
+                 AND l.user_id < r.user_id),
+                   e AS (SELECT src, dst FROM e0
+                         UNION SELECT dst, src FROM e0),
+                   s AS (SELECT MIN(user_id) AS v FROM events),
+                   walk(node, hops) AS (
+                     SELECT v, 0 FROM s
+                     UNION
+                     SELECT e.dst, w.hops + 1
+                     FROM walk w JOIN e ON e.src = w.node
+                     WHERE w.hops < 4)
+              SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+              FROM walk GROUP BY node""",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark, sf_dir):
+    # Single-source BFS (shortest hops) from the smallest user id over
+    # the co-occurrence graph, vs a DuckDB recursive-CTE closure of
+    # the same graph. The one driver-side scalar is the source id —
+    # a model parameter, not data.
+    from ..functions.graph import bfs_hops, cooccurrence_edges
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    )
+    edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id")
+    source = ev.agg(F.min("user_id")).collect()[0][0]
+    return bfs_hops(edges, source, max_hops=4)

@@ -64,3 +64,34 @@ def test_cooccurrence_edges_bucket_cap(spark):
     assert all_e.count() == 10 + 190  # C(5,2) + C(20,2), disjoint nodes
     capped = cooccurrence_edges(df, ["bucket"], "node", max_bucket=10)
     assert capped.count() == 10  # hot bucket dropped entirely
+
+
+def test_bfs_hops_known_graph_and_unreachable(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.graph import bfs_hops
+
+    # path 0-1-2-3, star 0-{4,5}, island 8-9 (unreachable from 0)
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3),
+         Row(src=0, dst=4), Row(src=0, dst=5), Row(src=8, dst=9)]
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, 0, max_hops=6).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 5: 1, 2: 2, 3: 3}
+
+    # max_hops truncates the frontier
+    got2 = {r.node: r.hops for r in bfs_hops(edges, 0, max_hops=1).collect()}
+    assert got2 == {0: 0, 1: 1, 4: 1, 5: 1}
+
+
+def test_bfs_hops_takes_shortest_path_through_cycle(spark):
+    from pyspark.sql import Row
+
+    from parallel_dbms_spark.functions.graph import bfs_hops
+
+    # cycle 0-1-2-3-4-0: node 3 is 2 hops via 4, not 3 hops via 1-2
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 5) for i in range(5)]
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
