@@ -5,5 +5,7 @@ from . import relational  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import recursive_sql  # noqa: E402,F401
+from . import search_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
