@@ -144,6 +144,16 @@ def bench_queries(spark, sf_dir):
         "scd2_pit_enrich": lambda: _exec(
             REGISTRY["scd2_pit_enrich"].fn(spark, sf_dir)
         ),
+        # r3 wave 4: native recursive CTE (iterative plan execution)
+        # and the full-text search surface (phrase positional
+        # intersection + trigram-pruned substring scan)
+        "recursive_chain": lambda: _exec(
+            REGISTRY["sql_recursive_customer_chain"].fn(spark, sf_dir)
+        ),
+        "search_phrase": lambda: _exec(REGISTRY["search_phrase"].fn(spark, sf_dir)),
+        "search_substring": lambda: _exec(
+            REGISTRY["search_substring_trigram"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}

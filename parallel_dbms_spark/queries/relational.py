@@ -3241,3 +3241,35 @@ def asof_join_tolerance(spark, sf_dir):
     return j.select(
         "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
     )
+
+
+@register(
+    "lake_sorted_export",
+    oracle="""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem
+              ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+              LIMIT 100""",
+    tags=("lake", "sort", "sink", "export"),
+)
+def lake_sorted_export(spark, sf_dir):
+    # Totally-ordered multi-file export (the scalable form of the
+    # reference's ORDER BY -> CSV sink, which only sorts one batch):
+    # range-partitioned write, per-file manifest, then CONSUME the
+    # contract — the global top-100 cheapest rows must live in the
+    # first files of the manifest order, so only 2 of the 8 files are
+    # read to answer a query the oracle computes over the whole table.
+    import tempfile
+
+    from ..sources.lake import sorted_export_file_order, write_sorted_export
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="sorted_export_") + "/li"
+    n_files = write_sorted_export(li, path, ["l_extendedprice"], n_files=8)
+    files = sorted_export_file_order(spark, path, "l_extendedprice")
+    assert n_files == len(files) >= 2, "export must span multiple files"
+    head = spark.read.parquet(*files[:2])
+    return head.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).limit(100)

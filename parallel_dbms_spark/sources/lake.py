@@ -553,3 +553,68 @@ def read_skipping_multi(
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
     return df, len(files), n_total
+
+
+def write_sorted_export(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    n_files: int = 8,
+    ascending: bool = True,
+) -> int:
+    """Totally-ordered multi-file export: the distributed form of the
+    reference's ORDER BY -> CSV sink (/root/reference/src/main.cpp:754-771
+    — which sorts only the FIRST scan batch, /root/reference/src/main.cpp:
+    405-544, so its "sorted" output is wrong past one batch).
+
+    ``repartitionByRange`` range-partitions on the sort key (sampled
+    split points — the same mechanism as Spark's global orderBy), each
+    partition sorts locally, and one file lands per partition. The
+    result is a totally ordered dataset *across* files: every row in
+    file i sorts <= every row in file i+1 (ties may straddle the
+    boundary). A per-file min/max manifest (`write_manifest`) is the
+    consume-side contract: reading files in manifest order yields the
+    fully sorted stream with NO merge step — how a 100 TB sorted
+    export actually ships (no single writer ever holds the whole
+    order; consumers stream file-by-file).
+
+    Returns the number of files written.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    (
+        df.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return write_manifest(df.sparkSession, path, [order_cols[0]])
+
+
+def sorted_export_file_order(
+    spark: SparkSession, path: str, first_key: str, ascending: bool = True
+) -> list[str]:
+    """Consume-side of :func:`write_sorted_export`: the file list in
+    global sort order, validated against the manifest — raises if any
+    two files' [min,max] key ranges interleave (which would mean the
+    export is NOT totally ordered and a merge would be required).
+
+    The manifest is one row per file (bounded, kilobytes at 100 TB) —
+    the only thing that ever reaches the driver.
+    """
+    man = spark.read.parquet(path + "/_manifest")
+    lo, hi = f"{first_key}_min", f"{first_key}_max"
+    rows = man.select("file", lo, hi).collect()
+    rows.sort(key=lambda r: (r[lo], r[hi]), reverse=not ascending)
+    for prev, cur in zip(rows, rows[1:]):
+        a, b = (prev[hi], cur[lo]) if ascending else (cur[hi], prev[lo])
+        if a > b:
+            raise ValueError(
+                f"files interleave on {first_key}: {prev['file']} "
+                f"[{prev[lo]}, {prev[hi]}] vs {cur['file']} "
+                f"[{cur[lo]}, {cur[hi]}]"
+            )
+    return [r["file"] for r in rows]

@@ -422,3 +422,88 @@ def test_bucketed_table_makes_keyed_windows_exchange_free(spark, tmp_path):
     row = out.filter((F.col("k") == 1) & (F.col("seq") == 41)).head()
     assert row.prev == 3  # previous seq for k=1 is 1 -> v=3
     spark.sql("DROP TABLE IF EXISTS ev_bwin")
+
+
+def test_sorted_export_total_order_across_files(spark):
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.sources.lake import (
+        sorted_export_file_order,
+        write_sorted_export,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sorted_exp_") + "/orders"
+    n = write_sorted_export(o, path, ["o_totalprice"], n_files=4)
+    files = sorted_export_file_order(spark, path, "o_totalprice")
+    assert n == len(files) == 4
+
+    # every file is internally sorted (lag within file never decreases)
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("f"), "o_totalprice"
+    )
+    w = Window.partitionBy("f").orderBy("o_totalprice")
+    bad = back.withColumn("prev", F.lag("o_totalprice").over(w)).filter(
+        F.col("prev") > F.col("o_totalprice")
+    )
+    assert bad.count() == 0
+
+    # concatenating files in manifest order yields the global sort
+    seq = []
+    for f in files:
+        seq.extend(
+            r["o_totalprice"]
+            for r in spark.read.parquet(f).orderBy("o_totalprice").collect()
+        )
+    assert seq == sorted(seq)
+    assert len(seq) == o.count()
+
+
+def test_sorted_export_descending(spark):
+    import tempfile
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.sources.lake import (
+        sorted_export_file_order,
+        write_sorted_export,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="sorted_desc_") + "/orders"
+    write_sorted_export(o, path, ["o_totalprice"], n_files=3, ascending=False)
+    files = sorted_export_file_order(
+        spark, path, "o_totalprice", ascending=False
+    )
+    firsts = [
+        spark.read.parquet(f).agg({"o_totalprice": "max"}).collect()[0][0]
+        for f in files
+    ]
+    assert firsts == sorted(firsts, reverse=True)
+
+
+def test_sorted_export_detects_interleaved_files(spark):
+    import tempfile
+
+    import pytest
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.sources.lake import (
+        sorted_export_file_order,
+        write_manifest,
+    )
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="unsorted_exp_") + "/orders"
+    # hash-partitioned (NOT range) write: files interleave on the key
+    o.repartition(4, "o_orderkey").write.parquet(path)
+    write_manifest(spark, path, ["o_totalprice"])
+    with pytest.raises(ValueError, match="interleave"):
+        sorted_export_file_order(spark, path, "o_totalprice")

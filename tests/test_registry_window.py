@@ -25,6 +25,8 @@ REQUIRED_FAMILIES = {
     "session_window", "watermark", "tpch", "cdc", "sessionize",
     "timeseries", "profiling", "pandas_udf", "scd2", "lake",
     "data-skipping", "bloom", "histogram", "sketch", "mv", "dq",
+    # round-3 families
+    "recursive", "search", "phrase",
 }
 
 
