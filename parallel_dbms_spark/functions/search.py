@@ -190,8 +190,14 @@ def phrase_search(
 
 def doc_trigrams(text_col) -> "F.Column":
     """Distinct character trigrams of a string column, JVM-side:
-    transform over a position sequence + substr, then array_distinct."""
-    t = F.lower(text_col)
+    transform over a position sequence + substr, then array_distinct.
+
+    Case-preserving: pass an already-lowercased BOUND column (as
+    ``build_trigram_index`` does) — wrapping ``lower(...)`` here would
+    re-evaluate it inside the transform lambda once per character
+    position.
+    """
+    t = text_col
     n = F.length(t)
     return F.when(n < 3, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -206,10 +212,19 @@ def doc_trigrams(text_col) -> "F.Column":
 def build_trigram_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Trigram index ``(tri, doc_id)`` — distinct per doc."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(doc_trigrams(F.col(text_col))).alias("tri"),
+    """Trigram index ``(tri, doc_id)`` — distinct per doc.
+
+    The lowered text is projected to a bound column BEFORE the
+    per-position substr transform references it; applying
+    ``doc_trigrams`` straight to the raw column would re-lower the
+    whole string once per character position (O(len²) — the same trap
+    ``dedup.shingle_postings`` documents for word shingles).
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    )
+    return t.select(
+        "doc_id", F.explode(doc_trigrams(F.col("__t"))).alias("tri")
     ).select("tri", "doc_id")
 
 
