@@ -446,3 +446,97 @@ def stream_mv_event_rollup(spark, sf_dir):
         },
     )
     return spark.read.parquet(root + "/mv")
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                     CAST(c.ts AS TIMESTAMP) AS click_ts,
+                     CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+                     p.value AS purchase_value
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""",
+    tags=("streaming", "stream_stream_join", "outer", "watermark"),
+)
+def stream_stream_left_outer(spark, sf_dir):
+    # LEFT OUTER stream-stream join: every click, with its in-lookback
+    # purchases OR null purchase columns. Outer rows only emit once the
+    # watermark proves no future purchase can match, so the backlog is
+    # staged with trailing watermark-sentinel batches
+    # (streaming/joins.py stage_with_watermark_sentinels) — the bounded
+    # replay then emits the complete batch-LEFT-JOIN answer, which is
+    # the oracle. Sentinels carry user_id = -1 and are filtered out.
+    import tempfile
+
+    from ..streaming.joins import stage_with_watermark_sentinels
+    from ..streaming.windows import EVENTS_SCHEMA_TS
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="ss_louter_")
+    stage_with_watermark_sentinels(ev, staged)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    joined = click_purchase_attribution(
+        src.filter("event_type = 'click'"),
+        src.filter("event_type = 'purchase'"),
+        lookback="30 minutes",
+        how="leftOuter",
+    )
+    out = run_stream_to_batch(spark, joined, output_mode="append")
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "batch_session_window_native",
+    oracle="""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                CAST(value AS DECIMAL(18,2)) AS v
+                         FROM events WHERE user_id % 31 = 0),
+                   d AS (SELECT user_id, ts, v,
+                                CASE WHEN LAG(ts) OVER w IS NULL
+                                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END AS brk
+                         FROM e
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                   s AS (SELECT user_id, ts, v,
+                                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS UNBOUNDED PRECEDING) AS sid
+                         FROM d)
+              SELECT user_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(v) AS DOUBLE) AS sum_value
+              FROM s
+              GROUP BY user_id, sid""",
+    tags=("streaming", "session_window", "window", "batch"),
+)
+def batch_session_window_native(spark, sf_dir):
+    # Native F.session_window in BATCH mode — the same operator the
+    # streaming session query uses, proven equal to the explicit
+    # gaps-and-islands SQL formulation (the oracle): sessions split
+    # where the gap to the previous event is >= 30min (session windows
+    # [t, t+gap) merge only on overlap, so an exactly-30min gap
+    # starts a new session), and a session's end is last_ts + gap.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -14,6 +14,8 @@ a full DuckDB oracle.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -41,8 +43,9 @@ def click_purchase_attribution(
     purchases: DataFrame,
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: (user_id, click_id, purchase_id, click_ts,
+    """Interval join: (user_id, click_id, purchase_id, click_ts,
     purchase_ts, purchase_value) for every click within ``lookback``
     before (or simultaneous with) the purchase by the same user.
 
@@ -50,6 +53,14 @@ def click_purchase_attribution(
     ``lookback`` later, so Spark keeps clicks for
     (purchase watermark + lookback) and purchases for the click
     watermark — both finite.
+
+    ``how="leftOuter"`` additionally emits every unmatched click with
+    NULL purchase columns — but only once the global watermark proves
+    no future purchase can still match (click_ts + lookback behind the
+    watermark), i.e. outer rows trail by up to watermark+lookback of
+    event time. A bounded replay therefore needs the watermark pushed
+    PAST the real data before the last micro-batch — see
+    ``stream_stream_left_outer``'s sentinel staging.
     """
     c = (
         clicks.select(
@@ -75,6 +86,7 @@ def click_purchase_attribution(
                 AND click_ts <= purchase_ts
                 AND click_ts >= purchase_ts - INTERVAL {lookback}"""
         ),
+        how,
     ).select(
         "user_id",
         "click_id",
@@ -83,3 +95,59 @@ def click_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stage_with_watermark_sentinels(
+    events: DataFrame,
+    staged: str,
+    n_sentinel_batches: int = 2,
+    advance_hours: int = 10,
+) -> None:
+    """Stage an events backlog for a bounded replay whose watermark
+    crosses ALL real event time before the stream ends.
+
+    Writes the real events as one file, then ``n_sentinel_batches``
+    single-row-pair sentinel files (user_id = -1, one click + one
+    purchase, event time ``i * advance_hours`` past the real max) with
+    strictly later modification times. The file source processes files
+    in mtime order, so with ``maxFilesPerTrigger=1`` each sentinel is
+    its own micro-batch: batch N's event times advance the watermark
+    that batch N+1 evaluates state against. Two sentinel batches
+    guarantee one batch RUNS with a watermark already past the real
+    data — the point where a left-outer stream-stream join emits its
+    unmatched real rows. Consumers filter ``user_id >= 0``.
+
+    This is the replay-side analog of what a live pipeline gets for
+    free from continuously arriving data; only a bounded backlog needs
+    the nudge.
+    """
+    from pyspark.sql import Row
+
+    spark = events.sparkSession
+    max_ts = events.agg(F.max("ts")).collect()[0][0]  # one scalar
+    events.coalesce(1).write.mode("append").parquet(staged)
+    schema = events.schema
+    for i in range(1, n_sentinel_batches + 1):
+        ts = max_ts + _dt.timedelta(hours=i * advance_hours)
+        rows = [
+            Row(
+                event_id=-(2 * i),
+                ts=ts,
+                user_id=-1,
+                event_type="click",
+                value=0.0,
+                props=None,
+            ),
+            Row(
+                event_id=-(2 * i + 1),
+                ts=ts,
+                user_id=-1,
+                event_type="purchase",
+                value=0.0,
+                props=None,
+            ),
+        ]
+        spark.createDataFrame(
+            [tuple(getattr(r, f.name) for f in schema.fields) for r in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(staged)

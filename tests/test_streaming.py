@@ -585,3 +585,44 @@ def test_stream_mv_sink_equals_batch_rollup(spark, tmp_path):
                  F.min("cents").alias("lo"), F.max("cents").alias("hi"))
             .collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_emits_unmatched_clicks(spark):
+    """The left-outer interval join must emit null-padded rows for
+    clicks with no in-lookback purchase — and exactly match the batch
+    left join once the sentinel staging pushes the watermark past the
+    real data."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["stream_stream_left_outer"].fn(spark, sf).cache()
+    outer = out.filter(F.col("purchase_id").isNull())
+    inner = out.filter(F.col("purchase_id").isNotNull())
+    assert outer.count() > 0, "no null-padded outer rows emitted"
+    assert inner.count() > 0
+
+    from parallel_dbms_spark.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    c = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    out.unpersist()
