@@ -28,13 +28,18 @@ import csv
 import datetime
 import glob
 import os
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from .typed_csv import parse_typed_header
@@ -179,7 +184,148 @@ class TypedCSVDataSource(DataSource):
     def simpleStreamReader(self, schema: T.StructType):
         return TypedCSVStreamReader(self.options, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return TypedCSVWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return TypedCSVStreamWriter(self.options, schema)
+
 
 def register_typed_csv(spark) -> None:
     """Idempotently register the format for this session."""
     spark.dataSource.register(TypedCSVDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writers: the reference's CSV sink (Table::saveCurrentBatch +
+# createCSVHeaders, /root/reference/src/headers/table.cpp:252-307,540-575)
+# as the write side of the pluggable data source —
+#     df.write.format("typed_csv").mode(...).save(dir)            (batch)
+#     df.writeStream.format("typed_csv").option("path", dir)...   (sink)
+# Each executor partition writes its own temp file (header + rows);
+# COMMIT on the driver renames temps into place, so readers never see a
+# half-written file and an aborted job leaves no visible output.
+# Streaming file names are keyed (batchId, partitionId): a replayed
+# micro-batch rewrites the same names — idempotent restart, same
+# contract as streaming/sinks.py's exactly-once foreachBatch sink.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+
+
+def _tag_for(dt: T.DataType) -> str:
+    if isinstance(
+        dt, (T.DoubleType, T.FloatType, T.IntegerType, T.LongType, T.DecimalType)
+    ):
+        return "N"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "D"
+    return "T"
+
+
+def _typed_header(schema: T.StructType) -> list[str]:
+    out = []
+    for f in schema.fields:
+        pk = " (P)" if (f.metadata or {}).get("primary_key") else ""
+        out.append(f"{f.name} ({_tag_for(f.dataType)}){pk}")
+    return out
+
+
+def _fmt_cell(v, tag: str) -> str:
+    if v is None:
+        return ""
+    if tag == "D":
+        # fast-path parity: date_format 'yyyy-MM-dd HH:mm:ss' (micros
+        # truncated); date values render midnight like the reference's
+        # mktime-of-date encoding
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        return f"{v.isoformat()} 00:00:00"
+    if tag == "N":
+        return repr(float(v))
+    return str(v)
+
+
+def _write_partition_file(schema, iterator, tmp_path):
+    tags = [_tag_for(f.dataType) for f in schema.fields]
+    with open(tmp_path, "w", encoding="utf-8", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(_typed_header(schema))
+        n = 0
+        for row in iterator:
+            w.writerow(_fmt_cell(v, t) for v, t in zip(row, tags))
+            n += 1
+    return n
+
+
+class TypedCSVWriter(DataSourceWriter):
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("typed_csv writer needs a path")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{pid:05d}-{self.run_id}.csv")
+        tmp = os.path.join(self.path, f"_tmp-{pid:05d}-{self.run_id}")
+        _write_partition_file(self.schema, iterator, tmp)
+        return _FileCommit(tmp_path=tmp, final_path=final)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.csv")):
+                if self.run_id not in old:
+                    os.remove(old)
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class TypedCSVStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("typed_csv stream writer needs a path")
+        self.schema = schema
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # batch id is not visible executor-side pre-commit; stage to a
+        # task-unique temp, commit renames to the (batchId, pid) name
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_tmp-{pid:05d}-{uuid.uuid4().hex[:12]}"
+        )
+        n = _write_partition_file(self.schema, iterator, tmp)
+        return _FileCommit(tmp_path=tmp, final_path=f"{pid:05d}")
+
+    def commit(self, messages, batchId: int):
+        # deterministic (batchId, partition) names: a replayed batch
+        # rewrites the same files instead of duplicating rows
+        for m in messages:
+            final = os.path.join(
+                self.path, f"part-b{batchId:08d}-p{m.final_path}.csv"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            if m and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -162,3 +162,82 @@ def test_python_datasource_streams_typed_csv_incrementally(spark, tmp_path):
     # restart with nothing new: no new rows
     run()
     assert spark.read.parquet(out).count() == 4
+
+
+def test_datasource_batch_writer_roundtrip(spark, tmp_path):
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv
+    from parallel_dbms_spark.sources.typed_csv_ds import register_typed_csv
+
+    register_typed_csv(spark)
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id").cast("double").alias("amount"),
+            F.concat(F.lit("name_"), F.col("id")).alias("label"),
+            F.timestamp_seconds(F.col("id") * 3600).alias("when"),
+        )
+        .withColumn(
+            "amount",
+            F.when(F.col("amount") % 7 == 0, None).otherwise(F.col("amount")),
+        )
+    )
+    out = str(tmp_path / "sink")
+    df.repartition(3).write.format("typed_csv").mode("overwrite").save(out)
+    files = sorted(_glob.glob(out + "/part-*.csv"))
+    assert len(files) == 3
+    header = open(files[0], encoding="utf-8").readline().strip()
+    assert header == "amount (N),label (T),when (D)"
+    # read back through BOTH read paths; values must match the source
+    back_ds = spark.read.format("typed_csv").load(out)
+    back_fast = read_typed_csv(spark, out + "/part-*.csv")
+    want = sorted(map(tuple, df.collect()), key=repr)
+    assert sorted(map(tuple, back_ds.collect()), key=repr) == want
+    assert sorted(map(tuple, back_fast.collect()), key=repr) == want
+
+    # overwrite replaces, never appends
+    df.limit(5).repartition(1).write.format("typed_csv").mode("overwrite").save(out)
+    assert spark.read.format("typed_csv").load(out).count() == 5
+
+
+def test_datasource_stream_writer_lands_batch_keyed_files(spark, tmp_path):
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.typed_csv import read_typed_csv
+    from parallel_dbms_spark.sources.typed_csv_ds import register_typed_csv
+
+    register_typed_csv(spark)
+    # landing dir with two parquet files -> two micro-batches
+    src_dir = str(tmp_path / "landing")
+    base = spark.range(40).select(
+        F.col("id").cast("double").alias("v"),
+        F.concat(F.lit("u"), F.col("id") % 5).alias("u"),
+    )
+    base.filter("v < 20").coalesce(1).write.mode("append").parquet(src_dir)
+    base.filter("v >= 20").coalesce(1).write.mode("append").parquet(src_dir)
+
+    out = str(tmp_path / "csv_sink")
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("typed_csv")
+        .option("path", out)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = sorted(_glob.glob(out + "/part-b*.csv"))
+    assert files, "stream writer produced no files"
+    batches = {f.rsplit("/part-b", 1)[1].split("-")[0] for f in files}
+    assert len(batches) == 2, f"expected 2 micro-batches, got {batches}"
+    back = read_typed_csv(spark, out + "/part-*.csv")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, base.collect()))
