@@ -3273,3 +3273,99 @@ def lake_sorted_export(spark, sf_dir):
     return head.orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).limit(100)
+
+
+@register(
+    "lake_instant_count",
+    oracle="""SELECT COUNT(*) AS n_rows,
+                     CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+                     CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+              FROM orders""",
+    tags=("lake", "data-skipping", "metadata", "aggregate"),
+)
+def lake_instant_count(spark, sf_dir):
+    # Metadata-only query answering: COUNT/MIN/MAX served from the
+    # per-file manifest sidecar — ZERO data files scanned (the
+    # manifest is one row per file; at 100 TB that's kilobytes vs
+    # terabytes, the same trick Delta/Iceberg stats and parquet
+    # footer-count pushdown play). The oracle recomputes from the
+    # full table; equality proves the manifest stays truthful.
+    import tempfile
+
+    from ..sources.lake import write_manifest
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="instant_count_") + "/orders"
+    o.repartition(6).write.parquet(path)
+    write_manifest(spark, path, ["o_orderkey"])
+    man = spark.read.parquet(path + "/_manifest")
+    return man.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("o_orderkey_min").cast("long").alias("key_min"),
+        F.max("o_orderkey_max").cast("long").alias("key_max"),
+    )
+
+
+@register(
+    "lake_version_diff",
+    oracle="""WITH v0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                          FROM orders WHERE o_orderkey % 3 <> 0),
+                   v1 AS (SELECT o_orderkey,
+                                 CASE WHEN o_orderkey % 7 = 0
+                                      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                                      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice,
+                                 o_orderstatus
+                          FROM orders
+                          WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0)
+                             OR o_orderkey % 15 = 0)
+              SELECT COALESCE(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
+                     CASE WHEN v0.o_orderkey IS NULL THEN 'I'
+                          WHEN v1.o_orderkey IS NULL THEN 'D'
+                          ELSE 'U' END AS change_type,
+                     CAST(CASE WHEN v1.o_orderkey IS NULL THEN v0.o_totalprice
+                               ELSE v1.o_totalprice END AS DOUBLE) AS o_totalprice,
+                     CASE WHEN v1.o_orderkey IS NULL THEN v0.o_orderstatus
+                          ELSE v1.o_orderstatus END AS o_orderstatus
+              FROM v0 FULL JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+              WHERE v0.o_orderkey IS NULL OR v1.o_orderkey IS NULL
+                 OR v0.o_totalprice <> v1.o_totalprice
+                 OR v0.o_orderstatus <> v1.o_orderstatus""",
+    tags=("lake", "cdc", "time-travel"),
+)
+def lake_version_diff(spark, sf_dir):
+    # Time travel composed with CDC: two snapshots land as immutable
+    # v=N versions of one table (sources/lake.py write_version), then
+    # snapshot_diff(read v0, read v1) derives the I/U/D change feed —
+    # "what changed between yesterday's and today's table" without any
+    # event log, the lakehouse answer to the reference's
+    # rewrite-the-whole-CSV sink. Snapshots are deterministic
+    # derivations of orders so the oracle can rebuild both sides.
+    import tempfile
+
+    from ..operators.cdc import snapshot_diff
+    from ..sources.lake import read_version, write_version
+
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    v0 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", price.cast("double").alias("o_totalprice"), "o_orderstatus"
+    )
+    v1 = (
+        o.filter(
+            ((F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 5 != 0))
+            | (F.col("o_orderkey") % 15 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, price * 2)
+            .otherwise(price)
+            .cast("double")
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="version_diff_") + "/orders"
+    n0 = write_version(v0, path)
+    n1 = write_version(v1, path)
+    old, new = read_version(spark, path, n0), read_version(spark, path, n1)
+    return snapshot_diff(old, new, keys=["o_orderkey"])
