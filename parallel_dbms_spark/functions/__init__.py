@@ -1,3 +1,3 @@
-from . import dedup, multimodal, pandas_ops, similarity, text
+from . import dedup, multimodal, pandas_ops, search, similarity, text
 
-__all__ = ["dedup", "multimodal", "pandas_ops", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pandas_ops", "search", "similarity", "text"]

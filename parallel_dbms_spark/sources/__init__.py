@@ -5,9 +5,11 @@ from .lake import (
     overwrite_partitions,
     read_partitioned,
     read_version,
+    sorted_export_file_order,
     vacuum_versions,
     write_bucketed_table,
     write_partitioned,
+    write_sorted_export,
     write_version,
 )
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
@@ -28,7 +30,9 @@ __all__ = [
     "register_typed_csv",
     "TypedCSVDataSource",
     "register_typed_csv_dir",
+    "sorted_export_file_order",
     "write_bucketed_table",
+    "write_sorted_export",
     "write_jsonl",
     "write_partitioned",
     "write_typed_csv",

@@ -339,3 +339,63 @@ def test_random_sql_differential_v6(spark, duck, seed):
         spark, duck, f"fuzz6_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
     )
     assert res.ok, f"{q}\n{res!r}"
+
+
+# ---------------------------------------------------------------------------
+# wave 7: recursive CTEs — random linear recursions (bounded frontier,
+# integer-exact arithmetic) run VERBATIM on both engines. Three shapes:
+# integer series folds, per-entity iteration over customer balances,
+# and a recursive walk joined back to a real table.
+# ---------------------------------------------------------------------------
+
+
+def gen_query_v7(seed: int) -> str:
+    rng = random.Random(seed)
+    shape = rng.randrange(3)
+    if shape == 0:
+        # integer series with a random affine step, folded at the end
+        start = rng.randint(0, 5)
+        step = rng.randint(1, 4)
+        cap = rng.randint(20, 60)
+        return (
+            f"WITH RECURSIVE s(n) AS ("
+            f"SELECT {start} UNION ALL SELECT n + {step} FROM s WHERE n < {cap}) "
+            f"SELECT COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS total, "
+            f"MAX(n) AS last_n FROM s"
+        )
+    if shape == 1:
+        # per-entity iteration: integer-cents halving with random floor
+        mod = rng.choice([40, 50, 60])
+        floor_cents = rng.choice([5000, 10000, 20000])
+        return (
+            f"WITH RECURSIVE pay(c_custkey, step, bal) AS ("
+            f"SELECT c_custkey, 0, CAST(ROUND(c_acctbal * 100) AS BIGINT) "
+            f"FROM customer WHERE c_custkey % {mod} = 0 AND c_acctbal > 0 "
+            f"UNION ALL SELECT c_custkey, step + 1, CAST(FLOOR(bal / 2.0) AS BIGINT) "
+            f"FROM pay WHERE bal >= {floor_cents}) "
+            f"SELECT c_custkey, COUNT(*) AS n_steps, MIN(bal) AS final_bal "
+            f"FROM pay GROUP BY c_custkey"
+        )
+    # recursive key walk joined to customer (frontier never grows)
+    mult = rng.choice([2, 3])
+    depth = rng.randint(5, 25)
+    roots = rng.choice([20, 30, 50])
+    return (
+        f"WITH RECURSIVE walk(root, node, depth) AS ("
+        f"SELECT c_custkey, c_custkey, 0 FROM customer "
+        f"WHERE c_custkey <= {roots} "
+        f"UNION ALL SELECT w.root, c.c_custkey, w.depth + 1 "
+        f"FROM walk w JOIN customer c ON c.c_custkey = w.node * {mult} "
+        f"WHERE w.depth < {depth}) "
+        f"SELECT root, COUNT(*) AS n_nodes, MAX(depth) AS max_depth "
+        f"FROM walk GROUP BY root"
+    )
+
+
+@pytest.mark.parametrize("seed", range(700, 712))
+def test_random_sql_differential_v7_recursive(spark, duck, seed):
+    q = gen_query_v7(seed)
+    res = run_compare(
+        spark, duck, f"fuzz7_{seed}", lambda s, sf: run_sql(s, sf, q), q, SF_SMOKE
+    )
+    assert res.ok, f"{q}\n{res!r}"

@@ -105,3 +105,53 @@ def test_merge_upsert_source_wins_and_is_idempotent(spark, t_rows, s_rows):
     assert got_once == got_twice  # applying the same source again: no-op
     want = {**dict(t_rows), **dict(s_rows)}  # source wins on collision
     assert got_once == want
+
+
+# token alphabet small enough that phrases repeat and overlap
+_tok = st.sampled_from(["a", "b", "c", "ab"])
+doc_corpus = st.lists(
+    st.lists(_tok, min_size=0, max_size=12),  # token lists per doc
+    min_size=1,
+    max_size=8,
+)
+phrase_strategy = st.lists(_tok, min_size=1, max_size=3)
+
+
+@given(docs_toks=doc_corpus, phrase_toks=phrase_strategy)
+@SETTINGS
+def test_phrase_search_matches_python_reference(spark, docs_toks, phrase_toks):
+    """phrase_search == a direct Python sliding-window count, for every
+    generated corpus/phrase — incl. overlapping matches, repeated
+    tokens inside the phrase, empty docs, and phrase-longer-than-doc."""
+    from parallel_dbms_spark.functions.search import (
+        conjunctive_search,
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id long, text string",
+    )
+    phrase = " ".join(phrase_toks)
+    got = {
+        r["doc_id"]: r["n_matches"] for r in phrase_search(df, phrase).collect()
+    }
+    k = len(phrase_toks)
+    want = {}
+    for i, toks in enumerate(docs_toks):
+        n = sum(
+            1
+            for s in range(len(toks) - k + 1)
+            if toks[s : s + k] == phrase_toks
+        )
+        if n:
+            want[i] = n
+    assert got == want
+
+    # phrase hit => doc contains all the phrase's terms (conjunctive
+    # search is an upper bound on the phrase doc set)
+    conj = {
+        r["doc_id"]
+        for r in conjunctive_search(df, list(set(phrase_toks))).collect()
+    }
+    assert set(got) <= conj

@@ -269,3 +269,98 @@ def test_execution_metrics_prove_mapside_combine_and_file_pruning(spark, tmp_pat
     pruned, n_read, n_total = read_skipping(spark, t, "id", lo=500, hi=700)
     mp = execution_metrics(pruned)
     assert mp["scan_files_read"] == n_read < n_total  # pruning REALLY read less
+
+
+def test_join_hints_switch_physical_strategy(spark):
+    # The reference hardwires ONE join algorithm (BNLJ; hash-join plan
+    # nodes demoted, /root/reference/src/main.cpp:654-665). Here the
+    # optimizer picks, and per-join hints override — the surface a
+    # 100 TB tuner actually uses when AQE's choice is wrong.
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.plans import formatted_plan
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cond = o["o_orderkey"] == li["l_orderkey"]
+
+    merge = o.hint("merge").join(li, cond)
+    assert "SortMergeJoin" in formatted_plan(merge)
+
+    shash = o.hint("shuffle_hash").join(li, cond)
+    assert "ShuffledHashJoin" in formatted_plan(shash)
+
+    bcast = o.hint("broadcast").join(li, cond)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # DPP: joining a directory-partitioned fact on its partition column
+    # against a filtered dim plants a runtime IN-subquery into the
+    # fact's PartitionFilters — at 100 TB the fact scan opens only the
+    # partitions the dim actually selects, decided at runtime.
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.plans import formatted_plan
+
+    fact_path = str(tmp_path / "fact")
+    (
+        load_table(spark, SF_SMOKE, "orders")
+        .withColumn("mon", F.month("o_orderdate"))
+        .write.partitionBy("mon")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.range(1, 13)
+        .select(F.col("id").cast("int").alias("mon"))
+        .filter(F.col("mon").isin(3, 4))
+    )
+    j = fact.join(dim, "mon").groupBy("mon").count()
+    plan = formatted_plan(j)
+    assert "dynamicpruningexpression" in plan or "dynamicpruning#" in plan, (
+        f"no dynamic partition pruning in plan:\n{plan}"
+    )
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    # AQE skew-join: 95% of the left rows share one key; with the skew
+    # thresholds scaled down to test size, the executed plan must show
+    # the skewed partition SPLIT at runtime — SortMergeJoin(skew=true)
+    # over an "AQEShuffleRead coalesced and skewed". This is the
+    # runtime answer to the skew the salted-join operator handles
+    # statically (operators/relational.py join_skew_salted): AQE fixes
+    # it from real sizes, salting fixes it by construction.
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.length("v")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"no runtime skew split:\n{plan[:2000]}"
+        assert "skewed" in plan, "no AQEShuffleRead skew handling"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
