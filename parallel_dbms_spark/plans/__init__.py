@@ -4,6 +4,7 @@ from .explain import (
     assert_no_unpartitioned_window,
     assert_pushed_filters,
     assert_read_schema_pruned,
+    execution_metrics,
     formatted_plan,
     unpartitioned_windows,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "assert_no_unpartitioned_window",
     "assert_pushed_filters",
     "assert_read_schema_pruned",
+    "execution_metrics",
     "formatted_plan",
     "unpartitioned_windows",
 ]

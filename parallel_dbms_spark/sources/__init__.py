@@ -6,6 +6,7 @@ from .lake import (
     read_partitioned,
     read_version,
     sorted_export_file_order,
+    update_manifest,
     vacuum_versions,
     write_bucketed_table,
     write_partitioned,
@@ -31,6 +32,7 @@ __all__ = [
     "TypedCSVDataSource",
     "register_typed_csv_dir",
     "sorted_export_file_order",
+    "update_manifest",
     "write_bucketed_table",
     "write_sorted_export",
     "write_jsonl",

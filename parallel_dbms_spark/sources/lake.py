@@ -618,3 +618,54 @@ def sorted_export_file_order(
                 f"[{cur[lo]}, {cur[hi]}]"
             )
     return [r["file"] for r in rows]
+
+
+def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Incrementally extend an existing ``_manifest`` after files were
+    APPENDED to the table: profile only files the manifest has not seen
+    and union their stats rows in.
+
+    ``write_manifest`` re-scans the whole table — correct but O(table).
+    On an append-only 100 TB table the daily delta is a fraction of a
+    percent; this maintains the same sidecar at O(delta): the
+    ``_metadata.file_path`` filter is evaluated per-FILE before any row
+    is read, so unchanged files contribute zero scan work (asserted via
+    execution metrics in test_lake.py). Stats columns are inherited
+    from the existing manifest's schema. Rewritten/compacted files
+    still require ``write_manifest`` — path identity is the increment
+    key, and a rewrite changes paths.
+
+    Returns (n_new_files_profiled, n_total_manifest_rows).
+    """
+    from pyspark.sql import functions as F
+
+    man_path = path + "/_manifest"
+    man = spark.read.parquet(man_path)
+    stats_cols = sorted(
+        {c[: -len("_min")] for c in man.columns if c.endswith("_min")}
+    )
+    known = {r["file"] for r in man.select("file").collect()}
+    df = spark.read.parquet(path)
+    fresh = df.select(
+        F.col("_metadata.file_path").alias("file"), *stats_cols
+    ).filter(~F.col("file").isin(list(known)))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    new_rows = fresh.groupBy("file").agg(*aggs).select(*man.columns)
+    n_new = new_rows.count()
+    if n_new:
+        # land the union as a NEW manifest dir then swap — readers of
+        # the old sidecar never see a partial state
+        import os
+        import shutil
+        import uuid as _uuid
+
+        tmp = path + "/_manifest_tmp_" + _uuid.uuid4().hex[:8]
+        man.unionByName(new_rows).coalesce(1).write.parquet(tmp)
+        old = path + "/_manifest_old_" + _uuid.uuid4().hex[:8]
+        os.rename(man_path, old)
+        os.rename(tmp, man_path)
+        shutil.rmtree(old)
+    return n_new, spark.read.parquet(man_path).count()

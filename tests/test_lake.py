@@ -507,3 +507,49 @@ def test_sorted_export_detects_interleaved_files(spark):
     write_manifest(spark, path, ["o_totalprice"])
     with pytest.raises(ValueError, match="interleave"):
         sorted_export_file_order(spark, path, "o_totalprice")
+
+
+def test_update_manifest_profiles_only_new_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.plans import execution_metrics
+    from parallel_dbms_spark.sources.lake import update_manifest, write_manifest
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "t")
+    o.filter("o_orderkey % 2 = 0").repartition(4).write.parquet(path)
+    assert write_manifest(spark, path, ["o_orderkey"]) == 4
+
+    # no new files -> no-op
+    n_new, n_total = update_manifest(spark, path)
+    assert (n_new, n_total) == (0, 4)
+
+    # append two files, update incrementally
+    o.filter("o_orderkey % 2 = 1").repartition(2).write.mode("append").parquet(path)
+    n_new, n_total = update_manifest(spark, path)
+    assert (n_new, n_total) == (2, 6)
+
+    # incremental result == full rebuild (same rows, any order)
+    man_inc = sorted(map(tuple, spark.read.parquet(path + "/_manifest").collect()))
+    write_manifest(spark, path, ["o_orderkey"])
+    man_full = sorted(map(tuple, spark.read.parquet(path + "/_manifest").collect()))
+    assert man_inc == man_full
+
+    # the incremental stats pass only READS the unseen files: rebuild
+    # the append situation and measure files actually read
+    path2 = str(tmp_path / "t2")
+    o.filter("o_orderkey % 2 = 0").repartition(4).write.parquet(path2)
+    write_manifest(spark, path2, ["o_orderkey"])
+    o.filter("o_orderkey % 2 = 1").repartition(2).write.mode("append").parquet(path2)
+    man = spark.read.parquet(path2 + "/_manifest")
+    known = [r["file"] for r in man.select("file").collect()]
+    fresh = (
+        spark.read.parquet(path2)
+        .select(F.col("_metadata.file_path").alias("file"), "o_orderkey")
+        .filter(~F.col("file").isin(known))
+    )
+    m = execution_metrics(fresh.groupBy("file").count())
+    assert m["scan_files_read"] == 2, m
