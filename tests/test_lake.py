@@ -553,3 +553,48 @@ def test_update_manifest_profiles_only_new_files(spark, tmp_path):
     )
     m = execution_metrics(fresh.groupBy("file").count())
     assert m["scan_files_read"] == 2, m
+
+
+def test_ignore_corrupt_files_salvages_intact_files(spark, tmp_path):
+    # Operational resilience at 100 TB: one truncated/corrupt parquet
+    # file must not take down the whole scan when the session opts in
+    # (spark.sql.files.ignoreCorruptFiles) — the reference's scanner
+    # silently desynchronizes columns on bad cells instead
+    # (/root/reference/src/headers/table.cpp:194-201); we either fail
+    # loudly (default) or skip the file explicitly, never corrupt.
+    import glob as _glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+
+    path = str(tmp_path / "t")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o.repartition(4).write.parquet(path)
+    files = sorted(_glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    # truncate one file mid-body: unreadable footer -> corrupt
+    with open(files[0], "r+b") as fh:
+        fh.truncate(200)
+
+    with pytest.raises(Exception):
+        # fails loudly (footer read or scan, depending on listing order)
+        spark.read.parquet(path).agg(F.count(F.lit(1))).collect()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = (
+            spark.read.schema(o.schema).parquet(path)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .groupBy("f")
+            .count()
+        )
+        rows = {r["f"].rsplit("/", 1)[1]: r["count"] for r in got.collect()}
+        # exactly the three intact files survive
+        assert len(rows) == 3
+        assert files[0].rsplit("/", 1)[1] not in rows
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
