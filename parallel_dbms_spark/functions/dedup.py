@@ -302,12 +302,35 @@ def simhash_pairs(
     within hamming distance < blocks shares at least one exact chunk
     (pigeonhole), so an equi-join per chunk finds all of them without
     an all-pairs comparison. Returns (id_a, id_b, hamming)."""
-    width = 64 // blocks
-    mask = (1 << width) - 1
     sh = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
     )
-    chunks = sh.select(
+    return hamming_neardup_pairs(sh, max_hamming=max_hamming, blocks=blocks)
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """All pairs of 64-bit signatures within ``max_hamming`` bits, via
+    the pigeonhole block trick over a ``(id, sh)`` frame: split into
+    ``blocks`` chunks — a pair differing in at most ``max_hamming`` <
+    ``blocks`` bits must share at least one exact chunk, so per-chunk
+    equi-joins find every qualifying pair with no all-pairs scan.
+    Shared by text SimHash (``simhash_pairs``) and image pHash
+    (``multimodal.image_neardup_pairs``) — the signature source
+    differs, the candidate algebra is identical.
+    """
+    if max_hamming >= blocks:
+        # the guarantee needs max_hamming < blocks: auto-raise to the
+        # smallest power-of-two divisor of 64 that restores it (more
+        # blocks = more candidate join keys, never lost recall)
+        candidates = [b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming]
+        if not candidates:
+            raise ValueError(f"max_hamming {max_hamming} >= 64 is meaningless")
+        blocks = candidates[0]
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunks = sig.select(
         "id",
         "sh",
         F.explode(

@@ -296,3 +296,55 @@ def audio_window_energy(
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual difference-hash (dHash) of a decodable image payload:
+    decode -> grayscale -> nearest-resize to 9x8 -> compare each pixel
+    to its right neighbor -> 64 bits packed as a SIGNED int64 (Spark
+    LongType). Robust to small pixel noise and uniform brightness
+    shifts in a way byte hashes are not — two re-encodes of the same
+    picture land within a few bits.
+    """
+    g = _to_gray(decode_image(payload))
+    small = _nearest_resize(g, 9, 8)  # width 9 -> 8 comparisons/row
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_signatures(df: DataFrame) -> DataFrame:
+    """(id, sh): 64-bit pHash per image payload, Arrow-batched through
+    mapInPandas over (doc_id, payload) — the image-side analog of
+    ``dedup.simhash``'s text signature."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "sh": pdf["payload"].map(lambda p: phash64(bytes(p))),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema="id bigint, sh bigint")
+
+
+def image_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, blocks: int = 8
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: pHash signatures + the pigeonhole
+    hamming-block candidate join shared with text SimHash
+    (``dedup.hamming_neardup_pairs``). One Python pass computes the
+    64-bit signature per image; everything after — blocking, candidate
+    equi-joins, exact hamming verify — is codegen built-ins. At 100 TB
+    of images the signature pass is the only part that touches pixels;
+    the join works on 8-byte hashes.
+    """
+    from .dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        image_signatures(df), max_hamming=max_hamming, blocks=blocks
+    )

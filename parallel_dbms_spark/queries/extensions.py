@@ -1679,3 +1679,33 @@ def graph_bfs_hops(spark, sf_dir):
     edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id")
     source = ev.agg(F.min("user_id")).collect()[0][0]
     return bfs_hops(edges, source, max_hops=4)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=None,
+    tags=("multimodal", "dedup", "pandas_udf", "decode"),
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    # Image near-dup end-to-end on REAL decoded pixels: each doc's
+    # text is packaged as a tiny P6 PPM (first 12 UTF-8 bytes = 2x2
+    # RGB), pHash signatures are computed in one Arrow pass, and the
+    # pigeonhole hamming-block join (shared with text SimHash) emits
+    # near-dup pairs — docs opening with the same words become
+    # identical/near-identical images, so pairs exist by construction.
+    # Rows-only: signatures live Python-side; pixel-exact behavior is
+    # asserted in tests/test_multimodal_decode.py.
+    from ..functions import multimodal
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6 4 4 255\n"), "UTF-8"),
+            F.rpad(
+                F.substring(F.encode(F.col("text"), "UTF-8"), 1, 48),
+                48,
+                F.lit(b"x"),
+            ),
+        ).alias("payload"),
+    )
+    return multimodal.image_neardup_pairs(docs, max_hamming=1, blocks=2)

@@ -111,3 +111,49 @@ def test_audio_energy_real_path(spark):
     rows = mm.audio_window_energy(df, frame_bytes=256, use_stub=False).collect()
     assert len(rows) == 4
     assert all(abs(r["rms"] - 0.5) < 1e-3 for r in rows)
+
+
+def test_phash_neardup_finds_noisy_twin_not_distinct(spark):
+    """pHash near-dup: a PPM image and its slightly-noised twin pair up
+    at small hamming distance; a structurally different image pairs
+    with neither. Pixels are real (decoded by the netpbm path)."""
+    import numpy as np
+
+    from parallel_dbms_spark.functions.multimodal import (
+        encode_ppm,
+        image_neardup_pairs,
+        phash64,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[3:5, 3:5] = np.clip(noisy[3:5, 3:5].astype(int) + 9, 0, 255).astype(
+        np.uint8
+    )
+    # different structure: strong gradient, not noise
+    distinct = np.tile(
+        (np.arange(16, dtype=np.uint8) * 16)[None, :, None], (16, 1, 3)
+    )
+    rows = [
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(noisy))),
+        (3, bytearray(encode_ppm(distinct))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs, f"noisy twin not found: {pairs}"
+    assert pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # signature sanity: identical payload -> identical hash; the local
+    # phash64 matches what the distributed pass computed
+    local = phash64(encode_ppm(base))
+    assert isinstance(local, int)
+    from parallel_dbms_spark.functions.multimodal import image_signatures
+
+    dist = {r["id"]: r["sh"] for r in image_signatures(df).collect()}
+    assert dist[1] == local
