@@ -626,3 +626,74 @@ def test_stream_stream_left_outer_emits_unmatched_clicks(spark):
     want = sorted(map(tuple, batch.collect()))
     assert got == want
     out.unpersist()
+
+
+def test_stream_stream_full_outer_join_equals_batch(spark):
+    """fullOuter stream-stream interval join: unmatched CLICKS and
+    unmatched PURCHASES both emit null-padded after the watermark
+    closes their windows — equals the batch FULL join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.queries.registry import REGISTRY  # noqa: F401
+    from parallel_dbms_spark.streaming.joins import (
+        click_purchase_attribution,
+        stage_with_watermark_sentinels,
+    )
+    from parallel_dbms_spark.streaming.windows import (
+        EVENTS_SCHEMA_TS,
+        run_stream_to_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    staged = tempfile.mkdtemp(prefix="ss_fouter_")
+    stage_with_watermark_sentinels(ev, staged)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    joined = click_purchase_attribution(
+        src.filter("event_type = 'click'"),
+        src.filter("event_type = 'purchase'"),
+        lookback="30 minutes",
+        how="fullOuter",
+    )
+    out = (
+        run_stream_to_batch(spark, joined, output_mode="append")
+        .filter(
+            (F.col("user_id").isNull() | (F.col("user_id") >= 0))
+        )
+        # sentinel purchases surface as unmatched right rows with the
+        # sentinel's own join key in purchase columns: drop by ids < 0
+        .filter(F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        .filter(F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        .cache()
+    )
+    c = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "full",
+    ).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+    got = sorted(map(tuple, out.collect()), key=repr)
+    want = sorted(map(tuple, batch.collect()), key=repr)
+    assert len(got) == len(want)
+    assert got == want
+    out.unpersist()
