@@ -697,3 +697,64 @@ def test_stream_stream_full_outer_join_equals_batch(spark):
     assert len(got) == len(want)
     assert got == want
     out.unpersist()
+
+
+def test_update_output_mode_emits_only_changed_groups(spark, tmp_path):
+    """outputMode=update contract: each micro-batch emits ONLY the
+    groups whose aggregate changed in that batch, and the latest row
+    per group equals the batch aggregate — the incremental-serving
+    mode between append (finalized only) and complete (everything,
+    every time)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").filter("user_id % 7 = 0").select(
+        "user_id", "value"
+    )
+    staged = str(tmp_path / "staged")
+    # three disjoint user cohorts land as three files, oldest first
+    cohorts = [ev.filter(f"user_id % 3 = {i}") for i in range(3)]
+    for i, c in enumerate(cohorts):
+        c.coalesce(1).write.mode("append").parquet(staged)
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    batches: dict[int, list] = {}
+
+    def sink(bdf, bid):
+        batches[int(bid)] = [(r["user_id"], r["n"]) for r in bdf.collect()]
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3
+
+    # each batch emits exactly its cohort's users — unchanged groups
+    # are NOT re-emitted (the whole point of update mode)
+    for i in range(3):
+        want_users = {r["user_id"] for r in cohorts[i].select("user_id").distinct().collect()}
+        got_users = {u for u, _ in batches[i]}
+        assert got_users == want_users, f"batch {i}"
+
+    # latest emission per user == the batch aggregate
+    latest = {}
+    for bid in sorted(batches):
+        for u, n in batches[bid]:
+            latest[u] = n
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert latest == want
