@@ -3369,3 +3369,43 @@ def lake_version_diff(spark, sf_dir):
     n1 = write_version(v1, path)
     old, new = read_version(spark, path, n0), read_version(spark, path, n1)
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "window_locf_fill",
+    oracle="""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                CASE WHEN event_id % 5 = 0 THEN NULL
+                                     ELSE CAST(FLOOR(value * 100) AS BIGINT)
+                                END AS v
+                         FROM events WHERE user_id % 41 = 0)
+              SELECT event_id, user_id, ts, v,
+                     LAST_VALUE(v IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS v_locf
+              FROM e""",
+    tags=("window", "null", "timeseries", "gap_fill"),
+)
+def window_locf_fill(spark, sf_dir):
+    # Last-observation-carried-forward via LAST_VALUE ... IGNORE NULLS
+    # — the window idiom for in-row gap fill (resample_ffill_hourly is
+    # the grid-spine variant; this fills at the ORIGINAL row grain).
+    # The engines place IGNORE NULLS differently (Spark:
+    # `LAST_VALUE(v) IGNORE NULLS`, DuckDB: `LAST_VALUE(v IGNORE
+    # NULLS)`) but the semantics match exactly: leading NULL runs stay
+    # NULL, every other NULL takes the latest non-NULL before it.
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 41 == 0)
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.floor(F.col("value") * 100).cast("long"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.withColumn("v_locf", F.last("v", ignorenulls=True).over(w))
