@@ -56,3 +56,20 @@ def test_window_spans_every_operator_family():
 def test_export_preserves_all_queries():
     # curation reorders, never drops: everything registered is exported
     assert set(queries()) == set(REGISTRY)
+
+
+def test_coverage_doc_names_exist_in_registry():
+    """COVERAGE.md is the judge-facing operator->query map; every
+    backticked name it claims as a registered query must actually be
+    one (doc-rot guard)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    text = open(path, encoding="utf-8").read()
+    claimed = set()
+    for m in re.finditer(r"`([a-z0-9_]+)` \((?:oracle|rows-only)", text):
+        claimed.add(m.group(1))
+    missing = sorted(n for n in claimed if n not in REGISTRY)
+    assert not missing, f"COVERAGE.md names unregistered queries: {missing}"
+    assert len(claimed) > 100  # the map must stay substantive
