@@ -264,3 +264,64 @@ def substring_search(
         base.filter(F.contains(F.lower(F.col("text")), F.lit(needle_l)))
         .select("doc_id")
     )
+
+
+def containment_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document containment: ``(inner_id, outer_id)`` for every
+    pair where inner's full text is a (case-insensitive) substring of
+    outer's — the sub-document dedup pass that removes quotes /
+    boilerplate supersets a shingle-overlap threshold can miss.
+
+    Exact via rare-token blocking: if A ⊆ B char-wise then EVERY char
+    trigram of A occurs in B, in particular A's globally rarest
+    trigram — so joining each doc's single rarest trigram against the
+    full trigram index yields a candidate superset, and a residual
+    ``contains`` verifies. One posting row per doc on the probe side
+    (the rarest-trigram choice makes the join key low-frequency by
+    construction — the same skew dodge as prefix filtering), candidate
+    count ≈ that trigram's document frequency, never all-pairs.
+
+    Docs shorter than 3 chars have no trigram and are excluded from
+    the inner (contained) side; callers screening micro-docs should
+    broadcast them separately.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= 3)
+    idx = base.select(
+        "doc_id", F.explode(doc_trigrams(F.col("__t"))).alias("tri")
+    )
+    from pyspark.sql import Window
+
+    dfreq = idx.groupBy("tri").agg(F.count("*").alias("tdf"))
+    rarest = (
+        idx.join(dfreq, "tri")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("tdf", "tri")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("inner_id"), "tri")
+    )
+    cands = (
+        rarest.join(idx.withColumnRenamed("doc_id", "outer_id"), "tri")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    a = base.select(
+        F.col("doc_id").alias("inner_id"), F.col("__t").alias("__ta")
+    )
+    b = base.select(
+        F.col("doc_id").alias("outer_id"), F.col("__t").alias("__tb")
+    )
+    return (
+        cands.join(a, "inner_id")
+        .join(b, "outer_id")
+        .filter(F.contains(F.col("__tb"), F.col("__ta")))
+        .select("inner_id", "outer_id")
+    )

@@ -117,3 +117,22 @@ def search_served_postings(spark, sf_dir):
     terms = ["merge", "window"]
     p = read_postings_for_terms(spark, path, terms, n_buckets=16)
     return conjunctive_search(docs, terms, postings=p.select("term", "doc_id", "pos"))
+
+
+@register(
+    "search_containment_pairs",
+    oracle="""SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+              FROM documents a JOIN documents b
+                ON a.doc_id <> b.doc_id
+               AND strlen(a.text) >= 3
+               AND contains(lower(b.text), lower(a.text))""",
+    tags=("search", "dedup", "containment", "trigram"),
+)
+def search_containment_pairs(spark, sf_dir):
+    # Sub-document containment dedup, exact vs the oracle's quadratic
+    # contains() join: rare-trigram blocking makes the Spark side
+    # near-linear (one probe row per doc, keyed on its globally
+    # rarest trigram), the residual contains() keeps it lossless.
+    from ..functions.search import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))

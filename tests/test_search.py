@@ -125,3 +125,23 @@ def test_phrase_search_empty_phrase_raises(docs):
         phrase_search(docs, "   ")
     with pytest.raises(ValueError):
         conjunctive_search(docs, [])
+
+
+def test_containment_pairs_planted(spark):
+    from parallel_dbms_spark.functions.search import containment_pairs
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "xx the quick brown fox yy"),        # contains doc1
+        (3, "quick brown"),                      # inside 1 and 2
+        (4, "completely different text here"),
+        (5, "ck bro"),                           # cross-word substring of 1,2,3
+        (6, ""),                                 # empty: excluded (len<3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(df).collect()
+    }
+    want = {(1, 2), (3, 1), (3, 2), (5, 1), (5, 2), (5, 3)}
+    assert got == want
