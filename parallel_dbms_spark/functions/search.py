@@ -152,14 +152,10 @@ def phrase_search(
     k = len(terms)
     p = postings if postings is not None else build_postings(docs, id_col, text_col)
     p = p.filter(F.col("term").isin(list(set(terms))))
-    # slot map as a literal MAP(term -> array of slot indices): a term
-    # appearing at several phrase slots votes once per slot.
-    slot_entries = []
-    for i, t in enumerate(terms):
-        slot_entries.append((t, i))
-    votes = None
+    # slot map (term -> its phrase slot indices): a term appearing at
+    # several phrase slots votes once per slot.
     slots_by_term: dict[str, list[int]] = {}
-    for t, i in slot_entries:
+    for i, t in enumerate(terms):
         slots_by_term.setdefault(t, []).append(i)
     # Explode each posting into its term's slots via a CASE-built
     # literal array (tiny, per distinct term) — stays in codegen.
