@@ -18,7 +18,7 @@ training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 HASH_BUCKETS = 1 << 16  # 4 hex digits
 
@@ -246,3 +246,54 @@ def negative_samples(
         raw
     )
     return ex.select("anchor_id", "j", neg.cast("long").alias("neg_id"))
+
+
+def mix_corpus_token_budget(
+    df: DataFrame,
+    default_budget: int,
+    overrides: dict[str, int] | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mixtok0",
+) -> DataFrame:
+    """Token-budget corpus mixing: take documents per source — in the
+    deterministic md5(id|salt) order — until the source's TOKEN budget
+    is reached (``mix_corpus`` rations by document count; real data
+    recipes ration by tokens). A doc is kept iff the cumulative token
+    count of the docs drawn before it is still under budget, so the
+    boundary doc that crosses the budget is included once — the greedy
+    prefix rule, a pure function of (ids, salt) and SQL-expressible
+    for a full oracle.
+
+    Returns (doc_id, source, n_tok). Scale: token counts are
+    scan-fused; the only shuffle is the per-source window cumsum,
+    partitioned by source — per-key state, no global ordering.
+    """
+    overrides = overrides or {}
+    n_tok = F.size(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    ).cast("long")
+    key = F.md5(
+        F.encode(
+            F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)), "UTF-8"
+        )
+    )
+    budget = F.lit(int(default_budget))
+    for s, b in sorted(overrides.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("source"),
+        n_tok.alias("n_tok"),
+        (F.sum(n_tok).over(w) - n_tok).alias("__cum_before"),
+        budget.alias("__budget"),
+    )
+    return out.filter(F.col("__cum_before") < F.col("__budget")).select(
+        "doc_id", "source", "n_tok"
+    )

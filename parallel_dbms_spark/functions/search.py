@@ -321,3 +321,49 @@ def containment_pairs(
         .filter(F.contains(F.col("__tb"), F.col("__ta")))
         .select("inner_id", "outer_id")
     )
+
+
+def write_trigram_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Served trigram index: ``(tri, doc_id)`` hash-partitioned into
+    ``bucket=hash(tri) % n_buckets`` directories — the substring-search
+    counterpart of ``write_postings``. Build once (one write-shuffle);
+    each LIKE-'%needle%' lookup reads only the needle's trigrams'
+    buckets."""
+    (
+        build_trigram_index(docs, id_col, text_col)
+        .withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_trigram_index_for(
+    spark, path: str, needle: str, n_buckets: int = 64
+) -> DataFrame:
+    """Pruned read of a served trigram index for one needle: bucket
+    IN-list -> directory pruning, trigram IN-list -> row filter."""
+    needle_l = needle.lower()
+    tris = sorted({needle_l[i : i + 3] for i in range(len(needle_l) - 2)})
+    if not tris:
+        raise ValueError("needle shorter than 3 chars has no trigrams")
+    tdf = spark.createDataFrame([(t,) for t in tris], "tri string")
+    buckets = [
+        r["b"]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("tri"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("tri").isin(tris))
+        .select("tri", "doc_id")
+    )

@@ -1709,3 +1709,37 @@ def multimodal_phash_neardup(spark, sf_dir):
         ).alias("payload"),
     )
     return multimodal.image_neardup_pairs(docs, max_hamming=1, blocks=2)
+
+
+@register(
+    "corpus_mix_token_budget",
+    oracle="""WITH t AS (SELECT doc_id, source,
+                                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+                                md5(CAST(doc_id AS VARCHAR) || '|mixtok0') AS rk
+                         FROM documents),
+                   c AS (SELECT doc_id, source, n_tok,
+                                SUM(n_tok) OVER (PARTITION BY source
+                                                 ORDER BY rk, doc_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                                  - n_tok AS cum_before
+                         FROM t)
+              SELECT doc_id, source, n_tok
+              FROM c
+              WHERE cum_before < CASE source WHEN 'src0' THEN 200
+                                             WHEN 'src1' THEN 1000
+                                             ELSE 500 END""",
+    tags=("sampling", "pipeline", "mixing", "window"),
+)
+def corpus_mix_token_budget(spark, sf_dir):
+    # Token-budget corpus mixing: greedily draw docs per source in the
+    # deterministic md5(id|salt) order until the source's TOKEN budget
+    # fills (corpus_mix_weighted rations by document count; training
+    # recipes ration by tokens). Pure function of (ids, salt) — the
+    # oracle replays the same greedy prefix in SQL.
+    from ..functions.sampling import mix_corpus_token_budget
+
+    return mix_corpus_token_budget(
+        _docs(spark, sf_dir),
+        default_budget=500,
+        overrides={"src0": 200, "src1": 1000},
+    )

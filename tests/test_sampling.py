@@ -246,3 +246,42 @@ def test_pipeline_pretrain_mix_invariants(spark):
     # determinism under re-invocation
     again = REGISTRY["pipeline_pretrain_mix"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_mix_corpus_token_budget_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.functions.sampling import mix_corpus_token_budget
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = mix_corpus_token_budget(
+        docs, default_budget=300, overrides={"src0": 100}
+    ).cache()
+    rows = out.collect()
+    assert rows, "empty mix"
+    # per-source: total tokens may exceed budget only by the boundary
+    # doc; tokens-before-last-doc must be under budget
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["n_tok"])
+    for src, toks in per_src.items():
+        budget = 100 if src == "src0" else 300
+        assert sum(toks) - max(toks) < budget, src
+    # deterministic: same call -> same rows; different salt -> different draw
+    again = mix_corpus_token_budget(
+        docs, default_budget=300, overrides={"src0": 100}
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    other = mix_corpus_token_budget(
+        docs, default_budget=300, overrides={"src0": 100}, salt="other"
+    )
+    assert sorted(r["doc_id"] for r in rows) != sorted(
+        r["doc_id"] for r in other.collect()
+    )
+    # partition invariance
+    reparted = mix_corpus_token_budget(
+        docs.repartition(13), default_budget=300, overrides={"src0": 100}
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, reparted.collect()))
+    out.unpersist()

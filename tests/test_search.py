@@ -145,3 +145,29 @@ def test_containment_pairs_planted(spark):
     }
     want = {(1, 2), (3, 1), (3, 2), (5, 1), (5, 2), (5, 3)}
     assert got == want
+
+
+def test_served_trigram_index_prunes_and_matches_inline(docs, tmp_path, spark):
+    from parallel_dbms_spark.functions.search import (
+        read_trigram_index_for,
+        write_trigram_index,
+    )
+
+    path = str(tmp_path / "tri_idx")
+    write_trigram_index(docs, path, n_buckets=8)
+    needle = "wn the qui"
+    served = read_trigram_index_for(spark, path, needle, n_buckets=8)
+    buckets = {
+        f["f"].rsplit("/bucket=", 1)[1].split("/")[0]
+        for f in served.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(buckets) < 8  # directory pruning really happened
+    got = sorted(
+        r["doc_id"]
+        for r in substring_search(docs, needle, index=served).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in substring_search(docs, needle).collect()
+    )
+    assert got == want == [4]
