@@ -1,5 +1,10 @@
 from .dedup import neardup_reference_kept, stream_neardup_dedup
-from .joins import click_purchase_attribution, enrich_stream
+from .joins import (
+    click_purchase_attribution,
+    enrich_stream,
+    stage_with_watermark_sentinels,
+)
+from .observe import ProgressCapture, capture_progress
 from .sinks import (
     stream_to_versioned_table,
     stream_upsert_sink,
@@ -15,6 +20,9 @@ from .windows import (
 )
 
 __all__ = [
+    "ProgressCapture",
+    "capture_progress",
+    "stage_with_watermark_sentinels",
     "click_purchase_attribution",
     "enrich_stream",
     "neardup_reference_kept",
