@@ -3409,3 +3409,41 @@ def window_locf_fill(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.withColumn("v_locf", F.last("v", ignorenulls=True).over(w))
+
+
+@register(
+    "agg_hll_set_ops",
+    oracle=None,
+    tags=("aggregate", "approx", "sketch", "setop"),
+)
+def agg_hll_set_ops(spark, sf_dir):
+    # Sketch SET ALGEBRA: audience-overlap estimation from per-segment
+    # HLL sketches alone. |click ∩ purchase| users is estimated by
+    # inclusion-exclusion over three mergeable sketches (A, B, A∪B) —
+    # no rescan of the raw events, the exact question ("how many users
+    # did both?") a 100 TB audience system answers from a sketch store.
+    # Rows-only (estimates are engine-specific); the error bound vs
+    # exact COUNT(DISTINCT) intersection is pytest-asserted.
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    both = sk.agg(
+        F.hll_union_agg("sk").alias("sk_union"),
+        # per-segment sketches survive as a map for the estimates
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("sk")))
+        ).alias("by_type"),
+    )
+    return both.select(
+        F.hll_sketch_estimate(F.element_at("by_type", "click")).alias("n_click"),
+        F.hll_sketch_estimate(F.element_at("by_type", "purchase")).alias(
+            "n_purchase"
+        ),
+        F.hll_sketch_estimate("sk_union").alias("n_union"),
+        (
+            F.hll_sketch_estimate(F.element_at("by_type", "click"))
+            + F.hll_sketch_estimate(F.element_at("by_type", "purchase"))
+            - F.hll_sketch_estimate("sk_union")
+        ).alias("n_intersect_est"),
+    )

@@ -352,3 +352,24 @@ def test_skyline_keeps_equal_duplicates_and_survives_anticorrelated(spark):
     )
     got = sorted((r.x, r.y) for r in skyline_2d(dup, "x", "y").collect())
     assert got == [(0, 5), (1, 1), (1, 1)]  # dominated (2,2) out, dups in
+
+
+def test_hll_set_ops_intersection_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    row = REGISTRY["agg_hll_set_ops"].fn(spark, sf).collect()[0]
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id").distinct()
+    buys = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    exact = clicks.intersect(buys).count()
+    assert exact > 0
+    # inclusion-exclusion compounds three sketch errors — allow 10%
+    assert abs(row["n_intersect_est"] - exact) / exact < 0.10, (
+        row["n_intersect_est"], exact,
+    )
+    n_union_exact = clicks.union(buys).distinct().count()
+    assert abs(row["n_union"] - n_union_exact) / n_union_exact < 0.05
