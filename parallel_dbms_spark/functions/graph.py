@@ -203,3 +203,101 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 6) -> DataFrame:
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def star_components_with_rounds(
+    pairs: DataFrame, max_iter: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) ROUNDS on any graph,
+    where plain label propagation needs O(diameter) — the difference
+    between 5 and 50 shuffles on a 100 TB web-link graph with long
+    chains.
+
+    large-star: every node's HIGHER-id neighbors re-attach to its
+    current minimum; small-star: the lower-or-equal neighbors (and the
+    node) re-attach. Both are one groupBy + one join keyed on the same
+    node id; each round halves the tree height. Returns
+    ((id, cluster_id) with cluster_id = component minimum — the same
+    contract as ``dedup.duplicate_clusters`` — and the round count).
+    """
+    edges = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("u"),
+            F.col("id_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        # bit_xor: order-independent AND overflow-free under ANSI mode
+        # (a SUM of raw xxhash64 values overflows int64)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    rounds = 0
+    prev_sig = None
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star on the symmetrized edge list
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        edges = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the downward-directed list (u >= v)
+        down = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            down.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # stars now point every node at its component min
+    labels = (
+        nodes.join(edges, nodes["id"] == edges["u"], "left")
+        .groupBy("id")
+        .agg(F.least(F.min("v"), F.first("id")).alias("cluster_id"))
+    )
+    return labels, rounds
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(id, cluster_id) — see :func:`star_components_with_rounds`."""
+    return star_components_with_rounds(pairs, max_iter)[0]

@@ -1743,3 +1743,29 @@ def corpus_mix_token_budget(spark, sf_dir):
         default_budget=500,
         overrides={"src0": 200, "src1": 1000},
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+               nodes AS (SELECT id_a AS id FROM pairs
+                         UNION SELECT id_b FROM pairs),
+               edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                         UNION SELECT id_b AS u, id_a AS v FROM pairs),
+               cc(id, lbl) AS (
+                 SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.id = e.v)
+               SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id""",
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def dedup_clusters_star(spark, sf_dir):
+    # Same components, different algorithm: alternating large/small
+    # star contraction (O(log n) rounds vs label propagation's
+    # O(diameter)) over the same deterministic jaccard pairs, against
+    # the same recursive-CTE oracle — two independent distributed
+    # implementations and a third engine all agreeing.
+    from ..functions.graph import connected_components_star
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+    return connected_components_star(pairs.select("id_a", "id_b"))

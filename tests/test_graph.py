@@ -95,3 +95,42 @@ def test_bfs_hops_takes_shortest_path_through_cycle(spark):
     )
     got = {r.node: r.hops for r in bfs_hops(edges, 0).collect()}
     assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+
+def test_star_components_equal_label_propagation(spark):
+    """Star contraction == label propagation on random seeded graphs
+    (the two independent implementations cross-check each other)."""
+    import random
+
+    from parallel_dbms_spark.functions.dedup import duplicate_clusters
+    from parallel_dbms_spark.functions.graph import connected_components_star
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(35)}
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {
+            (r["id"], r["cluster_id"])
+            for r in duplicate_clusters(df).withColumnRenamed("label", "cluster_id").collect()
+        }
+        star = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == lp, f"trial {trial}"
+
+
+def test_star_components_converge_logarithmically_on_paths(spark):
+    """A 64-node path (diameter 63) must converge in O(log n) rounds —
+    the property that makes star contraction the 100 TB choice over
+    O(diameter) label propagation."""
+    from parallel_dbms_spark.functions.graph import star_components_with_rounds
+
+    path = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    labels, rounds = star_components_with_rounds(df)
+    got = {(r["id"], r["cluster_id"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(64)}
+    assert rounds <= 10, f"expected O(log n) rounds, took {rounds}"
