@@ -28,6 +28,7 @@ def asof_join(
     how: str = "inner",
     direction: str = "backward",
     tolerance: str | None = None,
+    allow_exact: bool = True,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts <= left_ts and equal ``on`` key(s) — a single column name
@@ -72,13 +73,17 @@ def asof_join(
 
     unioned = l.unionByName(r.select(*l.columns))
     # Right rows sort before left rows at equal timestamps (__side 0 < 1)
-    # so an exactly-simultaneous right row IS visible to the left row.
-    # Forward = the identical scan in descending time order: "last right
-    # seen" then means "smallest right_ts >= left_ts".
+    # so an exactly-simultaneous right row IS visible to the left row;
+    # allow_exact=False flips that tiebreak (left first), excluding
+    # simultaneous right rows — pandas merge_asof(allow_exact_matches)
+    # semantics with the SAME one-shuffle plan. Forward = the identical
+    # scan in descending time order: "last right seen" then means
+    # "smallest right_ts >= left_ts" (or > with allow_exact=False).
     ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    side_order = F.col("__side").asc() if allow_exact else F.col("__side").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc())
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

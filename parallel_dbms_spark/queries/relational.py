@@ -3447,3 +3447,35 @@ def agg_hll_set_ops(spark, sf_dir):
             - F.hll_sketch_estimate("sk_union")
         ).alias("n_intersect_est"),
     )
+
+
+@register(
+    "asof_join_strict",
+    oracle="""SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                     c.value AS prev_click_value
+              FROM events e ASOF JOIN
+                   (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click') c
+                ON e.user_id = c.user_id AND CAST(e.ts AS TIMESTAMP) > c.ts""",
+    tags=("asof", "join", "null"),
+)
+def asof_join_strict(spark, sf_dir):
+    # STRICT as-of (allow_exact=False): the latest click strictly
+    # BEFORE each event — a click must not match the event it is
+    # (pandas merge_asof(allow_exact_matches=False)). Same one-shuffle
+    # plan; only the equal-timestamp tiebreak flips. Oracle: DuckDB
+    # native ASOF with the strict `>` comparison.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        allow_exact=False,
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("prev_click_value")
+    )
