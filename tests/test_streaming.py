@@ -804,3 +804,68 @@ def test_progress_listener_captures_micro_batches(spark, tmp_path):
     assert len(fed) == 3, f"expected 3 fed micro-batches, got {cap.events}"
     assert sum(e.num_input_rows for e in fed) == ev.count()
     assert fed[-1].state_rows > 0  # the stateful agg reported its footprint
+
+
+def test_append_mode_holds_back_open_windows(spark, tmp_path):
+    """Append-mode windowed aggregation emits a window ONLY after the
+    watermark passes its end. Replaying the same data with and without
+    trailing watermark-sentinel batches shows the difference: with
+    sentinels every real window is closed (== batch groupBy); without,
+    the trailing window(s) near max event time are withheld."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.streaming.joins import stage_with_watermark_sentinels
+    from parallel_dbms_spark.streaming.windows import EVENTS_SCHEMA_TS
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").filter("user_id % 5 = 0")
+
+    max_day = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("d")
+    ).collect()[0]["d"]
+
+    def run(staged):
+        # sentinels flow THROUGH the watermark/aggregation (filtering
+        # them out upstream would stop event time from advancing);
+        # their windows sit 48h past the real data, so dropping output
+        # days beyond the real max day removes exactly them
+        agg = (
+            spark.readStream.schema(EVENTS_SCHEMA_TS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+        from parallel_dbms_spark.streaming.windows import run_stream_to_batch
+
+        return {
+            (r["day"], r["n"]) for r in run_stream_to_batch(
+                spark, agg, output_mode="append"
+            ).collect()
+            if r["day"] <= max_day
+        }
+
+    with_sentinels = tempfile.mkdtemp(prefix="app_sent_")
+    stage_with_watermark_sentinels(ev, with_sentinels, advance_hours=48)
+    got_closed = run(with_sentinels)
+
+    bare = tempfile.mkdtemp(prefix="app_bare_")
+    ev.coalesce(1).write.mode("append").parquet(bare)
+    got_bare = run(bare)
+
+    want = {
+        (r["day"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("day"), "n")
+        .collect()
+    }
+    assert got_closed == want, "sentinel replay must close every real window"
+    assert got_bare < want, (
+        "bare replay should withhold the still-open trailing window(s)"
+    )
