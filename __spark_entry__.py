@@ -12,8 +12,12 @@ text analysis, similarity search, multimodal), the lakehouse surface
 2-D pruning, materialized views, versioned time travel), the sketch
 family (mergeable histograms, count-min, HLL re-agg), declarative
 data-quality expectations, in-database OLS/logistic regression, and
-Structured Streaming (windows, stateful, stream-stream joins, and
-the SCD2/histogram/MV/DQ foreachBatch sinks). Where a query is
+Structured Streaming (windows, stateful, stream-stream inner/outer
+joins, and the SCD2/histogram/MV/DQ foreachBatch sinks), native
+recursive CTEs (spine/hierarchy/iteration shapes, verbatim SQL on
+both engines), and the full-text search surface (inverted-index
+conjunctive + phrase search, trigram substring/containment, served
+bucketed layouts). Where a query is
 SQL-expressible its DuckDB oracle is registered; hash-placement and
 pandas-UDF queries are rows-only and get quality assertions in
 tests/ instead. The first 50 exported entries (the graded window)
