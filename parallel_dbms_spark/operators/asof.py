@@ -45,8 +45,10 @@ def asof_join(
     how="inner", NULL-filled under how="left". Applied as a post-fill
     predicate on the carried right timestamp, so the plan is unchanged
     (one shuffle, no extra join)."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = [on] if isinstance(on, str) else list(on)  # composite keys ok
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -79,25 +81,69 @@ def asof_join(
     # semantics with the SAME one-shuffle plan. Forward = the identical
     # scan in descending time order: "last right seen" then means
     # "smallest right_ts >= left_ts" (or > with allow_exact=False).
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     side_order = F.col("__side").asc() if allow_exact else F.col("__side").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, side_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *lcols,
-        F.col("__side"),
-        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
-    )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
-    if tolerance is not None:
-        gap = (
-            F.col(left_ts) - F.col("__r.__rts")
-            if direction == "backward"
-            else F.col("__r.__rts") - F.col(left_ts)
+    if direction == "nearest":
+        # BOTH carries over the same shuffle: the ascending window's
+        # last-right (latest at-or-before) and the descending window's
+        # last-right (earliest at-or-after). Two sorts, one exchange —
+        # both windows share the partitionBy key. Pick the smaller gap;
+        # ties go backward (pandas merge_asof convention).
+        w_b = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        w_f = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").desc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            *lcols,
+            F.col("__side"),
+            F.last(F.col("__r"), ignorenulls=True).over(w_b).alias("__rb"),
+            F.last(F.col("__r"), ignorenulls=True).over(w_f).alias("__rf"),
+        )
+        gap_b = F.col(left_ts) - F.col("__rb.__rts")
+        gap_f = F.col("__rf.__rts") - F.col(left_ts)
+        chosen = (
+            F.when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(gap_f < gap_b, F.col("__rf"))
+            .otherwise(F.col("__rb"))
+        )
+        out = (
+            filled.filter(F.col("__side") == 1)
+            .withColumn("__r", chosen)
+            .drop("__side", "__rb", "__rf")
+        )
+    else:
+        ts_order = (
+            F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+        )
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            *lcols,
+            F.col("__side"),
+            F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
+        )
+        out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        if direction == "nearest":
+            rts = F.col("__r.__rts")
+            gap = F.when(rts <= F.col(left_ts), F.col(left_ts) - rts).otherwise(
+                rts - F.col(left_ts)
+            )
+        else:
+            gap = (
+                F.col(left_ts) - F.col("__r.__rts")
+                if direction == "backward"
+                else F.col("__r.__rts") - F.col(left_ts)
+            )
         within = gap <= F.expr(f"INTERVAL {tolerance}")
         # NULL condition (no match at all) falls through to NULL
         out = out.withColumn("__r", F.when(within, F.col("__r")))

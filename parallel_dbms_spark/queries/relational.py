@@ -3479,3 +3479,55 @@ def asof_join_strict(spark, sf_dir):
     return j.select(
         "event_id", "user_id", "ts", F.col("r_value").alias("prev_click_value")
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                MAX(value) AS value
+                         FROM events WHERE event_type = 'click'
+                         GROUP BY 1, 2),
+                   e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+                   b AS (SELECT e.event_id, c.ts AS bts, c.value AS bval
+                         FROM e ASOF LEFT JOIN c
+                           ON e.user_id = c.user_id AND e.ts >= c.ts),
+                   f AS (SELECT e.event_id, c.ts AS fts, c.value AS fval
+                         FROM e ASOF LEFT JOIN c
+                           ON e.user_id = c.user_id AND e.ts <= c.ts)
+              SELECT e.event_id, e.user_id, e.ts,
+                     CASE WHEN b.bts IS NULL THEN f.fval
+                          WHEN f.fts IS NULL THEN b.bval
+                          WHEN (f.fts - e.ts) < (e.ts - b.bts) THEN f.fval
+                          ELSE b.bval END AS near_click_value
+              FROM e
+              JOIN b USING (event_id)
+              JOIN f USING (event_id)
+              WHERE b.bts IS NOT NULL OR f.fts IS NOT NULL""",
+    tags=("asof", "join", "timeseries"),
+)
+def asof_join_nearest(spark, sf_dir):
+    # direction="nearest" (pandas merge_asof parity, ties -> backward):
+    # BOTH direction fills ride the same single shuffle (two window
+    # sorts over one exchange), then the smaller gap wins. Right side
+    # pre-aggregated to one row per (user, ts) so the pick is
+    # deterministic. Oracle: two native DuckDB ASOF joins + the same
+    # CASE. how="inner" == at least one side matched.
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        direction="nearest",
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("near_click_value")
+    )

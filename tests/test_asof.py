@@ -260,3 +260,43 @@ def test_asof_tolerance_forward_direction(spark):
         ).collect()
     }
     assert got == {1: 1.5}
+
+
+def test_asof_nearest_direction_semantics(spark):
+    import datetime as dt
+
+    from parallel_dbms_spark.operators import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 1, T(2024, 1, 1, 10, 0)),   # between: back 9:00, fwd 10:30 -> fwd
+            (2, 1, T(2024, 1, 1, 9, 10)),   # back 9:00 (10m) vs fwd 10:30 -> back
+            (3, 1, T(2024, 1, 1, 8, 0)),    # before first right -> forward
+            (4, 1, T(2024, 1, 1, 11, 0)),   # after last right -> backward
+            (5, 1, T(2024, 1, 1, 9, 45)),   # EXACT tie 45m/45m -> backward
+            (6, 2, T(2024, 1, 1, 12, 0)),   # key with no right rows: dropped
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 0), 90.0),
+            (1, T(2024, 1, 1, 10, 30), 105.0),
+        ],
+        "k long, rts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_values=["v"], direction="nearest",
+    )
+    got = {r["id"]: r["r_v"] for r in out.collect()}
+    assert got == {1: 105.0, 2: 90.0, 3: 90.0, 4: 105.0, 5: 90.0}
+
+    # tolerance prunes far matches symmetrically
+    tol = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_values=["v"], direction="nearest", tolerance="30 minutes",
+    )
+    got_tol = {r["id"]: r["r_v"] for r in tol.collect()}
+    assert got_tol == {1: 105.0, 2: 90.0, 4: 105.0}
