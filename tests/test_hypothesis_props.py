@@ -155,3 +155,60 @@ def test_phrase_search_matches_python_reference(spark, docs_toks, phrase_toks):
         for r in conjunctive_search(df, list(set(phrase_toks))).collect()
     }
     assert set(got) <= conj
+
+
+asof_rows = st.tuples(
+    st.lists(  # left: (id, minute) — duplicates and ties encouraged
+        st.tuples(st.integers(0, 30), st.integers(0, 60)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # right: (minute, value-id)
+        st.integers(0, 60),
+        min_size=0,
+        max_size=8,
+    ),
+)
+
+
+@given(data=asof_rows)
+@SETTINGS
+def test_asof_nearest_matches_python_reference(spark, data):
+    """nearest-direction as-of == a direct argmin-gap reference (ties ->
+    backward), across generated ties, duplicates, empty right sides,
+    and out-of-range left rows."""
+    from parallel_dbms_spark.operators import asof_join
+
+    left_rows, right_minutes = data
+    right_minutes = sorted(set(right_minutes))
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, 1, base + dt.timedelta(minutes=m))
+            for i, (_, m) in enumerate(left_rows)
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=m), float(m))
+            for m in right_minutes
+        ],
+        "k long, rts timestamp, v double",
+    ) if right_minutes else spark.createDataFrame(
+        [], "k long, rts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_values=["v"], direction="nearest", how="left",
+    )
+    got = {r["id"]: r["r_v"] for r in out.collect()}
+
+    want = {}
+    for i, (_, m) in enumerate(left_rows):
+        if not right_minutes:
+            want[i] = None
+            continue
+        best = min(right_minutes, key=lambda rm: (abs(rm - m), rm > m))
+        want[i] = float(best)
+    assert got == want
