@@ -588,8 +588,8 @@ def text_tfidf_topk(spark, sf_dir):
                      unnest(embedding) AS val
                      FROM embeddings)
               SELECT label, CAST(pos AS INTEGER) AS pos,
-                     SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))
-                       AS sum_scaled,
+                     CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS sum_scaled,
                      COUNT(*) AS n
               FROM e GROUP BY 1, 2""",
     tags=("vectors", "centroid"),

@@ -14,7 +14,43 @@ import duckdb
 
 from parallel_dbms_spark.catalog import TABLES
 
-__all__ = ["duck_connect", "run_compare", "CompareResult"]
+__all__ = [
+    "duck_connect",
+    "run_compare",
+    "CompareResult",
+    "FORBIDDEN_DUCK_TYPES",
+    "forbidden_types",
+]
+
+# DuckDB result types the driver's *typed* value-hash distinguishes from
+# anything Spark can produce. SUM(BIGINT) silently returns HUGEINT, which
+# shipped three rounds in a row (null_semantics r2, profile_orders r2,
+# vector_centroids r3) because this comparator was value-only. Any oracle
+# whose declared result schema contains one of these is a hash mismatch
+# waiting to happen, regardless of the values.
+FORBIDDEN_DUCK_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "TIMESTAMP_NS",
+    "TIMESTAMP WITH TIME ZONE",
+    "TIME",
+)
+
+
+def forbidden_types(rel) -> list[tuple[str, str]]:
+    """(column, type) pairs in a bound DuckDB relation whose declared type
+    the driver's hash would distinguish from the Spark side. Binding only —
+    the query is never executed."""
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ)
+        if any(t == f or t.startswith(f + "[") for f in FORBIDDEN_DUCK_TYPES):
+            bad.append((col, t))
+    return bad
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -39,11 +75,17 @@ class CompareResult:
         self.rows_match = False
         self.schema_match = False
         self.values_match = False
+        self.types_ok = True
         self.detail = ""
 
     @property
     def ok(self):
-        return self.rows_match and self.schema_match and self.values_match
+        return (
+            self.rows_match
+            and self.schema_match
+            and self.values_match
+            and self.types_ok
+        )
 
     def __repr__(self):
         flags = f"rows={self.rows_match} schema={self.schema_match} values={self.values_match}"
@@ -58,6 +100,10 @@ def run_compare(spark, con, name, fn, oracle, sf_dir) -> CompareResult:
 
     rel = con.sql(oracle)
     dcols = list(rel.columns)
+    bad = forbidden_types(rel)
+    if bad:
+        res.types_ok = False
+        res.detail = f"oracle declares driver-hash-hostile types: {bad}"
     drows = rel.fetchall()
 
     res.rows_match = len(srows) == len(drows)
