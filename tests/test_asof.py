@@ -300,3 +300,94 @@ def test_asof_nearest_direction_semantics(spark):
     )
     got_tol = {r["id"]: r["r_v"] for r in tol.collect()}
     assert got_tol == {1: 105.0, 2: 90.0, 4: 105.0}
+
+
+# ---------------------------------------------------------------------------
+# Salt-by-time-range fallback (asof_join_sharded): identical semantics,
+# (key, shard)-partitioned plan for pathological keys.
+# ---------------------------------------------------------------------------
+from parallel_dbms_spark.operators import asof_join_sharded  # noqa: E402
+
+
+def _frames_unique_rts(spark, seed, n_left, n_right, n_keys):
+    """Right timestamps UNIQUE per key, so the match is deterministic
+    and sharded-vs-unsharded equality is exact (equal right timestamps
+    are tie-broken arbitrarily by both plans)."""
+    rng = random.Random(seed)
+    left = [
+        Row(k=rng.randrange(n_keys), ts=rng.randrange(10_000), lv=i)
+        for i in range(n_left)
+    ]
+    seen, right = set(), []
+    while len(right) < n_right:
+        k, ts = rng.randrange(n_keys), rng.randrange(10_000)
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append(Row(k=k, ts=ts, rv=float(len(right))))
+    return spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sharded_asof_equals_unsharded_all_directions(spark):
+    l, r = _frames_unique_rts(spark, seed=11, n_left=400, n_right=150, n_keys=7)
+    for direction in ("backward", "forward", "nearest"):
+        for how in ("inner", "left"):
+            kw = dict(
+                on="k", left_ts="ts", right_ts="ts", right_values=["rv"],
+                how=how, direction=direction,
+            )
+            assert _rows(asof_join_sharded(l, r, n_shards=16, **kw)) == _rows(
+                asof_join(l, r, **kw)
+            ), f"{direction}/{how}"
+
+
+def test_sharded_asof_tolerance_and_exclusive(spark):
+    l, r = _frames_unique_rts(spark, seed=3, n_left=300, n_right=90, n_keys=5)
+    # INTERVAL tolerance requires timestamp time columns (same contract
+    # as the unsharded path) — lift the integer ts to a timestamp.
+    from pyspark.sql import functions as F
+
+    lt = l.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    rt = r.withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    for direction in ("backward", "forward", "nearest"):
+        kw = dict(
+            on="k", left_ts="ts", right_ts="ts", right_values=["rv"],
+            how="left", direction=direction, tolerance="500 seconds",
+        )
+        assert _rows(asof_join_sharded(lt, rt, n_shards=8, **kw)) == _rows(
+            asof_join(lt, rt, **kw)
+        ), direction
+    kw = dict(
+        on="k", left_ts="ts", right_ts="ts", right_values=["rv"],
+        how="inner", direction="backward", allow_exact=False,
+    )
+    assert _rows(asof_join_sharded(l, r, n_shards=8, **kw)) == _rows(
+        asof_join(l, r, **kw)
+    )
+
+
+def test_sharded_asof_pathological_single_key(spark):
+    # ONE key carrying every row — the exact case the unsharded plan's
+    # docstring flags (single key >> one partition). The sharded plan
+    # must agree row-for-row while spreading the key over 32 shards.
+    rng = random.Random(42)
+    left = [Row(k=1, ts=i * 3 + rng.randrange(3), lv=i) for i in range(6000)]
+    right = [Row(k=1, ts=ts, rv=float(ts)) for ts in
+             sorted(rng.sample(range(20_000), 900))]
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        kw = dict(
+            on="k", left_ts="ts", right_ts="ts", right_values=["rv"],
+            how="left", direction=direction,
+        )
+        got = _rows(asof_join_sharded(l, r, n_shards=32, **kw))
+        want = _rows(asof_join(l, r, **kw))
+        assert got == want, direction
+    # degenerate inputs fall back cleanly
+    empty = spark.createDataFrame([], l.schema)
+    assert asof_join_sharded(
+        empty, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]
+    ).count() == 0
