@@ -85,6 +85,11 @@ def read_postings_for_terms(
     """Pruned read of a served postings index: the bucket IN-list
     reaches the directory layout (partition pruning), so only the
     queried terms' buckets are listed/scanned."""
+    # build_postings lowercases every indexed term; normalize (and
+    # dedupe) the caller's terms the same way BEFORE hashing, or a
+    # mixed-case query computes the wrong bucket and silently reads
+    # zero postings.
+    terms = sorted({t.lower() for t in terms})
     # Compute each term's bucket with the same xxhash64 the writer used
     # — via a 1-row-per-term local DataFrame so the hash is Spark's,
     # not a Python reimplementation.
@@ -116,15 +121,19 @@ def conjunctive_search(
     """
     if not terms:
         raise ValueError("conjunctive_search needs at least one term")
+    # Dedupe after lowercasing: ['quick', 'Quick'] is ONE distinct
+    # indexed term, so requiring count_distinct == len(terms) with the
+    # raw list could never match any document.
+    terms_l = sorted({t.lower() for t in terms})
     p = postings if postings is not None else build_postings(docs, id_col, text_col)
     return (
-        p.filter(F.col("term").isin([t.lower() for t in terms]))
+        p.filter(F.col("term").isin(terms_l))
         .groupBy("doc_id")
         .agg(
             F.count_distinct("term").alias("n_terms"),
             F.count("*").alias("n_hits"),
         )
-        .filter(F.col("n_terms") == len(terms))
+        .filter(F.col("n_terms") == len(terms_l))
         .select("doc_id", "n_hits")
     )
 

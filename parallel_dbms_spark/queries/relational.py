@@ -24,6 +24,7 @@ from ..catalog import load_table, run_sql
 from ..operators import (
     aggregate,
     asof_join,
+    asof_join_sharded,
     filter_rows,
     join_tables,
     limit,
@@ -2835,6 +2836,49 @@ def robust_zscore_prices(spark, sf_dir):
 
 
 @register(
+    "robust_zscore_prices_approx",
+    oracle=None,  # approx sketch: engine-specific estimates, rows-only
+    tags=("aggregate", "percentile", "cleaning", "approx", "sketch"),
+)
+def robust_zscore_prices_approx(spark, sf_dir):
+    # The documented 100x scale path of robust_zscore_prices: both
+    # percentile passes swapped to approx_percentile (KLL-style sketch,
+    # BOUNDED per-group state that is mergeable map-side), identical
+    # plan shape otherwise — the fact table is still scanned, never
+    # shuffled, and group-cardinality frames are still broadcast.
+    # accuracy=10000 => rank error <= 1/10000, so on any realistically
+    # sized group the med/MAD (hence rz) track the exact form closely;
+    # tests/test_operators_extra.py bounds the deviation vs the exact
+    # query and the bench tracks that this form stays flat as group
+    # size grows.
+    li = _t(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5), acc
+        ).alias("mad")
+    )
+    scored = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (
+                (F.col("l_extendedprice") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad"))
+            ).alias("rz"),
+        )
+    )
+    return scored.withColumn("is_outlier", F.abs(F.col("rz")) > 3.5)
+
+
+@register(
     "categorical_drift_event_types",
     oracle="""WITH c AS (SELECT event_type,
                                 CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
@@ -3200,6 +3244,49 @@ def window_distinct_trailing_7d(spark, sf_dir):
         F.count_distinct("user_id").alias("n_users_7d")
     )
     return out.select(F.col("day").cast("string").alias("day"), "n_users_7d")
+
+
+@register(
+    "asof_join_sharded_backward",
+    oracle="""SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                     c.value AS last_click_value
+              FROM events e ASOF JOIN
+                   (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           MAX(value) AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY 1, 2) c
+                ON e.user_id = c.user_id
+               AND CAST(e.ts AS TIMESTAMP) >= c.ts""",
+    tags=("asof", "join", "skew", "timeseries"),
+)
+def asof_join_sharded_backward(spark, sf_dir):
+    # The pathological-key scale path (operators/asof.asof_join_sharded):
+    # same as-of semantics, but the union-window runs partitioned by
+    # (key, time-shard) with per-shard carry-in rows, so one fat key
+    # spreads over 16 partitions instead of one. Oracle: DuckDB's
+    # native ASOF JOIN — identical to the unsharded form's, which is
+    # the point: the salting is invisible in the result. Right side is
+    # pre-aggregated to one row per (user, ts) so the match is
+    # deterministic.
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join_sharded(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["value"],
+        how="inner",
+        n_shards=16,
+    )
+    return j.select(
+        "event_id", "user_id", "ts", F.col("r_value").alias("last_click_value")
+    )
 
 
 @register(

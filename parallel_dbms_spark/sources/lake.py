@@ -327,8 +327,35 @@ def write_manifest(
         .groupBy("file")
         .agg(*aggs)
     )
-    man.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
+    _publish_manifest(man, path + "/_manifest")
     return spark.read.parquet(path + "/_manifest").count()
+
+
+def _publish_manifest(man: DataFrame, man_path: str) -> None:
+    """Land a manifest DataFrame as ONE stable file
+    ``<man_path>/manifest.parquet``: write to a sibling temp dir, then
+    atomically ``os.replace`` the single part file onto the stable
+    name. Readers (``spark.read.parquet`` on the directory) therefore
+    always see exactly one complete manifest — the previous one or the
+    new one, never a missing or doubled sidecar. This is POSIX
+    rename-atomicity on a LOCAL filesystem; on object storage (no
+    atomic rename) a real table format's commit log is the answer.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    tmp = man_path.rstrip("/") + "_tmp_" + _uuid.uuid4().hex[:8]
+    man.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(man_path, exist_ok=True)
+    os.replace(part, os.path.join(man_path, "manifest.parquet"))
+    # sweep leftovers: the temp dir, and (one-time migration) any
+    # multi-part files a pre-stable-layout writer left in place
+    shutil.rmtree(tmp)
+    for old in glob.glob(os.path.join(man_path, "part-*.parquet")):
+        os.remove(old)
 
 
 def read_skipping(
@@ -656,16 +683,7 @@ def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     new_rows = fresh.groupBy("file").agg(*aggs).select(*man.columns)
     n_new = new_rows.count()
     if n_new:
-        # land the union as a NEW manifest dir then swap — readers of
-        # the old sidecar never see a partial state
-        import os
-        import shutil
-        import uuid as _uuid
-
-        tmp = path + "/_manifest_tmp_" + _uuid.uuid4().hex[:8]
-        man.unionByName(new_rows).coalesce(1).write.parquet(tmp)
-        old = path + "/_manifest_old_" + _uuid.uuid4().hex[:8]
-        os.rename(man_path, old)
-        os.rename(tmp, man_path)
-        shutil.rmtree(old)
+        # single-file atomic publish: readers of the sidecar see the
+        # old manifest or the new one, never a partial/absent state
+        _publish_manifest(man.unionByName(new_rows), man_path)
     return n_new, spark.read.parquet(man_path).count()

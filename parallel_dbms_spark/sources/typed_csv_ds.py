@@ -319,11 +319,22 @@ class TypedCSVStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int):
         # deterministic (batchId, partition) names: a replayed batch
         # rewrites the same files instead of duplicating rows
+        finals = set()
         for m in messages:
             final = os.path.join(
                 self.path, f"part-b{batchId:08d}-p{m.final_path}.csv"
             )
             os.replace(m.tmp_path, final)
+            finals.add(final)
+        # A replay that repartitioned into FEWER partitions than the
+        # failed attempt would otherwise leave the extra attempt-1
+        # files in place, duplicating rows: sweep every part file of
+        # this batch that this commit did not just write.
+        for old in glob.glob(
+            os.path.join(self.path, f"part-b{batchId:08d}-p*.csv")
+        ):
+            if old not in finals:
+                os.remove(old)
 
     def abort(self, messages, batchId: int):
         for m in messages:

@@ -121,11 +121,30 @@ def stage_with_watermark_sentinels(
     free from continuously arriving data; only a bounded backlog needs
     the nudge.
     """
+    import os
+
     from pyspark.sql import Row
+
+    # The file source batches in mtime order; on filesystems with
+    # coarse mtime granularity consecutive writes can TIE, letting a
+    # sentinel batch merge with (or precede) the real data and starve
+    # the left-outer emission. Stamp each write's new files with an
+    # explicitly increasing mtime, in write order, so the intended
+    # batch order is guaranteed rather than timing-dependent.
+    stamped: set[str] = set()
+    base = _dt.datetime.now().timestamp()
+
+    def _stamp(step: int) -> None:
+        for f in os.listdir(staged):
+            p = os.path.join(staged, f)
+            if f.endswith(".parquet") and not f.startswith("_") and p not in stamped:
+                os.utime(p, (base + step, base + step))
+                stamped.add(p)
 
     spark = events.sparkSession
     max_ts = events.agg(F.max("ts")).collect()[0][0]  # one scalar
     events.coalesce(1).write.mode("append").parquet(staged)
+    _stamp(0)
     schema = events.schema
     for i in range(1, n_sentinel_batches + 1):
         ts = max_ts + _dt.timedelta(hours=i * advance_hours)
@@ -151,3 +170,4 @@ def stage_with_watermark_sentinels(
             [tuple(getattr(r, f.name) for f in schema.fields) for r in rows],
             schema,
         ).coalesce(1).write.mode("append").parquet(staged)
+        _stamp(i)

@@ -598,3 +598,35 @@ def test_ignore_corrupt_files_salvages_intact_files(spark, tmp_path):
         assert files[0].rsplit("/", 1)[1] not in rows
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_write_version_two_writers_race(spark, tmp_path):
+    """Two writers racing for the same version number: the loser must
+    land on the NEXT free version (or fail cleanly), never overwrite.
+    Simulated deterministically by pre-claiming the v the second writer
+    would compute — the exact state a concurrent in-flight writer
+    leaves on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import (
+        list_versions_at,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "raced")
+    v1 = write_version(spark.range(4).withColumn("val", F.lit("a")), t)
+    # another writer "wins" v2 between this writer's max-probe and its
+    # write: materialize a complete v2 out from under it
+    os.makedirs(os.path.join(t, f"v={v1 + 1}"), exist_ok=False)
+    spark.range(9).withColumn("val", F.lit("intruder")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(t, f"v={v1 + 1}"))
+    v3 = write_version(spark.range(2).withColumn("val", F.lit("b")), t)
+    assert v3 == v1 + 2, "loser must claim the next free number"
+    assert sorted(list_versions_at(t)) == [v1, v1 + 1, v1 + 2]
+    # nobody clobbered anybody
+    assert read_version(spark, t, v1 + 1).count() == 9
+    assert read_version(spark, t, v3).count() == 2

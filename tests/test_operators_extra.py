@@ -373,3 +373,39 @@ def test_hll_set_ops_intersection_close_to_exact(spark):
     )
     n_union_exact = clicks.union(buys).distinct().count()
     assert abs(row["n_union"] - n_union_exact) / n_union_exact < 0.05
+
+
+def test_robust_zscore_approx_tracks_exact(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = REGISTRY["robust_zscore_prices"].fn(spark, sf)
+    approx = REGISTRY["robust_zscore_prices_approx"].fn(spark, sf)
+    assert exact.columns == approx.columns
+
+    def per_group(df):
+        return {
+            r["l_returnflag"]: r
+            for r in df.groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("rz").alias("avg_rz"),
+                F.max(F.abs("rz")).alias("max_abs_rz"),
+                F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            )
+            .collect()
+        }
+
+    ge, ga = per_group(exact), per_group(approx)
+    assert set(ge) == set(ga) and ge
+    for flag, e in ge.items():
+        a = ga[flag]
+        assert a["n"] == e["n"] > 0
+        # accuracy=10000 => rank error <= 1e-4, so the approx med/mad
+        # (hence every rz) sit within a hair of the exact ones
+        assert abs(a["avg_rz"] - e["avg_rz"]) < 0.02, (flag, a, e)
+        assert abs(a["max_abs_rz"] - e["max_abs_rz"]) / e["max_abs_rz"] < 0.02
+        # flag flips confined to the epsilon band around |rz| = 3.5
+        assert abs(a["n_outliers"] - e["n_outliers"]) <= max(2, 0.001 * e["n"])

@@ -171,3 +171,28 @@ def test_served_trigram_index_prunes_and_matches_inline(docs, tmp_path, spark):
         for r in substring_search(docs, needle).collect()
     )
     assert got == want == [4]
+
+
+def test_conjunctive_search_mixed_case_and_duplicate_terms(docs):
+    base = {
+        r["doc_id"]: r["n_hits"]
+        for r in conjunctive_search(docs, ["quick", "brown"]).collect()
+    }
+    # duplicates / case variants of the SAME term must not change the
+    # match set (the index is lowercased and term-distinct)
+    dup = {
+        r["doc_id"]: r["n_hits"]
+        for r in conjunctive_search(docs, ["quick", "Quick", "BROWN"]).collect()
+    }
+    assert dup == base
+
+
+def test_served_postings_read_is_case_insensitive(docs, tmp_path, spark):
+    path = str(tmp_path / "idx_case")
+    write_postings(docs, path, n_buckets=8)
+    lower = read_postings_for_terms(spark, path, ["quick", "fox"], n_buckets=8)
+    mixed = read_postings_for_terms(spark, path, ["Quick", "FOX"], n_buckets=8)
+    assert lower.count() > 0
+    got = sorted(tuple(r) for r in mixed.select("doc_id", "term", "pos").collect())
+    want = sorted(tuple(r) for r in lower.select("doc_id", "term", "pos").collect())
+    assert got == want

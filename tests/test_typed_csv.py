@@ -241,3 +241,38 @@ def test_datasource_stream_writer_lands_batch_keyed_files(spark, tmp_path):
     assert len(batches) == 2, f"expected 2 micro-batches, got {batches}"
     back = read_typed_csv(spark, out + "/part-*.csv")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_stream_writer_replay_sweeps_orphan_partitions(spark, tmp_path):
+    """Exactly-once replay contract: a replayed micro-batch that lands
+    FEWER partitions than the failed first attempt must sweep the
+    extra attempt-1 files, not leave them duplicating rows."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.typed_csv_ds import (
+        TypedCSVStreamWriter,
+        _FileCommit,
+    )
+
+    out = str(tmp_path / "replayed")
+    os.makedirs(out)
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    w = TypedCSVStreamWriter({"path": out}, schema)
+    # attempt 1 landed two partitions for batch 3
+    for pid in (0, 1):
+        open(os.path.join(out, f"part-b{3:08d}-p{pid:05d}.csv"), "w").write(
+            f"x (N)\n{pid}\n"
+        )
+    # replay commits only ONE partition
+    tmp = os.path.join(out, "_tmp-replay")
+    open(tmp, "w").write("x (N)\n42\n")
+    w.commit([_FileCommit(tmp_path=tmp, final_path="00000")], batchId=3)
+    left = sorted(os.listdir(out))
+    assert left == ["part-b00000003-p00000.csv"], left
+    assert "42" in open(os.path.join(out, left[0])).read()
+    # other batches' files are untouched
+    open(os.path.join(out, "part-b00000004-p00000.csv"), "w").write("x (N)\n7\n")
+    w.commit([], batchId=5)
+    assert "part-b00000004-p00000.csv" in os.listdir(out)
