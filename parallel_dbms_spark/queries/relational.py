@@ -2390,6 +2390,53 @@ def lake_bloom_point_lookup(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Targeted key deletion (sources/lake.py delete_keys_rewrite): the GDPR /
+# opt-out purge path — locate victim files by pushed-down IN probe,
+# rewrite ONLY those files, swap, refresh the manifest incrementally.
+# The oracle is the logical NOT IN filter over the original data: the
+# physical locate/rewrite/swap must be semantically invisible.
+# --------------------------------------------------------------------------
+@register(
+    "lake_delete_keys",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_custkey NOT IN (7, 13, 101, 202, 303, 404, 505)
+              GROUP BY 1""",
+    tags=("lake", "delete", "cdc", "pipeline"),
+)
+def lake_delete_keys(spark, sf_dir):
+    import tempfile
+
+    from ..sources.lake import delete_keys_rewrite, write_manifest
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    t = tempfile.mkdtemp(prefix="lake_delete_") + "/orders"
+    # cluster on the DELETE key so the locate probe's pushdown prunes:
+    # victims concentrate in few files, the rewrite is O(those files)
+    (
+        o.repartitionByRange(12, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(t)
+    )
+    write_manifest(spark, t, ["o_custkey", "o_orderdate"])
+    victims = [7, 13, 101, 202, 303, 404, 505]
+    n_deleted, n_rewritten, n_total = delete_keys_rewrite(
+        spark, t, "o_custkey", victims
+    )
+    assert n_rewritten < n_total, "clustered victims must touch few files"
+    after = spark.read.parquet(t)
+    assert after.filter(F.col("o_custkey").isin(victims)).count() == 0
+    return after.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD
 # value-hashes against the identical SQL floor expression — unlike

@@ -647,6 +647,96 @@ def sorted_export_file_order(
     return [r["file"] for r in rows]
 
 
+def delete_keys_rewrite(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    keys: list,
+) -> tuple[int, int, int]:
+    """Targeted row deletion (GDPR "right to be forgotten" / opt-out
+    purge — the training-data pipeline's delete path): remove every
+    row whose ``col`` is in ``keys`` by rewriting ONLY the physical
+    files that actually contain a victim row. The reference's CSV
+    spool (src/headers/table.cpp:252-307) can only rewrite the world;
+    real lakehouses do locate -> rewrite -> swap, which is what this
+    rebuilds on plain parquet:
+
+      1. locate — one scan with ``col IN keys`` pushed into parquet
+         (row-group stats + dictionary pages prune aggressively when
+         the key is clustered) returning just the DISTINCT
+         ``_metadata.file_path`` values: a file-count-bounded collect.
+      2. rewrite — only the affected files are re-read; the survivors
+         (NOT IN) land as new part files in the table directory. Work
+         is O(affected files); untouched files are never opened.
+      3. swap — dead files are unlinked; an existing ``_manifest``
+         drops the dead files' rows (atomic single-file publish) and
+         is incrementally extended for the new files (O(delta)
+         update_manifest). Bloom sidecars are rebuilt if present —
+         survivors land in NEW files a stale filter would miss.
+
+    Single-writer contract (same as write_version): a reader racing
+    the swap can observe old+new files together or a file missing; a
+    multi-writer deployment needs a real transaction log
+    (Delta/Iceberg). Returns (n_deleted, n_files_rewritten,
+    n_files_total).
+    """
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    def _local(p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    all_files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not any(
+            seg.startswith("_")
+            for seg in os.path.relpath(f, path).split(os.sep)
+        )
+    ]
+    df = spark.read.parquet(path)
+    pred = F.col(col).isin(list(keys))
+    affected = sorted(
+        r["f"]
+        for r in df.filter(pred)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return 0, 0, len(all_files)
+
+    touched = spark.read.schema(df.schema).parquet(*affected)
+    n_deleted = touched.filter(pred).count()
+    tmp = os.path.join(path, "_delete_tmp_" + _uuid.uuid4().hex[:8])
+    touched.filter(~pred).write.parquet(tmp)
+    for p in glob.glob(os.path.join(tmp, "part-*.parquet")):
+        os.replace(
+            p, os.path.join(path, f"part-del{_uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
+        )
+    shutil.rmtree(tmp)
+    for f in affected:
+        os.remove(_local(f))
+
+    man_path = os.path.join(path, "_manifest")
+    if os.path.isdir(man_path):
+        man = spark.read.parquet(man_path)
+        kept = man.filter(~F.col("file").isin(affected)).localCheckpoint(eager=True)
+        _publish_manifest(kept, man_path)
+        update_manifest(spark, path)
+    for bloom in glob.glob(os.path.join(path, "_bloom_*")):
+        bcol = os.path.basename(bloom)[len("_bloom_"):]
+        head = spark.read.parquet(bloom).head()
+        write_bloom_manifest(
+            spark, path, bcol, n_bits=int(head.n_bits), n_hashes=int(head.n_hashes)
+        )
+    return n_deleted, len(affected), len(all_files)
+
+
 def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     """Incrementally extend an existing ``_manifest`` after files were
     APPENDED to the table: profile only files the manifest has not seen

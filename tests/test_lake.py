@@ -630,3 +630,54 @@ def test_write_version_two_writers_race(spark, tmp_path):
     # nobody clobbered anybody
     assert read_version(spark, t, v1 + 1).count() == 9
     assert read_version(spark, t, v3).count() == 2
+
+
+def test_delete_keys_rewrites_only_affected_files(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import (
+        delete_keys_rewrite,
+        read_point_lookup,
+        read_skipping,
+        write_bloom_manifest,
+        write_manifest,
+    )
+
+    t = str(tmp_path / "orders")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    # cluster on k: victims [100..120] live in ONE file of 10
+    df.repartitionByRange(10, "k").sortWithinPartitions("k").write.parquet(t)
+    write_manifest(spark, t, ["k"])
+    write_bloom_manifest(spark, t, "k")
+    victims = list(range(100, 121))
+
+    n_deleted, n_rewritten, n_total = delete_keys_rewrite(spark, t, "k", victims)
+    assert n_deleted == len(victims)
+    assert n_total == 10 and n_rewritten == 1, (n_rewritten, n_total)
+
+    after = spark.read.parquet(t)
+    assert after.count() == 10_000 - len(victims)
+    assert after.filter(F.col("k").isin(victims)).count() == 0
+
+    # manifest stayed consistent: one row per live file, stats usable
+    man = spark.read.parquet(t + "/_manifest")
+    live = {
+        f"file:{p}" for p in glob.glob(os.path.join(t, "*.parquet"))
+    }
+    assert {r["file"] for r in man.select("file").collect()} == live
+    pruned, n_read, n_tot2 = read_skipping(spark, t, "k", 5000, 5010)
+    assert pruned.count() == 11 and n_read < n_tot2
+
+    # bloom sidecar rebuilt: survivor rows in NEW files still found
+    hit, _, _ = read_point_lookup(spark, t, "k", 121)
+    assert hit.count() == 1
+    miss, _, _ = read_point_lookup(spark, t, "k", 110)
+    assert miss.count() == 0
+
+    # no-victim delete is a no-op
+    assert delete_keys_rewrite(spark, t, "k", [10_000_000]) == (0, 0, 10)
