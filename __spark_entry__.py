@@ -17,11 +17,15 @@ joins, and the SCD2/histogram/MV/DQ foreachBatch sinks), native
 recursive CTEs (spine/hierarchy/iteration shapes, verbatim SQL on
 both engines), and the full-text search surface (inverted-index
 conjunctive + phrase search, trigram substring/containment, served
-bucketed layouts). Where a query is
+bucketed layouts), plus the round-4 additions: time-range-salted as-of
+joins for pathological keys, targeted key deletion on the lake
+(locate/rewrite/swap), and approx-percentile twins of the exact
+percentile queries. Where a query is
 SQL-expressible its DuckDB oracle is registered; hash-placement and
 pandas-UDF queries are rows-only and get quality assertions in
 tests/ instead. The first 50 exported entries (the graded window)
-are curated to span every family — see queries/registry.py.
+are curated to span every family, and rows graded green in prior
+rounds rotate out for never-graded ones — see queries/registry.py.
 """
 
 from __future__ import annotations

@@ -212,3 +212,47 @@ def test_asof_nearest_matches_python_reference(spark, data):
         best = min(right_minutes, key=lambda rm: (abs(rm - m), rm > m))
         want[i] = float(best)
     assert got == want
+
+
+@given(data=asof_rows)
+@SETTINGS
+def test_asof_sharded_nearest_matches_python_reference(spark, data):
+    """The salted (time-range-sharded) as-of must satisfy the SAME
+    argmin-gap reference as the unsharded plan — including when every
+    row lands in one shard, shards are empty, or carries must cross
+    several empty shards."""
+    from parallel_dbms_spark.operators import asof_join_sharded
+
+    left_rows, right_minutes = data
+    right_minutes = sorted(set(right_minutes))
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, 1, base + dt.timedelta(minutes=m))
+            for i, (_, m) in enumerate(left_rows)
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=m), float(m))
+            for m in right_minutes
+        ],
+        "k long, rts timestamp, v double",
+    ) if right_minutes else spark.createDataFrame(
+        [], "k long, rts timestamp, v double"
+    )
+    out = asof_join_sharded(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_values=["v"], direction="nearest", how="left", n_shards=4,
+    )
+    got = {r["id"]: r["r_v"] for r in out.collect()}
+
+    want = {}
+    for i, (_, m) in enumerate(left_rows):
+        if not right_minutes:
+            want[i] = None
+            continue
+        best = min(right_minutes, key=lambda rm: (abs(rm - m), rm > m))
+        want[i] = float(best)
+    assert got == want
