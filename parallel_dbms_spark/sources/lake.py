@@ -653,21 +653,37 @@ def delete_keys_rewrite(
     col: str,
     keys: list,
 ) -> tuple[int, int, int]:
-    """Targeted row deletion (GDPR "right to be forgotten" / opt-out
-    purge — the training-data pipeline's delete path): remove every
-    row whose ``col`` is in ``keys`` by rewriting ONLY the physical
-    files that actually contain a victim row. The reference's CSV
-    spool (src/headers/table.cpp:252-307) can only rewrite the world;
-    real lakehouses do locate -> rewrite -> swap, which is what this
+    """Targeted row deletion by key IN-list (GDPR "right to be
+    forgotten" / opt-out purge): sugar over ``delete_where_rewrite``
+    with the pushdown-friendly ``col IN keys`` predicate. See that
+    function for the locate -> rewrite -> swap mechanics."""
+    from pyspark.sql import functions as F
+
+    return delete_where_rewrite(spark, path, F.col(col).isin(list(keys)))
+
+
+def delete_where_rewrite(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> tuple[int, int, int]:
+    """Targeted row deletion (the training-data pipeline's delete
+    path): remove every row matching ``predicate`` (a pyspark Column)
+    by rewriting ONLY the physical files that actually contain a
+    victim row. The reference's CSV spool
+    (src/headers/table.cpp:252-307) can only rewrite the world; real
+    lakehouses do locate -> rewrite -> swap, which is what this
     rebuilds on plain parquet:
 
-      1. locate — one scan with ``col IN keys`` pushed into parquet
+      1. locate — one scan with the predicate pushed into parquet
          (row-group stats + dictionary pages prune aggressively when
-         the key is clustered) returning just the DISTINCT
-         ``_metadata.file_path`` values: a file-count-bounded collect.
+         the filtered columns are clustered) returning just the
+         DISTINCT ``_metadata.file_path`` values: a file-count-bounded
+         collect.
       2. rewrite — only the affected files are re-read; the survivors
-         (NOT IN) land as new part files in the table directory. Work
-         is O(affected files); untouched files are never opened.
+         (NOT predicate) land as new part files in the table
+         directory. Work is O(affected files); untouched files are
+         never opened.
       3. swap — dead files are unlinked; an existing ``_manifest``
          drops the dead files' rows (atomic single-file publish) and
          is incrementally extended for the new files (O(delta)
@@ -699,7 +715,11 @@ def delete_keys_rewrite(
         )
     ]
     df = spark.read.parquet(path)
-    pred = F.col(col).isin(list(keys))
+    # 3VL guard: a row where the predicate evaluates NULL is NOT a
+    # victim (filter(pred) already treats NULL as false) — but naive
+    # filter(~pred) would ALSO drop it (NOT NULL = NULL). Coalesce to
+    # FALSE so victims and survivors exactly tile the table.
+    pred = F.coalesce(predicate, F.lit(False))
     affected = sorted(
         r["f"]
         for r in df.filter(pred)

@@ -681,3 +681,33 @@ def test_delete_keys_rewrites_only_affected_files(spark, tmp_path):
 
     # no-victim delete is a no-op
     assert delete_keys_rewrite(spark, t, "k", [10_000_000]) == (0, 0, 10)
+
+
+def test_delete_where_predicate_and_null_rows_survive(spark, tmp_path):
+    """delete_where_rewrite: arbitrary predicate, and rows where the
+    predicate evaluates NULL are survivors (3VL), never silently lost."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import delete_where_rewrite
+
+    t = str(tmp_path / "events")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise((F.col("id") % 100).cast("double"))
+        .alias("score"),
+    )
+    df.repartitionByRange(5, "k").write.parquet(t)
+    n_null = 100  # every 10th row has NULL score
+
+    n_deleted, n_rewritten, n_total = delete_where_rewrite(
+        spark, t, F.col("score") > 89.5
+    )
+    after = spark.read.parquet(t)
+    # victims: score in {90..99} excluding NULLed ids -> 9 per 100-block
+    assert n_deleted == 90, n_deleted
+    assert after.count() == 1000 - 90
+    assert after.filter(F.col("score") > 89.5).count() == 0
+    # NULL-predicate rows all survived
+    assert after.filter(F.col("score").isNull()).count() == n_null
+    assert n_total == 5 and 1 <= n_rewritten <= 5
