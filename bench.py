@@ -174,6 +174,11 @@ def bench_queries(spark, sf_dir):
         "scd2_pit_enrich": lambda: _exec(
             REGISTRY["scd2_pit_enrich"].fn(spark, sf_dir)
         ),
+        # r4: the time-range-salted as-of plan — tracked so a carry-in
+        # regression (extra shuffles, lost broadcast) shows up here
+        "asof_sharded": lambda: _exec(
+            REGISTRY["asof_join_sharded_backward"].fn(spark, sf_dir)
+        ),
         # r3 wave 4: native recursive CTE (iterative plan execution)
         # and the full-text search surface (phrase positional
         # intersection + trigram-pruned substring scan)

@@ -292,6 +292,7 @@ def resample_ffill(
     ts: str = "ts",
     value: str = "value",
     step: str = "1 hour",
+    shard_timeline: int | None = None,
 ) -> DataFrame:
     """Time-series resample with forward fill — the hypertable-rollup /
     gap-fill surface, expressed as a COMPOSITION of existing operators
@@ -305,7 +306,10 @@ def resample_ffill(
 
     Scale: the grid is generated with sequence()+explode — rows/key =
     span/step, no driver involvement; the fill inherits asof_join's
-    single-shuffle window plan. Returns (key, grid_ts, r_<value>).
+    single-shuffle window plan. A long span at a fine step makes the
+    grid itself the pathological key (span/step rows per key) — pass
+    ``shard_timeline=N`` to run the fill through ``asof_join_sharded``
+    instead. Returns (key, grid_ts, r_<value>).
     """
     tcol = F.col(ts)
     obs = events.groupBy(F.col(key), tcol.alias("__ts_o")).agg(
@@ -321,7 +325,10 @@ def resample_ffill(
             F.sequence("__t0", "__t1", F.expr(f"INTERVAL {step}"))
         ).alias("grid_ts"),
     )
-    return asof_join(
+    join_fn = asof_join if shard_timeline is None else (
+        lambda *a, **kw: asof_join_sharded(*a, n_shards=shard_timeline, **kw)
+    )
+    return join_fn(
         grid,
         obs.select(key, F.col("__ts_o").alias("obs_ts"), F.col(value)),
         on=key,

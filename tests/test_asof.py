@@ -391,3 +391,22 @@ def test_sharded_asof_pathological_single_key(spark):
     assert asof_join_sharded(
         empty, r, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]
     ).count() == 0
+
+
+def test_resample_ffill_sharded_timeline_equals_default(spark):
+    from parallel_dbms_spark.operators import resample_ffill
+
+    rng = random.Random(9)
+    rows = [
+        Row(
+            user_id=rng.randrange(4),
+            ts=__import__("datetime").datetime(2024, 1, 1)
+            + __import__("datetime").timedelta(minutes=rng.randrange(5000)),
+            value=float(i),
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows)
+    a = resample_ffill(ev)
+    b = resample_ffill(ev, shard_timeline=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
