@@ -3071,6 +3071,62 @@ def sql_group_by_all(spark, sf_dir):
     )
 
 
+@register(
+    "sql_udf_scalar",
+    oracle="""SELECT l_returnflag,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                         * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem WHERE l_quantity < 25
+              GROUP BY 1""",
+    tags=("sql", "functions", "udf"),
+)
+def sql_udf_scalar(spark, sf_dir):
+    # Spark 4 SQL-language UDF (CREATE FUNCTION ... RETURN <expr>):
+    # declared in SQL, inlined by Catalyst into the plan — codegen-
+    # compiled like any expression, NO Python boundary (contrast
+    # F.udf, which serializes rows). The oracle inlines the same
+    # expression, which is exactly the point: a SQL UDF is sugar the
+    # optimizer sees through.
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(
+               p DOUBLE, d DOUBLE) RETURNS BIGINT
+           RETURN CAST(FLOOR(p * (1.0 - d) * 100) AS BIGINT)"""
+    )
+    return run_sql(
+        spark, sf_dir,
+        """SELECT l_returnflag,
+                  SUM(disc_cents(l_extendedprice, l_discount)) AS revenue_cents
+           FROM lineitem WHERE l_quantity < 25
+           GROUP BY 1""",
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderstatus = 'O'
+              GROUP BY 1""",
+    tags=("sql", "dialect", "pipe", "aggregate"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    # SQL pipe syntax (Spark 4.0+, SQL:2023-adjacent): the same logical
+    # plan written as a left-to-right pipeline. Parses to the identical
+    # Catalyst tree as the oracle's classic form — dialect parity row.
+    return run_sql(
+        spark, sf_dir,
+        """FROM orders
+           |> WHERE o_orderstatus = 'O'
+           |> AGGREGATE COUNT(*) AS n,
+                        SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+              GROUP BY o_orderpriority
+           |> SELECT o_orderpriority, n, cents""",
+    )
+
+
 @register("dq_table_checksum", oracle=None, tags=("dq", "aggregate"))
 def dq_table_checksum(spark, sf_dir):
     # Order-independent content checksum of orders (operators/dq.py
