@@ -364,3 +364,19 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sharded_asof_partitions_window_on_key_and_shard(spark):
+    # The whole point of the salted plan: the union-window must
+    # partition on (key, __shard), never on the bare key — and stay
+    # cartesian-free (the carry spine joins are equi/broadcast).
+    from parallel_dbms_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["asof_join_sharded_backward"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+    import re
+
+    main_exchanges = re.findall(r"hashpartitioning\(user_id#\d+L?, __shard", plan)
+    assert main_exchanges, "union-window lost its (key, shard) exchange"
+    assert "CartesianProduct" not in plan
