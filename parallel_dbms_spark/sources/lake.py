@@ -774,6 +774,9 @@ def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
 
     Returns (n_new_files_profiled, n_total_manifest_rows).
     """
+    import glob as _glob
+    import os
+
     from pyspark.sql import functions as F
 
     man_path = path + "/_manifest"
@@ -782,10 +785,26 @@ def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
         {c[: -len("_min")] for c in man.columns if c.endswith("_min")}
     )
     known = {r["file"] for r in man.select("file").collect()}
-    df = spark.read.parquet(path)
-    fresh = df.select(
+    # Fresh files are resolved by PATH SET DIFFERENCE on the driver
+    # (file-count-bounded, like the manifest itself) and handed to the
+    # reader as an explicit path list: only the unseen files are ever
+    # listed or opened, and the plan carries no N-thousand-string
+    # isin literal (a ~NOT IN over _metadata.file_path achieves the
+    # same pruning but bloats the plan linearly in table file count).
+    physical = {
+        f"file:{p}"
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not any(
+            seg.startswith("_")
+            for seg in os.path.relpath(p, path).split(os.sep)
+        )
+    }
+    fresh_paths = sorted(p[len("file:"):] for p in physical - known)
+    if not fresh_paths:
+        return 0, man.count()
+    fresh = spark.read.parquet(*fresh_paths).select(
         F.col("_metadata.file_path").alias("file"), *stats_cols
-    ).filter(~F.col("file").isin(list(known)))
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"{c}_min"))
