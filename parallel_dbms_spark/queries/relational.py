@@ -3027,6 +3027,51 @@ def lake_zorder_2d_skipping(spark, sf_dir):
 
 
 @register(
+    "lake_zorder_3d_skipping",
+    oracle="""SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+              FROM orders
+              WHERE o_custkey BETWEEN 100 AND 400
+                AND o_totalprice BETWEEN 40000 AND 160000
+                AND CAST(o_orderdate AS TIMESTAMP)
+                    BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1996-12-31'""",
+    tags=("lake", "data-skipping", "zorder", "source"),
+)
+def lake_zorder_3d_skipping(spark, sf_dir):
+    # The N-dimensional z_order_write_n generalization (here N=3 with
+    # 63//3=21-bit capped interleave): one clustered layout prunes a
+    # 3-D box query — and, per the unit test, a filter on ANY single
+    # clustered column still prunes. The date dimension interleaves as
+    # epoch days. Oracle: the plain 3-predicate filter.
+    import tempfile
+
+    from ..sources.lake import read_skipping_multi, write_manifest, z_order_write_n
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("__days", F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")))
+    )
+    t = tempfile.mkdtemp(prefix="lake_z3d_") + "/orders"
+    z_order_write_n(o, t, ["o_custkey", "o_totalprice", "__days"], num_files=16)
+    write_manifest(spark, t, ["o_custkey", "o_totalprice", "__days"])
+    import datetime as _dt
+
+    d0 = (_dt.date(1994, 1, 1) - _dt.date(1990, 1, 1)).days
+    d1 = (_dt.date(1996, 12, 31) - _dt.date(1990, 1, 1)).days
+    pruned, n_read, n_total = read_skipping_multi(
+        spark, t,
+        {
+            "o_custkey": (100, 400),
+            "o_totalprice": (40_000.0, 160_000.0),
+            "__days": (d0, d1),
+        },
+    )
+    assert n_read < n_total, "3-D z-ordered layout must prune a 3-D box query"
+    return pruned.drop("__days")
+
+
+@register(
     "sql_nulls_ordering",
     oracle="""SELECT event_id,
                      CASE WHEN event_id % 10 = 0 THEN NULL

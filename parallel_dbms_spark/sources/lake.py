@@ -118,18 +118,34 @@ def z_value(col_x, col_y, bits: int = 16):
     stats then prune scans filtered on EITHER column. Pure bit
     arithmetic: deterministic, engine-portable, codegen-friendly.
     """
+    return z_value_n([col_x, col_y], bits=bits)
+
+
+def z_value_n(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of N non-negative integer columns:
+    column j's bit i lands at output position ``i*N + j``. With
+    ``cols=[x, y]`` this is exactly the classic 2-D code (x even
+    positions, y odd). Total output bits = N*bits and must fit a
+    signed long, so pass a smaller ``bits`` for higher dimensions
+    (63 // N is the ceiling; 4 dims x 15 bits is typical)."""
     from pyspark.sql import functions as F
 
-    mask = (1 << bits) - 1
-    x = col_x.cast("long").bitwiseAND(F.lit(mask))
-    y = col_y.cast("long").bitwiseAND(F.lit(mask))
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    n = len(cols)
+    if n < 1:
+        raise ValueError("z_value_n needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} dims x {bits} bits = {n * bits} output bits > 63; "
+            f"use bits <= {63 // n}"
         )
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        x = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     return z
 
 
@@ -142,28 +158,45 @@ def z_order_write(
     num_files: int | None = None,
     fmt: str = "parquet",
 ) -> None:
-    """Rewrite a table clustered on the z-curve of two columns.
+    """Rewrite a table clustered on the z-curve of two columns — see
+    ``z_order_write_n`` for the general N-dimensional form this
+    delegates to."""
+    z_order_write_n(df, path, [col_x, col_y], bits, num_files, fmt)
+
+
+def z_order_write_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int | None = None,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a table clustered on the z-curve of N columns.
 
     ``repartitionByRange`` on the z-value gives globally disjoint
     z-ranges per file; the within-partition sort tightens row-group
-    stats. One shuffle at WRITE time buys multi-dimensional data
-    skipping on every subsequent scan — the lake-maintenance
-    counterpart of ``write_bucketed_table`` (which buys exchange-free
-    joins instead).
+    stats. One shuffle at WRITE time buys N-dimensional data skipping
+    on every subsequent scan — min/max stats prune filters on ANY of
+    the clustered columns — the lake-maintenance counterpart of
+    ``write_bucketed_table`` (which buys exchange-free joins instead).
+    ``bits`` defaults to the deepest interleave that fits a long
+    (63 // N, capped at 16).
     """
     from pyspark.sql import functions as F
 
+    if bits is None:
+        bits = min(16, 63 // len(cols))
     # Min-max-normalize each dimension into the full bit range first:
     # raw values that span only a fraction of 2^bits would leave the
     # high interleave bits constant and the curve degenerates to a
     # single-column sort. One cheap stats pass + broadcast join — no
     # global sort per column (ntile-ranking would need one).
-    stats = df.agg(
-        F.min(col_x).alias("__xmin"),
-        F.max(col_x).alias("__xmax"),
-        F.min(col_y).alias("__ymin"),
-        F.max(col_y).alias("__ymax"),
-    )
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"__lo{j}"))
+        aggs.append(F.max(c).alias(f"__hi{j}"))
+    stats = df.agg(*aggs)
     top = (1 << bits) - 1
 
     def norm(c, lo, hi):
@@ -174,12 +207,15 @@ def z_order_write(
 
     out = df.crossJoin(F.broadcast(stats)).withColumn(
         "__z",
-        z_value(
-            norm(F.col(col_x), "__xmin", "__xmax"),
-            norm(F.col(col_y), "__ymin", "__ymax"),
+        z_value_n(
+            [
+                norm(F.col(c), f"__lo{j}", f"__hi{j}")
+                for j, c in enumerate(cols)
+            ],
             bits=bits,
         ),
-    ).drop("__xmin", "__xmax", "__ymin", "__ymax")
+    ).drop(*[f"__lo{j}" for j in range(len(cols))],
+           *[f"__hi{j}" for j in range(len(cols))])
     part = (
         out.repartitionByRange(num_files, "__z")
         if num_files

@@ -711,3 +711,66 @@ def test_delete_where_predicate_and_null_rows_survive(spark, tmp_path):
     # NULL-predicate rows all survived
     assert after.filter(F.col("score").isNull()).count() == n_null
     assert n_total == 5 and 1 <= n_rewritten <= 5
+
+
+def test_z_value_n_morton_codes_and_2d_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import z_value, z_value_n
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1), (3, 5, 7)],
+        "x long, y long, w long",
+    )
+    rows = df.select(
+        z_value_n([F.col("x"), F.col("y"), F.col("w")], bits=4).alias("z3"),
+        z_value_n([F.col("x"), F.col("y")], bits=4).alias("z2n"),
+        z_value(F.col("x"), F.col("y"), bits=4).alias("z2"),
+    ).collect()
+    # 3-D Morton: bit i of col j -> position 3i+j
+    def morton3(x, y, w):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (3 * i)
+            z |= ((y >> i) & 1) << (3 * i + 1)
+            z |= ((w >> i) & 1) << (3 * i + 2)
+        return z
+
+    data = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1), (3, 5, 7)]
+    assert [r["z3"] for r in rows] == [morton3(*t) for t in data]
+    # the 2-D special case is bit-identical through both entry points
+    assert [r["z2n"] for r in rows] == [r["z2"] for r in rows]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="> 63"):
+        z_value_n([F.col("x")] * 5, bits=16)
+
+
+def test_z_order_n_prunes_on_every_clustered_dimension(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import (
+        read_skipping,
+        write_manifest,
+        z_order_write_n,
+    )
+
+    t = str(tmp_path / "z3")
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"),
+        (F.col("id") * 69069 % n).alias("c"),
+    )
+    z_order_write_n(df, t, ["a", "b", "c"], num_files=16)
+    write_manifest(spark, t, ["a", "b", "c"])
+    for col in ("a", "b", "c"):
+        pruned, n_read, n_total = read_skipping(
+            spark, t, col, n // 2, n // 2 + n // 40
+        )
+        assert n_total == 16
+        assert n_read < n_total, f"no pruning on {col}: {n_read}/{n_total}"
+        want = df.filter(
+            (F.col(col) >= n // 2) & (F.col(col) <= n // 2 + n // 40)
+        ).count()
+        assert pruned.count() == want
