@@ -158,3 +158,87 @@ def interval_overlap_join(
         & (r[f"r_{right_start}"] <= l[left_end])
     )
     return l.join(r, cond, how=how).drop("__bucket", "__lsb", "__rsb", "__r_on")
+
+
+def radius_neighbor_pairs(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    self_join: bool = True,
+    other: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs of points within Euclidean distance ``radius`` —
+    fixed-grid spatial join (planar coordinates).
+
+    The plane is tiled with cells of side ``radius``; any two points
+    within r of each other sit in the same cell or one of its 8
+    neighbors. One side keys by its OWN cell, the other explodes its
+    3x3 cell neighborhood; an equi-join on the cell key yields the
+    candidate set and the exact distance check verifies. Candidates
+    per point ~ density * 9r^2, never all-pairs — the same
+    bucket-join-then-verify shape as interval_overlap_join /
+    ngram_jaccard, applied to 2-D. Returns
+    (id_a, id_b, dist) with id_a < id_b for the self-join form.
+
+    Dense hot cells (urban-core skew) make the cell key a heavy hitter
+    — shrink the cell by passing a radius-subdivided grid (cells of
+    r/2 with a 5x5 neighborhood) or pre-salt dense cells, exactly the
+    interval join's single-cell-claim tradeoff.
+    """
+    b = other if other is not None else points
+    cell_x = F.floor(F.col(x_col) / F.lit(radius)).cast("long")
+    cell_y = F.floor(F.col(y_col) / F.lit(radius)).cast("long")
+
+    # probe side: each point claims its 3x3 neighborhood
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    a_cells = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(x_col).alias("xa"),
+        F.col(y_col).alias("ya"),
+        F.explode(offs).alias("o"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    b_cells = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    )
+    pair_pred = (
+        F.col("id_a") < F.col("id_b") if self_join
+        else F.lit(True)
+    )
+    # squares via multiplication, not pow(): IEEE multiply is exactly
+    # rounded and engine-portable, so the boundary predicate (and any
+    # quantized distance an oracle hashes) is bit-deterministic
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        a_cells.join(b_cells, ["cx", "cy"])
+        .filter(pair_pred & (d2 <= F.lit(float(radius) * float(radius))))
+        .select(
+            "id_a",
+            "id_b",
+            F.sqrt(d2).alias("dist"),
+            # the exactly-rounded product chain — what an oracle can
+            # hash bit-for-bit (sqrt output is also IEEE-exact, but
+            # consumers quantizing distances should prefer dist2)
+            d2.alias("dist2"),
+        )
+        # a pair can meet in at most one (cell_b, offset) combination —
+        # b is keyed by its single true cell and offsets are distinct —
+        # so no dedup pass is needed.
+    )

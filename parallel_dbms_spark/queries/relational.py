@@ -3072,6 +3072,49 @@ def lake_zorder_3d_skipping(spark, sf_dir):
 
 
 @register(
+    "spatial_radius_pairs",
+    oracle="""WITH p AS (SELECT event_id AS id,
+                     CAST(event_id * 2654435761 % 100000 AS DOUBLE) / 100.0 AS x,
+                     CAST(event_id * 40503 % 100000 AS DOUBLE) / 100.0 AS y
+              FROM events WHERE event_id % 97 = 0)
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(FLOOR(((a.x - b.x) * (a.x - b.x)
+                                 + (a.y - b.y) * (a.y - b.y)) * 1000000)
+                          AS BIGINT) AS d2_e6
+              FROM p a JOIN p b ON a.id < b.id
+              WHERE (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y) <= 25.0""",
+    tags=("spatial", "range", "join"),
+)
+def spatial_radius_pairs(spark, sf_dir):
+    # Fixed-grid spatial join (operators/range_join.radius_neighbor_
+    # pairs): cell-bucket candidates, exact-distance verify — the 2-D
+    # sibling of the interval overlap join. Points derive from integer
+    # hashes of event_id so both engines compute bit-identical doubles;
+    # the oracle is the quadratic inequality join over the SAME points
+    # (bucketing must be semantically invisible). Distances hash as
+    # micro-quantized squared distance: products of identical doubles
+    # are IEEE-exact on both engines, sqrt is not part of the contract.
+    from ..operators import radius_neighbor_pairs
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("event_id") * 2654435761 % 100000).cast("double") / 100.0).alias("x"),
+            ((F.col("event_id") * 40503 % 100000).cast("double") / 100.0).alias("y"),
+        )
+    )
+    out = radius_neighbor_pairs(pts, radius=5.0)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("dist2") * 1_000_000).cast("long").alias("d2_e6"),
+    )
+
+
+@register(
     "sql_nulls_ordering",
     oracle="""SELECT event_id,
                      CASE WHEN event_id % 10 = 0 THEN NULL

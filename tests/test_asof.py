@@ -410,3 +410,42 @@ def test_resample_ffill_sharded_timeline_equals_default(spark):
     a = resample_ffill(ev)
     b = resample_ffill(ev, shard_timeline=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_radius_neighbor_pairs_matches_naive_quadratic(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.operators import radius_neighbor_pairs
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(600)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 3.0
+    got = sorted(
+        (row.id_a, row.id_b, round(row.dist, 9))
+        for row in radius_neighbor_pairs(df, radius=r).collect()
+    )
+    a, b = df.alias("a"), df.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2
+    want = sorted(
+        (row["ia"], row["ib"], round(row["d"], 9))
+        for row in a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(d2 <= r * r)
+        .select(
+            F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+            F.sqrt(d2).alias("d"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 50
+    # boundary: exactly-r pairs kept, cross-cell neighbors found
+    edge = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 0.0), (3, 2.999, 2.999), (4, 50.0, 50.0)],
+        "id long, x double, y double",
+    )
+    pairs = {
+        (row.id_a, row.id_b)
+        for row in radius_neighbor_pairs(edge, radius=3.0).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
