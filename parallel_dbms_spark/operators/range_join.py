@@ -18,6 +18,8 @@ portable.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -241,4 +243,81 @@ def radius_neighbor_pairs(
         # a pair can meet in at most one (cell_b, offset) combination —
         # b is keyed by its single true cell and offsets are distinct —
         # so no dedup pass is needed.
+    )
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean
+
+
+def haversine_km(lat_a, lon_a, lat_b, lon_b):
+    """Great-circle distance in km between two (degree) coordinates —
+    the standard haversine form, all built-in trig (codegen, no UDF)."""
+    rl1, rl2 = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b - lat_a) / 2.0
+    dlon = F.radians(lon_b - lon_a) / 2.0
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def geo_radius_pairs(
+    points: DataFrame,
+    radius_km: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """All pairs of (lat, lon) points within great-circle distance
+    ``radius_km`` — pole-safe, date-line-safe spatial self-join.
+
+    A degree grid degenerates at the poles (longitude cells shrink to
+    nothing) and tears at the +-180 meridian. Instead each point maps
+    to 3-D unit-sphere coordinates; two points within great-circle
+    distance d are within CHORD length 2*sin(d/2R) in 3-D, so a cubic
+    grid with that cell side + a 3x3x3 neighborhood explode gives a
+    complete candidate set anywhere on the globe. Exact haversine
+    verifies. Same bucket-join-then-verify scaling as
+    ``radius_neighbor_pairs``, one more grid dimension (27 cells/point
+    on the probe side). Returns (id_a, id_b, dist_km), id_a < id_b.
+    """
+    chord = 2.0 * math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))
+    lat_r, lon_r = F.radians(F.col(lat_col)), F.radians(F.col(lon_col))
+    px = F.cos(lat_r) * F.cos(lon_r)
+    py = F.cos(lat_r) * F.sin(lon_r)
+    pz = F.sin(lat_r)
+    cells = [F.floor(c / F.lit(chord)).cast("long") for c in (px, py, pz)]
+
+    offs = F.array(*[
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz")
+        )
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ])
+    a = points.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("la"),
+        F.col(lon_col).alias("na"),
+        F.explode(offs).alias("o"),
+        *[c.alias(f"c{i}") for i, c in enumerate(cells)],
+    ).select(
+        "id_a", "la", "na",
+        (F.col("c0") + F.col("o.dx")).alias("cx"),
+        (F.col("c1") + F.col("o.dy")).alias("cy"),
+        (F.col("c2") + F.col("o.dz")).alias("cz"),
+    )
+    b = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lb"),
+        F.col(lon_col).alias("nb"),
+        *[c.alias(n) for c, n in zip(cells, ("cx", "cy", "cz"))],
+    )
+    dist = haversine_km(F.col("la"), F.col("na"), F.col("lb"), F.col("nb"))
+    return (
+        a.join(b, ["cx", "cy", "cz"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dist <= F.lit(radius_km)))
+        .select("id_a", "id_b", dist.alias("dist_km"))
     )

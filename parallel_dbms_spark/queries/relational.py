@@ -3115,6 +3115,31 @@ def spatial_radius_pairs(spark, sf_dir):
 
 
 @register(
+    "spatial_geo_radius",
+    oracle=None,  # haversine trig is libm-specific; differential pytest instead
+    tags=("spatial", "range", "join", "geo"),
+)
+def spatial_geo_radius(spark, sf_dir):
+    # Geodesic (lat/lon) radius self-join on a 3-D unit-sphere grid —
+    # pole- and date-line-safe (operators/range_join.geo_radius_pairs).
+    # Rows-only: asin/cos are libm-specific across engines; the
+    # differential vs naive haversine (incl. +-180 and near-pole
+    # planted pairs) is tests/test_asof.py.
+    from ..operators import geo_radius_pairs
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 53 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("event_id") * 40503 % 170000).cast("double") / 1000.0 - 85.0).alias("lat"),
+            ((F.col("event_id") * 2654435761 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
+        )
+    )
+    return geo_radius_pairs(pts, radius_km=300.0)
+
+
+@register(
     "sql_nulls_ordering",
     oracle="""SELECT event_id,
                      CASE WHEN event_id % 10 = 0 THEN NULL

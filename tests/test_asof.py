@@ -449,3 +449,39 @@ def test_radius_neighbor_pairs_matches_naive_quadratic(spark):
     }
     assert (1, 2) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_geo_radius_pairs_matches_naive_haversine(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.operators import geo_radius_pairs
+    from parallel_dbms_spark.operators.range_join import haversine_km
+
+    rng = random.Random(23)
+    pts = [(i, rng.uniform(-89, 89), rng.uniform(-180, 180)) for i in range(300)]
+    # planted clusters straddling the date line and near a pole —
+    # exactly where a degree grid would tear or degenerate
+    pts += [
+        (1000, 10.0, 179.95), (1001, 10.0, -179.95),   # ~11 km across +-180
+        (1002, 88.5, 10.0), (1003, 88.5, 100.0),       # near-pole, ~few hundred km? verified by haversine
+        (1004, -45.0, 30.0), (1005, -45.0005, 30.0005),  # ~60 m apart
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    r_km = 500.0
+    got = sorted(
+        (row.id_a, row.id_b) for row in geo_radius_pairs(df, r_km).collect()
+    )
+    a, b = df.alias("a"), df.alias("b")
+    d = haversine_km(F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon"))
+    want = sorted(
+        (row["ia"], row["ib"])
+        for row in a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(d <= r_km)
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .collect()
+    )
+    assert got == want and len(got) > 10
+    assert (1000, 1001) in got, "date-line pair must be found"
+    assert (1004, 1005) in got
