@@ -179,6 +179,13 @@ def bench_queries(spark, sf_dir):
         "asof_sharded": lambda: _exec(
             REGISTRY["asof_join_sharded_backward"].fn(spark, sf_dir)
         ),
+        # r4: grid-bucketed spatial joins (planar cells / unit-sphere)
+        "spatial_radius": lambda: _exec(
+            REGISTRY["spatial_radius_pairs"].fn(spark, sf_dir)
+        ),
+        "spatial_geo": lambda: _exec(
+            REGISTRY["spatial_geo_radius"].fn(spark, sf_dir)
+        ),
         # r3 wave 4: native recursive CTE (iterative plan execution)
         # and the full-text search surface (phrase positional
         # intersection + trigram-pruned substring scan)
