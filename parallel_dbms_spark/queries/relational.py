@@ -3072,6 +3072,29 @@ def lake_zorder_3d_skipping(spark, sf_dir):
 
 
 @register(
+    "sql_pivot_syntax",
+    oracle="""SELECT o_orderpriority,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+              FROM orders GROUP BY o_orderpriority""",
+    tags=("sql", "dialect", "pivot", "aggregate"),
+)
+def sql_pivot_syntax(spark, sf_dir):
+    # The SQL-dialect PIVOT form (pivot_status_counts covers the
+    # DataFrame groupBy().pivot() API). Spark's PIVOT leaves an empty
+    # cell NULL where DuckDB's FILTER count is 0 — COALESCE pins the
+    # shared semantics.
+    return run_sql(
+        spark, sf_dir,
+        """SELECT o_orderpriority,
+                  COALESCE(F, 0) AS F, COALESCE(O, 0) AS O, COALESCE(P, 0) AS P
+           FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+           PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))""",
+    )
+
+
+@register(
     "spatial_radius_pairs",
     oracle="""WITH p AS (SELECT event_id AS id,
                      CAST(event_id * 2654435761 % 100000 AS DOUBLE) / 100.0 AS x,
