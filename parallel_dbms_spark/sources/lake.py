@@ -766,17 +766,35 @@ def delete_where_rewrite(
     if not affected:
         return 0, 0, len(all_files)
 
-    touched = spark.read.schema(df.schema).parquet(*affected)
-    n_deleted = touched.filter(pred).count()
-    tmp = os.path.join(path, "_delete_tmp_" + _uuid.uuid4().hex[:8])
-    touched.filter(~pred).write.parquet(tmp)
-    for p in glob.glob(os.path.join(tmp, "part-*.parquet")):
-        os.replace(
-            p, os.path.join(path, f"part-del{_uuid.uuid4().hex[:8]}-{os.path.basename(p)}")
-        )
-    shutil.rmtree(tmp)
+    # Rewrite PER DIRECTORY: in a hive-partitioned layout the
+    # partition values live in directory names, not file bytes, so a
+    # survivor must land back in its own partition directory or its
+    # partition columns are silently lost. (A predicate referencing a
+    # partition COLUMN resolves in the locate scan but not in the
+    # per-directory file reads below — Spark raises a clear analysis
+    # error; for partition-valued deletes use overwrite_partitions,
+    # which drops whole directories without rewriting a byte.)
+    from collections import defaultdict
+
+    by_dir: dict[str, list[str]] = defaultdict(list)
     for f in affected:
-        os.remove(_local(f))
+        by_dir[os.path.dirname(_local(f))].append(_local(f))
+    n_deleted = 0
+    for d, files in sorted(by_dir.items()):
+        touched = spark.read.parquet(*files)
+        n_deleted += touched.filter(pred).count()
+        tmp = os.path.join(d, "_delete_tmp_" + _uuid.uuid4().hex[:8])
+        touched.filter(~pred).write.parquet(tmp)
+        for p in glob.glob(os.path.join(tmp, "part-*.parquet")):
+            os.replace(
+                p,
+                os.path.join(
+                    d, f"part-del{_uuid.uuid4().hex[:8]}-{os.path.basename(p)}"
+                ),
+            )
+        shutil.rmtree(tmp)
+        for f in files:
+            os.remove(f)
 
     man_path = os.path.join(path, "_manifest")
     if os.path.isdir(man_path):

@@ -774,3 +774,36 @@ def test_z_order_n_prunes_on_every_clustered_dimension(spark, tmp_path):
             (F.col(col) >= n // 2) & (F.col(col) <= n // 2 + n // 40)
         ).count()
         assert pruned.count() == want
+
+
+def test_delete_where_preserves_partition_directories(spark, tmp_path):
+    """Survivors of a rewrite in a hive-partitioned layout must land
+    back in their own partition directory — partition values live in
+    directory names, and a root-level rewrite would silently lose
+    them."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import delete_where_rewrite
+
+    t = str(tmp_path / "events_parted")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") % 100).cast("double").alias("score"),
+    )
+    df.write.partitionBy("day").parquet(t)
+
+    n_deleted, n_rewritten, n_total = delete_where_rewrite(
+        spark, t, F.col("score") >= 90.0
+    )
+    assert n_deleted == 60  # 10 per 100-block x 6 blocks
+    after = spark.read.parquet(t)
+    assert after.count() == 540
+    assert set(after.columns) == {"k", "day", "score"}
+    # every surviving row still knows its partition value
+    per_day = {r["day"]: r["n"] for r in
+               after.groupBy("day").agg(F.count("*").alias("n")).collect()}
+    assert per_day == {0: 180, 1: 180, 2: 180}
+    assert after.filter(F.col("score") >= 90.0).count() == 0
+    # partition pruning still works post-rewrite
+    assert spark.read.parquet(t).filter(F.col("day") == 1).count() == 180
