@@ -907,3 +907,78 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos8", "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    ``lambda * cos(q, d) - (1 - lambda) * max_{s in selected}
+    cos(d, s)`` — relevance traded against redundancy, so a cluster of
+    near-duplicate hits yields ONE representative instead of filling
+    the whole result list (the retrieval-side mirror of SemDeDup).
+
+    Two stages, the standard scale split: (1) DISTRIBUTED exact-cosine
+    shortlist of the top ``shortlist`` candidates per query (the
+    corpus-sized work — same plan as brute_force_topk; swap in
+    ivf_topk for an ANN shortlist); (2) greedy MMR on the shortlist —
+    O(k * shortlist) dot products per query on shortlist-sized data,
+    the same bounded driver work as a model parameter. Deterministic:
+    ties break on candidate id. Returns (query_id, neighbor_id, cos,
+    rank) with rank = MMR selection order.
+    """
+    import numpy as np
+
+    cands = brute_force_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    rows = (
+        cands.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "cos", "v")
+        .collect()
+    )  # bounded: n_queries * shortlist rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    out = []
+    for qid, items in by_q.items():
+        items.sort(key=lambda r: (-r["cos"], r["neighbor_id"]))
+        ids = [r["neighbor_id"] for r in items]
+        rel = np.array([r["cos"] for r in items])
+        V = np.array([list(r["v"]) for r in items], dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        sim = Vn @ Vn.T  # shortlist x shortlist, bounded
+        selected: list[int] = []
+        remaining = list(range(len(items)))
+        while remaining and len(selected) < k:
+            if selected:
+                redundancy = sim[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                redundancy = np.zeros(len(remaining))
+            score = lambda_ * rel[remaining] - (1.0 - lambda_) * redundancy
+            # deterministic argmax: best score, then smallest id
+            best = min(
+                range(len(remaining)),
+                key=lambda i: (-score[i], ids[remaining[i]]),
+            )
+            selected.append(remaining.pop(best))
+        for rank, idx in enumerate(selected, start=1):
+            out.append((qid, ids[idx], float(rel[idx]), rank))
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        out, "query_id long, neighbor_id long, cos double, rank int"
+    )

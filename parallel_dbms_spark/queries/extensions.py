@@ -917,6 +917,18 @@ def dedup_keep_canonical(spark, sf_dir):
     return dedup.keep_canonical(docs, dedup.duplicate_clusters(pairs))
 
 
+@register("sim_mmr_topk", oracle=None, tags=("similarity", "mmr", "retrieval"))
+def sim_mmr_topk(spark, sf_dir):
+    # Diversified top-k (MMR): distributed exact-cosine shortlist +
+    # bounded greedy re-rank that trades relevance against redundancy
+    # — the retrieval-side mirror of SemDeDup. Rows-only: the greedy
+    # order depends on float comparisons; the reference-differential
+    # and planted-redundancy tests are tests/test_similarity.py.
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.mmr_topk(emb, queries, k=5, lambda_=0.5, shortlist=40)
+
+
 @register("sim_pq_topk", oracle=None, tags=("similarity", "pq"))
 def sim_pq_topk(spark, sf_dir):
     # PQ/ADC ANN: 16-subspace product-quantized codes scanned with

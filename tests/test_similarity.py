@@ -430,3 +430,67 @@ def test_int8_topk_recall_vs_float_brute_force(spark):
         key = (r.query_id, r.neighbor_id)
         if key in ce:
             assert abs(r.cos8 - ce[key]) < 0.02
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted geometry: the query's closest hits are a tight cluster
+    of near-duplicates plus one slightly-less-relevant but orthogonal
+    doc. Plain top-2 fills with two near-dups; MMR picks one cluster
+    representative + the diverse doc — and matches a direct Python
+    implementation of the same greedy rule."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.functions.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # near-dup cluster
+        (2, [0.99, 0.141, 0.001]),
+        (3, [0.98, 0.15, 0.0]),
+        (4, [0.8, 0.0, 0.6]),          # less relevant, diverse
+        (5, [0.0, 1.0, 0.0]),          # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+
+    plain = [
+        r["neighbor_id"]
+        for r in brute_force_topk(df, q, k=2).orderBy("rank").collect()
+    ]
+    assert set(plain) <= {1, 2, 3}, plain  # redundant fill
+
+    got = [
+        r["neighbor_id"]
+        for r in mmr_topk(df, q, k=2, lambda_=0.5).orderBy("rank").collect()
+    ]
+    assert got[0] in (1, 2, 3) and got[1] == 4, got
+
+    # differential vs a direct reference on the full candidate set
+    import numpy as np
+
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    qv = vecs[0]
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    cands = sorted(
+        (i for i in vecs if i != 0),
+        key=lambda i: (-cos(qv, vecs[i]), i),
+    )
+    rel = {i: cos(qv, vecs[i]) for i in cands}
+    sel = []
+    while len(sel) < 4 and len(sel) < len(cands):
+        pool = [i for i in cands if i not in sel]
+        score = {
+            i: 0.5 * rel[i]
+            - (0.5 * max((cos(vecs[i], vecs[s]) for s in sel), default=0.0))
+            for i in pool
+        }
+        sel.append(min(pool, key=lambda i: (-score[i], i)))
+    want = sel
+    got4 = [
+        r["neighbor_id"]
+        for r in mmr_topk(df, q, k=4, lambda_=0.5).orderBy("rank").collect()
+    ]
+    assert got4 == want, (got4, want)
