@@ -39,91 +39,92 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-4 ROTATION: 14 rows graded green in prior rounds (11 of them
-# green in BOTH r2 and r3) yield their slots to 14 oracled queries the
-# driver has never graded, converting judge/pytest-only proof into
-# graded proof at zero implementation cost. Rotated out (graded-green
-# history preserved in CORRECTNESS_r0{2,3}.json): agg_ungrouped_all5,
-# agg_grouped_q1, grouping_rollup, join_anti, distinct_values,
-# sql_correlated_subquery, scalar_functions, typed_csv_roundtrip,
-# range_join_time_band, resample_ffill_hourly,
-# flagship_revenue_by_nation, sql_recursive_month_spine,
-# null_semantics, window_moving_avg_7d. Rows whose family tag no other
-# window row carries (top_n=limit, set_except=setop,
-# json_extract_props=json, join_skew_salted_q=skew,
-# search_phrase=phrase, sim_bruteforce_topk=similarity) stay put.
+# ROUND-5 ROTATION: 18 rows with graded-green history (8 of them green
+# in 2+ rounds, the rest green in r4) yield their slots to 18 oracled
+# queries the driver has never graded — the 7 round-4 additions
+# (lake deletes, Z-order 3D, PIVOT, spatial radius, SQL UDF, pipe
+# syntax, sharded as-of) plus 11 more judge-verified rows. Rotated out
+# (history preserved in CORRECTNESS_r0{2,3,4}.json):
+# join_skew_salted_q, scd2_pit_enrich, stream_tumbling_hour,
+# dedup_exact, text_stats, pipeline_clean_corpus, scd2_user_state,
+# lake_skipping_scan, agg_bitmap_distinct_weekly, agg_mode_listagg,
+# sql_nulls_ordering, sql_recursive_customer_chain, asof_join_nearest,
+# interval_overlap_sessions, search_substring_trigram,
+# search_containment_pairs, lake_instant_count, lake_version_diff.
+# Family coverage invariant verified: asof_join_sharded_backward keeps
+# skew+asof, spatial_radius_pairs keeps range, agg_percentile_disc +
+# anomaly_hourly_counts keep aggregate/sketch depth, lake_time_travel +
+# lake_delete_keys + lake_zorder_3d_skipping keep lake/cdc/skipping.
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/filter/project (O1-O5)
     "scan_project",
     "filter_pushdown_conj",
-    # aggregates: bitmap-exact distinct, mode/listagg (O6/O8 +
-    # sketch family; plain grouped/ungrouped aggs graded green r2+r3)
-    "agg_bitmap_distinct_weekly",
-    "agg_mode_listagg",
-    # joins (O9-O12): equi/pure-theta/outer (anti graded r2+r3;
-    # tpch_q21_shape still covers semi/anti/exists)
+    # aggregates: percentile_disc, anomaly detection, winsorize/robust
+    # z-score two-pass percentile cleaning
+    "agg_percentile_disc",
+    "anomaly_hourly_counts",
+    "robust_zscore_prices",
+    # joins (O9-O12): equi/pure-theta/outer
     "join_broadcast_equi",
     "join_theta_only",
     "join_left_outer",
-    # sort/limit (O13-O15), set ops, NULLS FIRST/LAST dialect
+    # sort/limit (O13-O15), set ops
     "top_n",
-    "sql_nulls_ordering",
     "set_except",
-    # windows: distinct-over-trailing-range, exact distributed ntile
+    # windows: distinct-over-trailing-range, ntile, rolling median
     "window_distinct_trailing_7d",
     "window_ntile_deciles",
-    # SQL depth: native recursive CTEs (hierarchy walk + iterative
-    # balance paydown), TPC-H correlated-scalar-subquery shape
-    "sql_recursive_customer_chain",
+    "window_rolling_median",
+    # SQL depth: recursive CTE, TPC-H Q17, JSON, dialect (PIVOT, pipe,
+    # SQL-language UDF)
     "sql_recursive_balance_paydown",
     "tpch_q17_shape",
     "json_extract_props",
-    # temporal joins: as-of (nearest), SCD2 point-in-time, interval
-    # overlap, skew handling
-    "asof_join_nearest",
-    "scd2_pit_enrich",
-    "interval_overlap_sessions",
-    "join_skew_salted_q",
+    "sql_pivot_syntax",
+    "sql_pipe_syntax",
+    "sql_udf_scalar",
+    # temporal joins: as-of forward/strict/sharded (skew), spatial
+    "asof_join_strict",
+    "asof_join_sharded_backward",
+    "spatial_radius_pairs",
     "agg_histogram_quantiles",
-    # profiling / dq / sessionize
+    # profiling / dq / validation / sessionize / timeseries
     "profile_orders",
     "dq_orders_expectations",
+    "validate_orders",
     "sessionize_events",
+    "daily_orders_gapfilled",
+    "funnel_view_click_purchase",
+    # reshape
+    "unpivot_lineitem_metrics",
+    "array_functions",
     # TPC-H / MV shapes
     "mv_rollup_rewrite",
     "tpch_q21_shape",
     # structured streaming (batch-SQL oracles)
-    "stream_tumbling_hour",
     "stream_session_30m",
     "stream_dedup_within_watermark",
     # LLM-pipeline: dedup
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_fuzzy_names",
     # text analysis
-    "text_stats",
     "text_tfidf_topk",
     "text_bm25_topk",
     # similarity / vectors
     "sim_bruteforce_topk",
     "vector_centroids",
-    # multimodal, sampling, end-to-end pipeline
+    # multimodal, search
     "multimodal_resize",
-    "pipeline_clean_corpus",
-    # full-text search: phrase + trigram substring + containment pairs
     "search_phrase",
-    "search_substring_trigram",
-    "search_containment_pairs",
-    # SCD2 (batch + streamed), lake: skipping, bloom, sorted export,
-    # manifest-answered instant count, version-diff CDC
-    "scd2_user_state",
+    # SCD2 streamed, lake: bloom, sorted export, time travel, deletes,
+    # N-D Z-order skipping
     "stream_scd2_dimension",
-    "lake_skipping_scan",
     "lake_bloom_point_lookup",
     "lake_sorted_export",
-    "lake_instant_count",
-    "lake_version_diff",
+    "lake_time_travel",
+    "lake_delete_keys",
+    "lake_zorder_3d_skipping",
 )
 
 
