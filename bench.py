@@ -89,7 +89,11 @@ def bench_queries(spark, sf_dir):
             text_fns.text_stats(load_table(spark, sf_dir, "documents"))
         ),
         "sim_ann_lsh": lambda: _exec(REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir)),
-        "sim_ivf": lambda: _exec(
+        # _serve suffix: renamed in r5 (were sim_ivf / sim_pq) because
+        # r4 moved model training out of the timed section — the name
+        # change marks the methodology boundary so cross-round
+        # bench_compare deltas stay apples-to-apples.
+        "sim_ivf_serve": lambda: _exec(
             similarity.ivf_topk_served(
                 spark, ivf_dir, emb_queries, ivf_centroids, k=5, nprobe=6
             )
@@ -101,11 +105,14 @@ def bench_queries(spark, sf_dir):
         "tfidf": lambda: _exec(REGISTRY["text_tfidf_topk"].fn(spark, sf_dir)),
         "chunk_docs": lambda: _exec(REGISTRY["chunk_documents_32"].fn(spark, sf_dir)),
         "bm25_topk": lambda: _exec(REGISTRY["text_bm25_topk"].fn(spark, sf_dir)),
-        "sim_pq": lambda: _exec(
+        "sim_pq_serve": lambda: _exec(
             similarity.pq_topk(
                 emb, emb_queries, k=5, m=16, ksub=64, codebooks=pq_codebooks
             )
         ),
+        # r5: MMR now runs its greedy stage executor-side (grouped
+        # applyInPandas) — benched so the distributed re-rank is tracked
+        "sim_mmr": lambda: _exec(REGISTRY["sim_mmr_topk"].fn(spark, sf_dir)),
         "hybrid_retrieval": lambda: _exec(
             REGISTRY["pipeline_hybrid_retrieval"].fn(spark, sf_dir)
         ),

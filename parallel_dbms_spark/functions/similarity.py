@@ -928,41 +928,37 @@ def mmr_topk(
     Two stages, the standard scale split: (1) DISTRIBUTED exact-cosine
     shortlist of the top ``shortlist`` candidates per query (the
     corpus-sized work — same plan as brute_force_topk; swap in
-    ivf_topk for an ANN shortlist); (2) greedy MMR on the shortlist —
-    O(k * shortlist) dot products per query on shortlist-sized data,
-    the same bounded driver work as a model parameter. Deterministic:
-    ties break on candidate id. Returns (query_id, neighbor_id, cos,
-    rank) with rank = MMR selection order.
+    ivf_topk for an ANN shortlist); (2) greedy MMR per query, run
+    EXECUTOR-SIDE as a grouped ``applyInPandas`` over ``query_id`` —
+    each group is one shortlist (O(k * shortlist) dot products on
+    ``shortlist`` rows), so stage 2 scales out with the query count
+    instead of collecting n_queries * shortlist vectors to the driver.
+    Deterministic: ties break on candidate id. Returns (query_id,
+    neighbor_id, cos, rank) with rank = MMR selection order.
     """
-    import numpy as np
-
     cands = brute_force_topk(
         corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
     )
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
     )
-    rows = (
-        cands.join(vecs, "neighbor_id")
-        .select("query_id", "neighbor_id", "cos", "v")
-        .collect()
-    )  # bounded: n_queries * shortlist rows
-    by_q: dict = {}
-    for r in rows:
-        by_q.setdefault(r["query_id"], []).append(r)
 
-    out = []
-    for qid, items in by_q.items():
-        items.sort(key=lambda r: (-r["cos"], r["neighbor_id"]))
-        ids = [r["neighbor_id"] for r in items]
-        rel = np.array([r["cos"] for r in items])
-        V = np.array([list(r["v"]) for r in items], dtype=np.float64)
+    def greedy_mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cos"].to_numpy(dtype=np.float64)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0.0] = 1.0
         Vn = V / norms[:, None]
-        sim = Vn @ Vn.T  # shortlist x shortlist, bounded
+        sim = Vn @ Vn.T  # shortlist x shortlist, bounded per group
         selected: list[int] = []
-        remaining = list(range(len(items)))
+        remaining = list(range(len(pdf)))
         while remaining and len(selected) < k:
             if selected:
                 redundancy = sim[np.ix_(remaining, selected)].max(axis=1)
@@ -975,10 +971,21 @@ def mmr_topk(
                 key=lambda i: (-score[i], ids[remaining[i]]),
             )
             selected.append(remaining.pop(best))
-        for rank, idx in enumerate(selected, start=1):
-            out.append((qid, ids[idx], float(rel[idx]), rank))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+                "neighbor_id": ids[selected],
+                "cos": rel[selected],
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
 
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        out, "query_id long, neighbor_id long, cos double, rank int"
+    return (
+        cands.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "cos", "v")
+        .groupBy("query_id")
+        .applyInPandas(
+            greedy_mmr,
+            "query_id long, neighbor_id long, cos double, rank int",
+        )
     )

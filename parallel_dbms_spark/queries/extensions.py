@@ -920,13 +920,43 @@ def dedup_keep_canonical(spark, sf_dir):
 @register("sim_mmr_topk", oracle=None, tags=("similarity", "mmr", "retrieval"))
 def sim_mmr_topk(spark, sf_dir):
     # Diversified top-k (MMR): distributed exact-cosine shortlist +
-    # bounded greedy re-rank that trades relevance against redundancy
-    # — the retrieval-side mirror of SemDeDup. Rows-only: the greedy
-    # order depends on float comparisons; the reference-differential
-    # and planted-redundancy tests are tests/test_similarity.py.
+    # executor-side greedy re-rank (grouped applyInPandas per query)
+    # that trades relevance against redundancy — the retrieval-side
+    # mirror of SemDeDup. Rows-only: the greedy order beyond rank 1
+    # depends on float comparisons; the reference-differential and
+    # planted-redundancy tests are tests/test_similarity.py, and the
+    # rank-1 relevance half is exactly oracled as sim_mmr_rank1.
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.mmr_topk(emb, queries, k=5, lambda_=0.5, shortlist=40)
+
+
+@register(
+    "sim_mmr_rank1",
+    oracle=f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'c.emb')} AS cos
+      FROM e c, q WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank = 1""",
+    tags=("similarity", "mmr", "retrieval"),
+)
+def sim_mmr_rank1(spark, sf_dir):
+    # MMR's first selection has zero redundancy term, so it is exactly
+    # the per-query cosine argmax (ties on id) — SQL-expressible. This
+    # runs the REAL mmr_topk path (shortlist join + grouped
+    # applyInPandas greedy) and keeps only rank 1, so the driver
+    # exact-grades the relevance half of the diversified retrieval.
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.mmr_topk(emb, queries, k=5, lambda_=0.5, shortlist=40)
+    return out.filter(F.col("rank") == 1)
 
 
 @register("sim_pq_topk", oracle=None, tags=("similarity", "pq"))

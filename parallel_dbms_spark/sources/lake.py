@@ -740,7 +740,13 @@ def delete_where_rewrite(
     from pyspark.sql import functions as F
 
     def _local(p: str) -> str:
-        return p[len("file:"):] if p.startswith("file:") else p
+        # _metadata.file_path is a URI: strip the scheme AND decode
+        # %XX escapes (a partition dir named "x=NOT SPECIFIED" arrives
+        # as x=NOT%20SPECIFIED) so os.remove/os.replace below operate
+        # on the real on-disk names.
+        from urllib.parse import unquote
+
+        return unquote(p[len("file:"):] if p.startswith("file:") else p)
 
     all_files = [
         f
@@ -838,7 +844,18 @@ def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     stats_cols = sorted(
         {c[: -len("_min")] for c in man.columns if c.endswith("_min")}
     )
-    known = {r["file"] for r in man.select("file").collect()}
+    # The manifest stores ``_metadata.file_path`` values, which are
+    # URIs — a directory named ``x=NOT SPECIFIED`` on disk appears as
+    # ``x=NOT%20SPECIFIED`` there, while glob sees the raw name. The
+    # set difference therefore runs in RAW-path space (unquote the
+    # stored URIs) or every file under a special-char partition dir
+    # would be re-profiled as "fresh" on every update and duplicate
+    # its manifest row. (A raw on-disk name literally containing %XX
+    # would collide with its decoded form; Spark's own writers never
+    # produce those.)
+    from urllib.parse import unquote
+
+    known = {unquote(r["file"]) for r in man.select("file").collect()}
     # Fresh files are resolved by PATH SET DIFFERENCE on the driver
     # (file-count-bounded, like the manifest itself) and handed to the
     # reader as an explicit path list: only the unseen files are ever
@@ -856,8 +873,13 @@ def update_manifest(spark: SparkSession, path: str) -> tuple[int, int]:
     fresh_paths = sorted(p[len("file:"):] for p in physical - known)
     if not fresh_paths:
         return 0, man.count()
-    fresh = spark.read.parquet(*fresh_paths).select(
-        F.col("_metadata.file_path").alias("file"), *stats_cols
+    # basePath keeps hive-partition columns resolvable when the stats
+    # columns include a partition column (which exists only in the
+    # directory names, not inside the leaf files)
+    fresh = (
+        spark.read.option("basePath", path)
+        .parquet(*fresh_paths)
+        .select(F.col("_metadata.file_path").alias("file"), *stats_cols)
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in stats_cols:

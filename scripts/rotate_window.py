@@ -66,15 +66,17 @@ def main() -> None:
 
     cov = tag_coverage(window)
     # rows green in >=1 prior round whose every tag some other window
-    # row also carries are swappable
-    swappable = [
-        n
-        for n in window
-        if n in ever_graded
-        and all(cov.get(t, 0) >= 2 for t in REGISTRY[n].tags)
-    ]
-    # most-rounds-green first: the most redundant proof goes first
-    swappable.sort(key=lambda n: -len(hist.get(n, [])))
+    # row also carries are swappable; coverage is DECREMENTED as each
+    # OUT row is chosen so two rows sharing a coverage-2 tag can't
+    # both be suggested (which would drop that family from the window)
+    swappable = []
+    for n in sorted(window, key=lambda n: -len(hist.get(n, []))):
+        if n not in ever_graded:
+            continue
+        if all(cov.get(t, 0) >= 2 for t in REGISTRY[n].tags):
+            swappable.append(n)
+            for t in REGISTRY[n].tags:
+                cov[t] -= 1
     # rank candidates by how many tags the current window lacks
     candidates.sort(
         key=lambda n: -sum(1 for t in REGISTRY[n].tags if cov.get(t, 0) == 0)

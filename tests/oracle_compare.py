@@ -106,13 +106,18 @@ def run_compare(spark, con, name, fn, oracle, sf_dir) -> CompareResult:
         res.detail = f"oracle declares driver-hash-hostile types: {bad}"
     drows = rel.fetchall()
 
+    # later mismatch messages APPEND to detail so a type-lint failure
+    # above is never hidden by a row/value diff on the same result
+    def add_detail(msg):
+        res.detail = f"{res.detail}; {msg}" if res.detail else msg
+
     res.rows_match = len(srows) == len(drows)
     res.schema_match = sorted(scols) == sorted(dcols)
     if not res.schema_match:
-        res.detail = f"spark cols {sorted(scols)} != duck cols {sorted(dcols)}"
+        add_detail(f"spark cols {sorted(scols)} != duck cols {sorted(dcols)}")
         return res
     if not res.rows_match:
-        res.detail = f"spark {len(srows)} rows != duck {len(drows)} rows"
+        add_detail(f"spark {len(srows)} rows != duck {len(drows)} rows")
 
     # Sort columns by name (the driver's convention), then rows.
     sperm = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -120,9 +125,9 @@ def run_compare(spark, con, name, fn, oracle, sf_dir) -> CompareResult:
     skey = sorted(tuple(_norm(r[i]) for i in sperm) for r in srows)
     dkey = sorted(tuple(_norm(r[i]) for i in dperm) for r in drows)
     res.values_match = skey == dkey
-    if not res.values_match and not res.detail:
+    if not res.values_match:
         for a, b in zip(skey, dkey):
             if a != b:
-                res.detail = f"first diff: spark={a!r} duck={b!r}"
+                add_detail(f"first diff: spark={a!r} duck={b!r}")
                 break
     return res

@@ -555,6 +555,34 @@ def test_update_manifest_profiles_only_new_files(spark, tmp_path):
     assert m["scan_files_read"] == 2, m
 
 
+def test_update_manifest_hive_partition_column_stats(spark, tmp_path):
+    # When a stats column is a HIVE PARTITION column it exists only in
+    # the directory names, not in the leaf files; the incremental
+    # explicit-path read must resolve it via basePath or the update
+    # fails where the full rebuild (directory scan) succeeds.
+    from parallel_dbms_spark.catalog import load_table
+    from parallel_dbms_spark.sources.lake import update_manifest, write_manifest
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = str(tmp_path / "part_t")
+    o.filter("o_orderkey % 2 = 0").write.partitionBy("o_orderpriority").parquet(path)
+    write_manifest(spark, path, ["o_orderpriority"])
+
+    o.filter("o_orderkey % 2 = 1").write.mode("append").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    n_new, _ = update_manifest(spark, path)
+    assert n_new > 0
+
+    # incremental result == full rebuild
+    man_inc = sorted(map(tuple, spark.read.parquet(path + "/_manifest").collect()))
+    write_manifest(spark, path, ["o_orderpriority"])
+    man_full = sorted(map(tuple, spark.read.parquet(path + "/_manifest").collect()))
+    assert man_inc == man_full
+
+
 def test_ignore_corrupt_files_salvages_intact_files(spark, tmp_path):
     # Operational resilience at 100 TB: one truncated/corrupt parquet
     # file must not take down the whole scan when the session opts in
@@ -807,3 +835,31 @@ def test_delete_where_preserves_partition_directories(spark, tmp_path):
     assert after.filter(F.col("score") >= 90.0).count() == 0
     # partition pruning still works post-rewrite
     assert spark.read.parquet(t).filter(F.col("day") == 1).count() == 180
+
+
+def test_delete_where_partition_value_with_space(spark, tmp_path):
+    """_metadata.file_path URI-encodes special chars (space -> %20);
+    the rewrite's os-level moves must decode back to the real on-disk
+    names or a delete under ``x=NOT SPECIFIED/`` crashes."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import delete_where_rewrite
+
+    t = str(tmp_path / "orders_parted")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "NOT SPECIFIED")
+        .otherwise("1-URGENT")
+        .alias("prio"),
+    )
+    df.write.partitionBy("prio").parquet(t)
+
+    n_deleted, _, _ = delete_where_rewrite(spark, t, F.col("k") < 100)
+    assert n_deleted == 100
+    after = spark.read.parquet(t)
+    assert after.count() == 200
+    assert after.filter(F.col("k") < 100).count() == 0
+    # survivors kept their space-containing partition value
+    per = {r["prio"]: r["n"] for r in
+           after.groupBy("prio").agg(F.count("*").alias("n")).collect()}
+    assert per == {"NOT SPECIFIED": 100, "1-URGENT": 100}
