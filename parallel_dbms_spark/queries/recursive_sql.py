@@ -80,7 +80,7 @@ WITH RECURSIVE chain(root, node, depth) AS (
     FROM customer
     WHERE c_custkey % 2 = 1 AND c_custkey <= 40
     UNION ALL
-    SELECT ch.root, c.c_custkey, ch.depth + 1
+    SELECT /*+ BROADCAST(ch) */ ch.root, c.c_custkey, ch.depth + 1
     FROM chain ch
     JOIN customer c ON c.c_custkey = ch.node * 2
     WHERE ch.depth < 30
