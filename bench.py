@@ -86,6 +86,27 @@ def bench_queries(spark, sf_dir):
     for _f in _first:
         os.utime(_f, (_past, _past))
 
+    def _spatial_hotcell():
+        from parallel_dbms_spark.operators import radius_neighbor_pairs
+
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_id") % 29 == 0
+        )
+        # even ids: dense 10x10 box; odd ids: uniform 1000x1000 field
+        h = F.col("event_id") * 2654435761
+        pts = ev.select(
+            F.col("event_id").alias("id"),
+            F.when(F.col("event_id") % 2 == 0,
+                   (h % 1000).cast("double") / 100.0)
+            .otherwise((h % 100000).cast("double") / 100.0)
+            .alias("x"),
+            F.when(F.col("event_id") % 2 == 0,
+                   (F.col("event_id") * 40503 % 1000).cast("double") / 100.0)
+            .otherwise((F.col("event_id") * 40503 % 100000).cast("double") / 100.0)
+            .alias("y"),
+        )
+        return radius_neighbor_pairs(pts, radius=5.0, cell_divisor=3)
+
     def _run_stream_tumbling():
         return run_stream_to_batch(
             spark,
@@ -245,6 +266,11 @@ def bench_queries(spark, sf_dir):
         "spatial_geo": lambda: _exec(
             REGISTRY["spatial_geo_radius"].fn(spark, sf_dir)
         ),
+        # r5: hot-cell skew path — half the points crammed into one
+        # 10x10 box (urban core), cell_divisor=3 re-keys the dense
+        # cell into r/3 sub-cells; tracked so the skew remedy's cost
+        # stays flat as density concentrates
+        "spatial_radius_hotcell": lambda: _exec(_spatial_hotcell()),
         # r3 wave 4: native recursive CTE (iterative plan execution)
         # and the full-text search surface (phrase positional
         # intersection + trigram-pruned substring scan)

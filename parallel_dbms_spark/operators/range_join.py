@@ -170,34 +170,44 @@ def radius_neighbor_pairs(
     y_col: str = "y",
     self_join: bool = True,
     other: DataFrame | None = None,
+    cell_divisor: int = 1,
 ) -> DataFrame:
     """All pairs of points within Euclidean distance ``radius`` —
     fixed-grid spatial join (planar coordinates).
 
-    The plane is tiled with cells of side ``radius``; any two points
-    within r of each other sit in the same cell or one of its 8
-    neighbors. One side keys by its OWN cell, the other explodes its
-    3x3 cell neighborhood; an equi-join on the cell key yields the
-    candidate set and the exact distance check verifies. Candidates
-    per point ~ density * 9r^2, never all-pairs — the same
+    The plane is tiled with cells of side ``radius / cell_divisor``;
+    any two points within r of each other differ by at most
+    ``cell_divisor`` cell indices per axis, so one side keys by its
+    OWN cell, the other explodes its ``(2*divisor+1)^2`` cell
+    neighborhood, and an equi-join on the cell key yields the
+    candidate set; the exact distance check verifies. Candidates per
+    point ~ density * ((2m+1) r/m)^2, never all-pairs — the same
     bucket-join-then-verify shape as interval_overlap_join /
-    ngram_jaccard, applied to 2-D. Returns
-    (id_a, id_b, dist) with id_a < id_b for the self-join form.
+    ngram_jaccard, applied to 2-D. Returns (id_a, id_b, dist) with
+    id_a < id_b for the self-join form.
 
-    Dense hot cells (urban-core skew) make the cell key a heavy hitter
-    — shrink the cell by passing a radius-subdivided grid (cells of
-    r/2 with a 5x5 neighborhood) or pre-salt dense cells, exactly the
-    interval join's single-cell-claim tradeoff.
+    Dense hot cells (urban-core skew) make the cell key a heavy
+    hitter: raise ``cell_divisor`` (2 -> r/2 cells, 5x5 neighborhood)
+    so one downtown cell splits into ``divisor^2`` join keys and the
+    per-key candidate area shrinks from 9r^2 toward (2r)^2 — more,
+    smaller join groups at the cost of a wider explode on the probe
+    side. The pair set is IDENTICAL for every divisor
+    (property-tested); pick the divisor by key-cardinality, the same
+    tradeoff as the interval join's band width.
     """
+    if cell_divisor < 1:
+        raise ValueError(f"cell_divisor must be >= 1, got {cell_divisor}")
     b = other if other is not None else points
-    cell_x = F.floor(F.col(x_col) / F.lit(radius)).cast("long")
-    cell_y = F.floor(F.col(y_col) / F.lit(radius)).cast("long")
+    m = int(cell_divisor)
+    side = float(radius) / m
+    cell_x = F.floor(F.col(x_col) / F.lit(side)).cast("long")
+    cell_y = F.floor(F.col(y_col) / F.lit(side)).cast("long")
 
-    # probe side: each point claims its 3x3 neighborhood
+    # probe side: each point claims its (2m+1)x(2m+1) neighborhood
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1)
-        for dy in (-1, 0, 1)
+        for dx in range(-m, m + 1)
+        for dy in range(-m, m + 1)
     ])
     a_cells = points.select(
         F.col(id_col).alias("id_a"),

@@ -451,6 +451,58 @@ def test_radius_neighbor_pairs_matches_naive_quadratic(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_radius_pairs_identical_across_cell_divisors(spark):
+    """The r/m-cell + (2m+1)^2-neighborhood grid must produce the
+    EXACT same pair set as the base r-cell grid — the hot-cell remedy
+    may never change results. The fixture plants one dense downtown
+    cell (urban-core skew) plus uniform background so the divisor
+    actually re-keys the heavy hitter."""
+    from parallel_dbms_spark.operators import radius_neighbor_pairs
+
+    rng = random.Random(11)
+    # 300 points crammed into one r-sized cell at (10..13)^2, 300 spread
+    pts = [(i, 10.0 + rng.uniform(0, 3), 10.0 + rng.uniform(0, 3))
+           for i in range(300)]
+    pts += [(300 + i, rng.uniform(0, 100), rng.uniform(0, 100))
+            for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 3.0
+
+    def pairset(m):
+        return sorted(
+            (row.id_a, row.id_b, round(row.dist, 9))
+            for row in radius_neighbor_pairs(
+                df, radius=r, cell_divisor=m
+            ).collect()
+        )
+
+    base = pairset(1)
+    assert len(base) > 40000  # dense cell really is dense
+    assert pairset(2) == base
+    assert pairset(3) == base
+
+    # the divisor splits the hot cell into more, smaller join keys
+    import pyspark.sql.functions as F
+    def key_cards(m):
+        side = r / m
+        return (
+            df.groupBy(
+                F.floor(F.col("x") / side).cast("long"),
+                F.floor(F.col("y") / side).cast("long"),
+            )
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    assert key_cards(3) < key_cards(1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cell_divisor"):
+        radius_neighbor_pairs(df, radius=r, cell_divisor=0)
+
+
 def test_geo_radius_pairs_matches_naive_haversine(spark):
     import math
 
