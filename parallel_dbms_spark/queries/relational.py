@@ -2612,6 +2612,96 @@ def mv_rollup_rewrite(spark, sf_dir):
 
 
 @register(
+    "mv_incremental_refresh",
+    oracle="""SELECT o_orderpriority,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents,
+                     COUNT(*) AS n,
+                     CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS max_cents,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) AS avg_cents
+              FROM orders
+              GROUP BY 1""",
+    tags=("mv", "cdc", "aggregate", "lake"),
+)
+def mv_incremental_refresh(spark, sf_dir):
+    # MV MAINTENANCE end-to-end (operators/mv.py mv_refresh): the view
+    # is built on 90% of history, the remaining 10% arrives as an
+    # append-only delta and is FOLDED in (sums/counts add, maxes fold;
+    # cost O(delta + |view|), never O(history)). The answer then comes
+    # from the refreshed view alone; the oracle recomputes from the
+    # full fact table, so the value-hash proves refresh-then-answer ==
+    # define-on-full-history exactly.
+    import tempfile
+
+    from ..operators.mv import define_mv, mv_answer, mv_refresh
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = o.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey")
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey")
+    p = tempfile.mkdtemp(prefix="mv_incr_") + "/mv"
+    define_mv(
+        hist, p,
+        group_cols=["o_orderpriority", "mon"],
+        measures={
+            "sum_cents": ("sum", "cents"),
+            "n_cents": ("count", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    mv_refresh(spark, p, delta)
+    return mv_answer(
+        spark, p, ["o_orderpriority"],
+        {"total_cents": ("sum", "cents"), "n": ("count", "cents"),
+         "max_cents": ("max", "cents"), "avg_cents": ("avg", "cents")},
+    )
+
+
+@register(
+    "lake_compact_roundtrip",
+    oracle="""SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS o_totalprice,
+                     o_orderpriority
+              FROM orders""",
+    tags=("lake", "compaction", "source", "pipeline"),
+)
+def lake_compact_roundtrip(spark, sf_dir):
+    # Nightly-compaction story (sources/lake.py compact_small_files):
+    # a streaming-decayed table of 64 tiny files is bin-packed to
+    # ~target-size files (driver-side byte listing, coalesce — no
+    # shuffle), and the compacted table must be CONTENT-IDENTICAL to
+    # the sprawl it replaced — the oracle reads the original fact
+    # table, so the value-hash proves compaction is a pure physical
+    # rewrite. The file-count collapse is asserted in-line (and
+    # perf-asserted in tests/test_lake.py).
+    import glob as _glob
+    import tempfile
+
+    from ..sources.lake import compact_small_files
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="compact_")
+    src, dst = root + "/sprawl", root + "/compacted"
+    o.repartition(64).write.parquet(src)  # the decayed state
+    n_out = compact_small_files(spark, src, dst, target_file_mb=128)
+    n_src = len(_glob.glob(src + "/part-*.parquet"))
+    assert n_out < n_src, (n_out, n_src)
+    return spark.read.parquet(dst)
+
+
+@register(
     "scd2_pit_enrich",
     oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                                 event_type
