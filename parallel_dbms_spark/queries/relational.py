@@ -1137,6 +1137,67 @@ def typed_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "twap_user_value",
+    oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                                CAST(ROUND(value * 100) AS BIGINT) AS cents
+                         FROM events),
+                   d AS (SELECT user_id, cents,
+                                CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))) AS BIGINT)
+                                - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur
+                         FROM e)
+              SELECT user_id,
+                     CAST(SUM(cents * dur) AS DOUBLE)
+                       / CAST(SUM(dur) AS DOUBLE) / 100.0 AS twap,
+                     CAST(SUM(dur) AS BIGINT) AS total_secs,
+                     COUNT(*) AS n_obs
+              FROM d WHERE dur IS NOT NULL
+              GROUP BY user_id HAVING SUM(dur) > 0""",
+    tags=("timeseries", "window", "aggregate", "weighted"),
+)
+def twap_user_value(spark, sf_dir):
+    # Time-weighted average (operators/asof.py twap): each observation
+    # weighted by its holding duration — the irregular-series mean
+    # (TimescaleDB time_weight / kdb twap). Integer cents x whole
+    # seconds keep the weighted sum exact in any accumulation order;
+    # the oracle replays the identical quantization, so the value-hash
+    # covers the weighting itself, not just row counts.
+    from ..operators import twap
+
+    return twap(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ohlc_hourly",
+    oracle="""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events),
+                   f AS (SELECT date_trunc('hour', ts) AS bucket_ts, value,
+                                ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+                                ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+                         FROM e)
+              SELECT bucket_ts,
+                     MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                     MAX(value) AS high,
+                     MIN(value) AS low,
+                     MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                     COUNT(*) AS n_events
+              FROM f GROUP BY bucket_ts""",
+    tags=("timeseries", "window", "aggregate", "ohlc"),
+)
+def ohlc_hourly(spark, sf_dir):
+    # OHLC candlestick rollup (operators/asof.py ohlc_resample):
+    # open/close are SELECTIONS of existing doubles (first/last by
+    # (ts, event_id)), high/low/n plain min/max/count — everything
+    # hashes exactly with zero float accumulation. One bucket-key
+    # window + one groupBy, same shuffle key, AQE-coalesced.
+    from ..operators import ohlc_resample
+
+    return ohlc_resample(_t(spark, sf_dir, "events"), bucket="1 hour")
+
+
+@register(
     "resample_ffill_hourly",
     oracle="""WITH obs AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
