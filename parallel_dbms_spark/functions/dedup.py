@@ -867,3 +867,119 @@ def prefix_jaccard_pairs(
     return inter.select("id_a", "id_b", jac).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def jaro_winkler_sim():
+    """Vectorized Jaro-Winkler similarity as an Arrow-batched pandas
+    UDF — the entity-resolution scorer Spark lacks natively
+    (``levenshtein`` is built-in; JW weights shared prefixes, the
+    right metric for names/titles).
+
+    Exact textbook algorithm with the standard 0.7 boost threshold and
+    p=0.1 prefix scale — the same definition DuckDB's
+    ``jaro_winkler_similarity`` implements, so scores agree to 1e-12
+    and a 1e6-quantized score is oracle-hashable. Either string
+    empty -> 0.0 (DuckDB convention). Python-per-pair inside an Arrow
+    batch: the scorer runs ONLY on blocked candidates (see
+    ``jw_fuzzy_pairs``), never the cross product.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jaro(s1: str, s2: str) -> float:
+        if not s1 or not s2:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        md = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        m = 0
+        for i, c in enumerate(s1):
+            lo = 0 if i - md < 0 else i - md
+            hi = l2 if i + md + 1 > l2 else i + md + 1
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (m / l1 + m / l2 + (m - t) / m) / 3
+
+    def _jw(s1: str, s2: str) -> float:
+        j = _jaro(s1, s2)
+        if j <= 0.7:  # boost threshold: prefix bonus only above it
+            return j
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        return j + l * 0.1 * (1.0 - j)
+
+    def jw(a, b):
+        return pd.Series(
+            [_jw(x if x is not None else "", y if y is not None else "")
+             for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    # call form (not decorator): this module uses `from __future__
+    # import annotations`, which stringifies hints and breaks
+    # pandas_udf's hint-based signature inference
+    return pandas_udf(jw, "double")
+
+
+def jw_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    threshold: float = 0.87,
+) -> DataFrame:
+    """Jaro-Winkler fuzzy-duplicate pairs with hash blocking: the
+    scorer only runs on candidates sharing ``block_col`` (brand,
+    phonetic code, sorted-token key...), so the join is a plain
+    shuffled/broadcast equi-join on the block and the quadratic work
+    is confined within blocks — the standard ER blocking bargain
+    (recall bounded by block quality, cost bounded by block size).
+
+    Returns (id_a, id_b, jw_e6) with id_a < id_b and jw >= threshold;
+    jw_e6 is the 1e6-quantized score (engine-hashable; the raw double
+    agrees with DuckDB to 1e-12 but is not bit-identical).
+    """
+    jw = jaro_winkler_sim()
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.col(block_col).alias("__blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.col(block_col).alias("__blk"),
+    )
+    cand = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a", "id_b", jw(F.col("name_a"), F.col("name_b")).alias("__jw")
+    )
+    return (
+        scored.filter(F.col("__jw") >= float(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__jw") * 1e6).cast("long").alias("jw_e6"),
+        )
+    )
