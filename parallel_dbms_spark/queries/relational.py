@@ -1137,6 +1137,95 @@ def typed_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "rfm_segments",
+    oracle="""WITH base AS (
+                SELECT o_custkey,
+                       CAST(FLOOR(epoch(MAX(CAST(o_orderdate AS TIMESTAMP)))) AS BIGINT)
+                         AS recency_s,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                         AS monetary_cents
+                FROM orders GROUP BY 1),
+              seg AS (
+                SELECT o_custkey, recency_s, frequency, monetary_cents,
+                       CAST(NTILE(4) OVER (ORDER BY recency_s, o_custkey) AS INTEGER) AS r_seg,
+                       CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f_seg,
+                       CAST(NTILE(4) OVER (ORDER BY monetary_cents, o_custkey) AS INTEGER) AS m_seg
+                FROM base)
+              SELECT r_seg, f_seg, m_seg,
+                     COUNT(*) AS n_customers,
+                     CAST(SUM(monetary_cents) AS BIGINT) AS seg_cents
+              FROM seg GROUP BY 1, 2, 3""",
+    tags=("analytics", "rfm", "window", "ntile", "aggregate"),
+)
+def rfm_segments(spark, sf_dir):
+    # RFM customer segmentation: per-customer recency/frequency/
+    # monetary rollup, quartile assignment per dimension (determinized
+    # with the custkey tie-break both engines share), then segment
+    # cell counts. Each quartile pass is operators.ntile_distributed —
+    # exact NTILE semantics without a single-partition global window
+    # (range-partitioned row numbers + closed-form bucket math), so
+    # the plan-sweep no-unpartitioned-window invariant holds even
+    # though the customer rollup is far smaller than the fact table.
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey")).agg(
+        F.floor(
+            F.unix_timestamp(F.max("o_orderdate")).cast("double")
+        ).cast("long").alias("recency_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("monetary_cents"),
+    )
+    from ..operators import ntile_distributed
+
+    seg = ntile_distributed(
+        base, ["recency_s", "o_custkey"], 4, out_col="r_seg"
+    )
+    seg = ntile_distributed(
+        seg, ["frequency", "o_custkey"], 4, out_col="f_seg"
+    )
+    seg = ntile_distributed(
+        seg, ["monetary_cents", "o_custkey"], 4, out_col="m_seg"
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("seg_cents"),
+    )
+
+
+@register(
+    "basket_pairs_support",
+    oracle="""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem)
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS support
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+    tags=("analytics", "basket", "join", "self_join", "aggregate"),
+)
+def basket_pairs_support(spark, sf_dir):
+    # Market-basket co-occurrence: parts ordered together, pair
+    # support >= 3. The self-join key is the ORDER key, so the
+    # quadratic blowup is bounded by items-per-order (~7 in TPC-H, a
+    # few dozen in real carts) squared within each order — a shuffled
+    # equi-join on l_orderkey, never a cross product; the pair rollup
+    # shuffles once more on the (a, b) pair. At 100 TB a frequent-item
+    # prefilter (drop parts below min item support) shrinks the join
+    # input first — the classic a-priori step.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+@register(
     "twap_user_value",
     oracle="""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                                 CAST(ROUND(value * 100) AS BIGINT) AS cents
