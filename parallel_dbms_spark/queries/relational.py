@@ -3873,6 +3873,41 @@ def lake_instant_count(spark, sf_dir):
 
 
 @register(
+    "lake_instant_distinct",
+    oracle="""SELECT COUNT(DISTINCT o_custkey) AS n_distinct
+              FROM orders""",
+    tags=("lake", "metadata", "distinct", "bitmap", "aggregate"),
+)
+def lake_instant_distinct(spark, sf_dir):
+    # Exact COUNT(DISTINCT) served from a per-file BITMAP sidecar
+    # (sources/lake.py write/update_distinct_sidecar): the table is
+    # staged, the sidecar built, two more files appended and folded in
+    # INCREMENTALLY (only unseen files read — update_manifest's path
+    # set difference), then the answer is an OR-merge + popcount over
+    # the sidecar with ZERO data files scanned. The oracle recomputes
+    # from raw rows, so the hash proves the bitmap algebra exact
+    # through the append.
+    import tempfile
+
+    from ..sources.lake import (
+        instant_distinct,
+        update_distinct_sidecar,
+        write_distinct_sidecar,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = tempfile.mkdtemp(prefix="instant_distinct_") + "/orders"
+    o.filter(F.col("o_orderkey") % 3 != 0).repartition(4).write.parquet(path)
+    write_distinct_sidecar(spark, path, "o_custkey")
+    o.filter(F.col("o_orderkey") % 3 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    n_new, _ = update_distinct_sidecar(spark, path, "o_custkey")
+    assert n_new == 2, n_new
+    return instant_distinct(spark, path, "o_custkey")
+
+
+@register(
     "lake_version_diff",
     oracle="""WITH v0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
                           FROM orders WHERE o_orderkey % 3 <> 0),

@@ -863,3 +863,52 @@ def test_delete_where_partition_value_with_space(spark, tmp_path):
     per = {r["prio"]: r["n"] for r in
            after.groupBy("prio").agg(F.count("*").alias("n")).collect()}
     assert per == {"NOT SPECIFIED": 100, "1-URGENT": 100}
+
+
+def test_distinct_sidecar_incremental_equals_rebuild(spark, tmp_path):
+    """Per-file bitmap sidecar: incremental update after appends gives
+    the same exact distinct count as a full rebuild — including under
+    a hive layout whose partition value contains a space (URI-decode
+    rule shared with update_manifest)."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.sources.lake import (
+        instant_distinct,
+        update_distinct_sidecar,
+        write_distinct_sidecar,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 137).alias("uid"),
+        F.when(F.col("id") % 2 == 0, "NOT SPECIFIED")
+        .otherwise("1-URGENT").alias("prio"),
+    )
+    t = str(tmp_path / "t")
+    df.filter("k < 600").write.partitionBy("prio").parquet(t)
+    write_distinct_sidecar(spark, t, "uid")
+    assert instant_distinct(spark, t, "uid").first()["n_distinct"] == 137
+
+    # append new files (new uids too), fold incrementally
+    df2 = spark.range(1000, 1400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 211).alias("uid"),
+        F.lit("NOT SPECIFIED").alias("prio"),
+    )
+    df2.write.mode("append").partitionBy("prio").parquet(t)
+    n_new, _ = update_distinct_sidecar(spark, t, "uid")
+    assert n_new > 0
+    got = instant_distinct(spark, t, "uid").first()["n_distinct"]
+    want = spark.read.parquet(t).select("uid").distinct().count()
+    assert got == want
+
+    # idempotent: nothing new -> no-op
+    assert update_distinct_sidecar(spark, t, "uid")[0] == 0
+
+    # the answer path reads ONLY the sidecar (zero table data files)
+    from parallel_dbms_spark.plans import execution_metrics
+
+    m = execution_metrics(instant_distinct(spark, t, "uid"))
+    import glob as _g
+    n_side = len(_g.glob(t + "/_distinct_uid/*.parquet"))
+    assert m["scan_files_read"] <= n_side, m
