@@ -1137,6 +1137,103 @@ def typed_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "event_sequence_match",
+    oracle="""WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id)
+              SELECT user_id,
+                     CAST(length(seq) AS INTEGER) AS seq_len,
+                     regexp_matches(seq, 'v.*c.*p') AS converted
+              FROM s""",
+    tags=("events", "cep", "pattern", "aggregate"),
+)
+def event_sequence_match(spark, sf_dir):
+    # MATCH_RECOGNIZE-style sequence detection, relationally: each
+    # user's event-type stream collapses to an ordered symbol string
+    # (one char per event, (ts, event_id)-ordered so both engines
+    # agree), then a regex states the pattern — here view .* click .*
+    # purchase. One groupBy shuffle; per-user state is the symbol
+    # string (bytes per event), the same per-key bound as sessionize.
+    # Arbitrary CEP patterns (negation, bounded gaps) are regex edits,
+    # not new plans.
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("converted"),
+    )
+
+
+@register(
+    "impute_group_mean",
+    oracle="""WITH e AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+                FROM events),
+              m AS (SELECT event_type,
+                           CAST(FLOOR(AVG(cents)) AS BIGINT) AS mean_cents
+                    FROM e GROUP BY 1)
+              SELECT e.event_id, e.event_type,
+                     COALESCE(e.cents, m.mean_cents) AS cents_filled,
+                     e.cents IS NULL AS was_imputed
+              FROM e JOIN m USING (event_type)""",
+    tags=("cleaning", "null", "aggregate", "join"),
+)
+def impute_group_mean(spark, sf_dir):
+    # Missing-value imputation with the group mean — the ML-prep
+    # sibling of winsorize/robust-zscore cleaning. NULLs are planted
+    # deterministically (every 7th event), the per-group mean is
+    # computed over non-nulls (AVG's SQL semantics, floored to integer
+    # cents so the fill value hashes exactly), and the fill is a
+    # broadcast join of the tiny group-mean table against the fact —
+    # the fact table shuffles zero times. was_imputed keeps the
+    # provenance bit every feature pipeline wants.
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(None)
+        ).otherwise(
+            F.floor(F.col("value") * 100).cast("long")
+        ).alias("cents"),
+    )
+    means = e.groupBy("event_type").agg(
+        F.floor(F.avg("cents")).cast("long").alias("mean_cents")
+    )
+    return (
+        e.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("cents"), F.col("mean_cents")).alias("cents_filled"),
+            F.col("cents").isNull().alias("was_imputed"),
+        )
+    )
+
+
+@register(
     "rfm_segments",
     oracle="""WITH base AS (
                 SELECT o_custkey,
