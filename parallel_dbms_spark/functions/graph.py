@@ -301,3 +301,60 @@ def star_components_with_rounds(
 def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """(id, cluster_id) — see :func:`star_components_with_rounds`."""
     return star_components_with_rounds(pairs, max_iter)[0]
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source,
+    max_rounds: int = 6,
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest WEIGHTED paths, bounded to paths of at
+    most ``max_rounds`` edges — distributed Bellman-Ford, the weighted
+    sibling of ``bfs_hops``.
+
+    Per round: settled distances ⋈ edges relax every out-edge
+    (candidate cost = dist + w), then a groupBy-min folds candidates
+    into the running frontier. Each round is one shuffle join + one
+    aggregation on the node key; ``localCheckpoint`` truncates lineage
+    so round k never replays rounds 1..k-1 (the repo-wide iterative
+    discipline). Integer weights keep costs exact — the result is
+    engine-portable and oracle-hashable against a hop-bounded
+    recursive-CTE closure.
+
+    The hop bound is the contract (not a convergence heuristic): the
+    result is exactly min-cost over paths of <= max_rounds edges,
+    which a negative-free graph extends to true SSSP once
+    max_rounds >= graph diameter. Returns (node, cost) for every node
+    reachable within the bound, source at cost 0.
+    """
+    sym = (
+        edges.select("src", "dst", weight)
+        .union(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col(weight),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    node_t = dict(edges.dtypes)["src"]
+    dist = spark.createDataFrame([(source, 0)], f"node {node_t}, cost long")
+    for _ in range(max_rounds):
+        cand = (
+            dist.join(sym, dist["node"] == sym["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col(weight)).alias("cost"),
+            )
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1748,6 +1748,56 @@ def graph_bfs_hops(spark, sf_dir):
 
 
 @register(
+    "graph_sssp_weighted",
+    oracle="""WITH RECURSIVE b AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                       user_id
+                FROM events WHERE user_id % 5 = 0),
+                   e0 AS (
+                SELECT DISTINCT l.user_id AS src, r.user_id AS dst
+                FROM b l JOIN b r
+                  ON l.event_type = r.event_type AND l.hr = r.hr
+                 AND l.user_id < r.user_id),
+                   ew AS (SELECT src, dst,
+                                 1 + (src + dst) % 3 AS w
+                          FROM e0),
+                   e AS (SELECT src, dst, w FROM ew
+                         UNION SELECT dst, src, w FROM ew),
+                   s AS (SELECT MIN(user_id) AS v FROM events
+                         WHERE user_id % 5 = 0),
+                   walk(node, cost, hops) AS (
+                     SELECT v, CAST(0 AS BIGINT), 0 FROM s
+                     UNION
+                     SELECT e.dst, w.cost + e.w, w.hops + 1
+                     FROM walk w JOIN e ON e.src = w.node
+                     WHERE w.hops < 3)
+              SELECT node, CAST(MIN(cost) AS BIGINT) AS cost
+              FROM walk GROUP BY node""",
+    tags=("graph", "iterative", "join"),
+)
+def graph_sssp_weighted(spark, sf_dir):
+    # Weighted single-source shortest paths (functions/graph.py
+    # sssp_weighted, distributed Bellman-Ford) over the co-occurrence
+    # graph with deterministic integer edge weights, vs DuckDB's
+    # hop-bounded recursive path closure of the SAME graph. 3 relax
+    # rounds == min cost over paths of <= 3 edges — the bound is the
+    # shared contract, so costs value-hash exactly.
+    from ..functions.graph import cooccurrence_edges, sssp_weighted
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    ).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    )
+    edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id").select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 3).alias("w")
+    )
+    source = ev.agg(F.min("user_id")).collect()[0][0]
+    return sssp_weighted(edges, source, max_rounds=3)
+
+
+@register(
     "multimodal_phash_neardup",
     oracle=None,
     tags=("multimodal", "dedup", "pandas_udf", "decode"),
