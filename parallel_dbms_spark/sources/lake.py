@@ -926,7 +926,9 @@ def write_distinct_sidecar(
     )
     bm = build_bitmaps(df, ["file"], id_col)
     side = _distinct_sidecar_path(path, id_col)
-    bm.write.mode("overwrite").parquet(side)
+    # single-file atomic publish, same guarantee as the manifest:
+    # readers see the old sidecar or the new one, never partial state
+    _publish_manifest(bm, side)
     return spark.read.parquet(side).count()
 
 
@@ -973,16 +975,10 @@ def update_distinct_sidecar(
     )
     new_rows = build_bitmaps(fresh, ["file"], id_col)
     merged = old.unionByName(new_rows)
-    # rewrite-and-swap through a temp dir: the sidecar is tiny and a
-    # reader mid-swap sees old or new, not a partial mix of dirs
-    tmp = side + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    final = spark.read.parquet(tmp).count()
-    shutil.rmtree(side)
-    os.replace(tmp, side)
-    return len(fresh_paths), final
+    # single-file atomic publish (os.replace onto the stable name) —
+    # the same reader guarantee as update_manifest
+    _publish_manifest(merged, side)
+    return len(fresh_paths), spark.read.parquet(side).count()
 
 
 def instant_distinct(
