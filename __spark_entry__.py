@@ -17,10 +17,14 @@ joins, and the SCD2/histogram/MV/DQ foreachBatch sinks), native
 recursive CTEs (spine/hierarchy/iteration shapes, verbatim SQL on
 both engines), and the full-text search surface (inverted-index
 conjunctive + phrase search, trigram substring/containment, served
-bucketed layouts), plus the round-4 additions: time-range-salted as-of
-joins for pathological keys, targeted key deletion on the lake
-(locate/rewrite/swap), and approx-percentile twins of the exact
-percentile queries. Where a query is
+bucketed layouts), plus the round-4 additions (time-range-salted as-of
+joins for pathological keys, targeted key deletion on the lake,
+approx-percentile twins) and round-5 additions: executor-side MMR
+re-rank with a rank-1 oracle, TWAP and OHLC time-series rollups,
+Jaro-Winkler entity resolution, incremental MV refresh, lake
+compaction round-trip, the per-file bitmap distinct sidecar, RFM
+segmentation, market-basket pairs, event-sequence (CEP) matching,
+group-mean imputation, and weighted SSSP. Where a query is
 SQL-expressible its DuckDB oracle is registered; hash-placement and
 pandas-UDF queries are rows-only and get quality assertions in
 tests/ instead. The first 50 exported entries (the graded window)
