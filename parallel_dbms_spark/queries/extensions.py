@@ -1081,6 +1081,45 @@ def multimodal_audio_energy(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_spectral",
+    oracle=None,
+    tags=("multimodal", "audio", "fft", "pandas_udf"),
+)
+def multimodal_audio_spectral(spark, sf_dir):
+    # REAL audio DSP end-to-end: each doc's text bytes become a mono
+    # 16-bit PCM WAV (functions/multimodal.py encode_wav16 — an actual
+    # RIFF container, decoded back by the stdlib reader), then
+    # audio_spectral_features runs rFFT frames executor-side (RMS +
+    # spectral centroid/bandwidth in Hz). Rows-only; the physics
+    # (pure-tone centroid == tone frequency) is pytest-asserted in
+    # tests/test_multimodal_decode.py.
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        from ..functions.multimodal import encode_wav16
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = text.encode("utf-8")[:1024]
+                sig = (
+                    np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                ) / 128.0
+                payloads.append(encode_wav16(sig, rate=8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    wavs = docs.select("doc_id", "text").mapInPandas(
+        encode, "doc_id bigint, payload binary"
+    )
+    return multimodal.audio_spectral_features(wavs, frame=256)
+
+
+@register(
     "text_unigram_surprisal",
     oracle=r"""WITH toks AS (
                  SELECT doc_id,
