@@ -1136,6 +1136,57 @@ def typed_csv_roundtrip(spark, sf_dir):
     return read_typed_csv(spark, path)
 
 
+_LATERAL_ALIAS_SQL = """\
+SELECT l_orderkey,
+       CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+       cents - CAST(FLOOR(l_discount * l_extendedprice * 100) AS BIGINT)
+         AS net_cents,
+       net_cents * 2 AS doubled_net
+FROM lineitem WHERE l_orderkey % 50 = 0"""
+
+
+@register(
+    "sql_lateral_alias",
+    oracle=_LATERAL_ALIAS_SQL,
+    tags=("sql", "dialect", "projection"),
+)
+def sql_lateral_alias(spark, sf_dir):
+    # Lateral column aliases — a projection expression referencing an
+    # alias defined earlier in the SAME select list. Verbatim SQL on
+    # both engines (Spark 3.4+ / DuckDB 0.8+ parse it natively), the
+    # strongest dialect-parity form in the registry.
+    return run_sql(spark, sf_dir, _LATERAL_ALIAS_SQL)
+
+
+@register(
+    "sql_collated_group",
+    oracle="""WITH e AS (
+                SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                            ELSE event_type END AS et
+                FROM events)
+              SELECT lower(et) AS event_type, COUNT(*) AS n
+              FROM e GROUP BY lower(et)""",
+    tags=("sql", "dialect", "collation", "string", "aggregate"),
+)
+def sql_collated_group(spark, sf_dir):
+    # Case-insensitive grouping via Spark 4's native string collation
+    # (UTF8_LCASE) over a deliberately mixed-case column — the engine
+    # feature, not a lower() rewrite. The group representative keeps
+    # an arbitrary casing, so the output canonicalizes with lower()
+    # for the hash; the oracle states the same semantics in portable
+    # SQL.
+    e = _t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et")
+    )
+    return (
+        e.groupBy(F.collate(F.col("et"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("event_type"), "n")
+    )
+
+
 @register(
     "event_sequence_match",
     oracle="""WITH s AS (
