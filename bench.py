@@ -277,6 +277,20 @@ def bench_queries(spark, sf_dir):
         "recursive_chain": lambda: _exec(
             REGISTRY["sql_recursive_customer_chain"].fn(spark, sf_dir)
         ),
+        # r5 additions: time-series rollups, blocked JW entity
+        # resolution, metadata-only distinct, basket self-join
+        "twap": lambda: _exec(REGISTRY["twap_user_value"].fn(spark, sf_dir)),
+        "ohlc": lambda: _exec(REGISTRY["ohlc_hourly"].fn(spark, sf_dir)),
+        "rfm_segments": lambda: _exec(REGISTRY["rfm_segments"].fn(spark, sf_dir)),
+        "basket_pairs": lambda: _exec(
+            REGISTRY["basket_pairs_support"].fn(spark, sf_dir)
+        ),
+        "jw_fuzzy": lambda: _exec(
+            REGISTRY["dedup_jw_fuzzy_parts"].fn(spark, sf_dir)
+        ),
+        "lake_instant_distinct": lambda: _exec(
+            REGISTRY["lake_instant_distinct"].fn(spark, sf_dir)
+        ),
         "search_phrase": lambda: _exec(REGISTRY["search_phrase"].fn(spark, sf_dir)),
         "search_substring": lambda: _exec(
             REGISTRY["search_substring_trigram"].fn(spark, sf_dir)
