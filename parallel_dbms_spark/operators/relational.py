@@ -291,17 +291,26 @@ def _range_partitioned_rn(
     ``__pid`` (materialized range-partition id) and ``__rn_local``,
     and ``counts`` is one ``(__pid, __cnt)`` row per partition.
 
-    The range-partition exchange is CONSUMED TWICE (once by the count
-    aggregation, once by the local window) inside one action; Spark's
-    ReuseExchange executes it once, so both consumers see identical
-    partition boundaries — no cache, no driver collect, no
-    recomputation race.
+    The partition assignment is EAGERLY materialized
+    (``localCheckpoint``) before fan-out: ``spark_partition_id()`` is
+    nondeterministic under re-execution, and the frame is consumed
+    twice (count aggregation + local window) — without the pin, AQE
+    re-planning or a downstream re-shuffle (e.g. feeding this
+    operator's output into another range exchange, as chained RFM
+    quartiles do) can re-execute the subtree with different partition
+    ids for each consumer, silently desynchronizing offsets from
+    local numbers (observed as an impossible bucket n+1 at sf0.1).
+    One in-memory materialization of the already-shuffled frame is
+    the price of determinism here; the checkpoint also truncates
+    lineage for downstream iterative use.
     """
     p = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(p, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_local = Window.partitionBy("__pid").orderBy(*order_by)

@@ -80,3 +80,38 @@ def test_rank_small_result_matches_window_ranking(spark):
     )
     assert got.select("o_orderkey", "o_totalprice", "rk").exceptAll(want).isEmpty()
     assert want.exceptAll(got.select("o_orderkey", "o_totalprice", "rk")).isEmpty()
+
+
+def test_ntile_chained_applications_stay_consistent(spark):
+    """Regression: feeding one ntile_distributed output into another
+    (RFM-style chained quartiles) used to silently corrupt the FIRST
+    bucket column — spark_partition_id() re-executed divergently for
+    the two consumers of the range exchange under the downstream
+    re-shuffle, yielding impossible buckets (n+1) and uneven sizes.
+    The partition assignment is now pinned with an eager
+    localCheckpoint; every chained column must show exact NTILE
+    bucket sizes."""
+    from pyspark.sql import functions as F
+
+    from parallel_dbms_spark.operators import ntile_distributed
+
+    n = 20011  # prime: uneven tail exercises the q/q+1 split
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 100000).alias("a"),
+        ((F.col("id") * 40503) % 99991).alias("b"),
+        ((F.col("id") * 69069) % 77777).alias("c"),
+    )
+    s = ntile_distributed(df, ["a", "k"], 4, out_col="qa")
+    s = ntile_distributed(s, ["b", "k"], 4, out_col="qb")
+    s = ntile_distributed(s, ["c", "k"], 4, out_col="qc")
+    out = s.collect()
+    assert len(out) == n
+    import collections
+
+    q, r = divmod(n, 4)
+    want = sorted([q + 1] * r + [q] * (4 - r))
+    for col in ("qa", "qb", "qc"):
+        hist = collections.Counter(row[col] for row in out)
+        assert set(hist) == {1, 2, 3, 4}, (col, hist)
+        assert sorted(hist.values()) == want, (col, hist)
