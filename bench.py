@@ -285,8 +285,17 @@ def bench_queries(spark, sf_dir):
         "basket_pairs": lambda: _exec(
             REGISTRY["basket_pairs_support"].fn(spark, sf_dir)
         ),
+        # quarter subsample: the registered query is quadratic within
+        # brand blocks (~80/block at the driver's sf0.01, ~800/block
+        # here) — the bench tracks the scorer+blocking plan, not an
+        # O((10x)^2) Python workload
         "jw_fuzzy": lambda: _exec(
-            REGISTRY["dedup_jw_fuzzy_parts"].fn(spark, sf_dir)
+            dedup.jw_fuzzy_pairs(
+                load_table(spark, sf_dir, "part").filter(
+                    F.col("p_partkey") % 4 == 0
+                ),
+                "p_partkey", "p_name", "p_brand", threshold=0.87,
+            )
         ),
         "lake_instant_distinct": lambda: _exec(
             REGISTRY["lake_instant_distinct"].fn(spark, sf_dir)
