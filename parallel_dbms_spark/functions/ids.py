@@ -29,8 +29,18 @@ def assign_surrogate_keys(
     if not dense:
         return df.withColumn(id_col, F.monotonically_increasing_id())
 
-    tagged = df.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eagerly pin the nondeterministic tags before fan-out: this frame
+    # is consumed twice (count aggregation + the broadcast-join main
+    # path), and monotonically_increasing_id/spark_partition_id can
+    # re-execute with different values per consumer under AQE
+    # re-planning — the same divergence fixed in
+    # operators.relational._range_partitioned_rn (impossible-bucket
+    # regression at sf0.1). One in-memory materialization buys
+    # deterministic, collision-free dense ids.
+    tagged = (
+        df.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Per-partition counts: as many rows as partitions — tiny. The
     # prefix sum over that tiny frame is window-free (array-packed
