@@ -1136,6 +1136,36 @@ def typed_csv_roundtrip(spark, sf_dir):
     return read_typed_csv(spark, path)
 
 
+@register(
+    "agg_percentile_cont",
+    oracle="""SELECT o_orderpriority,
+                     CAST(ROUND(quantile_cont(
+                         CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5) * 10)
+                       AS BIGINT) AS p50_e1,
+                     CAST(ROUND(quantile_cont(
+                         CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.9) * 10)
+                       AS BIGINT) AS p90_e1
+              FROM orders GROUP BY 1""",
+    tags=("aggregate", "percentile", "cont"),
+)
+def agg_percentile_cont(spark, sf_dir):
+    # Interpolated (continuous) percentiles — Spark's exact
+    # ``percentile`` aggregate and DuckDB's ``quantile_cont`` share
+    # the lo + frac*(hi-lo) interpolation; over integer cents the two
+    # operands are exact, so the 0.1-cent-quantized result hashes
+    # across engines (the discrete form is agg_percentile_disc; the
+    # bounded-sketch scale path is agg_histogram_quantiles /
+    # robust_zscore_prices_approx).
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(cents, 0.5)") * 10).cast("long").alias("p50_e1"),
+        F.round(F.expr("percentile(cents, 0.9)") * 10).cast("long").alias("p90_e1"),
+    )
+
+
 _LATERAL_ALIAS_SQL = """\
 SELECT l_orderkey,
        CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
