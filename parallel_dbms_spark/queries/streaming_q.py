@@ -113,6 +113,52 @@ def stream_stateful_running_totals(spark, sf_dir):
 
 
 @register(
+    "stream_ohlc_hourly",
+    oracle="""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                         FROM events),
+                   f AS (SELECT date_trunc('hour', ts) AS bucket_ts, value,
+                                ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+                                ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+                         FROM e)
+              SELECT bucket_ts,
+                     MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                     MAX(value) AS high,
+                     MIN(value) AS low,
+                     MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                     COUNT(*) AS n_events
+              FROM f GROUP BY bucket_ts""",
+    tags=("streaming", "timeseries", "ohlc", "aggregate"),
+)
+def stream_ohlc_hourly(spark, sf_dir):
+    # Streaming OHLC (streaming/sinks.py stream_ohlc_sink): the events
+    # fixture REALLY replays as three micro-batches (3 staged files,
+    # maxFilesPerTrigger=1), each folding into a mergeable per-bucket
+    # accumulator — struct(ts, id, value) carriers make open/close
+    # associative, so arbitrary batch splits converge to the batch
+    # rollup EXACTLY. The oracle is the same SQL as the batch
+    # ohlc_hourly query: a full-value oracle for a cross-batch
+    # stateful streaming sink.
+    import os
+    import tempfile
+
+    from ..streaming.sinks import read_ohlc, stream_ohlc_sink
+    from ..streaming.windows import read_events_stream
+
+    events = read_events_stream(
+        spark, sf_dir, n_files=3, max_files_per_trigger=1
+    )
+    root = tempfile.mkdtemp(prefix="stream_ohlc_")
+    stream_ohlc_sink(
+        events,
+        os.path.join(root, "state"),
+        os.path.join(root, "ckpt"),
+    )
+    return read_ohlc(spark, os.path.join(root, "state"))
+
+
+@register(
     "stream_stream_join_attrib",
     oracle="""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                      CAST(c.ts AS TIMESTAMP) AS click_ts,

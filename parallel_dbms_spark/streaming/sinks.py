@@ -362,3 +362,124 @@ def stream_mv_sink(
     q = w.start()
     q.awaitTermination()
     return q
+
+
+def stream_ohlc_sink(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket: str = "hour",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming OHLC candlesticks via a MERGEABLE accumulator — the
+    foreachBatch sibling of ``operators.asof.ohlc_resample``.
+
+    The per-bucket state row is ``(open_carrier, close_carrier, high,
+    low, n)`` where the carriers are ``struct(ts, tiebreak, value)``:
+    struct MIN/MAX order on (ts, tiebreak) — unique, so the value
+    field never decides — which makes the whole state ASSOCIATIVE.
+    Each micro-batch folds in as ``unionByName + groupBy(min o, max c,
+    max high, min low, sum n)``; batches may arrive in any order and
+    split a bucket arbitrarily, and the final state still equals the
+    batch rollup exactly (the registered query's full oracle). Same
+    write-then-swap discipline as the other sinks; state size is one
+    row per bucket — bounded by time span, not row count.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _batch_state(df: DataFrame) -> DataFrame:
+        carrier = F.struct(
+            F.col(ts).alias("t"),
+            F.col(tiebreak).alias("k"),
+            F.col(value).alias("v"),
+        )
+        return (
+            df.select(
+                F.date_trunc(bucket, F.col(ts)).alias("bucket_ts"),
+                carrier.alias("car"),
+                F.col(value),
+            )
+            .groupBy("bucket_ts")
+            .agg(
+                F.min("car").alias("o"),
+                F.max("car").alias("c"),
+                F.max(value).alias("high"),
+                F.min(value).alias("low"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    def _merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy("bucket_ts")
+            .agg(
+                F.min("o").alias("o"),
+                F.max("c").alias("c"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        # The fold is additive, NOT naturally idempotent: a crash
+        # between the state swap and the checkpoint commit would
+        # replay the batch and double-count it. The applied-batch
+        # marker turns at-least-once delivery into exactly-once state
+        # (skip batches already folded) — written AFTER the swap, so
+        # a crash between swap and marker replays a batch whose fold
+        # is visible... therefore the marker is written atomically
+        # WITH the state: it rides inside the staged directory.
+        marker = os.path.join(path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch, already folded
+        state = _batch_state(batch_df)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            state = _merge(spark.read.parquet(path), state)
+        staged = f"{path}__staged"
+        state.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_applied_batch"), "w",
+                  encoding="utf-8") as fh:
+            fh.write(str(batch_id))
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(staged, path)
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q
+
+
+def read_ohlc(spark, path: str) -> DataFrame:
+    """Read the OHLC state table into the batch result shape
+    (bucket_ts, open, high, low, close, n_events)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).select(
+        "bucket_ts",
+        F.col("o.v").alias("open"),
+        "high",
+        "low",
+        F.col("c.v").alias("close"),
+        "n_events",
+    )
