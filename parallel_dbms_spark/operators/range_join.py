@@ -331,3 +331,80 @@ def geo_radius_pairs(
         .filter((F.col("id_a") < F.col("id_b")) & (dist <= F.lit(radius_km)))
         .select("id_a", "id_b", dist.alias("dist_km"))
     )
+
+
+def longest_prefix_join(
+    probe: DataFrame,
+    rules: DataFrame,
+    addr_col: str,
+    prefix_col: str,
+    len_col: str,
+    bits: int = 32,
+    min_len: int | None = None,
+    max_len: int | None = None,
+    rule_tiebreak: str | None = None,
+) -> DataFrame:
+    """Longest-prefix-match join — the IP-enrichment / CIDR-routing
+    lookup (geo tables, threat feeds, subnet ownership) expressed as
+    an EQUI-join, never a nested loop.
+
+    A rule matches when ``addr >> (bits - len) == prefix >> (bits -
+    len)``; the winner per address is the longest matching prefix.
+    The probe side explodes each address into one candidate row per
+    prefix length in [min_len, max_len] carrying the masked high bits;
+    the rule side keys by (len, masked prefix). The equi-join on that
+    pair is broadcastable (rule tables are small) or shuffled (both
+    fine), and the argmax per address is a groupBy with a max(struct)
+    — no window. Cost: |probe| × n_lengths candidate rows, the
+    standard LPM trade (a BETWEEN-style theta join would be a
+    cartesian at scale); restrict [min_len, max_len] to the lengths
+    the rule table actually uses to shrink the explode.
+
+    Ties on length (duplicate rules) break on ``rule_tiebreak``
+    ascending when given. Returns probe columns + ``match_len`` +
+    rule payload columns; addresses with no matching rule are
+    dropped (inner semantics — left form: left-join the result back).
+    """
+    lens = rules.select(F.col(len_col)).distinct()
+    lo_hi = lens.agg(
+        F.min(len_col).alias("lo"), F.max(len_col).alias("hi")
+    ).first()
+    lo = int(min_len if min_len is not None else lo_hi["lo"])
+    hi = int(max_len if max_len is not None else lo_hi["hi"])
+
+    cand = probe.withColumn(
+        "__plen",
+        F.explode(F.array(*[F.lit(l) for l in range(lo, hi + 1)])),
+    ).withColumn(
+        "__pkey",
+        # SQL form: the Python shiftrightunsigned binding only takes a
+        # literal shift, the SQL function takes any expression
+        F.expr(f"shiftrightunsigned(CAST({addr_col} AS BIGINT), "
+               f"{bits} - __plen)"),
+    )
+    r = rules.withColumn(
+        "__pkey",
+        F.expr(f"shiftrightunsigned(CAST({prefix_col} AS BIGINT), "
+               f"{bits} - {len_col})"),
+    ).withColumnRenamed(len_col, "__plen")
+    joined = cand.join(F.broadcast(r.drop(prefix_col)), ["__plen", "__pkey"])
+
+    payload = [
+        c for c in rules.columns if c not in (prefix_col, len_col)
+    ]
+    order_fields = [F.col("__plen").alias("l")] + (
+        [(-F.col(rule_tiebreak)).alias("tb")] if rule_tiebreak else []
+    )
+    carrier = F.struct(
+        *order_fields, *[F.col(c).alias(c) for c in payload]
+    )
+    best = (
+        joined.groupBy(*probe.columns)
+        .agg(F.max(carrier).alias("__best"))
+        .select(
+            *probe.columns,
+            F.col("__best.l").alias("match_len"),
+            *[F.col(f"__best.{c}").alias(c) for c in payload],
+        )
+    )
+    return best

@@ -1137,6 +1137,58 @@ def typed_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "join_longest_prefix",
+    oracle="""WITH p AS (SELECT event_id AS id,
+                                (event_id * 2654435761) % 65536 AS addr
+                         FROM events WHERE event_id % 13 = 0),
+                   r AS (SELECT n_nationkey, n_name,
+                                (n_nationkey * 2654435761) % 65536 AS prefix,
+                                4 + n_nationkey % 9 AS plen
+                         FROM nation),
+                   m AS (SELECT p.id, p.addr, r.n_nationkey, r.n_name,
+                                r.plen,
+                                ROW_NUMBER() OVER (
+                                  PARTITION BY p.id
+                                  ORDER BY r.plen DESC, r.n_nationkey ASC
+                                ) AS rk
+                         FROM p JOIN r
+                           ON (p.addr >> (16 - r.plen))
+                              = (r.prefix >> (16 - r.plen)))
+              SELECT id, addr, CAST(plen AS INTEGER) AS match_len,
+                     n_nationkey, n_name
+              FROM m WHERE rk = 1""",
+    tags=("join", "lpm", "cidr", "range"),
+)
+def join_longest_prefix(spark, sf_dir):
+    # Longest-prefix-match join (operators/range_join.py
+    # longest_prefix_join): CIDR-style routing/geo enrichment as an
+    # EQUI-join — each address explodes into its candidate prefix
+    # lengths, rules key by (len, masked bits), argmax per address is
+    # a groupBy max(struct). The oracle is the naive theta join +
+    # rank, so the value-hash proves the explode/mask/argmax rewrite
+    # semantically invisible. 16-bit synthetic address space derived
+    # from integer hashes both engines compute identically.
+    from ..operators.range_join import longest_prefix_join
+
+    probe = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    ).select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") * 2654435761 % 65536).alias("addr"),
+    )
+    rules = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") * 2654435761 % 65536).alias("prefix"),
+        (4 + F.col("n_nationkey") % 9).cast("int").alias("plen"),
+    )
+    return longest_prefix_join(
+        probe, rules, "addr", "prefix", "plen", bits=16,
+        rule_tiebreak="n_nationkey",
+    )
+
+
+@register(
     "agg_percentile_cont",
     oracle="""SELECT o_orderpriority,
                      CAST(ROUND(quantile_cont(

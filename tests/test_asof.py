@@ -537,3 +537,36 @@ def test_geo_radius_pairs_matches_naive_haversine(spark):
     assert got == want and len(got) > 10
     assert (1000, 1001) in got, "date-line pair must be found"
     assert (1004, 1005) in got
+
+
+def test_longest_prefix_join_hand_rules(spark):
+    """8-bit LPM: longest rule wins, non-matching addresses drop,
+    ties on length break on the rule tiebreaker."""
+    from parallel_dbms_spark.operators.range_join import longest_prefix_join
+
+    rules = spark.createDataFrame(
+        [(0b10000000, 2, 10, "A"), (0b10100000, 4, 11, "B"),
+         (0b00000000, 2, 12, "C"),
+         # duplicate (len, masked-bits) rule with higher id: loses ties
+         (0b10111111, 4, 99, "B2")],
+        "prefix long, plen int, rid long, label string",
+    )
+    probe = spark.createDataFrame(
+        [(1, 0b10101111), (2, 0b10011111), (3, 0b00111111),
+         (4, 0b11111111)],
+        "id long, addr long",
+    )
+    out = {
+        r["id"]: (r["match_len"], r["label"], r["rid"])
+        for r in longest_prefix_join(
+            probe, rules, "addr", "prefix", "plen", bits=8,
+            rule_tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: (4, "B", 11), 2: (2, "A", 10), 3: (2, "C", 12)}
+    # plan shape: the rewrite must stay an equi-join, never a
+    # broadcast nested loop over the theta condition
+    plan = longest_prefix_join(
+        probe, rules, "addr", "prefix", "plen", bits=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
