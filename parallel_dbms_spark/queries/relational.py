@@ -1137,6 +1137,58 @@ def typed_csv_roundtrip(spark, sf_dir):
 
 
 @register(
+    "seasonal_profile_hourly",
+    oracle="""WITH e AS (
+                SELECT event_type,
+                       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                FROM events),
+              prof AS (
+                SELECT event_type, hod,
+                       COUNT(*) AS n,
+                       CAST(FLOOR(AVG(cents)) AS BIGINT) AS mean_cents
+                FROM e GROUP BY 1, 2)
+              SELECT e.event_type, e.hod, MIN(prof.n) AS n,
+                     MIN(prof.mean_cents) AS mean_cents,
+                     CAST(FLOOR(AVG(ABS(e.cents - prof.mean_cents)))
+                          AS BIGINT) AS mad_cents
+              FROM e JOIN prof
+                ON e.event_type = prof.event_type AND e.hod = prof.hod
+              GROUP BY 1, 2""",
+    tags=("timeseries", "seasonal", "aggregate", "join", "anomaly"),
+)
+def seasonal_profile_hourly(spark, sf_dir):
+    # Hour-of-day seasonal profile + mean-absolute-deviation residual
+    # per (event_type, hour) — the detrending table a seasonal anomaly
+    # detector joins against (deviation ≫ mad_cents = anomalous).
+    # Two passes over the fact table, both grouped on the same
+    # (type, hod) key: profile means first, then residuals against the
+    # broadcast profile — the fact table never shuffles (group-by is
+    # partial-aggregated map-side; the profile is 24 x n_types rows).
+    # Integer-floor quantization keeps every output engine-exact.
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    prof = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("cents")).cast("long").alias("mean_cents"),
+    )
+    return (
+        e.join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("mean_cents").alias("mean_cents"),
+            F.floor(F.avg(F.abs(F.col("cents") - F.col("mean_cents"))))
+            .cast("long")
+            .alias("mad_cents"),
+        )
+    )
+
+
+@register(
     "join_longest_prefix",
     oracle="""WITH p AS (SELECT event_id AS id,
                                 (event_id * 2654435761) % 65536 AS addr
