@@ -769,6 +769,51 @@ def dedup_jw_fuzzy_parts(spark, sf_dir):
 
 
 @register(
+    "er_resolve_parts",
+    oracle="""WITH RECURSIVE p AS (
+                SELECT p_partkey, p_name, p_brand FROM part),
+              pairs AS (
+                SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+                FROM p a JOIN p b
+                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94),
+              nodes AS (SELECT id_a AS id FROM pairs
+                        UNION SELECT id_b FROM pairs),
+              edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                        UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              cc(id, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.id = e.v),
+              lbl AS (SELECT id, MIN(lbl) AS cluster_id
+                      FROM cc GROUP BY id)
+              SELECT cluster_id,
+                     MIN(id) AS canonical_id,
+                     COUNT(*) AS n_members
+              FROM lbl GROUP BY cluster_id""",
+    tags=("dedup", "fuzzy", "clustering", "pipeline", "pandas_udf"),
+)
+def er_resolve_parts(spark, sf_dir):
+    # Entity resolution END-TO-END: brand-blocked Jaro-Winkler scoring
+    # (>= 0.94), connected components over the match pairs, one
+    # canonical id per entity cluster (min id — the deterministic
+    # survivor policy) with member counts. The oracle replays the
+    # same metric (DuckDB's jaro_winkler_similarity) and closes the
+    # same graph with a recursive CTE — the whole
+    # block -> score -> cluster -> survive pipeline is value-hashed,
+    # not just the pair stage.
+    part = load_table(spark, sf_dir, "part")
+    pairs = dedup.jw_fuzzy_pairs(
+        part, "p_partkey", "p_name", "p_brand", threshold=0.94
+    )
+    clusters = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+    return clusters.groupBy("cluster_id").agg(
+        F.min("id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
     "surrogate_keys_dense_check",
     oracle="""SELECT COUNT(*) AS n, COUNT(*) AS n_distinct,
                      CAST(0 AS BIGINT) AS lo, COUNT(*) - 1 AS hi
