@@ -358,3 +358,48 @@ def sssp_weighted(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k. Iterative peeling — drop nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint.
+
+    Each round is one degree aggregation plus two semi-joins that
+    restrict the edge set to surviving endpoints; ``localCheckpoint``
+    truncates lineage per round (the repo-wide iterative discipline,
+    same as sssp_weighted/bfs_hops above). The fixpoint test is a
+    bounded driver scalar (one count per round). Peeling converges in
+    at most |V| rounds; real graphs converge in a handful, and
+    ``max_rounds`` bounds the worst case — on early exit the result
+    is a SUPERSET of the k-core (degrees all >= k except possibly
+    nodes whose support left in the final un-checked round), so the
+    bound is a safety valve, not a semantic knob.
+
+    Returns (node, degree) for k-core members with their in-core
+    degree.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = -1
+    deg = None
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("src").alias("node"), "degree"
+    )

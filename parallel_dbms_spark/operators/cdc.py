@@ -204,3 +204,37 @@ def state_durations(
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+def merge_apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a full I/U/D change feed onto a base table — the complete
+    ``MERGE INTO`` surface (``WHEN MATCHED AND op='D' THEN DELETE /
+    WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED AND op<>'D' THEN
+    INSERT *``), as two joins.
+
+    ``changes`` carries ``target``'s columns plus ``op_col`` with
+    values ``'I'``/``'U'``/``'D'``. Semantics (one change per key —
+    feed compaction, e.g. keep-last by timestamp, is the caller's
+    step, see ``snapshot_diff``):
+
+    - ``D``: the key's row is removed from the result.
+    - ``U``/``I``: the change row replaces/creates the key's row
+      (upsert — ``U`` on an absent key inserts, ``I`` on a present
+      key replaces, matching Delta/Iceberg MERGE-star behavior).
+
+    Plan shape: target ANTI-JOIN all-change-keys (rows the feed never
+    touches) UNION ALL the feed's non-delete rows. One equi-join
+    shuffle; the union adds none. Deletes cost nothing beyond the
+    anti-join that upserts already need.
+    """
+    keys = list(keys)
+    untouched = target.join(
+        changes.select(*keys), on=keys, how="left_anti"
+    )
+    upserts = changes.filter(F.col(op_col) != "D").select(*target.columns)
+    return untouched.unionByName(upserts)

@@ -73,3 +73,47 @@ def session_stats(
             - F.min(F.col(ts).cast("timestamp").cast("long"))
         ).alias("duration_s"),
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each ordered pair (from_state, to_state), the
+    number of adjacent occurrences and the row-conditional probability
+    P(to | from).
+
+    One window (partitioned by key — never global, the plan-sweep
+    rule) computes the lagged state; one groupBy folds the pairs; a
+    second tiny aggregation on ``from_state`` (broadcast back by
+    Catalyst) normalizes rows into probabilities. Probabilities are
+    returned quantized to 1e-6 (``p_e6``) via INTEGER division
+    (n·10⁶ div n_from) — exact in every engine, no float rounding to
+    disagree on.
+
+    Scale: the shuffle keys are (key) then (from_state, to_state) —
+    the second is low-cardinality (|states|^2 groups) and the first is
+    the same partitioning sessionize() already uses, so a pipeline
+    computing both reuses the exchange.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+    pairs = (
+        events.select(
+            F.lag(F.col(state)).over(w).alias("from_state"),
+            F.col(state).alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr("(n * 1000000L) div n_from").cast("long").alias("p_e6"),
+    )

@@ -1969,3 +1969,56 @@ def dedup_clusters_star(spark, sf_dir):
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
     return connected_components_star(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""WITH seq AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                         AS from_state,
+                       event_type AS to_state
+                FROM events),
+              pairs AS (SELECT from_state, to_state, COUNT(*) AS n
+                        FROM seq WHERE from_state IS NOT NULL
+                        GROUP BY from_state, to_state),
+              tot AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+                      FROM pairs GROUP BY from_state)
+              SELECT p.from_state, p.to_state, p.n,
+                     CAST((p.n * 1000000) // t.n_from AS BIGINT) AS p_e6
+              FROM pairs p JOIN tot t ON p.from_state = t.from_state""",
+    tags=("analytics", "window", "markov", "sessionize"),
+)
+def event_transition_matrix(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event
+    # sequences (operators/sessionize.py transition_counts): adjacent
+    # (from, to) state counts and the conditional P(to | from),
+    # quantized by integer division so both engines hash identically.
+    # The behavioral-analytics primitive behind next-action prediction
+    # and funnel leak detection.
+    from ..operators.sessionize import transition_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(ev)
+
+
+@register(
+    "graph_kcore_cooccurrence",
+    oracle=None,
+    tags=("graph", "iterative"),
+)
+def graph_kcore_cooccurrence(spark, sf_dir):
+    # k-core decomposition (iterative peeling, functions/graph.py
+    # kcore) of the user co-occurrence graph — the dense backbone that
+    # survives after repeatedly shedding weakly-connected users.
+    # Iterative fixpoint with per-round lineage truncation; not
+    # SQL-expressible (DuckDB recursive CTEs cannot aggregate over the
+    # recursion), so rows-only here + a differential pytest against a
+    # pure-Python peeling reference (tests/test_graph_kcore.py).
+    from ..functions.graph import cooccurrence_edges, kcore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    )
+    edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id")
+    return kcore(edges, k=4)

@@ -4414,3 +4414,189 @@ def asof_join_nearest(spark, sf_dir):
     return j.select(
         "event_id", "user_id", "ts", F.col("r_value").alias("near_click_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-technique joins the brief calls out by name: bucketed co-located
+# sort-merge (zero-shuffle join at read time) and Bloom-prefiltered join
+# (cut the fact side BEFORE its shuffle). Both oracles are the plain
+# join — the techniques must be invisible in the result.
+# --------------------------------------------------------------------------
+@register(
+    "join_bucketed_smb",
+    oracle="""SELECT c_mktsegment,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""",
+    tags=("join", "bucketed", "lake", "scale"),
+)
+def join_bucketed_smb(spark, sf_dir):
+    # Co-located join via bucketing (sources/lake.py
+    # write_bucketed_table): both sides pre-shuffled into 8 buckets by
+    # the join key at WRITE time, so the sort-merge join at READ time
+    # has NO Exchange on either side — the one-time write cost
+    # amortizes over every subsequent join, the decisive trade at
+    # 100 TB where the fact-side shuffle IS the job. The merge hint
+    # pins the SMJ (Catalyst would broadcast this small dim);
+    # tests/test_plans.py asserts the exchange-free plan shape.
+    import tempfile
+
+    from ..sources.lake import write_bucketed_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = tempfile.mkdtemp(prefix="smb_join_")
+    write_bucketed_table(
+        orders, "smb_orders", "o_custkey", 8, base + "/orders", sort_by="o_custkey"
+    )
+    write_bucketed_table(
+        cust, "smb_customer", "c_custkey", 8, base + "/customer", sort_by="c_custkey"
+    )
+    o, c = spark.table("smb_orders"), spark.table("smb_customer")
+    j = o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""SELECT c_nationkey,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY c_nationkey""",
+    tags=("join", "bloom", "scale"),
+)
+def join_bloom_prefilter(spark, sf_dir):
+    # Bloom-filter semi-join pre-filter (operators/bloom_join.py): the
+    # selective dim predicate ('BUILDING' ~ 1/5 of customers) is
+    # pushed onto the fact scan as a bitmap test BEFORE the join, so
+    # only might-match rows pay the join at all; the exact join then
+    # removes the bounded false-positive residue — the oracle is the
+    # PLAIN join because the bloom must be invisible in the result.
+    # tests/test_bloom_join.py asserts it actually prunes and that FPs
+    # are removed.
+    from ..operators.bloom_join import bloom_semi_filter
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    pre = bloom_semi_filter(orders, dim, "o_custkey", "c_custkey")
+    j = pre.join(F.broadcast(dim), pre["o_custkey"] == dim["c_custkey"])
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "cdc_apply_full",
+    oracle="""WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                           FROM orders),
+                   del AS (SELECT o_orderkey FROM tgt
+                           WHERE o_orderkey % 19 = 0),
+                   upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                                  o_orderpriority
+                           FROM tgt
+                           WHERE o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0),
+                   ins AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+                                  'N' AS o_orderstatus, o_orderpriority
+                           FROM tgt WHERE o_orderkey % 17 = 0),
+                   touched AS (SELECT o_orderkey FROM del
+                               UNION ALL SELECT o_orderkey FROM upd
+                               UNION ALL SELECT o_orderkey FROM ins)
+              SELECT t.o_orderkey, t.o_orderstatus, t.o_orderpriority
+              FROM tgt t
+              WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+              UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins""",
+    tags=("cdc", "merge", "lake"),
+)
+def cdc_apply_full(spark, sf_dir):
+    # The COMPLETE MERGE surface — deletes included (merge_upsert_orders
+    # covers U/I only): a deterministic I/U/D feed applied via
+    # operators/cdc.py merge_apply_cdc. One anti-join shuffle total;
+    # deletes ride the anti-join the upserts already pay for.
+    from ..operators.cdc import merge_apply_cdc
+
+    tgt = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    deletes = tgt.filter(key % 19 == 0).withColumn("op", F.lit("D"))
+    updates = (
+        tgt.filter((key % 13 == 0) & (key % 19 != 0))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        tgt.filter(key % 17 == 0)
+        .withColumn("o_orderkey", key + 20000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return merge_apply_cdc(tgt, changes, keys=["o_orderkey"])
+
+
+@register(
+    "changepoint_cusum_priority",
+    oracle="""WITH daily AS (
+                SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1, 2),
+              mu AS (SELECT pri, AVG(n) AS mu FROM daily GROUP BY pri),
+              s AS (SELECT daily.pri, d, n,
+                           SUM(n - mu) OVER (PARTITION BY daily.pri ORDER BY d
+                                             ROWS UNBOUNDED PRECEDING) AS cusum
+                    FROM daily JOIN mu ON daily.pri = mu.pri)
+              SELECT pri, d, n,
+                     CAST(round(cusum * 1e6) AS BIGINT) AS cusum_e6
+              FROM s""",
+    tags=("timeseries", "window", "anomaly"),
+)
+def changepoint_cusum_priority(spark, sf_dir):
+    # Mean-shift change-point statistic (CUSUM chart, no-reset form):
+    # per priority class, the running sum of deviations from the class
+    # mean of the daily order count — |CUSUM| peaks at the most likely
+    # change point. The window is PARTITIONED by class (plan-sweep
+    # rule: never a global orderBy window); the running double sum is
+    # order-deterministic (unique days within a class) so both engines
+    # fold bit-identical IEEE doubles and the 1e-6 quantization hashes
+    # exactly.
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = daily.groupBy("pri").agg(F.avg("n").alias("mu"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.join(mu, "pri")
+        .select(
+            "pri",
+            "d",
+            "n",
+            F.round(F.sum(F.col("n") - F.col("mu")).over(w) * 1e6)
+            .cast("long")
+            .alias("cusum_e6"),
+        )
+    )
