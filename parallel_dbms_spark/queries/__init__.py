@@ -7,5 +7,6 @@ from . import streaming_q  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import recursive_sql  # noqa: E402,F401
 from . import search_q  # noqa: E402,F401
+from . import stats_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]
