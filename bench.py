@@ -304,6 +304,13 @@ def bench_queries(spark, sf_dir):
         "search_substring": lambda: _exec(
             REGISTRY["search_substring_trigram"].fn(spark, sf_dir)
         ),
+        # r5 wave 2: the statistics surface — AUC exercises the
+        # distributed global rank (range shuffle) at full table size,
+        # KL exercises the term-keyed co-partitioned join
+        "stat_auc": lambda: _exec(REGISTRY["eval_auc_quality"].fn(spark, sf_dir)),
+        "corpus_kl": lambda: _exec(
+            REGISTRY["corpus_kl_divergence"].fn(spark, sf_dir)
+        ),
     }
 
     times, rates = {}, {}
