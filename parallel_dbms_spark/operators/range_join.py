@@ -408,3 +408,54 @@ def longest_prefix_join(
         )
     )
     return best
+
+
+def points_in_convex_polygon(
+    points: DataFrame,
+    vertices: list[tuple[float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Point-in-convex-polygon containment as a pure projection-time
+    predicate — the geofencing primitive ("which events happened inside
+    this delivery zone").
+
+    For a CONVEX polygon with vertices in counter-clockwise order, a
+    point is inside iff it lies on the left of (or on) every directed
+    edge: cross((v2-v1), (p-v1)) >= 0 for all edges. That is a fixed
+    conjunction of |V| multiply-subtract comparisons — whole-stage
+    codegen, no join, no UDF, trivially data-parallel at any scale.
+
+    A bounding-box prefilter runs FIRST: min/max of the vertices are
+    compile-time constants, so when the coordinates are stored columns
+    the bbox conjuncts are sargable (PushedFilters into the parquet
+    scan / row-group stats pruning); the exact half-plane test then
+    only touches bbox survivors. For non-convex polygons, decompose
+    into convex pieces and OR the predicates (or fall back to a
+    ray-cast pandas UDF — not needed for the fixture surface).
+
+    Degenerate/clockwise inputs are a caller error: the predicate is
+    only a containment test when the winding is CCW and the polygon is
+    convex; tests/test_spatial_polygon.py asserts both for the fixture
+    polygon.
+    """
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    x, y = F.col(x_col), F.col(y_col)
+    xs = [v[0] for v in vertices]
+    ys = [v[1] for v in vertices]
+    cond = (
+        (x >= F.lit(min(xs)))
+        & (x <= F.lit(max(xs)))
+        & (y >= F.lit(min(ys)))
+        & (y <= F.lit(max(ys)))
+    )
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = (F.lit(x2 - x1)) * (y - F.lit(y1)) - (F.lit(y2 - y1)) * (
+            x - F.lit(x1)
+        )
+        cond = cond & (cross >= F.lit(0.0))
+    return points.filter(cond)

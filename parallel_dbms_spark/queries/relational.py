@@ -3684,6 +3684,75 @@ def spatial_geo_radius(spark, sf_dir):
     return geo_radius_pairs(pts, radius_km=300.0)
 
 
+# Fixture geofence: convex pentagon, vertices CCW (convexity + winding
+# asserted in tests/test_spatial_polygon.py). The oracle's half-plane
+# constants are GENERATED from this same list so both engines evaluate
+# byte-identical literals.
+_FENCE = [
+    (500.0, 900.0),
+    (120.0, 624.0),
+    (265.0, 176.0),
+    (735.0, 176.0),
+    (880.0, 624.0),
+]
+
+
+def _fence_sql_pred(verts) -> str:
+    xs, ys = [v[0] for v in verts], [v[1] for v in verts]
+    conds = [
+        f"x >= {min(xs)}",
+        f"x <= {max(xs)}",
+        f"y >= {min(ys)}",
+        f"y <= {max(ys)}",
+    ]
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        conds.append(
+            f"({x2 - x1}) * (y - {y1}) - ({y2 - y1}) * (x - {x1}) >= 0.0"
+        )
+    return " AND ".join(conds)
+
+
+@register(
+    "spatial_point_in_polygon",
+    oracle=f"""WITH p AS (SELECT event_id AS id,
+                     CAST(event_id * 2654435761 % 100000 AS DOUBLE) / 100.0 AS x,
+                     CAST(event_id * 40503 % 100000 AS DOUBLE) / 100.0 AS y
+              FROM events WHERE event_id % 97 = 0)
+              SELECT id,
+                     CAST(FLOOR(x * 1000000.0) AS BIGINT) AS x_e6,
+                     CAST(FLOOR(y * 1000000.0) AS BIGINT) AS y_e6
+              FROM p
+              WHERE {_fence_sql_pred(_FENCE)}""",
+    tags=("spatial", "filter", "geo"),
+)
+def spatial_point_in_polygon(spark, sf_dir):
+    # Geofence containment: bbox prefilter + CCW half-plane conjunction
+    # (operators/range_join.points_in_convex_polygon) — a pure codegen
+    # predicate, no join, no UDF; on stored coordinates the bbox
+    # conjuncts push into the scan. Points derive from integer hashes
+    # (as spatial_radius_pairs) so both engines test identical doubles.
+    from ..operators import points_in_convex_polygon
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("event_id") * 2654435761 % 100000).cast("double") / 100.0).alias("x"),
+            ((F.col("event_id") * 40503 % 100000).cast("double") / 100.0).alias("y"),
+        )
+    )
+    inside = points_in_convex_polygon(pts, _FENCE)
+    return inside.select(
+        "id",
+        F.floor(F.col("x") * 1000000.0).cast("long").alias("x_e6"),
+        F.floor(F.col("y") * 1000000.0).cast("long").alias("y_e6"),
+    )
+
+
 @register(
     "sql_nulls_ordering",
     oracle="""SELECT event_id,
