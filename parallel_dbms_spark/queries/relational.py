@@ -2869,6 +2869,109 @@ def lake_delete_keys(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Transactional multi-writer lake (sources/txlog.py): optimistic CAS
+# commits over an append-only log — the Delta-protocol upgrade to the
+# single-writer write_version contract. The queries below drive REAL
+# concurrent writers (threads) and time travel; the concurrency-
+# semantics matrix (conflicts, retries, isolation) is tests/test_txlog.py.
+# --------------------------------------------------------------------------
+@register(
+    "lake_tx_multiwriter_snapshot",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE NOT COALESCE(o_totalprice < 1000.0, FALSE)
+              GROUP BY o_orderstatus""",
+    tags=("lake", "merge", "versioned", "groupby"),
+)
+def lake_tx_multiwriter_snapshot(spark, sf_dir):
+    # Three CONCURRENT writers append disjoint slices (appends commute,
+    # so the interleaving is irrelevant to the final state), then a
+    # transactional row-level delete and a compaction land on top. The
+    # oracle is the declarative equivalent over the source table — the
+    # whole commit protocol must be semantically invisible.
+    import tempfile
+    import threading
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_tx_") + "/orders"
+    errs: list[Exception] = []
+
+    def _append(mod: int) -> None:
+        try:
+            txlog.tx_append(o.filter(F.col("o_orderkey") % 3 == mod), t)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_append, args=(m,)) for m in range(3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert txlog.log_versions(t) == [1, 2, 3], "appends must all land"
+    txlog.tx_delete_where(spark, t, "o_totalprice < 1000.0")
+    txlog.tx_compact(spark, t, num_files=4)
+    snap = txlog.read_snapshot(spark, t)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+@register(
+    "lake_tx_history_counts",
+    oracle="""WITH v1 AS (SELECT COUNT(*) AS n FROM customer
+                          WHERE c_custkey % 3 = 0),
+                   v2 AS (SELECT COUNT(*) AS n FROM customer
+                          WHERE c_custkey % 3 IN (0, 1)),
+                   v3 AS (SELECT COUNT(*) AS n FROM customer),
+                   v4 AS (SELECT COUNT(*) AS n FROM customer
+                          WHERE NOT COALESCE(c_acctbal < 0.0, FALSE))
+              SELECT 1 AS version, n FROM v1
+              UNION ALL SELECT 2, n FROM v2
+              UNION ALL SELECT 3, n FROM v3
+              UNION ALL SELECT 4, n FROM v4
+              UNION ALL SELECT 5, n FROM v4""",
+    tags=("lake", "time-travel", "versioned"),
+)
+def lake_tx_history_counts(spark, sf_dir):
+    # Row count at EVERY committed version of a transactional table —
+    # append, append, append, delete, compact — via snapshot-pinned
+    # time travel over the commit log. Compaction (v5) must be
+    # invisible to row counts.
+    import tempfile
+    from functools import reduce
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = tempfile.mkdtemp(prefix="lake_txh_") + "/customer"
+    txlog.tx_append(c.filter(F.col("c_custkey") % 3 == 0), t)
+    txlog.tx_append(c.filter(F.col("c_custkey") % 3 == 1), t)
+    txlog.tx_append(c.filter(F.col("c_custkey") % 3 == 2), t)
+    txlog.tx_delete_where(spark, t, "c_acctbal < 0.0")
+    txlog.tx_compact(spark, t, num_files=2)
+    per_version = [
+        txlog.read_snapshot(spark, t, version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for v in txlog.log_versions(t)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_version)
+
+
+# --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD
 # value-hashes against the identical SQL floor expression — unlike

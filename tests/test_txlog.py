@@ -1,0 +1,201 @@
+"""Transaction-log (sources/txlog.py) semantics: atomic commits,
+optimistic concurrency, conflict detection, snapshot isolation,
+checkpoint replay, vacuum. Threaded tests drive REAL concurrent
+writers through the public API."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from parallel_dbms_spark.sources import txlog
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_read_roundtrip(spark, table):
+    v1 = txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]), table)
+    v2 = txlog.tx_append(_df(spark, [(3, "c")]), table)
+    assert (v1, v2) == (1, 2)
+    got = {
+        (r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert txlog.log_versions(table) == [1, 2]
+
+
+def test_threaded_appends_all_land(spark, table):
+    n_threads, per_thread = 6, 4
+    errs = []
+
+    def writer(t):
+        try:
+            for i in range(per_thread):
+                txlog.tx_append(
+                    _df(spark, [(t * 100 + i, f"w{t}")]), table
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    total = n_threads * per_thread
+    # versions are contiguous 1..N: every commit claimed a unique slot
+    assert txlog.log_versions(table) == list(range(1, total + 1))
+    rows = txlog.read_snapshot(spark, table).collect()
+    assert len(rows) == total
+    assert {r.k for r in rows} == {
+        t * 100 + i for t in range(n_threads) for i in range(per_thread)
+    }
+
+
+def test_delete_rewrites_only_affected_files(spark, table):
+    txlog.tx_append(_df(spark, [(i, "keep") for i in range(10)]), table)
+    txlog.tx_append(_df(spark, [(i, "drop") for i in range(10, 20)]), table)
+    _, before = txlog.snapshot_files(table)
+    v, rewritten = txlog.tx_delete_where(spark, table, "v = 'drop'")
+    _, after = txlog.snapshot_files(table)
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == set(range(10))
+    # the keep-file is untouched (same physical file still live)
+    keep_files = set(before) & set(after)
+    assert keep_files, "unaffected file should not be rewritten"
+    # delete of every row in a file leaves no replacement file
+    rec = txlog.read_commit(table, v)
+    assert rec["action"] == "delete" and rewritten >= 1
+
+
+def test_delete_null_predicate_rows_survive(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "k long, x double"
+        ),
+        table,
+    )
+    txlog.tx_delete_where(spark, table, "x > 10.0")
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {1, 2}  # NULL predicate row SURVIVES (3VL)
+
+
+def test_stale_append_commutes_but_conflicting_delete_raises(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    parent, files = txlog.snapshot_files(table)
+    # interleave: another writer appends AFTER our snapshot
+    txlog.tx_append(_df(spark, [(2, "b")]), table)
+    # our commit with the stale parent: removes nothing -> commutes
+    v = txlog.commit(table, "append", [], [], parent)
+    assert v == 3
+    # now two writers both try to remove the SAME file
+    parent2, live = txlog.snapshot_files(table)
+    victim = [live[0]]
+    txlog.commit(table, "delete", [], victim, parent2)
+    with pytest.raises(txlog.TxConflict):
+        txlog.commit(table, "delete", [], victim, parent2)
+
+
+def test_delete_retries_through_interleaved_append(spark, table):
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(5)]), table)
+    # a delete whose snapshot goes stale mid-flight still lands: the
+    # public API retries; simulate staleness with a racing append
+    done = threading.Event()
+
+    def appender():
+        while not done.is_set():
+            txlog.tx_append(_df(spark, [(999, "noise")]), table)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    try:
+        v, n = txlog.tx_delete_where(spark, table, "k = 2")
+        assert n == 1
+    finally:
+        done.set()
+        th.join()
+    ks = [r.k for r in txlog.read_snapshot(spark, table).collect()]
+    assert 2 not in ks and set(ks) >= {0, 1, 3, 4}
+
+
+def test_compact_preserves_data_and_commutes_with_append(spark, table):
+    for i in range(4):
+        txlog.tx_append(_df(spark, [(i, "a")]), table)
+    _, files = txlog.snapshot_files(table)
+    assert len(files) >= 4
+    v, replaced = txlog.tx_compact(spark, table, num_files=1)
+    _, after = txlog.snapshot_files(table)
+    assert replaced == len(files) and len(after) == 1
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {
+        0, 1, 2, 3,
+    }
+    # compact with a stale parent + interleaved append: append survives
+    parent, live = txlog.snapshot_files(table)
+    txlog.tx_append(_df(spark, [(99, "late")]), table)
+    v2, _ = txlog.tx_compact(spark, table, num_files=1)
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert 99 in got and got >= {0, 1, 2, 3}
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]), table)
+    pinned = txlog.read_snapshot(spark, table, version=1)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    # the pinned plan still reads the immutable v1 files
+    assert {r.k for r in pinned.collect()} == {1, 2}
+    assert {
+        r.k for r in txlog.read_snapshot(spark, table, version=1).collect()
+    } == {1, 2}
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {2}
+
+
+def test_checkpoint_replay_matches_full_replay(spark, table):
+    for i in range(13):  # crosses the every-10 checkpoint boundary
+        txlog.tx_append(_df(spark, [(i, "x")]), table)
+    ckpt = os.path.join(table, txlog.TXLOG, f"{10:012d}.checkpoint.json")
+    assert os.path.exists(ckpt)
+    with open(ckpt) as fh:
+        live_at_10 = set(json.load(fh)["live"])
+    # brute-force replay from scratch must agree with checkpointed path
+    live = set()
+    for v in range(1, 11):
+        rec = txlog.read_commit(table, v)
+        live -= set(rec["removed"])
+        live |= set(rec["added"])
+    assert live == live_at_10
+    _, files13 = txlog.snapshot_files(table)
+    assert len(txlog.read_snapshot(spark, table).collect()) == 13
+    assert len(files13) == 13
+
+
+def test_vacuum_reclaims_only_orphans(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    # crashed writer: staged + renamed but never committed
+    orphans = txlog._stage(_df(spark, [(9, "orphan")]), table)
+    _, live = txlog.snapshot_files(table)
+    removed = txlog.tx_vacuum(table)
+    assert set(orphans) <= set(removed)
+    for f in live:
+        assert os.path.exists(os.path.join(table, f))
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {1}
+
+
+def test_empty_table_after_full_delete_keeps_schema(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_delete_where(spark, table, "true")
+    out = txlog.read_snapshot(spark, table)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
