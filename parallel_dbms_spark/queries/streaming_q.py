@@ -586,3 +586,57 @@ def batch_session_window_native(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "stream_tx_append_exactly_once",
+    oracle="""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY event_type""",
+    tags=("streaming", "lake", "sink", "versioned"),
+)
+def stream_tx_append_exactly_once(spark, sf_dir):
+    # Stream -> TRANSACTIONAL table (streaming/sinks.stream_tx_append):
+    # three micro-batches commit through the CAS log carrying their
+    # (app, batch_id) txn identity; then the WHOLE stream replays with
+    # a fresh checkpoint — the lost-engine-checkpoint recovery case —
+    # and every batch is skipped by the ledger in the log itself, so
+    # the table holds exactly one copy. (The ledger assumes the source
+    # re-batches deterministically on replay — the same contract the
+    # Delta txn action documents; here a full replay skips on ids
+    # alone.) The oracle is the plain batch aggregate over the source:
+    # exactly-once must make the whole machinery invisible.
+    import tempfile
+
+    from ..sources import txlog
+    from ..streaming import read_events_stream
+    from ..streaming.sinks import stream_tx_append
+
+    base = tempfile.mkdtemp(prefix="stream_tx_")
+    table = base + "/events_tx"
+    staged = base + "/src"
+
+    def run(ckpt: str) -> None:
+        ev = read_events_stream(
+            spark, sf_dir, staged=staged, n_files=3, max_files_per_trigger=1
+        )
+        stream_tx_append(
+            ev.select("event_id", "event_type", "value"),
+            table,
+            f"{base}/{ckpt}",
+            app="ingest",
+        )
+
+    run("ckpt1")
+    n_commits = len(txlog.log_versions(table))
+    assert n_commits == 3, f"expected 3 batch commits, got {n_commits}"
+    run("ckpt2")  # full replay, fresh checkpoint
+    assert len(txlog.log_versions(table)) == n_commits, (
+        "replayed batches must be skipped by the txn ledger"
+    )
+    snap = txlog.read_snapshot(spark, table)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )

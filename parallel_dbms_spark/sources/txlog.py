@@ -157,11 +157,13 @@ def commit(
     parent_version: int,
     schema_json: str | None = None,
     max_attempts: int = 64,
+    meta: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
     :class:`TxConflict` if any of them removed a file this commit also
-    removes."""
+    removes. ``meta`` (e.g. streaming txn identity) is stored verbatim
+    in the commit record."""
     _init_table(table)
     ours_removed = set(removed)
     v = parent_version + 1
@@ -173,6 +175,8 @@ def commit(
     }
     if schema_json:
         rec["schema"] = schema_json
+    if meta:
+        rec.update(meta)
     for _ in range(max_attempts):
         rec["version"] = v
         if _try_create(_commit_path(table, v), rec):
@@ -215,14 +219,33 @@ def _stage(df: DataFrame, table: str) -> list[str]:
     return rels
 
 
-def tx_append(df: DataFrame, table: str) -> int:
+def tx_append(df: DataFrame, table: str, meta: dict | None = None) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched."""
     added = _stage(df, table)
     parent = (log_versions(table) or [0])[-1]
     return commit(
-        table, "append", added, [], parent, schema_json=df.schema.json()
+        table,
+        "append",
+        added,
+        [],
+        parent,
+        schema_json=df.schema.json(),
+        meta=meta,
     )
+
+
+def committed_txn_batches(table: str, app: str) -> set[int]:
+    """Batch ids already committed by streaming writer ``app`` — the
+    idempotence ledger for :func:`..streaming.sinks.stream_tx_append`
+    (the Delta ``txn`` action re-expressed). O(log length) driver-side
+    JSON reads; a long-lived table would fold this into checkpoints."""
+    out = set()
+    for v in log_versions(table):
+        rec = read_commit(table, v)
+        if rec.get("txn_app") == app and "txn_batch" in rec:
+            out.add(int(rec["txn_batch"]))
+    return out
 
 
 def read_snapshot(

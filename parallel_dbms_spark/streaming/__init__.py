@@ -7,6 +7,7 @@ from .joins import (
 from .observe import ProgressCapture, capture_progress
 from .sinks import (
     stream_to_versioned_table,
+    stream_tx_append,
     stream_upsert_sink,
     write_stream_exactly_once,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "session_window_agg",
     "stream_upsert_sink",
     "stream_to_versioned_table",
+    "stream_tx_append",
     "sliding_window_agg",
     "tumbling_window_agg",
     "write_stream_exactly_once",

@@ -483,3 +483,47 @@ def read_ohlc(spark, path: str) -> DataFrame:
         F.col("c.v").alias("close"),
         "n_events",
     )
+
+
+def stream_tx_append(
+    streaming_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    app: str = "stream",
+    trigger_available_now: bool = True,
+):
+    """Stream into a TRANSACTIONAL table (sources/txlog.py) with
+    exactly-once appends — the Delta ``txn`` pattern.
+
+    Each micro-batch commits through the table's CAS log carrying its
+    streaming identity (``txn_app``, ``txn_batch``). A replayed batch
+    (crash between commit and checkpoint write, or a whole re-run with
+    a fresh checkpoint) is detected in the LOG ITSELF and skipped, so
+    the table never double-ingests — idempotence lives with the data,
+    not only in the engine checkpoint. Concurrent BATCH writers stay
+    safe for free: tx appends commute, and a concurrent delete/compact
+    never conflicts with an append.
+
+    At scale the per-batch overhead is one O(log tail) ledger read and
+    one commit-file put — independent of data volume; batch data
+    itself stages and renames executor-side like any append.
+    """
+    from ..sources import txlog
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in txlog.committed_txn_batches(table, app):
+            return  # replay of an already-committed batch
+        txlog.tx_append(
+            batch_df, table, meta={"txn_app": app, "txn_batch": batch_id}
+        )
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q

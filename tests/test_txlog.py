@@ -199,3 +199,28 @@ def test_empty_table_after_full_delete_keeps_schema(spark, table):
     out = txlog.read_snapshot(spark, table)
     assert out.count() == 0
     assert set(out.columns) == {"k", "v"}
+
+
+def test_stream_tx_append_skips_replayed_batch(spark, tmp_path):
+    """Crash-between-commit-and-checkpoint: the batch is already in the
+    log when it is re-delivered, and must not double-ingest."""
+    from parallel_dbms_spark.streaming.sinks import stream_tx_append
+
+    table = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df.coalesce(1).write.parquet(src)
+
+    # simulate the crashed run: batch 0 committed, checkpoint lost
+    txlog.tx_append(df, table, meta={"txn_app": "ingest", "txn_batch": 0})
+    assert txlog.committed_txn_batches(table, "ingest") == {0}
+    # other apps' ledgers are independent
+    assert txlog.committed_txn_batches(table, "other") == set()
+
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    stream_tx_append(
+        stream, table, str(tmp_path / "ckpt"), app="ingest"
+    )
+    # the re-delivered batch 0 was skipped: still exactly one commit
+    assert txlog.log_versions(table) == [1]
+    assert txlog.read_snapshot(spark, table).count() == 2
