@@ -219,18 +219,76 @@ def _stage(df: DataFrame, table: str) -> list[str]:
     return rels
 
 
-def tx_append(df: DataFrame, table: str, meta: dict | None = None) -> int:
+def table_schema(table: str) -> StructType | None:
+    """The table's current schema: the newest commit that recorded
+    one."""
+    for v in reversed(log_versions(table)):
+        rec = read_commit(table, v)
+        if "schema" in rec:
+            return StructType.fromJson(json.loads(rec["schema"]))
+    return None
+
+
+def tx_append(
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+    merge_schema: bool = False,
+) -> int:
     """Append rows transactionally. Appends never conflict — a lost
-    race re-claims the next version untouched."""
+    race re-claims the next version untouched.
+
+    Schema contract (the Delta one): by default an append must carry
+    exactly the table's columns (order-insensitive; a drift-write is
+    rejected BEFORE staging, so nothing lands). With
+    ``merge_schema=True`` additive evolution is allowed — new columns
+    append, existing columns must keep their type — and the commit
+    records the widened schema, which :func:`read_snapshot` serves by
+    schema-merging old files (absent columns read as NULL).
+    """
+    current = table_schema(table)
+    if current is not None:
+        cur = {f.name: f.dataType for f in current.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        changed = [
+            n for n in new if n in cur and new[n] != cur[n]
+        ]
+        if changed:
+            raise ValueError(
+                f"append changes column type(s) {changed}; "
+                "type evolution is not supported"
+            )
+        extra = set(new) - set(cur)
+        missing = set(cur) - set(new)
+        if (extra or missing) and not merge_schema:
+            raise ValueError(
+                f"append schema drift (extra={sorted(extra)}, "
+                f"missing={sorted(missing)}); pass merge_schema=True "
+                "for additive evolution"
+            )
+        if missing and merge_schema:
+            raise ValueError(
+                f"append drops column(s) {sorted(missing)}; evolution "
+                "is additive-only"
+            )
     added = _stage(df, table)
     parent = (log_versions(table) or [0])[-1]
+    if current is not None and merge_schema:
+        widened = StructType(
+            list(current.fields)
+            + [f for f in df.schema.fields if f.name not in
+               {g.name for g in current.fields}]
+        )
+        schema_json = widened.json()
+    else:
+        schema_json = df.schema.json()
     return commit(
         table,
         "append",
         added,
         [],
         parent,
-        schema_json=df.schema.json(),
+        schema_json=schema_json,
         meta=meta,
     )
 
@@ -255,18 +313,25 @@ def read_snapshot(
     default). The returned plan references explicit immutable files —
     later commits cannot change what it reads."""
     v, files = snapshot_files(table, version)
+    versions = log_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits under {table}")
+    # the schema AS OF the requested version (newest commit <= v that
+    # recorded one) — also what makes additive schema evolution serve
+    # correctly: old files lack the new columns and read as NULL under
+    # the explicit schema, with no mergeSchema footer pass.
+    schema = None
+    for c in reversed(versions if version is None else [x for x in versions if x <= v]):
+        rec = read_commit(table, c)
+        if "schema" in rec:
+            schema = StructType.fromJson(json.loads(rec["schema"]))
+            break
     if not files:
-        versions = log_versions(table)
-        if not versions:
-            raise FileNotFoundError(f"no commits under {table}")
-        # empty table: reconstruct schema from the last commit carrying one
-        for c in reversed(versions if version is None else range(1, version + 1)):
-            rec = read_commit(table, c)
-            if "schema" in rec:
-                schema = StructType.fromJson(json.loads(rec["schema"]))
-                return spark.createDataFrame([], schema)
-        raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
-    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+        if schema is None:
+            raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
+        return spark.createDataFrame([], schema)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
 def tx_delete_where(

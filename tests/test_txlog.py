@@ -224,3 +224,42 @@ def test_stream_tx_append_skips_replayed_batch(spark, tmp_path):
     # the re-delivered batch 0 was skipped: still exactly one commit
     assert txlog.log_versions(table) == [1]
     assert txlog.read_snapshot(spark, table).count() == 2
+
+
+def test_schema_drift_rejected_without_merge_flag(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    with pytest.raises(ValueError, match="schema drift"):
+        txlog.tx_append(
+            spark.createDataFrame([(2, "b", 9.0)], "k long, v string, x double"),
+            table,
+        )
+    # nothing landed: one commit, one row
+    assert txlog.log_versions(table) == [1]
+    assert txlog.read_snapshot(spark, table).count() == 1
+
+
+def test_additive_schema_evolution(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, x double"),
+        table,
+        merge_schema=True,
+    )
+    out = txlog.read_snapshot(spark, table)
+    assert set(out.columns) == {"k", "v", "x"}
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].x is None and rows[2].x == 9.5
+    # time travel serves the OLD schema before the evolution commit
+    v1 = txlog.read_snapshot(spark, table, version=1)
+    assert set(v1.columns) == {"k", "v"}
+    # type changes and column drops stay rejected
+    with pytest.raises(ValueError, match="type"):
+        txlog.tx_append(
+            spark.createDataFrame([(3, 7)], "k long, v long"),
+            table,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="drops"):
+        txlog.tx_append(
+            _df(spark, [(3, "c")]), table, merge_schema=True
+        )
