@@ -347,3 +347,116 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
             _e6(F.abs(share - benford)).alias("dev_e6"),
         )
     )
+
+
+def bootstrap_replicate_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    threshold_hex: str = "80000000",
+) -> DataFrame:
+    """Hash-deterministic m-out-of-n bootstrap: ``n_replicates``
+    half-sample means of a value column, the input to a percentile
+    confidence interval for the mean (Politis-Romano subsampling /
+    m-out-of-n bootstrap — valid CIs at m = n/2 with the usual
+    sqrt(m/n) rescale, which the caller applies if they want exact
+    coverage rather than a spread diagnostic).
+
+    Membership of row i in replicate r is ``md5(i || '|' || r)``'s
+    leading 8 hex chars compared to ``threshold_hex`` — a pure function
+    of (id, r), so replicates are reproducible across engines, runs,
+    and partitionings (no RNG state, no seed plumbing).
+
+    Scale shape: ONE scan, ``n_replicates`` conditional aggregates —
+    never an explode/cross-join that would shuffle B×N rows. Values
+    floor-quantize to e6 integers before the sums (exact DECIMAL
+    accumulation), so each replicate mean is one deterministic double.
+
+    Returns ``n_replicates`` rows: ``replicate, n, mean_e6``.
+    """
+    key = F.col(id_col).cast("string")
+    v = F.floor(F.col(value_col) * F.lit(1000000.0)).cast("bigint")
+    d = df.select(key.alias("_k"), v.alias("_v"))
+    aggs = []
+    for r in range(n_replicates):
+        m = F.substring(
+            F.md5(F.concat_ws("|", F.col("_k"), F.lit(str(r)))), 1, 8
+        )
+        inc = m < F.lit(threshold_hex)
+        aggs.append(
+            F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{r}")
+        )
+        aggs.append(
+            F.sum(F.when(inc, F.col("_v").cast(_ACC)).otherwise(None)).alias(
+                f"s_{r}"
+            )
+        )
+    wide = d.agg(*aggs)
+    # reshape the one wide row to (replicate, n, mean_e6) via stack —
+    # a projection of a single row, not a shuffle
+    pairs = ", ".join(
+        f"{r}, n_{r}, CAST(FLOOR(CAST(s_{r} AS DOUBLE) / n_{r}) AS BIGINT)"
+        for r in range(n_replicates)
+    )
+    return wide.selectExpr(
+        f"stack({n_replicates}, {pairs}) AS (replicate, n, mean_e6)"
+    ).select(
+        F.col("replicate").cast("int").alias("replicate"), "n", "mean_e6"
+    )
+
+
+def covariance_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Sample covariance matrix of numeric columns from ONE scan of
+    exact sufficient statistics: per pair (i ≤ j), Σxᵢ, Σxⱼ, Σxᵢxⱼ over
+    e6-quantized values in DECIMAL(38,0); cov = (Σxy - ΣxΣy/n)/(n-1)
+    evaluated once in double per cell. Output covariances are in the
+    ORIGINAL units (the e12 quantization factor divides back out),
+    floor-quantized to ``cov_e6``.
+
+    Returns one row per ordered pair i ≤ j: ``col_a, col_b, n,
+    cov_e6`` — the upper triangle (the matrix is symmetric).
+    """
+    qs = {
+        c: F.floor(F.col(c) * F.lit(1000000.0)).cast("bigint") for c in cols
+    }
+    d = df.select([qs[c].alias(f"_q_{c}") for c in cols])
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"_q_{c}").cast(_ACC)).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(f"_q_{a}").cast(_ACC) * F.col(f"_q_{b}")
+                ).alias(f"_p_{a}_{b}")
+            )
+    wide = d.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            n = F.col("_n")
+            cov = (
+                F.col(f"_p_{a}_{b}").cast("double")
+                - F.col(f"_s_{a}").cast("double")
+                * F.col(f"_s_{b}").cast("double")
+                / n
+            ) / (n - F.lit(1))
+            rows.append(
+                wide.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    n.cast("bigint").alias("n"),
+                    # e12 units -> original units, then e6 quantize:
+                    # net divide by 1e6
+                    F.floor(cov / F.lit(1000000.0))
+                    .cast("bigint")
+                    .alias("cov_e6"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

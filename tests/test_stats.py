@@ -189,3 +189,55 @@ def test_benford_on_benford_data(spark):
     assert sum(r.n for r in out) == 5000
     for r in out:
         assert r.dev_e6 < 25_000  # within 2.5pp of Benford at n=5000
+
+
+def test_bootstrap_replicates_deterministic_and_plausible(spark):
+    rng = np.random.default_rng(29)
+    v = rng.normal(100.0, 10.0, 4000)
+    rows = [(int(i), float(x)) for i, x in enumerate(v)]
+    df = _df(spark, rows, "id long, v double")
+    out = stats.bootstrap_replicate_means(df, "v", "id", n_replicates=16)
+    a = sorted((r.replicate, r.n, r.mean_e6) for r in out.collect())
+    b = sorted((r.replicate, r.n, r.mean_e6) for r in out.collect())
+    assert a == b and len(a) == 16  # pure hash function of (id, r)
+    ns = [n for _, n, _ in a]
+    means = [m / 1e6 for _, _, m in a]
+    # half-sampling: ~2000 +- 4 sigma
+    assert all(abs(n - 2000) < 4 * (4000 * 0.25) ** 0.5 + 1 for n in ns)
+    # replicate means scatter around the grand mean like sigma/sqrt(m)
+    gm = float(np.mean(v))
+    se = 10.0 / (2000**0.5)
+    assert all(abs(m - gm) < 6 * se for m in means)
+    assert np.std(means) < 4 * se
+
+
+def test_bootstrap_replicates_differ_across_r(spark):
+    df = _df(spark, [(i, 1.0 * i) for i in range(500)], "id long, v double")
+    out = stats.bootstrap_replicate_means(df, "v", "id", n_replicates=8)
+    got = {r.replicate: (r.n, r.mean_e6) for r in out.collect()}
+    assert len({v for v in got.values()}) > 1, "replicates must differ"
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(31)
+    x = rng.normal(0, 3, 1000)
+    y = 2.0 * x + rng.normal(0, 1, 1000)
+    z = rng.normal(5, 2, 1000)
+    rows = [
+        (float(a), float(b), float(c)) for a, b, c in zip(x, y, z)
+    ]
+    df = _df(spark, rows, "x double, y double, z double")
+    out = {
+        (r.col_a, r.col_b): r.cov_e6 / 1e6
+        for r in stats.covariance_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(out) == {
+        ("x", "x"), ("x", "y"), ("x", "z"), ("y", "y"), ("y", "z"),
+        ("z", "z"),
+    }
+    q = np.floor(np.stack([x, y, z]) * 1e6) / 1e6  # engine quantization
+    ref = np.cov(q)  # ddof=1 sample covariance
+    names = ["x", "y", "z"]
+    for i, a in enumerate(names):
+        for j in range(i, 3):
+            assert abs(out[(a, names[j])] - ref[i, j]) < 2e-5
