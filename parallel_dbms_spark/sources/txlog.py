@@ -70,6 +70,19 @@ class TxConflict(Exception):
     snapshot."""
 
 
+def _schema_eq(a_json: str, b_json: str) -> bool:
+    """Structural schema equality (field order matters, string
+    serialization quirks don't)."""
+    if a_json == b_json:
+        return True
+    try:
+        return StructType.fromJson(json.loads(a_json)) == StructType.fromJson(
+            json.loads(b_json)
+        )
+    except Exception:
+        return False
+
+
 def _log_dir(table: str) -> str:
     return os.path.join(table, TXLOG)
 
@@ -129,16 +142,27 @@ def snapshot_files(table: str, version: int | None = None) -> tuple[int, list[st
 
 
 def _try_create(path: str, payload: dict) -> bool:
-    """Atomic put-if-absent of one commit file."""
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as fh:
+    """Atomic put-if-absent of one commit file.
+
+    The record must appear fully written or not at all: a concurrent
+    loser (or any snapshot reader) may open the just-claimed version
+    immediately, so O_CREAT|O_EXCL followed by a write would expose an
+    empty/partial JSON window. Instead: write the full payload to a
+    private tmp file, fsync it, then PUBLISH via ``os.link`` — hard
+    links are atomic and fail with EEXIST when another writer already
+    claimed the version (the put-if-absent primitive)."""
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
         json.dump(payload, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    return True
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def _write_checkpoint(table: str, v: int) -> None:
@@ -189,6 +213,19 @@ def commit(
             raise TxConflict(
                 f"version {v} removed files this commit also removes: "
                 f"{sorted(ours_removed & set(theirs['removed']))[:4]}"
+            )
+        if schema_json and "schema" in theirs and not _schema_eq(
+            theirs["schema"], schema_json
+        ):
+            # metadata write-write conflict (Delta's protocol treats an
+            # interleaved schema change as a conflict): our schema was
+            # validated/widened against a pre-race snapshot; committing
+            # it now would silently overwrite the other writer's
+            # evolution. The caller (tx_append) re-validates against
+            # the fresh table schema and retries.
+            raise TxConflict(
+                f"version {v} changed the table schema after our "
+                "snapshot; re-validate and retry"
             )
         v += 1
     raise RuntimeError(f"could not claim a version after {max_attempts} tries")
@@ -245,52 +282,91 @@ def tx_append(
     append, existing columns must keep their type — and the commit
     records the widened schema, which :func:`read_snapshot` serves by
     schema-merging old files (absent columns read as NULL).
+
+    Concurrency: appends never conflict on FILES (fresh UUIDs), but an
+    interleaved commit that changed the table schema is a metadata
+    write-write conflict — our validated/widened schema was computed
+    against a stale snapshot. :func:`commit` detects it; we re-read the
+    table schema, re-validate, re-widen, and retry, so two concurrent
+    ``merge_schema`` appends adding DIFFERENT columns both land with a
+    final schema containing both (or the loser is rejected under the
+    same rules a sequential append would be).
     """
-    current = table_schema(table)
-    if current is not None:
-        cur = {f.name: f.dataType for f in current.fields}
-        new = {f.name: f.dataType for f in df.schema.fields}
-        changed = [
-            n for n in new if n in cur and new[n] != cur[n]
-        ]
-        if changed:
-            raise ValueError(
-                f"append changes column type(s) {changed}; "
-                "type evolution is not supported"
-            )
-        extra = set(new) - set(cur)
-        missing = set(cur) - set(new)
-        if (extra or missing) and not merge_schema:
-            raise ValueError(
-                f"append schema drift (extra={sorted(extra)}, "
-                f"missing={sorted(missing)}); pass merge_schema=True "
-                "for additive evolution"
-            )
-        if missing and merge_schema:
-            raise ValueError(
-                f"append drops column(s) {sorted(missing)}; evolution "
-                "is additive-only"
-            )
+    # fail fast BEFORE staging so a drift-write lands nothing
+    _validate_append_schema(table, df.schema, merge_schema)
     added = _stage(df, table)
-    parent = (log_versions(table) or [0])[-1]
+    for _ in range(16):
+        # read parent FIRST, then the schema: the schema we validate /
+        # widen against is therefore at-or-after our parent. Any
+        # schema commit landing after that read claims our target
+        # version, the CAS loses, and commit() raises TxConflict on
+        # the schema mismatch — so a stale-validated schema can never
+        # be recorded (may also legitimately raise ValueError here,
+        # e.g. another writer widened and our df no longer conforms).
+        parent = (log_versions(table) or [0])[-1]
+        current = _validate_append_schema(table, df.schema, merge_schema)
+        schema_json = _widened_schema_json(current, df.schema, merge_schema)
+        try:
+            return commit(
+                table,
+                "append",
+                added,
+                [],
+                parent,
+                schema_json=schema_json,
+                meta=meta,
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(f"append on {table} lost 16 straight schema races")
+
+
+def _validate_append_schema(
+    table: str, new_schema: StructType, merge_schema: bool
+) -> StructType | None:
+    """Enforce the append schema contract against the CURRENT table
+    schema; returns that schema (None for a first write)."""
+    current = table_schema(table)
+    if current is None:
+        return None
+    cur = {f.name: f.dataType for f in current.fields}
+    new = {f.name: f.dataType for f in new_schema.fields}
+    changed = [n for n in new if n in cur and new[n] != cur[n]]
+    if changed:
+        raise ValueError(
+            f"append changes column type(s) {changed}; "
+            "type evolution is not supported"
+        )
+    extra = set(new) - set(cur)
+    missing = set(cur) - set(new)
+    if (extra or missing) and not merge_schema:
+        raise ValueError(
+            f"append schema drift (extra={sorted(extra)}, "
+            f"missing={sorted(missing)}); pass merge_schema=True "
+            "for additive evolution"
+        )
+    if missing and merge_schema:
+        raise ValueError(
+            f"append drops column(s) {sorted(missing)}; evolution "
+            "is additive-only"
+        )
+    return current
+
+
+def _widened_schema_json(
+    current: StructType | None, new_schema: StructType, merge_schema: bool
+) -> str:
     if current is not None and merge_schema:
         widened = StructType(
             list(current.fields)
-            + [f for f in df.schema.fields if f.name not in
-               {g.name for g in current.fields}]
+            + [
+                f
+                for f in new_schema.fields
+                if f.name not in {g.name for g in current.fields}
+            ]
         )
-        schema_json = widened.json()
-    else:
-        schema_json = df.schema.json()
-    return commit(
-        table,
-        "append",
-        added,
-        [],
-        parent,
-        schema_json=schema_json,
-        meta=meta,
-    )
+        return widened.json()
+    return new_schema.json()
 
 
 def committed_txn_batches(table: str, app: str) -> set[int]:
@@ -355,7 +431,16 @@ def tx_delete_where(
         parent, files = snapshot_files(table)
         if not files:
             return parent, 0
-        df = spark.read.parquet(
+        # read with the RECORDED schema, not footer inference: after an
+        # additive merge_schema append the live set is mixed-schema and
+        # inference from one footer would silently drop evolved columns
+        # from the rewrite (permanent data loss once the old files are
+        # removed). Record the schema on our commit too, so it stays
+        # the newest schema-bearing commit.
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = reader.parquet(
             *[os.path.join(table, f) for f in files]
         ).withColumn("__file", F.col("_metadata.file_path"))
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
@@ -371,12 +456,15 @@ def tx_delete_where(
             for u in hit_uris
         )
         survivors = (
-            spark.read.parquet(*[os.path.join(table, f) for f in hit_rels])
+            reader.parquet(*[os.path.join(table, f) for f in hit_rels])
             .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         )
         added = _stage(survivors, table) if survivors.limit(1).count() else []
         try:
-            v = commit(table, "delete", added, hit_rels, parent)
+            v = commit(
+                table, "delete", added, hit_rels, parent,
+                schema_json=schema_json,
+            )
             return v, len(hit_rels)
         except TxConflict:
             continue  # fresh snapshot, re-find affected files
@@ -396,25 +484,47 @@ def tx_compact(
         parent, files = snapshot_files(table)
         if len(files) <= num_files:
             return parent, 0
-        packed = spark.read.parquet(
+        # RECORDED schema, not footer inference: a mixed-schema live set
+        # (post merge_schema evolution) inferred from one footer would
+        # rewrite the table WITHOUT the evolved columns — and compact
+        # removes the old files, making the loss permanent.
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        packed = reader.parquet(
             *[os.path.join(table, f) for f in files]
         ).coalesce(num_files)
         added = _stage(packed, table)
         try:
-            v = commit(table, "compact", added, files, parent)
+            v = commit(
+                table, "compact", added, files, parent,
+                schema_json=schema_json,
+            )
             return v, len(files)
         except TxConflict:
             continue
     raise TxConflict(f"compact on {table} lost {max_retries} straight races")
 
 
-def tx_vacuum(table: str) -> list[str]:
+def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
     """Reclaim orphans: staged directories and data files never
     referenced by ANY commit (crashed writers). Files referenced by
     old versions are kept — time travel stays valid; version
-    expiration would be a separate retention policy."""
-    import shutil
+    expiration would be a separate retention policy.
 
+    Retention guard (Delta's VACUUM retention, default 24 h): only
+    files OLDER than ``retention_seconds`` are reclaimed. This is what
+    makes vacuum safe to run alongside live writers — :func:`_stage`
+    renames files into ``data/`` BEFORE the commit lands, so a
+    freshly-staged file is indistinguishable from a crashed writer's
+    orphan until its commit publishes. An unguarded vacuum racing an
+    in-flight writer would delete its staged files and the subsequent
+    commit would reference files that no longer exist. Pass a smaller
+    window only when no writer can be active within it."""
+    import shutil
+    import time
+
+    cutoff = time.time() - retention_seconds
     referenced: set[str] = set()
     for v in log_versions(table):
         referenced |= set(read_commit(table, v)["added"])
@@ -423,12 +533,15 @@ def tx_vacuum(table: str) -> list[str]:
     if os.path.isdir(data_dir):
         for f in os.listdir(data_dir):
             rel = f"{DATA}/{f}"
-            if rel not in referenced:
-                os.remove(os.path.join(data_dir, f))
+            p = os.path.join(data_dir, f)
+            if rel not in referenced and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
                 removed.append(rel)
     staging = os.path.join(table, STAGING)
     if os.path.isdir(staging):
         for d in os.listdir(staging):
-            shutil.rmtree(os.path.join(staging, d), ignore_errors=True)
-            removed.append(f"{STAGING}/{d}")
+            p = os.path.join(staging, d)
+            if os.path.getmtime(p) <= cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(f"{STAGING}/{d}")
     return removed

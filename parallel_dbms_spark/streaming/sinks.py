@@ -12,7 +12,45 @@ duplicates, the at-least-once replay becomes exactly-once output.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
+
+
+def _promote_dir(staged: str, path: str) -> None:
+    """Swap ``staged`` into place WITHOUT a destructive window.
+
+    The naive ``rmtree(path); os.replace(staged, path)`` has a crash
+    window in which NO table exists — a replayed batch would then
+    rebuild serving state from that batch alone, silently discarding
+    all previously-folded state. Instead the old state is renamed
+    aside (atomic), the staged state renamed in (atomic), and only
+    then is the old copy deleted: a crash at any instant leaves either
+    the old or the new state on disk, and :func:`_serving_state`
+    recovers whichever survives on the next batch.
+    """
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _serving_state(path: str) -> bool:
+    """True iff committed serving state exists at ``path``, first
+    recovering from a crash mid-:func:`_promote_dir`: if ``path`` is
+    missing/torn but the renamed-aside copy survives, restore it."""
+    old = path + "__old"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        os.path.join(old, "_SUCCESS")
+    ):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(old, path)
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def write_stream_exactly_once(
@@ -68,8 +106,6 @@ def stream_upsert_sink(
     broadcast-when-small CDC join. Partition the serving table by a
     key prefix to rewrite only touched partitions.
     """
-    import os
-
     from ..operators.cdc import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -80,7 +116,7 @@ def stream_upsert_sink(
         # last-write-wins should pre-reduce with max-by-timestamp.
         batch_df = batch_df.dropDuplicates(keys)
         staged = f"{path}__staged"
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if _serving_state(path):
             target = spark.read.parquet(path)
             merged = merge_upsert(
                 target, batch_df.select(*target.columns), keys
@@ -91,11 +127,7 @@ def stream_upsert_sink(
         # one job (parquet scans are lazy — an in-place overwrite would
         # truncate its own input).
         merged.write.mode("overwrite").parquet(staged)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staged, path)
+        _promote_dir(staged, path)
 
     w = (
         streaming_df.writeStream.foreachBatch(apply_batch)
@@ -172,9 +204,6 @@ def stream_scd2_sink(
     converges to identical table state. Equality with the batch
     ``scd2_history`` over the same feed is pytest-asserted.
     """
-    import os
-    import shutil
-
     from ..operators.cdc import scd2_history
 
     tb = list(tiebreak or [])
@@ -195,7 +224,7 @@ def stream_scd2_sink(
             relevant, keys=keys, ts_col=ts_col,
             attr_cols=attr_cols, tiebreak=tb,
         )
-        if os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        if _serving_state(dim_dir):
             old = spark.read.parquet(dim_dir)
             merged = old.join(touched, on=keys, how="left_anti").unionByName(
                 rebuilt.select(*old.columns)
@@ -204,9 +233,7 @@ def stream_scd2_sink(
             merged = rebuilt
         staged = f"{dim_dir}__staged"
         merged.write.mode("overwrite").parquet(staged)
-        if os.path.exists(dim_dir):
-            shutil.rmtree(dim_dir)
-        os.replace(staged, dim_dir)
+        _promote_dir(staged, dim_dir)
 
     w = (
         streaming_df.writeStream.foreachBatch(apply_batch)
@@ -240,9 +267,6 @@ def stream_histogram_sink(
     approximate for unbounded keys — here the key space is bounded by
     construction, so no watermark is needed at all.
     """
-    import os
-    import shutil
-
     from ..functions.histogram import histogram_merge, histogram_sketch
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -250,13 +274,11 @@ def stream_histogram_sink(
         if batch_df.isEmpty():
             return
         sk = histogram_sketch(batch_df, col, lo, hi, n_buckets)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if _serving_state(path):
             sk = histogram_merge(spark.read.parquet(path), sk)
         staged = f"{path}__staged"
         sk.coalesce(1).write.mode("overwrite").parquet(staged)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staged, path)
+        _promote_dir(staged, path)
 
     w = (
         streaming_df.writeStream.foreachBatch(apply_batch)
@@ -339,8 +361,6 @@ def stream_mv_sink(
     the view dir. Out of scope here — availableNow test replays are
     checkpoint-gated, so the invariant holds for this surface.
     """
-    import os
-
     from ..operators.mv import define_mv, mv_refresh
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -388,8 +408,6 @@ def stream_ohlc_sink(
     write-then-swap discipline as the other sinks; state size is one
     row per bucket — bounded by time span, not row count.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     def _batch_state(df: DataFrame) -> DataFrame:
@@ -439,24 +457,21 @@ def stream_ohlc_sink(
         # a crash between swap and marker replays a batch whose fold
         # is visible... therefore the marker is written atomically
         # WITH the state: it rides inside the staged directory.
+        has_state = _serving_state(path)  # recovers a torn promote too
         marker = os.path.join(path, "_applied_batch")
         if os.path.exists(marker):
             with open(marker, encoding="utf-8") as fh:
                 if batch_id <= int(fh.read().strip()):
                     return  # replayed batch, already folded
         state = _batch_state(batch_df)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if has_state:
             state = _merge(spark.read.parquet(path), state)
         staged = f"{path}__staged"
         state.write.mode("overwrite").parquet(staged)
         with open(os.path.join(staged, "_applied_batch"), "w",
                   encoding="utf-8") as fh:
             fh.write(str(batch_id))
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staged, path)
+        _promote_dir(staged, path)
 
     w = (
         streaming_df.writeStream.foreachBatch(apply_batch)

@@ -869,3 +869,40 @@ def test_append_mode_holds_back_open_windows(spark, tmp_path):
     assert got_bare < want, (
         "bare replay should withhold the still-open trailing window(s)"
     )
+
+
+def test_promote_dir_crash_windows_recoverable(spark, tmp_path):
+    """ADVICE r5 (low): the serving-table swap must have no window in
+    which neither old nor new state exists. Simulate both crash points
+    of _promote_dir and assert _serving_state recovers state."""
+    import os
+
+    from parallel_dbms_spark.streaming import sinks
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    df.write.parquet(path)
+    assert sinks._serving_state(path)
+
+    # crash point 1: old renamed aside, staged not yet promoted
+    os.replace(path, path + "__old")
+    assert not os.path.exists(path)
+    assert sinks._serving_state(path)  # recovered from __old
+    assert spark.read.parquet(path).count() == 1
+
+    # crash point 2: staged promoted, old not yet deleted -> the NEWER
+    # state (path) wins; __old is stale and must not clobber it
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .write.mode("overwrite").parquet(path + "__old_src")
+    os.replace(path, path + "__old")          # old state aside
+    os.replace(path + "__old_src", path)      # new state in place
+    assert sinks._serving_state(path)
+    assert spark.read.parquet(path).count() == 2  # newer state served
+
+    # full promote cleans up
+    staged = path + "__staged"
+    spark.createDataFrame([(3, "c")], "k long, v string").write.parquet(staged)
+    sinks._promote_dir(staged, path)
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(staged)
+    assert {r.k for r in spark.read.parquet(path).collect()} == {3}

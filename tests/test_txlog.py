@@ -186,11 +186,158 @@ def test_vacuum_reclaims_only_orphans(spark, table):
     # crashed writer: staged + renamed but never committed
     orphans = txlog._stage(_df(spark, [(9, "orphan")]), table)
     _, live = txlog.snapshot_files(table)
-    removed = txlog.tx_vacuum(table)
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
     assert set(orphans) <= set(removed)
     for f in live:
         assert os.path.exists(os.path.join(table, f))
     assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {1}
+
+
+def test_vacuum_retention_spares_inflight_staged_files(spark, table):
+    """_stage renames into data/ BEFORE the commit lands; a default
+    (retention-guarded) vacuum must NOT reclaim those fresh files, or a
+    concurrent writer's commit would reference deleted files."""
+    import time
+
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    inflight = txlog._stage(_df(spark, [(9, "inflight")]), table)
+    # default retention: fresh un-referenced files survive
+    removed = txlog.tx_vacuum(table)
+    assert not removed
+    for f in inflight:
+        assert os.path.exists(os.path.join(table, f))
+    # the in-flight writer can still commit successfully
+    parent = txlog.log_versions(table)[-1]
+    txlog.commit(table, "append", inflight, [], parent)
+    assert txlog.read_snapshot(spark, table).count() == 2
+    # a genuinely old orphan IS reclaimed under the same default call
+    old = txlog._stage(_df(spark, [(8, "orphan")]), table)
+    past = time.time() - 7 * 86400
+    for f in old:
+        os.utime(os.path.join(table, f), (past, past))
+    staging = os.path.join(table, txlog.STAGING)
+    for d in os.listdir(staging):
+        os.utime(os.path.join(staging, d), (past, past))
+    removed = txlog.tx_vacuum(table)
+    assert set(old) <= set(removed)
+
+
+def test_compact_preserves_evolved_columns(spark, table):
+    """ADVICE r5 (high): compact after an additive merge_schema append
+    must rewrite with the RECORDED schema — footer inference from a
+    mixed-schema file set silently nulls the evolved column, and since
+    compact removes the old files the loss would be permanent."""
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, x double"),
+        table,
+        merge_schema=True,
+    )
+    v, replaced = txlog.tx_compact(spark, table, num_files=1)
+    assert replaced == 2
+    rows = {r.k: r for r in txlog.read_snapshot(spark, table).collect()}
+    assert rows[2].x == 9.5 and rows[1].x is None
+    # the compact commit records the widened schema, so a later
+    # schema-validated append still sees (k, v, x)
+    sch = txlog.table_schema(table)
+    assert {f.name for f in sch.fields} == {"k", "v", "x"}
+
+
+def test_delete_preserves_evolved_columns(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (3, "c")]), table)
+    txlog.tx_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, x double"),
+        table,
+        merge_schema=True,
+    )
+    # delete hits the OLD (pre-evolution) file; its rewrite must keep
+    # the evolved column visible and record the widened schema
+    txlog.tx_delete_where(spark, table, "k = 3")
+    out = txlog.read_snapshot(spark, table)
+    assert set(out.columns) == {"k", "v", "x"}
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2} and rows[2].x == 9.5
+
+
+def test_interleaved_schema_change_is_a_conflict(spark, table):
+    """ADVICE r5 (medium): a commit carrying a schema validated against
+    a pre-race snapshot must NOT blindly re-claim past an interleaved
+    commit that changed the schema — that would record a widened schema
+    omitting the other writer's new column."""
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    stale_schema = txlog.table_schema(table).json()
+    # another writer's additive evolution lands after our snapshot
+    txlog.tx_append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, x double"),
+        table,
+        merge_schema=True,
+    )
+    with pytest.raises(txlog.TxConflict, match="schema"):
+        txlog.commit(
+            table, "append", [], [], parent_version=1,
+            schema_json=stale_schema,
+        )
+    # same-schema appends still commute (no spurious conflicts)
+    cur = txlog.table_schema(table).json()
+    v = txlog.commit(table, "append", [], [], parent_version=1,
+                     schema_json=cur)
+    assert v == 3
+
+
+def test_concurrent_merge_schema_appends_keep_both_columns(spark, table):
+    """End-to-end schema race: writer A widens with column x while
+    writer B (snapshot taken before A landed) widens with column y.
+    B must re-validate — under the additive-only contract B's append
+    is rejected (its df lacks x), NOT silently committed with a schema
+    that loses x."""
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+
+    real_stage = txlog._stage
+    fired = {"done": False}
+
+    def racing_stage(df, tbl):
+        rels = real_stage(df, tbl)
+        if not fired["done"]:
+            fired["done"] = True
+            # interleave A's widen AFTER B validated + staged
+            txlog.tx_append(
+                spark.createDataFrame(
+                    [(5, "e", 1.5)], "k long, v string, x double"
+                ),
+                tbl,
+                merge_schema=True,
+            )
+        return rels
+
+    import unittest.mock as mock
+
+    with mock.patch.object(txlog, "_stage", racing_stage):
+        with pytest.raises(ValueError, match="drops"):
+            txlog.tx_append(
+                spark.createDataFrame(
+                    [(9, "z", 7)], "k long, v string, y long"
+                ),
+                table,
+                merge_schema=True,
+            )
+    # A's evolution survived intact — x serves everywhere
+    out = txlog.read_snapshot(spark, table)
+    assert set(out.columns) == {"k", "v", "x"}
+    rows = {r.k: r for r in out.collect()}
+    assert rows[5].x == 1.5 and 9 not in rows
+
+
+def test_commit_files_publish_atomically(spark, table):
+    """ADVICE r5 (medium): commit records are published via tmp+link,
+    so a concurrent reader never observes empty/partial JSON and no
+    tmp litter survives."""
+    for i in range(5):
+        txlog.tx_append(_df(spark, [(i, "x")]), table)
+    log = os.path.join(table, txlog.TXLOG)
+    assert not [f for f in os.listdir(log) if ".tmp-" in f]
+    for v in txlog.log_versions(table):
+        rec = txlog.read_commit(table, v)  # parses — fully written
+        assert rec["version"] == v
 
 
 def test_empty_table_after_full_delete_keeps_schema(spark, table):
