@@ -39,92 +39,92 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-5 ROTATION: 18 rows with graded-green history (8 of them green
-# in 2+ rounds, the rest green in r4) yield their slots to 18 oracled
-# queries the driver has never graded — the 7 round-4 additions
-# (lake deletes, Z-order 3D, PIVOT, spatial radius, SQL UDF, pipe
-# syntax, sharded as-of) plus 11 more judge-verified rows. Rotated out
-# (history preserved in CORRECTNESS_r0{2,3,4}.json):
-# join_skew_salted_q, scd2_pit_enrich, stream_tumbling_hour,
-# dedup_exact, text_stats, pipeline_clean_corpus, scd2_user_state,
-# lake_skipping_scan, agg_bitmap_distinct_weekly, agg_mode_listagg,
-# sql_nulls_ordering, sql_recursive_customer_chain, asof_join_nearest,
-# interval_overlap_sessions, search_substring_trigram,
-# search_containment_pairs, lake_instant_count, lake_version_diff.
-# Family coverage invariant verified: asof_join_sharded_backward keeps
-# skew+asof, spatial_radius_pairs keeps range, agg_percentile_disc +
-# anomaly_hourly_counts keep aggregate/sketch depth, lake_time_travel +
-# lake_delete_keys + lake_zorder_3d_skipping keep lake/cdc/skipping.
+# ROUND-6 ROTATION: all 50 rows were green in r5, so 18 slots rotate
+# to never-graded oracled queries (VERDICT r5 item 1 list, all
+# judge-verified green at sf0.01): the statistics surface (AUC,
+# chi-square, Welch t, KL, Gini, Benford), the multi-writer
+# transactional lake (snapshot, history, exactly-once stream ingest),
+# entity resolution, MMR rank-1, SMB + Bloom-prefilter joins, full CDC
+# merge, TWAP, OHLC, point-in-polygon, weighted SSSP. Rotated out
+# (graded history preserved in CORRECTNESS_r0{2..5}.json):
+# join_broadcast_equi, dq_orders_expectations, dedup_clusters,
+# dedup_fuzzy_names, sim_bruteforce_topk, lake_bloom_point_lookup,
+# lake_sorted_export, agg_percentile_disc, anomaly_hourly_counts,
+# robust_zscore_prices, window_rolling_median, sql_pivot_syntax,
+# sql_pipe_syntax, sql_udf_scalar, validate_orders,
+# daily_orders_gapfilled, funnel_view_click_purchase,
+# unpivot_lineitem_metrics. Family coverage invariant re-verified:
+# join_bucketed_smb/join_bloom_prefilter keep join+broadcast depth,
+# er_resolve_parts keeps dedup/fuzzy/clustering, dq_benford_totalprice
+# keeps dq, lake_tx_* keep lake, tests/test_registry_window.py pins it.
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/filter/project (O1-O5)
     "scan_project",
     "filter_pushdown_conj",
-    # aggregates: percentile_disc, anomaly detection, winsorize/robust
-    # z-score two-pass percentile cleaning
-    "agg_percentile_disc",
-    "anomaly_hourly_counts",
-    "robust_zscore_prices",
-    # joins (O9-O12): equi/pure-theta/outer
-    "join_broadcast_equi",
+    # joins (O9-O12): pure-theta/outer; bucketed SMB + Bloom-prefilter
     "join_theta_only",
     "join_left_outer",
+    "join_bucketed_smb",
+    "join_bloom_prefilter",
     # sort/limit (O13-O15), set ops
     "top_n",
     "set_except",
-    # windows: distinct-over-trailing-range, ntile, rolling median
+    # windows: distinct-over-trailing-range, ntile
     "window_distinct_trailing_7d",
     "window_ntile_deciles",
-    "window_rolling_median",
-    # SQL depth: recursive CTE, TPC-H Q17, JSON, dialect (PIVOT, pipe,
-    # SQL-language UDF)
+    # SQL depth: recursive CTE, TPC-H Q17/Q21, JSON, arrays
     "sql_recursive_balance_paydown",
     "tpch_q17_shape",
+    "tpch_q21_shape",
     "json_extract_props",
-    "sql_pivot_syntax",
-    "sql_pipe_syntax",
-    "sql_udf_scalar",
-    # temporal joins: as-of forward/strict/sharded (skew), spatial
+    "array_functions",
+    # temporal joins: as-of strict/sharded (skew), spatial radius +
+    # point-in-polygon geofence
     "asof_join_strict",
     "asof_join_sharded_backward",
     "spatial_radius_pairs",
+    "spatial_point_in_polygon",
+    # aggregates / statistics surface
     "agg_histogram_quantiles",
-    # profiling / dq / validation / sessionize / timeseries
+    "eval_auc_quality",
+    "stat_chisq_event_hours",
+    "stat_ttest_welch_value",
+    "corpus_kl_divergence",
+    "stat_gini_order_value",
+    "dq_benford_totalprice",
+    # profiling / sessionize / timeseries (TWAP, OHLC)
     "profile_orders",
-    "dq_orders_expectations",
-    "validate_orders",
     "sessionize_events",
-    "daily_orders_gapfilled",
-    "funnel_view_click_purchase",
-    # reshape
-    "unpivot_lineitem_metrics",
-    "array_functions",
-    # TPC-H / MV shapes
+    "twap_user_value",
+    "ohlc_hourly",
+    # CDC / MV
+    "cdc_apply_full",
     "mv_rollup_rewrite",
-    "tpch_q21_shape",
-    # structured streaming (batch-SQL oracles)
+    # structured streaming (batch-SQL oracles) + exactly-once tx ingest
     "stream_session_30m",
     "stream_dedup_within_watermark",
-    # LLM-pipeline: dedup
+    "stream_scd2_dimension",
+    "stream_tx_append_exactly_once",
+    # LLM-pipeline: dedup / entity resolution
     "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_fuzzy_names",
+    "er_resolve_parts",
     # text analysis
     "text_tfidf_topk",
     "text_bm25_topk",
-    # similarity / vectors
-    "sim_bruteforce_topk",
+    # similarity / vectors / graph
+    "sim_mmr_rank1",
     "vector_centroids",
+    "graph_sssp_weighted",
     # multimodal, search
     "multimodal_resize",
     "search_phrase",
-    # SCD2 streamed, lake: bloom, sorted export, time travel, deletes,
-    # N-D Z-order skipping
-    "stream_scd2_dimension",
-    "lake_bloom_point_lookup",
-    "lake_sorted_export",
+    # lake: time travel, deletes, N-D Z-order skipping, multi-writer
+    # transactional commit log
     "lake_time_travel",
     "lake_delete_keys",
     "lake_zorder_3d_skipping",
+    "lake_tx_multiwriter_snapshot",
+    "lake_tx_history_counts",
 )
 
 
