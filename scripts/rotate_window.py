@@ -64,23 +64,36 @@ def main() -> None:
                 cov[t] = cov.get(t, 0) + 1
         return cov
 
+    # greedy: pick the IN rows first (most-novel-tags), then drop
+    # ever-graded rows one at a time while the COMBINED window
+    # (remaining + all chosen INs) still spans every family — incoming
+    # rows count toward coverage, so a sole-carrier OUT row is fine
+    # when an IN row carries the same tag.
+    from tests.test_registry_window import REQUIRED_FAMILIES
+
     cov = tag_coverage(window)
-    # rows green in >=1 prior round whose every tag some other window
-    # row also carries are swappable; coverage is DECREMENTED as each
-    # OUT row is chosen so two rows sharing a coverage-2 tag can't
-    # both be suggested (which would drop that family from the window)
-    swappable = []
-    for n in sorted(window, key=lambda n: -len(hist.get(n, []))):
-        if n not in ever_graded:
-            continue
-        if all(cov.get(t, 0) >= 2 for t in REGISTRY[n].tags):
-            swappable.append(n)
-            for t in REGISTRY[n].tags:
-                cov[t] -= 1
-    # rank candidates by how many tags the current window lacks
     candidates.sort(
         key=lambda n: -sum(1 for t in REGISTRY[n].tags if cov.get(t, 0) == 0)
     )
+    incoming = candidates[:max_swaps]
+
+    def full_coverage(names):
+        got = set()
+        for n in names:
+            got.update(REGISTRY[n].tags)
+        return REQUIRED_FAMILIES <= got
+
+    swappable = []
+    remaining = list(window)
+    for n in sorted(window, key=lambda n: -len(hist.get(n, []))):
+        if len(swappable) == len(incoming):
+            break
+        if n not in ever_graded:
+            continue
+        trial = [x for x in remaining if x != n]
+        if full_coverage(trial + incoming):
+            swappable.append(n)
+            remaining = trial
 
     n_swap = min(max_swaps, len(swappable), len(candidates))
     print(f"window rows ever graded green: "
