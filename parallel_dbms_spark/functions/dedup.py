@@ -946,40 +946,103 @@ def jw_fuzzy_pairs(
     df: DataFrame,
     id_col: str,
     name_col: str,
-    block_col: str,
+    block_col,
     threshold: float = 0.87,
+    max_block_rows: int | None = 20000,
 ) -> DataFrame:
     """Jaro-Winkler fuzzy-duplicate pairs with hash blocking: the
-    scorer only runs on candidates sharing ``block_col`` (brand,
-    phonetic code, sorted-token key...), so the join is a plain
-    shuffled/broadcast equi-join on the block and the quadratic work
-    is confined within blocks — the standard ER blocking bargain
-    (recall bounded by block quality, cost bounded by block size).
+    scorer only runs on candidates sharing the block key, so the join
+    is a plain shuffled/broadcast equi-join on the block and the
+    quadratic work is confined within blocks — the standard ER
+    blocking bargain (recall bounded by block quality, cost bounded by
+    block size).
+
+    ``block_col`` is one column name / Column expression or a LIST of
+    them (a COMPOSITE key). A single fixed-cardinality key (e.g. a
+    25-value brand) makes block size grow linearly with data — (n/25)²
+    candidate pairs, quadratic death at scale. Compose it with a
+    data-cardinality component (name prefix, phonetic code, length
+    bucket) so block size stays bounded as the table grows; the recall
+    trade (pairs split across blocks are never compared) is the
+    documented ER bargain and any oracle must apply the same key.
+
+    ``max_block_rows`` (None disables) is the scale guard: if any
+    block exceeds it, raise with the offending block instead of
+    silently running O(n²) Python-scored pairs — the pre-flight is one
+    cheap count-by-key aggregation over the input.
 
     Returns (id_a, id_b, jw_e6) with id_a < id_b and jw >= threshold;
     jw_e6 is the 1e6-quantized score (engine-hashable; the raw double
     agrees with DuckDB to 1e-12 but is not bit-identical).
     """
-    jw = jaro_winkler_sim()
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(name_col).alias("name_a"),
-        F.col(block_col).alias("__blk"),
+    comps = (
+        list(block_col)
+        if isinstance(block_col, (list, tuple))
+        else [block_col]
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(name_col).alias("name_b"),
-        F.col(block_col).alias("__blk"),
+    comps = [F.col(c) if isinstance(c, str) else c for c in comps]
+    blk = F.concat_ws("\x1f", *[c.cast("string") for c in comps])
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        blk.alias("__blk"),
+    )
+    if max_block_rows is not None:
+        over = (
+            base.groupBy("__blk")
+            .count()
+            .filter(F.col("count") > int(max_block_rows))
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"block {over[0]['__blk']!r} has {over[0]['count']} rows "
+                f"(max_block_rows={max_block_rows}): O(n^2) scoring "
+                "within a block this size will not scale — use a finer "
+                "composite block key (add a name prefix / phonetic / "
+                "length-bucket component) or raise max_block_rows "
+                "explicitly"
+            )
+    # asNondeterministic: the scorer IS deterministic, but leaving it
+    # deterministic lets Catalyst push the `__jw >= threshold` filter
+    # through the distinct aggregate BELOW — re-evaluating the Python
+    # scorer over every pre-distinct candidate (and a second time
+    # above the aggregate), which defeats the whole distinct-first
+    # design. Non-determinism pins the UDF to exactly one evaluation
+    # over the distinct pairs (the standard guard for expensive UDFs).
+    jw = jaro_winkler_sim().asNondeterministic()
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__blk"
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__blk"
     )
     cand = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
-    scored = cand.select(
-        "id_a", "id_b", jw(F.col("name_a"), F.col("name_b")).alias("__jw")
+    # Score DISTINCT name pairs, then join the scores back to the id
+    # pairs. The Python scorer is the expensive stage (O(len²) per
+    # pair); distinct-ing first makes its cost proportional to the
+    # VALUE diversity, not the candidate count — a huge win whenever
+    # names repeat (planted dups, catalog data), and on all-unique
+    # names it only adds one JVM-side hash aggregate of a narrow
+    # stream. The even repartition before scoring stops AQE from
+    # coalescing the bytes-small pair stream onto a couple of cores
+    # (CPU-heavy, size-blind).
+    name_pairs = (
+        cand.select("name_a", "name_b")
+        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    return (
-        scored.filter(F.col("__jw") >= float(threshold))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("__jw") * 1e6).cast("long").alias("jw_e6"),
-        )
+    scored_names = name_pairs.select(
+        "name_a",
+        "name_b",
+        jw(F.col("name_a"), F.col("name_b")).alias("__jw"),
+    ).filter(F.col("__jw") >= float(threshold))
+    # AQE broadcasts scored_names when small; sub-threshold candidates
+    # drop out of the inner join (NULL names score 0 and never match a
+    # join key — same outcome either way).
+    return cand.join(scored_names, ["name_a", "name_b"]).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__jw") * 1e6).cast("long").alias("jw_e6"),
     )

@@ -751,20 +751,31 @@ def dedup_fuzzy_names(spark, sf_dir):
                      CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name)
                                 * 1000000) AS BIGINT) AS jw_e6
               FROM p a JOIN p b
-                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                ON a.p_brand = b.p_brand
+               AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+               AND a.p_partkey < b.p_partkey
               WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.87""",
     tags=("dedup", "fuzzy", "join", "pandas_udf"),
 )
 def dedup_jw_fuzzy_parts(spark, sf_dir):
     # Jaro-Winkler entity resolution (functions/dedup.py
-    # jw_fuzzy_pairs): brand-blocked candidate join + Arrow-batched
-    # pandas-UDF scorer implementing the exact textbook JW (0.7 boost
-    # threshold, p=0.1) that DuckDB's jaro_winkler_similarity also
-    # uses — the 1e6-quantized score value-hashes across engines, so
-    # the metric itself is graded, not just pair counts.
+    # jw_fuzzy_pairs): COMPOSITE-blocked candidate join (brand + name
+    # 4-prefix — a brand alone is 25 fixed values, so its block size
+    # grows linearly with data and the in-block scoring is quadratic;
+    # the prefix component bounds it) + Arrow-batched pandas-UDF
+    # scorer implementing the exact textbook JW (0.7 boost threshold,
+    # p=0.1) that DuckDB's jaro_winkler_similarity also uses — the
+    # 1e6-quantized score value-hashes across engines, so the metric
+    # itself is graded, not just pair counts. The oracle applies the
+    # SAME composite block: cross-prefix pairs are out of scope on
+    # both sides (the documented ER recall/cost bargain).
     part = load_table(spark, sf_dir, "part")
     return dedup.jw_fuzzy_pairs(
-        part, "p_partkey", "p_name", "p_brand", threshold=0.87
+        part,
+        "p_partkey",
+        "p_name",
+        ["p_brand", F.substring("p_name", 1, 4)],
+        threshold=0.87,
     )
 
 
@@ -775,7 +786,9 @@ def dedup_jw_fuzzy_parts(spark, sf_dir):
               pairs AS (
                 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
                 FROM p a JOIN p b
-                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                  ON a.p_brand = b.p_brand
+                 AND substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+                 AND a.p_partkey < b.p_partkey
                 WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94),
               nodes AS (SELECT id_a AS id FROM pairs
                         UNION SELECT id_b FROM pairs),
@@ -794,17 +807,23 @@ def dedup_jw_fuzzy_parts(spark, sf_dir):
     tags=("dedup", "fuzzy", "clustering", "pipeline", "pandas_udf"),
 )
 def er_resolve_parts(spark, sf_dir):
-    # Entity resolution END-TO-END: brand-blocked Jaro-Winkler scoring
-    # (>= 0.94), connected components over the match pairs, one
-    # canonical id per entity cluster (min id — the deterministic
-    # survivor policy) with member counts. The oracle replays the
-    # same metric (DuckDB's jaro_winkler_similarity) and closes the
-    # same graph with a recursive CTE — the whole
+    # Entity resolution END-TO-END: composite-blocked (brand + name
+    # 8-prefix — bounded block size; see dedup_jw_fuzzy_parts for why
+    # a bare brand key dies at scale) Jaro-Winkler scoring (>= 0.94),
+    # connected components over the match pairs, one canonical id per
+    # entity cluster (min id — the deterministic survivor policy) with
+    # member counts. The oracle replays the same metric (DuckDB's
+    # jaro_winkler_similarity) under the SAME composite block and
+    # closes the same graph with a recursive CTE — the whole
     # block -> score -> cluster -> survive pipeline is value-hashed,
     # not just the pair stage.
     part = load_table(spark, sf_dir, "part")
     pairs = dedup.jw_fuzzy_pairs(
-        part, "p_partkey", "p_name", "p_brand", threshold=0.94
+        part,
+        "p_partkey",
+        "p_name",
+        ["p_brand", F.substring("p_name", 1, 8)],
+        threshold=0.94,
     )
     clusters = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
     return clusters.groupBy("cluster_id").agg(

@@ -54,3 +54,35 @@ def test_jw_fuzzy_pairs_blocked_plan_and_symmetry(spark):
     # blocking must keep the join an equi-join, never a cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_jw_composite_block_key_and_guard(spark):
+    """Scale safety: a composite block key splits a dominant single-key
+    block, and max_block_rows raises (instead of silently running
+    O(n^2)) when a block exceeds the bound."""
+    from parallel_dbms_spark.functions.dedup import jw_fuzzy_pairs
+
+    # one dominant brand: 30 rows, two name-prefix groups of 15
+    rows = [(i, ("alpha part %02d" % i) if i % 2 else ("omega part %02d" % i),
+             "B1") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+
+    # single fixed key + guard below the block size -> hard error
+    with pytest.raises(ValueError, match="max_block_rows"):
+        jw_fuzzy_pairs(df, "id", "name", "blk", threshold=0.8,
+                       max_block_rows=20)
+
+    # composite key (brand + name 5-prefix) splits the block under the
+    # same guard and still finds the in-prefix near-dups
+    out = jw_fuzzy_pairs(
+        df, "id", "name", ["blk", F.substring("name", 1, 5)],
+        threshold=0.9, max_block_rows=20,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs and all(a < b for a, b in pairs)
+    # no cross-prefix pair survives (alpha ids are odd, omega even)
+    assert all((a % 2) == (b % 2) for a, b in pairs)
+
+    # guard disabled: the single-key call runs (small data)
+    n = jw_fuzzy_pairs(df, "id", "name", "blk", threshold=0.9,
+                       max_block_rows=None).count()
+    assert n >= len(pairs)
