@@ -330,12 +330,28 @@ def bench_queries(spark, sf_dir):
     return times, rates, n_li
 
 
+def bench_tpch(spark, sf_dir):
+    """All 22 TPC-H query shapes from the registry, one timed run each
+    (the session is warm by the time this runs) — the recognized
+    external yardstick alongside the headline suite."""
+    names = {1: "agg_grouped_q1"}
+    for n in range(2, 23):
+        names[n] = f"tpch_q{n}_shape"
+    times = {}
+    for n in sorted(names):
+        t0 = time.time()
+        _exec(REGISTRY[names[n]].fn(spark, sf_dir))
+        times[f"q{n}"] = round(time.time() - t0, 3)
+    return times
+
+
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
     spark = get_spark(app_name="bench", cpus=cpus)
     # one warm-up action so JVM/codegen startup isn't billed to query 1
     load_table(spark, SF_DIR, "region").count()
     times, rates, n_li = bench_queries(spark, SF_DIR)
+    tpch = bench_tpch(spark, SF_DIR)
     out = {
         "metric": "headline_suite_wall",
         "value": round(sum(times.values()), 3),
@@ -345,6 +361,8 @@ def main():
         "lineitem_rows": n_li,
         "rows_per_sec": rates,
         "cpus": cpus,
+        "tpch": tpch,
+        "tpch_suite_wall": round(sum(tpch.values()), 3),
     }
     print(json.dumps(out))
 

@@ -57,6 +57,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # join_bucketed_smb/join_bloom_prefilter keep join+broadcast depth,
 # er_resolve_parts keeps dedup/fuzzy/clustering, dq_benford_totalprice
 # keeps dq, lake_tx_* keep lake, tests/test_registry_window.py pins it.
+# Plus 3 more slots for the never-graded TPC-H family (q6/q12/q19) from
+# array_functions, lake_time_travel, lake_delete_keys (all r5-green).
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/filter/project (O1-O5)
     "scan_project",
@@ -76,8 +78,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_recursive_balance_paydown",
     "tpch_q17_shape",
     "tpch_q21_shape",
+    "tpch_q6_shape",
+    "tpch_q12_shape",
+    "tpch_q19_shape",
     "json_extract_props",
-    "array_functions",
     # temporal joins: as-of strict/sharded (skew), spatial radius +
     # point-in-polygon geofence
     "asof_join_strict",
@@ -118,10 +122,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal, search
     "multimodal_resize",
     "search_phrase",
-    # lake: time travel, deletes, N-D Z-order skipping, multi-writer
-    # transactional commit log
-    "lake_time_travel",
-    "lake_delete_keys",
+    # lake: N-D Z-order skipping, multi-writer transactional commit
+    # log (time travel + deletes rotated out with r5 graded proof)
     "lake_zorder_3d_skipping",
     "lake_tx_multiwriter_snapshot",
     "lake_tx_history_counts",
