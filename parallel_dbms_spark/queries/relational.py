@@ -2971,6 +2971,58 @@ def lake_tx_history_counts(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), per_version)
 
 
+@register(
+    "lake_tx_skipping_scan",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+                AND NOT COALESCE(o_totalprice < 1000.0, FALSE)
+              GROUP BY o_orderstatus""",
+    tags=("lake", "data-skipping", "versioned", "groupby"),
+)
+def lake_tx_skipping_scan(spark, sf_dir):
+    # ACID and data skipping COMPOSING (txlog.tx_read_skipping):
+    # per-file min/max stats ride the same atomic commit as the file
+    # list — append and delete-rewrite commits each record stats for
+    # the files they add — so a snapshot read prunes files from the
+    # log itself, with no sidecar manifest that can go stale. Three
+    # price-banded appends, a transactional low-band delete, then a
+    # mid-band range scan that must open fewer files than live.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txs_") + "/orders"
+    bands = [
+        F.col("o_totalprice") < 50000.0,
+        (F.col("o_totalprice") >= 50000.0)
+        & (F.col("o_totalprice") < 150000.0),
+        F.col("o_totalprice") >= 150000.0,
+    ]
+    for pred in bands:
+        txlog.tx_append(
+            o.filter(pred), t, stats_cols=["o_totalprice"]
+        )
+    txlog.tx_delete_where(
+        spark, t, "o_totalprice < 1000.0", stats_cols=["o_totalprice"]
+    )
+    df, n_read, n_total = txlog.tx_read_skipping(
+        spark, t, "o_totalprice", lo=50000.0, hi=150000.0
+    )
+    assert n_read < n_total, "low-band files must be pruned by log stats"
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

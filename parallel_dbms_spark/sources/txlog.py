@@ -167,10 +167,39 @@ def _try_create(path: str, payload: dict) -> bool:
 
 def _write_checkpoint(table: str, v: int) -> None:
     _, live = snapshot_files(table, v)
+    stats = snapshot_stats(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump({"version": v, "live": live}, fh)
+        json.dump({"version": v, "live": live, "stats": stats}, fh)
     os.replace(tmp, _ckpt_path(table, v))
+
+
+def snapshot_stats(table: str, version: int | None = None) -> dict:
+    """Per-file data-skipping stats for the live files of a version:
+    ``{relpath: {"n": rows, "c": {col: [min, max]}}}`` — the same
+    checkpoint-plus-tail replay as :func:`snapshot_files`, so resolving
+    stats is O(tail commits), never O(table age). Files committed
+    without stats simply have no entry (readers must scan them —
+    conservative, never wrong)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, stats = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                stats = dict(json.load(fh).get("stats", {}))
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            stats.pop(f, None)
+        stats.update(rec.get("stats", {}))
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {f: s for f, s in stats.items() if f in live_set}
 
 
 def commit(
@@ -182,6 +211,7 @@ def commit(
     schema_json: str | None = None,
     max_attempts: int = 64,
     meta: dict | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -199,6 +229,8 @@ def commit(
     }
     if schema_json:
         rec["schema"] = schema_json
+    if stats:
+        rec["stats"] = stats
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -256,6 +288,67 @@ def _stage(df: DataFrame, table: str) -> list[str]:
     return rels
 
 
+def _json_safe(v):
+    """Footer statistics values -> JSON-storable, order-preserving
+    encodings (ISO timestamps/dates sort lexicographically; Decimal as
+    str would not, so it is excluded from skipping — see
+    _footer_stats)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def collect_file_stats(
+    table: str, rels: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file min/max/rowcount for freshly staged files, read from
+    the parquet FOOTERS (no data scan): the write that produced the
+    file already paid for these statistics. One footer read per file on
+    the committing writer — bounded by the commit's own file count,
+    never table size (the Delta/Iceberg add-file stats pattern).
+
+    A column is recorded only when EVERY row group carries min/max for
+    it (all-null files and suppressed stats yield no entry, which
+    skipping treats as must-read). Decimal columns are skipped —
+    their JSON encoding would not preserve order.
+    """
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rels:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        cols: dict = {}
+        for c in stats_cols:
+            if c not in idx:
+                continue
+            mn = mx = None
+            ok = True
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                if isinstance(lo, decimal.Decimal):
+                    ok = False
+                    break
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            if ok and mn is not None:
+                cols[c] = [mn, mx]
+        out[rel] = {"n": md.num_rows, "c": cols}
+    return out
+
+
 def table_schema(table: str) -> StructType | None:
     """The table's current schema: the newest commit that recorded
     one."""
@@ -271,6 +364,7 @@ def tx_append(
     table: str,
     meta: dict | None = None,
     merge_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched.
@@ -295,6 +389,7 @@ def tx_append(
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
     added = _stage(df, table)
+    stats = collect_file_stats(table, added, stats_cols) if stats_cols else None
     for _ in range(16):
         # read parent FIRST, then the schema: the schema we validate /
         # widen against is therefore at-or-after our parent. Any
@@ -315,6 +410,7 @@ def tx_append(
                 parent,
                 schema_json=schema_json,
                 meta=meta,
+                stats=stats,
             )
         except TxConflict:
             continue
@@ -392,16 +488,7 @@ def read_snapshot(
     versions = log_versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits under {table}")
-    # the schema AS OF the requested version (newest commit <= v that
-    # recorded one) — also what makes additive schema evolution serve
-    # correctly: old files lack the new columns and read as NULL under
-    # the explicit schema, with no mergeSchema footer pass.
-    schema = None
-    for c in reversed(versions if version is None else [x for x in versions if x <= v]):
-        rec = read_commit(table, c)
-        if "schema" in rec:
-            schema = StructType.fromJson(json.loads(rec["schema"]))
-            break
+    schema = _schema_at(table, None if version is None else v)
     if not files:
         if schema is None:
             raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
@@ -410,8 +497,85 @@ def read_snapshot(
     return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
+def _schema_at(table: str, version: int | None) -> StructType | None:
+    """The schema AS OF a version (newest commit <= version that
+    recorded one; latest when version is None) — also what makes
+    additive schema evolution serve correctly: old files lack the new
+    columns and read as NULL under the explicit schema, with no
+    mergeSchema footer pass."""
+    versions = log_versions(table)
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "schema" in rec:
+            return StructType.fromJson(json.loads(rec["schema"]))
+    return None
+
+
+def tx_read_skipping(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Snapshot-isolated scan with FILE-LEVEL data skipping from the
+    commit log's per-file stats: live files whose recorded [min, max]
+    for ``col`` cannot intersect [lo, hi] are never opened. This is
+    ACID and skipping COMPOSING: the stats ride the same atomic commit
+    as the file list (append/delete/compact each record stats for the
+    files they add), so a pinned version sees exactly the stats of its
+    own snapshot — no separate manifest that can go stale.
+
+    Files with no recorded stats for ``col`` are always read (stats
+    prove non-membership, never membership), and the residual row
+    filter is still applied and pushed into the surviving files' row
+    groups. Returns (DataFrame, n_files_read, n_files_total).
+
+    Timestamp/date bounds compare in ISO-8601 text (order-preserving);
+    pass ``lo``/``hi`` as datetime/date objects or ISO strings.
+    """
+    v, files = snapshot_files(table, version)
+    if not files:
+        return read_snapshot(spark, table, version), 0, 0
+    stats = snapshot_stats(table, v)
+    lo_s, hi_s = _json_safe(lo), _json_safe(hi)
+    keep = []
+    for f in files:
+        rng = stats.get(f, {}).get("c", {}).get(col)
+        if rng is None:
+            keep.append(f)  # no stats -> must read
+            continue
+        mn, mx = rng
+        if lo_s is not None and mx < lo_s:
+            continue
+        if hi_s is not None and mn > hi_s:
+            continue
+        keep.append(f)
+    schema = _schema_at(table, None if version is None else v)
+    from pyspark.sql import functions as F
+
+    if not keep:
+        if schema is None:  # schema-less log: derive from one footer
+            schema = spark.read.parquet(os.path.join(table, files[0])).schema
+        df = spark.createDataFrame([], schema)
+    else:
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = reader.parquet(*[os.path.join(table, f) for f in keep])
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df, len(keep), len(files)
+
+
 def tx_delete_where(
-    spark: SparkSession, table: str, predicate_sql: str, max_retries: int = 8
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Transactional row-level delete: rewrite only the files that
     contain matching rows, commit (removed=affected, added=rewrites)
@@ -460,10 +624,14 @@ def tx_delete_where(
             .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         )
         added = _stage(survivors, table) if survivors.limit(1).count() else []
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols and added else None
+        )
         try:
             v = commit(
                 table, "delete", added, hit_rels, parent,
-                schema_json=schema_json,
+                schema_json=schema_json, stats=stats,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -472,7 +640,11 @@ def tx_delete_where(
 
 
 def tx_compact(
-    spark: SparkSession, table: str, num_files: int = 1, max_retries: int = 8
+    spark: SparkSession,
+    table: str,
+    num_files: int = 1,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Bin-pack the current snapshot into ``num_files`` files. Removes
     every live file, so it conflicts with any interleaved delete (and
@@ -495,10 +667,13 @@ def tx_compact(
             *[os.path.join(table, f) for f in files]
         ).coalesce(num_files)
         added = _stage(packed, table)
+        stats = (
+            collect_file_stats(table, added, stats_cols) if stats_cols else None
+        )
         try:
             v = commit(
                 table, "compact", added, files, parent,
-                schema_json=schema_json,
+                schema_json=schema_json, stats=stats,
             )
             return v, len(files)
         except TxConflict:

@@ -410,3 +410,83 @@ def test_additive_schema_evolution(spark, table):
         txlog.tx_append(
             _df(spark, [(3, "c")]), table, merge_schema=True
         )
+
+
+def test_skipping_stats_ride_commits_and_survive_compaction(spark, table):
+    """Data skipping composes with ACID: per-file min/max stats ride
+    the same atomic commit as the file list, so append, delete, AND
+    compact keep the skipping surface correct — no separate manifest
+    to go stale."""
+    for lo_, hi_ in ((0, 9), (10, 19), (20, 29)):
+        txlog.tx_append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo_, hi_ + 1)],
+                "k long, x double",
+            ),
+            table,
+            stats_cols=["k"],
+        )
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=12, hi=14)
+    assert {r.k for r in df.collect()} == {12, 13, 14}
+    assert nread < ntotal, "out-of-range files must be skipped"
+
+    # a delete rewrite records stats for its replacement files
+    txlog.tx_delete_where(spark, table, "k = 13", stats_cols=["k"])
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=12, hi=14)
+    assert {r.k for r in df.collect()} == {12, 14}
+    assert nread < ntotal
+
+    # compaction: stats for the packed files ride the compact commit,
+    # and the OLD files' stats drop out of the snapshot atomically
+    txlog.tx_compact(spark, table, num_files=2, stats_cols=["k"])
+    stats = txlog.snapshot_stats(table)
+    _, live = txlog.snapshot_files(table)
+    assert set(stats) == set(live), "stats must cover exactly the live set"
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=12, hi=14)
+    assert {r.k for r in df.collect()} == {12, 14}
+
+    # time travel: the pinned version serves ITS OWN stats (k=13 back)
+    df, _, _ = txlog.tx_read_skipping(spark, table, "k", lo=12, hi=14,
+                                      version=3)
+    assert {r.k for r in df.collect()} == {12, 13, 14}
+
+
+def test_skipping_is_conservative_without_stats(spark, table):
+    """Files appended without stats_cols must always be read."""
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(100, "b")], "k long, v string"),
+        table,
+        stats_cols=["k"],
+    )
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=0, hi=5)
+    assert ntotal == 2 and nread == 1  # stats-less file read, other skipped
+    assert {r.k for r in df.collect()} == {1}
+    # a range matching nothing still reads the stats-less file only
+    df, nread, _ = txlog.tx_read_skipping(spark, table, "k", lo=500, hi=600)
+    assert nread == 1 and df.count() == 0
+
+
+def test_skipping_stats_fold_through_checkpoints(spark, table):
+    """Stats resolution replays from the newest checkpoint, not the
+    whole log: cross the checkpoint boundary and verify stats are
+    complete and skipping still prunes."""
+    for i in range(12):  # crosses the every-10 checkpoint
+        txlog.tx_append(
+            spark.createDataFrame([(i * 10 + j, "x") for j in range(3)],
+                                  "k long, v string").coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    ckpt = os.path.join(table, txlog.TXLOG, f"{10:012d}.checkpoint.json")
+    assert os.path.exists(ckpt)
+    with open(ckpt) as fh:
+        assert json.load(fh)["stats"], "checkpoint must embed stats"
+    stats = txlog.snapshot_stats(table)
+    _, live = txlog.snapshot_files(table)
+    assert set(stats) == set(live)
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=31, hi=32)
+    assert nread == 1 and ntotal == 12
+    assert {r.k for r in df.collect()} == {31, 32}
