@@ -453,6 +453,44 @@ def _pq_encode_udf(codebooks):
     return enc
 
 
+def _adc_score_block(luts, qids, C, ids, m, nper):
+    """ADC-score one block of codes against per-query LUTs and keep
+    each query's top ``nper`` (shared by the driver-LUT and the
+    distributed-LUT paths — bit-identical candidates by construction).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(qids)):
+        # ADC: sum over subspaces of LUT[j][code_j] ~= cos(q, v)
+        s = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
+        mask = ids != qids[qi]
+        s_m, ids_m = s[mask], ids[mask]
+        top = np.argsort(-s_m, kind="stable")[:nper]
+        out_q.append(np.full(len(top), qids[qi]))
+        out_n.append(ids_m[top])
+        out_s.append(s_m[top])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q) if out_q else [],
+            "neighbor_id": np.concatenate(out_n) if out_n else [],
+            "adc": np.concatenate(out_s) if out_s else [],
+        }
+    )
+
+
+def _query_luts(Q, codebooks, m):
+    """Normalized-query ADC lookup tables: (n_queries, m, ksub)."""
+    import numpy as np
+
+    dsub = codebooks.shape[2]
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    return np.einsum("qjd,jkd->qjk", Qn.reshape(len(Q), m, dsub), codebooks)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -463,6 +501,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
+    distribute_queries: bool = False,
 ) -> DataFrame:
     """PQ/ADC ANN top-k with exact re-rank.
 
@@ -474,9 +513,18 @@ def pq_topk(
     rescanned — keeps the per-partition top k*refine, and only those
     candidates fetch their full vector for the exact cosine re-rank.
 
-    Queries are collected to the driver (they are the small side —
-    same broadcast assumption as brute_force_topk) and ship inside the
-    UDF closure as LUTs, never as a join.
+    Two LUT strategies, identical results (pytest-asserted):
+
+    - ``distribute_queries=False`` (default): queries are collected to
+      the driver (they are the small side — same broadcast assumption
+      as brute_force_topk) and ship inside the UDF closure as LUTs,
+      never as a join. Right for small query sets.
+    - ``distribute_queries=True``: queries never touch the driver —
+      they replicate to each corpus-code partition through a broadcast
+      join and a cogrouped ``applyInPandas`` builds each partition's
+      LUTs executor-side (the same grouped split mmr_topk uses). Right
+      when the query set is itself large; the replication cost is
+      queries × partitions, the standard fan-out price.
     """
     import numpy as np
     import pandas as pd
@@ -485,49 +533,72 @@ def pq_topk(
         codebooks = pq_train_codebooks(
             corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
         )
-    dsub = codebooks.shape[2]
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
-    qids = np.array([r["qid"] for r in qrows])
-    Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    qn[qn == 0] = 1.0
-    Qn = Q / qn
-    # LUTs: (n_queries, m, ksub) — dot of each query subspace with each codeword.
-    luts = np.einsum("qjd,jkd->qjk", Qn.reshape(len(Q), m, dsub), codebooks)
-
     nper = k * refine
     enc = _pq_encode_udf(codebooks)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
     )
 
-    def score_partition(batches):
-        for pdf in batches:
-            C = np.stack(pdf["codes"].to_numpy())  # (B, m)
-            ids = pdf["neighbor_id"].to_numpy()
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                # ADC: sum over subspaces of LUT[j][code_j] ~= cos(q, v)
-                s = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
-                mask = ids != qids[qi]
-                s_m, ids_m = s[mask], ids[mask]
-                top = np.argsort(-s_m, kind="stable")[:nper]
-                out_q.append(np.full(len(top), qids[qi]))
-                out_n.append(ids_m[top])
-                out_s.append(s_m[top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adc": np.concatenate(out_s),
-                }
-            )
+    if distribute_queries:
+        # explicit hash buckets (NOT physical partition ids — those
+        # are plan-dependent and ambiguous under self-join lineage):
+        # each code row lands in one of B buckets, and every query
+        # replicates to every bucket via a degenerate equi-join on a
+        # literal key (broadcast hash join, never a cartesian plan).
+        n_buckets = corpus.sparkSession.sparkContext.defaultParallelism
+        pids = codes.select(
+            F.pmod(F.hash("neighbor_id"), F.lit(n_buckets)).alias("pid"),
+            "neighbor_id",
+            "codes",
+        )
+        pid_keys = (
+            corpus.sparkSession.range(n_buckets)
+            .select(F.col("id").cast("int").alias("pid"))
+            .withColumn("__one", F.lit(1))
+        )
+        q = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).withColumn("__one", F.lit(1))
+        qrep = q.join(F.broadcast(pid_keys), "__one").drop("__one")
 
-    cand = codes.mapInPandas(
-        score_partition, "query_id long, neighbor_id long, adc double"
-    )
+        def score_group(codes_pdf, q_pdf):
+            if codes_pdf.empty or q_pdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "adc": []}
+                )
+            C = np.stack(codes_pdf["codes"].to_numpy())
+            ids = codes_pdf["neighbor_id"].to_numpy()
+            qids = q_pdf["qid"].to_numpy()
+            Q = np.array([list(v) for v in q_pdf["qv"]], dtype=np.float64)
+            luts = _query_luts(Q, codebooks, m)
+            return _adc_score_block(luts, qids, C, ids, m, nper)
+
+        cand = (
+            pids.groupBy("pid")
+            .cogroup(qrep.groupBy("pid"))
+            .applyInPandas(
+                score_group, "query_id long, neighbor_id long, adc double"
+            )
+        )
+    else:
+        qrows = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
+        qids = np.array([r["qid"] for r in qrows])
+        Q = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+        luts = _query_luts(Q, codebooks, m)
+
+        def score_partition(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = np.stack(pdf["codes"].to_numpy())  # (B, m)
+                ids = pdf["neighbor_id"].to_numpy()
+                yield _adc_score_block(luts, qids, C, ids, m, nper)
+
+        cand = codes.mapInPandas(
+            score_partition, "query_id long, neighbor_id long, adc double"
+        )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )

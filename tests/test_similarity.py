@@ -494,3 +494,24 @@ def test_mmr_prefers_diverse_over_redundant(spark):
         for r in mmr_topk(df, q, k=4, lambda_=0.5).orderBy("rank").collect()
     ]
     assert got4 == want, (got4, want)
+
+
+def test_pq_distributed_luts_match_driver_luts(spark):
+    """The executor-side LUT path (queries replicated via broadcast
+    join + cogrouped applyInPandas) must return exactly the driver-LUT
+    result — same candidates, same ranks, same cosines."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 12)
+    cb = similarity.pq_train_codebooks(emb, m=8, ksub=16, iters=2)
+    a = similarity.pq_topk(emb, queries, k=4, m=8, ksub=16,
+                           codebooks=cb, distribute_queries=False)
+    b = similarity.pq_topk(emb, queries, k=4, m=8, ksub=16,
+                           codebooks=cb, distribute_queries=True)
+    ra = sorted((r.query_id, r.neighbor_id, r.rank, round(r.cos, 10))
+                for r in a.collect())
+    rb = sorted((r.query_id, r.neighbor_id, r.rank, round(r.cos, 10))
+                for r in b.collect())
+    assert ra == rb
+    # the distributed plan must not contain a cartesian product
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
