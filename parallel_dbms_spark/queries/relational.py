@@ -3023,6 +3023,59 @@ def lake_tx_skipping_scan(spark, sf_dir):
     )
 
 
+@register(
+    "lake_tx_zorder_skipping",
+    oracle="""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_custkey >= 100 AND o_custkey <= 300""",
+    tags=("lake", "data-skipping", "versioned", "zorder"),
+)
+def lake_tx_zorder_skipping(spark, sf_dir):
+    # OPTIMIZE-ZORDER as ONE ATOMIC COMMIT (txlog.tx_compact with
+    # zorder_by + stats_cols): two unclustered appends leave every
+    # file spanning the full custkey range (nothing prunes); the
+    # z-clustering compaction rewrites the snapshot on the
+    # (o_custkey, o_totalprice) curve and its commit carries fresh
+    # per-file stats, after which a custkey range scan must open
+    # fewer files — transactional multi-dimensional data skipping.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txz_") + "/orders"
+    txlog.tx_append(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4), t,
+        stats_cols=["o_custkey"],
+    )
+    txlog.tx_append(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartition(4), t,
+        stats_cols=["o_custkey"],
+    )
+    _, n_before, total_before = txlog.tx_read_skipping(
+        spark, t, "o_custkey", lo=100, hi=300
+    )
+    assert n_before == total_before, "unclustered files must not prune"
+    txlog.tx_compact(
+        spark, t, num_files=8, stats_cols=["o_custkey", "o_totalprice"],
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    df, n_read, n_total = txlog.tx_read_skipping(
+        spark, t, "o_custkey", lo=100, hi=300
+    )
+    assert n_read < n_total, "z-clustered files must prune on custkey"
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

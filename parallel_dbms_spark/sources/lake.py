@@ -183,15 +183,30 @@ def z_order_write_n(
     ``bits`` defaults to the deepest interleave that fits a long
     (63 // N, capped at 16).
     """
+    z_cluster(df, cols, bits=bits, num_files=num_files).write.format(
+        fmt
+    ).mode("overwrite").save(path)
+
+
+def z_cluster(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | None = None,
+    num_files: int | None = None,
+) -> DataFrame:
+    """The z-order clustering TRANSFORM behind ``z_order_write_n``:
+    returns ``df`` range-partitioned and sorted on the interleaved
+    z-value of ``cols`` (so any writer — plain parquet, the versioned
+    lake, or a transactional compaction — can produce z-clustered
+    files). Min-max-normalizes each dimension into the full bit range
+    first: raw values spanning only a fraction of 2^bits would leave
+    the high interleave bits constant and the curve degenerates to a
+    single-column sort. One cheap stats pass + broadcast join — no
+    global sort per column (ntile-ranking would need one)."""
     from pyspark.sql import functions as F
 
     if bits is None:
         bits = min(16, 63 // len(cols))
-    # Min-max-normalize each dimension into the full bit range first:
-    # raw values that span only a fraction of 2^bits would leave the
-    # high interleave bits constant and the curve degenerates to a
-    # single-column sort. One cheap stats pass + broadcast join — no
-    # global sort per column (ntile-ranking would need one).
     aggs = []
     for j, c in enumerate(cols):
         aggs.append(F.min(c).alias(f"__lo{j}"))
@@ -221,9 +236,7 @@ def z_order_write_n(
         if num_files
         else out.repartitionByRange("__z")
     )
-    part.sortWithinPartitions("__z").drop("__z").write.format(fmt).mode(
-        "overwrite"
-    ).save(path)
+    return part.sortWithinPartitions("__z").drop("__z")
 
 
 # ---------------------------------------------------------------------------

@@ -645,16 +645,24 @@ def tx_compact(
     num_files: int = 1,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Bin-pack the current snapshot into ``num_files`` files. Removes
     every live file, so it conflicts with any interleaved delete (and
     retries), while interleaved appends commute and stay live.
 
+    ``zorder_by``: cluster the rewrite on the z-curve of these columns
+    (``lake.z_cluster``) instead of arbitrary coalescing — combined
+    with ``stats_cols`` this is transactional multi-dimensional data
+    skipping: the OPTIMIZE-ZORDER of a real lakehouse, as one atomic
+    commit. With ``zorder_by`` the rewrite always runs (re-clustering
+    the same file count is useful work, unlike a no-op bin-pack).
+
     Returns (new_version, files_replaced).
     """
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
-        if len(files) <= num_files:
+        if len(files) <= num_files and not zorder_by:
             return parent, 0
         # RECORDED schema, not footer inference: a mixed-schema live set
         # (post merge_schema evolution) inferred from one footer would
@@ -663,9 +671,13 @@ def tx_compact(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         reader = spark.read if schema is None else spark.read.schema(schema)
-        packed = reader.parquet(
-            *[os.path.join(table, f) for f in files]
-        ).coalesce(num_files)
+        live_df = reader.parquet(*[os.path.join(table, f) for f in files])
+        if zorder_by:
+            from .lake import z_cluster
+
+            packed = z_cluster(live_df, zorder_by, num_files=num_files)
+        else:
+            packed = live_df.coalesce(num_files)
         added = _stage(packed, table)
         stats = (
             collect_file_stats(table, added, stats_cols) if stats_cols else None

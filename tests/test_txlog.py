@@ -490,3 +490,39 @@ def test_skipping_stats_fold_through_checkpoints(spark, table):
     df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k", lo=31, hi=32)
     assert nread == 1 and ntotal == 12
     assert {r.k for r in df.collect()} == {31, 32}
+
+
+def test_zorder_compact_tightens_skipping_both_dims(spark, table):
+    """OPTIMIZE-ZORDER as one atomic commit: tx_compact(zorder_by=...)
+    reclusters the snapshot on the z-curve and records fresh stats, so
+    range scans on EITHER clustered column prune files afterward."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(1000), rnd.randrange(1000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    # two unclustered appends: every file spans ~the full x/y range
+    txlog.tx_append(df.filter("id % 2 = 0").repartition(4), table,
+                    stats_cols=["x", "y"])
+    txlog.tx_append(df.filter("id % 2 = 1").repartition(4), table,
+                    stats_cols=["x", "y"])
+    _, nread_before, ntotal_before = txlog.tx_read_skipping(
+        spark, table, "x", lo=0, hi=60)
+    assert nread_before == ntotal_before, "unclustered: nothing prunes"
+
+    v, replaced = txlog.tx_compact(
+        spark, table, num_files=8, stats_cols=["x", "y"],
+        zorder_by=["x", "y"],
+    )
+    assert replaced == ntotal_before
+    # both dimensions prune now, and the data is intact
+    out_x, nread_x, ntotal = txlog.tx_read_skipping(
+        spark, table, "x", lo=0, hi=60)
+    out_y, nread_y, _ = txlog.tx_read_skipping(
+        spark, table, "y", lo=0, hi=60)
+    assert ntotal == 8
+    assert nread_x < ntotal and nread_y < ntotal
+    want_x = {r.id for r in df.filter("x <= 60").collect()}
+    assert {r.id for r in out_x.collect()} == want_x
+    assert txlog.read_snapshot(spark, table).count() == 4000
