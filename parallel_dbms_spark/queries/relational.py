@@ -3076,6 +3076,112 @@ def lake_tx_zorder_skipping(spark, sf_dir):
     )
 
 
+@register(
+    "lake_tx_merge_upsert",
+    oracle="""WITH base AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+                FROM customer),
+              src AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(-1 AS BIGINT) AS c_nationkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS bal_cents
+                FROM orders GROUP BY o_custkey),
+              merged AS (
+                SELECT * FROM src
+                UNION ALL
+                SELECT b.* FROM base b
+                WHERE b.c_custkey NOT IN (SELECT c_custkey FROM src))
+              SELECT c_nationkey, COUNT(*) AS n,
+                     CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+              FROM merged GROUP BY c_nationkey""",
+    tags=("lake", "merge", "versioned", "cdc"),
+)
+def lake_tx_merge_upsert(spark, sf_dir):
+    # Transactional MERGE (txlog.tx_merge_upsert): the customer base
+    # lands as a multi-file table, then an orders-derived summary feed
+    # upserts it — matched custkeys are replaced (only their files
+    # rewritten), unmatched insert — in ONE atomic commit. The oracle
+    # is the declarative merge (source wins, else base), so the
+    # file-level rewrite protocol must be semantically invisible.
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.lit(-1).cast("long").alias("c_nationkey"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "bal_cents"
+            ),
+        )
+    )
+    t = tempfile.mkdtemp(prefix="lake_txm_") + "/customer"
+    txlog.tx_append(c.repartition(6), t)
+    v, rewritten = txlog.tx_merge_upsert(spark, t, src, keys=["c_custkey"])
+    assert rewritten >= 1
+    return txlog.read_snapshot(spark, t).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_cents").alias("total_cents"),
+    )
+
+
+@register(
+    "lake_tx_change_feed",
+    oracle="""WITH deleted AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
+              updated AS (
+                SELECT c_custkey FROM customer
+                WHERE NOT COALESCE(c_acctbal < 0.0, FALSE)
+                  AND c_custkey % 100 = 0)
+              SELECT 'delete' AS change_type,
+                     (SELECT COUNT(*) FROM deleted)
+                     + (SELECT COUNT(*) FROM updated) AS n
+              UNION ALL
+              SELECT 'insert', (SELECT COUNT(*) FROM updated)""",
+    tags=("lake", "cdc", "versioned"),
+)
+def lake_tx_change_feed(spark, sf_dir):
+    # Change Data Feed derived from the commit log (txlog.tx_changes):
+    # after the initial load, a delete and a merge land; the feed for
+    # (v1, head] must contain exactly the delete's rows as deletes and
+    # the merge's updates as delete+insert pairs — and compaction must
+    # contribute nothing. The oracle states the same change counts
+    # declaratively.
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txc_") + "/customer"
+    txlog.tx_append(c.repartition(4), t)
+    txlog.tx_delete_where(spark, t, "c_acctbal < 0.0")
+    upd = (
+        c.filter(
+            ~F.coalesce(F.col("c_acctbal") < 0.0, F.lit(False))
+            & (F.col("c_custkey") % 100 == 0)
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+    )
+    txlog.tx_merge_upsert(spark, t, upd, keys=["c_custkey"])
+    txlog.tx_compact(spark, t, num_files=2)
+    ch = txlog.tx_changes(spark, t, from_version=1)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

@@ -589,6 +589,69 @@ def batch_session_window_native(spark, sf_dir):
 
 
 @register(
+    "stream_tx_merge_upsert",
+    oracle="""WITH ranked AS (
+                SELECT user_id, value, ts,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events),
+              latest AS (SELECT user_id, value FROM ranked WHERE rn = 1)
+              SELECT COUNT(*) AS n_users,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM latest""",
+    tags=("streaming", "lake", "sink", "merge", "cdc"),
+)
+def stream_tx_merge_upsert(spark, sf_dir):
+    # Streaming MERGE into the transactional table
+    # (streaming/sinks.stream_tx_merge): micro-batches arrive in
+    # event-time order (range-staged source), each reduces to a
+    # deterministic last-write-wins row per user (order_by=[ts,
+    # event_id]) and upserts as ONE atomic merge commit — only the
+    # files holding that batch's keys rewrite. Then the whole stream
+    # replays on a fresh checkpoint and the txn ledger skips every
+    # batch. Final table = each user's globally-latest row (the
+    # declarative oracle): the user's latest event is in the last
+    # batch containing that user, and that batch's reduce picks it.
+    import tempfile
+
+    from ..sources import txlog
+    from ..streaming import read_events_stream
+    from ..streaming.sinks import stream_tx_merge
+
+    base = tempfile.mkdtemp(prefix="stream_txm_")
+    table = base + "/users_tx"
+    staged = base + "/src"
+
+    def run(ckpt: str) -> None:
+        ev = read_events_stream(
+            spark, sf_dir, staged=staged, n_files=3,
+            max_files_per_trigger=1, order_by_ts=True,
+        )
+        stream_tx_merge(
+            ev.select("user_id", "value", "ts", "event_id"),
+            table,
+            f"{base}/{ckpt}",
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+            app="merge",
+        )
+
+    run("ckpt1")
+    n_commits = len(txlog.log_versions(table))
+    run("ckpt2")  # full replay, fresh checkpoint
+    assert len(txlog.log_versions(table)) == n_commits, (
+        "replayed batches must be skipped by the txn ledger"
+    )
+    snap = txlog.read_snapshot(spark, table)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+@register(
     "stream_tx_append_exactly_once",
     oracle="""SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))

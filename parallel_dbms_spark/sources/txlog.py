@@ -639,6 +639,183 @@ def tx_delete_where(
     raise TxConflict(f"delete on {table} lost {max_retries} straight races")
 
 
+def tx_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed for the commits in ``(from_version,
+    to_version]`` — the Delta Change Data Feed re-derived from the log
+    itself, no extra write-side bookkeeping.
+
+    Because data files are immutable, each commit's row-level effect
+    is exactly::
+
+        inserts = rows(added files) EXCEPT ALL rows(removed files)
+        deletes = rows(removed files) EXCEPT ALL rows(added files)
+
+    (an update therefore appears as its delete + insert pair, and a
+    pure rewrite cancels out). ``compact`` commits are skipped without
+    reading a byte — content-preserving by construction. Cost is
+    bounded by the files the commits in range actually name, never
+    table size.
+
+    Returns the table columns plus ``_change_type`` ('insert' /
+    'delete') and ``_commit_version``.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    versions = log_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits under {table}")
+    hi = versions[-1] if to_version is None else to_version
+    parts = []
+    for v in versions:
+        if v <= from_version or v > hi:
+            continue
+        rec = read_commit(table, v)
+        if rec["action"] == "compact":
+            continue
+        schema = _schema_at(table, v)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+
+        def _rows(rels):
+            if not rels:
+                return None
+            return reader.parquet(
+                *[os.path.join(table, f) for f in rels]
+            )
+
+        added = _rows(rec["added"])
+        removed = _rows(rec["removed"])
+        if added is not None:
+            ins = added if removed is None else added.exceptAll(
+                removed.select(*added.columns)
+            )
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        if removed is not None:
+            del_ = removed if added is None else removed.exceptAll(
+                added.select(*removed.columns)
+            )
+            parts.append(
+                del_.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+    if not parts:
+        schema = _schema_at(table, hi)
+        if schema is None:
+            raise ValueError(f"no changes and no schema in ({from_version}, {hi}]")
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("long")
+        ).limit(0)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+
+def tx_merge_upsert(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> tuple[int, int]:
+    """Transactional MERGE (SCD-1 upsert): ``MERGE INTO table USING
+    source ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` as one atomic commit.
+
+    Only the files that CONTAIN a source key are rewritten (their
+    non-matched rows survive verbatim); the full deduplicated source
+    stages as fresh files. removed = hit files, added = survivor
+    rewrites + source files — so a merge conflicts with any
+    interleaved delete/compact/merge that rewrote the same files
+    (retry from a fresh snapshot) while appends commute. Source rows
+    are deduplicated on ``keys`` first (one surviving row per key,
+    callers needing last-write-wins pre-reduce by timestamp).
+
+    Isolation note (Delta's WriteSerializable): a concurrent APPEND
+    that lands the same key commutes at the file level — the merge
+    cannot see it, and the table may then hold both rows. Route
+    key-overlapping writers through merge, not append, when key
+    uniqueness matters.
+
+    Returns (new_version, files_rewritten).
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    source = source.dropDuplicates(keys)
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        if not files:
+            added = _stage(source, table)
+            stats = (
+                collect_file_stats(table, added, stats_cols)
+                if stats_cols else None
+            )
+            try:
+                v = commit(
+                    table, "merge", added, [], parent,
+                    schema_json=schema_json or source.schema.json(),
+                    stats=stats, meta=meta,
+                )
+                return v, 0
+            except TxConflict:
+                continue
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = reader.parquet(
+            *[os.path.join(table, f) for f in files]
+        ).withColumn("__file", F.col("_metadata.file_path"))
+        src_keys = source.select(*keys).distinct()
+        hit_uris = [
+            r["__file"]
+            for r in df.join(src_keys, keys, "leftsemi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        hit_rels = sorted(
+            os.path.relpath(unquote(u).removeprefix("file:"), table)
+            for u in hit_uris
+        )
+        added = []
+        if hit_rels:
+            survivors = reader.parquet(
+                *[os.path.join(table, f) for f in hit_rels]
+            ).join(src_keys, keys, "left_anti")
+            if survivors.limit(1).count():
+                added += _stage(survivors, table)
+        tgt_cols = (
+            [f.name for f in schema.fields] if schema is not None
+            else source.columns
+        )
+        added += _stage(source.select(*tgt_cols), table)
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols and added else None
+        )
+        try:
+            v = commit(
+                table, "merge", added, hit_rels, parent,
+                schema_json=schema_json, stats=stats, meta=meta,
+            )
+            return v, len(hit_rels)
+        except TxConflict:
+            continue  # fresh snapshot, re-find affected files
+    raise TxConflict(f"merge on {table} lost {max_retries} straight races")
+
+
 def tx_compact(
     spark: SparkSession,
     table: str,

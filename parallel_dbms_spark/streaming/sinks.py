@@ -500,6 +500,73 @@ def read_ohlc(spark, path: str) -> DataFrame:
     )
 
 
+def stream_tx_merge(
+    streaming_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    keys: list[str],
+    app: str = "stream-merge",
+    order_by: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Stream a change feed into a TRANSACTIONAL table as exactly-once
+    MERGE commits — the streaming face of ``txlog.tx_merge_upsert``
+    and the ACID upgrade of :func:`stream_upsert_sink` (which rewrites
+    a plain parquet table wholesale; here only the files containing a
+    batch's keys rewrite, atomically, and concurrent batch writers
+    stay safe under the commit protocol).
+
+    Exactly-once: each micro-batch's commit carries its streaming
+    identity (``txn_app``, ``txn_batch``) — a replayed batch (crash
+    between commit and checkpoint write) is found in the LOG ITSELF
+    and skipped, so the merge is never applied twice.
+
+    ``order_by``: deterministic within-batch last-write-wins — keep
+    each key's row with the GREATEST (order_by...) tuple (e.g.
+    ``["ts", "event_id"]``). Without it, duplicate keys in a batch
+    reduce by ``dropDuplicates`` (arbitrary survivor). Cross-batch,
+    merge is arrival-ordered: feed the sink a time-ordered source when
+    global latest-wins matters.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources import txlog
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in txlog.committed_txn_batches(table, app):
+            return  # replay of an already-committed batch
+        if batch_df.isEmpty():
+            return
+        if order_by:
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order_by]
+            )
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        txlog.tx_merge_upsert(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            keys=keys,
+            meta={"txn_app": app, "txn_batch": batch_id},
+        )
+
+    w = (
+        streaming_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    q.awaitTermination()
+    return q
+
+
 def stream_tx_append(
     streaming_df: DataFrame,
     table: str,

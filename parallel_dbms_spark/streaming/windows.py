@@ -45,6 +45,7 @@ def read_events_stream(
     staged: str | None = None,
     n_files: int = 1,
     max_files_per_trigger: int | None = None,
+    order_by_ts: bool = False,
 ) -> DataFrame:
     """events.parquet as a bounded stream (ns -> µs ts conversion as in
     catalog.load_table).
@@ -60,6 +61,13 @@ def read_events_stream(
     MULTIPLE micro-batches — exercising cross-batch state (window
     accumulation, watermark advancement) instead of a single-batch
     pass, which is what a live stream actually does.
+
+    ``order_by_ts`` stages the files RANGE-PARTITIONED on ``ts`` so
+    micro-batches arrive in event-time order (the file source picks
+    files up by (modTime, path), and range partition 0 writes the
+    lowest ts range to part-00000) — the shape of a landing zone fed
+    by a time-ordered upstream, which deterministic cross-batch upsert
+    semantics need.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The fixture has shipped ts as TIMESTAMP(NANOS) (scanned int64 via
@@ -74,14 +82,17 @@ def read_events_stream(
     # can never mix int64-nanos and µs-timestamp parquet files. (The
     # leading underscore keeps the marker invisible to the file
     # source.)
-    mode = "ns-raw" if (legacy_ns and n_files <= 1) else f"us-{n_files}"
+    mode = (
+        "ns-raw" if (legacy_ns and n_files <= 1 and not order_by_ts)
+        else f"us-{n_files}{'-ts' if order_by_ts else ''}"
+    )
     marker = os.path.join(staged, "_staging_mode")
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:
             if fh.read().strip() != mode:
                 shutil.rmtree(staged)
                 os.makedirs(staged)
-    if legacy_ns and n_files <= 1:
+    if legacy_ns and n_files <= 1 and not order_by_ts:
         target = os.path.join(staged, "part-0.parquet")
         if not os.path.exists(target):
             shutil.copy(f"{sf_dir}/events.parquet", target)
@@ -90,12 +101,26 @@ def read_events_stream(
         # timestamp regardless of the fixture's physical encoding.
         from ..catalog import load_table
 
-        (
-            load_table(spark, sf_dir, "events")
-            .repartition(n_files)
-            .write.mode("overwrite")
-            .parquet(staged)
+        ev = load_table(spark, sf_dir, "events")
+        part = (
+            ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+            if order_by_ts
+            else ev.repartition(n_files)
         )
+        part.write.mode("overwrite").parquet(staged)
+        if order_by_ts:
+            # the file source picks files up by (modTime, path); one
+            # write job gives every part the same mtime, so pin the
+            # pickup order to the ts-range order explicitly
+            import time as _time
+
+            now = _time.time()
+            parts = sorted(
+                f for f in os.listdir(staged) if f.startswith("part-")
+            )
+            for i, f in enumerate(parts):
+                t = now - 60 * (len(parts) - i)
+                os.utime(os.path.join(staged, f), (t, t))
     with open(marker, "w", encoding="utf-8") as fh:
         fh.write(mode)
     schema = EVENTS_SCHEMA if legacy_ns and n_files <= 1 else EVENTS_SCHEMA_TS

@@ -526,3 +526,183 @@ def test_zorder_compact_tightens_skipping_both_dims(spark, table):
     want_x = {r.id for r in df.filter("x <= 60").collect()}
     assert {r.id for r in out_x.collect()} == want_x
     assert txlog.read_snapshot(spark, table).count() == 4000
+
+
+def test_merge_upsert_rewrites_only_hit_files(spark, table):
+    """Transactional MERGE: source wins on key match, new keys insert,
+    and only files containing a source key are rewritten."""
+    txlog.tx_append(_df(spark, [(i, "old") for i in range(5)]).coalesce(1),
+                    table)
+    txlog.tx_append(_df(spark, [(i, "keep") for i in range(10, 15)])
+                    .coalesce(1), table)
+    _, before = txlog.snapshot_files(table)
+    src = _df(spark, [(2, "new"), (3, "new"), (99, "insert")])
+    v, rewritten = txlog.tx_merge_upsert(spark, table, src, keys=["k"])
+    assert rewritten == 1  # only the file holding keys 2/3
+    _, after = txlog.snapshot_files(table)
+    assert set(before) & set(after), "un-hit file must survive untouched"
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == (
+        {(0, "old"), (1, "old"), (4, "old"), (2, "new"), (3, "new"),
+         (99, "insert")}
+        | {(i, "keep") for i in range(10, 15)}
+    )
+    rec = txlog.read_commit(table, v)
+    assert rec["action"] == "merge"
+
+
+def test_merge_upsert_empty_table_and_source_dedup(spark, table):
+    src = _df(spark, [(1, "a"), (1, "b"), (2, "c")])
+    v, rewritten = txlog.tx_merge_upsert(spark, table, src, keys=["k"])
+    assert v == 1 and rewritten == 0
+    rows = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()}
+    assert set(rows) == {1, 2}  # one survivor per key
+
+
+def test_merge_upsert_retries_through_interleaved_append(spark, table):
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(4)]), table)
+    done = threading.Event()
+
+    def appender():
+        while not done.is_set():
+            txlog.tx_append(_df(spark, [(999, "noise")]), table)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    try:
+        v, _ = txlog.tx_merge_upsert(
+            spark, table, _df(spark, [(2, "merged")]), keys=["k"]
+        )
+    finally:
+        done.set()
+        th.join()
+    rows = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()
+            if r.k == 2}
+    assert rows == {2: "merged"}
+
+
+def test_merge_upsert_conflicts_with_concurrent_merge_on_same_file(
+    spark, table
+):
+    """Two merges rewriting the same file: exactly one wins per
+    attempt, the loser retries against the fresh snapshot, and the
+    final state reflects BOTH merges (serializable outcome)."""
+    txlog.tx_append(_df(spark, [(i, "base") for i in range(4)]).coalesce(1),
+                    table)
+    errs = []
+
+    def merge(k, val):
+        try:
+            txlog.tx_merge_upsert(
+                spark, table, _df(spark, [(k, val)]), keys=["k"]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=merge, args=(1, "m1")),
+           threading.Thread(target=merge, args=(2, "m2"))]
+    for t_ in ths:
+        t_.start()
+    for t_ in ths:
+        t_.join()
+    assert not errs
+    rows = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()}
+    assert rows[1] == "m1" and rows[2] == "m2"
+    assert rows[0] == "base" and rows[3] == "base"
+
+
+def test_merge_upsert_keeps_skipping_stats(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k long, x double").coalesce(1),
+        table, stats_cols=["k"],
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                              "k long, x double").coalesce(1),
+        table, stats_cols=["k"],
+    )
+    txlog.tx_merge_upsert(
+        spark, table,
+        spark.createDataFrame([(5, -1.0)], "k long, x double"),
+        keys=["k"], stats_cols=["k"],
+    )
+    stats = txlog.snapshot_stats(table)
+    _, live = txlog.snapshot_files(table)
+    assert set(stats) == set(live)
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                               lo=100, hi=105)
+    assert nread < ntotal
+    assert {r.k for r in df.collect()} == set(range(100, 106))
+
+
+def test_change_feed_derives_row_level_diffs(spark, table):
+    """tx_changes: inserts/deletes per commit from the log's own file
+    lists — updates surface as delete+insert, compaction is invisible
+    and costs no reads."""
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    txlog.tx_append(_df(spark, [(4, "d")]), table)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    txlog.tx_merge_upsert(
+        spark, table, _df(spark, [(2, "B"), (99, "new")]), keys=["k"]
+    )
+    txlog.tx_compact(spark, table, num_files=1)
+
+    ch = txlog.tx_changes(spark, table, from_version=0)
+    got = {(r.k, r.v, r._change_type, r._commit_version)
+           for r in ch.collect()}
+    assert got == {
+        (1, "a", "insert", 1), (2, "b", "insert", 1), (3, "c", "insert", 1),
+        (4, "d", "insert", 2),
+        (1, "a", "delete", 3),
+        (2, "b", "delete", 4), (2, "B", "insert", 4), (99, "new", "insert", 4),
+    }
+    # range reads: only the tail
+    tail = txlog.tx_changes(spark, table, from_version=3)
+    assert {(r.k, r._change_type) for r in tail.collect()} == {
+        (2, "delete"), (2, "insert"), (99, "insert")
+    }
+    # replaying the feed onto the from_version snapshot reproduces the
+    # final snapshot (the CDC contract)
+    base = txlog.read_snapshot(spark, table, version=2)
+    ins = ch.filter("_change_type = 'insert' and _commit_version > 2") \
+            .select("k", "v")
+    dels = ch.filter("_change_type = 'delete' and _commit_version > 2") \
+             .select("k", "v")
+    replayed = base.unionByName(ins).exceptAll(dels)
+    final = txlog.read_snapshot(spark, table)
+    assert sorted(map(tuple, replayed.collect())) == \
+        sorted(map(tuple, final.collect()))
+
+
+def test_stream_tx_merge_exactly_once_and_replay_skip(spark, tmp_path):
+    """Streaming MERGE into the transactional table: batches apply as
+    atomic merge commits, and a replayed batch (already in the txn
+    ledger) is skipped without touching the table."""
+    from parallel_dbms_spark.streaming.sinks import stream_tx_merge
+
+    table = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    txlog.tx_append(base, table)
+    feed = spark.createDataFrame(
+        [(2, "B"), (9, "new")], "k long, v string"
+    )
+    feed.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    stream_tx_merge(stream, table, str(tmp_path / "ckpt"), keys=["k"],
+                    app="ing")
+    rows = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 9: "new"}
+    n_commits = len(txlog.log_versions(table))
+
+    # replay with a FRESH checkpoint: ledger skip, no new commits
+    stream2 = spark.readStream.schema("k long, v string").parquet(src)
+    stream_tx_merge(stream2, table, str(tmp_path / "ckpt2"), keys=["k"],
+                    app="ing")
+    assert len(txlog.log_versions(table)) == n_commits
+    rows2 = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()}
+    assert rows2 == rows
