@@ -58,7 +58,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 # er_resolve_parts keeps dedup/fuzzy/clustering, dq_benford_totalprice
 # keeps dq, lake_tx_* keep lake, tests/test_registry_window.py pins it.
 # Plus 3 more slots for the never-graded TPC-H family (q6/q12/q19) from
-# array_functions, lake_time_travel, lake_delete_keys (all r5-green).
+# array_functions, lake_time_travel, lake_delete_keys (all r5-green),
+# and 10 tag-repairing swaps (each incoming row carries the exact
+# families its outgoing r5-green row was the sole carrier of):
+# window_distinct_trailing_7d->lake_instant_distinct,
+# window_ntile_deciles->rfm_segments,
+# asof_join_sharded_backward->profile_skew_lineitem,
+# spatial_radius_pairs->join_longest_prefix,
+# agg_histogram_quantiles->agg_histogram_prices,
+# sessionize_events->event_transition_matrix,
+# stream_session_30m->batch_session_window_native,
+# stream_scd2_dimension->scd2_time_in_state,
+# dedup_ngram_jaccard->dedup_prefix_jaccard,
+# multimodal_resize->multimodal_meta — 31 first-time rows total.
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/filter/project (O1-O5)
     "scan_project",
@@ -72,8 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top_n",
     "set_except",
     # windows: distinct-over-trailing-range, ntile
-    "window_distinct_trailing_7d",
-    "window_ntile_deciles",
+    "lake_instant_distinct",
+    "rfm_segments",
     # SQL depth: recursive CTE, TPC-H Q17/Q21, JSON, arrays
     "sql_recursive_balance_paydown",
     "tpch_q17_shape",
@@ -85,11 +97,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # temporal joins: as-of strict/sharded (skew), spatial radius +
     # point-in-polygon geofence
     "asof_join_strict",
-    "asof_join_sharded_backward",
-    "spatial_radius_pairs",
+    "profile_skew_lineitem",
+    "join_longest_prefix",
     "spatial_point_in_polygon",
     # aggregates / statistics surface
-    "agg_histogram_quantiles",
+    "agg_histogram_prices",
     "eval_auc_quality",
     "stat_chisq_event_hours",
     "stat_ttest_welch_value",
@@ -98,19 +110,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_benford_totalprice",
     # profiling / sessionize / timeseries (TWAP, OHLC)
     "profile_orders",
-    "sessionize_events",
+    "event_transition_matrix",
     "twap_user_value",
     "ohlc_hourly",
     # CDC / MV
     "cdc_apply_full",
     "mv_rollup_rewrite",
     # structured streaming (batch-SQL oracles) + exactly-once tx ingest
-    "stream_session_30m",
+    "batch_session_window_native",
     "stream_dedup_within_watermark",
-    "stream_scd2_dimension",
+    "scd2_time_in_state",
     "stream_tx_append_exactly_once",
     # LLM-pipeline: dedup / entity resolution
-    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
     "er_resolve_parts",
     # text analysis
     "text_tfidf_topk",
@@ -120,7 +132,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_centroids",
     "graph_sssp_weighted",
     # multimodal, search
-    "multimodal_resize",
+    "multimodal_meta",
     "search_phrase",
     # lake: N-D Z-order skipping, multi-writer transactional commit
     # log (time travel + deletes rotated out with r5 graded proof)
