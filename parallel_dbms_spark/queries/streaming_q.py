@@ -652,6 +652,66 @@ def stream_tx_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "stream_tx_source_tail",
+    oracle="""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM customer GROUP BY c_mktsegment""",
+    tags=("streaming", "lake", "source", "versioned"),
+)
+def stream_tx_source_tail(spark, sf_dir):
+    # The transactional table as a streaming SOURCE (sources/
+    # txlog_ds.py, Spark 4 Python DataSource): three append commits
+    # land, a Structured Streaming query tails the commit log with
+    # version offsets into a parquet sink, a FOURTH commit lands, and
+    # a checkpoint-recovered restart emits exactly the new commit.
+    # Compaction is invisible (content-preserving). The sink then
+    # holds every appended row exactly once — the declarative
+    # aggregate over the source table is the oracle.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="stream_txsrc_")
+    t = base + "/customer"
+    for m in range(3):
+        txlog.tx_append(c.filter(F.col("c_custkey") % 4 == m), t)
+
+    out, ckpt = base + "/out", base + "/ckpt"
+
+    def run():
+        q = (
+            spark.readStream.format("txlog").option("path", t).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    txlog.tx_append(c.filter(F.col("c_custkey") % 4 == 3), t)
+    txlog.tx_compact(spark, t, num_files=2)
+    run()  # checkpoint-recovered: emits only the 4th append
+    return (
+        spark.read.schema("c_custkey long, c_mktsegment string, "
+                          "c_acctbal double")
+        .parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+
+
+@register(
     "stream_tx_append_exactly_once",
     oracle="""SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))

@@ -1,0 +1,92 @@
+"""The transactional table as a streaming SOURCE (sources/txlog_ds.py):
+commit-version offsets, checkpoint-recoverable incremental tailing,
+Delta-style change guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_dbms_spark.sources import txlog
+from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    register_txlog_source(spark)
+    t = str(tmp_path / "t")
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(3, "c")], "k long, v string"), t
+    )
+    return t
+
+
+def _run(spark, t, out, ckpt, **opts):
+    r = spark.readStream.format("txlog").option("path", t)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_batch_face_reads_snapshot(spark, table):
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("txlog").option("path", table)
+        .load()
+        .collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_stream_tails_commits_incrementally(spark, table, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+    # new commit after the checkpointed offset: restart emits ONLY it
+    txlog.tx_append(
+        spark.createDataFrame([(4, "d")], "k long, v string"), table
+    )
+    _run(spark, table, out, ckpt)
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    # compaction is invisible to the stream (content-preserving)
+    txlog.tx_compact(spark, table, num_files=1)
+    _run(spark, table, out, ckpt)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_delete_commit_guards_and_ignore_changes(spark, table, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, out, ckpt)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    with pytest.raises(Exception, match="ignoreChanges|rewrote files"):
+        _run(spark, table, out, ckpt)
+    # ignoreChanges=true streams the rewrite's added (survivor) rows
+    _run(spark, table, out, ckpt, ignoreChanges="true")
+    got = [(r.k, r.v) for r in spark.read.parquet(out).collect()]
+    assert (1, "a") in got  # the pre-delete emit is immutable history
+    # survivors re-emitted at least once; no crash, no lost commit
+    assert len(got) >= 3
+
+
+def test_schema_evolution_serves_nulls_for_old_files(spark, table, tmp_path):
+    txlog.tx_append(
+        spark.createDataFrame([(9, "z", 1.5)], "k long, v string, x double"),
+        table,
+        merge_schema=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, table, out, ckpt)
+    rows = {r.k: (r.v, r.x) for r in spark.read.parquet(out).collect()}
+    assert rows[9] == ("z", 1.5)
+    assert rows[1] == ("a", None)  # pre-evolution file -> NULL column
