@@ -3182,6 +3182,49 @@ def lake_tx_change_feed(spark, sf_dir):
     )
 
 
+@register(
+    "lake_tx_delete_vectors",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE NOT COALESCE(o_totalprice < 10000.0, FALSE)
+              GROUP BY o_orderstatus""",
+    tags=("lake", "versioned", "cdc", "groupby"),
+)
+def lake_tx_delete_vectors(spark, sf_dir):
+    # MERGE-ON-READ delete (txlog.tx_delete_where_mor): the matching
+    # rows' (file, row_index) positions land as DELETION VECTORS in
+    # the commit — NO data file is rewritten (asserted on the physical
+    # file list), and readers apply the vectors transparently. The
+    # fast-delete half of the copy-on-write / merge-on-read trade; the
+    # oracle is the declarative NOT-predicate read, so the vector
+    # machinery must be semantically invisible.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txdv_") + "/orders"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    _, before = txlog.snapshot_files(t)
+    v, n_deleted = txlog.tx_delete_where_mor(
+        spark, t, "o_totalprice < 10000.0"
+    )
+    _, after = txlog.snapshot_files(t)
+    assert before == after, "MOR delete must not rewrite any file"
+    assert n_deleted > 0
+    return txlog.read_snapshot(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

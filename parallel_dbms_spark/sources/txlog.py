@@ -168,10 +168,99 @@ def _try_create(path: str, payload: dict) -> bool:
 def _write_checkpoint(table: str, v: int) -> None:
     _, live = snapshot_files(table, v)
     stats = snapshot_stats(table, v)
+    dvs = snapshot_dvs(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump({"version": v, "live": live, "stats": stats}, fh)
+        json.dump(
+            {"version": v, "live": live, "stats": stats, "dvs": dvs}, fh
+        )
     os.replace(tmp, _ckpt_path(table, v))
+
+
+def snapshot_dvs(table: str, version: int | None = None) -> dict:
+    """Deletion vectors live at a version: ``{relpath: [row_index,
+    ...]}`` (sorted, deduplicated) — merge-on-read deletes recorded by
+    :func:`tx_delete_where_mor`. Same checkpoint-plus-tail replay as
+    :func:`snapshot_files`; vectors for files a later commit removed
+    are dropped (the rewrite already materialized the deletes)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, dvs = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                dvs = {
+                    f: list(p)
+                    for f, p in json.load(fh).get("dvs", {}).items()
+                }
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            dvs.pop(f, None)
+        for f, pos in rec.get("dv", {}).items():
+            dvs[f] = sorted(set(dvs.get(f, [])) | set(pos))
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {f: p for f, p in dvs.items() if f in live_set}
+
+
+def _rel_expr(table: str):
+    """Scan-side expression turning ``_metadata.file_path`` (a URI,
+    %-escaped) back into the table-relative path the log records."""
+    from pyspark.sql import functions as F
+
+    prefix = "file:" + os.path.abspath(table) + "/"
+    return F.replace(
+        F.url_decode(F.col("_metadata.file_path")),
+        F.lit(prefix),
+        F.lit(""),
+    )
+
+
+def _apply_dvs(df: DataFrame, table: str, dvs: dict) -> DataFrame:
+    """Filter out deletion-vector rows: anti-join the scan (tagged with
+    its file-relative path and row index) against the broadcast
+    exclusion set. DV size is bounded at write time
+    (``max_dv_rows``), so the broadcast is driver-safe by contract."""
+    if not dvs:
+        return df
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    pairs = [(f, int(p)) for f, pos in dvs.items() for p in pos]
+    excl = spark.createDataFrame(pairs, "__rel string, __pos long")
+    cols = df.columns
+    tagged = df.withColumn("__rel", _rel_expr(table)).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    return tagged.join(
+        F.broadcast(excl), ["__rel", "__pos"], "left_anti"
+    ).select(*cols)
+
+
+def _tagged_scan(reader, table: str, files: list[str], dvs: dict) -> DataFrame:
+    """Raw scan of ``files`` with ``__rel``/``__pos`` provenance tags
+    (resolved off ``_metadata`` BEFORE any projection hides it) and
+    deletion vectors already excluded."""
+    from pyspark.sql import functions as F
+
+    df = reader.parquet(*[os.path.join(table, f) for f in files]).select(
+        "*",
+        _rel_expr(table).alias("__rel"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    rel_set = set(files)
+    dv = {f: p for f, p in dvs.items() if f in rel_set}
+    if dv:
+        spark = df.sparkSession
+        pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
+        excl = spark.createDataFrame(pairs, "__rel string, __pos long")
+        df = df.join(F.broadcast(excl), ["__rel", "__pos"], "left_anti")
+    return df
 
 
 def snapshot_stats(table: str, version: int | None = None) -> dict:
@@ -212,6 +301,8 @@ def commit(
     max_attempts: int = 64,
     meta: dict | None = None,
     stats: dict | None = None,
+    dv: dict | None = None,
+    depends_on: list[str] | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -231,6 +322,8 @@ def commit(
         rec["schema"] = schema_json
     if stats:
         rec["stats"] = stats
+    if dv:
+        rec["dv"] = dv
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -245,6 +338,21 @@ def commit(
             raise TxConflict(
                 f"version {v} removed files this commit also removes: "
                 f"{sorted(ours_removed & set(theirs['removed']))[:4]}"
+            )
+        if depends_on and set(depends_on) & set(theirs["removed"]):
+            # our deletion vectors target files an interleaved commit
+            # rewrote: the positions no longer mean anything (Delta's
+            # read-set conflict) — re-run against the fresh snapshot
+            raise TxConflict(
+                f"version {v} removed files this commit depends on"
+            )
+        if ours_removed & set(theirs.get("dv", {})):
+            # an interleaved commit added deletion vectors to files we
+            # are removing: our rewrite was computed WITHOUT those
+            # deletes and would resurrect the rows — recompute
+            raise TxConflict(
+                f"version {v} added deletion vectors to files this "
+                "commit rewrites"
             )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
@@ -483,7 +591,8 @@ def read_snapshot(
 ) -> DataFrame:
     """Snapshot-isolated read of a committed version (latest by
     default). The returned plan references explicit immutable files —
-    later commits cannot change what it reads."""
+    later commits cannot change what it reads. Merge-on-read deletion
+    vectors (tx_delete_where_mor) are applied transparently."""
     v, files = snapshot_files(table, version)
     versions = log_versions(table)
     if not versions:
@@ -494,7 +603,8 @@ def read_snapshot(
             raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
         return spark.createDataFrame([], schema)
     reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*[os.path.join(table, f) for f in files])
+    df = reader.parquet(*[os.path.join(table, f) for f in files])
+    return _apply_dvs(df, table, snapshot_dvs(table, v))
 
 
 def _schema_at(table: str, version: int | None) -> StructType | None:
@@ -563,6 +673,8 @@ def tx_read_skipping(
     else:
         reader = spark.read if schema is None else spark.read.schema(schema)
         df = reader.parquet(*[os.path.join(table, f) for f in keep])
+        dvs = snapshot_dvs(table, v)
+        df = _apply_dvs(df, table, {f: p for f, p in dvs.items() if f in set(keep)})
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -587,8 +699,6 @@ def tx_delete_where(
 
     Returns (new_version, files_rewritten).
     """
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     for _ in range(max_retries):
@@ -603,25 +713,20 @@ def tx_delete_where(
         # the newest schema-bearing commit.
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
+        dvs = snapshot_dvs(table)
         reader = spark.read if schema is None else spark.read.schema(schema)
-        df = reader.parquet(
-            *[os.path.join(table, f) for f in files]
-        ).withColumn("__file", F.col("_metadata.file_path"))
+        df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
-        hit_uris = [
-            r["__file"]
-            for r in df.filter(pred).select("__file").distinct().collect()
-        ]
-        if not hit_uris:
-            return parent, 0
-        # URI -> relpath (file_path is a URI; unquote before comparing)
         hit_rels = sorted(
-            os.path.relpath(unquote(u).removeprefix("file:"), table)
-            for u in hit_uris
+            r["__rel"]
+            for r in df.filter(pred).select("__rel").distinct().collect()
         )
+        if not hit_rels:
+            return parent, 0
         survivors = (
-            reader.parquet(*[os.path.join(table, f) for f in hit_rels])
+            _tagged_scan(reader, table, hit_rels, dvs)
             .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
+            .drop("__rel", "__pos")
         )
         added = _stage(survivors, table) if survivors.limit(1).count() else []
         stats = (
@@ -637,6 +742,72 @@ def tx_delete_where(
         except TxConflict:
             continue  # fresh snapshot, re-find affected files
     raise TxConflict(f"delete on {table} lost {max_retries} straight races")
+
+
+def tx_delete_where_mor(
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    max_retries: int = 8,
+    max_dv_rows: int = 1_000_000,
+) -> tuple[int, int]:
+    """MERGE-ON-READ row-level delete: record the matching rows'
+    (file, row_index) positions as DELETION VECTORS in the commit —
+    no data file is rewritten. Readers apply the vectors transparently
+    (``read_snapshot`` / skipping / rewrites), and the next
+    compaction/rewrite of a file materializes its deletes and drops
+    the vector. This is the fast-delete half of the copy-on-write /
+    merge-on-read trade every real lakehouse exposes: O(matches)
+    commit cost instead of rewriting every hit file.
+
+    Conflicts: the commit DEPENDS ON the files it vectors — an
+    interleaved rewrite of any of them invalidates the positions and
+    forces a retry; conversely a rewrite racing this commit conflicts
+    through the dv-overlap rule (it was computed without these
+    deletes). NULL-predicate rows survive (3VL, same contract as
+    :func:`tx_delete_where`).
+
+    ``max_dv_rows`` bounds the driver-side vector (vectors ship in the
+    JSON commit and broadcast at read); past it, use the rewrite
+    delete. Returns (new_version, n_rows_deleted).
+    """
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        if not files:
+            return parent, 0
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        tagged = _tagged_scan(reader, table, files, snapshot_dvs(table))
+        pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
+        hits = tagged.filter(pred).select("__rel", "__pos")
+        n = hits.count()
+        if n == 0:
+            return parent, 0
+        if n > max_dv_rows:
+            raise ValueError(
+                f"{n} matching rows > max_dv_rows={max_dv_rows}: a "
+                "vector this size should be a rewrite — use "
+                "tx_delete_where"
+            )
+        dv: dict[str, list[int]] = {}
+        for r in hits.collect():
+            dv.setdefault(r["__rel"], []).append(int(r["__pos"]))
+        dv = {f: sorted(p) for f, p in dv.items()}
+        try:
+            v = commit(
+                table, "delete_mor", [], [], parent,
+                schema_json=schema_json, dv=dv,
+                depends_on=sorted(dv),
+            )
+            return v, n
+        except TxConflict:
+            continue  # positions went stale; re-find from fresh snapshot
+    raise TxConflict(
+        f"mor-delete on {table} lost {max_retries} straight races"
+    )
 
 
 def tx_changes(
@@ -657,9 +828,12 @@ def tx_changes(
 
     (an update therefore appears as its delete + insert pair, and a
     pure rewrite cancels out). ``compact`` commits are skipped without
-    reading a byte — content-preserving by construction. Cost is
-    bounded by the files the commits in range actually name, never
-    table size.
+    reading a byte — content-preserving by construction. A
+    ``delete_mor`` commit emits exactly its newly-vectored rows as
+    deletes; rewrite diffs read their removed files UNDER the deletion
+    vectors as of the prior version, so a row already deleted by a
+    vector is never emitted as a delete twice. Cost is bounded by the
+    files the commits in range actually name, never table size.
 
     Returns the table columns plus ``_change_type`` ('insert' /
     'delete') and ``_commit_version``.
@@ -682,11 +856,40 @@ def tx_changes(
         schema = _schema_at(table, v)
         reader = spark.read if schema is None else spark.read.schema(schema)
 
+        if rec["action"] == "delete_mor":
+            # the newly-vectored rows ARE the deletes — read just the
+            # referenced files, keep just the vectored positions
+            dv = rec.get("dv", {})
+            if not dv:
+                continue
+            tagged = reader.parquet(
+                *[os.path.join(table, f) for f in sorted(dv)]
+            ).withColumn("__rel", _rel_expr(table)).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+            pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
+            sel = spark.createDataFrame(pairs, "__rel string, __pos long")
+            cols = [c for c in tagged.columns if c not in ("__rel", "__pos")]
+            parts.append(
+                tagged.join(F.broadcast(sel), ["__rel", "__pos"])
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            continue
+
+        prior_dvs = snapshot_dvs(table, v - 1) if v > 1 else {}
+
         def _rows(rels):
             if not rels:
                 return None
-            return reader.parquet(
+            df = reader.parquet(
                 *[os.path.join(table, f) for f in rels]
+            )
+            rel_set = set(rels)
+            return _apply_dvs(
+                df, table,
+                {f: p for f, p in prior_dvs.items() if f in rel_set},
             )
 
         added = _rows(rec["added"])
@@ -748,8 +951,6 @@ def tx_merge_upsert(
 
     Returns (new_version, files_rewritten).
     """
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     keys = list(keys)
@@ -774,26 +975,23 @@ def tx_merge_upsert(
             except TxConflict:
                 continue
         reader = spark.read if schema is None else spark.read.schema(schema)
-        df = reader.parquet(
-            *[os.path.join(table, f) for f in files]
-        ).withColumn("__file", F.col("_metadata.file_path"))
+        dvs = snapshot_dvs(table)
+        df = _tagged_scan(reader, table, files, dvs)
         src_keys = source.select(*keys).distinct()
-        hit_uris = [
-            r["__file"]
+        hit_rels = sorted(
+            r["__rel"]
             for r in df.join(src_keys, keys, "leftsemi")
-            .select("__file")
+            .select("__rel")
             .distinct()
             .collect()
-        ]
-        hit_rels = sorted(
-            os.path.relpath(unquote(u).removeprefix("file:"), table)
-            for u in hit_uris
         )
         added = []
         if hit_rels:
-            survivors = reader.parquet(
-                *[os.path.join(table, f) for f in hit_rels]
-            ).join(src_keys, keys, "left_anti")
+            survivors = (
+                _tagged_scan(reader, table, hit_rels, dvs)
+                .drop("__rel", "__pos")
+                .join(src_keys, keys, "left_anti")
+            )
             if survivors.limit(1).count():
                 added += _stage(survivors, table)
         tgt_cols = (
@@ -848,7 +1046,10 @@ def tx_compact(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         reader = spark.read if schema is None else spark.read.schema(schema)
-        live_df = reader.parquet(*[os.path.join(table, f) for f in files])
+        live_df = _apply_dvs(
+            reader.parquet(*[os.path.join(table, f) for f in files]),
+            table, snapshot_dvs(table),
+        )
         if zorder_by:
             from .lake import z_cluster
 

@@ -75,12 +75,12 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
             rec = txlog.read_commit(self.table, v)
             if rec["action"] == "compact":
                 continue  # content-preserving rewrite: nothing to emit
-            if rec["removed"] and not self.ignore_changes:
+            if (rec["removed"] or rec.get("dv")) and not self.ignore_changes:
                 raise ValueError(
-                    f"commit {v} ({rec['action']}) rewrote files; a pure "
-                    "append stream cannot represent it. Pass "
-                    "ignoreChanges=true to re-emit rewritten rows, or "
-                    "consume txlog.tx_changes for a faithful CDC feed"
+                    f"commit {v} ({rec['action']}) rewrote or vectored "
+                    "files; a pure append stream cannot represent it. "
+                    "Pass ignoreChanges=true to skip/re-emit, or consume "
+                    "txlog.tx_changes for a faithful CDC feed"
                 )
             rels.extend(rec["added"])
         return rels

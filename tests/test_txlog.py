@@ -706,3 +706,102 @@ def test_stream_tx_merge_exactly_once_and_replay_skip(spark, tmp_path):
     assert len(txlog.log_versions(table)) == n_commits
     rows2 = {r.k: r.v for r in txlog.read_snapshot(spark, table).collect()}
     assert rows2 == rows
+
+
+def test_mor_delete_is_visible_without_rewriting_files(spark, table):
+    """Deletion vectors: the delete is served at read time from the
+    commit log; no data file changes."""
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(10)]).coalesce(1),
+                    table)
+    _, before = txlog.snapshot_files(table)
+    v, n = txlog.tx_delete_where_mor(spark, table, "k in (2, 5)")
+    assert n == 2
+    _, after = txlog.snapshot_files(table)
+    assert before == after, "MOR delete must not rewrite any file"
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == set(range(10)) - {2, 5}
+    # idempotent: already-vectored rows don't match again
+    v2, n2 = txlog.tx_delete_where_mor(spark, table, "k in (2, 5)")
+    assert n2 == 0
+    # time travel BEFORE the vector still serves the full data
+    assert len(txlog.read_snapshot(spark, table, version=1).collect()) == 10
+    # NULL-predicate rows survive (3VL)
+    txlog.tx_append(
+        spark.createDataFrame([(90, None)], "k long, v string"), table
+    )
+    txlog.tx_delete_where_mor(spark, table, "v = 'nope'")
+    assert 90 in {r.k for r in txlog.read_snapshot(spark, table).collect()}
+
+
+def test_mor_deletes_compose_with_rewrites_and_skipping(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k long, x double").coalesce(1),
+        table, stats_cols=["k"],
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                              "k long, x double").coalesce(1),
+        table, stats_cols=["k"],
+    )
+    txlog.tx_delete_where_mor(spark, table, "k = 103")
+    # skipping read applies the vector
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                               lo=100, hi=105)
+    assert nread < ntotal
+    assert {r.k for r in df.collect()} == {100, 101, 102, 104, 105}
+    # compaction materializes the delete and drops the vector
+    txlog.tx_compact(spark, table, num_files=1, stats_cols=["k"])
+    assert txlog.snapshot_dvs(table) == {}
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert 103 not in got and len(got) == 19
+    # rewrite delete does not resurrect MOR-deleted rows either
+    txlog.tx_append(
+        spark.createDataFrame([(200, 0.0), (201, 0.0)],
+                              "k long, x double").coalesce(1), table,
+    )
+    txlog.tx_delete_where_mor(spark, table, "k = 200")
+    txlog.tx_delete_where(spark, table, "k = 201")
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert 200 not in got and 201 not in got
+
+
+def test_mor_delete_conflicts_with_interleaved_rewrite(spark, table):
+    """The DV commit depends on the files it vectors: a rewrite landing
+    in between must force a retry (positions went stale), and the
+    retried delete still lands correctly."""
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(3)]).coalesce(1),
+                    table)
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(3, 6)]).coalesce(1),
+                    table)
+    # stale-commit simulation: vector computed against v2, but a
+    # compact lands first — committing the stale vector must raise
+    parent, files = txlog.snapshot_files(table)
+    txlog.tx_compact(spark, table, num_files=1)
+    with pytest.raises(txlog.TxConflict, match="depends on"):
+        txlog.commit(table, "delete_mor", [], [], parent,
+                     dv={files[0]: [0]}, depends_on=[files[0]])
+    # and the reverse: a rewrite racing a DV commit conflicts via the
+    # dv-overlap rule
+    parent2, files2 = txlog.snapshot_files(table)
+    txlog.commit(table, "delete_mor", [], [], parent2,
+                 dv={files2[0]: [0]}, depends_on=[files2[0]])
+    with pytest.raises(txlog.TxConflict, match="deletion vectors"):
+        txlog.commit(table, "compact", [], files2, parent2)
+    # the public API retries through the race and serves correctly
+    v, n = txlog.tx_delete_where_mor(spark, table, "k = 4")
+    assert n == 1
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert 4 not in got
+
+
+def test_change_feed_emits_mor_deletes_once(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    # a later rewrite of the same file must NOT re-emit k=2 as deleted
+    txlog.tx_delete_where(spark, table, "k = 3")
+    ch = txlog.tx_changes(spark, table, from_version=1)
+    got = sorted((r.k, r._change_type, r._commit_version)
+                 for r in ch.collect())
+    assert got == [(2, "delete", 2), (3, "delete", 3)]
