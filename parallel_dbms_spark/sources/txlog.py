@@ -473,9 +473,17 @@ def tx_append(
     meta: dict | None = None,
     merge_schema: bool = False,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched.
+
+    ``cluster_by``: z-order the appended rows before staging
+    (``lake.z_cluster``) so each staged file covers a tight range of
+    the clustered columns — combined with ``stats_cols`` this makes
+    every append arrive pre-skippable, instead of waiting for the next
+    ``tx_compact(zorder_by=...)`` pass.
 
     Schema contract (the Delta one): by default an append must carry
     exactly the table's columns (order-insensitive; a drift-write is
@@ -496,6 +504,10 @@ def tx_append(
     """
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
+    if cluster_by:
+        from .lake import z_cluster
+
+        df = z_cluster(df, list(cluster_by), num_files=cluster_files)
     added = _stage(df, table)
     stats = collect_file_stats(table, added, stats_cols) if stats_cols else None
     for _ in range(16):

@@ -805,3 +805,19 @@ def test_change_feed_emits_mor_deletes_once(spark, table):
     got = sorted((r.k, r._change_type, r._commit_version)
                  for r in ch.collect())
     assert got == [(2, "delete", 2), (3, "delete", 3)]
+
+
+def test_clustered_append_arrives_pre_skippable(spark, table):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(rnd.randrange(10000), "x") for _ in range(4000)]
+    txlog.tx_append(
+        spark.createDataFrame(rows, "k long, v string"),
+        table, stats_cols=["k"], cluster_by=["k"], cluster_files=8,
+    )
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                               lo=0, hi=500)
+    assert ntotal > 1 and nread < ntotal
+    want = {k for k, _ in rows if k <= 500}
+    assert {r.k for r in df.collect()} == want
