@@ -39,9 +39,13 @@ from pyspark.sql.datasource import (
 from . import txlog
 
 
-def _rows_from_files(table: str, rels: list[str], fields: list[str]):
+def _rows_from_files(
+    table: str, rels: list[str], fields: list[str], dvs: dict | None = None
+):
     """Read parquet files by value (pyarrow, driver-side) aligned to
-    the serve schema: absent columns (pre-evolution files) yield None.
+    the serve schema: absent columns (pre-evolution files) yield None;
+    deletion-vector positions (row order == parquet row index) are
+    skipped when ``dvs`` is given.
     """
     import os
 
@@ -50,7 +54,10 @@ def _rows_from_files(table: str, rels: list[str], fields: list[str]):
     for rel in rels:
         tbl = pq.read_table(os.path.join(table, rel))
         cols = set(tbl.column_names)
-        for rec in tbl.to_pylist():
+        excl = set((dvs or {}).get(rel, ()))
+        for i, rec in enumerate(tbl.to_pylist()):
+            if i in excl:
+                continue
             yield tuple(rec.get(f) if f in cols else None for f in fields)
 
 
@@ -112,7 +119,9 @@ class TxLogReader(DataSourceReader):
 
     def read(self, partition):
         _, files = txlog.snapshot_files(self.table)
-        yield from _rows_from_files(self.table, files, self.fields)
+        yield from _rows_from_files(
+            self.table, files, self.fields, txlog.snapshot_dvs(self.table)
+        )
 
 
 class TxLogDataSource(DataSource):

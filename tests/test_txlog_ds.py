@@ -90,3 +90,14 @@ def test_schema_evolution_serves_nulls_for_old_files(spark, table, tmp_path):
     rows = {r.k: (r.v, r.x) for r in spark.read.parquet(out).collect()}
     assert rows[9] == ("z", 1.5)
     assert rows[1] == ("a", None)  # pre-evolution file -> NULL column
+
+
+def test_batch_face_applies_deletion_vectors(spark, table):
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("txlog").option("path", table)
+        .load()
+        .collect()
+    }
+    assert got == {(1, "a"), (3, "c")}
