@@ -24,7 +24,12 @@ re-rank with a rank-1 oracle, TWAP and OHLC time-series rollups,
 Jaro-Winkler entity resolution, incremental MV refresh, lake
 compaction round-trip, the per-file bitmap distinct sidecar, RFM
 segmentation, market-basket pairs, event-sequence (CEP) matching,
-group-mean imputation, and weighted SSSP. Where a query is
+group-mean imputation, and weighted SSSP, and round-6 additions: the
+transactional lake grown to full lakehouse shape — ACID-composed
+min/max data skipping and OPTIMIZE-ZORDER, transactional MERGE,
+merge-on-read deletion vectors, a commit-log-derived change data
+feed, exactly-once streaming MERGE, and the table as a streaming
+source with commit-version offsets. Where a query is
 SQL-expressible its DuckDB oracle is registered; hash-placement and
 pandas-UDF queries are rows-only and get quality assertions in
 tests/ instead. The first 50 exported entries (the graded window)
