@@ -3077,6 +3077,111 @@ def lake_tx_zorder_skipping(spark, sf_dir):
 
 
 @register(
+    "lake_tx_point_lookup",
+    oracle="""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderkey = (SELECT MIN(o_orderkey) + 42
+                                  FROM orders
+                                  WHERE o_orderkey % 4 = 2)
+                 OR o_orderkey = (SELECT MIN(o_orderkey)
+                                  FROM orders
+                                  WHERE o_orderkey % 4 = 2)""",
+    tags=("lake", "bloom", "versioned", "point-lookup"),
+)
+def lake_tx_point_lookup(spark, sf_dir):
+    # Needle-in-haystack WHERE id = ? through BLOOM SIDECARS RIDING
+    # COMMITS (txlog.tx_append(bloom_cols=...) + tx_point_lookup):
+    # four hash-sliced appends leave every file spanning the full
+    # orderkey range — min/max stats prune NOTHING for equality — but
+    # each append's commit carries per-file Bloom filters, so the
+    # lookup opens only the files whose filter admits the key (false
+    # positives cost one scan, never a wrong row). The probe keys are
+    # derived from the data (min of one hash slice) so the query is
+    # scale-factor-independent.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txb_") + "/orders"
+    for mod in range(4):
+        txlog.tx_append(
+            o.filter(F.col("o_orderkey") % 4 == mod).repartition(3),
+            t, bloom_cols=["o_orderkey"],
+        )
+    base = o.filter(F.col("o_orderkey") % 4 == 2).agg(
+        F.min("o_orderkey")
+    ).head()[0]
+    keys = [int(base), int(base) + 42]
+    parts = []
+    files_read = files_total = 0
+    for k in keys:
+        df, n_read, n_total = txlog.tx_point_lookup(
+            spark, t, "o_orderkey", k
+        )
+        parts.append(df)
+        files_read += n_read
+        files_total += n_total
+    assert files_total == 24 and files_read < files_total // 2, (
+        "bloom filters must prune most files per probe",
+        files_read, files_total,
+    )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
+@register(
+    "lake_tx_restore_counts",
+    oracle="""SELECT c_mktsegment, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM customer
+              GROUP BY c_mktsegment""",
+    tags=("lake", "time-travel", "versioned", "groupby"),
+)
+def lake_tx_restore_counts(spark, sf_dir):
+    # RESTORE as a NEW COMMIT (txlog.tx_restore — Delta's RESTORE
+    # semantics): three appends build the table, a transactional
+    # delete drops every negative-balance customer, then restore
+    # rolls the table back to the pre-delete version WITHOUT
+    # rewriting history (the delete's version stays readable; the
+    # restore is itself versioned). The oracle is the plain aggregate
+    # over the source table — the delete+restore round trip must be
+    # exactly invisible, including NULL-balance rows the delete's
+    # 3VL predicate never touched.
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txr_") + "/customer"
+    for mod in range(3):
+        txlog.tx_append(c.filter(F.col("c_custkey") % 3 == mod), t)
+    pre = txlog.log_versions(t)[-1]
+    txlog.tx_delete_where(spark, t, "c_acctbal < 0.0")
+    n_deleted_at = txlog.read_snapshot(spark, t, version=pre + 1).count()
+    v = txlog.tx_restore(t, pre)
+    assert v == pre + 2, "restore must be a new commit, not a rewrite"
+    assert txlog.read_snapshot(spark, t, version=pre + 1).count() == (
+        n_deleted_at
+    ), "history must stay readable after restore"
+    return txlog.read_snapshot(spark, t).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+@register(
     "lake_tx_merge_upsert",
     oracle="""WITH base AS (
                 SELECT c_custkey, c_nationkey,

@@ -62,6 +62,7 @@ from pyspark.sql.types import StructType
 TXLOG = "_txlog"
 DATA = "data"
 STAGING = "_staging"
+SIDECARS = "_sidecars"
 CHECKPOINT_EVERY = 10
 
 
@@ -169,10 +170,18 @@ def _write_checkpoint(table: str, v: int) -> None:
     _, live = snapshot_files(table, v)
     stats = snapshot_stats(table, v)
     dvs = snapshot_dvs(table, v)
+    blooms = snapshot_bloom_map(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"version": v, "live": live, "stats": stats, "dvs": dvs}, fh
+            {
+                "version": v,
+                "live": live,
+                "stats": stats,
+                "dvs": dvs,
+                "blooms": blooms,
+            },
+            fh,
         )
     os.replace(tmp, _ckpt_path(table, v))
 
@@ -291,6 +300,246 @@ def snapshot_stats(table: str, version: int | None = None) -> dict:
     return {f: s for f, s in stats.items() if f in live_set}
 
 
+def snapshot_bloom_map(table: str, version: int | None = None) -> dict:
+    """Bloom-sidecar pointers live at a version: ``{col: {data_relpath:
+    sidecar_relpath}}``. Commits carry ``{"bloom": {col: [{"sidecar":
+    rel, "files": [rels...]}, ...]}}`` — the sidecar parquet holds the
+    actual bit words; the log only names it (kilobytes per commit, the
+    same discipline as the file list). Checkpoint-plus-tail replay;
+    pointers for files a later commit removed are dropped (a rewrite
+    invalidates the old file's filter along with the file)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, bmap = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                bmap = {
+                    col: dict(m)
+                    for col, m in json.load(fh).get("blooms", {}).items()
+                }
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            for m in bmap.values():
+                m.pop(f, None)
+        for col, entries in rec.get("bloom", {}).items():
+            m = bmap.setdefault(col, {})
+            for e in entries:
+                for f in e["files"]:
+                    m[f] = e["sidecar"]
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {
+        col: {f: s for f, s in m.items() if f in live_set}
+        for col, m in bmap.items()
+        if any(f in live_set for f in m)
+    }
+
+
+def _build_bloom_sidecar(
+    spark: SparkSession,
+    table: str,
+    rels: list[str],
+    col: str,
+    n_bits: int | None = None,
+    n_hashes: int = 5,
+) -> dict:
+    """Build per-file Bloom filters over exactly ``rels`` and write
+    them as ONE immutable sidecar parquet under ``_sidecars/``;
+    returns the commit-record entry ``{"sidecar": rel, "files":
+    rels}``. Same filter design as ``lake.write_bloom_manifest``
+    (k xxhash64 probes -> sparse packed int64 words, auto-sized to
+    ~10 bits/row of the largest covered file, floor 4096), but scoped
+    to a commit's own files so the filter RIDES the commit: a pinned
+    snapshot sees exactly the filters of its own file set. Sidecars
+    are invisible to scans (underscore dir) and, like data files,
+    immutable once a commit names them."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table, r) for r in rels]
+    if n_bits is None:
+        rows = max(
+            (pq.ParquetFile(p).metadata.num_rows for p in paths), default=1
+        )
+        n_bits = 4096
+        while n_bits < 10 * rows:
+            n_bits <<= 1
+    df = spark.read.parquet(*paths).select(
+        _rel_expr(table).alias("__rel"), F.col(col).alias("__v")
+    )
+    probes = df.select(
+        "__rel",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__v"), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("bit"),
+    ).select(
+        "__rel",
+        (F.col("bit") / 64).cast("int").alias("word"),
+        # SQL shiftleft takes a column shift amount (the PySpark
+        # wrapper pins it to a Python int, hence expr)
+        F.expr("shiftleft(1L, int(bit % 64))").alias("mask"),
+    )
+    packed = (
+        probes.groupBy("__rel", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .groupBy("__rel")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            ).alias("sparse")
+        )
+        .select(
+            F.col("__rel").alias("file"),
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+            "sparse",
+        )
+    )
+    tag = uuid.uuid4().hex[:12]
+    tmp = os.path.join(table, SIDECARS, f"tmp-{tag}")
+    packed.coalesce(1).write.parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    rel = f"{SIDECARS}/bloom-{tag}.parquet"
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"sidecar": rel, "files": sorted(rels)}
+
+
+def _load_blooms(table: str, rel_to_sidecar: dict) -> dict:
+    """Driver-side load of the sidecar rows needed for a probe:
+    ``{data_relpath: (n_bits, n_hashes, {word: bits})}``. One pyarrow
+    read per DISTINCT sidecar file (bounded by commit count, never row
+    count); each sidecar is ~n_bits/8 bytes per covered file."""
+    out: dict = {}
+    by_sidecar: dict = {}
+    for f, sc in rel_to_sidecar.items():
+        by_sidecar.setdefault(sc, set()).add(f)
+    import pyarrow.parquet as pq
+
+    for sc, wanted in by_sidecar.items():
+        tbl = pq.read_table(os.path.join(table, sc)).to_pylist()
+        for row in tbl:
+            if row["file"] in wanted:
+                words = {
+                    int(s["word"]): int(s["bits"]) for s in row["sparse"]
+                }
+                out[row["file"]] = (
+                    int(row["n_bits"]),
+                    int(row["n_hashes"]),
+                    words,
+                )
+    return out
+
+
+def tx_bloom(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    n_bits: int | None = None,
+    n_hashes: int = 5,
+) -> int:
+    """Backfill Bloom filters for the CURRENT live file set as one
+    commit (action ``bloom``; adds/removes nothing, so it can never
+    conflict). Files appended after this commit have no filter until
+    their own ``tx_append(bloom_cols=...)`` or the next backfill —
+    probes treat them as must-read, which is conservative and
+    correct."""
+    v, files = snapshot_files(table)
+    if not files:
+        raise FileNotFoundError(f"no live files under {table}")
+    bloom = {
+        c: [_build_bloom_sidecar(spark, table, files, c, n_bits, n_hashes)]
+        for c in cols
+    }
+    return commit(table, "bloom", [], [], v, bloom=bloom)
+
+
+def tx_point_lookup(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Needle-in-haystack equality scan through the commit log's Bloom
+    sidecars: only live files whose filter admits ``value`` (plus
+    files with no filter) are opened. This is the equality complement
+    of :func:`tx_read_skipping`'s range stats — ``WHERE id = ?`` on an
+    unclustered 100 TB table prunes nothing by min/max, but a per-file
+    Bloom filter kills almost every file. False positives cost one
+    pushed-down file scan each, never a wrong answer (the residual
+    equality filter still applies, as do deletion vectors).
+
+    The probe hashes are computed by Spark's own xxhash64 over a
+    one-row frame cast to the column's type, so they are bit-identical
+    to the build hashes. Returns (DataFrame, n_files_read,
+    n_files_total)."""
+    from pyspark.sql import functions as F
+
+    v, files = snapshot_files(table, version)
+    if not files:
+        return read_snapshot(spark, table, version), 0, 0
+    schema = _schema_at(table, None if version is None else v)
+    if schema is None:
+        schema = spark.read.parquet(os.path.join(table, files[0])).schema
+    bmap = snapshot_bloom_map(table, v).get(col, {})
+    blooms = _load_blooms(table, {f: s for f, s in bmap.items() if f in set(files)})
+    typ = schema[col].dataType.simpleString()
+    lit = F.lit(value).cast(typ)
+    # probe bit positions per distinct (n_bits, n_hashes) config —
+    # normally one config; a handful after resizing backfills
+    probe_bits: dict = {}
+    for cfg in {(b[0], b[1]) for b in blooms.values()}:
+        nb, nh = cfg
+        rows = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(nb))
+                            for i in range(nh)
+                        ]
+                    )
+                ).alias("bit")
+            )
+            .collect()
+        )
+        probe_bits[cfg] = [int(r.bit) for r in rows]
+
+    def _admits(entry) -> bool:
+        nb, nh, words = entry
+        for bit in probe_bits[(nb, nh)]:
+            w, mask = bit // 64, 1 << (bit % 64)
+            if words.get(w, 0) & mask != mask:
+                return False
+        return True
+
+    keep = [f for f in files if f not in blooms or _admits(blooms[f])]
+    if not keep:
+        df = spark.createDataFrame([], schema)
+        return df.filter(F.col(col) == lit), 0, len(files)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, f) for f in keep]
+    )
+    dvs = snapshot_dvs(table, v)
+    df = _apply_dvs(df, table, {f: p for f, p in dvs.items() if f in set(keep)})
+    return df.filter(F.col(col) == lit), len(keep), len(files)
+
+
 def commit(
     table: str,
     action: str,
@@ -303,6 +552,7 @@ def commit(
     stats: dict | None = None,
     dv: dict | None = None,
     depends_on: list[str] | None = None,
+    bloom: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -324,6 +574,8 @@ def commit(
         rec["stats"] = stats
     if dv:
         rec["dv"] = dv
+    if bloom:
+        rec["bloom"] = bloom
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -475,9 +727,15 @@ def tx_append(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched.
+
+    ``bloom_cols``: build per-file Bloom sidecars for the appended
+    files and record them IN the same commit, so every append arrives
+    point-lookup-skippable (:func:`tx_point_lookup`) with no separate
+    backfill pass.
 
     ``cluster_by``: z-order the appended rows before staging
     (``lake.z_cluster``) so each staged file covers a tight range of
@@ -510,6 +768,14 @@ def tx_append(
         df = z_cluster(df, list(cluster_by), num_files=cluster_files)
     added = _stage(df, table)
     stats = collect_file_stats(table, added, stats_cols) if stats_cols else None
+    bloom = (
+        {
+            c: [_build_bloom_sidecar(df.sparkSession, table, added, c)]
+            for c in bloom_cols
+        }
+        if bloom_cols and added
+        else None
+    )
     for _ in range(16):
         # read parent FIRST, then the schema: the schema we validate /
         # widen against is therefore at-or-after our parent. Any
@@ -531,6 +797,7 @@ def tx_append(
                 schema_json=schema_json,
                 meta=meta,
                 stats=stats,
+                bloom=bloom,
             )
         except TxConflict:
             continue
@@ -868,6 +1135,35 @@ def tx_changes(
         schema = _schema_at(table, v)
         reader = spark.read if schema is None else spark.read.schema(schema)
 
+        if rec["action"] == "restore":
+            # a restore's row-level effect is the SNAPSHOT diff: the
+            # generic file diff below applies the PRIOR version's
+            # deletion vectors to re-added files, which would hide
+            # exactly the rows the restore un-deleted. Cost is two
+            # snapshot reads — restore is a rare administrative
+            # action, and the diff still cancels all untouched rows.
+            before = read_snapshot(spark, table, v - 1)
+            after = read_snapshot(spark, table, v)
+            types = dict(after.dtypes)
+            aligned = before.select(
+                *[
+                    F.col(c) if c in before.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in after.columns
+                ]
+            )
+            parts.append(
+                after.exceptAll(aligned)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            parts.append(
+                aligned.exceptAll(after)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            continue
+
         if rec["action"] == "delete_mor":
             # the newly-vectored rows ARE the deletes — read just the
             # referenced files, keep just the vectored positions
@@ -1081,6 +1377,88 @@ def tx_compact(
         except TxConflict:
             continue
     raise TxConflict(f"compact on {table} lost {max_retries} straight races")
+
+
+def tx_restore(table: str, to_version: int) -> int:
+    """RESTORE the table to an earlier version as one NEW commit
+    (Delta's RESTORE semantics): history is never rewritten — the
+    restore itself is versioned, auditable, and re-restorable.
+
+    A pure metadata operation: no data file is read or written. The
+    commit re-adds the target snapshot's files that are no longer
+    live, removes files added since, and — for files live in BOTH
+    snapshots whose deletion vectors drifted — resets the vectors
+    exactly by listing the file as removed+re-added with the target's
+    vector (the replay rules make remove-then-add an exact reset, for
+    stats and Bloom pointers too, so the restored snapshot also skips
+    like the original did). The target schema is re-recorded, undoing
+    later evolution.
+
+    Concurrency: the ``removed`` set is everything this commit
+    un-does, so the usual overlap rules apply — a restore racing a
+    delete/compact conflicts (one of them re-runs), while a racing
+    append commutes and its rows survive the restore, exactly as if
+    it had landed just after. :func:`tx_vacuum` keeps every
+    commit-referenced file, so the target's files still exist unless
+    the log itself was truncated (checked; raises FileNotFoundError).
+    """
+    versions = log_versions(table)
+    if to_version not in versions:
+        raise ValueError(
+            f"version {to_version} not in log (have {versions[:3]}..{versions[-1:]})"
+        )
+    cur_v = versions[-1]
+    if to_version == cur_v:
+        return cur_v
+    _, cur_files = snapshot_files(table, cur_v)
+    _, tgt_files = snapshot_files(table, to_version)
+    cur_dvs = snapshot_dvs(table, cur_v)
+    tgt_dvs = snapshot_dvs(table, to_version)
+    cur_set, tgt_set = set(cur_files), set(tgt_files)
+    added = sorted(tgt_set - cur_set)
+    removed = sorted(cur_set - tgt_set)
+    for f in sorted(cur_set & tgt_set):
+        if sorted(cur_dvs.get(f, [])) != sorted(tgt_dvs.get(f, [])):
+            removed.append(f)
+            added.append(f)
+    missing = [
+        f for f in added if not os.path.exists(os.path.join(table, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table} to v{to_version}: data files gone "
+            f"(log truncated?): {missing[:4]}"
+        )
+    # re-record skipping metadata for every (re-)added file — the
+    # remove-side of the replay drops it, the commit's own entries
+    # put the target version's back
+    tgt_stats = snapshot_stats(table, to_version)
+    stats = {f: tgt_stats[f] for f in added if f in tgt_stats} or None
+    dv = {f: tgt_dvs[f] for f in added if tgt_dvs.get(f)} or None
+    bloom: dict = {}
+    for c, m in snapshot_bloom_map(table, to_version).items():
+        by_sidecar: dict = {}
+        for f in added:
+            if f in m:
+                by_sidecar.setdefault(m[f], []).append(f)
+        if by_sidecar:
+            bloom[c] = [
+                {"sidecar": sc, "files": sorted(fs)}
+                for sc, fs in sorted(by_sidecar.items())
+            ]
+    schema = _schema_at(table, to_version)
+    return commit(
+        table,
+        "restore",
+        added,
+        removed,
+        cur_v,
+        schema_json=schema.json() if schema is not None else None,
+        meta={"restore_of": to_version},
+        stats=stats,
+        dv=dv,
+        bloom=bloom or None,
+    )
 
 
 def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:

@@ -821,3 +821,200 @@ def test_clustered_append_arrives_pre_skippable(spark, table):
     assert ntotal > 1 and nread < ntotal
     want = {k for k, _ in rows if k <= 500}
     assert {r.k for r in df.collect()} == want
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def _ranged(spark, lo, hi, parts=3):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(parts)
+    )
+
+
+def test_bloom_rides_append_and_prunes_point_lookup(spark, table):
+    for lo in (0, 5000, 10000):
+        txlog.tx_append(_ranged(spark, lo, lo + 5000), table,
+                        bloom_cols=["k"])
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 7501)
+    rows = df.collect()
+    assert [(r.k, r.v) for r in rows] == [(7501, 15002)]
+    assert ntotal == 9 and nread < ntotal
+    # absent key: every filter proves non-membership (w.h.p.)
+    miss, nread_m, _ = txlog.tx_point_lookup(spark, table, "k", 10**9)
+    assert miss.count() == 0 and nread_m <= 1
+
+
+def test_bloom_backfill_covers_existing_files(spark, table):
+    txlog.tx_append(_ranged(spark, 0, 4000), table)  # no bloom
+    txlog.tx_append(_ranged(spark, 4000, 8000), table)
+    txlog.tx_bloom(spark, table, ["k"])
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 123)
+    assert df.count() == 1 and nread < ntotal
+
+
+def test_bloom_unfiltered_files_are_must_read(spark, table):
+    txlog.tx_append(_ranged(spark, 0, 3000, parts=2), table,
+                    bloom_cols=["k"])
+    txlog.tx_append(_ranged(spark, 3000, 6000, parts=2), table)  # none
+    # key lives in the un-bloomed append: both its files must be read,
+    # the bloomed append's files pruned
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 4500)
+    assert df.count() == 1
+    assert ntotal == 4 and 2 <= nread < ntotal
+
+
+def test_bloom_respects_deletion_vectors(spark, table):
+    txlog.tx_append(_ranged(spark, 0, 3000, parts=2), table,
+                    bloom_cols=["k"])
+    txlog.tx_delete_where_mor(spark, table, "k = 100")
+    df, _, _ = txlog.tx_point_lookup(spark, table, "k", 100)
+    assert df.count() == 0  # bloom admits the file; the DV hides the row
+
+
+def test_bloom_map_folds_through_checkpoints(spark, table):
+    # push past a checkpoint boundary so replay starts from it
+    for i in range(txlog.CHECKPOINT_EVERY + 2):
+        txlog.tx_append(_ranged(spark, i * 100, (i + 1) * 100, parts=1),
+                        table, bloom_cols=["k"])
+    v = txlog.log_versions(table)[-1]
+    assert os.path.exists(
+        txlog._ckpt_path(table, txlog.CHECKPOINT_EVERY)
+    )
+    bmap = txlog.snapshot_bloom_map(table, v)["k"]
+    _, files = txlog.snapshot_files(table, v)
+    assert set(bmap) == set(files)
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 1150)
+    assert df.count() == 1 and nread == 1 and ntotal == len(files)
+
+
+def test_compact_drops_stale_bloom_pointers(spark, table):
+    txlog.tx_append(_ranged(spark, 0, 2000), table, bloom_cols=["k"])
+    txlog.tx_compact(spark, table, num_files=1)
+    v = txlog.log_versions(table)[-1]
+    assert txlog.snapshot_bloom_map(table, v) == {}
+    # conservative: no filter -> must read, still correct
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 7)
+    assert df.count() == 1 and nread == ntotal == 1
+
+
+# --------------------------------------------------------------- restore
+
+
+def test_restore_is_a_new_commit_preserving_history(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]), table)
+    txlog.tx_append(_df(spark, [(3, "c")]), table)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    v = txlog.tx_restore(table, 2)
+    assert v == 4 and txlog.log_versions(table) == [1, 2, 3, 4]
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # history intact: v3 still shows the delete
+    assert {r.k for r in
+            txlog.read_snapshot(spark, table, version=3).collect()} == {2, 3}
+    rec = txlog.read_commit(table, 4)
+    assert rec["action"] == "restore" and rec["restore_of"] == 2
+
+
+def test_restore_resets_deletion_vectors_exactly(spark, table):
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(10)]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k < 3")
+    v2 = txlog.log_versions(table)[-1]
+    txlog.tx_delete_where_mor(spark, table, "k < 6")
+    txlog.tx_restore(table, v2)  # back to only k<3 deleted
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {3, 4, 5, 6, 7, 8, 9}
+
+
+def test_restore_to_current_is_a_noop(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    assert txlog.tx_restore(table, 1) == 1
+    assert txlog.log_versions(table) == [1]
+
+
+def test_restore_undoes_schema_evolution(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(
+        _df(spark, [(2, "b", 9.5)], "k long, v string, x double"),
+        table, merge_schema=True,
+    )
+    txlog.tx_restore(table, 1)
+    snap = txlog.read_snapshot(spark, table)
+    assert snap.columns == ["k", "v"]
+    assert {r.k for r in snap.collect()} == {1}
+
+
+def test_restore_keeps_skipping_stats(spark, table):
+    for lo in (0, 5000):
+        txlog.tx_append(_ranged(spark, lo, lo + 5000, parts=2), table,
+                        stats_cols=["k"])
+    v2 = txlog.log_versions(table)[-1]
+    txlog.tx_delete_where(spark, table, "k >= 9000")
+    txlog.tx_restore(table, v2)
+    v = txlog.log_versions(table)[-1]
+    stats = txlog.snapshot_stats(table, v)
+    _, files = txlog.snapshot_files(table, v)
+    assert set(stats) == set(files)
+    _, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                              lo=0, hi=100)
+    assert nread < ntotal
+
+
+def test_restore_keeps_bloom_pointers(spark, table):
+    txlog.tx_append(_ranged(spark, 0, 4000), table, bloom_cols=["k"])
+    v1 = txlog.log_versions(table)[-1]
+    txlog.tx_append(_ranged(spark, 4000, 8000), table, bloom_cols=["k"])
+    txlog.tx_restore(table, v1)
+    df, nread, ntotal = txlog.tx_point_lookup(spark, table, "k", 77)
+    assert df.count() == 1 and nread < ntotal == 3
+
+
+def test_restore_conflicts_with_interleaved_delete(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table)
+    txlog.tx_append(_df(spark, [(3, "c")]), table)
+    cur = txlog.log_versions(table)[-1]
+    _, cur_files = txlog.snapshot_files(table, cur)
+    # simulate a racing delete landing between restore's snapshot read
+    # and its commit: both remove v2's file
+    txlog.tx_delete_where(spark, table, "k = 3")
+    with pytest.raises(txlog.TxConflict):
+        txlog.commit(table, "restore", [], sorted(cur_files), cur)
+
+
+def test_restore_commutes_with_interleaved_append(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(_df(spark, [(2, "b")]), table)
+    cur = txlog.log_versions(table)[-1]
+    _, cur_files = txlog.snapshot_files(table, cur)
+    _, tgt_files = txlog.snapshot_files(table, 1)
+    # an append races in; restore's commit loses v3, revalidates, lands v4
+    txlog.tx_append(_df(spark, [(9, "z")]), table)
+    v = txlog.commit(table, "restore",
+                     sorted(set(tgt_files) - set(cur_files)),
+                     sorted(set(cur_files) - set(tgt_files)), cur,
+                     meta={"restore_of": 1})
+    assert v == 4
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {1, 9}  # restored set plus the racing append's rows
+
+
+def test_change_feed_emits_restore_as_snapshot_diff(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    txlog.tx_restore(table, 1)  # un-deletes k=2
+    ch = txlog.tx_changes(spark, table, from_version=2)
+    got = sorted((r.k, r._change_type, r._commit_version)
+                 for r in ch.collect())
+    assert got == [(2, "insert", 3)]
+
+
+def test_restore_unknown_version_raises(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    with pytest.raises(ValueError):
+        txlog.tx_restore(table, 7)
