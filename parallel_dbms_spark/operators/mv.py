@@ -35,7 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["define_mv", "mv_answer", "mv_refresh"]
+__all__ = ["define_mv", "mv_answer", "mv_refresh", "mv_sync_txlog"]
 
 _STORE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
@@ -193,3 +193,120 @@ def mv_refresh(spark: SparkSession, path: str, delta: DataFrame) -> None:
     os.replace(staged, path)
     with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
         fh.write(meta_raw)
+
+
+def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
+    """Incremental view maintenance DRIVEN BY THE TRANSACTION LOG: fold
+    the txlog change feed (``sources/txlog.tx_changes``) since the last
+    sync into the stored rollup — inserts AND deletes — and remember
+    the synced version in the view's sidecar. Idempotent: re-running
+    without new commits is a no-op.
+
+    The classic IVM algebra over a partial-aggregate view:
+
+    - ``sum``/``count`` are self-invertible — fold the change rows with
+      SIGNED weight (+1 insert, -1 delete) and ADD group-wise;
+    - groups whose maintained row count reaches zero are dropped (the
+      view must store a ``count`` measure for liveness — enforced);
+    - ``min``/``max`` are NOT invertible under deletes, so groups a
+      delete touched are recomputed from the table's CURRENT snapshot —
+      cost bounded by the touched groups' rows, never table history;
+      insert-only syncs fold min/max associatively with no recompute.
+
+    Cost is O(changed rows + |view| + rows of delete-touched groups).
+    A full recompute is O(table) — at 100 TB with a trickle of CDC
+    commits this is the difference between a view you can afford to
+    keep fresh and one you cannot. Sync-then-answer equals
+    define-on-current-snapshot exactly (driver-oracled).
+
+    Returns the txlog version the view is now synced to.
+    """
+    from ..sources import txlog
+
+    meta = _load_meta(path)
+    group_cols = meta["group_cols"]
+    measures = {k: tuple(v) for k, v in meta["measures"].items()}
+    count_cols = [k for k, (fn, _s) in measures.items() if fn == "count"]
+    if not count_cols:
+        raise ValueError(
+            "mv_sync_txlog needs a stored count measure to detect "
+            "emptied groups — add one to define_mv's measures"
+        )
+    synced = int(meta.get("synced_version", 0))
+    cur = (txlog.log_versions(table) or [0])[-1]
+    if cur <= synced:
+        return synced
+    ch = txlog.tx_changes(spark, table, from_version=synced,
+                          to_version=cur)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    has_minmax = any(fn in ("min", "max") for fn, _s in measures.values())
+
+    signed_aggs, fold_aggs = [], []
+    for out, (fn, src) in measures.items():
+        if fn == "sum":
+            signed_aggs.append(F.sum(F.col(src) * sign).alias(out))
+            fold_aggs.append(F.sum(out).alias(out))
+        elif fn == "count":
+            signed_aggs.append(
+                F.sum(
+                    F.when(F.col(src).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(out)
+            )
+            fold_aggs.append(F.sum(out).alias(out))
+        elif fn == "min":
+            signed_aggs.append(F.min(src).alias(out))
+            fold_aggs.append(F.min(out).alias(out))
+        else:  # max
+            signed_aggs.append(F.max(src).alias(out))
+            fold_aggs.append(F.max(out).alias(out))
+
+    old = spark.read.parquet(path)
+    deletes = ch.filter(F.col("_change_type") == "delete")
+    if has_minmax:
+        # min/max under deletes: recompute ONLY the touched groups from
+        # the current snapshot; everything else folds incrementally
+        touched = deletes.select(*group_cols).distinct()
+        snap = txlog.read_snapshot(spark, table, version=cur)
+        recomputed = (
+            snap.join(F.broadcast(touched), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    {"sum": F.sum, "count": F.count, "min": F.min,
+                     "max": F.max}[fn](src).alias(out)
+                    for out, (fn, src) in measures.items()
+                ]
+            )
+        )
+        delta = (
+            ch.join(F.broadcast(touched), group_cols, "left_anti")
+            .groupBy(*group_cols)
+            .agg(*signed_aggs)
+        )
+        kept = old.join(F.broadcast(touched), group_cols, "left_anti")
+        merged = (
+            kept.unionByName(delta).groupBy(*group_cols).agg(*fold_aggs)
+            .filter(F.col(count_cols[0]) > 0)
+            .unionByName(recomputed)
+        )
+    else:
+        delta = ch.groupBy(*group_cols).agg(*signed_aggs)
+        merged = (
+            old.unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(*fold_aggs)
+            .filter(F.col(count_cols[0]) > 0)
+        )
+
+    import shutil
+
+    staged = f"{path}__staged"
+    merged.write.mode("overwrite").parquet(staged)
+    meta["synced_version"] = cur
+    shutil.rmtree(path)
+    os.replace(staged, path)
+    with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    return cur

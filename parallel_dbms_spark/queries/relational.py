@@ -3182,6 +3182,76 @@ def lake_tx_restore_counts(spark, sf_dir):
 
 
 @register(
+    "mv_txlog_ivm",
+    oracle="""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_cents,
+                     MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                         AS min_cents,
+                     MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                         AS max_cents
+              FROM orders
+              WHERE NOT COALESCE(o_totalprice >= 400000.0, FALSE)
+              GROUP BY o_orderpriority""",
+    tags=("mv", "lake", "versioned", "groupby", "cdc"),
+)
+def mv_txlog_ivm(spark, sf_dir):
+    # INCREMENTAL VIEW MAINTENANCE DRIVEN BY THE TRANSACTION LOG
+    # (operators/mv.mv_sync_txlog): a rollup is defined on the first
+    # half of the table, then a second append and a transactional
+    # DELETE land, and the view catches up by folding the log's change
+    # feed — signed sums/counts, emptied-group eviction, min/max
+    # recomputed only for delete-touched groups. The oracle is the
+    # full aggregate over the final state: sync-then-answer must equal
+    # define-on-current-snapshot EXACTLY, at CDC cost instead of a
+    # table rescan.
+    import json
+    import os
+    import tempfile
+
+    from ..operators.mv import define_mv, mv_answer, mv_sync_txlog
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_totalprice",
+    )
+    base = tempfile.mkdtemp(prefix="mv_ivm_")
+    t, p = base + "/orders", base + "/mv"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["o_orderpriority"],
+        {
+            "n": ("count", "cents"),
+            "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    mp = os.path.join(p, "_mv.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["synced_version"] = txlog.log_versions(t)[-1]
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    # the delete hits every group's maximum -> exercises the
+    # touched-group min/max recompute, not just signed folding
+    txlog.tx_delete_where(spark, t, "o_totalprice >= 400000.0")
+    mv_sync_txlog(spark, p, t)
+    return mv_answer(
+        spark, p, ["o_orderpriority"],
+        {
+            "n": ("count", "cents"),
+            "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+
+
+@register(
     "lake_tx_merge_upsert",
     oracle="""WITH base AS (
                 SELECT c_custkey, c_nationkey,

@@ -115,3 +115,107 @@ def test_refresh_with_new_groups_appends_them(spark, tmp_path):
         spark, p, ["g"], {"s": ("sum", "v"), "n": ("count", "v")}
     ).collect()}
     assert got == {"a": (3, 2), "b": (10, 1)}
+
+
+# ------------------------------------------- txlog-driven IVM (deletes)
+
+
+def _sync_setup(spark, tmp_path, measures):
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog  # noqa
+    from parallel_dbms_spark.sources import txlog
+
+    base = str(tmp_path)
+    t, p = base + "/t", base + "/mv"
+    d1 = spark.createDataFrame(
+        [(i, f"g{i % 5}", i * 10) for i in range(500)],
+        "k long, g string, v long",
+    )
+    txlog.tx_append(d1, t)
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["g"],
+        {"n": ("count", "v"), "s": ("sum", "v"),
+         "mn": ("min", "v"), "mx": ("max", "v")},
+    )
+    import json
+    import os
+
+    mp = os.path.join(p, "_mv.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["synced_version"] = 1
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    return t, p
+
+
+def _recompute(spark, t):
+    from parallel_dbms_spark.sources import txlog
+
+    return {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in txlog.read_snapshot(spark, t).groupBy("g").agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+
+
+def test_sync_folds_inserts_and_deletes(spark, tmp_path):
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    t, p = _sync_setup(spark, tmp_path, None)
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, f"g{i % 7}", i * 10) for i in range(500, 700)],
+            "k long, g string, v long",
+        ),
+        t,
+    )
+    # deletes that hit group maxima (forces the min/max group
+    # recompute path) and a merge-on-read delete
+    txlog.tx_delete_where(spark, t, "v >= 4500")
+    txlog.tx_delete_where_mor(spark, t, "k < 3")
+    v = mv_sync_txlog(spark, p, t)
+    assert v == txlog.log_versions(t)[-1]
+    got = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == _recompute(spark, t)
+
+
+def test_sync_drops_emptied_groups_and_is_idempotent(spark, tmp_path):
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    t, p = _sync_setup(spark, tmp_path, None)
+    txlog.tx_delete_where(spark, t, "g = 'g2'")
+    v = mv_sync_txlog(spark, p, t)
+    groups = {r.g for r in spark.read.parquet(p).collect()}
+    assert groups == {"g0", "g1", "g3", "g4"}
+    # no new commits -> no-op, same version
+    assert mv_sync_txlog(spark, p, t) == v
+    assert _recompute(spark, t) == {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.parquet(p).collect()
+    }
+
+
+def test_sync_requires_a_count_measure(spark, tmp_path):
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    base = str(tmp_path)
+    t, p = base + "/t", base + "/mv"
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a", 5)], "k long, g string, v long"), t
+    )
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["g"], {"s": ("sum", "v")}
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(2, "a", 6)], "k long, g string, v long"), t
+    )
+    with pytest.raises(ValueError, match="count measure"):
+        mv_sync_txlog(spark, p, t)
