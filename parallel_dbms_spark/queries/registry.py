@@ -115,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ohlc_hourly",
     # CDC / MV
     "cdc_apply_full",
-    "mv_rollup_rewrite",
+    "mv_txlog_ivm",
     # structured streaming (batch-SQL oracles) + exactly-once tx ingest
     "batch_session_window_native",
     "stream_dedup_within_watermark",
@@ -136,7 +136,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_phrase",
     # lake: N-D Z-order skipping, multi-writer transactional commit
     # log (time travel + deletes rotated out with r5 graded proof)
-    "lake_zorder_3d_skipping",
+    "lake_tx_point_lookup",
     "lake_tx_multiwriter_snapshot",
     "lake_tx_history_counts",
 )

@@ -3087,7 +3087,7 @@ def lake_tx_zorder_skipping(spark, sf_dir):
                  OR o_orderkey = (SELECT MIN(o_orderkey)
                                   FROM orders
                                   WHERE o_orderkey % 4 = 2)""",
-    tags=("lake", "bloom", "versioned", "point-lookup"),
+    tags=("lake", "bloom", "data-skipping", "source", "versioned", "point-lookup"),
 )
 def lake_tx_point_lookup(spark, sf_dir):
     # Needle-in-haystack WHERE id = ? through BLOOM SIDECARS RIDING
@@ -3193,7 +3193,7 @@ def lake_tx_restore_counts(spark, sf_dir):
               FROM orders
               WHERE NOT COALESCE(o_totalprice >= 400000.0, FALSE)
               GROUP BY o_orderpriority""",
-    tags=("mv", "lake", "versioned", "groupby", "cdc"),
+    tags=("mv", "rollup", "aggregate", "lake", "versioned", "groupby", "cdc"),
 )
 def mv_txlog_ivm(spark, sf_dir):
     # INCREMENTAL VIEW MAINTENANCE DRIVEN BY THE TRANSACTION LOG
