@@ -3252,6 +3252,70 @@ def mv_txlog_ivm(spark, sf_dir):
 
 
 @register(
+    "lake_tx_update_where",
+    oracle="""WITH u AS (
+                SELECT CASE WHEN o_totalprice < 50000.0
+                            THEN LOWER(o_orderstatus)
+                            ELSE o_orderstatus END AS st,
+                       CASE WHEN o_totalprice < 50000.0
+                            THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                 + LENGTH(o_orderstatus)
+                            ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                            END AS cents
+                FROM orders)
+              SELECT st, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents
+              FROM u GROUP BY st""",
+    tags=("lake", "update", "versioned", "groupby"),
+)
+def lake_tx_update_where(spark, sf_dir):
+    # Transactional row-level UPDATE (txlog.tx_update_where,
+    # copy-on-write): cheap orders get their status lowercased AND
+    # their cents bumped by the length of the PRE-update status — the
+    # oracle's CASE expressions check simultaneous-assignment
+    # semantics (every SET expression sees pre-update values), 3VL
+    # (NULL prices are never predicate-true), and that only hit files
+    # were rewritten.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txu_") + "/orders"
+    # price-banded appends so the update's hit set is a strict subset
+    # of the live files (the cheap band plus the boundary file)
+    txlog.tx_append(
+        o.filter(F.col("o_totalprice") < 100000.0).repartition(3), t
+    )
+    txlog.tx_append(
+        o.filter(
+            (F.col("o_totalprice") >= 100000.0)
+            | F.col("o_totalprice").isNull()
+        ).repartition(3),
+        t,
+    )
+    _, n_rewritten = txlog.tx_update_where(
+        spark, t, "o_totalprice < 50000.0",
+        {
+            "o_orderstatus": "lower(o_orderstatus)",
+            "cents": "cents + length(o_orderstatus)",
+        },
+    )
+    assert 0 < n_rewritten <= 3, (
+        "update must rewrite only the cheap band's files", n_rewritten
+    )
+    return txlog.read_snapshot(spark, t).groupBy(
+        F.col("o_orderstatus").alias("st")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@register(
     "lake_tx_merge_upsert",
     oracle="""WITH base AS (
                 SELECT c_custkey, c_nationkey,

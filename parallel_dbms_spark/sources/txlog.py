@@ -1023,6 +1023,84 @@ def tx_delete_where(
     raise TxConflict(f"delete on {table} lost {max_retries} straight races")
 
 
+def tx_update_where(
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    assignments: dict[str, str],
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Transactional row-level UPDATE (copy-on-write): rewrite only
+    the files containing predicate-true rows, applying ``assignments``
+    (column -> SQL expression) to those rows and copying the rest
+    through unchanged.
+
+    Standard UPDATE semantics, both of which the oracle can check:
+
+    - SIMULTANEOUS assignment — every expression sees PRE-update
+      values, so ``{"a": "b", "b": "a"}`` swaps (all expressions are
+      evaluated against the input row in one projection);
+    - 3VL predicate — NULL-predicate rows are NOT updated;
+    - the column's declared type is preserved (assignment results are
+      cast to it; ANSI mode makes a lossy cast an error, not a silent
+      corruption).
+
+    Same concurrency contract as :func:`tx_delete_where`: commit
+    (removed=hit files, added=rewrites) against the snapshot parent,
+    retry the whole read-rewrite-commit on :class:`TxConflict`.
+    Returns (new_version, files_rewritten).
+    """
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        if not files:
+            return parent, 0
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        dvs = snapshot_dvs(table)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = _tagged_scan(reader, table, files, dvs)
+        pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
+        hit_rels = sorted(
+            r["__rel"]
+            for r in df.filter(pred).select("__rel").distinct().collect()
+        )
+        if not hit_rels:
+            return parent, 0
+        src = _tagged_scan(reader, table, hit_rels, dvs)
+        cols = [c for c in src.columns if c not in ("__rel", "__pos")]
+        unknown = sorted(set(assignments) - set(cols))
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {unknown}")
+        types = {f.name: f.dataType for f in src.schema.fields}
+        rewritten = src.select(
+            *[
+                F.when(pred, F.expr(assignments[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        added = _stage(rewritten, table)
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols and added else None
+        )
+        try:
+            v = commit(
+                table, "update", added, hit_rels, parent,
+                schema_json=schema_json, stats=stats,
+            )
+            return v, len(hit_rels)
+        except TxConflict:
+            continue  # fresh snapshot, re-find affected files
+    raise TxConflict(f"update on {table} lost {max_retries} straight races")
+
+
 def tx_delete_where_mor(
     spark: SparkSession,
     table: str,

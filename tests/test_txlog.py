@@ -1018,3 +1018,85 @@ def test_restore_unknown_version_raises(spark, table):
     txlog.tx_append(_df(spark, [(1, "a")]), table)
     with pytest.raises(ValueError):
         txlog.tx_restore(table, 7)
+
+
+# ---------------------------------------------------------------- update
+
+
+def test_update_where_rewrites_only_hit_files(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table)
+    txlog.tx_append(_df(spark, [(3, "c"), (4, "d")]).coalesce(1), table)
+    v, n = txlog.tx_update_where(spark, table, "k = 4",
+                                 {"v": "upper(v)"})
+    assert n == 1  # only the second file contains k=4
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "D")}
+
+
+def test_update_simultaneous_assignment_swaps(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame([(1, 10, 20), (2, 30, 40)],
+                              "k long, a long, b long"),
+        table,
+    )
+    txlog.tx_update_where(spark, table, "k = 1", {"a": "b", "b": "a"})
+    got = {(r.k, r.a, r.b) for r in
+           txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, 20, 10), (2, 30, 40)}
+
+
+def test_update_null_predicate_rows_untouched(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame([(1, None), (2, 5)], "k long, x long"),
+        table,
+    )
+    txlog.tx_update_where(spark, table, "x < 10", {"x": "x + 1"})
+    got = {(r.k, r.x) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, None), (2, 6)}  # NULL comparison is not true
+
+
+def test_update_preserves_column_type_and_unknown_col_raises(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_update_where(spark, table, "k = 1", {"k": "k + 1.0"})
+    [r] = txlog.read_snapshot(spark, table).collect()
+    assert r.k == 2 and isinstance(r.k, int)  # cast back to long
+    with pytest.raises(ValueError, match="unknown columns"):
+        txlog.tx_update_where(spark, table, "k = 2", {"nope": "1"})
+
+
+def test_update_respects_deletion_vectors(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    txlog.tx_update_where(spark, table, "k >= 1", {"v": "upper(v)"})
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "A"), (3, "C")}  # vectored row not resurrected
+
+
+def test_update_retries_through_interleaved_append(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), table)
+    orig_commit = txlog.commit
+    raced = {"done": False}
+
+    def racing_commit(t, action, added, removed, parent, **kw):
+        if action == "update" and not raced["done"]:
+            raced["done"] = True
+            txlog.tx_append(_df(spark, [(9, "z")]), t)
+        return orig_commit(t, action, added, removed, parent, **kw)
+
+    txlog.commit = racing_commit
+    try:
+        v, n = txlog.tx_update_where(spark, table, "k = 1",
+                                     {"v": "'A'"})
+    finally:
+        txlog.commit = orig_commit
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "A"), (9, "z")}
+
+
+def test_change_feed_emits_update_as_delete_insert_pair(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table)
+    txlog.tx_update_where(spark, table, "k = 1", {"v": "'A'"})
+    ch = txlog.tx_changes(spark, table, from_version=1)
+    got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
+    assert got == [(1, "A", "insert"), (1, "a", "delete")]
