@@ -171,6 +171,7 @@ def _write_checkpoint(table: str, v: int) -> None:
     stats = snapshot_stats(table, v)
     dvs = snapshot_dvs(table, v)
     blooms = snapshot_bloom_map(table, v)
+    schema = _schema_at(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(
@@ -180,6 +181,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "stats": stats,
                 "dvs": dvs,
                 "blooms": blooms,
+                "schema": schema.json() if schema is not None else None,
             },
             fh,
         )
@@ -711,12 +713,8 @@ def collect_file_stats(
 
 def table_schema(table: str) -> StructType | None:
     """The table's current schema: the newest commit that recorded
-    one."""
-    for v in reversed(log_versions(table)):
-        rec = read_commit(table, v)
-        if "schema" in rec:
-            return StructType.fromJson(json.loads(rec["schema"]))
-    return None
+    one (checkpoint-folded — O(tail), see :func:`_schema_at`)."""
+    return _schema_at(table, None)
 
 
 def tx_append(
@@ -891,13 +889,23 @@ def _schema_at(table: str, version: int | None) -> StructType | None:
     recorded one; latest when version is None) — also what makes
     additive schema evolution serve correctly: old files lack the new
     columns and read as NULL under the explicit schema, with no
-    mergeSchema footer pass."""
+    mergeSchema footer pass. The backward scan stops at the newest
+    checkpoint (which folds the schema like the file list), so
+    resolution is O(tail commits) even across a long run of
+    schema-less commits (bloom backfills, MOR deletes)."""
     versions = log_versions(table)
     scan = versions if version is None else [x for x in versions if x <= version]
     for c in reversed(scan):
         rec = read_commit(table, c)
         if "schema" in rec:
             return StructType.fromJson(json.loads(rec["schema"]))
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                folded = json.load(fh).get("schema")
+            if folded:
+                return StructType.fromJson(json.loads(folded))
+            # pre-schema-folding checkpoint: keep scanning backward
     return None
 
 

@@ -1100,3 +1100,19 @@ def test_change_feed_emits_update_as_delete_insert_pair(spark, table):
     ch = txlog.tx_changes(spark, table, from_version=1)
     got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
     assert got == [(1, "A", "insert"), (1, "a", "delete")]
+
+
+def test_schema_resolution_folds_through_checkpoints(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    # a long run of schema-less commits (bloom backfills) crossing a
+    # checkpoint boundary: schema resolution must come from the
+    # checkpoint, not an O(table-age) backward scan of commits
+    for _ in range(txlog.CHECKPOINT_EVERY + 1):
+        txlog.tx_bloom(spark, table, ["k"])
+    v = txlog.log_versions(table)[-1]
+    ck = txlog._ckpt_path(table, txlog.CHECKPOINT_EVERY)
+    assert os.path.exists(ck)
+    assert json.load(open(ck))["schema"] is not None
+    assert [f.name for f in txlog.table_schema(table).fields] == ["k", "v"]
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table, version=v).collect()}
+    assert got == {(1, "a")}
