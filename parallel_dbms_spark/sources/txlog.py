@@ -102,8 +102,10 @@ def _init_table(table: str) -> None:
 
 
 def log_versions(table: str) -> list[int]:
-    """Committed versions, ascending (contiguous from 1 by
-    construction)."""
+    """Committed versions, ascending — contiguous from 1 by
+    construction, or from the retention horizon after
+    :func:`tx_expire_versions` truncated the prefix (a checkpoint at
+    the horizon keeps every remaining version resolvable)."""
     d = _log_dir(table)
     if not os.path.isdir(d):
         return []
@@ -172,6 +174,7 @@ def _write_checkpoint(table: str, v: int) -> None:
     dvs = snapshot_dvs(table, v)
     blooms = snapshot_bloom_map(table, v)
     schema = _schema_at(table, v)
+    txns = snapshot_txns(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(
@@ -182,6 +185,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "dvs": dvs,
                 "blooms": blooms,
                 "schema": schema.json() if schema is not None else None,
+                "txns": txns,
             },
             fh,
         )
@@ -851,16 +855,54 @@ def _widened_schema_json(
 
 
 def committed_txn_batches(table: str, app: str) -> set[int]:
-    """Batch ids already committed by streaming writer ``app`` — the
-    idempotence ledger for :func:`..streaming.sinks.stream_tx_append`
-    (the Delta ``txn`` action re-expressed). O(log length) driver-side
-    JSON reads; a long-lived table would fold this into checkpoints."""
+    """Batch ids committed by streaming writer ``app`` in the commits
+    STILL IN THE LOG (the Delta ``txn`` action re-expressed). For the
+    idempotence decision use :func:`txn_seen`, which also consults the
+    checkpoint-folded high-water mark and therefore survives
+    :func:`tx_expire_versions` truncating the prefix."""
     out = set()
     for v in log_versions(table):
         rec = read_commit(table, v)
         if rec.get("txn_app") == app and "txn_batch" in rec:
             out.add(int(rec["txn_batch"]))
     return out
+
+
+def snapshot_txns(table: str, version: int | None = None) -> dict:
+    """Per-app high-water batch marks at a version: ``{app:
+    max_batch}`` — checkpoint-plus-tail replay like everything else.
+    Spark's epoch ids are monotone per query and only the latest batch
+    replays, so the MAX is the whole idempotence state (Delta keeps
+    exactly this per ``appId``)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, txns = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                txns = {
+                    a: int(b)
+                    for a, b in json.load(fh).get("txns", {}).items()
+                }
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        if rec.get("txn_app") is not None and "txn_batch" in rec:
+            a, b = rec["txn_app"], int(rec["txn_batch"])
+            txns[a] = max(txns.get(a, b), b)
+    return txns
+
+
+def txn_seen(table: str, app: str, batch_id: int) -> bool:
+    """Has streaming writer ``app`` already committed ``batch_id``?
+    True iff the id is at-or-below the app's high-water mark — exact
+    because epoch ids are monotone and only the newest batch ever
+    replays. Survives log expiration (the mark folds through
+    checkpoints)."""
+    return int(batch_id) <= snapshot_txns(table).get(app, -1)
 
 
 def read_snapshot(
