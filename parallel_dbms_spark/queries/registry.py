@@ -39,106 +39,96 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-6 ROTATION: all 50 rows were green in r5, so 18 slots rotate
-# to never-graded oracled queries (VERDICT r5 item 1 list, all
-# judge-verified green at sf0.01): the statistics surface (AUC,
-# chi-square, Welch t, KL, Gini, Benford), the multi-writer
-# transactional lake (snapshot, history, exactly-once stream ingest),
-# entity resolution, MMR rank-1, SMB + Bloom-prefilter joins, full CDC
-# merge, TWAP, OHLC, point-in-polygon, weighted SSSP. Rotated out
-# (graded history preserved in CORRECTNESS_r0{2..5}.json):
-# join_broadcast_equi, dq_orders_expectations, dedup_clusters,
-# dedup_fuzzy_names, sim_bruteforce_topk, lake_bloom_point_lookup,
-# lake_sorted_export, agg_percentile_disc, anomaly_hourly_counts,
-# robust_zscore_prices, window_rolling_median, sql_pivot_syntax,
-# sql_pipe_syntax, sql_udf_scalar, validate_orders,
-# daily_orders_gapfilled, funnel_view_click_purchase,
-# unpivot_lineitem_metrics. Family coverage invariant re-verified:
-# join_bucketed_smb/join_bloom_prefilter keep join+broadcast depth,
-# er_resolve_parts keeps dedup/fuzzy/clustering, dq_benford_totalprice
-# keeps dq, lake_tx_* keep lake, tests/test_registry_window.py pins it.
-# Plus 3 more slots for the never-graded TPC-H family (q6/q12/q19) from
-# array_functions, lake_time_travel, lake_delete_keys (all r5-green),
-# and 10 tag-repairing swaps (each incoming row carries the exact
-# families its outgoing r5-green row was the sole carrier of):
-# window_distinct_trailing_7d->lake_instant_distinct,
-# window_ntile_deciles->rfm_segments,
-# asof_join_sharded_backward->profile_skew_lineitem,
-# spatial_radius_pairs->join_longest_prefix,
-# agg_histogram_quantiles->agg_histogram_prices,
-# sessionize_events->event_transition_matrix,
-# stream_session_30m->batch_session_window_native,
-# stream_scd2_dimension->scd2_time_in_state,
-# dedup_ngram_jaccard->dedup_prefix_jaccard,
-# multimodal_resize->multimodal_meta — 31 first-time rows total.
+# ROUND-7 ROTATION: all 50 r6 rows were green, so 32 slots rotate to
+# never-graded oracled queries (every incoming row locally verified
+# green via scripts/check_oracles.py at sf0.01 on 2026-08-15; 22 of
+# them also judge-r6-verified): the seven round-6 transactional-lake
+# ops (skipping/zorder/restore/update/merge/change-feed/delete-
+# vectors), both tx streaming queries, eight more streaming-family
+# rows, seven TPC-H shapes (q2/q4/q11/q15/q16/q20/q22), and family-
+# carrier rows for asof/fuzzy/clustering/json/functions/null/skew/
+# distinct/histogram/sketch/similarity/vectors/multimodal. The 18
+# keepers are the minimal set cover of the 22 families no never-graded
+# row can carry (scan, pushdown, theta/bnlj, bloom, range, sort/limit,
+# setop, ntile, recursive, ivm/rollup, session_window, sessionize,
+# profiling, scd2, jaccard, tfidf, bm25, phrase) — provably minimal:
+# only four of those families pair up on a single row. Rotated out
+# (graded history preserved in CORRECTNESS_r0{2..6}.json):
+# tpch_q17/q21/q6/q12/q19_shape, json_extract_props, asof_join_strict,
+# profile_skew_lineitem, spatial_point_in_polygon, agg_histogram_prices,
+# eval_auc_quality, stat_chisq_event_hours, stat_ttest_welch_value,
+# corpus_kl_divergence, stat_gini_order_value, dq_benford_totalprice,
+# twap_user_value, ohlc_hourly, cdc_apply_full, lake_instant_distinct,
+# stream_dedup_within_watermark, stream_tx_append_exactly_once,
+# dedup_prefix_jaccard stays (sole jaccard carrier), er_resolve_parts,
+# sim_mmr_rank1, vector_centroids, graph_sssp_weighted, multimodal_meta,
+# lake_tx_point_lookup, lake_tx_multiwriter_snapshot,
+# lake_tx_history_counts. New families pinned this round: acid, ivm,
+# cdc-feed, versioned, merge (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference parity: scan/filter/project (O1-O5)
+    # reference parity: scan/project, filter pushdown (O1-O5)
     "scan_project",
     "filter_pushdown_conj",
-    # joins (O9-O12): pure-theta/outer; bucketed SMB + Bloom-prefilter
+    # joins (O9-O12): pure-theta BNLJ, Bloom-prefilter, longest-prefix
     "join_theta_only",
-    "join_left_outer",
-    "join_bucketed_smb",
     "join_bloom_prefilter",
-    # sort/limit (O13-O15), set ops
+    "join_longest_prefix",
+    # sort/limit (O13-O15), set ops, ntile window
     "top_n",
     "set_except",
-    # windows: distinct-over-trailing-range, ntile
-    "lake_instant_distinct",
     "rfm_segments",
-    # SQL depth: recursive CTE, TPC-H Q17/Q21, JSON, arrays
+    # SQL depth: recursive CTE, TRY_CAST/VALUES/ILIKE, VARIANT JSON
     "sql_recursive_balance_paydown",
-    "tpch_q17_shape",
-    "tpch_q21_shape",
-    "tpch_q6_shape",
-    "tpch_q12_shape",
-    "tpch_q19_shape",
-    "json_extract_props",
-    # temporal joins: as-of strict/sharded (skew), spatial radius +
-    # point-in-polygon geofence
-    "asof_join_strict",
-    "profile_skew_lineitem",
-    "join_longest_prefix",
-    "spatial_point_in_polygon",
-    # aggregates / statistics surface
-    "agg_histogram_prices",
-    "eval_auc_quality",
-    "stat_chisq_event_hours",
-    "stat_ttest_welch_value",
-    "corpus_kl_divergence",
-    "stat_gini_order_value",
-    "dq_benford_totalprice",
-    # profiling / sessionize / timeseries (TWAP, OHLC)
+    "sql_trycast_values_ilike",
+    "json_variant_agg",
+    # TPC-H shapes (first-time-graded remainder)
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q11_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q20_shape",
+    "tpch_q22_shape",
+    # temporal: as-of forward, SCD2, profiling, sessionize
+    "asof_join_forward",
+    "scd2_time_in_state",
     "profile_orders",
     "event_transition_matrix",
-    "twap_user_value",
-    "ohlc_hourly",
-    # CDC / MV
-    "cdc_apply_full",
+    # aggregates: grouped histogram sketch, skewed two-stage distinct
+    "agg_histogram_by_flag",
+    "agg_two_stage_distinct",
+    # transactional lake (ACID txlog): the round-6 op suite
+    "lake_tx_skipping_scan",
+    "lake_tx_zorder_skipping",
+    "lake_tx_restore_counts",
+    "lake_tx_update_where",
+    "lake_tx_merge_upsert",
+    "lake_tx_change_feed",
+    "lake_tx_delete_vectors",
+    # incremental view maintenance from the tx change feed
     "mv_txlog_ivm",
-    # structured streaming (batch-SQL oracles) + exactly-once tx ingest
+    # structured streaming (batch-SQL oracles) + tx source/sink
+    "stream_tx_merge_upsert",
+    "stream_tx_source_tail",
+    "stream_ohlc_hourly",
+    "stream_stream_left_outer",
+    "stream_dq_report",
+    "stream_mv_event_rollup",
+    "stream_dedup_users",
+    "stream_stateful_running_totals",
     "batch_session_window_native",
-    "stream_dedup_within_watermark",
-    "scd2_time_in_state",
-    "stream_tx_append_exactly_once",
-    # LLM-pipeline: dedup / entity resolution
+    # LLM-pipeline: dedup / fuzzy ER / canonicalization
     "dedup_prefix_jaccard",
-    "er_resolve_parts",
+    "dedup_jw_fuzzy_parts",
+    "dedup_keep_canonical",
     # text analysis
     "text_tfidf_topk",
     "text_bm25_topk",
-    # similarity / vectors / graph
-    "sim_mmr_rank1",
-    "vector_centroids",
-    "graph_sssp_weighted",
-    # multimodal, search
-    "multimodal_meta",
+    # similarity / vectors / multimodal / search
+    "embedding_cosine_neardup",
+    "vector_centroid_drift",
+    "multimodal_frame_sample",
     "search_phrase",
-    # lake: N-D Z-order skipping, multi-writer transactional commit
-    # log (time travel + deletes rotated out with r5 graded proof)
-    "lake_tx_point_lookup",
-    "lake_tx_multiwriter_snapshot",
-    "lake_tx_history_counts",
 )
 
 

@@ -2883,7 +2883,7 @@ def lake_delete_keys(spark, sf_dir):
               FROM orders
               WHERE NOT COALESCE(o_totalprice < 1000.0, FALSE)
               GROUP BY o_orderstatus""",
-    tags=("lake", "merge", "versioned", "groupby"),
+    tags=("lake", "merge", "versioned", "groupby", "acid"),
 )
 def lake_tx_multiwriter_snapshot(spark, sf_dir):
     # Three CONCURRENT writers append disjoint slices (appends commute,
@@ -2942,7 +2942,7 @@ def lake_tx_multiwriter_snapshot(spark, sf_dir):
               UNION ALL SELECT 3, n FROM v3
               UNION ALL SELECT 4, n FROM v4
               UNION ALL SELECT 5, n FROM v4""",
-    tags=("lake", "time-travel", "versioned"),
+    tags=("lake", "time-travel", "versioned", "acid"),
 )
 def lake_tx_history_counts(spark, sf_dir):
     # Row count at EVERY committed version of a transactional table —
@@ -2980,7 +2980,7 @@ def lake_tx_history_counts(spark, sf_dir):
               WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
                 AND NOT COALESCE(o_totalprice < 1000.0, FALSE)
               GROUP BY o_orderstatus""",
-    tags=("lake", "data-skipping", "versioned", "groupby"),
+    tags=("lake", "data-skipping", "versioned", "groupby", "acid"),
 )
 def lake_tx_skipping_scan(spark, sf_dir):
     # ACID and data skipping COMPOSING (txlog.tx_read_skipping):
@@ -3030,7 +3030,7 @@ def lake_tx_skipping_scan(spark, sf_dir):
                           AS BIGINT) AS cents
               FROM orders
               WHERE o_custkey >= 100 AND o_custkey <= 300""",
-    tags=("lake", "data-skipping", "versioned", "zorder"),
+    tags=("lake", "data-skipping", "versioned", "zorder", "acid"),
 )
 def lake_tx_zorder_skipping(spark, sf_dir):
     # OPTIMIZE-ZORDER as ONE ATOMIC COMMIT (txlog.tx_compact with
@@ -3087,7 +3087,7 @@ def lake_tx_zorder_skipping(spark, sf_dir):
                  OR o_orderkey = (SELECT MIN(o_orderkey)
                                   FROM orders
                                   WHERE o_orderkey % 4 = 2)""",
-    tags=("lake", "bloom", "data-skipping", "source", "versioned", "point-lookup"),
+    tags=("lake", "bloom", "data-skipping", "source", "versioned", "point-lookup", "acid"),
 )
 def lake_tx_point_lookup(spark, sf_dir):
     # Needle-in-haystack WHERE id = ? through BLOOM SIDECARS RIDING
@@ -3143,7 +3143,7 @@ def lake_tx_point_lookup(spark, sf_dir):
                           AS BIGINT) AS cents
               FROM customer
               GROUP BY c_mktsegment""",
-    tags=("lake", "time-travel", "versioned", "groupby"),
+    tags=("lake", "time-travel", "versioned", "groupby", "acid"),
 )
 def lake_tx_restore_counts(spark, sf_dir):
     # RESTORE as a NEW COMMIT (txlog.tx_restore — Delta's RESTORE
@@ -3193,7 +3193,7 @@ def lake_tx_restore_counts(spark, sf_dir):
               FROM orders
               WHERE NOT COALESCE(o_totalprice >= 400000.0, FALSE)
               GROUP BY o_orderpriority""",
-    tags=("mv", "rollup", "aggregate", "lake", "versioned", "groupby", "cdc"),
+    tags=("mv", "rollup", "aggregate", "lake", "versioned", "groupby", "cdc", "ivm"),
 )
 def mv_txlog_ivm(spark, sf_dir):
     # INCREMENTAL VIEW MAINTENANCE DRIVEN BY THE TRANSACTION LOG
@@ -3266,7 +3266,7 @@ def mv_txlog_ivm(spark, sf_dir):
               SELECT st, COUNT(*) AS n,
                      CAST(SUM(cents) AS BIGINT) AS total_cents
               FROM u GROUP BY st""",
-    tags=("lake", "update", "versioned", "groupby"),
+    tags=("lake", "update", "versioned", "groupby", "acid"),
 )
 def lake_tx_update_where(spark, sf_dir):
     # Transactional row-level UPDATE (txlog.tx_update_where,
@@ -3335,7 +3335,7 @@ def lake_tx_update_where(spark, sf_dir):
               SELECT c_nationkey, COUNT(*) AS n,
                      CAST(SUM(bal_cents) AS BIGINT) AS total_cents
               FROM merged GROUP BY c_nationkey""",
-    tags=("lake", "merge", "versioned", "cdc"),
+    tags=("lake", "merge", "versioned", "cdc", "acid"),
 )
 def lake_tx_merge_upsert(spark, sf_dir):
     # Transactional MERGE (txlog.tx_merge_upsert): the customer base
@@ -3386,7 +3386,7 @@ def lake_tx_merge_upsert(spark, sf_dir):
                      + (SELECT COUNT(*) FROM updated) AS n
               UNION ALL
               SELECT 'insert', (SELECT COUNT(*) FROM updated)""",
-    tags=("lake", "cdc", "versioned"),
+    tags=("lake", "cdc", "versioned", "acid", "cdc-feed"),
 )
 def lake_tx_change_feed(spark, sf_dir):
     # Change Data Feed derived from the commit log (txlog.tx_changes):
@@ -3429,7 +3429,7 @@ def lake_tx_change_feed(spark, sf_dir):
               FROM orders
               WHERE NOT COALESCE(o_totalprice < 10000.0, FALSE)
               GROUP BY o_orderstatus""",
-    tags=("lake", "versioned", "cdc", "groupby"),
+    tags=("lake", "versioned", "cdc", "groupby", "acid"),
 )
 def lake_tx_delete_vectors(spark, sf_dir):
     # MERGE-ON-READ delete (txlog.tx_delete_where_mor): the matching

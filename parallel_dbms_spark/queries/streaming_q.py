@@ -601,7 +601,7 @@ def batch_session_window_native(spark, sf_dir):
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
                           AS BIGINT) AS cents
               FROM latest""",
-    tags=("streaming", "lake", "sink", "merge", "cdc"),
+    tags=("streaming", "lake", "sink", "merge", "cdc", "acid"),
 )
 def stream_tx_merge_upsert(spark, sf_dir):
     # Streaming MERGE into the transactional table
@@ -657,7 +657,7 @@ def stream_tx_merge_upsert(spark, sf_dir):
                      CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
                           AS BIGINT) AS cents
               FROM customer GROUP BY c_mktsegment""",
-    tags=("streaming", "lake", "source", "versioned"),
+    tags=("streaming", "lake", "source", "versioned", "acid"),
 )
 def stream_tx_source_tail(spark, sf_dir):
     # The transactional table as a streaming SOURCE (sources/
@@ -717,7 +717,7 @@ def stream_tx_source_tail(spark, sf_dir):
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
                           AS BIGINT) AS cents
               FROM events GROUP BY event_type""",
-    tags=("streaming", "lake", "sink", "versioned"),
+    tags=("streaming", "lake", "sink", "versioned", "acid"),
 )
 def stream_tx_append_exactly_once(spark, sf_dir):
     # Stream -> TRANSACTIONAL table (streaming/sinks.stream_tx_append):

@@ -599,7 +599,7 @@ def tpch_q20_shape(spark, sf_dir):
               WHERE CAST(c_acctbal AS DECIMAL(18,2)) * tot.n > tot.s
                 AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
               GROUP BY c_nationkey""",
-    tags=("tpch", "anti_join", "subquery"),
+    tags=("tpch", "anti_join", "subquery", "anti"),
 )
 def tpch_q22_shape(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")

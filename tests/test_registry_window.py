@@ -27,6 +27,11 @@ REQUIRED_FAMILIES = {
     "data-skipping", "bloom", "histogram", "sketch", "mv", "dq",
     # round-3 families
     "recursive", "search", "phrase",
+    # round-7 families: the transactional lake's proof rows can never
+    # all rotate out — multi-writer ACID commit log, IVM from the
+    # commit-derived change feed, the CDC feed itself, versioned reads,
+    # and MERGE rewrites each need a carrier in the window.
+    "acid", "ivm", "cdc-feed", "versioned", "merge",
 }
 
 
