@@ -45,6 +45,7 @@ def define_mv(
     path: str,
     group_cols: list[str],
     measures: dict[str, tuple[str, str]],
+    synced_version: int | None = None,
 ) -> None:
     """Materialize ``fact`` grouped on ``group_cols``.
 
@@ -56,6 +57,14 @@ def define_mv(
 
     The rollup is one map-side-combined aggregation; metadata lands in
     a ``_mv.json`` sidecar (underscore: invisible to table scans).
+
+    When ``fact`` is a transaction-log snapshot
+    (``sources/txlog.read_snapshot``), pass the snapshot's txlog
+    version as ``synced_version`` so :func:`mv_sync_txlog` knows where
+    the change-feed fold starts. Without it, a define-then-sync
+    sequence would replay the defining commits and double-count every
+    sum/count — mv_sync_txlog therefore refuses to run on a view whose
+    sidecar lacks the anchor.
     """
     aggs = []
     for out, (fn, src) in measures.items():
@@ -74,6 +83,8 @@ def define_mv(
         "group_cols": list(group_cols),
         "measures": {k: list(v) for k, v in measures.items()},
     }
+    if synced_version is not None:
+        meta["synced_version"] = int(synced_version)
     with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
 
@@ -81,6 +92,25 @@ def define_mv(
 def _load_meta(path: str) -> dict:
     with open(os.path.join(path, "_mv.json"), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def _promote_staged(staged: str, path: str, meta: dict) -> None:
+    """Swap a freshly-written view into place with no destructive
+    window (the ``_promote_dir`` rename-aside pattern from
+    ``streaming/sinks.py``): the sidecar is written INTO the staged
+    directory first, so every directory that can ever sit at ``path``
+    is complete — a crash at any instant leaves either the old view or
+    the new view, never a view without its ``_mv.json``."""
+    import shutil
+
+    with open(os.path.join(staged, "_mv.json"), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
+    os.replace(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def mv_answer(
@@ -182,20 +212,18 @@ def mv_refresh(spark: SparkSession, path: str, delta: DataFrame) -> None:
             merged_aggs.append(F.max(out).alias(out))
     merged = old.unionByName(d).groupBy(*group_cols).agg(*merged_aggs)
     # write-then-swap: never overwrite a lazy scan's own input files
-    import os
-    import shutil
-
     staged = f"{path}__staged"
     merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(path, "_mv.json"), encoding="utf-8") as fh:
-        meta_raw = fh.read()
-    shutil.rmtree(path)
-    os.replace(staged, path)
-    with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
-        fh.write(meta_raw)
+    _promote_staged(staged, path, _load_meta(path))
 
 
-def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
+def mv_sync_txlog(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    from_version: int | None = None,
+    broadcast_touched_max: int = 100_000,
+) -> int:
     """Incremental view maintenance DRIVEN BY THE TRANSACTION LOG: fold
     the txlog change feed (``sources/txlog.tx_changes``) since the last
     sync into the stored rollup — inserts AND deletes — and remember
@@ -232,7 +260,18 @@ def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
             "mv_sync_txlog needs a stored count measure to detect "
             "emptied groups — add one to define_mv's measures"
         )
-    synced = int(meta.get("synced_version", 0))
+    if from_version is not None:
+        synced = int(from_version)
+    elif "synced_version" in meta:
+        synced = int(meta["synced_version"])
+    else:
+        raise ValueError(
+            "mv_sync_txlog: the view's _mv.json has no synced_version "
+            "anchor — define_mv was not told which txlog version its "
+            "snapshot came from. Syncing from version 0 would replay "
+            "the defining commits and double-count every sum/count. "
+            "Pass synced_version= to define_mv (or from_version= here)."
+        )
     cur = (txlog.log_versions(table) or [0])[-1]
     if cur <= synced:
         return synced
@@ -266,11 +305,22 @@ def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
     deletes = ch.filter(F.col("_change_type") == "delete")
     if has_minmax:
         # min/max under deletes: recompute ONLY the touched groups from
-        # the current snapshot; everything else folds incrementally
+        # the current snapshot; everything else folds incrementally.
+        # The broadcast hint assumes a CDC-trickle's worth of touched
+        # group keys; a mass delete (e.g. a GDPR purge across most
+        # groups) would OOM the driver building the broadcast table, so
+        # past ``broadcast_touched_max`` keys fall back to plain
+        # shuffle joins — same plan semantics, no driver materialization.
         touched = deletes.select(*group_cols).distinct()
+        if touched.limit(broadcast_touched_max + 1).count() \
+                <= broadcast_touched_max:
+            hint = F.broadcast
+        else:
+            def hint(df):
+                return df
         snap = txlog.read_snapshot(spark, table, version=cur)
         recomputed = (
-            snap.join(F.broadcast(touched), group_cols, "left_semi")
+            snap.join(hint(touched), group_cols, "left_semi")
             .groupBy(*group_cols)
             .agg(
                 *[
@@ -281,11 +331,11 @@ def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
             )
         )
         delta = (
-            ch.join(F.broadcast(touched), group_cols, "left_anti")
+            ch.join(hint(touched), group_cols, "left_anti")
             .groupBy(*group_cols)
             .agg(*signed_aggs)
         )
-        kept = old.join(F.broadcast(touched), group_cols, "left_anti")
+        kept = old.join(hint(touched), group_cols, "left_anti")
         merged = (
             kept.unionByName(delta).groupBy(*group_cols).agg(*fold_aggs)
             .filter(F.col(count_cols[0]) > 0)
@@ -300,13 +350,8 @@ def mv_sync_txlog(spark: SparkSession, path: str, table: str) -> int:
             .filter(F.col(count_cols[0]) > 0)
         )
 
-    import shutil
-
     staged = f"{path}__staged"
     merged.write.mode("overwrite").parquet(staged)
     meta["synced_version"] = cur
-    shutil.rmtree(path)
-    os.replace(staged, path)
-    with open(os.path.join(path, "_mv.json"), "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
+    _promote_staged(staged, path, meta)
     return cur

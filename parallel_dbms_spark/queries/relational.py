@@ -3205,8 +3205,6 @@ def mv_txlog_ivm(spark, sf_dir):
     # full aggregate over the final state: sync-then-answer must equal
     # define-on-current-snapshot EXACTLY, at CDC cost instead of a
     # table rescan.
-    import json
-    import os
     import tempfile
 
     from ..operators.mv import define_mv, mv_answer, mv_sync_txlog
@@ -3228,13 +3226,8 @@ def mv_txlog_ivm(spark, sf_dir):
             "min_cents": ("min", "cents"),
             "max_cents": ("max", "cents"),
         },
+        synced_version=txlog.log_versions(t)[-1],
     )
-    mp = os.path.join(p, "_mv.json")
-    with open(mp) as fh:
-        meta = json.load(fh)
-    meta["synced_version"] = txlog.log_versions(t)[-1]
-    with open(mp, "w") as fh:
-        json.dump(meta, fh)
     txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
     # the delete hits every group's maximum -> exercises the
     # touched-group min/max recompute, not just signed folding

@@ -135,16 +135,8 @@ def _sync_setup(spark, tmp_path, measures):
         txlog.read_snapshot(spark, t), p, ["g"],
         {"n": ("count", "v"), "s": ("sum", "v"),
          "mn": ("min", "v"), "mx": ("max", "v")},
+        synced_version=txlog.log_versions(t)[-1],
     )
-    import json
-    import os
-
-    mp = os.path.join(p, "_mv.json")
-    with open(mp) as fh:
-        meta = json.load(fh)
-    meta["synced_version"] = 1
-    with open(mp, "w") as fh:
-        json.dump(meta, fh)
     return t, p
 
 
@@ -219,3 +211,97 @@ def test_sync_requires_a_count_measure(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="count measure"):
         mv_sync_txlog(spark, p, t)
+
+
+def test_sync_requires_a_version_anchor(spark, tmp_path):
+    """define_mv without synced_version then mv_sync_txlog must raise,
+    not silently replay the defining commits (which would double-count
+    every sum/count); an explicit from_version= overrides."""
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    base = str(tmp_path)
+    t, p = base + "/t", base + "/mv"
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, "a", 10) for i in range(4)], "k long, g string, v long"
+        ),
+        t,
+    )
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["g"],
+        {"n": ("count", "v"), "s": ("sum", "v")},
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(9, "a", 7)], "k long, g string, v long"), t
+    )
+    with pytest.raises(ValueError, match="synced_version"):
+        mv_sync_txlog(spark, p, t)
+    # explicit anchor: fold only the post-define commit
+    mv_sync_txlog(spark, p, t, from_version=1)
+    row = spark.read.parquet(p).collect()[0]
+    assert (row.n, row.s) == (5, 47)
+
+
+def test_promote_leaves_no_sidecarless_window(spark, tmp_path):
+    """The staged directory carries its _mv.json BEFORE the swap, so a
+    crash between the renames leaves either the old complete view or
+    the new complete view (rename-aside, streaming/sinks.py pattern)."""
+    import os
+
+    from parallel_dbms_spark.operators.mv import mv_answer, mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    base = str(tmp_path)
+    t, p = base + "/t", base + "/mv"
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a", 5)], "k long, g string, v long"), t
+    )
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["g"],
+        {"n": ("count", "v"), "s": ("sum", "v")},
+        synced_version=txlog.log_versions(t)[-1],
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(2, "a", 6)], "k long, g string, v long"), t
+    )
+    mv_sync_txlog(spark, p, t)
+    # post-conditions of the atomic promote: view complete, sidecar
+    # advanced, no leftover staged/old directories
+    assert os.path.exists(os.path.join(p, "_mv.json"))
+    assert not os.path.exists(p + "__staged")
+    assert not os.path.exists(p + "__old")
+    got = mv_answer(spark, p, ["g"], {"s": ("sum", "v")}).collect()[0]
+    assert got.s == 11
+
+
+def test_sync_wide_delete_uses_non_broadcast_path(spark, tmp_path):
+    """A delete touching more groups than broadcast_touched_max must
+    still sync exactly — through plain shuffle joins instead of a
+    driver-side broadcast of the touched-key set."""
+    from parallel_dbms_spark.operators.mv import mv_sync_txlog
+    from parallel_dbms_spark.sources import txlog
+
+    base = str(tmp_path)
+    t, p = base + "/t", base + "/mv"
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, f"g{i % 40}", i * 10) for i in range(400)],
+            "k long, g string, v long",
+        ),
+        t,
+    )
+    define_mv(
+        txlog.read_snapshot(spark, t), p, ["g"],
+        {"n": ("count", "v"), "s": ("sum", "v"),
+         "mn": ("min", "v"), "mx": ("max", "v")},
+        synced_version=txlog.log_versions(t)[-1],
+    )
+    # wide delete: touches every one of the 40 groups
+    txlog.tx_delete_where(spark, t, "v >= 2000")
+    mv_sync_txlog(spark, p, t, broadcast_touched_max=5)
+    got = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == _recompute(spark, t)
