@@ -612,6 +612,23 @@ def commit(
                 f"version {v} added deletion vectors to files this "
                 "commit rewrites"
             )
+        if dv:
+            # DV-vs-DV: two merge-on-read deletes racing. Snapshot
+            # reads would survive either order (snapshot_dvs unions
+            # positions), but the change feed replays each commit's
+            # vector verbatim — the same (file, row) vectored twice
+            # emits a duplicate 'delete' and corrupts downstream
+            # signed folds (mv_sync_txlog). Disjoint positions on the
+            # same file are fine; an actual position overlap forces
+            # the loser to recompute against the fresh snapshot,
+            # where the winner's deletes are already applied.
+            for f, pos in dv.items():
+                theirs_pos = theirs.get("dv", {}).get(f)
+                if theirs_pos and set(pos) & set(theirs_pos):
+                    raise TxConflict(
+                        f"version {v} vectored rows of {f} this "
+                        "commit also vectors"
+                    )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
         ):

@@ -1116,3 +1116,47 @@ def test_schema_resolution_folds_through_checkpoints(spark, table):
     assert [f.name for f in txlog.table_schema(table).fields] == ["k", "v"]
     got = {(r.k, r.v) for r in txlog.read_snapshot(spark, table, version=v).collect()}
     assert got == {(1, "a")}
+
+
+def test_dv_vs_dv_overlap_conflicts(spark, table):
+    """Two racing merge-on-read deletes vectoring the SAME (file, row)
+    must conflict — otherwise the change feed emits that row's delete
+    twice and corrupts downstream signed folds. Disjoint positions on
+    the same file commit cleanly (snapshot_dvs unions them)."""
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(6)]).coalesce(1),
+                    table)
+    parent, files = txlog.snapshot_files(table)
+    # writer A lands a vector for row 0
+    txlog.commit(table, "delete_mor", [], [], parent,
+                 dv={files[0]: [0, 1]}, depends_on=[files[0]])
+    # writer B raced A with an overlapping vector (computed against the
+    # same parent): position overlap -> conflict
+    with pytest.raises(txlog.TxConflict, match="also vectors"):
+        txlog.commit(table, "delete_mor", [], [], parent,
+                     dv={files[0]: [1, 2]}, depends_on=[files[0]])
+    # writer C raced A with a DISJOINT vector on the same file: fine
+    v = txlog.commit(table, "delete_mor", [], [], parent,
+                     dv={files[0]: [3]}, depends_on=[files[0]])
+    assert v == parent + 2
+    assert txlog.snapshot_dvs(table) == {files[0]: [0, 1, 3]}
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {2, 4, 5}
+    # the public API retries through an overlap race: re-finding from
+    # the fresh snapshot excludes already-vectored rows
+    v2, n = txlog.tx_delete_where_mor(spark, table, "k >= 1 and k <= 4")
+    assert n == 2  # only 2 and 4 still live
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {5}
+
+
+def test_change_feed_no_duplicate_deletes_under_dv_race(spark, table):
+    """End-to-end: after a resolved DV race, tx_changes emits each
+    deleted row exactly once (the IVM-correctness property the
+    conflict rule protects)."""
+    txlog.tx_append(_df(spark, [(i, "g") for i in range(5)]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k <= 1")
+    txlog.tx_delete_where_mor(spark, table, "k <= 3")  # overlaps semantically
+    ch = txlog.tx_changes(spark, table, from_version=1)
+    dels = [r.k for r in ch.filter("_change_type = 'delete'").collect()]
+    assert sorted(dels) == [0, 1, 2, 3]  # each once, no duplicates
