@@ -1607,10 +1607,17 @@ def tx_restore(table: str, to_version: int) -> int:
 
 
 def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
-    """Reclaim orphans: staged directories and data files never
-    referenced by ANY commit (crashed writers). Files referenced by
-    old versions are kept — time travel stays valid; version
-    expiration would be a separate retention policy.
+    """Reclaim orphans: staged directories, data files, and Bloom
+    sidecars never referenced by ANY commit still in the log (crashed
+    writers, conflicted/retried commits). Files referenced by old
+    versions are kept — time travel stays valid; truncating history
+    itself is :func:`tx_expire_versions`.
+
+    After an expiration, the expired commits' ``added`` lists are
+    gone, so the reference set also folds in the OLDEST surviving
+    checkpoint's live-file set and bloom pointers — a file live at the
+    horizon stays protected even though the commit that added it was
+    expired.
 
     Retention guard (Delta's VACUUM retention, default 24 h): only
     files OLDER than ``retention_seconds`` are reclaimed. This is what
@@ -1619,15 +1626,30 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
     freshly-staged file is indistinguishable from a crashed writer's
     orphan until its commit publishes. An unguarded vacuum racing an
     in-flight writer would delete its staged files and the subsequent
-    commit would reference files that no longer exist. Pass a smaller
-    window only when no writer can be active within it."""
+    commit would reference files that no longer exist. The same guard
+    covers sidecars, which also land on disk before their commit. Pass
+    a smaller window only when no writer can be active within it."""
     import shutil
     import time
 
     cutoff = time.time() - retention_seconds
+    versions = log_versions(table)
     referenced: set[str] = set()
-    for v in log_versions(table):
-        referenced |= set(read_commit(table, v)["added"])
+    sidecars_ref: set[str] = set()
+    for v in versions:
+        rec = read_commit(table, v)
+        referenced |= set(rec["added"])
+        for entries in rec.get("bloom", {}).values():
+            for e in entries:
+                sidecars_ref.add(e["sidecar"])
+    for v in versions:  # oldest checkpoint = the retention horizon
+        if os.path.exists(_ckpt_path(table, v)):
+            with open(_ckpt_path(table, v)) as fh:
+                ck = json.load(fh)
+            referenced |= set(ck.get("live", []))
+            for m in ck.get("blooms", {}).values():
+                sidecars_ref |= set(m.values())
+            break
     removed = []
     data_dir = os.path.join(table, DATA)
     if os.path.isdir(data_dir):
@@ -1644,4 +1666,61 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
             if os.path.getmtime(p) <= cutoff:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(f"{STAGING}/{d}")
+    side_dir = os.path.join(table, SIDECARS)
+    if os.path.isdir(side_dir):
+        for f in os.listdir(side_dir):
+            rel = f"{SIDECARS}/{f}"
+            p = os.path.join(side_dir, f)
+            if rel in sidecars_ref or os.path.getmtime(p) > cutoff:
+                continue
+            if os.path.isdir(p):  # crashed _build_bloom_sidecar tmp dir
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+            removed.append(rel)
     return removed
+
+
+def tx_expire_versions(table: str, keep_from: int) -> list[int]:
+    """Truncate log history below ``keep_from`` (Delta's
+    ``logRetentionDuration`` re-expressed as an explicit horizon): a
+    checkpoint is written AT the horizon first, so every surviving
+    version stays resolvable by checkpoint-plus-tail replay, then the
+    older commit and checkpoint records are deleted. Returns the
+    expired versions.
+
+    What this costs you: time travel and :func:`tx_changes` reads
+    below the horizon now raise (their commit records are gone) — run
+    :func:`tx_vacuum` afterwards to reclaim the data files only those
+    versions referenced. Idempotence marks survive (per-app high-water
+    batch ids fold through the checkpoint — :func:`txn_seen`), as do
+    stats, deletion vectors, bloom pointers, and the schema.
+
+    At 100 TB scale this is what keeps the log O(active history)
+    instead of O(table lifetime): a trickle of streaming commits every
+    few seconds writes ~10 M records a year, and every snapshot replay
+    walks the tail since the last checkpoint — bounding the prefix
+    bounds recovery, listing, and vacuum's reference scan alike."""
+    versions = log_versions(table)
+    if not versions:
+        return []
+    if keep_from not in versions:
+        raise ValueError(
+            f"keep_from={keep_from} is not a committed version of "
+            f"{table} (have {versions[0]}..{versions[-1]})"
+        )
+    expired = [v for v in versions if v < keep_from]
+    if not expired:
+        return []
+    if not os.path.exists(_ckpt_path(table, keep_from)):
+        _write_checkpoint(table, keep_from)
+    for v in expired:
+        try:
+            os.remove(_commit_path(table, v))
+        except FileNotFoundError:
+            pass
+        try:
+            os.remove(_ckpt_path(table, v))
+        except FileNotFoundError:
+            pass
+    return expired

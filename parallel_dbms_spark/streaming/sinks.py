@@ -534,7 +534,7 @@ def stream_tx_merge(
     from ..sources import txlog
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in txlog.committed_txn_batches(table, app):
+        if txlog.txn_seen(table, app, batch_id):
             return  # replay of an already-committed batch
         if batch_df.isEmpty():
             return
@@ -593,7 +593,7 @@ def stream_tx_append(
     from ..sources import txlog
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in txlog.committed_txn_batches(table, app):
+        if txlog.txn_seen(table, app, batch_id):
             return  # replay of an already-committed batch
         txlog.tx_append(
             batch_df, table, meta={"txn_app": app, "txn_batch": batch_id}

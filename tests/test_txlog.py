@@ -1160,3 +1160,73 @@ def test_change_feed_no_duplicate_deletes_under_dv_race(spark, table):
     ch = txlog.tx_changes(spark, table, from_version=1)
     dels = [r.k for r in ch.filter("_change_type = 'delete'").collect()]
     assert sorted(dels) == [0, 1, 2, 3]  # each once, no duplicates
+
+
+# ------------------------------------------- retention: expire + vacuum
+
+
+def test_expire_versions_truncates_prefix_and_preserves_state(spark, table):
+    for i in range(3):
+        txlog.tx_append(
+            _df(spark, [(i * 10 + j, "a") for j in range(3)]).coalesce(1),
+            table, meta={"txn_app": "ing", "txn_batch": i},
+        )
+    txlog.tx_delete_where_mor(spark, table, "k = 11")
+    before = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    expired = txlog.tx_expire_versions(table, keep_from=3)
+    assert expired == [1, 2]
+    assert txlog.log_versions(table) == [3, 4]
+    # snapshot, DVs, and idempotence marks all survive the truncation
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == before
+    assert txlog.txn_seen(table, "ing", 2)
+    assert not txlog.txn_seen(table, "ing", 3)
+    # time travel below the horizon is gone
+    with pytest.raises(ValueError, match="not in log"):
+        txlog.read_snapshot(spark, table, version=1)
+    # appends keep working on the truncated log
+    txlog.tx_append(_df(spark, [(99, "z")]).coalesce(1), table)
+    assert 99 in {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    # idempotent / validating
+    assert txlog.tx_expire_versions(table, keep_from=3) == []
+    with pytest.raises(ValueError, match="not a committed version"):
+        txlog.tx_expire_versions(table, keep_from=2)
+
+
+def test_vacuum_after_expire_keeps_horizon_live_files(spark, table):
+    import os as _os
+
+    txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), table)
+    txlog.tx_append(_df(spark, [(2, "b")]).coalesce(1), table)
+    # rewrite v1's file so it is dead at the horizon
+    txlog.tx_compact(spark, table, num_files=1)
+    _, live = txlog.snapshot_files(table)
+    txlog.tx_expire_versions(table, keep_from=3)
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
+    # live-at-horizon files survive vacuum even though their adding
+    # commits were expired; the pre-compaction files are reclaimed
+    for rel in live:
+        assert _os.path.exists(_os.path.join(table, rel))
+    assert removed, "expired versions' dead files should be reclaimed"
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {1, 2}
+
+
+def test_vacuum_reclaims_orphaned_bloom_sidecars(spark, table):
+    import os as _os
+
+    txlog.tx_append(
+        _df(spark, [(i, "a") for i in range(4)]).coalesce(1),
+        table, bloom_cols=["k"],
+    )
+    side_dir = _os.path.join(table, "_sidecars")
+    kept = set(_os.listdir(side_dir))
+    # orphans: a crashed builder's tmp dir and a conflicted commit's
+    # unreferenced sidecar file
+    _os.makedirs(_os.path.join(side_dir, "tmp-deadbeef"))
+    with open(_os.path.join(side_dir, "bloom-orphan.parquet"), "wb") as fh:
+        fh.write(b"x")
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert "_sidecars/tmp-deadbeef" in removed
+    assert "_sidecars/bloom-orphan.parquet" in removed
+    assert set(_os.listdir(side_dir)) == kept  # referenced sidecar survives
+    # and the filter still serves point lookups
+    assert txlog.snapshot_bloom_map(table)
