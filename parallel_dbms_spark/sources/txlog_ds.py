@@ -19,20 +19,29 @@ Change semantics (Delta's):
   instead (re-emitting rewritten survivor rows, exactly Delta's
   ``ignoreChanges`` contract — consumers must dedup downstream).
 
-Throughput note: ``SimpleDataSourceStreamReader`` ships rows by value
-through the driver — Spark's own low-throughput face of the API. It is
-the right shape for control-plane-sized feeds (dimension tables, CDC
-trickle); a bulk pipeline should batch-read snapshots instead
-(``txlog.read_snapshot``) or stream the change feed files through a
-file source.
+Execution model: the default reader is PARTITION-PLANNED
+(``DataSourceStreamReader``): the driver walks only the commit
+RECORDS (kilobytes, file-list-bounded) to plan one input partition
+per added data file, and EXECUTORS read the parquet directly — row
+bytes never transit the driver, so a micro-batch's cost scales with
+executor count, not driver memory. Pass ``simple=true`` to opt into
+the by-value ``SimpleDataSourceStreamReader`` instead (Spark's
+low-throughput control-plane face: rows prefetch through the driver,
+which is fine for dimension-table-sized feeds and lets Spark skip the
+partition-planning round-trip per batch).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -42,10 +51,10 @@ from . import txlog
 def _rows_from_files(
     table: str, rels: list[str], fields: list[str], dvs: dict | None = None
 ):
-    """Read parquet files by value (pyarrow, driver-side) aligned to
-    the serve schema: absent columns (pre-evolution files) yield None;
-    deletion-vector positions (row order == parquet row index) are
-    skipped when ``dvs`` is given.
+    """Read parquet files by value (pyarrow, in whichever Python worker
+    runs this) aligned to the serve schema: absent columns
+    (pre-evolution files) yield None; deletion-vector positions (row
+    order == parquet row index) are skipped when ``dvs`` is given.
     """
     import os
 
@@ -61,7 +70,83 @@ def _rows_from_files(
             yield tuple(rec.get(f) if f in cols else None for f in fields)
 
 
-class TxLogStreamReader(SimpleDataSourceStreamReader):
+def _plan_rels(
+    table: str, lo: int, hi: int, ignore_changes: bool
+) -> list[str]:
+    """Added-file relpaths for commits in (lo, hi], with the Delta
+    change-semantics checks. Walks commit RECORDS only — cost is
+    bounded by the commit count and their file lists, never row
+    count."""
+    rels: list[str] = []
+    for v in txlog.log_versions(table):
+        if v <= lo or v > hi:
+            continue
+        rec = txlog.read_commit(table, v)
+        if rec["action"] == "compact":
+            continue  # content-preserving rewrite: nothing to emit
+        if (rec["removed"] or rec.get("dv")) and not ignore_changes:
+            raise ValueError(
+                f"commit {v} ({rec['action']}) rewrote or vectored "
+                "files; a pure append stream cannot represent it. "
+                "Pass ignoreChanges=true to skip/re-emit, or consume "
+                "txlog.tx_changes for a faithful CDC feed"
+            )
+        rels.extend(rec["added"])
+    return rels
+
+
+@dataclass
+class TxLogInputPartition(InputPartition):
+    """One data file of one commit = one Spark task. The partition
+    value ships only metadata (paths + field names); the executor's
+    Python worker reads the parquet itself."""
+
+    table: str
+    rel: str
+    fields: tuple
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    """Partition-planned streaming face: driver plans (file) splits
+    from the commit log; executors read the data files directly."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("txlog stream requires a path option")
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.fields = tuple(f.name for f in schema.fields)
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def latestOffset(self):
+        versions = txlog.log_versions(self.table)
+        return {"v": versions[-1] if versions else 0}
+
+    def partitions(self, start, end):
+        rels = _plan_rels(
+            self.table, int(start["v"]), int(end["v"]), self.ignore_changes
+        )
+        return [
+            TxLogInputPartition(self.table, rel, self.fields) for rel in rels
+        ]
+
+    def read(self, partition):  # runs in an executor Python worker
+        return _rows_from_files(
+            partition.table, [partition.rel], list(partition.fields)
+        )
+
+    def commit(self, end):
+        pass  # offsets are pure log positions; nothing to clean up
+
+
+class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
+    """By-value control-plane face (opt-in via ``simple=true``): rows
+    prefetch through the driver — bounded feeds only."""
+
     def __init__(self, options, schema: T.StructType):
         self.table = options.get("path")
         if not self.table:
@@ -74,28 +159,12 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"v": 0}
 
-    def _commit_rels(self, lo: int, hi: int) -> list[str]:
-        rels: list[str] = []
-        for v in txlog.log_versions(self.table):
-            if v <= lo or v > hi:
-                continue
-            rec = txlog.read_commit(self.table, v)
-            if rec["action"] == "compact":
-                continue  # content-preserving rewrite: nothing to emit
-            if (rec["removed"] or rec.get("dv")) and not self.ignore_changes:
-                raise ValueError(
-                    f"commit {v} ({rec['action']}) rewrote or vectored "
-                    "files; a pure append stream cannot represent it. "
-                    "Pass ignoreChanges=true to skip/re-emit, or consume "
-                    "txlog.tx_changes for a faithful CDC feed"
-                )
-            rels.extend(rec["added"])
-        return rels
-
     def read(self, start):
         versions = txlog.log_versions(self.table)
         head = versions[-1] if versions else 0
-        rels = self._commit_rels(int(start["v"]), head)
+        rels = _plan_rels(
+            self.table, int(start["v"]), head, self.ignore_changes
+        )
         # a LIST iterator (pickles, supports replay probing), as the
         # Simple reader runner requires
         return (
@@ -104,24 +173,46 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         )
 
     def readBetweenOffsets(self, start, end):
-        rels = self._commit_rels(int(start["v"]), int(end["v"]))
+        rels = _plan_rels(
+            self.table, int(start["v"]), int(end["v"]), self.ignore_changes
+        )
         return iter(list(_rows_from_files(self.table, rels, self.fields)))
 
 
 class TxLogReader(DataSourceReader):
-    """Batch face: the latest snapshot by value — control-plane-sized
-    tables only; bulk reads go through ``txlog.read_snapshot`` (real
-    distributed parquet scans of the same immutable files)."""
+    """Batch face: the latest snapshot, partition-planned one task per
+    live data file (deletion vectors applied per file). For full
+    DataFrame-native scans prefer ``txlog.read_snapshot`` (column
+    pruning, predicate pushdown); this face exists so ``format
+    ("txlog")`` round-trips in both batch and streaming."""
 
     def __init__(self, options, schema: T.StructType):
         self.table = options.get("path")
-        self.fields = [f.name for f in schema.fields]
+        self.fields = tuple(f.name for f in schema.fields)
+
+    def partitions(self):
+        _, files = txlog.snapshot_files(self.table)
+        dvs = txlog.snapshot_dvs(self.table)
+        return [
+            TxLogBatchPartition(
+                self.table, rel, self.fields, tuple(dvs.get(rel, ()))
+            )
+            for rel in files
+        ]
 
     def read(self, partition):
-        _, files = txlog.snapshot_files(self.table)
-        yield from _rows_from_files(
-            self.table, files, self.fields, txlog.snapshot_dvs(self.table)
+        dvs = {partition.rel: list(partition.dv)} if partition.dv else None
+        return _rows_from_files(
+            partition.table, [partition.rel], list(partition.fields), dvs
         )
+
+
+@dataclass
+class TxLogBatchPartition(InputPartition):
+    table: str
+    rel: str
+    fields: tuple
+    dv: tuple
 
 
 class TxLogDataSource(DataSource):
@@ -142,8 +233,20 @@ class TxLogDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return TxLogReader(self.options, schema)
 
-    def simpleStreamReader(self, schema: T.StructType):
+    def streamReader(self, schema: T.StructType):
+        if str(self.options.get("simple", "false")).lower() == "true":
+            # raising NOT_IMPLEMENTED is the API's dispatch signal:
+            # Spark falls back to simpleStreamReader (datasource_internal
+            # _streamReader), giving callers the by-value control-plane
+            # path on request
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
         return TxLogStreamReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: T.StructType):
+        return TxLogSimpleStreamReader(self.options, schema)
 
 
 def register_txlog_source(spark) -> None:

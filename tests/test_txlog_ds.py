@@ -101,3 +101,56 @@ def test_batch_face_applies_deletion_vectors(spark, table):
         .collect()
     }
     assert got == {(1, "a"), (3, "c")}
+
+
+def test_stream_partitions_one_per_file_no_driver_transit(spark, table):
+    """The default stream reader is partition-planned: the driver
+    plans exactly one InputPartition per added data file (metadata
+    only — table path, relpath, field names), and read(partition) is
+    what executors run. No row bytes appear in the plan."""
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogInputPartition,
+        TxLogStreamReader,
+    )
+
+    schema = txlog.table_schema(table)
+    rdr = TxLogStreamReader({"path": table}, schema)
+    head = rdr.latestOffset()
+    assert head == {"v": 2}
+    parts = rdr.partitions({"v": 0}, head)
+    n_files = sum(
+        len(txlog.read_commit(table, v)["added"])
+        for v in txlog.log_versions(table)
+    )
+    assert len(parts) == n_files and n_files >= 2
+    assert all(isinstance(p, TxLogInputPartition) for p in parts)
+    # partition value is metadata-sized: only (table, rel, fields)
+    assert {f for p in parts for f in vars(p)} == {"table", "rel", "fields"}
+    # the executor-side read of all partitions reconstructs the batch
+    rows = sorted(r for p in parts for r in rdr.read(p))
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # empty range -> no partitions (Spark calls this between triggers)
+    assert rdr.partitions(head, head) == []
+
+
+def test_stream_partitioned_and_simple_paths_agree(spark, table, tmp_path):
+    """simple=true opts into the by-value control-plane reader; both
+    faces must produce identical micro-batch contents."""
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run(spark, table, out1, ck1)
+    _run(spark, table, out2, ck2, simple="true")
+    a = {(r.k, r.v) for r in spark.read.parquet(out1).collect()}
+    b = {(r.k, r.v) for r in spark.read.parquet(out2).collect()}
+    assert a == b == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_batch_face_applies_deletion_vectors_per_partition(spark, table):
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("txlog").option("path", table)
+        .load()
+        .collect()
+    }
+    assert got == {(1, "a"), (3, "c")}
