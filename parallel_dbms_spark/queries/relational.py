@@ -3457,6 +3457,40 @@ def lake_tx_delete_vectors(spark, sf_dir):
     )
 
 
+@register(
+    "lake_tx_instant_distinct",
+    oracle="""SELECT COUNT(DISTINCT o_custkey) AS n_distinct
+              FROM orders""",
+    tags=("lake", "metadata", "distinct", "bitmap", "aggregate",
+          "versioned", "acid"),
+)
+def lake_tx_instant_distinct(spark, sf_dir):
+    # Exact COUNT(DISTINCT) from bitmap sidecars RIDING TRANSACTIONAL
+    # COMMITS (txlog.tx_instant_distinct): three appends each carry
+    # per-file distinct bitmaps in their own commit (distinct_cols=),
+    # so the final count is an OR-merge + popcount over kilobytes of
+    # sidecar with ZERO data files opened — asserted in-query via the
+    # returned scan count. The oracle recomputes from raw rows, so the
+    # hash proves the commit-riding bitmap algebra exact across
+    # multi-writer append boundaries (the single-writer lake's
+    # instant_distinct, promoted to the ACID log).
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    t = tempfile.mkdtemp(prefix="lake_txdst_") + "/orders"
+    for m in range(3):
+        txlog.tx_append(
+            o.filter(F.col("o_orderkey") % 3 == m).repartition(2),
+            t,
+            distinct_cols=["o_custkey"],
+        )
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, t, "o_custkey")
+    assert n_scanned == 0 and n_total == 6, (n_scanned, n_total)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

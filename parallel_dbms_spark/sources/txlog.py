@@ -173,6 +173,7 @@ def _write_checkpoint(table: str, v: int) -> None:
     stats = snapshot_stats(table, v)
     dvs = snapshot_dvs(table, v)
     blooms = snapshot_bloom_map(table, v)
+    distincts = snapshot_distinct_map(table, v)
     schema = _schema_at(table, v)
     txns = snapshot_txns(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -184,6 +185,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "stats": stats,
                 "dvs": dvs,
                 "blooms": blooms,
+                "distincts": distincts,
                 "schema": schema.json() if schema is not None else None,
                 "txns": txns,
             },
@@ -345,6 +347,165 @@ def snapshot_bloom_map(table: str, version: int | None = None) -> dict:
         for col, m in bmap.items()
         if any(f in live_set for f in m)
     }
+
+
+def snapshot_distinct_map(table: str, version: int | None = None) -> dict:
+    """Distinct-bitmap sidecar pointers live at a version: ``{col:
+    {data_relpath: sidecar_relpath}}`` — same commit-riding discipline
+    as :func:`snapshot_bloom_map` (commits carry ``{"distinct": {col:
+    [{"sidecar": rel, "files": [rels...]}]}}``; the sidecar parquet
+    holds the bitmap rows, the log only names it). Checkpoint-plus-
+    tail replay; pointers for files a later commit removed are dropped
+    (a rewrite invalidates the old file's bitmaps with the file)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, dmap = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                dmap = {
+                    col: dict(m)
+                    for col, m in json.load(fh).get("distincts", {}).items()
+                }
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            for m in dmap.values():
+                m.pop(f, None)
+        for col, entries in rec.get("distinct", {}).items():
+            m = dmap.setdefault(col, {})
+            for e in entries:
+                for f in e["files"]:
+                    m[f] = e["sidecar"]
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {
+        col: {f: s for f, s in m.items() if f in live_set}
+        for col, m in dmap.items()
+        if any(f in live_set for f in m)
+    }
+
+
+def _build_distinct_sidecar(
+    spark: SparkSession, table: str, rels: list[str], col: str
+) -> dict:
+    """Build per-file exact-distinct BITMAPS over exactly ``rels`` and
+    write them as ONE immutable sidecar parquet under ``_sidecars/``;
+    returns the commit-record entry ``{"sidecar": rel, "files":
+    rels}``. Same bitmap design as ``lake.write_distinct_sidecar``
+    (32k-id buckets via the mergeable JVM bitmap aggregates,
+    functions/bitmaps.py), but scoped to a commit's own files so the
+    sidecar RIDES the commit: a pinned snapshot sees exactly the
+    bitmaps of its own file set, and rewrites retire bitmaps with
+    their files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..functions.bitmaps import build_bitmaps
+
+    paths = [os.path.join(table, r) for r in rels]
+    df = spark.read.parquet(*paths).select(
+        _rel_expr(table).alias("file"), F.col(col).alias("__id")
+    )
+    bm = build_bitmaps(df, ["file"], "__id")
+    tag = uuid.uuid4().hex[:12]
+    tmp = os.path.join(table, SIDECARS, f"tmp-{tag}")
+    bm.coalesce(1).write.parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    rel = f"{SIDECARS}/distinct-{tag}.parquet"
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"sidecar": rel, "files": sorted(rels)}
+
+
+def tx_distinct(spark: SparkSession, table: str, cols: list[str]) -> int:
+    """Backfill distinct bitmaps for the CURRENT live file set as one
+    commit (action ``distinct``; adds/removes nothing, so it can never
+    conflict). Files appended later have no bitmap until their own
+    ``tx_append(distinct_cols=...)`` or the next backfill —
+    :func:`tx_instant_distinct` scans exactly those files and no
+    others."""
+    v, files = snapshot_files(table)
+    if not files:
+        raise FileNotFoundError(f"no live files under {table}")
+    distinct = {
+        c: [_build_distinct_sidecar(spark, table, files, c)] for c in cols
+    }
+    return commit(table, "distinct", [], [], v, distinct=distinct)
+
+
+def tx_instant_distinct(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Exact ``COUNT(DISTINCT col)`` at a snapshot, served from the
+    commit log's bitmap sidecars: files covered by a sidecar and
+    untouched by deletion vectors contribute KILOBYTES of bitmap
+    instead of their rows; only uncovered or vectored files are
+    scanned (bitmaps include rows a later DV deleted, so a vectored
+    file's bitmap is stale by construction — recompute is the exact
+    path, bounded by the vectored files, never the table).
+
+    Exactness: buckets partition the id space and OR-merge is the
+    union, so sidecar bitmaps and freshly-built ones fold together
+    without double-counting — an id appearing in both a covered and a
+    scanned file lands on the same (bucket, bit).
+
+    Returns (one-row DataFrame ``n_distinct``, n_files_scanned,
+    n_files_total)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.bitmaps import (
+        BITMAP,
+        BUCKET,
+        build_bitmaps,
+        count_distinct,
+        merge_bitmaps,
+    )
+
+    v, files = snapshot_files(table, version)
+    dvs = snapshot_dvs(table, v)
+    dmap = snapshot_distinct_map(table, v).get(col, {})
+    covered = [f for f in files if f in dmap and f not in dvs]
+    uncovered = [f for f in files if f not in set(covered)]
+    parts = []
+    if covered:
+        side = spark.read.parquet(
+            *sorted({os.path.join(table, dmap[f]) for f in covered})
+        )
+        parts.append(
+            side.filter(F.col("file").isin(covered)).select(BUCKET, BITMAP)
+        )
+    if uncovered:
+        df = _apply_dvs(
+            spark.read.parquet(*[os.path.join(table, f) for f in uncovered]),
+            table,
+            {f: p for f, p in dvs.items() if f in set(uncovered)},
+        ).select(F.col(col).alias("__id"))
+        parts.append(
+            build_bitmaps(df, [], "__id").select(BUCKET, BITMAP)
+        )
+    if not parts:
+        return (
+            spark.range(1).select(F.lit(0).cast("long").alias("n_distinct")),
+            0,
+            0,
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        count_distinct(merge_bitmaps(merged, []), []),
+        len(uncovered),
+        len(files),
+    )
 
 
 def _build_bloom_sidecar(
@@ -559,6 +720,7 @@ def commit(
     dv: dict | None = None,
     depends_on: list[str] | None = None,
     bloom: dict | None = None,
+    distinct: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -582,6 +744,8 @@ def commit(
         rec["dv"] = dv
     if bloom:
         rec["bloom"] = bloom
+    if distinct:
+        rec["distinct"] = distinct
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -747,6 +911,7 @@ def tx_append(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched.
@@ -755,6 +920,10 @@ def tx_append(
     files and record them IN the same commit, so every append arrives
     point-lookup-skippable (:func:`tx_point_lookup`) with no separate
     backfill pass.
+
+    ``distinct_cols``: likewise per-file distinct BITMAPS riding the
+    commit, so :func:`tx_instant_distinct` keeps answering exact
+    COUNT(DISTINCT) from metadata as the table grows.
 
     ``cluster_by``: z-order the appended rows before staging
     (``lake.z_cluster``) so each staged file covers a tight range of
@@ -795,6 +964,14 @@ def tx_append(
         if bloom_cols and added
         else None
     )
+    distinct = (
+        {
+            c: [_build_distinct_sidecar(df.sparkSession, table, added, c)]
+            for c in distinct_cols
+        }
+        if distinct_cols and added
+        else None
+    )
     for _ in range(16):
         # read parent FIRST, then the schema: the schema we validate /
         # widen against is therefore at-or-after our parent. Any
@@ -817,6 +994,7 @@ def tx_append(
                 meta=meta,
                 stats=stats,
                 bloom=bloom,
+                distinct=distinct,
             )
         except TxConflict:
             continue
@@ -1639,16 +1817,18 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
     for v in versions:
         rec = read_commit(table, v)
         referenced |= set(rec["added"])
-        for entries in rec.get("bloom", {}).values():
-            for e in entries:
-                sidecars_ref.add(e["sidecar"])
+        for key in ("bloom", "distinct"):
+            for entries in rec.get(key, {}).values():
+                for e in entries:
+                    sidecars_ref.add(e["sidecar"])
     for v in versions:  # oldest checkpoint = the retention horizon
         if os.path.exists(_ckpt_path(table, v)):
             with open(_ckpt_path(table, v)) as fh:
                 ck = json.load(fh)
             referenced |= set(ck.get("live", []))
-            for m in ck.get("blooms", {}).values():
-                sidecars_ref |= set(m.values())
+            for key in ("blooms", "distincts"):
+                for m in ck.get(key, {}).values():
+                    sidecars_ref |= set(m.values())
             break
     removed = []
     data_dir = os.path.join(table, DATA)

@@ -1230,3 +1230,75 @@ def test_vacuum_reclaims_orphaned_bloom_sidecars(spark, table):
     assert set(_os.listdir(side_dir)) == kept  # referenced sidecar survives
     # and the filter still serves point lookups
     assert txlog.snapshot_bloom_map(table)
+
+
+# ------------------------------------------- distinct bitmap sidecars
+
+
+def test_instant_distinct_metadata_only_when_covered(spark, table):
+    import os as _os
+
+    txlog.tx_append(
+        _df(spark, [(i % 7, "a") for i in range(20)]).coalesce(2), table,
+        distinct_cols=["k"],
+    )
+    txlog.tx_append(
+        _df(spark, [(i % 11, "b") for i in range(30)]).coalesce(2), table,
+        distinct_cols=["k"],
+    )
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
+    assert n_scanned == 0 and n_total >= 2  # zero data files opened
+    assert df.collect()[0].n_distinct == 11  # 0..10 (7 ⊂ 11)
+    # sidecar pointers replay through checkpoints like stats/blooms
+    txlog._write_checkpoint(table, txlog.log_versions(table)[-1])
+    assert txlog.snapshot_distinct_map(table)["k"]
+
+
+def test_instant_distinct_backfill_and_uncovered_scan(spark, table):
+    txlog.tx_append(_df(spark, [(i, "a") for i in range(10)]).coalesce(1),
+                    table)
+    txlog.tx_distinct(spark, table, ["k"])
+    # an uncovered append: instant path scans ONLY the new file
+    txlog.tx_append(_df(spark, [(i, "b") for i in range(5, 20)]).coalesce(1),
+                    table)
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
+    assert (n_scanned, n_total) == (1, 2)
+    assert df.collect()[0].n_distinct == 20  # 0..19, overlap not doubled
+
+
+def test_instant_distinct_recomputes_vectored_files(spark, table):
+    txlog.tx_append(
+        _df(spark, [(i, "a") for i in range(8)]).coalesce(1), table,
+        distinct_cols=["k"],
+    )
+    txlog.tx_delete_where_mor(spark, table, "k >= 6")
+    # the only file is vectored -> its stale bitmap must NOT be used
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
+    assert (n_scanned, n_total) == (1, 1)
+    assert df.collect()[0].n_distinct == 6
+    # a rewrite delete retires the file and its pointer entirely
+    txlog.tx_delete_where(spark, table, "k = 0")
+    assert txlog.snapshot_distinct_map(table).get("k", {}) == {}
+    df2, _, _ = txlog.tx_instant_distinct(spark, table, "k")
+    assert df2.collect()[0].n_distinct == 5
+
+
+def test_vacuum_protects_distinct_sidecars(spark, table):
+    import os as _os
+
+    txlog.tx_append(
+        _df(spark, [(i, "a") for i in range(4)]).coalesce(1), table,
+        distinct_cols=["k"],
+    )
+    side_dir = _os.path.join(table, "_sidecars")
+    kept = set(_os.listdir(side_dir))
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert not [r for r in removed if r.startswith("_sidecars/")]
+    assert set(_os.listdir(side_dir)) == kept
+    # and survive expiration (pointer folds through the checkpoint)
+    txlog.tx_append(_df(spark, [(9, "z")]).coalesce(1), table)
+    txlog.tx_expire_versions(table, keep_from=2)
+    txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert txlog.snapshot_distinct_map(table)["k"]
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
+    assert n_scanned == 1 and df.collect()[0].n_distinct == 5
