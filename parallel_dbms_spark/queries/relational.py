@@ -3491,6 +3491,40 @@ def lake_tx_instant_distinct(spark, sf_dir):
     return df
 
 
+@register(
+    "lake_tx_instant_agg",
+    oracle="""SELECT COUNT(*) AS n_rows,
+                     CAST(MIN(o_orderkey) AS BIGINT) AS col_min,
+                     CAST(MAX(o_orderkey) AS BIGINT) AS col_max
+              FROM orders""",
+    tags=("lake", "metadata", "aggregate", "data-skipping", "versioned",
+          "acid"),
+)
+def lake_tx_instant_agg(spark, sf_dir):
+    # Metadata-only COUNT/MIN/MAX from footer stats RIDING
+    # TRANSACTIONAL COMMITS (txlog.tx_instant_agg): each append's
+    # commit carries per-file stats (stats_cols=), so the aggregate is
+    # three numbers per file read from the LOG — zero data files
+    # opened, asserted in-query. The single-writer lake's
+    # instant_count, promoted to the ACID log; a MOR delete would
+    # demote only the vectored files back to scans (test-pinned).
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    t = tempfile.mkdtemp(prefix="lake_txagg_") + "/orders"
+    for m in range(2):
+        txlog.tx_append(
+            o.filter(F.col("o_orderkey") % 2 == m).repartition(3),
+            t,
+            stats_cols=["o_orderkey"],
+        )
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, t, "o_orderkey")
+    assert n_scanned == 0 and n_total == 6, (n_scanned, n_total)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

@@ -508,6 +508,85 @@ def tx_instant_distinct(
     )
 
 
+def tx_instant_agg(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """COUNT(*) / MIN(col) / MAX(col) at a snapshot served from the
+    commit log's per-file footer stats — the metadata-only instant
+    aggregate (``lake.write_manifest`` + ``instant_count``, promoted
+    to the ACID log): files whose commit carried stats for ``col``
+    and that no deletion vector touched contribute three numbers from
+    the log, not their rows. Only stat-less or vectored files are
+    scanned (a DV shrinks a file's count and can delete its extremum,
+    so its recorded stats are upper bounds, not answers).
+
+    Returns (one-row DataFrame ``(n_rows, col_min, col_max)``,
+    n_files_scanned, n_files_total)."""
+    from pyspark.sql import functions as F
+
+    v, files = snapshot_files(table, version)
+    stats = snapshot_stats(table, v)
+    dvs = snapshot_dvs(table, v)
+    covered = [
+        f
+        for f in files
+        if f not in dvs and col in stats.get(f, {}).get("c", {})
+    ]
+    uncovered = [f for f in files if f not in set(covered)]
+    schema = _schema_at(table, None if version is None else v)
+    typ = schema[col].dataType.simpleString() if schema else "double"
+    parts = []
+    if covered:
+        n = sum(int(stats[f]["n"]) for f in covered)
+        mn = min(stats[f]["c"][col][0] for f in covered)
+        mx = max(stats[f]["c"][col][1] for f in covered)
+        parts.append(
+            spark.range(1).select(
+                F.lit(n).cast("long").alias("n_rows"),
+                F.lit(mn).cast(typ).alias("col_min"),
+                F.lit(mx).cast(typ).alias("col_max"),
+            )
+        )
+    if uncovered:
+        df = _apply_dvs(
+            spark.read.parquet(*[os.path.join(table, f) for f in uncovered]),
+            table,
+            {f: p for f, p in dvs.items() if f in set(uncovered)},
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(col).alias("col_min"),
+                F.max(col).alias("col_max"),
+            )
+        )
+    if not parts:
+        return (
+            spark.range(1).select(
+                F.lit(0).cast("long").alias("n_rows"),
+                F.lit(None).cast(typ).alias("col_min"),
+                F.lit(None).cast(typ).alias("col_max"),
+            ),
+            0,
+            0,
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        merged.agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("col_min").alias("col_min"),
+            F.max("col_max").alias("col_max"),
+        ),
+        len(uncovered),
+        len(files),
+    )
+
+
 def _build_bloom_sidecar(
     spark: SparkSession,
     table: str,

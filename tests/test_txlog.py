@@ -1302,3 +1302,31 @@ def test_vacuum_protects_distinct_sidecars(spark, table):
     assert txlog.snapshot_distinct_map(table)["k"]
     df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
     assert n_scanned == 1 and df.collect()[0].n_distinct == 5
+
+
+def test_instant_agg_metadata_only_and_dv_demotion(spark, table):
+    txlog.tx_append(
+        _df(spark, [(i, "a") for i in range(10)]).coalesce(1), table,
+        stats_cols=["k"],
+    )
+    txlog.tx_append(
+        _df(spark, [(i, "b") for i in range(10, 15)]).coalesce(1), table,
+        stats_cols=["k"],
+    )
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "k")
+    assert (n_scanned, n_total) == (0, 2)
+    r = df.collect()[0]
+    assert (r.n_rows, r.col_min, r.col_max) == (15, 0, 14)
+    # a MOR delete makes the vectored file's stats stale: that file
+    # (and only it) is demoted to a scan, and the answer reflects the
+    # deleted extremum
+    txlog.tx_delete_where_mor(spark, table, "k = 14")
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "k")
+    assert (n_scanned, n_total) == (1, 2)
+    r = df.collect()[0]
+    assert (r.n_rows, r.col_min, r.col_max) == (14, 0, 13)
+    # stat-less files (appended without stats_cols) also scan
+    txlog.tx_append(_df(spark, [(99, "c")]).coalesce(1), table)
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "k")
+    assert (n_scanned, n_total) == (2, 3)
+    assert df.collect()[0].col_max == 99
