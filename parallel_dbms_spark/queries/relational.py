@@ -3525,6 +3525,41 @@ def lake_tx_instant_agg(spark, sf_dir):
     return df
 
 
+@register(
+    "lake_tx_sorted_export",
+    oracle="""SELECT o_orderkey, o_totalprice
+              FROM orders
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              LIMIT 100""",
+    tags=("lake", "sort", "export", "versioned", "acid", "data-skipping"),
+)
+def lake_tx_sorted_export(spark, sf_dir):
+    # ACID OPTIMIZE-SORT (txlog.tx_compact(sort_by=...)): two appends
+    # land, then one atomic commit rewrites the table range-partitioned
+    # and sorted on o_totalprice with per-file stats riding the commit,
+    # making the TABLE its own totally-ordered export —
+    # tx_sorted_file_order recovers the global file order from the log
+    # alone (no manifest sidecar, no data read) and validates no two
+    # files interleave. The global top-100 cheapest rows must then live
+    # in the first files of that order: only 2 of 6 files are read to
+    # answer what the oracle computes over the whole table.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = tempfile.mkdtemp(prefix="lake_txsort_") + "/orders"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    txlog.tx_compact(spark, t, num_files=6, sort_by=["o_totalprice"])
+    files = txlog.tx_sorted_file_order(t, "o_totalprice")
+    assert len(files) == 6, files
+    import os
+
+    head = spark.read.parquet(*[os.path.join(t, f) for f in files[:2]])
+    return head.orderBy("o_totalprice", "o_orderkey").limit(100)
+
+
 # --------------------------------------------------------------------------
 # Mergeable equi-width histogram (functions/histogram.py): bucket counts
 # are exact integers over deterministic double arithmetic, so the BUILD

@@ -1731,6 +1731,8 @@ def tx_compact(
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    ascending: bool = True,
 ) -> tuple[int, int]:
     """Bin-pack the current snapshot into ``num_files`` files. Removes
     every live file, so it conflicts with any interleaved delete (and
@@ -1743,11 +1745,25 @@ def tx_compact(
     commit. With ``zorder_by`` the rewrite always runs (re-clustering
     the same file count is useful work, unlike a no-op bin-pack).
 
+    ``sort_by``: TOTALLY ORDER the rewrite instead — range-partition
+    on the sort key (sampled split points, Spark's own global-orderBy
+    mechanism) and sort within each partition, so every row of file i
+    sorts <= every row of file i+1. Stats for ``sort_by[0]`` ride the
+    commit automatically, making the table its own sorted export:
+    :func:`tx_sorted_file_order` recovers the global order from the
+    log alone, versioned and ACID (the single-writer lake's
+    ``write_sorted_export``, promoted to the commit log). Mutually
+    exclusive with ``zorder_by``.
+
     Returns (new_version, files_replaced).
     """
+    if zorder_by and sort_by:
+        raise ValueError("zorder_by and sort_by are mutually exclusive")
+    if sort_by:
+        stats_cols = sorted(set(stats_cols or []) | {sort_by[0]})
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
-        if len(files) <= num_files and not zorder_by:
+        if len(files) <= num_files and not zorder_by and not sort_by:
             return parent, 0
         # RECORDED schema, not footer inference: a mixed-schema live set
         # (post merge_schema evolution) inferred from one footer would
@@ -1764,6 +1780,16 @@ def tx_compact(
             from .lake import z_cluster
 
             packed = z_cluster(live_df, zorder_by, num_files=num_files)
+        elif sort_by:
+            from pyspark.sql import functions as F
+
+            keys = [
+                F.col(c).asc() if ascending else F.col(c).desc()
+                for c in sort_by
+            ]
+            packed = live_df.repartitionByRange(
+                num_files, *keys
+            ).sortWithinPartitions(*keys)
         else:
             packed = live_df.coalesce(num_files)
         added = _stage(packed, table)
@@ -1779,6 +1805,50 @@ def tx_compact(
         except TxConflict:
             continue
     raise TxConflict(f"compact on {table} lost {max_retries} straight races")
+
+
+def tx_sorted_file_order(
+    table: str,
+    col: str,
+    version: int | None = None,
+    ascending: bool = True,
+) -> list[str]:
+    """Consume-side of ``tx_compact(sort_by=...)``: the live files in
+    global sort order, recovered from the COMMIT LOG's per-file stats
+    (no manifest sidecar, no data read — the log is the manifest).
+    Raises if any file lacks stats for ``col``, carries deletion
+    vectors (the recorded extrema may be deleted), or if two files'
+    [min, max] ranges interleave — any of which would mean reading in
+    file order is NOT the sorted stream and a merge would be required.
+
+    At 100 TB this is how a sorted export actually ships: no single
+    writer ever holds the whole order; consumers stream file-by-file
+    in the order this returns."""
+    v, files = snapshot_files(table, version)
+    stats = snapshot_stats(table, v)
+    dvs = snapshot_dvs(table, v)
+    rows = []
+    for f in files:
+        if f in dvs:
+            raise ValueError(
+                f"{f} carries deletion vectors; compact first — its "
+                "recorded extrema may be deleted rows"
+            )
+        c = stats.get(f, {}).get("c", {}).get(col)
+        if c is None:
+            raise ValueError(
+                f"{f} has no {col} stats; re-run tx_compact(sort_by=...)"
+            )
+        rows.append((f, c[0], c[1]))
+    rows.sort(key=lambda r: (r[1], r[2]), reverse=not ascending)
+    for prev, cur in zip(rows, rows[1:]):
+        a, b = (prev[2], cur[1]) if ascending else (cur[2], prev[1])
+        if a > b:
+            raise ValueError(
+                f"files interleave on {col}: {prev[0]} "
+                f"[{prev[1]}, {prev[2]}] vs {cur[0]} [{cur[1]}, {cur[2]}]"
+            )
+    return [r[0] for r in rows]
 
 
 def tx_restore(table: str, to_version: int) -> int:

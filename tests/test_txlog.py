@@ -1330,3 +1330,48 @@ def test_instant_agg_metadata_only_and_dv_demotion(spark, table):
     df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "k")
     assert (n_scanned, n_total) == (2, 3)
     assert df.collect()[0].col_max == 99
+
+
+# ------------------------------------------- ACID sorted export
+
+
+def test_compact_sort_by_totally_orders_files(spark, table):
+    import random
+
+    rows = [(i, f"v{i}") for i in random.Random(7).sample(range(1000), 200)]
+    txlog.tx_append(_df(spark, rows[:100]).coalesce(2), table)
+    txlog.tx_append(_df(spark, rows[100:]).coalesce(2), table)
+    v, replaced = txlog.tx_compact(spark, table, num_files=4, sort_by=["k"])
+    assert replaced == 4
+    order = txlog.tx_sorted_file_order(table, "k")
+    assert len(order) == 4
+    # reading files in log-recovered order IS the sorted stream
+    seen = []
+    for rel in order:
+        ks = [r.k for r in spark.read.parquet(
+            os.path.join(table, rel)).collect()]
+        assert ks == sorted(ks)  # sorted within the file
+        seen.extend(ks)
+    assert seen == sorted(r[0] for r in rows)
+    # non-interleaved ranges consume in either direction: descending
+    # is the reverse file order (rows within files stay ascending —
+    # callers wanting a descending STREAM sort within files themselves)
+    assert txlog.tx_sorted_file_order(table, "k", ascending=False) == list(
+        reversed(order)
+    )
+
+
+def test_sorted_file_order_guards(spark, table):
+    txlog.tx_append(_df(spark, [(i, "a") for i in range(10)]).coalesce(2),
+                    table)
+    with pytest.raises(ValueError, match="no k stats"):
+        txlog.tx_sorted_file_order(table, "k")
+    txlog.tx_compact(spark, table, num_files=2, sort_by=["k"])
+    assert len(txlog.tx_sorted_file_order(table, "k")) == 2
+    # a MOR delete makes recorded extrema unreliable -> consume raises
+    txlog.tx_delete_where_mor(spark, table, "k = 9")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        txlog.tx_sorted_file_order(table, "k")
+    # zorder+sort are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        txlog.tx_compact(spark, table, sort_by=["k"], zorder_by=["k"])
