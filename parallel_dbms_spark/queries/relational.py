@@ -2917,7 +2917,7 @@ def lake_tx_multiwriter_snapshot(spark, sf_dir):
         th.join()
     assert not errs, errs
     assert txlog.log_versions(t) == [1, 2, 3], "appends must all land"
-    txlog.tx_delete_where(spark, t, "o_totalprice < 1000.0")
+    txlog.tx_delete_where(spark, t, "o_totalprice < 50000.0")
     txlog.tx_compact(spark, t, num_files=4)
     snap = txlog.read_snapshot(spark, t)
     return snap.groupBy("o_orderstatus").agg(
@@ -3558,6 +3558,55 @@ def lake_tx_sorted_export(spark, sf_dir):
 
     head = spark.read.parquet(*[os.path.join(t, f) for f in files[:2]])
     return head.orderBy("o_totalprice", "o_orderkey").limit(100)
+
+
+@register(
+    "lake_tx_log_retention",
+    oracle="""SELECT o_orderstatus AS st,
+                     COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_totalprice >= 50000.0
+              GROUP BY o_orderstatus""",
+    tags=("lake", "versioned", "acid", "retention", "groupby"),
+)
+def lake_tx_log_retention(spark, sf_dir):
+    # LOG RETENTION (txlog.tx_expire_versions + tx_vacuum): three
+    # appends and a transactional DELETE land, then history below the
+    # delete is EXPIRED — a checkpoint written at the horizon keeps
+    # every surviving version resolvable — and vacuum reclaims the
+    # dead pre-delete files using the horizon checkpoint's live set
+    # (the expired commits' added-lists are gone). The snapshot read
+    # after truncation must still equal the declarative aggregate:
+    # bounding the log is invisible to readers, which is what makes a
+    # years-old 100 TB table's recovery O(active history), not
+    # O(table lifetime).
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txret_") + "/orders"
+    for m in range(3):
+        txlog.tx_append(o.filter(F.col("o_orderkey") % 3 == m), t)
+    txlog.tx_delete_where(spark, t, "o_totalprice < 50000.0")
+    head = txlog.log_versions(t)[-1]
+    expired = txlog.tx_expire_versions(t, keep_from=head)
+    assert expired == [1, 2, 3], expired
+    reclaimed = txlog.tx_vacuum(t, retention_seconds=0.0)
+    assert any(r.startswith("data/") for r in reclaimed), reclaimed
+    assert txlog.log_versions(t) == [head]
+    return txlog.read_snapshot(spark, t).groupBy(
+        F.col("o_orderstatus").alias("st")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
