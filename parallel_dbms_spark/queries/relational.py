@@ -2917,7 +2917,7 @@ def lake_tx_multiwriter_snapshot(spark, sf_dir):
         th.join()
     assert not errs, errs
     assert txlog.log_versions(t) == [1, 2, 3], "appends must all land"
-    txlog.tx_delete_where(spark, t, "o_totalprice < 50000.0")
+    txlog.tx_delete_where(spark, t, "o_totalprice < 1000.0")
     txlog.tx_compact(spark, t, num_files=4)
     snap = txlog.read_snapshot(spark, t)
     return snap.groupBy("o_orderstatus").agg(

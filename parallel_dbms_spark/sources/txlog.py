@@ -1526,6 +1526,21 @@ def tx_changes(
     versions = log_versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits under {table}")
+    if from_version < versions[0] and not (
+        from_version == 0 and versions[0] == 1
+    ):
+        # the feed needs per-commit diffs, and a commit's diff needs
+        # the PRIOR version's state (deletion vectors) — version 0 is
+        # trivially empty, but any other below-horizon version was
+        # expired with the prefix (tx_expire_versions), as were the
+        # expired commits' own changes. Silently skipping either would
+        # corrupt the feed (the trap Delta's CDF guards against); the
+        # consumer must re-baseline from a snapshot.
+        raise ValueError(
+            f"change feed from version {from_version} is below the "
+            f"retention horizon {versions[0]} (tx_expire_versions "
+            "truncated the prefix); re-baseline from read_snapshot"
+        )
     hi = versions[-1] if to_version is None else to_version
     parts = []
     for v in versions:

@@ -78,7 +78,16 @@ def _plan_rels(
     bounded by the commit count and their file lists, never row
     count."""
     rels: list[str] = []
-    for v in txlog.log_versions(table):
+    versions = txlog.log_versions(table)
+    if versions and lo + 1 < versions[0] and hi >= versions[0]:
+        # commits in (lo, horizon) were expired (tx_expire_versions):
+        # silently skipping them would drop their rows from the stream.
+        raise ValueError(
+            f"stream offset v={lo} is below the retention horizon "
+            f"{versions[0]}; restart the query from a snapshot "
+            "(txlog.read_snapshot) with a fresh checkpoint"
+        )
+    for v in versions:
         if v <= lo or v > hi:
             continue
         rec = txlog.read_commit(table, v)
@@ -98,12 +107,36 @@ def _plan_rels(
 @dataclass
 class TxLogInputPartition(InputPartition):
     """One data file of one commit = one Spark task. The partition
-    value ships only metadata (paths + field names); the executor's
-    Python worker reads the parquet itself."""
+    value ships only metadata (paths, field names, and the expected
+    Arrow schema — kilobytes); the executor's Python worker reads the
+    parquet itself."""
 
     table: str
     rel: str
     fields: tuple
+    arrow_schema: object = None  # pa.Schema (pickles); None = tuples
+
+
+def _read_one_file(table: str, rel: str, fields: tuple, arrow_schema):
+    """Executor-side read of one data file. Fast path: when the file's
+    Arrow schema for the selected fields EXACTLY equals the serve
+    schema (the common case — these files were written by Spark under
+    the same schema contract), the parquet column batches stream to
+    Spark as Arrow RecordBatches, no per-row Python objects at all.
+    Pre-evolution files (absent columns) or type drift fall back to
+    row tuples, which null-fill — slower but always correct."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(table, rel))
+    if arrow_schema is not None and all(
+        n in tbl.column_names for n in arrow_schema.names
+    ):
+        sel = tbl.select(arrow_schema.names)
+        if sel.schema == arrow_schema:  # pyarrow == ignores metadata
+            return iter(sel.to_batches(max_chunksize=1 << 16))
+    return _rows_from_files(table, [rel], list(fields))
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -118,6 +151,9 @@ class TxLogStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.fields = tuple(f.name for f in schema.fields)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self):
         return {"v": 0}
@@ -131,12 +167,18 @@ class TxLogStreamReader(DataSourceStreamReader):
             self.table, int(start["v"]), int(end["v"]), self.ignore_changes
         )
         return [
-            TxLogInputPartition(self.table, rel, self.fields) for rel in rels
+            TxLogInputPartition(
+                self.table, rel, self.fields, self._arrow_schema
+            )
+            for rel in rels
         ]
 
     def read(self, partition):  # runs in an executor Python worker
-        return _rows_from_files(
-            partition.table, [partition.rel], list(partition.fields)
+        return _read_one_file(
+            partition.table,
+            partition.rel,
+            partition.fields,
+            partition.arrow_schema,
         )
 
     def commit(self, end):

@@ -1375,3 +1375,27 @@ def test_sorted_file_order_guards(spark, table):
     # zorder+sort are mutually exclusive
     with pytest.raises(ValueError, match="mutually exclusive"):
         txlog.tx_compact(spark, table, sort_by=["k"], zorder_by=["k"])
+
+
+def test_change_feed_and_stream_refuse_expired_ranges(spark, table):
+    """After tx_expire_versions, a consumer whose cursor predates the
+    horizon must get a clear error — silently skipping expired commits
+    would drop their changes (Delta CDF's guard)."""
+    from parallel_dbms_spark.sources.txlog_ds import _plan_rels
+
+    for i in range(4):
+        txlog.tx_append(_df(spark, [(i, "a")]).coalesce(1), table)
+    txlog.tx_expire_versions(table, keep_from=3)
+    with pytest.raises(ValueError, match="retention horizon"):
+        txlog.tx_changes(spark, table, from_version=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        _plan_rels(table, 0, 4, ignore_changes=False)
+    # the horizon commit itself is not diff-able either (its diff
+    # needs the expired prior version's state)
+    with pytest.raises(ValueError, match="retention horizon"):
+        txlog.tx_changes(spark, table, from_version=2)
+    # at the horizon both faces serve normally (the stream only needs
+    # added-file lists, so it tails from horizon-1)
+    ch = txlog.tx_changes(spark, table, from_version=3)
+    assert sorted(r.k for r in ch.collect()) == [3]
+    assert len(_plan_rels(table, 2, 4, ignore_changes=False)) == 2

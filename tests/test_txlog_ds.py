@@ -124,11 +124,23 @@ def test_stream_partitions_one_per_file_no_driver_transit(spark, table):
     )
     assert len(parts) == n_files and n_files >= 2
     assert all(isinstance(p, TxLogInputPartition) for p in parts)
-    # partition value is metadata-sized: only (table, rel, fields)
-    assert {f for p in parts for f in vars(p)} == {"table", "rel", "fields"}
+    # partition value is metadata-sized: paths, field names, and the
+    # expected Arrow schema (kilobytes) — never row data
+    assert {f for p in parts for f in vars(p)} == {
+        "table", "rel", "fields", "arrow_schema",
+    }
     # the executor-side read of all partitions reconstructs the batch
-    rows = sorted(r for p in parts for r in rdr.read(p))
-    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # (Arrow RecordBatches on the fast path — normalize to tuples)
+    import pyarrow as pa
+
+    rows = []
+    for p in parts:
+        for r in rdr.read(p):
+            if isinstance(r, pa.RecordBatch):
+                rows.extend(tuple(d.values()) for d in r.to_pylist())
+            else:
+                rows.append(r)
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
     # empty range -> no partitions (Spark calls this between triggers)
     assert rdr.partitions(head, head) == []
 
@@ -154,3 +166,47 @@ def test_batch_face_applies_deletion_vectors_per_partition(spark, table):
         .collect()
     }
     assert got == {(1, "a"), (3, "c")}
+
+
+def test_arrow_fast_path_and_tuple_fallback_agree(spark, table, tmp_path):
+    """read(partition) streams Arrow RecordBatches when the file's
+    schema exactly matches the serve schema, and falls back to
+    null-filling row tuples for pre-evolution files — both paths must
+    land identical rows in the sink."""
+    import pyarrow as pa
+
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogStreamReader,
+        _read_one_file,
+    )
+
+    # schema evolution: old files lack the new column
+    txlog.tx_append(
+        spark.createDataFrame([(9, "x", 1.5)], "k long, v string, w double"),
+        table, merge_schema=True,
+    )
+    schema = txlog.table_schema(table)
+    rdr = TxLogStreamReader({"path": table}, schema)
+    parts = rdr.partitions({"v": 0}, rdr.latestOffset())
+    by_rel = {p.rel: p for p in parts}
+    batches = tuples = 0
+    rows = []
+    for p in parts:
+        out = list(_read_one_file(p.table, p.rel, p.fields, p.arrow_schema))
+        if out and isinstance(out[0], pa.RecordBatch):
+            batches += 1
+            for b in out:
+                rows.extend(tuple(r.values()) for r in b.to_pylist())
+        else:
+            tuples += 1
+            rows.extend(out)
+    assert batches >= 1, "evolved file must take the Arrow fast path"
+    assert tuples >= 2, "pre-evolution files must fall back to tuples"
+    assert sorted(rows) == [
+        (1, "a", None), (2, "b", None), (3, "c", None), (9, "x", 1.5),
+    ]
+    # end-to-end through Spark: the mixed-path stream lands everything
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, table, out, ckpt)
+    got = {(r.k, r.v, r.w) for r in spark.read.parquet(out).collect()}
+    assert got == set(rows)
