@@ -763,3 +763,57 @@ def stream_tx_append_exactly_once(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+@register(
+    "stream_tx_native_sink",
+    oracle="""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY event_type""",
+    tags=("streaming", "lake", "sink", "versioned", "acid"),
+)
+def stream_tx_native_sink(spark, sf_dir):
+    # NATIVE streaming sink face (sources/txlog_ds.TxLogStreamWriter,
+    # `writeStream.format("txlog")`): each executor task stages its
+    # partition as one parquet file and ships only the relpath; the
+    # driver publishes each micro-batch as ONE atomic commit carrying
+    # the (app, batchId) txn identity. A full replay on a fresh
+    # checkpoint is skipped by the ledger — same exactly-once contract
+    # as the foreachBatch sink, without funneling rows through a
+    # driver-side batch action. The oracle is the plain batch
+    # aggregate over the source.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.txlog_ds import register_txlog_source
+    from ..streaming import read_events_stream
+
+    register_txlog_source(spark)
+    base = tempfile.mkdtemp(prefix="stream_txnat_")
+    table = base + "/events_tx"
+    staged = base + "/src"
+
+    def run(ckpt: str) -> None:
+        ev = read_events_stream(
+            spark, sf_dir, staged=staged, n_files=3, max_files_per_trigger=1
+        )
+        q = (
+            ev.select("event_id", "event_type", "value")
+            .writeStream.format("txlog")
+            .option("path", table).option("app", "nat")
+            .option("checkpointLocation", f"{base}/{ckpt}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    n_commits = len(txlog.log_versions(table))
+    assert n_commits == 3, f"expected 3 batch commits, got {n_commits}"
+    run("ckpt2")  # full replay, fresh checkpoint: ledger skips all
+    assert len(txlog.log_versions(table)) == n_commits
+    snap = txlog.read_snapshot(spark, table)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )

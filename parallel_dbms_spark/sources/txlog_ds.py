@@ -41,8 +41,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from . import txlog
@@ -257,6 +259,97 @@ class TxLogBatchPartition(InputPartition):
     dv: tuple
 
 
+@dataclass
+class TxLogWriteMessage(WriterCommitMessage):
+    """One staged file per write task (or None for an empty task):
+    the data-relative path plus its row count — kilobytes to the
+    driver, never rows."""
+
+    rel: str | None
+    n_rows: int
+
+
+class TxLogStreamWriter(DataSourceStreamWriter):
+    """Native exactly-once streaming SINK (``writeStream.format
+    ("txlog")``): each task stages its partition as one parquet file
+    under the table's ``data/`` (fresh UUID — invisible until
+    committed), ships only the relpath back, and the driver publishes
+    ALL of a micro-batch's files as ONE atomic commit carrying the
+    (app, batchId) txn identity. A replayed batch is recognized by the
+    txn ledger and skipped — its re-staged files become orphans that
+    ``tx_vacuum`` reclaims. This is the foreachBatch
+    ``stream_tx_append`` sink re-expressed as a first-class Spark 4
+    DataSource writer: same ledger, but rows never funnel through a
+    single foreachBatch DataFrame action on the driver's plan — each
+    executor task writes its own file."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("txlog stream sink requires a path option")
+        self.app = options.get("app", "txlog_ds_sink")
+        self.schema = schema
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def write(self, iterator):  # runs on executors
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return TxLogWriteMessage(rel=None, n_rows=0)
+        names = self._arrow_schema.names
+        cols = list(zip(*rows))
+        tbl = pa.table(
+            {n: list(c) for n, c in zip(names, cols)},
+            schema=self._arrow_schema,
+        )
+        rel = f"{txlog.DATA}/{_uuid.uuid4().hex[:12]}-w0.parquet"
+        os.makedirs(os.path.join(self.table, txlog.DATA), exist_ok=True)
+        pq.write_table(tbl, os.path.join(self.table, rel))
+        return TxLogWriteMessage(rel=rel, n_rows=len(rows))
+
+    def commit(self, messages, batchId):  # driver: one atomic publish
+        added = sorted(m.rel for m in messages if m and m.rel)
+        if txlog.txn_seen(self.table, self.app, batchId):
+            return  # replay of a committed batch: staged files orphan
+        meta = {"txn_app": self.app, "txn_batch": int(batchId)}
+        for _ in range(16):
+            parent = (txlog.log_versions(self.table) or [0])[-1]
+            current = txlog._validate_append_schema(
+                self.table, self.schema, merge_schema=False
+            )
+            schema_json = txlog._widened_schema_json(
+                current, self.schema, merge_schema=False
+            )
+            try:
+                txlog.commit(
+                    self.table, "append", added, [], parent,
+                    schema_json=schema_json, meta=meta,
+                )
+                return
+            except txlog.TxConflict:
+                continue
+        raise txlog.TxConflict(
+            f"stream sink on {self.table} lost 16 straight schema races"
+        )
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m and m.rel:
+                try:
+                    os.remove(os.path.join(self.table, m.rel))
+                except FileNotFoundError:
+                    pass
+
+
 class TxLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -289,6 +382,15 @@ class TxLogDataSource(DataSource):
 
     def simpleStreamReader(self, schema: T.StructType):
         return TxLogSimpleStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txlog stream sink is append-only (the log IS the "
+                "history); complete/update output modes are not "
+                "representable as append commits"
+            )
+        return TxLogStreamWriter(self.options, schema)
 
 
 def register_txlog_source(spark) -> None:

@@ -210,3 +210,50 @@ def test_arrow_fast_path_and_tuple_fallback_agree(spark, table, tmp_path):
     _run(spark, table, out, ckpt)
     got = {(r.k, r.v, r.w) for r in spark.read.parquet(out).collect()}
     assert got == set(rows)
+
+
+def test_native_stream_sink_exactly_once(spark, table, tmp_path):
+    """writeStream.format("txlog"): executor tasks stage one file
+    each, the driver publishes one atomic commit per micro-batch with
+    the (app, batchId) txn identity, and a checkpoint-recovered
+    restart re-commits nothing."""
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "sink_t")
+
+    def run_batch(df):
+        df.write.mode("append").parquet(src_dir)
+        q = (
+            spark.readStream.schema("k long, v string").parquet(src_dir)
+            .writeStream.format("txlog")
+            .option("path", out).option("app", "nat")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_batch(spark.createDataFrame(
+        [(i, "a") for i in range(6)], "k long, v string").repartition(3))
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(i, "a") for i in range(6)}
+    rec = txlog.read_commit(out, txlog.log_versions(out)[-1])
+    assert rec["txn_app"] == "nat" and len(rec["added"]) >= 1
+    # restart on the same checkpoint: nothing re-emitted, no new commit
+    head = txlog.log_versions(out)[-1]
+    q = (
+        spark.readStream.schema("k long, v string").parquet(src_dir)
+        .writeStream.format("txlog")
+        .option("path", out).option("app", "nat")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert txlog.log_versions(out)[-1] == head
+    # a second batch lands as its own atomic commit
+    run_batch(spark.createDataFrame([(9, "b")], "k long, v string"))
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(i, "a") for i in range(6)} | {(9, "b")}
+    # the sink's own output round-trips through the txlog STREAM SOURCE
+    out2, ck2 = str(tmp_path / "rt"), str(tmp_path / "ck2")
+    _run(spark, out, out2, ck2)
+    rt = {(r.k, r.v) for r in spark.read.parquet(out2).collect()}
+    assert rt == got
