@@ -156,9 +156,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
+        # Delta's startingVersion: begin the stream AT commit N
+        # (inclusive) instead of the log's start — how a consumer
+        # attaches to a long-lived table without replaying history it
+        # already holds (e.g. it baselined from read_snapshot(N-1)).
+        self.starting_version = int(options.get("startingversion", 1))
 
     def initialOffset(self):
-        return {"v": 0}
+        return {"v": self.starting_version - 1}
 
     def latestOffset(self):
         versions = txlog.log_versions(self.table)
@@ -199,9 +204,10 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.fields = [f.name for f in schema.fields]
+        self.starting_version = int(options.get("startingversion", 1))
 
     def initialOffset(self):
-        return {"v": 0}
+        return {"v": self.starting_version - 1}
 
     def read(self, start):
         versions = txlog.log_versions(self.table)

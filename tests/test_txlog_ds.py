@@ -257,3 +257,13 @@ def test_native_stream_sink_exactly_once(spark, table, tmp_path):
     _run(spark, out, out2, ck2)
     rt = {(r.k, r.v) for r in spark.read.parquet(out2).collect()}
     assert rt == got
+
+
+def test_starting_version_skips_already_held_history(spark, table, tmp_path):
+    """startingVersion=N attaches the stream at commit N (inclusive) —
+    the consumer baselined earlier history from a snapshot and must
+    not replay it."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, table, out, ckpt, startingVersion="2")
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(3, "c")}  # commit 1's rows skipped
