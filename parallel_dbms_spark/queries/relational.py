@@ -3561,6 +3561,51 @@ def lake_tx_sorted_export(spark, sf_dir):
 
 
 @register(
+    "lake_tx_optimize_small_files",
+    oracle="""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+                     CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+              FROM customer
+              GROUP BY c_mktsegment""",
+    tags=("lake", "compaction", "versioned", "acid", "groupby"),
+)
+def lake_tx_optimize_small_files(spark, sf_dir):
+    # INCREMENTAL OPTIMIZE (txlog.tx_optimize): a streaming-style
+    # ingest leaves six small files next to one large one; the
+    # bin-pack rewrites ONLY the small tail (asserted: the large file
+    # survives untouched, so cost is O(small files), never O(table) —
+    # the compaction that can run continuously behind a 100 TB
+    # ingest). The oracle is the declarative aggregate: the swap must
+    # be semantically invisible.
+    import os
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = tempfile.mkdtemp(prefix="lake_txopt_") + "/customer"
+    # one bulk file holding half the table...
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0).coalesce(1), t)
+    # ...then a streaming-style trickle of 7 small commits
+    for m in range(7):
+        txlog.tx_append(
+            c.filter(F.col("c_custkey") % 14 == 2 * m + 1).coalesce(1), t
+        )
+    _, before = txlog.snapshot_files(t)
+    big = max(before, key=lambda f: os.path.getsize(os.path.join(t, f)))
+    target = os.path.getsize(os.path.join(t, big))
+    v, replaced = txlog.tx_optimize(spark, t, target_file_bytes=target)
+    _, after = txlog.snapshot_files(t)
+    assert big in after, "at-target file must not be rewritten"
+    assert replaced == 7 and len(after) < len(before), (replaced, after)
+    return txlog.read_snapshot(spark, t).groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
+
+
+@register(
     "lake_tx_log_retention",
     oracle="""SELECT o_orderstatus AS st,
                      COUNT(*) AS n,

@@ -1866,6 +1866,72 @@ def tx_sorted_file_order(
     return [r[0] for r in rows]
 
 
+def tx_optimize(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """INCREMENTAL compaction (Delta's OPTIMIZE bin-packing, not the
+    full-table rewrite): select only the live files smaller than
+    ``target_file_bytes`` — plus any file carrying deletion vectors,
+    whose deletes this rewrite materializes — bin-pack them into
+    ~target-sized files, and commit the swap atomically. Files already
+    at target size are NEVER rewritten.
+
+    This is the compaction that actually runs at 100 TB: a streaming
+    sink committing every few seconds leaves a long tail of small
+    files, and rewriting the whole table to fix them
+    (``tx_compact``) costs O(table) — this costs O(small files),
+    so it can run continuously behind the ingest. Cost intuition:
+    selection is one ``os.path.getsize`` per live file
+    (file-list-bounded, driver-side, no data read); the rewrite reads
+    only the selected bytes.
+
+    Conflict semantics are the standard rewrite rules (``removed`` =
+    the selected files): a racing delete/compact of the same files
+    conflicts and this retries from a fresh snapshot; racing appends
+    commute. Returns (version, files_replaced) — (current, 0) when
+    fewer than ``min_files`` qualify and no vectors need folding.
+    """
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        dvs = snapshot_dvs(table)
+        small = [
+            f
+            for f in files
+            if f in dvs
+            or os.path.getsize(os.path.join(table, f)) < target_file_bytes
+        ]
+        if len(small) < min_files and not any(f in dvs for f in small):
+            return parent, 0
+        total = sum(os.path.getsize(os.path.join(table, f)) for f in small)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        packed = _apply_dvs(
+            reader.parquet(*[os.path.join(table, f) for f in small]),
+            table,
+            {f: p for f, p in dvs.items() if f in set(small)},
+        ).coalesce(int(n_out))
+        added = _stage(packed, table)
+        stats = (
+            collect_file_stats(table, added, stats_cols) if stats_cols else None
+        )
+        try:
+            v = commit(
+                table, "compact", added, small, parent,
+                schema_json=schema_json, stats=stats,
+            )
+            return v, len(small)
+        except TxConflict:
+            continue
+    raise TxConflict(f"optimize on {table} lost {max_retries} straight races")
+
+
 def tx_restore(table: str, to_version: int) -> int:
     """RESTORE the table to an earlier version as one NEW commit
     (Delta's RESTORE semantics): history is never rewritten — the

@@ -1399,3 +1399,44 @@ def test_change_feed_and_stream_refuse_expired_ranges(spark, table):
     ch = txlog.tx_changes(spark, table, from_version=3)
     assert sorted(r.k for r in ch.collect()) == [3]
     assert len(_plan_rels(table, 2, 4, ignore_changes=False)) == 2
+
+
+def test_optimize_binpacks_only_small_files(spark, table):
+    # two tiny files + one "big" file (big relative to the tiny target)
+    txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), table)
+    txlog.tx_append(_df(spark, [(2, "b")]).coalesce(1), table)
+    txlog.tx_append(
+        _df(spark, [(i, "big" * 200) for i in range(2000)]).coalesce(1),
+        table,
+    )
+    _, files = txlog.snapshot_files(table)
+    big = max(files, key=lambda f: os.path.getsize(os.path.join(table, f)))
+    target = os.path.getsize(os.path.join(table, big))  # tinies < this
+    v, replaced = txlog.tx_optimize(spark, table, target_file_bytes=target)
+    assert replaced == 2
+    _, after = txlog.snapshot_files(table)
+    assert big in after, "at-target file must never be rewritten"
+    assert len(after) == 2  # big + one packed file
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {1, 2} | set(range(2000))
+    # below min_files nothing qualifies -> no-op commit-free
+    assert txlog.tx_optimize(spark, table, target_file_bytes=target) == (v, 0)
+
+
+def test_optimize_materializes_deletion_vectors(spark, table):
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(10)]).coalesce(1),
+                    table)
+    txlog.tx_delete_where_mor(spark, table, "k >= 8")
+    assert txlog.snapshot_dvs(table)
+    # the vectored file qualifies regardless of size; optimize folds
+    # the deletes in and drops the vector
+    v, replaced = txlog.tx_optimize(spark, table, target_file_bytes=1)
+    assert replaced == 1
+    assert txlog.snapshot_dvs(table) == {}
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == set(range(8))
+    # the optimize commit is content-preserving: the stream source
+    # skips it without a byte
+    from parallel_dbms_spark.sources.txlog_ds import _plan_rels
+
+    assert _plan_rels(table, v - 1, v, ignore_changes=False) == []
