@@ -766,6 +766,68 @@ def stream_tx_append_exactly_once(spark, sf_dir):
 
 
 @register(
+    "stream_tx_change_feed",
+    oracle="""SELECT c_mktsegment AS seg,
+                     CAST(SUM(CASE WHEN c_acctbal >= 0 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS live_n,
+                     CAST(SUM(CASE WHEN c_acctbal >= 0 THEN c_custkey
+                                   ELSE 0 END) AS BIGINT) AS key_sum
+              FROM customer
+              GROUP BY c_mktsegment""",
+    tags=("streaming", "lake", "source", "cdc", "cdc-feed", "versioned",
+          "acid"),
+)
+def stream_tx_change_feed(spark, sf_dir):
+    # STREAMING CHANGE DATA FEED (sources/txlog_ds.py,
+    # readChangeFeed=true): two appends land the whole table, then a
+    # merge-on-read delete vectors every negative-balance row; the CDC
+    # stream emits the appends' rows as 'insert' and the vectored rows
+    # as 'delete', partition-planned per (file | DV slice). The
+    # consumer folds the feed with SIGNED weight into per-segment
+    # counts/sums — the IVM algebra — and the oracle recomputes the
+    # same fold declaratively: a negative-balance customer's insert
+    # and delete cancel to zero, a surviving customer contributes +1,
+    # so live_n/key_sum equal the POST-DELETE state. Exactness proves
+    # no change is dropped, duplicated, or mis-typed in the stream.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="stream_txcdf_")
+    t = base + "/customer"
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0), t)
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 1), t)
+    txlog.tx_delete_where_mor(
+        spark, t, "c_acctbal < 0", max_dv_rows=10_000_000
+    )
+    out, ckpt = base + "/out", base + "/ckpt"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(sign).alias("live_n"),
+            F.sum(sign * F.col("c_custkey")).alias("key_sum"),
+        )
+    )
+
+
+@register(
     "stream_tx_native_sink",
     oracle="""SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))

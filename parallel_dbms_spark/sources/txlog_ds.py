@@ -141,6 +141,82 @@ def _read_one_file(table: str, rel: str, fields: tuple, arrow_schema):
     return _rows_from_files(table, [rel], list(fields))
 
 
+@dataclass
+class TxLogChangePartition(InputPartition):
+    """One CDC split: a commit's added file (every row an 'insert') or
+    a MOR-delete's vectored slice of one immutable file (the listed
+    row positions, each a 'delete'). Metadata-only, like the plain
+    read partitions."""
+
+    table: str
+    rel: str
+    fields: tuple
+    change_type: str
+    version: int
+    positions: tuple = ()  # delete partitions: DV row indexes
+
+
+def _read_change_partition(p: TxLogChangePartition):
+    """Executor-side CDC read: the file's rows (or its vectored
+    positions) with ``_change_type`` / ``_commit_version`` appended."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(p.table, p.rel))
+    if p.change_type == "delete":
+        tbl = tbl.take(list(p.positions))
+    cols = set(tbl.column_names)
+    for rec in tbl.to_pylist():
+        yield tuple(
+            rec.get(f) if f in cols else None for f in p.fields
+        ) + (p.change_type, p.version)
+
+
+def _plan_change_partitions(
+    table: str, lo: int, hi: int, fields: tuple
+) -> list[TxLogChangePartition]:
+    """CDC splits for commits in (lo, hi]. Appends stream their added
+    files as inserts and MOR deletes stream their vectored positions
+    as deletes — both partition-plannable because data files are
+    immutable. ``compact`` commits are content-preserving (skipped);
+    file-REWRITING commits (delete/merge/update/restore) raise: their
+    row-level diff needs the except-all join of ``txlog.tx_changes``,
+    which is a batch computation — re-baseline there, as Delta
+    consumers do when CDF hits a non-streamable commit."""
+    versions = txlog.log_versions(table)
+    if versions and lo + 1 < versions[0] and hi >= versions[0]:
+        raise ValueError(
+            f"change stream offset v={lo} is below the retention "
+            f"horizon {versions[0]}; re-baseline from read_snapshot"
+        )
+    parts: list[TxLogChangePartition] = []
+    for v in versions:
+        if v <= lo or v > hi:
+            continue
+        rec = txlog.read_commit(table, v)
+        action = rec["action"]
+        if action == "compact":
+            continue
+        if rec["removed"]:
+            raise ValueError(
+                f"commit {v} ({action}) rewrote files; its row-level "
+                "diff is a batch computation — consume "
+                "txlog.tx_changes for this range instead"
+            )
+        for rel in rec["added"]:
+            parts.append(
+                TxLogChangePartition(table, rel, fields, "insert", v)
+            )
+        for rel, pos in rec.get("dv", {}).items():
+            parts.append(
+                TxLogChangePartition(
+                    table, rel, fields, "delete", v, tuple(pos)
+                )
+            )
+    return parts
+
+
 class TxLogStreamReader(DataSourceStreamReader):
     """Partition-planned streaming face: driver plans (file) splits
     from the commit log; executors read the data files directly."""
@@ -190,6 +266,42 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass  # offsets are pure log positions; nothing to clean up
+
+
+class TxLogChangeStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE DATA FEED face (``readChangeFeed=true``): the
+    serve schema gains ``_change_type`` / ``_commit_version``, and
+    each micro-batch carries the commits' row-level changes —
+    partition-planned like the plain reader, with the same offsets."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.table = options.get("path")
+        if not self.table:
+            raise ValueError("txlog change stream requires a path option")
+        self.fields = tuple(
+            f.name
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        )
+        self.starting_version = int(options.get("startingversion", 1))
+
+    def initialOffset(self):
+        return {"v": self.starting_version - 1}
+
+    def latestOffset(self):
+        versions = txlog.log_versions(self.table)
+        return {"v": versions[-1] if versions else 0}
+
+    def partitions(self, start, end):
+        return _plan_change_partitions(
+            self.table, int(start["v"]), int(end["v"]), self.fields
+        )
+
+    def read(self, partition):  # runs in an executor Python worker
+        return _read_change_partition(partition)
+
+    def commit(self, end):
+        pass
 
 
 class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -361,6 +473,12 @@ class TxLogDataSource(DataSource):
     def name(cls) -> str:
         return "txlog"
 
+    def _cdc(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self):
         table = self.options.get("path")
         schema = txlog.table_schema(table) if table else None
@@ -369,12 +487,22 @@ class TxLogDataSource(DataSource):
                 f"no schema-bearing commits under {table!r}; create the "
                 "table with txlog.tx_append first"
             )
+        if self._cdc():
+            schema = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return TxLogReader(self.options, schema)
 
     def streamReader(self, schema: T.StructType):
+        if self._cdc():
+            return TxLogChangeStreamReader(self.options, schema)
         if str(self.options.get("simple", "false")).lower() == "true":
             # raising NOT_IMPLEMENTED is the API's dispatch signal:
             # Spark falls back to simpleStreamReader (datasource_internal

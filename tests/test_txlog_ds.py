@@ -267,3 +267,47 @@ def test_starting_version_skips_already_held_history(spark, table, tmp_path):
     _run(spark, table, out, ckpt, startingVersion="2")
     got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {(3, "c")}  # commit 1's rows skipped
+
+
+def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
+    """readChangeFeed=true streams appends as inserts and MOR-delete
+    vectors as deletes, partition-planned; rewrites raise toward the
+    batch feed."""
+    from parallel_dbms_spark.sources.txlog_ds import _plan_change_partitions
+
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", table).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a", "insert", 1), (2, "b", "insert", 1),
+        (3, "c", "insert", 2), (1, "a", "delete", 3),
+    }
+    # an incremental restart emits only the new commits' changes
+    txlog.tx_append(
+        spark.createDataFrame([(9, "z")], "k long, v string"), table
+    )
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", table).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 5
+    # a rewrite commit is not streamable as CDC
+    txlog.tx_delete_where(spark, table, "k = 2")
+    head = txlog.log_versions(table)[-1]
+    with pytest.raises(ValueError, match="batch computation"):
+        _plan_change_partitions(table, head - 1, head, ("k", "v"))
