@@ -308,10 +308,38 @@ def bench_queries(spark, sf_dir):
         # distributed global rank (range shuffle) at full table size,
         # KL exercises the term-keyed co-partitioned join
         "stat_auc": lambda: _exec(REGISTRY["eval_auc_quality"].fn(spark, sf_dir)),
+        # r7: the transactional-lake op suite end-to-end at sf0.1 —
+        # two stat/bitmap-carrying appends, a merge-on-read delete,
+        # incremental OPTIMIZE (materializes the vectors), then the
+        # metadata-only distinct answered from sidecars. Commit-path
+        # regressions (staging, CAS, sidecar builds, DV plumbing)
+        # show up here as a cliff.
+        "lake_tx_ops": lambda: _run_lake_tx_ops(),
         "corpus_kl": lambda: _exec(
             REGISTRY["corpus_kl_divergence"].fn(spark, sf_dir)
         ),
     }
+
+    def _run_lake_tx_ops():
+        from parallel_dbms_spark.sources import txlog
+
+        t = tempfile.mkdtemp(prefix="bench_txops_") + "/orders"
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        for m in range(2):
+            txlog.tx_append(
+                o.filter(F.col("o_orderkey") % 2 == m).repartition(4),
+                t,
+                stats_cols=["o_orderkey"],
+                distinct_cols=["o_custkey"],
+            )
+        txlog.tx_delete_where_mor(
+            spark, t, "o_totalprice < 1000.0", max_dv_rows=10_000_000
+        )
+        txlog.tx_optimize(spark, t, target_file_bytes=64 << 20)
+        df, _, _ = txlog.tx_instant_distinct(spark, t, "o_custkey")
+        _exec(df)
 
     times, rates = {}, {}
     for name, fn in workloads.items():

@@ -73,7 +73,11 @@ def _rows_from_files(
 
 
 def _plan_rels(
-    table: str, lo: int, hi: int, ignore_changes: bool
+    table: str,
+    lo: int,
+    hi: int,
+    ignore_changes: bool,
+    ignore_deletes: bool = False,
 ) -> list[str]:
     """Added-file relpaths for commits in (lo, hi], with the Delta
     change-semantics checks. Walks commit RECORDS only — cost is
@@ -95,6 +99,15 @@ def _plan_rels(
         rec = txlog.read_commit(table, v)
         if rec["action"] == "compact":
             continue  # content-preserving rewrite: nothing to emit
+        if ignore_deletes and not rec["added"] and (
+            rec["removed"] or rec.get("dv")
+        ):
+            # Delta's ignoreDeletes: a PURE delete (whole files dropped
+            # or rows vectored, nothing rewritten) is skippable — the
+            # consumer declared deletions irrelevant. A delete that
+            # REWRITES files (partial-file survivors) still raises
+            # below: its added files would re-emit surviving rows.
+            continue
         if (rec["removed"] or rec.get("dv")) and not ignore_changes:
             raise ValueError(
                 f"commit {v} ({rec['action']}) rewrote or vectored "
@@ -228,6 +241,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
         self.fields = tuple(f.name for f in schema.fields)
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -247,7 +263,8 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         rels = _plan_rels(
-            self.table, int(start["v"]), int(end["v"]), self.ignore_changes
+            self.table, int(start["v"]), int(end["v"]),
+            self.ignore_changes, self.ignore_deletes,
         )
         return [
             TxLogInputPartition(
@@ -315,6 +332,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
         self.fields = [f.name for f in schema.fields]
         self.starting_version = int(options.get("startingversion", 1))
 
@@ -325,7 +345,8 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         versions = txlog.log_versions(self.table)
         head = versions[-1] if versions else 0
         rels = _plan_rels(
-            self.table, int(start["v"]), head, self.ignore_changes
+            self.table, int(start["v"]), head,
+            self.ignore_changes, self.ignore_deletes,
         )
         # a LIST iterator (pickles, supports replay probing), as the
         # Simple reader runner requires
@@ -336,7 +357,8 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         rels = _plan_rels(
-            self.table, int(start["v"]), int(end["v"]), self.ignore_changes
+            self.table, int(start["v"]), int(end["v"]),
+            self.ignore_changes, self.ignore_deletes,
         )
         return iter(list(_rows_from_files(self.table, rels, self.fields)))
 

@@ -311,3 +311,35 @@ def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
     head = txlog.log_versions(table)[-1]
     with pytest.raises(ValueError, match="batch computation"):
         _plan_change_partitions(table, head - 1, head, ("k", "v"))
+
+
+def test_ignore_deletes_skips_pure_deletes_only(spark, table, tmp_path):
+    """ignoreDeletes (Delta's): pure deletes — whole files dropped or
+    rows vectored with nothing rewritten — are skipped; a delete that
+    rewrites files still raises (its added files would re-emit
+    survivors)."""
+    from parallel_dbms_spark.sources.txlog_ds import _plan_rels
+
+    # v3: pure MOR delete (dv only); v4: whole-file delete of commit 2
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    txlog.tx_delete_where(spark, table, "k = 3")  # drops commit 2's file
+    head = txlog.log_versions(table)[-1]
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        _plan_rels(table, 0, head, ignore_changes=False)
+    rels = _plan_rels(table, 0, head, False, ignore_deletes=True)
+    n_appended = sum(
+        len(txlog.read_commit(table, v)["added"]) for v in (1, 2)
+    )
+    assert len(rels) == n_appended  # both delete commits skipped
+    # a PARTIAL delete (survivors rewritten) is NOT skippable
+    txlog.tx_append(
+        spark.createDataFrame([(7, "x"), (8, "y")],
+                              "k long, v string").coalesce(1), table
+    )
+    txlog.tx_delete_where(spark, table, "k = 7")  # rewrites the file
+    head2 = txlog.log_versions(table)[-1]
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        _plan_rels(table, head2 - 1, head2, False, ignore_deletes=True)
+    # end-to-end: the option threads through the reader
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, table, out, ckpt, startingVersion=str(head2 + 1))
