@@ -800,6 +800,7 @@ def commit(
     depends_on: list[str] | None = None,
     bloom: dict | None = None,
     distinct: dict | None = None,
+    cdc: str | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -825,6 +826,8 @@ def commit(
         rec["bloom"] = bloom
     if distinct:
         rec["distinct"] = distinct
+    if cdc:
+        rec["cdc"] = cdc
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -1291,6 +1294,7 @@ def tx_delete_where(
     predicate_sql: str,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
+    write_cdc: bool = False,
 ) -> tuple[int, int]:
     """Transactional row-level delete: rewrite only the files that
     contain matching rows, commit (removed=affected, added=rewrites)
@@ -1299,6 +1303,11 @@ def tx_delete_where(
 
     NULL predicate rows survive (3VL: DELETE removes only
     predicate-true rows — same contract as lake.delete_where_rewrite).
+
+    ``write_cdc``: persist the deleted rows as a change-data sidecar
+    riding the commit (Delta's CDF-at-write-time trade: one extra
+    O(deleted rows) write makes ``tx_changes`` for this commit a plain
+    sidecar scan and the commit streamable by ``readChangeFeed``).
 
     Returns (new_version, files_rewritten).
     """
@@ -1336,10 +1345,19 @@ def tx_delete_where(
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
         )
+        cdc = None
+        if write_cdc:
+            deleted = (
+                _tagged_scan(reader, table, hit_rels, dvs)
+                .filter(pred)
+                .drop("__rel", "__pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc = _stage_cdc(deleted, table)
         try:
             v = commit(
                 table, "delete", added, hit_rels, parent,
-                schema_json=schema_json, stats=stats,
+                schema_json=schema_json, stats=stats, cdc=cdc,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -1354,6 +1372,7 @@ def tx_update_where(
     assignments: dict[str, str],
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
+    write_cdc: bool = False,
 ) -> tuple[int, int]:
     """Transactional row-level UPDATE (copy-on-write): rewrite only
     the files containing predicate-true rows, applying ``assignments``
@@ -1414,10 +1433,30 @@ def tx_update_where(
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
         )
+        cdc = None
+        if write_cdc:
+            # an update's row-level change is its delete+insert pair:
+            # pre-image rows of the predicate as 'delete', post-image
+            # as 'insert' (the same simultaneous-assignment projection)
+            pre = src.filter(pred).select(*cols)
+            post = src.filter(pred).select(
+                *[
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            cdc = _stage_cdc(
+                pre.withColumn("_change_type", F.lit("delete")).unionByName(
+                    post.withColumn("_change_type", F.lit("insert"))
+                ),
+                table,
+            )
         try:
             v = commit(
                 table, "update", added, hit_rels, parent,
-                schema_json=schema_json, stats=stats,
+                schema_json=schema_json, stats=stats, cdc=cdc,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -1551,6 +1590,16 @@ def tx_changes(
             continue
         schema = _schema_at(table, v)
         reader = spark.read if schema is None else spark.read.schema(schema)
+
+        if rec.get("cdc"):
+            # the writer persisted this commit's change set (Delta's
+            # change-data file): a plain sidecar scan replaces the
+            # except-all diff entirely
+            parts.append(
+                spark.read.parquet(os.path.join(table, rec["cdc"]))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            continue
 
         if rec["action"] == "restore":
             # a restore's row-level effect is the SNAPSHOT diff: the
@@ -1866,6 +1915,28 @@ def tx_sorted_file_order(
     return [r[0] for r in rows]
 
 
+def _stage_cdc(df, table: str) -> str:
+    """Write a commit's row-level change set as ONE immutable sidecar
+    parquet under ``_sidecars/`` (columns: the commit-time table
+    columns + ``_change_type``) and return its relpath. This is
+    Delta's change-data-file design: the writer already has the
+    changed rows in hand, so persisting them costs one extra write of
+    O(changed rows) — and it converts the change feed for this commit
+    from an except-all diff over the rewritten files into a plain scan
+    of the sidecar, which also makes the commit STREAMABLE
+    (``txlog_ds`` readChangeFeed)."""
+    import shutil
+
+    tag = uuid.uuid4().hex[:12]
+    tmp = os.path.join(table, SIDECARS, f"tmp-{tag}")
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    rel = f"{SIDECARS}/cdc-{tag}.parquet"
+    os.replace(os.path.join(tmp, part), os.path.join(table, rel))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rel
+
+
 def tx_optimize(
     spark: SparkSession,
     table: str,
@@ -2051,6 +2122,8 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
             for entries in rec.get(key, {}).values():
                 for e in entries:
                     sidecars_ref.add(e["sidecar"])
+        if rec.get("cdc"):
+            sidecars_ref.add(rec["cdc"])
     for v in versions:  # oldest checkpoint = the retention horizon
         if os.path.exists(_ckpt_path(table, v)):
             with open(_ckpt_path(table, v)) as fh:

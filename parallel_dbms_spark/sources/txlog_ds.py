@@ -171,7 +171,9 @@ class TxLogChangePartition(InputPartition):
 
 def _read_change_partition(p: TxLogChangePartition):
     """Executor-side CDC read: the file's rows (or its vectored
-    positions) with ``_change_type`` / ``_commit_version`` appended."""
+    positions) with ``_change_type`` / ``_commit_version`` appended.
+    A ``cdc`` partition is a writer-persisted change-data sidecar —
+    its rows already carry their own ``_change_type``."""
     import os
 
     import pyarrow.parquet as pq
@@ -181,9 +183,10 @@ def _read_change_partition(p: TxLogChangePartition):
         tbl = tbl.take(list(p.positions))
     cols = set(tbl.column_names)
     for rec in tbl.to_pylist():
+        ct = rec["_change_type"] if p.change_type == "cdc" else p.change_type
         yield tuple(
             rec.get(f) if f in cols else None for f in p.fields
-        ) + (p.change_type, p.version)
+        ) + (ct, p.version)
 
 
 def _plan_change_partitions(
@@ -211,11 +214,20 @@ def _plan_change_partitions(
         action = rec["action"]
         if action == "compact":
             continue
+        if rec.get("cdc"):
+            # the writer persisted this commit's change set (Delta's
+            # change-data file): one partition scans the sidecar —
+            # rewriting commits become streamable after all
+            parts.append(
+                TxLogChangePartition(table, rec["cdc"], fields, "cdc", v)
+            )
+            continue
         if rec["removed"]:
             raise ValueError(
                 f"commit {v} ({action}) rewrote files; its row-level "
                 "diff is a batch computation — consume "
-                "txlog.tx_changes for this range instead"
+                "txlog.tx_changes for this range instead (or re-run "
+                "the write with write_cdc=True)"
             )
         for rel in rec["added"]:
             parts.append(

@@ -1440,3 +1440,45 @@ def test_optimize_materializes_deletion_vectors(spark, table):
     from parallel_dbms_spark.sources.txlog_ds import _plan_rels
 
     assert _plan_rels(table, v - 1, v, ignore_changes=False) == []
+
+
+def test_write_cdc_sidecar_feeds_batch_and_stream(spark, table, tmp_path):
+    """write_cdc=True persists a delete/update's change set at commit
+    time: tx_changes serves it from the sidecar (no except-all diff),
+    the streaming CDF can stream the rewriting commit, and vacuum
+    protects the sidecar while its commit lives."""
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions,
+        _read_change_partition,
+    )
+
+    txlog.tx_append(_df(spark, [(i, f"g{i % 3}") for i in range(9)])
+                    .coalesce(1), table)
+    v_del, _ = txlog.tx_delete_where(spark, table, "k >= 6", write_cdc=True)
+    v_upd, _ = txlog.tx_update_where(
+        spark, table, "k = 0", {"v": "'z'"}, write_cdc=True
+    )
+    assert txlog.read_commit(table, v_del)["cdc"].startswith("_sidecars/")
+    # batch feed: exact delete set + update pre/post pair
+    ch = txlog.tx_changes(spark, table, from_version=1)
+    got = {(r.k, r.v, r._change_type, r._commit_version)
+           for r in ch.collect()}
+    assert {(6, "g0", "delete", v_del), (7, "g1", "delete", v_del),
+            (8, "g2", "delete", v_del), (0, "g0", "delete", v_upd),
+            (0, "z", "insert", v_upd)} <= got
+    # streaming CDF: the rewriting commits are now partition-plannable
+    parts = _plan_change_partitions(
+        table, v_del - 1, v_upd, ("k", "v")
+    )
+    rows = [r for p in parts for r in _read_change_partition(p)]
+    assert sorted(rows) == [
+        (0, "g0", "delete", v_upd), (0, "z", "insert", v_upd),
+        (6, "g0", "delete", v_del), (7, "g1", "delete", v_del),
+        (8, "g2", "delete", v_del),
+    ]
+    # vacuum keeps live commits' cdc sidecars
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert not [r for r in removed if "cdc-" in r]
+    # snapshot state is unaffected by the sidecar machinery
+    got_now = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got_now == {(0, "z")} | {(i, f"g{i % 3}") for i in range(1, 6)}
