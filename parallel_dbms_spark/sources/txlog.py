@@ -1703,6 +1703,7 @@ def tx_merge_upsert(
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
+    write_cdc: bool = False,
 ) -> tuple[int, int]:
     """Transactional MERGE (SCD-1 upsert): ``MERGE INTO table USING
     source ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -1716,6 +1717,12 @@ def tx_merge_upsert(
     (retry from a fresh snapshot) while appends commute. Source rows
     are deduplicated on ``keys`` first (one surviving row per key,
     callers needing last-write-wins pre-reduce by timestamp).
+
+    ``write_cdc``: persist the change set as a sidecar riding the
+    commit — matched rows' PRE-images as 'delete' plus the full
+    deduplicated source as 'insert' (an update therefore appears as
+    its pair, an insert alone) — making the merge streamable by
+    ``readChangeFeed`` and its ``tx_changes`` a plain scan.
 
     Isolation note (Delta's WriteSerializable): a concurrent APPEND
     that lands the same key commutes at the file level — the merge
@@ -1739,11 +1746,19 @@ def tx_merge_upsert(
                 collect_file_stats(table, added, stats_cols)
                 if stats_cols else None
             )
+            cdc = (
+                _stage_cdc(
+                    source.withColumn("_change_type", F.lit("insert")),
+                    table,
+                )
+                if write_cdc
+                else None
+            )
             try:
                 v = commit(
                     table, "merge", added, [], parent,
                     schema_json=schema_json or source.schema.json(),
-                    stats=stats, meta=meta,
+                    stats=stats, meta=meta, cdc=cdc,
                 )
                 return v, 0
             except TxConflict:
@@ -1777,10 +1792,26 @@ def tx_merge_upsert(
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
         )
+        cdc = None
+        if write_cdc:
+            pre = (
+                _tagged_scan(reader, table, hit_rels, dvs)
+                .drop("__rel", "__pos")
+                .join(src_keys, keys, "left_semi")
+                .withColumn("_change_type", F.lit("delete"))
+                if hit_rels
+                else None
+            )
+            ins = source.select(*tgt_cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc = _stage_cdc(
+                ins if pre is None else pre.unionByName(ins), table
+            )
         try:
             v = commit(
                 table, "merge", added, hit_rels, parent,
-                schema_json=schema_json, stats=stats, meta=meta,
+                schema_json=schema_json, stats=stats, meta=meta, cdc=cdc,
             )
             return v, len(hit_rels)
         except TxConflict:

@@ -1482,3 +1482,27 @@ def test_write_cdc_sidecar_feeds_batch_and_stream(spark, table, tmp_path):
     # snapshot state is unaffected by the sidecar machinery
     got_now = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
     assert got_now == {(0, "z")} | {(i, f"g{i % 3}") for i in range(1, 6)}
+
+
+def test_merge_write_cdc_emits_pairs_and_inserts(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table)
+    v, _ = txlog.tx_merge_upsert(
+        spark, table,
+        _df(spark, [(2, "B"), (3, "c")]), ["k"], write_cdc=True,
+    )
+    ch = txlog.tx_changes(spark, table, from_version=v - 1)
+    got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
+    # update of k=2 appears as its pair; insert of k=3 alone
+    assert got == [(2, "B", "insert"), (2, "b", "delete"),
+                   (3, "c", "insert")]
+    # and the streaming CDF can stream the merge commit
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions,
+        _read_change_partition,
+    )
+
+    parts = _plan_change_partitions(table, v - 1, v, ("k", "v"))
+    rows = sorted(
+        (r[0], r[1], r[2]) for p in parts for r in _read_change_partition(p)
+    )
+    assert rows == got
