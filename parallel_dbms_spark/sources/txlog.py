@@ -1182,13 +1182,45 @@ def txn_seen(table: str, app: str, batch_id: int) -> bool:
     return int(batch_id) <= snapshot_txns(table).get(app, -1)
 
 
+def version_at_timestamp(table: str, ts: float) -> int:
+    """Resolve a wall-clock time to the commit version live AT that
+    instant — the newest commit whose file landed at-or-before ``ts``
+    (Delta's ``TIMESTAMP AS OF``, resolved from commit-file
+    modification times: the atomic link that published the commit IS
+    its timestamp, so no format change and no clock column). Raises if
+    ``ts`` predates the first surviving commit — possibly because
+    :func:`tx_expire_versions` truncated the history that covered it.
+    """
+    best = None
+    for v in log_versions(table):
+        if os.path.getmtime(_commit_path(table, v)) <= ts:
+            best = v
+        else:
+            break  # commit files land in version order; mtimes follow
+    if best is None:
+        raise ValueError(
+            f"no commit of {table} at-or-before timestamp {ts} "
+            "(before table creation, or expired history)"
+        )
+    return best
+
+
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read of a committed version (latest by
-    default). The returned plan references explicit immutable files —
-    later commits cannot change what it reads. Merge-on-read deletion
-    vectors (tx_delete_where_mor) are applied transparently."""
+    default; ``version`` = VERSION AS OF, ``timestamp`` = Delta's
+    TIMESTAMP AS OF via :func:`version_at_timestamp`). The returned
+    plan references explicit immutable files — later commits cannot
+    change what it reads. Merge-on-read deletion vectors
+    (tx_delete_where_mor) are applied transparently."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
     v, files = snapshot_files(table, version)
     versions = log_versions(table)
     if not versions:

@@ -1506,3 +1506,31 @@ def test_merge_write_cdc_emits_pairs_and_inserts(spark, table):
         (r[0], r[1], r[2]) for p in parts for r in _read_change_partition(p)
     )
     assert rows == got
+
+
+def test_timestamp_as_of_resolves_by_commit_mtime(spark, table):
+    import time as _time
+
+    txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), table)
+    txlog.tx_append(_df(spark, [(2, "b")]).coalesce(1), table)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    # pin commit publish times a minute apart (the atomic link IS the
+    # commit timestamp; tests pin it like the file-stream fixtures do)
+    base = _time.time() - 600
+    for i, v in enumerate(txlog.log_versions(table)):
+        p = txlog._commit_path(table, v)
+        os.utime(p, (base + 60 * i, base + 60 * i))
+    assert txlog.version_at_timestamp(table, base + 30) == 1
+    assert txlog.version_at_timestamp(table, base + 60) == 2
+    assert txlog.version_at_timestamp(table, base + 1e6) == 3
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, table, timestamp=base + 90
+        ).collect()
+    }
+    assert got == {1, 2}  # pre-delete state
+    with pytest.raises(ValueError, match="at-or-before"):
+        txlog.version_at_timestamp(table, base - 1)
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read_snapshot(spark, table, version=1, timestamp=base)
