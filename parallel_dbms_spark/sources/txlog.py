@@ -1182,6 +1182,37 @@ def txn_seen(table: str, app: str, batch_id: int) -> bool:
     return int(batch_id) <= snapshot_txns(table).get(app, -1)
 
 
+def tx_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per surviving commit — version,
+    action, commit timestamp (the commit file's mtime — the atomic
+    link that published it), file/DV/sidecar counts, and the streaming
+    txn identity if any. Reads only the log (kilobytes per commit);
+    history older than the retention horizon is absent by
+    construction (:func:`tx_expire_versions`)."""
+    rows = []
+    for v in log_versions(table):
+        rec = read_commit(table, v)
+        rows.append(
+            (
+                v,
+                rec["action"],
+                float(os.path.getmtime(_commit_path(table, v))),
+                len(rec["added"]),
+                len(rec["removed"]),
+                sum(len(p) for p in rec.get("dv", {}).values()),
+                "cdc" in rec,
+                rec.get("txn_app"),
+                int(rec["txn_batch"]) if "txn_batch" in rec else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, action string, commit_ts double, n_added int, "
+        "n_removed int, n_dv_rows int, has_cdc boolean, "
+        "txn_app string, txn_batch long",
+    )
+
+
 def version_at_timestamp(table: str, ts: float) -> int:
     """Resolve a wall-clock time to the commit version live AT that
     instant — the newest commit whose file landed at-or-before ``ts``

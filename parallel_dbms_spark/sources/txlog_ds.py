@@ -440,6 +440,9 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         if not self.table:
             raise ValueError("txlog stream sink requires a path option")
         self.app = options.get("app", "txlog_ds_sink")
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
         self.schema = schema
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -474,10 +477,10 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         for _ in range(16):
             parent = (txlog.log_versions(self.table) or [0])[-1]
             current = txlog._validate_append_schema(
-                self.table, self.schema, merge_schema=False
+                self.table, self.schema, merge_schema=self.merge_schema
             )
             schema_json = txlog._widened_schema_json(
-                current, self.schema, merge_schema=False
+                current, self.schema, merge_schema=self.merge_schema
             )
             try:
                 txlog.commit(

@@ -1534,3 +1534,17 @@ def test_timestamp_as_of_resolves_by_commit_mtime(spark, table):
         txlog.version_at_timestamp(table, base - 1)
     with pytest.raises(ValueError, match="not both"):
         txlog.read_snapshot(spark, table, version=1, timestamp=base)
+
+
+def test_tx_history_describes_commits(spark, table):
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), table,
+                    meta={"txn_app": "ing", "txn_batch": 0})
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    txlog.tx_delete_where(spark, table, "k = 2", write_cdc=True)
+    h = {r.version: r for r in txlog.tx_history(spark, table).collect()}
+    assert [h[v].action for v in sorted(h)] == [
+        "append", "delete_mor", "delete",
+    ]
+    assert h[1].txn_app == "ing" and h[1].txn_batch == 0
+    assert h[2].n_dv_rows == 1 and h[3].has_cdc
+    assert h[1].commit_ts <= h[2].commit_ts <= h[3].commit_ts

@@ -343,3 +343,36 @@ def test_ignore_deletes_skips_pure_deletes_only(spark, table, tmp_path):
     # end-to-end: the option threads through the reader
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
     _run(spark, table, out, ckpt, startingVersion=str(head2 + 1))
+
+
+def test_native_sink_merge_schema_option(spark, table, tmp_path):
+    """mergeSchema=true lets the native sink evolve the table
+    additively, same contract as tx_append(merge_schema=True)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(10, "n", 2.5)], "k long, v string, w double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "k long, v string, w double"
+    ).parquet(src)
+    # without the option the drift-write is rejected (nothing lands)
+    q = (
+        stream.writeStream.format("txlog")
+        .option("path", table).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="[Ss]chema"):
+        q.awaitTermination()
+    head = txlog.log_versions(table)[-1]
+    q = (
+        stream.writeStream.format("txlog")
+        .option("path", table).option("mergeSchema", "true")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert txlog.log_versions(table)[-1] == head + 1
+    got = {(r.k, r.v, r.w)
+           for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", None),
+                   (10, "n", 2.5)}
