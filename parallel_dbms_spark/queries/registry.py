@@ -65,6 +65,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # lake_tx_point_lookup, lake_tx_multiwriter_snapshot,
 # lake_tx_history_counts. New families pinned this round: acid, ivm,
 # cdc-feed, versioned, merge (tests/test_registry_window.py).
+#
+# ROUND-8 ROTATION CANDIDATES (registered late in r7, oracle-verified
+# green locally, never driver-graded): lake_tx_instant_distinct,
+# lake_tx_instant_agg, lake_tx_sorted_export, lake_tx_log_retention,
+# lake_tx_optimize_small_files, stream_tx_native_sink,
+# stream_tx_change_feed — plus the ~60 older never-graded rows
+# (text/corpus, sampling, TPC-H q7/q8/q9/q10/q13, graph,
+# window-analytics families).
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity: scan/project, filter pushdown (O1-O5)
     "scan_project",
