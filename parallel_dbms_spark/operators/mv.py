@@ -89,22 +89,35 @@ def define_mv(
         json.dump(meta, fh)
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """A promote that crashed between its two renames leaves nothing at
+    ``path`` and the previous view stranded at ``path__old`` — roll it
+    back before reading or re-promoting."""
+    old = path + "__old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.replace(old, path)
+
+
 def _load_meta(path: str) -> dict:
+    _recover_interrupted_swap(path)
     with open(os.path.join(path, "_mv.json"), encoding="utf-8") as fh:
         return json.load(fh)
 
 
 def _promote_staged(staged: str, path: str, meta: dict) -> None:
-    """Swap a freshly-written view into place with no destructive
-    window (the ``_promote_dir`` rename-aside pattern from
-    ``streaming/sinks.py``): the sidecar is written INTO the staged
-    directory first, so every directory that can ever sit at ``path``
-    is complete — a crash at any instant leaves either the old view or
-    the new view, never a view without its ``_mv.json``."""
+    """Swap a freshly-written view into place (the ``_promote_dir``
+    rename-aside pattern from ``streaming/sinks.py``): the sidecar is
+    written INTO the staged directory first, so every directory that
+    ever sits at ``path`` is complete with its ``_mv.json``. The swap
+    is two renames, not one atomic op (POSIX ``os.replace`` cannot
+    rename over a non-empty directory), so a crash BETWEEN them leaves
+    ``path`` briefly absent with the old view intact at ``path__old``
+    — ``_load_meta`` rolls that window back on the next read."""
     import shutil
 
     with open(os.path.join(staged, "_mv.json"), "w", encoding="utf-8") as fh:
         json.dump(meta, fh)
+    _recover_interrupted_swap(path)
     old = path + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)

@@ -521,7 +521,10 @@ def tx_instant_agg(
     and that no deletion vector touched contribute three numbers from
     the log, not their rows. Only stat-less or vectored files are
     scanned (a DV shrinks a file's count and can delete its extremum,
-    so its recorded stats are upper bounds, not answers).
+    so its recorded stats are upper bounds, not answers). String
+    columns always take the scan path: parquet writers may truncate
+    binary statistics, which keeps them valid for skipping but not as
+    exact answers.
 
     Returns (one-row DataFrame ``(n_rows, col_min, col_max)``,
     n_files_scanned, n_files_total)."""
@@ -530,14 +533,27 @@ def tx_instant_agg(
     v, files = snapshot_files(table, version)
     stats = snapshot_stats(table, v)
     dvs = snapshot_dvs(table, v)
+    schema = _schema_at(table, None if version is None else v)
+    typ = schema[col].dataType.simpleString() if schema else "double"
+    # Footer min/max are exact VALUES only for fixed-width types.
+    # Parquet writers may truncate binary (string) statistics to a
+    # prefix — still valid as skipping BOUNDS, but a truncated bound is
+    # not a value present in the data, so string columns answer from
+    # the scan path, never the metadata path (pyarrow 16 does not
+    # expose is_min_value_exact to check per-file).
+    exact_stat_types = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "date", "boolean",
+    )
+    stats_exact = typ in exact_stat_types or typ.startswith("timestamp")
     covered = [
         f
         for f in files
-        if f not in dvs and col in stats.get(f, {}).get("c", {})
+        if stats_exact
+        and f not in dvs
+        and col in stats.get(f, {}).get("c", {})
     ]
     uncovered = [f for f in files if f not in set(covered)]
-    schema = _schema_at(table, None if version is None else v)
-    typ = schema[col].dataType.simpleString() if schema else "double"
     parts = []
     if covered:
         n = sum(int(stats[f]["n"]) for f in covered)

@@ -85,9 +85,13 @@ def _plan_rels(
     count."""
     rels: list[str] = []
     versions = txlog.log_versions(table)
-    if versions and lo + 1 < versions[0] and hi >= versions[0]:
+    if versions and hi > lo and lo + 1 < versions[0]:
         # commits in (lo, horizon) were expired (tx_expire_versions):
         # silently skipping them would drop their rows from the stream.
+        # The check cannot depend on hi's position — a restart replays
+        # the last PLANNED batch, and if the horizon advanced past the
+        # whole (lo, hi] range while the stream was down, the version
+        # loop below would match nothing and silently emit zero rows.
         raise ValueError(
             f"stream offset v={lo} is below the retention horizon "
             f"{versions[0]}; restart the query from a snapshot "
@@ -132,26 +136,40 @@ class TxLogInputPartition(InputPartition):
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
 
 
-def _read_one_file(table: str, rel: str, fields: tuple, arrow_schema):
+def _read_one_file(
+    table: str, rel: str, fields: tuple, arrow_schema, exclude: tuple = ()
+):
     """Executor-side read of one data file. Fast path: when the file's
     Arrow schema for the selected fields EXACTLY equals the serve
     schema (the common case — these files were written by Spark under
     the same schema contract), the parquet column batches stream to
     Spark as Arrow RecordBatches, no per-row Python objects at all.
-    Pre-evolution files (absent columns) or type drift fall back to
-    row tuples, which null-fill — slower but always correct."""
+    Deletion-vector positions (``exclude``, row order == parquet row
+    index) are dropped with an Arrow ``take`` before batching, so
+    vectored files keep the columnar path. Pre-evolution files (absent
+    columns) or type drift fall back to row tuples, which null-fill —
+    slower but always correct."""
     import os
 
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(table, rel))
+    if exclude:
+        import pyarrow as pa
+
+        drop = set(exclude)
+        keep = [i for i in range(tbl.num_rows) if i not in drop]
+        # explicit int64 index type: an all-deleted file's empty keep
+        # list would otherwise infer null and break the take kernel
+        tbl = tbl.take(pa.array(keep, type=pa.int64()))
     if arrow_schema is not None and all(
         n in tbl.column_names for n in arrow_schema.names
     ):
         sel = tbl.select(arrow_schema.names)
         if sel.schema == arrow_schema:  # pyarrow == ignores metadata
             return iter(sel.to_batches(max_chunksize=1 << 16))
-    return _rows_from_files(table, [rel], list(fields))
+    dvs = {rel: list(exclude)} if exclude else None
+    return _rows_from_files(table, [rel], list(fields), dvs)
 
 
 @dataclass
@@ -201,7 +219,9 @@ def _plan_change_partitions(
     which is a batch computation — re-baseline there, as Delta
     consumers do when CDF hits a non-streamable commit."""
     versions = txlog.log_versions(table)
-    if versions and lo + 1 < versions[0] and hi >= versions[0]:
+    if versions and hi > lo and lo + 1 < versions[0]:
+        # same horizon rule as _plan_rels: a fully-expired replay range
+        # must error, not silently emit an empty batch
         raise ValueError(
             f"change stream offset v={lo} is below the retention "
             f"horizon {versions[0]}; re-baseline from read_snapshot"
@@ -271,7 +291,12 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         versions = txlog.log_versions(self.table)
-        return {"v": versions[-1] if versions else 0}
+        head = versions[-1] if versions else 0
+        # never below initialOffset: a startingVersion ahead of the
+        # current head would otherwise plan a NEGATIVE first batch and
+        # record the lower offset, re-emitting commits the user asked
+        # to skip once they land
+        return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
         rels = _plan_rels(
@@ -319,7 +344,9 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         versions = txlog.log_versions(self.table)
-        return {"v": versions[-1] if versions else 0}
+        head = versions[-1] if versions else 0
+        # clamped like the plain reader: never below initialOffset
+        return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
         return _plan_change_partitions(
@@ -355,7 +382,10 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         versions = txlog.log_versions(self.table)
-        head = versions[-1] if versions else 0
+        # clamp to the start offset so an ahead-of-head startingVersion
+        # never records a regressed offset (same rule as latestOffset
+        # on the partition-planned readers)
+        head = max(versions[-1] if versions else 0, int(start["v"]))
         rels = _plan_rels(
             self.table, int(start["v"]), head,
             self.ignore_changes, self.ignore_deletes,
@@ -377,29 +407,42 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
 
 class TxLogReader(DataSourceReader):
     """Batch face: the latest snapshot, partition-planned one task per
-    live data file (deletion vectors applied per file). For full
-    DataFrame-native scans prefer ``txlog.read_snapshot`` (column
-    pruning, predicate pushdown); this face exists so ``format
-    ("txlog")`` round-trips in both batch and streaming."""
+    live data file (deletion vectors applied per file), served through
+    the same Arrow RecordBatch fast path as the stream reader —
+    schema-matched files (DV'd or not) never materialize per-row
+    Python objects. For full DataFrame-native scans prefer
+    ``txlog.read_snapshot`` (column pruning, predicate pushdown); this
+    face exists so ``format("txlog")`` round-trips in both batch and
+    streaming."""
 
     def __init__(self, options, schema: T.StructType):
         self.table = options.get("path")
         self.fields = tuple(f.name for f in schema.fields)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(schema)
 
     def partitions(self):
         _, files = txlog.snapshot_files(self.table)
         dvs = txlog.snapshot_dvs(self.table)
         return [
             TxLogBatchPartition(
-                self.table, rel, self.fields, tuple(dvs.get(rel, ()))
+                self.table,
+                rel,
+                self.fields,
+                tuple(dvs.get(rel, ())),
+                self._arrow_schema,
             )
             for rel in files
         ]
 
     def read(self, partition):
-        dvs = {partition.rel: list(partition.dv)} if partition.dv else None
-        return _rows_from_files(
-            partition.table, [partition.rel], list(partition.fields), dvs
+        return _read_one_file(
+            partition.table,
+            partition.rel,
+            partition.fields,
+            partition.arrow_schema,
+            partition.dv,
         )
 
 
@@ -409,6 +452,7 @@ class TxLogBatchPartition(InputPartition):
     rel: str
     fields: tuple
     dv: tuple
+    arrow_schema: object = None  # pa.Schema (pickles); None = tuples
 
 
 @dataclass

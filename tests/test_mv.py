@@ -275,6 +275,26 @@ def test_promote_leaves_no_sidecarless_window(spark, tmp_path):
     assert got.s == 11
 
 
+def test_interrupted_swap_window_recovers_on_next_read(spark, tmp_path):
+    """The promote is two renames; a crash between them leaves the view
+    stranded at path__old with nothing at path. The next read (or the
+    next promote) must roll that back instead of failing on a missing
+    view."""
+    import os
+
+    from parallel_dbms_spark.operators.mv import mv_answer
+
+    p = str(tmp_path / "mv")
+    df = spark.createDataFrame([(1, "a", 5), (2, "b", 7)], "k long, g string, v long")
+    define_mv(df, p, ["g"], {"n": ("count", "v"), "s": ("sum", "v")})
+    # simulate the crash window: first rename done, second never ran
+    os.replace(p, p + "__old")
+    assert not os.path.exists(p)
+    got = {(r.g, r.s) for r in mv_answer(spark, p, ["g"], {"s": ("sum", "v")}).collect()}
+    assert got == {("a", 5), ("b", 7)}
+    assert os.path.exists(p) and not os.path.exists(p + "__old")
+
+
 def test_sync_wide_delete_uses_non_broadcast_path(spark, tmp_path):
     """A delete touching more groups than broadcast_touched_max must
     still sync exactly — through plain shuffle joins instead of a

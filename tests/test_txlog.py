@@ -1332,6 +1332,24 @@ def test_instant_agg_metadata_only_and_dv_demotion(spark, table):
     assert df.collect()[0].col_max == 99
 
 
+def test_instant_agg_string_columns_always_scan(spark, table):
+    """Parquet writers may truncate binary (string) footer statistics —
+    valid skipping bounds, but not values present in the data. A string
+    column must answer from the scan path even when every file carries
+    stats for it."""
+    txlog.tx_append(
+        _df(spark, [(1, "apple"), (2, "zebra")]).coalesce(1), table,
+        stats_cols=["k", "v"],
+    )
+    # the numeric column stays metadata-covered on the same commit
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "k")
+    assert (n_scanned, n_total) == (0, 1)
+    df, n_scanned, n_total = txlog.tx_instant_agg(spark, table, "v")
+    assert (n_scanned, n_total) == (1, 1)
+    r = df.collect()[0]
+    assert (r.n_rows, r.col_min, r.col_max) == (2, "apple", "zebra")
+
+
 # ------------------------------------------- ACID sorted export
 
 
@@ -1399,6 +1417,30 @@ def test_change_feed_and_stream_refuse_expired_ranges(spark, table):
     ch = txlog.tx_changes(spark, table, from_version=3)
     assert sorted(r.k for r in ch.collect()) == [3]
     assert len(_plan_rels(table, 2, 4, ignore_changes=False)) == 2
+
+
+def test_stream_replay_range_fully_below_horizon_raises(spark, table):
+    """A restart replays the last PLANNED batch verbatim. If the
+    horizon advanced past the WHOLE (lo, hi] range while the stream was
+    down, the planner must raise — matching nothing and emitting an
+    empty batch would silently drop those commits' rows."""
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions,
+        _plan_rels,
+    )
+
+    for i in range(5):
+        txlog.tx_append(_df(spark, [(i, "a")]).coalesce(1), table)
+    txlog.tx_expire_versions(table, keep_from=4)
+    # hi (=2) is itself below the horizon (=4): the old hi-based check
+    # would have matched nothing and emitted zero rows
+    with pytest.raises(ValueError, match="retention horizon"):
+        _plan_rels(table, 0, 2, ignore_changes=False)
+    with pytest.raises(ValueError, match="retention horizon"):
+        _plan_change_partitions(table, 0, 2, ("k", "v"))
+    # an EMPTY replay range below the horizon is legitimate idleness,
+    # not data loss — nothing was ever in (2, 2]
+    assert _plan_rels(table, 2, 2, ignore_changes=False) == []
 
 
 def test_optimize_binpacks_only_small_files(spark, table):

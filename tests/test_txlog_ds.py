@@ -212,6 +212,38 @@ def test_arrow_fast_path_and_tuple_fallback_agree(spark, table, tmp_path):
     assert got == set(rows)
 
 
+def test_batch_face_arrow_fast_path_dv_and_fallback(spark, table):
+    """The batch face serves schema-matched files as Arrow
+    RecordBatches — including DV'd files (positions dropped with an
+    Arrow take) — and its rows equal read_snapshot exactly."""
+    import pyarrow as pa
+
+    from parallel_dbms_spark.sources.txlog_ds import TxLogReader
+
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    schema = txlog.table_schema(table)
+    rdr = TxLogReader({"path": table}, schema)
+    parts = rdr.partitions()
+    assert any(p.dv for p in parts), "MOR delete must vector one file"
+    rows = []
+    for p in parts:
+        out = list(rdr.read(p))
+        # a fully-vectored file legitimately yields zero batches
+        assert all(isinstance(b, pa.RecordBatch) for b in out), (
+            "schema-matched files (DV'd or not) must stay columnar"
+        )
+        for b in out:
+            rows.extend(tuple(r.values()) for r in b.to_pylist())
+    assert sorted(rows) == [(2, "b"), (3, "c")]
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("txlog").option("path", table)
+        .load().collect()
+    }
+    snap = {(r.k, r.v) for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == snap == {(2, "b"), (3, "c")}
+
+
 def test_native_stream_sink_exactly_once(spark, table, tmp_path):
     """writeStream.format("txlog"): executor tasks stage one file
     each, the driver publishes one atomic commit per micro-batch with
@@ -267,6 +299,41 @@ def test_starting_version_skips_already_held_history(spark, table, tmp_path):
     _run(spark, table, out, ckpt, startingVersion="2")
     got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {(3, "c")}  # commit 1's rows skipped
+
+
+def test_starting_version_ahead_of_head_clamps_latest_offset(
+    spark, table, tmp_path
+):
+    """startingVersion beyond the current head must not let
+    latestOffset regress below initialOffset — Spark would record the
+    lower offset and later emit the commits the user asked to skip."""
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogChangeStreamReader,
+        TxLogStreamReader,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    for cls in (TxLogStreamReader, TxLogChangeStreamReader):
+        r = cls({"path": table, "startingversion": "10"}, schema)
+        assert r.initialOffset() == {"v": 9}
+        assert r.latestOffset() == {"v": 9}  # head is 2; clamped up
+    # end to end: attach ahead of head (commit 4 on a 2-commit table),
+    # then append commits 3 and 4 — only commit 4 may ever emit
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, table, out, ckpt, startingVersion="4")
+    txlog.tx_append(
+        spark.createDataFrame([(4, "d")], "k long, v string"), table
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(5, "e")], "k long, v string"), table
+    )
+    _run(spark, table, out, ckpt, startingVersion="4")
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(5, "e")}
 
 
 def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
