@@ -290,9 +290,12 @@ def mv_sync_txlog(
         return synced
     ch = txlog.tx_changes(spark, table, from_version=synced,
                           to_version=cur)
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    # Delta CDF labels: row-adding changes (+1) vs row-removing (-1);
+    # an update's pre/post images cancel where nothing changed and
+    # shift the aggregate where something did
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     has_minmax = any(fn in ("min", "max") for fn, _s in measures.values())
 
     signed_aggs, fold_aggs = [], []
@@ -315,7 +318,9 @@ def mv_sync_txlog(
             fold_aggs.append(F.max(out).alias(out))
 
     old = spark.read.parquet(path)
-    deletes = ch.filter(F.col("_change_type") == "delete")
+    deletes = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    )
     if has_minmax:
         # min/max under deletes: recompute ONLY the touched groups from
         # the current snapshot; everything else folds incrementally.

@@ -690,29 +690,59 @@ def chunk_documents_32(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "udaf_weighted_mean",
-    oracle=None,
+    oracle="""SELECT l_returnflag,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / 100 AS wmean_price
+              FROM lineitem GROUP BY l_returnflag""",
     tags=("pandas_udf", "udaf", "aggregate"),
 )
 def udaf_weighted_mean(spark, sf_dir):
-    # Rows-only: pandas GROUPED_AGG float sums are order-dependent.
-    # Accuracy vs the exact-decimal expression is pytest-asserted
-    # (test_corpus_quality.py::test_weighted_mean_udaf_matches_exact).
+    # The pandas GROUPED_AGG UDAF fed integer cents and integer
+    # quantities: both sums are exact int64 (order-independent, unlike
+    # float sums), and the single int/int -> float64 division at the
+    # end is the same IEEE operation DuckDB performs casting its exact
+    # HUGEINT sums to DOUBLE — so the Python aggregate is value-hash
+    # comparable, not just rows-only.
     from ..functions.pandas_ops import weighted_mean_by_group
 
-    li = load_table(spark, sf_dir, "lineitem")
-    return weighted_mean_by_group(
-        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    r = weighted_mean_by_group(li, "l_returnflag", "price_cents", "qty")
+    return r.select(
+        "l_returnflag",
+        (F.col("weighted_mean") / 100).alias("wmean_price"),
     )
 
 
 @register(
     "udtf_sentences",
-    oracle=None,
+    oracle="""WITH s AS (SELECT doc_id,
+                      generate_subscripts(str_split(text, '. '), 1) - 1
+                        AS sent_idx,
+                      unnest(str_split(text, '. ')) AS raw
+               FROM documents WHERE text IS NOT NULL)
+              SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+                     trim(raw, ' ' || chr(9) || chr(10) || chr(13))
+                       AS sentence
+              FROM s
+              WHERE trim(raw, ' ' || chr(9) || chr(10) || chr(13)) <> ''""",
     tags=("pandas_udf", "udtf", "text"),
 )
 def udtf_sentences(spark, sf_dir):
-    # Python UDTF via LATERAL join; equivalence to the JVM generator
-    # path is pytest-asserted (test_sentence_udtf_matches_explode).
+    # Python UDTF via LATERAL join. The oracle restates the exact UDTF
+    # contract declaratively: literal '. ' split, 0-based index over
+    # ALL raw segments (empties keep their slot), whitespace-stripped,
+    # empty segments dropped — so the Python table function is
+    # value-hash comparable, not just rows-only. Equivalence to the
+    # JVM generator path is also pytest-asserted
+    # (test_sentence_udtf_matches_explode).
     from ..catalog import run_sql
     from ..functions.text import sentence_udtf
 
@@ -1073,7 +1103,7 @@ def sim_pq_topk(spark, sf_dir):
                       CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
                            AS INTEGER) AS rank
                FROM s""",
-    tags=("text", "similarity", "pipeline", "search"),
+    tags=("text", "similarity", "pipeline", "search", "bm25"),
 )
 def pipeline_hybrid_retrieval(spark, sf_dir):
     # Hybrid search — the retrieval shape RAG pipelines run at corpus
@@ -1278,7 +1308,7 @@ def graph_pagerank_neardup(spark, sf_dir):
                           AS BIGINT) AS dup_docs
               FROM t LEFT JOIN d ON t.tt = d.tt
               GROUP BY source""",
-    tags=("text", "report", "pipeline"),
+    tags=("text", "report", "pipeline", "profiling"),
 )
 def corpus_report_by_source(spark, sf_dir):
     # The per-source "report card" a data curator reads before mixing

@@ -39,104 +39,92 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-7 ROTATION: all 50 r6 rows were green, so 32 slots rotate to
-# never-graded oracled queries (every incoming row locally verified
-# green via scripts/check_oracles.py at sf0.01 on 2026-08-15; 22 of
-# them also judge-r6-verified): the seven round-6 transactional-lake
-# ops (skipping/zorder/restore/update/merge/change-feed/delete-
-# vectors), both tx streaming queries, eight more streaming-family
-# rows, seven TPC-H shapes (q2/q4/q11/q15/q16/q20/q22), and family-
-# carrier rows for asof/fuzzy/clustering/json/functions/null/skew/
-# distinct/histogram/sketch/similarity/vectors/multimodal. The 18
-# keepers are the minimal set cover of the 22 families no never-graded
-# row can carry (scan, pushdown, theta/bnlj, bloom, range, sort/limit,
-# setop, ntile, recursive, ivm/rollup, session_window, sessionize,
-# profiling, scd2, jaccard, tfidf, bm25, phrase) — provably minimal:
-# only four of those families pair up on a single row. Rotated out
-# (graded history preserved in CORRECTNESS_r0{2..6}.json):
-# tpch_q17/q21/q6/q12/q19_shape, json_extract_props, asof_join_strict,
-# profile_skew_lineitem, spatial_point_in_polygon, agg_histogram_prices,
-# eval_auc_quality, stat_chisq_event_hours, stat_ttest_welch_value,
-# corpus_kl_divergence, stat_gini_order_value, dq_benford_totalprice,
-# twap_user_value, ohlc_hourly, cdc_apply_full, lake_instant_distinct,
-# stream_dedup_within_watermark, stream_tx_append_exactly_once,
-# dedup_prefix_jaccard stays (sole jaccard carrier), er_resolve_parts,
-# sim_mmr_rank1, vector_centroids, graph_sssp_weighted, multimodal_meta,
-# lake_tx_point_lookup, lake_tx_multiwriter_snapshot,
-# lake_tx_history_counts. New families pinned this round: acid, ivm,
-# cdc-feed, versioned, merge (tests/test_registry_window.py).
-#
-# ROUND-8 ROTATION CANDIDATES (registered late in r7, oracle-verified
-# green locally, never driver-graded): lake_tx_instant_distinct,
-# lake_tx_instant_agg, lake_tx_sorted_export, lake_tx_log_retention,
-# lake_tx_optimize_small_files, stream_tx_native_sink,
-# stream_tx_change_feed — plus the ~60 older never-graded rows
-# (text/corpus, sampling, TPC-H q7/q8/q9/q10/q13, graph,
-# window-analytics families).
+# ROUND-8 ROTATION: all 50 r7 rows were green, so the window re-solves
+# from scratch: 21 keepers = the minimal set cover of the families no
+# never-graded oracled row carries (30 such families; only four pair up
+# on one row: filter+pushdown, theta+bnlj, ivm+rollup — outer+watermark
+# moved to incoming rows via accurate tags), and 29 slots rotate to
+# never-graded rows. Tag repairs that shrank the keeper set (each
+# verified against the query's actual plan): tpch_q10 uses LIMIT 20
+# ('limit'), tpch_q13 is a LEFT OUTER join ('outer'),
+# pipeline_hybrid_retrieval's shortlist stage IS bm25_topk ('bm25'),
+# corpus_report_by_source is per-source data profiling ('profiling'),
+# stream_trending_event_types / stream_stream_join_attrib call
+# withWatermark ('watermark'), and window_analytics_full gained
+# ntile(4) on both engines ('ntile'). Rotated out (graded history in
+# CORRECTNESS_r0{2..7}.json): rfm_segments, top_n, profile_orders,
+# text_bm25_topk, asof_join_forward, stream_stream_left_outer,
+# sql_trycast_values_ilike, tpch_q2/q4/q11/q15/q16/q20 shapes, the
+# round-6 lake_tx op suite (skipping/zorder/restore/update/merge/
+# change-feed/delete-vectors), stream_tx_merge_upsert,
+# stream_tx_source_tail, stream_ohlc_hourly, stream_dedup_users,
+# stream_stateful_running_totals, stream_mv_event_rollup,
+# batch_session... (kept), embedding_cosine_neardup,
+# dedup_keep_canonical, agg_histogram_by_flag, profile-family rows.
+# New families pinned this round: metadata, retention
+# (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference parity: scan/project, filter pushdown (O1-O5)
-    "scan_project",
-    "filter_pushdown_conj",
-    # joins (O9-O12): pure-theta BNLJ, Bloom-prefilter, longest-prefix
-    "join_theta_only",
-    "join_bloom_prefilter",
-    "join_longest_prefix",
-    # sort/limit (O13-O15), set ops, ntile window
-    "top_n",
-    "set_except",
-    "rfm_segments",
-    # SQL depth: recursive CTE, TRY_CAST/VALUES/ILIKE, VARIANT JSON
-    "sql_recursive_balance_paydown",
-    "sql_trycast_values_ilike",
-    "json_variant_agg",
-    # TPC-H shapes (first-time-graded remainder)
-    "tpch_q2_shape",
-    "tpch_q4_shape",
-    "tpch_q11_shape",
-    "tpch_q15_shape",
-    "tpch_q16_shape",
-    "tpch_q20_shape",
-    "tpch_q22_shape",
-    # temporal: as-of forward, SCD2, profiling, sessionize
-    "asof_join_forward",
-    "scd2_time_in_state",
-    "profile_orders",
-    "event_transition_matrix",
-    # aggregates: grouped histogram sketch, skewed two-stage distinct
-    "agg_histogram_by_flag",
-    "agg_two_stage_distinct",
-    # transactional lake (ACID txlog): the round-6 op suite
-    "lake_tx_skipping_scan",
-    "lake_tx_zorder_skipping",
-    "lake_tx_restore_counts",
-    "lake_tx_update_where",
-    "lake_tx_merge_upsert",
-    "lake_tx_change_feed",
-    "lake_tx_delete_vectors",
-    # incremental view maintenance from the tx change feed
-    "mv_txlog_ivm",
-    # structured streaming (batch-SQL oracles) + tx source/sink
-    "stream_tx_merge_upsert",
-    "stream_tx_source_tail",
-    "stream_ohlc_hourly",
-    "stream_stream_left_outer",
-    "stream_dq_report",
-    "stream_mv_event_rollup",
-    "stream_dedup_users",
-    "stream_stateful_running_totals",
-    "batch_session_window_native",
-    # LLM-pipeline: dedup / fuzzy ER / canonicalization
-    "dedup_prefix_jaccard",
-    "dedup_jw_fuzzy_parts",
-    "dedup_keep_canonical",
-    # text analysis
-    "text_tfidf_topk",
-    "text_bm25_topk",
-    # similarity / vectors / multimodal / search
-    "embedding_cosine_neardup",
-    "vector_centroid_drift",
-    "multimodal_frame_sample",
-    "search_phrase",
+    # --- 21 keepers: minimal set cover of the families no never-graded
+    # row carries (graded green in CORRECTNESS_r0{2..7}.json) ---
+    "scan_project",              # scan
+    "filter_pushdown_conj",      # filter + pushdown
+    "join_theta_only",           # theta + bnlj
+    "join_bloom_prefilter",      # bloom
+    "join_longest_prefix",       # range
+    "set_except",                # setop
+    "sql_recursive_balance_paydown",  # recursive
+    "json_variant_agg",          # json
+    "tpch_q22_shape",            # anti
+    "scd2_time_in_state",        # scd2
+    "event_transition_matrix",   # sessionize
+    "batch_session_window_native",  # session_window
+    "stream_dq_report",          # dq
+    "agg_two_stage_distinct",    # skew
+    "mv_txlog_ivm",              # ivm + rollup + mv
+    "dedup_prefix_jaccard",      # jaccard
+    "dedup_jw_fuzzy_parts",      # fuzzy
+    "text_tfidf_topk",           # tfidf
+    "search_phrase",             # phrase
+    "multimodal_frame_sample",   # multimodal
+    "vector_centroid_drift",     # vectors
+    # --- 29 first-time rows (never driver-graded; all locally
+    # oracle-verified at sf0.01 before rotation) ---
+    # the seven round-7 transactional-lake / tx-stream ops
+    "lake_tx_instant_distinct",
+    "lake_tx_instant_agg",
+    "lake_tx_sorted_export",
+    "lake_tx_log_retention",
+    "lake_tx_optimize_small_files",
+    "stream_tx_native_sink",
+    "stream_tx_change_feed",
+    # TPC-H remainder (q10 carries limit, q13 carries outer)
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q10_shape",
+    "tpch_q13_shape",
+    # streaming remainder (trending + attrib carry watermark)
+    "stream_sliding_2h",
+    "stream_static_enrich",
+    "stream_stream_join_attrib",
+    "stream_trending_event_types",
+    "stream_histogram_value",
+    # CDC merge, window analytics (ntile), as-of tolerance, LOCF
+    "merge_upsert_orders",
+    "window_analytics_full",
+    "asof_join_tolerance",
+    "window_locf_fill",
+    # text / corpus / retrieval (hybrid carries bm25, report carries
+    # profiling)
+    "text_heavy_hitters",
+    "text_scrub_pii",
+    "text_token_topk",
+    "pipeline_hybrid_retrieval",
+    "corpus_report_by_source",
+    # SQL depth, functions, dedup clustering
+    "sql_lateral_topk",
+    "regex_functions",
+    "dedup_clusters_star",
 )
 
 

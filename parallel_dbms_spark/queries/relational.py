@@ -2133,6 +2133,7 @@ def unpivot_lineitem_metrics(spark, sf_dir):
     oracle="""SELECT o_custkey, o_orderkey,
                      CAST(round(percent_rank() OVER w * 1e9) AS BIGINT) AS pr_e9,
                      CAST(round(cume_dist() OVER w * 1e9) AS BIGINT) AS cd_e9,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile,
                      first_value(o_orderkey) OVER w AS first_ok,
                      last_value(o_orderkey) OVER (PARTITION BY o_custkey
                                                   ORDER BY o_orderdate, o_orderkey
@@ -2145,14 +2146,15 @@ def unpivot_lineitem_metrics(spark, sf_dir):
                      lead(o_orderkey) OVER w AS next_ok
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
-    tags=("window", "analytics"),
+    tags=("window", "analytics", "ntile"),
 )
 def window_analytics_full(spark, sf_dir):
     # The full analytic-function surface in one query: relative-position
     # functions (percent_rank, cume_dist — quantized to integer 1e-9
-    # grid so the double ratios hash identically), positional values
-    # over an unbounded frame (first/last/nth), and lookahead (lead).
-    # One window spec = one shuffle + one partition-local sort.
+    # grid so the double ratios hash identically), equi-depth bucketing
+    # (ntile), positional values over an unbounded frame
+    # (first/last/nth), and lookahead (lead). One window spec = one
+    # shuffle + one partition-local sort.
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return _t(spark, sf_dir, "orders").select(
@@ -2160,6 +2162,7 @@ def window_analytics_full(spark, sf_dir):
         "o_orderkey",
         F.round(F.percent_rank().over(w) * 1e9).cast("long").alias("pr_e9"),
         F.round(F.cume_dist().over(w) * 1e9).cast("long").alias("cd_e9"),
+        F.ntile(4).over(w).cast("integer").alias("quartile"),
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(wfull).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
@@ -3411,6 +3414,54 @@ def lake_tx_change_feed(spark, sf_dir):
     return (
         ch.groupBy(F.col("_change_type").alias("change_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "lake_tx_update_cdf_images",
+    oracle="""SELECT 'insert' AS change_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM customer
+              UNION ALL
+              SELECT 'update_preimage', COUNT(*),
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT)
+              FROM customer WHERE c_acctbal < 0.0
+              UNION ALL
+              SELECT 'update_postimage', COUNT(*), CAST(0 AS BIGINT)
+              FROM customer WHERE c_acctbal < 0.0""",
+    tags=("lake", "cdc", "cdc-feed", "versioned", "acid", "update",
+          "groupby"),
+)
+def lake_tx_update_cdf_images(spark, sf_dir):
+    # Delta's UPDATE change-data encoding, end to end: the initial
+    # load streams as inserts; an UPDATE written with write_cdc=True
+    # serves its predicate rows as an update_preimage /
+    # update_postimage pair from the commit's change-data sidecar —
+    # not as an anonymous delete+insert. The oracle restates each
+    # change class declaratively: preimages carry the pre-update
+    # cents, postimages the zeroed balance, and counts pair up
+    # exactly (no row dropped, duplicated, or mislabeled).
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = tempfile.mkdtemp(prefix="lake_txu_") + "/customer"
+    txlog.tx_append(c.repartition(4), t)
+    txlog.tx_update_where(
+        spark, t, "c_acctbal < 0.0", {"c_acctbal": "0.0"}, write_cdc=True
+    )
+    ch = txlog.tx_changes(spark, t, from_version=0)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
     )
 
 

@@ -169,7 +169,7 @@ def stream_ohlc_hourly(spark, sf_dir):
                AND c.event_type = 'click' AND p.event_type = 'purchase'
                AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
                AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE""",
-    tags=("streaming", "stream_stream_join"),
+    tags=("streaming", "stream_stream_join", "watermark"),
 )
 def stream_stream_join_attrib(spark, sf_dir):
     # Stream-stream interval join: two independent event streams
@@ -256,7 +256,7 @@ def stream_dedup_within_watermark(spark, sf_dir):
                      CAST(ROW_NUMBER() OVER (PARTITION BY window_start
                           ORDER BY n_events DESC, event_type ASC) AS INTEGER) AS rk
               FROM counts QUALIFY rk <= 3""",
-    tags=("streaming", "window", "rank"),
+    tags=("streaming", "window", "rank", "watermark"),
 )
 def stream_trending_event_types(spark, sf_dir):
     # Trending = streaming windowed counts + serve-side rank: ranking
@@ -712,6 +712,63 @@ def stream_tx_source_tail(spark, sf_dir):
 
 
 @register(
+    "stream_tx_starting_timestamp",
+    oracle="""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM customer WHERE c_custkey % 2 = 1""",
+    tags=("streaming", "lake", "source", "versioned", "acid",
+          "timetravel"),
+)
+def stream_tx_starting_timestamp(spark, sf_dir):
+    # Delta's startingTimestamp attach point on the txlog stream
+    # source: two append commits land a minute apart (commit-file
+    # mtimes ARE the commit timestamps; pinned here like the
+    # TIMESTAMP AS OF tests), and a stream attaching with a cutover
+    # instant between them must emit exactly the second commit's rows
+    # — the first commit is history the consumer already holds. The
+    # oracle recomputes the second half declaratively.
+    import os
+    import tempfile
+    import time as _time
+
+    from ..sources import txlog
+    from ..sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    base_dir = tempfile.mkdtemp(prefix="stream_txts_")
+    t = base_dir + "/customer"
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0), t)
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 1), t)
+    base = _time.time() - 600
+    for i, v in enumerate(txlog.log_versions(t)):
+        p = txlog._commit_path(t, v)
+        os.utime(p, (base + 60 * i, base + 60 * i))
+    out, ckpt = base_dir + "/out", base_dir + "/ckpt"
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("startingTimestamp", str(base + 30)).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("c_custkey long, c_acctbal double")
+        .parquet(out)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+
+
+@register(
     "stream_tx_append_exactly_once",
     oracle="""SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
@@ -814,9 +871,9 @@ def stream_tx_change_feed(spark, sf_dir):
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     return (
         spark.read.parquet(out)
         .groupBy(F.col("c_mktsegment").alias("seg"))

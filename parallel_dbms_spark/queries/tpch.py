@@ -323,7 +323,7 @@ def tpch_q9_shape(spark, sf_dir):
                GROUP BY c_custkey, c_name, n_name
                ORDER BY revenue DESC, c_custkey ASC
                LIMIT 20""",
-    tags=("tpch", "join", "topn"),
+    tags=("tpch", "join", "topn", "limit"),
 )
 def tpch_q10_shape(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -388,7 +388,7 @@ def tpch_q12_shape(spark, sf_dir):
                     GROUP BY c_custkey)
               GROUP BY c_count
               ORDER BY custdist DESC, c_count DESC""",
-    tags=("tpch", "outer_join", "groupby"),
+    tags=("tpch", "outer_join", "outer", "groupby"),
 )
 def tpch_q13_shape(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")

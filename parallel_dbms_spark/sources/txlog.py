@@ -1252,6 +1252,20 @@ def version_at_timestamp(table: str, ts: float) -> int:
     return best
 
 
+def version_on_or_after_timestamp(table: str, ts: float) -> int:
+    """The first commit published at-or-after ``ts`` — Delta's
+    ``startingTimestamp`` resolution for streaming reads (the stream
+    begins AT that commit, inclusive; contrast
+    :func:`version_at_timestamp`, which answers "what was live",
+    i.e. at-or-BEFORE, for batch time travel). Returns head+1 when
+    ``ts`` is beyond every commit: only future commits stream."""
+    versions = log_versions(table)
+    for v in versions:
+        if os.path.getmtime(_commit_path(table, v)) >= ts:
+            return v
+    return (versions[-1] + 1) if versions else 1
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -1514,9 +1528,13 @@ def tx_update_where(
         )
         cdc = None
         if write_cdc:
-            # an update's row-level change is its delete+insert pair:
-            # pre-image rows of the predicate as 'delete', post-image
-            # as 'insert' (the same simultaneous-assignment projection)
+            # Delta's UPDATE change-data encoding: the predicate rows'
+            # pre-update state as 'update_preimage' and their
+            # post-update state (the same simultaneous-assignment
+            # projection) as 'update_postimage' — consumers that fold
+            # signed deltas weight preimage -1 / postimage +1, and
+            # consumers that care WHY a row changed can tell an update
+            # from an unrelated delete+insert pair
             pre = src.filter(pred).select(*cols)
             post = src.filter(pred).select(
                 *[
@@ -1527,8 +1545,12 @@ def tx_update_where(
                 ]
             )
             cdc = _stage_cdc(
-                pre.withColumn("_change_type", F.lit("delete")).unionByName(
-                    post.withColumn("_change_type", F.lit("insert"))
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
                 ),
                 table,
             )
@@ -1634,8 +1656,15 @@ def tx_changes(
     vector is never emitted as a delete twice. Cost is bounded by the
     files the commits in range actually name, never table size.
 
-    Returns the table columns plus ``_change_type`` ('insert' /
-    'delete') and ``_commit_version``.
+    Returns the table columns plus ``_change_type`` and
+    ``_commit_version``. Computed (except-all) diffs label rows
+    'insert' / 'delete' only — a file diff cannot attribute intent.
+    Writer-persisted change sets (``write_cdc=True``) carry the
+    richer Delta labels: UPDATE and MERGE-matched rows appear as
+    'update_preimage' / 'update_postimage' pairs, MERGE-unmatched
+    and appended rows as 'insert', deletes as 'delete'. Signed-fold
+    consumers weight {insert, update_postimage} +1 and
+    {delete, update_preimage} -1.
     """
     from functools import reduce
 
@@ -1873,20 +1902,37 @@ def tx_merge_upsert(
         )
         cdc = None
         if write_cdc:
-            pre = (
-                _tagged_scan(reader, table, hit_rels, dvs)
-                .drop("__rel", "__pos")
-                .join(src_keys, keys, "left_semi")
-                .withColumn("_change_type", F.lit("delete"))
-                if hit_rels
-                else None
-            )
-            ins = source.select(*tgt_cols).withColumn(
-                "_change_type", F.lit("insert")
-            )
-            cdc = _stage_cdc(
-                ins if pre is None else pre.unionByName(ins), table
-            )
+            # Delta's MERGE change-data encoding: matched keys emit
+            # their pre/post images ('update_preimage' =
+            # the target rows being replaced, 'update_postimage' =
+            # the source rows replacing them); unmatched source keys
+            # emit plain 'insert'. Splitting the source needs the
+            # matched-key set, which is bounded by the hit files.
+            srcd = source.select(*tgt_cols)
+            if hit_rels:
+                matched = (
+                    _tagged_scan(reader, table, hit_rels, dvs)
+                    .drop("__rel", "__pos")
+                    .join(src_keys, keys, "left_semi")
+                )
+                matched_keys = matched.select(*keys).distinct()
+                pre = matched.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = srcd.join(matched_keys, keys, "left_semi").select(
+                    *tgt_cols
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = srcd.join(matched_keys, keys, "left_anti").select(
+                    *tgt_cols
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc = _stage_cdc(
+                    pre.unionByName(post).unionByName(ins), table
+                )
+            else:
+                cdc = _stage_cdc(
+                    srcd.withColumn("_change_type", F.lit("insert")),
+                    table,
+                )
         try:
             v = commit(
                 table, "merge", added, hit_rels, parent,

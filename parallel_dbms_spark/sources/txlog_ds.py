@@ -123,6 +123,33 @@ def _plan_rels(
     return rels
 
 
+def _resolve_starting_version(options, table: str) -> int:
+    """Where the stream attaches: ``startingVersion`` (a commit
+    number, inclusive) or ``startingTimestamp`` (epoch seconds or an
+    ISO-8601 string, naive = UTC) resolved against commit-file mtimes
+    to the first commit at-or-after that instant — Delta's two
+    attach-point options, mutually exclusive like Delta's."""
+    sv = options.get("startingversion")
+    sts = options.get("startingtimestamp")
+    if sv is not None and sts is not None:
+        raise ValueError(
+            "startingVersion and startingTimestamp are mutually "
+            "exclusive — pass one attach point, not two"
+        )
+    if sts is not None:
+        try:
+            ts = float(sts)
+        except ValueError:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(sts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        return txlog.version_on_or_after_timestamp(table, ts)
+    return int(sv) if sv is not None else 1
+
+
 @dataclass
 class TxLogInputPartition(InputPartition):
     """One data file of one commit = one Spark task. The partition
@@ -280,11 +307,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
-        # Delta's startingVersion: begin the stream AT commit N
-        # (inclusive) instead of the log's start — how a consumer
-        # attaches to a long-lived table without replaying history it
-        # already holds (e.g. it baselined from read_snapshot(N-1)).
-        self.starting_version = int(options.get("startingversion", 1))
+        # Delta's startingVersion / startingTimestamp: begin the
+        # stream AT a commit (inclusive) instead of the log's start —
+        # how a consumer attaches to a long-lived table without
+        # replaying history it already holds (e.g. it baselined from
+        # read_snapshot(N-1) or a wall-clock cutover instant).
+        self.starting_version = _resolve_starting_version(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -337,7 +367,9 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
             for f in schema.fields
             if f.name not in ("_change_type", "_commit_version")
         )
-        self.starting_version = int(options.get("startingversion", 1))
+        self.starting_version = _resolve_starting_version(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -375,7 +407,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
         self.fields = [f.name for f in schema.fields]
-        self.starting_version = int(options.get("startingversion", 1))
+        self.starting_version = _resolve_starting_version(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}

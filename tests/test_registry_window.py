@@ -32,6 +32,9 @@ REQUIRED_FAMILIES = {
     # commit-derived change feed, the CDC feed itself, versioned reads,
     # and MERGE rewrites each need a carrier in the window.
     "acid", "ivm", "cdc-feed", "versioned", "merge",
+    # round-8 families: metadata-only instant aggregates and commit-log
+    # retention keep carriers once graded.
+    "metadata", "retention",
 }
 
 

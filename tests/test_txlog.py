@@ -1501,20 +1501,23 @@ def test_write_cdc_sidecar_feeds_batch_and_stream(spark, table, tmp_path):
         spark, table, "k = 0", {"v": "'z'"}, write_cdc=True
     )
     assert txlog.read_commit(table, v_del)["cdc"].startswith("_sidecars/")
-    # batch feed: exact delete set + update pre/post pair
+    # batch feed: exact delete set + Delta's update pre/post-image pair
+    # (write-time sidecars know the intent; computed diffs do not)
     ch = txlog.tx_changes(spark, table, from_version=1)
     got = {(r.k, r.v, r._change_type, r._commit_version)
            for r in ch.collect()}
     assert {(6, "g0", "delete", v_del), (7, "g1", "delete", v_del),
-            (8, "g2", "delete", v_del), (0, "g0", "delete", v_upd),
-            (0, "z", "insert", v_upd)} <= got
+            (8, "g2", "delete", v_del),
+            (0, "g0", "update_preimage", v_upd),
+            (0, "z", "update_postimage", v_upd)} <= got
     # streaming CDF: the rewriting commits are now partition-plannable
     parts = _plan_change_partitions(
         table, v_del - 1, v_upd, ("k", "v")
     )
     rows = [r for p in parts for r in _read_change_partition(p)]
     assert sorted(rows) == [
-        (0, "g0", "delete", v_upd), (0, "z", "insert", v_upd),
+        (0, "g0", "update_preimage", v_upd),
+        (0, "z", "update_postimage", v_upd),
         (6, "g0", "delete", v_del), (7, "g1", "delete", v_del),
         (8, "g2", "delete", v_del),
     ]
@@ -1534,8 +1537,10 @@ def test_merge_write_cdc_emits_pairs_and_inserts(spark, table):
     )
     ch = txlog.tx_changes(spark, table, from_version=v - 1)
     got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
-    # update of k=2 appears as its pair; insert of k=3 alone
-    assert got == [(2, "B", "insert"), (2, "b", "delete"),
+    # the matched key appears as Delta's pre/post-image pair; the
+    # unmatched key as a plain insert
+    assert got == [(2, "B", "update_postimage"),
+                   (2, "b", "update_preimage"),
                    (3, "c", "insert")]
     # and the streaming CDF can stream the merge commit
     from parallel_dbms_spark.sources.txlog_ds import (

@@ -336,6 +336,65 @@ def test_starting_version_ahead_of_head_clamps_latest_offset(
     assert got == {(5, "e")}
 
 
+def test_starting_timestamp_attaches_at_wall_clock_cutover(
+    spark, table, tmp_path
+):
+    """startingTimestamp resolves (against commit-file mtimes) to the
+    FIRST commit at-or-after the instant and streams from there —
+    Delta's wall-clock attach point, on both the plain and the CDF
+    reader. Mutually exclusive with startingVersion."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _resolve_starting_version,
+    )
+
+    base = _time.time() - 600
+    for i, v in enumerate(txlog.log_versions(table)):
+        p = txlog._commit_path(table, v)
+        os.utime(p, (base + 60 * i, base + 60 * i))
+    # between the two commits -> attach at commit 2; beyond all -> head+1
+    assert _resolve_starting_version(
+        {"startingtimestamp": str(base + 30)}, table
+    ) == 2
+    assert _resolve_starting_version(
+        {"startingtimestamp": str(base + 1e6)}, table
+    ) == 3
+    # ISO-8601 form resolves identically (naive = UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(base + 30, tz=timezone.utc).isoformat()
+    assert _resolve_starting_version({"startingtimestamp": iso}, table) == 2
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        _resolve_starting_version(
+            {"startingversion": "1", "startingtimestamp": str(base)}, table
+        )
+    # end to end, plain reader: only commit 2's rows emit
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, table, out, ckpt, startingTimestamp=str(base + 30))
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(3, "c")}
+    # end to end, CDF reader honors it too
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", table).option("readChangeFeed", "true")
+        .option("startingTimestamp", str(base + 30)).load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got2 = {
+        (r.k, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == {(3, "insert", 2)}
+
+
 def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
     """readChangeFeed=true streams appends as inserts and MOR-delete
     vectors as deletes, partition-planned; rewrites raise toward the
