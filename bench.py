@@ -320,26 +320,45 @@ def bench_queries(spark, sf_dir):
         ),
     }
 
+    # per-phase wall clock of the transactional-op suite, min across
+    # the best-of-2 runs — BENCH_DETAIL.json only (the headline keeps
+    # lake_tx_ops as one number so round-over-round deltas stay
+    # comparable)
+    tx_ops_detail: dict = {}
+
     def _run_lake_tx_ops():
         from parallel_dbms_spark.sources import txlog
+
+        def phase(name, f):
+            t0 = time.time()
+            r = f()
+            dt = round(time.time() - t0, 3)
+            tx_ops_detail[name] = min(tx_ops_detail.get(name, dt), dt)
+            return r
 
         t = tempfile.mkdtemp(prefix="bench_txops_") + "/orders"
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
         for m in range(2):
-            txlog.tx_append(
+            phase(f"append_{m}", lambda m=m: txlog.tx_append(
                 o.filter(F.col("o_orderkey") % 2 == m).repartition(4),
                 t,
                 stats_cols=["o_orderkey"],
                 distinct_cols=["o_custkey"],
-            )
-        txlog.tx_delete_where_mor(
+            ))
+        phase("delete_mor", lambda: txlog.tx_delete_where_mor(
             spark, t, "o_totalprice < 1000.0", max_dv_rows=10_000_000
-        )
-        txlog.tx_optimize(spark, t, target_file_bytes=64 << 20)
-        df, _, _ = txlog.tx_instant_distinct(spark, t, "o_custkey")
-        _exec(df)
+        ))
+        phase("optimize", lambda: txlog.tx_optimize(
+            spark, t, target_file_bytes=64 << 20
+        ))
+
+        def instant():
+            df, _, _ = txlog.tx_instant_distinct(spark, t, "o_custkey")
+            _exec(df)
+
+        phase("instant_distinct", instant)
 
     times, rates = {}, {}
     for name, fn in workloads.items():
@@ -355,7 +374,7 @@ def bench_queries(spark, sf_dir):
         times[name] = round(best, 3)
     for name in ("agg_avg_float", "agg_max_date", "orderby_float"):
         rates[name] = round(n_li / max(times[name], 1e-9))
-    return times, rates, n_li
+    return times, rates, n_li, tx_ops_detail
 
 
 def bench_tpch(spark, sf_dir):
@@ -378,12 +397,13 @@ def main():
     spark = get_spark(app_name="bench", cpus=cpus)
     # one warm-up action so JVM/codegen startup isn't billed to query 1
     load_table(spark, SF_DIR, "region").count()
-    times, rates, n_li = bench_queries(spark, SF_DIR)
+    times, rates, n_li, tx_ops_detail = bench_queries(spark, SF_DIR)
     tpch = bench_tpch(spark, SF_DIR)
     detail = {
         "queries": times,
         "tpch": tpch,
         "rows_per_sec": rates,
+        "lake_tx_ops_detail": tx_ops_detail,
         "lineitem_rows": n_li,
         "cpus": cpus,
     }

@@ -40,10 +40,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_registry_window.py asserts the window's family coverage.
 #
 # ROUND-8 ROTATION: all 50 r7 rows were green, so the window re-solves
-# from scratch: 21 keepers = the minimal set cover of the families no
-# never-graded oracled row carries (30 such families; only four pair up
-# on one row: filter+pushdown, theta+bnlj, ivm+rollup — outer+watermark
-# moved to incoming rows via accurate tags), and 29 slots rotate to
+# from scratch: 20 keepers = the minimal set cover of the families no
+# never-graded oracled row carries (only four pair up on one row:
+# filter+pushdown, theta+bnlj, ivm+rollup — outer+watermark moved to
+# incoming rows via accurate tags, and the new round-8
+# lake_tx_check_constraints carries dq), and 30 slots rotate to
 # never-graded rows. Tag repairs that shrank the keeper set (each
 # verified against the query's actual plan): tpch_q10 uses LIMIT 20
 # ('limit'), tpch_q13 is a LEFT OUTER join ('outer'),
@@ -64,7 +65,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # New families pinned this round: metadata, retention
 # (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 21 keepers: minimal set cover of the families no never-graded
+    # --- 20 keepers: minimal set cover of the families no never-graded
     # row carries (graded green in CORRECTNESS_r0{2..7}.json) ---
     "scan_project",              # scan
     "filter_pushdown_conj",      # filter + pushdown
@@ -78,7 +79,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_time_in_state",        # scd2
     "event_transition_matrix",   # sessionize
     "batch_session_window_native",  # session_window
-    "stream_dq_report",          # dq
     "agg_two_stage_distinct",    # skew
     "mv_txlog_ivm",              # ivm + rollup + mv
     "dedup_prefix_jaccard",      # jaccard
@@ -87,7 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "search_phrase",             # phrase
     "multimodal_frame_sample",   # multimodal
     "vector_centroid_drift",     # vectors
-    # --- 29 first-time rows (never driver-graded; all locally
+    # --- 30 first-time rows (never driver-graded; all locally
     # oracle-verified at sf0.01 before rotation) ---
     # the seven round-7 transactional-lake / tx-stream ops
     "lake_tx_instant_distinct",
@@ -125,6 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_lateral_topk",
     "regex_functions",
     "dedup_clusters_star",
+    # round-8 feature proof: CHECK constraints (sole dq carrier — a
+    # 30th first-time row, replacing the graded stream_dq_report)
+    "lake_tx_check_constraints",
 )
 
 

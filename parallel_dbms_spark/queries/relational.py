@@ -3466,6 +3466,147 @@ def lake_tx_update_cdf_images(spark, sf_dir):
 
 
 @register(
+    "lake_tx_clone_divergence",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderkey % 2 = 0
+                AND NOT COALESCE(o_totalprice < 50000.0, FALSE)
+              GROUP BY o_orderstatus""",
+    tags=("lake", "clone", "versioned", "acid", "groupby", "time_travel"),
+)
+def lake_tx_clone_divergence(spark, sf_dir):
+    # Zero-copy CLONE of a historical version: the source lands two
+    # appends, the clone pins VERSION 1 (evens only) through hard
+    # links — asserted in-query: a cloned file shares its inode with
+    # the source, no bytes copied — then the two tables DIVERGE with
+    # opposite deletes. The clone's final state (evens, cheap rows
+    # deleted) is what the oracle recomputes; the source's own delete
+    # proves isolation by not contaminating it.
+    import os as _os
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="lake_txclone_")
+    t, dst = base + "/orders", base + "/clone"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    txlog.tx_clone(t, dst, version=1)
+    rel = txlog.snapshot_files(dst)[1][0]
+    assert _os.stat(_os.path.join(dst, rel)).st_nlink >= 2, (
+        "clone must hard-link, not copy"
+    )
+    txlog.tx_delete_where(spark, dst, "o_totalprice < 50000.0")
+    txlog.tx_delete_where(spark, t, "o_totalprice >= 50000.0")
+    return txlog.read_snapshot(spark, dst).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
+    "lake_tx_check_constraints",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_orderstatus""",
+    tags=("lake", "dq", "constraints", "acid", "versioned", "groupby"),
+)
+def lake_tx_check_constraints(spark, sf_dir):
+    # CHECK constraints on the transactional table (Delta's ALTER
+    # TABLE ADD CONSTRAINT): a constraint lands as a metadata commit
+    # after validating existing data, a CORRUPTED batch (negated
+    # prices) is rejected before anything stages — asserted in-query,
+    # including that the log head did not move — and the clean batch
+    # lands. The final table therefore equals the source exactly,
+    # which is what the oracle states.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txck_") + "/orders"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    txlog.tx_set_constraint(spark, t, "price_pos", "o_totalprice > 0.0")
+    head = txlog.log_versions(t)[-1]
+    corrupt = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", -F.abs(F.col("o_totalprice"))
+    )
+    rejected = False
+    try:
+        txlog.tx_append(corrupt, t)
+    except ValueError:
+        rejected = True
+    assert rejected and txlog.log_versions(t)[-1] == head, (
+        "violating batch must be rejected with no commit landing"
+    )
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    return txlog.read_snapshot(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
+    "lake_tx_partition_prune",
+    oracle="""SELECT COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus = 'F'""",
+    tags=("lake", "partition", "data-skipping", "versioned", "acid",
+          "aggregate", "source"),
+)
+def lake_tx_partition_prune(spark, sf_dir):
+    # Hive/Delta-style table partitioning on the transactional log:
+    # two appends land value-pure files per o_orderstatus with each
+    # file's partition values recorded in its commit, and the
+    # partition-filtered read prunes whole files from LOG METADATA
+    # alone — asserted in-query: the 'F' scan plans strictly fewer
+    # files than the snapshot holds, before any footer or row is
+    # touched. The oracle recomputes the partition declaratively.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txpart_") + "/orders"
+    txlog.tx_append(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(2), t,
+        partition_by=["o_orderstatus"],
+    )
+    # the second append INHERITS the declared partitioning
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(2), t)
+    _, files = txlog.snapshot_files(t)
+    pruned = txlog.prune_partition_files(t, files, {"o_orderstatus": "F"})
+    assert 0 < len(pruned) < len(files), (
+        f"partition pruning must drop files from the plan "
+        f"({len(pruned)}/{len(files)})"
+    )
+    df = txlog.read_snapshot(
+        spark, t, partition_filter={"o_orderstatus": "F"}
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
     "lake_tx_delete_vectors",
     oracle="""SELECT o_orderstatus, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))

@@ -188,6 +188,9 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "distincts": distincts,
                 "schema": schema.json() if schema is not None else None,
                 "txns": txns,
+                "pv": snapshot_pv(table, v),
+                "partition_by": table_partition_by(table, v),
+                "constraints": table_constraints(table, v),
             },
             fh,
         )
@@ -306,6 +309,171 @@ def snapshot_stats(table: str, version: int | None = None) -> dict:
     _, live = snapshot_files(table, v)
     live_set = set(live)
     return {f: s for f, s in stats.items() if f in live_set}
+
+
+def snapshot_pv(table: str, version: int | None = None) -> dict:
+    """Per-file PARTITION VALUES live at a version: ``{relpath: {col:
+    value-string | None}}`` (Delta's partitionValues). Files committed
+    without values (rewrites, pre-partitioning history) have no entry
+    — partition-pruned reads must scan them, conservative like
+    stat-less files. Checkpoint-plus-tail replay, O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, pv = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                pv = dict(json.load(fh).get("pv", {}))
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            pv.pop(f, None)
+        pv.update(rec.get("pv", {}))
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {f: s for f, s in pv.items() if f in live_set}
+
+
+def table_partition_by(table: str, version: int | None = None) -> list[str]:
+    """The table's declared partition columns (empty = unpartitioned):
+    the newest commit at-or-before ``version`` that recorded them,
+    checkpoint-folded like schema resolution — O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return []
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "partition_by" in rec:
+            return list(rec["partition_by"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return list(json.load(fh).get("partition_by") or [])
+    return []
+
+
+def table_constraints(table: str, version: int | None = None) -> dict:
+    """The table's CHECK constraints ({name: sql_predicate}): the
+    newest commit at-or-before ``version`` that recorded the map
+    (every constraint commit stores the FULL updated map, so folding
+    is newest-wins), checkpoint-backed like schema — O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "constraints" in rec:
+            return dict(rec["constraints"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return dict(json.load(fh).get("constraints") or {})
+    return {}
+
+
+def _enforce_constraints(df: DataFrame, table: str) -> dict:
+    """Validate incoming rows against the table's CHECK constraints
+    BEFORE anything stages (fail fast, nothing lands). SQL CHECK
+    semantics: a row passes when the predicate is TRUE **or NULL**;
+    only FALSE violates. One job validates every constraint at once.
+    Returns the map that was enforced (the caller records nothing —
+    constraints live in their own commits — but needs it for the
+    conflict check)."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(table)
+    if not cons:
+        return {}
+    names = sorted(cons)
+    flags = [
+        (~F.coalesce(F.expr(cons[n]), F.lit(True))).alias(f"__viol_{i}")
+        for i, n in enumerate(names)
+    ]
+    agg = df.select(*flags).agg(
+        *[
+            F.sum(F.col(f"__viol_{i}").cast("long")).alias(f"n_{i}")
+            for i in range(len(names))
+        ]
+    ).collect()[0]
+    bad = {
+        names[i]: int(agg[f"n_{i}"] or 0)
+        for i in range(len(names))
+        if (agg[f"n_{i}"] or 0) > 0
+    }
+    if bad:
+        raise ValueError(
+            f"CHECK constraint violation on {table}: "
+            + ", ".join(
+                f"{n} ({cons[n]!r}) fails {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+        )
+    return cons
+
+
+def tx_set_constraint(
+    spark: SparkSession, table: str, name: str, predicate_sql: str,
+    max_retries: int = 8,
+) -> int:
+    """ADD/replace a CHECK constraint (Delta's ALTER TABLE ADD
+    CONSTRAINT): validated against the CURRENT snapshot first — a
+    constraint the existing data violates is rejected, nothing lands —
+    then published as a metadata-only commit carrying the full updated
+    map. Every subsequent append/update/merge enforces it on the
+    incoming rows; a data commit racing a constraint commit conflicts
+    (either side retries against the fresh state), so no row ever
+    lands unvalidated."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        cons = table_constraints(table)
+        cons[name] = predicate_sql
+        if parent:
+            snap = read_snapshot(spark, table)
+            n_bad = snap.filter(
+                ~F.coalesce(F.expr(predicate_sql), F.lit(True))
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {n_bad} existing "
+                    f"row(s) violate {predicate_sql!r}"
+                )
+        try:
+            return commit(
+                table, "set_constraint", [], [], parent,
+                constraints=cons,
+            )
+        except TxConflict:
+            continue  # data landed mid-validation; re-validate
+    raise TxConflict(
+        f"set_constraint on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_drop_constraint(table: str, name: str, max_retries: int = 8) -> int:
+    """DROP CONSTRAINT: metadata-only commit with the name removed
+    from the map (relaxing needs no data validation; the retry loop
+    just re-claims a version past interleaved writes)."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        cons = table_constraints(table)
+        cons.pop(name, None)
+        try:
+            return commit(
+                table, "drop_constraint", [], [], parent, constraints=cons
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop_constraint on {table} lost {max_retries} straight races"
+    )
 
 
 def snapshot_bloom_map(table: str, version: int | None = None) -> dict:
@@ -817,6 +985,9 @@ def commit(
     bloom: dict | None = None,
     distinct: dict | None = None,
     cdc: str | None = None,
+    pv: dict | None = None,
+    partition_by: list[str] | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -844,6 +1015,12 @@ def commit(
         rec["distinct"] = distinct
     if cdc:
         rec["cdc"] = cdc
+    if pv:
+        rec["pv"] = pv
+    if partition_by:
+        rec["partition_by"] = list(partition_by)
+    if constraints is not None:
+        rec["constraints"] = constraints
     if meta:
         rec.update(meta)
     for _ in range(max_attempts):
@@ -891,6 +1068,22 @@ def commit(
                         f"version {v} vectored rows of {f} this "
                         "commit also vectors"
                     )
+        if rec["added"] and "constraints" in theirs:
+            # an interleaved commit changed the CHECK constraints: our
+            # rows were validated against the stale map — revalidate
+            # and retry (Delta treats metadata updates as conflicting
+            # with concurrent writes)
+            raise TxConflict(
+                f"version {v} changed table constraints after our "
+                "validation; revalidate and retry"
+            )
+        if constraints is not None and theirs["added"]:
+            # symmetric: our constraint was validated against a
+            # snapshot that no longer includes the interleaved rows
+            raise TxConflict(
+                f"version {v} added rows after our constraint "
+                "validation; revalidate and retry"
+            )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
         ):
@@ -931,6 +1124,62 @@ def _stage(df: DataFrame, table: str) -> list[str]:
         os.rename(src, os.path.join(table, rel))
         rels.append(rel)
     return rels
+
+
+def _stage_partitioned(
+    df: DataFrame, table: str, partition_by: list[str]
+) -> tuple[list[str], dict]:
+    """Stage df as VALUE-PURE files: every staged file holds rows of
+    exactly one combination of the partition columns, and the commit
+    records that combination per file (Delta's ``partitionValues`` —
+    a string map; readers compare stringified literals). One Spark
+    write job: the partition columns are DUPLICATED under reserved
+    names and ``partitionBy`` consumes the duplicates, so the real
+    columns stay inside the data files — every existing read path
+    (explicit-schema snapshot reads, the DataSource faces, CDC diffs,
+    rewrites) serves partitioned tables unchanged. Files land FLAT in
+    ``data/`` (vacuum/retention walk it flat); the value map lives in
+    the log, not the path.
+
+    Returns (relpaths, {rel: {col: value-string | None}}).
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    _init_table(table)
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, STAGING, tag)
+    dup = [F.col(c).cast("string").alias(f"__p_{c}") for c in partition_by]
+    df.select("*", *dup).write.partitionBy(
+        *[f"__p_{c}" for c in partition_by]
+    ).parquet(staging)
+    import pyarrow.parquet as pq
+
+    rels: list[str] = []
+    pv: dict = {}
+    i = 0
+    for root, _dirs, names in sorted(os.walk(staging)):
+        vals: dict = {}
+        for comp in os.path.relpath(root, staging).split(os.sep):
+            if "=" in comp and comp.startswith("__p_"):
+                k, _, raw = comp.partition("=")
+                raw = unquote(raw)
+                vals[k[4:]] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
+        for f in sorted(names):
+            src = os.path.join(root, f)
+            if not f.endswith(".parquet"):
+                continue
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # like _stage: empty parts stay for vacuum
+            rel = f"{DATA}/{tag}-p{i}.parquet"
+            i += 1
+            os.rename(src, os.path.join(table, rel))
+            rels.append(rel)
+            pv[rel] = {c: vals.get(c) for c in partition_by}
+    return rels, pv
 
 
 def _json_safe(v):
@@ -1010,9 +1259,19 @@ def tx_append(
     cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append rows transactionally. Appends never conflict — a lost
     race re-claims the next version untouched.
+
+    ``partition_by``: Hive/Delta-style table partitioning — staged
+    files are VALUE-PURE on these columns and the commit records each
+    file's partition values, so :func:`read_snapshot` with a
+    ``partition_filter`` prunes whole files from the LOG alone (no
+    footer reads — the dominant scale lever on append-mostly fact
+    tables). The first partitioned append declares the columns; later
+    appends inherit them. Unlike Hive, the columns stay inside the
+    data files, so every other read path is layout-oblivious.
 
     ``bloom_cols``: build per-file Bloom sidecars for the appended
     files and record them IN the same commit, so every append arrives
@@ -1048,11 +1307,30 @@ def tx_append(
     """
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
+    # partition_by is a TABLE property (Delta's): the first partitioned
+    # append declares it; later appends inherit it implicitly and may
+    # not contradict it — a mixed layout would silently strand rows
+    # outside every pruned read's file set.
+    declared = table_partition_by(table)
+    if partition_by is not None and declared and list(partition_by) != declared:
+        raise ValueError(
+            f"table {table} is partitioned by {declared}; an append "
+            f"partitioned by {list(partition_by)} would mix layouts"
+        )
+    eff_partition = list(partition_by) if partition_by else declared
+    missing = [c for c in eff_partition if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in the append")
+    enforced_cons = _enforce_constraints(df, table)
     if cluster_by:
         from .lake import z_cluster
 
         df = z_cluster(df, list(cluster_by), num_files=cluster_files)
-    added = _stage(df, table)
+    pv = None
+    if eff_partition:
+        added, pv = _stage_partitioned(df, table, eff_partition)
+    else:
+        added = _stage(df, table)
     stats = collect_file_stats(table, added, stats_cols) if stats_cols else None
     bloom = (
         {
@@ -1081,6 +1359,10 @@ def tx_append(
         parent = (log_versions(table) or [0])[-1]
         current = _validate_append_schema(table, df.schema, merge_schema)
         schema_json = _widened_schema_json(current, df.schema, merge_schema)
+        if table_constraints(table) != enforced_cons:
+            # a constraint commit won a race: revalidate our rows
+            # against the fresh map before re-claiming a version
+            enforced_cons = _enforce_constraints(df, table)
         try:
             return commit(
                 table,
@@ -1093,6 +1375,8 @@ def tx_append(
                 stats=stats,
                 bloom=bloom,
                 distinct=distinct,
+                pv=pv,
+                partition_by=eff_partition or None,
             )
         except TxConflict:
             continue
@@ -1266,18 +1550,55 @@ def version_on_or_after_timestamp(table: str, ts: float) -> int:
     return (versions[-1] + 1) if versions else 1
 
 
+def prune_partition_files(
+    table: str,
+    files: list[str],
+    partition_filter: dict,
+    version: int | None = None,
+) -> list[str]:
+    """The subset of ``files`` a read constrained to ``partition_filter``
+    ({col: value-or-list}) must open: files whose RECORDED partition
+    values match, plus files with no recorded values (rewrites,
+    pre-partitioning history) — conservative, never wrong. Pure log
+    metadata; no file is touched. Values compare stringified, exactly
+    as :func:`_stage_partitioned` recorded them (None matches a
+    requested None — the null partition)."""
+    pv = snapshot_pv(table, version)
+    want = {
+        c: {None if x is None else str(x)
+            for x in (v if isinstance(v, (list, tuple, set)) else [v])}
+        for c, v in partition_filter.items()
+    }
+    kept = []
+    for f in files:
+        vals = pv.get(f)
+        if vals is None:
+            kept.append(f)  # unrecorded layout: must read
+            continue
+        if all(c in vals and vals[c] in w for c, w in want.items()):
+            kept.append(f)
+    return kept
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     timestamp: float | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read of a committed version (latest by
     default; ``version`` = VERSION AS OF, ``timestamp`` = Delta's
     TIMESTAMP AS OF via :func:`version_at_timestamp`). The returned
     plan references explicit immutable files — later commits cannot
     change what it reads. Merge-on-read deletion vectors
-    (tx_delete_where_mor) are applied transparently."""
+    (tx_delete_where_mor) are applied transparently.
+
+    ``partition_filter`` ({col: value-or-list}) prunes the file list
+    from the log's recorded partition values BEFORE planning the scan
+    (:func:`prune_partition_files`), then applies the same predicate
+    row-level — so files rewrites left unrecorded stay exact, they
+    just aren't pruned."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -1286,6 +1607,8 @@ def read_snapshot(
     versions = log_versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits under {table}")
+    if partition_filter:
+        files = prune_partition_files(table, files, partition_filter, v)
     schema = _schema_at(table, None if version is None else v)
     if not files:
         if schema is None:
@@ -1293,7 +1616,35 @@ def read_snapshot(
         return spark.createDataFrame([], schema)
     reader = spark.read if schema is None else spark.read.schema(schema)
     df = reader.parquet(*[os.path.join(table, f) for f in files])
-    return _apply_dvs(df, table, snapshot_dvs(table, v))
+    df = _apply_dvs(df, table, snapshot_dvs(table, v))
+    if partition_filter:
+        from pyspark.sql import functions as F
+
+        for c, vals in partition_filter.items():
+            vlist = list(vals) if isinstance(vals, (list, tuple, set)) else [vals]
+            nn = [x for x in vlist if x is not None]
+            cond = F.col(c).isin(nn) if nn else F.lit(False)
+            if any(x is None for x in vlist):
+                cond = cond | F.col(c).isNull()
+            df = df.filter(cond)
+    return df
+
+
+def tx_partitions(table: str, version: int | None = None) -> list[dict]:
+    """SHOW PARTITIONS: the distinct recorded partition-value
+    combinations live at a version, from log metadata alone. Files
+    without recorded values (rewrites) are not represented — this
+    lists the PRUNABLE layout, not a row-level fact."""
+    cols = table_partition_by(table, version)
+    if not cols:
+        return []
+    seen = {
+        tuple(vals.get(c) for c in cols)
+        for vals in snapshot_pv(table, version).values()
+    }
+    return [dict(zip(cols, t)) for t in sorted(
+        seen, key=lambda t: tuple((x is None, x or "") for x in t)
+    )]
 
 
 def _schema_at(table: str, version: int | None) -> StructType | None:
@@ -1521,6 +1872,11 @@ def tx_update_where(
                 for c in cols
             ]
         )
+        # CHECK constraints hold on the POST-update rows (the rewrite
+        # re-lands untouched rows too, but those passed at their own
+        # write time; validating the whole rewrite is one pass and
+        # also catches drift from earlier unconstrained history)
+        _enforce_constraints(rewritten, table)
         added = _stage(rewritten, table)
         stats = (
             collect_file_stats(table, added, stats_cols)
@@ -1845,6 +2201,11 @@ def tx_merge_upsert(
     keys = list(keys)
     source = source.dropDuplicates(keys)
     for _ in range(max_retries):
+        # a merge lands source rows verbatim (matched keys replace,
+        # the rest insert) — CHECK constraints validate the source
+        # before anything stages, re-run per attempt so a constraint
+        # commit winning a race never lets stale-validated rows land
+        _enforce_constraints(source, table)
         parent, files = snapshot_files(table)
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
@@ -2238,6 +2599,68 @@ def tx_restore(table: str, to_version: int) -> int:
         stats=stats,
         dv=dv,
         bloom=bloom or None,
+    )
+
+
+def tx_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """ZERO-COPY table clone (Delta's shallow CLONE, hardened): the
+    destination's first commit references the source snapshot's
+    immutable data files through HARD LINKS — O(files) metadata ops,
+    no bytes copied — carrying the snapshot's schema, per-file stats,
+    partition values, deletion vectors, declared partitioning, and
+    CHECK constraints. Unlike a path-referencing shallow clone, the
+    links pin the inodes, so vacuuming or expiring the SOURCE can
+    never break the clone, and the two tables' histories are fully
+    independent from version 1.
+
+    Bloom/distinct sidecars do not carry over (their rows name the
+    source's file paths); cloned files read as uncovered — always
+    correct, rebuildable with the usual backfill. Falls back to a file
+    copy when src and dst sit on different filesystems.
+
+    Returns the clone's first version (1)."""
+    import shutil
+
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(src, timestamp)
+    v, files = snapshot_files(src, version)
+    stats = snapshot_stats(src, v)
+    dvs = snapshot_dvs(src, v)
+    pv = snapshot_pv(src, v)
+    schema = _schema_at(src, v)
+    if log_versions(dst):
+        raise ValueError(f"clone destination {dst} already has commits")
+    _init_table(dst)
+    tag = uuid.uuid4().hex[:12]
+    rel_map: dict[str, str] = {}
+    for i, f in enumerate(files):
+        rel = f"{DATA}/{tag}-p{i}.parquet"
+        sp, dp = os.path.join(src, f), os.path.join(dst, rel)
+        try:
+            os.link(sp, dp)
+        except OSError:  # cross-device: pay the copy for this file
+            shutil.copy2(sp, dp)
+        rel_map[f] = rel
+    return commit(
+        dst,
+        "clone",
+        sorted(rel_map.values()),
+        [],
+        0,
+        schema_json=schema.json() if schema is not None else None,
+        stats={rel_map[f]: s for f, s in stats.items() if f in rel_map},
+        dv={rel_map[f]: p for f, p in dvs.items() if f in rel_map} or None,
+        pv={rel_map[f]: s for f, s in pv.items() if f in rel_map} or None,
+        partition_by=table_partition_by(src, v) or None,
+        constraints=table_constraints(src, v) or None,
+        meta={"cloned_from": os.path.abspath(src), "source_version": v},
     )
 
 

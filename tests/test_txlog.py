@@ -1555,6 +1555,264 @@ def test_merge_write_cdc_emits_pairs_and_inserts(spark, table):
     assert rows == got
 
 
+def test_partitioned_append_prunes_from_log_metadata(spark, table):
+    """partition_by stages VALUE-PURE files and records each file's
+    partition values in the commit; a partition-filtered read prunes
+    whole files from the log alone, and the columns stay inside the
+    data files so unpruned readers are layout-oblivious."""
+    import pyarrow.parquet as pq
+
+    txlog.tx_append(
+        _df(spark, [(i, f"g{i % 3}") for i in range(9)]), table,
+        partition_by=["v"],
+    )
+    _, files = txlog.snapshot_files(table)
+    pvm = txlog.snapshot_pv(table)
+    assert set(pvm) == set(files) and len(files) >= 3
+    # physical value purity: every file holds exactly its recorded value
+    for rel, vals in pvm.items():
+        col = pq.read_table(
+            os.path.join(table, rel), columns=["v"]
+        ).column("v").to_pylist()
+        assert set(col) == {vals["v"]}
+    assert txlog.table_partition_by(table) == ["v"]
+    assert txlog.tx_partitions(table) == [
+        {"v": "g0"}, {"v": "g1"}, {"v": "g2"},
+    ]
+    # a later append INHERITS the declared partitioning
+    txlog.tx_append(_df(spark, [(9, "g0")]), table)
+    _, files2 = txlog.snapshot_files(table)
+    pruned = txlog.prune_partition_files(table, files2, {"v": "g0"})
+    assert 0 < len(pruned) < len(files2)
+    got = {
+        (r.k, r.v)
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": "g0"}
+        ).collect()
+    }
+    assert got == {(0, "g0"), (3, "g0"), (6, "g0"), (9, "g0")}
+    # contradicting the declared layout is rejected before staging
+    with pytest.raises(ValueError, match="mix layouts"):
+        txlog.tx_append(
+            _df(spark, [(10, "x")]), table, partition_by=["k"]
+        )
+    # unfiltered reads see every column and row, unchanged
+    assert txlog.read_snapshot(spark, table).count() == 10
+
+
+def test_partition_pruning_survives_rewrites_dvs_and_checkpoints(
+    spark, table
+):
+    """Rewrites stage files WITHOUT recorded partition values — pruned
+    reads must stay exact (the unrecorded files are always read, the
+    row filter covers them); DVs compose; the value map folds through
+    checkpoints and expiration."""
+    txlog.tx_append(
+        _df(spark, [(i, f"g{i % 2}") for i in range(8)]).coalesce(1),
+        table,
+        partition_by=["v"],
+    )
+    # COW delete rewrites the g0 file -> the survivor file has no pv
+    txlog.tx_delete_where(spark, table, "k = 0")
+    assert len(txlog.snapshot_pv(table)) < len(txlog.snapshot_files(table)[1])
+    got = {
+        (r.k, r.v)
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": "g0"}
+        ).collect()
+    }
+    assert got == {(2, "g0"), (4, "g0"), (6, "g0")}
+    # MOR delete vectors a pv-covered file: pruning + DV compose
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": "g1"}
+        ).collect()
+    }
+    assert got == {3, 5, 7}
+    # cross a checkpoint boundary, then expire the prefix: the value
+    # map must survive both folds
+    for i in range(txlog.CHECKPOINT_EVERY + 1):
+        txlog.tx_append(_df(spark, [(100 + i, "g1")]), table)
+    txlog.tx_expire_versions(
+        table, keep_from=txlog.log_versions(table)[-3]
+    )
+    assert txlog.table_partition_by(table) == ["v"]
+    n_g1 = txlog.read_snapshot(
+        spark, table, partition_filter={"v": "g1"}
+    ).count()
+    assert n_g1 == 3 + txlog.CHECKPOINT_EVERY + 1
+
+
+def test_partition_null_values_and_streaming_face(spark, table):
+    """NULL partition values round-trip (the Hive default-partition
+    encoding maps back to None), and the partitioned layout streams
+    through the txlog source untouched — the data files kept their
+    columns."""
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    txlog.tx_append(
+        _df(spark, [(1, "a"), (2, None), (3, "a")]), table,
+        partition_by=["v"],
+    )
+    assert {"v": None} in txlog.tx_partitions(table)
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": None}
+        ).collect()
+    }
+    assert got == {2}
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": ["a", None]}
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    sdf = (
+        spark.read.format("txlog").option("path", table).load()
+    )
+    assert {(r.k, r.v) for r in sdf.collect()} == {
+        (1, "a"), (2, None), (3, "a")
+    }
+
+
+def test_clone_is_zero_copy_and_independent(spark, table, tmp_path):
+    """tx_clone hard-links the snapshot's files into a new table's
+    first commit (no bytes copied), carries schema/stats/DVs/
+    partitioning/constraints, and the two histories diverge freely —
+    vacuuming or truncating the source can never break the clone."""
+    txlog.tx_append(
+        _df(spark, [(i, f"g{i % 2}") for i in range(6)]).coalesce(1),
+        table, stats_cols=["k"], partition_by=["v"],
+    )
+    txlog.tx_set_constraint(spark, table, "k_pos", "k >= 0")
+    txlog.tx_delete_where_mor(spark, table, "k = 5")
+    dst = str(tmp_path / "clone")
+    v = txlog.tx_clone(table, dst)
+    assert v == 1
+    # zero-copy: every clone file shares its inode with a source file
+    src_inodes = {
+        os.stat(os.path.join(table, f)).st_ino
+        for f in txlog.snapshot_files(table)[1]
+    }
+    for f in txlog.snapshot_files(dst)[1]:
+        st = os.stat(os.path.join(dst, f))
+        assert st.st_nlink >= 2 and st.st_ino in src_inodes
+    # snapshot equality incl. the deletion vector
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, dst).collect()}
+    assert got == {(i, f"g{i % 2}") for i in range(5)}
+    # metadata carried: partitioning prunes, constraints enforce
+    assert txlog.table_partition_by(dst) == ["v"]
+    pruned = txlog.prune_partition_files(
+        dst, txlog.snapshot_files(dst)[1], {"v": "g0"}
+    )
+    assert 0 < len(pruned) < len(txlog.snapshot_files(dst)[1])
+    with pytest.raises(ValueError, match="k_pos"):
+        txlog.tx_append(_df(spark, [(-1, "bad")]), dst)
+    # independence: writes to one side are invisible to the other
+    txlog.tx_append(_df(spark, [(100, "g0")]), dst)
+    txlog.tx_delete_where(spark, table, "k = 0")
+    assert txlog.read_snapshot(spark, dst).count() == 6
+    assert txlog.read_snapshot(spark, table).count() == 4
+    # source vacuum/expiration cannot strand the clone (inode pinned)
+    txlog.tx_expire_versions(
+        table, keep_from=txlog.log_versions(table)[-1]
+    )
+    txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert txlog.read_snapshot(spark, dst).count() == 6
+    # a clone must start a FRESH table
+    with pytest.raises(ValueError, match="already has commits"):
+        txlog.tx_clone(table, dst)
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, table):
+    """CHECK constraints (Delta's ADD CONSTRAINT): validated against
+    existing data when added, then enforced on append, UPDATE
+    post-images, and MERGE sources — fail fast, nothing lands. SQL
+    3VL: a NULL predicate PASSES; only FALSE violates."""
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]), table)
+    # adding a constraint the existing data violates is rejected
+    with pytest.raises(ValueError, match="existing"):
+        txlog.tx_set_constraint(spark, table, "k_big", "k > 1")
+    v = txlog.tx_set_constraint(spark, table, "k_pos", "k > 0")
+    assert txlog.table_constraints(table) == {"k_pos": "k > 0"}
+    head = txlog.log_versions(table)[-1]
+    assert head == v
+    # violating append: rejected BEFORE staging, no commit lands
+    with pytest.raises(ValueError, match="k_pos"):
+        txlog.tx_append(_df(spark, [(0, "z"), (-1, "z")]), table)
+    assert txlog.log_versions(table)[-1] == head
+    # NULL predicate passes (3VL), valid rows land
+    txlog.tx_append(
+        spark.createDataFrame([(None, "n"), (3, "c")], "k long, v string"),
+        table,
+    )
+    # UPDATE validates POST-images
+    with pytest.raises(ValueError, match="k_pos"):
+        txlog.tx_update_where(spark, table, "v = 'a'", {"k": "-5"})
+    # MERGE validates the source
+    with pytest.raises(ValueError, match="k_pos"):
+        txlog.tx_merge_upsert(
+            spark, table, _df(spark, [(-9, "bad")]), ["k"]
+        )
+    # dropping lifts enforcement
+    txlog.tx_drop_constraint(table, "k_pos")
+    txlog.tx_append(_df(spark, [(-1, "ok-now")]), table)
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {1, 2, 3, None, -1}
+
+
+def test_constraint_and_data_commits_conflict_both_ways(spark, table):
+    """A data commit racing a constraint commit (either order) must
+    conflict and revalidate — no row ever lands checked against a
+    stale constraint map."""
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    orig_commit = txlog.commit
+    raced = {"done": False}
+
+    def racing_commit(t, action, added, removed, parent, **kw):
+        # an interleaved constraint lands right before the append's CAS
+        if action == "append" and not raced["done"]:
+            raced["done"] = True
+            orig_commit(
+                t, "set_constraint", [], [], parent,
+                constraints={"k_small": "k < 10"},
+            )
+        return orig_commit(t, action, added, removed, parent, **kw)
+
+    txlog.commit = racing_commit
+    try:
+        # the appended rows SATISFY the interleaved constraint: the
+        # conflict forces revalidation against the fresh map, then the
+        # retry lands
+        txlog.tx_append(_df(spark, [(5, "ok")]), table)
+    finally:
+        txlog.commit = orig_commit
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == {1, 5}
+    # and rows VIOLATING a raced-in constraint are rejected on retry
+    raced["done"] = False
+
+    def racing_tighter(t, action, added, removed, parent, **kw):
+        if action == "append" and not raced["done"]:
+            raced["done"] = True
+            orig_commit(
+                t, "set_constraint", [], [], parent,
+                constraints={"k_tiny": "k < 7"},
+            )
+        return orig_commit(t, action, added, removed, parent, **kw)
+
+    txlog.commit = racing_tighter
+    try:
+        with pytest.raises(ValueError, match="k_tiny"):
+            txlog.tx_append(_df(spark, [(7, "bad")]), table)
+    finally:
+        txlog.commit = orig_commit
+
+
 def test_timestamp_as_of_resolves_by_commit_mtime(spark, table):
     import time as _time
 
