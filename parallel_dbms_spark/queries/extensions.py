@@ -997,6 +997,42 @@ def split_train_val_test(spark, sf_dir):
 
 
 @register(
+    "split_group_aware_users",
+    oracle="""WITH lab AS (
+                SELECT user_id,
+                       CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+                                             || '|split'), 1, 4)
+                                 < 'cccc' THEN 'train'
+                            WHEN substr(md5(CAST(user_id AS VARCHAR)
+                                             || '|split'), 1, 4)
+                                 < 'e666' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM events)
+              SELECT split, COUNT(*) AS n_events,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM lab GROUP BY split""",
+    tags=("sampling", "split", "leakage", "events", "groupby"),
+)
+def split_group_aware_users(spark, sf_dir):
+    # GROUP-AWARE train/val/test split — the leakage guard sequence
+    # models need: the label is a pure md5 function of the GROUP key
+    # (user_id), so every event of a user lands in the same split BY
+    # CONSTRUCTION; a per-event split would leak each user's history
+    # across the boundary. Disjointness of the user sets needs no
+    # check — a function of user_id cannot give one user two labels.
+    # Same 80/10/10 thresholds as split_train_val_test, same engine-
+    # identical md5 rule, so the oracle replays it exactly.
+    from ..functions.sampling import train_val_test_split
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    lab = train_val_test_split(ev, id_col="user_id")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
     "dedup_keep_canonical",
     oracle=f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
                nodes AS (SELECT id_a AS id FROM pairs

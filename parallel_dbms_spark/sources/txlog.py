@@ -1182,6 +1182,19 @@ def _stage_partitioned(
     return rels, pv
 
 
+def _stage_for(df: DataFrame, table: str) -> tuple[list[str], dict | None]:
+    """Stage honoring the table's declared partitioning: rewrites of a
+    partitioned table go through :func:`_stage_partitioned` so their
+    outputs stay value-pure WITH recorded partition values — pruning
+    never degrades just because a delete/update/merge/compaction
+    touched the table. Unpartitioned tables take the plain path.
+    Returns (relpaths, pv-or-None) for :func:`commit`."""
+    cols = table_partition_by(table)
+    if cols and all(c in df.columns for c in cols):
+        return _stage_partitioned(df, table, cols)
+    return _stage(df, table), None
+
+
 def _json_safe(v):
     """Footer statistics values -> JSON-storable, order-preserving
     encodings (ISO timestamps/dates sort lexicographically; Decimal as
@@ -1784,7 +1797,11 @@ def tx_delete_where(
             .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
             .drop("__rel", "__pos")
         )
-        added = _stage(survivors, table) if survivors.limit(1).count() else []
+        pv = None
+        if survivors.limit(1).count():
+            added, pv = _stage_for(survivors, table)
+        else:
+            added = []
         stats = (
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
@@ -1802,6 +1819,7 @@ def tx_delete_where(
             v = commit(
                 table, "delete", added, hit_rels, parent,
                 schema_json=schema_json, stats=stats, cdc=cdc,
+                pv=pv or None,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -1877,7 +1895,7 @@ def tx_update_where(
         # write time; validating the whole rewrite is one pass and
         # also catches drift from earlier unconstrained history)
         _enforce_constraints(rewritten, table)
-        added = _stage(rewritten, table)
+        added, pv = _stage_for(rewritten, table)
         stats = (
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
@@ -1914,6 +1932,7 @@ def tx_update_where(
             v = commit(
                 table, "update", added, hit_rels, parent,
                 schema_json=schema_json, stats=stats, cdc=cdc,
+                pv=pv or None,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -2243,7 +2262,7 @@ def tx_merge_upsert(
             .distinct()
             .collect()
         )
-        added = []
+        added, pv = [], {}
         if hit_rels:
             survivors = (
                 _tagged_scan(reader, table, hit_rels, dvs)
@@ -2251,12 +2270,16 @@ def tx_merge_upsert(
                 .join(src_keys, keys, "left_anti")
             )
             if survivors.limit(1).count():
-                added += _stage(survivors, table)
+                a, p = _stage_for(survivors, table)
+                added += a
+                pv.update(p or {})
         tgt_cols = (
             [f.name for f in schema.fields] if schema is not None
             else source.columns
         )
-        added += _stage(source.select(*tgt_cols), table)
+        a, p = _stage_for(source.select(*tgt_cols), table)
+        added += a
+        pv.update(p or {})
         stats = (
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
@@ -2298,6 +2321,7 @@ def tx_merge_upsert(
             v = commit(
                 table, "merge", added, hit_rels, parent,
                 schema_json=schema_json, stats=stats, meta=meta, cdc=cdc,
+                pv=pv or None,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -2373,14 +2397,21 @@ def tx_compact(
             ).sortWithinPartitions(*keys)
         else:
             packed = live_df.coalesce(num_files)
-        added = _stage(packed, table)
+        if zorder_by or sort_by:
+            # these layouts ORDER files by the clustering key — routing
+            # them through partition-pure staging would break the
+            # sorted-export file-order contract; their outputs carry no
+            # partition values (pruned reads still scan them, exactly)
+            added, pv = _stage(packed, table), None
+        else:
+            added, pv = _stage_for(packed, table)
         stats = (
             collect_file_stats(table, added, stats_cols) if stats_cols else None
         )
         try:
             v = commit(
                 table, "compact", added, files, parent,
-                schema_json=schema_json, stats=stats,
+                schema_json=schema_json, stats=stats, pv=pv or None,
             )
             return v, len(files)
         except TxConflict:
@@ -2505,14 +2536,14 @@ def tx_optimize(
             table,
             {f: p for f, p in dvs.items() if f in set(small)},
         ).coalesce(int(n_out))
-        added = _stage(packed, table)
+        added, pv = _stage_for(packed, table)
         stats = (
             collect_file_stats(table, added, stats_cols) if stats_cols else None
         )
         try:
             v = commit(
                 table, "compact", added, small, parent,
-                schema_json=schema_json, stats=stats,
+                schema_json=schema_json, stats=stats, pv=pv or None,
             )
             return v, len(small)
         except TxConflict:

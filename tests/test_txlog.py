@@ -1603,18 +1603,23 @@ def test_partitioned_append_prunes_from_log_metadata(spark, table):
 def test_partition_pruning_survives_rewrites_dvs_and_checkpoints(
     spark, table
 ):
-    """Rewrites stage files WITHOUT recorded partition values — pruned
-    reads must stay exact (the unrecorded files are always read, the
-    row filter covers them); DVs compose; the value map folds through
-    checkpoints and expiration."""
+    """Rewrites on a partitioned table restage through the partitioned
+    path, so their outputs stay value-pure WITH recorded values —
+    pruning never degrades just because a delete ran. A sorted compact
+    deliberately drops values (file order trumps purity) and pruned
+    reads of its outputs stay exact, just unpruned. DVs compose; the
+    value map folds through checkpoints and expiration."""
     txlog.tx_append(
         _df(spark, [(i, f"g{i % 2}") for i in range(8)]).coalesce(1),
         table,
         partition_by=["v"],
     )
-    # COW delete rewrites the g0 file -> the survivor file has no pv
+    # COW delete: the survivor file is re-staged value-pure, pv intact
     txlog.tx_delete_where(spark, table, "k = 0")
-    assert len(txlog.snapshot_pv(table)) < len(txlog.snapshot_files(table)[1])
+    _, files = txlog.snapshot_files(table)
+    assert set(txlog.snapshot_pv(table)) == set(files)
+    pruned = txlog.prune_partition_files(table, files, {"v": "g0"})
+    assert 0 < len(pruned) < len(files)
     got = {
         (r.k, r.v)
         for r in txlog.read_snapshot(
@@ -1622,6 +1627,35 @@ def test_partition_pruning_survives_rewrites_dvs_and_checkpoints(
         ).collect()
     }
     assert got == {(2, "g0"), (4, "g0"), (6, "g0")}
+    # a SORTED compact lays files out by the sort key instead: its
+    # outputs carry no values (must-read), and the read stays exact
+    txlog.tx_compact(spark, table, num_files=2, sort_by=["k"])
+    assert txlog.snapshot_pv(table) == {}
+    got = {
+        (r.k, r.v)
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": "g0"}
+        ).collect()
+    }
+    assert got == {(2, "g0"), (4, "g0"), (6, "g0")}
+    # re-partition the layout: a plain compact restores value purity
+    txlog.tx_compact(spark, table, num_files=1)
+    _, files = txlog.snapshot_files(table)
+    assert set(txlog.snapshot_pv(table)) == set(files)
+    # MERGE and OPTIMIZE outputs stay value-pure with recorded values
+    txlog.tx_merge_upsert(
+        spark, table, _df(spark, [(2, "g0"), (200, "g1")]), ["k"]
+    )
+    txlog.tx_optimize(spark, table, target_file_bytes=64 << 20)
+    _, files = txlog.snapshot_files(table)
+    assert set(txlog.snapshot_pv(table)) == set(files)
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, table, partition_filter={"v": "g1"}
+        ).collect()
+    }
+    assert got == {1, 3, 5, 7, 200}
     # MOR delete vectors a pv-covered file: pruning + DV compose
     txlog.tx_delete_where_mor(spark, table, "k = 1")
     got = {
@@ -1630,7 +1664,7 @@ def test_partition_pruning_survives_rewrites_dvs_and_checkpoints(
             spark, table, partition_filter={"v": "g1"}
         ).collect()
     }
-    assert got == {3, 5, 7}
+    assert got == {3, 5, 7, 200}
     # cross a checkpoint boundary, then expire the prefix: the value
     # map must survive both folds
     for i in range(txlog.CHECKPOINT_EVERY + 1):
@@ -1642,7 +1676,7 @@ def test_partition_pruning_survives_rewrites_dvs_and_checkpoints(
     n_g1 = txlog.read_snapshot(
         spark, table, partition_filter={"v": "g1"}
     ).count()
-    assert n_g1 == 3 + txlog.CHECKPOINT_EVERY + 1
+    assert n_g1 == 4 + txlog.CHECKPOINT_EVERY + 1
 
 
 def test_partition_null_values_and_streaming_face(spark, table):
