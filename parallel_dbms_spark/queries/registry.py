@@ -39,6 +39,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
+# ROUND-9 ROTATION CANDIDATES (registered in r8, oracle-verified green
+# locally at sf0.01 AND sf0.1, never driver-graded):
+# lake_tx_update_cdf_images, stream_tx_starting_timestamp,
+# lake_tx_partition_prune, lake_tx_clone_divergence,
+# split_group_aware_users, udaf_weighted_mean, udtf_sentences — plus
+# the ~44 older never-graded rows (text/corpus remainder, sampling,
+# window-analytics, graph, lake misc). Candidate keeper swaps if more
+# slots are needed: lake_tx_partition_prune carries data-skipping,
+# lake_tx_clone_divergence carries versioned/acid.
+#
 # ROUND-8 ROTATION: all 50 r7 rows were green, so the window re-solves
 # from scratch: 20 keepers = the minimal set cover of the families no
 # never-graded oracled row carries (only four pair up on one row:
