@@ -116,9 +116,32 @@ def log_versions(table: str) -> list[int]:
     )
 
 
+# Commit records are immutable once published (_try_create links them
+# atomically; nothing ever rewrites a commit file in place), so parsed
+# records are cached per (path, mtime_ns, size) — the stat guard makes
+# the cache self-invalidating even if a file WERE replaced (RESTORE,
+# retention, and clones always mint new paths, but the guard costs one
+# stat and buys bulletproofness). This turns every snapshot_* helper's
+# checkpoint-tail replay from O(tail) JSON parses per call into O(tail)
+# stats — the log layer's hottest path (tx_append calls
+# table_constraints + table_partition_by + snapshot_* per attempt).
+_COMMIT_CACHE: dict = {}
+_COMMIT_CACHE_MAX = 4096
+
+
 def read_commit(table: str, v: int) -> dict:
-    with open(_commit_path(table, v)) as fh:
-        return json.load(fh)
+    path = _commit_path(table, v)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _COMMIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(path) as fh:
+        rec = json.load(fh)
+    if len(_COMMIT_CACHE) >= _COMMIT_CACHE_MAX:
+        _COMMIT_CACHE.clear()  # bounded; cold restart is just re-parsing
+    _COMMIT_CACHE[key] = rec
+    return rec
 
 
 def snapshot_files(table: str, version: int | None = None) -> tuple[int, list[str]]:
@@ -1563,6 +1586,35 @@ def version_on_or_after_timestamp(table: str, ts: float) -> int:
     return (versions[-1] + 1) if versions else 1
 
 
+def _pv_str(x) -> str | None:
+    """A Python literal rendered EXACTLY as Spark's ``CAST(col AS
+    STRING)`` renders the same value — the format
+    :func:`_stage_partitioned` records partition values in. Pruning
+    compares these strings, so the filter side must stringify
+    identically or recorded files get wrongly pruned (``str(True)`` is
+    ``'True'``; Spark writes ``'true'``). Booleans lowercase;
+    timestamps print ``YYYY-MM-DD HH:MM:SS[.f]`` with the fractional
+    part's trailing zeros trimmed (Spark omits ``.000000``, Python
+    never does); dates are ISO. Ints, strings, and Decimals agree
+    under plain ``str``. Floats are best-effort (Spark uses Java
+    ``Double.toString`` scientific notation at the extremes) — a
+    float partition column is already a modeling smell."""
+    import datetime as _dt
+
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, _dt.datetime):
+        s = x.strftime("%Y-%m-%d %H:%M:%S")
+        if x.microsecond:
+            s += (".%06d" % x.microsecond).rstrip("0")
+        return s
+    if isinstance(x, _dt.date):
+        return x.isoformat()
+    return str(x)
+
+
 def prune_partition_files(
     table: str,
     files: list[str],
@@ -1573,12 +1625,25 @@ def prune_partition_files(
     ({col: value-or-list}) must open: files whose RECORDED partition
     values match, plus files with no recorded values (rewrites,
     pre-partitioning history) — conservative, never wrong. Pure log
-    metadata; no file is touched. Values compare stringified, exactly
-    as :func:`_stage_partitioned` recorded them (None matches a
-    requested None — the null partition)."""
+    metadata; no file is touched. Values compare stringified via
+    :func:`_pv_str`, exactly as :func:`_stage_partitioned` recorded
+    them (None matches a requested None — the null partition).
+
+    Filter keys MUST be declared partition columns: a non-partition
+    column can never match any recorded value map, so it would
+    silently prune EVERY value-pure file (wrong results, not slow
+    results) — raise instead."""
+    declared = set(table_partition_by(table, version))
+    unknown = sorted(set(partition_filter) - declared)
+    if unknown:
+        raise ValueError(
+            f"partition_filter column(s) {unknown} are not partition "
+            f"columns of {table} (declared: {sorted(declared) or 'none'}); "
+            "filter them row-level instead"
+        )
     pv = snapshot_pv(table, version)
     want = {
-        c: {None if x is None else str(x)
+        c: {_pv_str(x)
             for x in (v if isinstance(v, (list, tuple, set)) else [v])}
         for c, v in partition_filter.items()
     }

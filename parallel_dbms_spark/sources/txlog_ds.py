@@ -164,7 +164,8 @@ class TxLogInputPartition(InputPartition):
 
 
 def _read_one_file(
-    table: str, rel: str, fields: tuple, arrow_schema, exclude: tuple = ()
+    table: str, rel: str, fields: tuple, arrow_schema, exclude: tuple = (),
+    row_filter: tuple = (),
 ):
     """Executor-side read of one data file. Fast path: when the file's
     Arrow schema for the selected fields EXACTLY equals the serve
@@ -189,14 +190,47 @@ def _read_one_file(
         # explicit int64 index type: an all-deleted file's empty keep
         # list would otherwise infer null and break the take kernel
         tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    if row_filter:
+        # partition-filter backstop for files with NO recorded
+        # partition values (rewrites, pre-partitioning history):
+        # compare via txlog._pv_str, the exact stringification the
+        # recorded side uses, so pruned and backstopped files agree.
+        # Python walks only the filter columns; such files are the
+        # rare un-pruned remainder. Applied AFTER deletion vectors
+        # (positions index the raw file).
+        import pyarrow as pa
+
+        cols = [
+            tbl.column(c).to_pylist()
+            if c in tbl.column_names
+            else [None] * tbl.num_rows  # pre-evolution: serves as NULL
+            for c, _ in row_filter
+        ]
+        wants = [set(w) for _, w in row_filter]
+        keep = [
+            i
+            for i in range(tbl.num_rows)
+            if all(
+                txlog._pv_str(col[i]) in w for col, w in zip(cols, wants)
+            )
+        ]
+        tbl = tbl.take(pa.array(keep, type=pa.int64()))
     if arrow_schema is not None and all(
         n in tbl.column_names for n in arrow_schema.names
     ):
         sel = tbl.select(arrow_schema.names)
         if sel.schema == arrow_schema:  # pyarrow == ignores metadata
             return iter(sel.to_batches(max_chunksize=1 << 16))
-    dvs = {rel: list(exclude)} if exclude else None
-    return _rows_from_files(table, [rel], list(fields), dvs)
+    # row-tuple fallback (pre-evolution files, type drift): serve from
+    # the in-hand table — deletion vectors and the partition-filter
+    # backstop are already applied above, so no re-read
+    cols = set(tbl.column_names)
+    return iter(
+        [
+            tuple(rec.get(f) if f in cols else None for f in fields)
+            for rec in tbl.to_pylist()
+        ]
+    )
 
 
 @dataclass
@@ -450,8 +484,22 @@ class TxLogReader(DataSourceReader):
     streaming."""
 
     def __init__(self, options, schema: T.StructType):
+        import json as _json
+
         self.table = options.get("path")
         self.fields = tuple(f.name for f in schema.fields)
+        raw = options.get("partitionfilter")
+        self.pfilter = None
+        if raw:
+            # `.option("partitionFilter", '{"country": "NL"}')` — the
+            # format-API twin of read_snapshot(partition_filter=...):
+            # a JSON object {col: value-or-list}
+            self.pfilter = _json.loads(raw)
+            if not isinstance(self.pfilter, dict):
+                raise ValueError(
+                    "partitionFilter must be a JSON object "
+                    "{column: value-or-list}"
+                )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -459,6 +507,31 @@ class TxLogReader(DataSourceReader):
     def partitions(self):
         _, files = txlog.snapshot_files(self.table)
         dvs = txlog.snapshot_dvs(self.table)
+        pure: set = set()
+        row_filter: tuple = ()
+        if self.pfilter:
+            # metadata-only pruning from the log's recorded partition
+            # values — whole files drop before any footer is read.
+            # Files the pruner kept BECAUSE their values matched need
+            # no row work; kept-because-unrecorded files get the exact
+            # row-level backstop (mirrors read_snapshot).
+            files = txlog.prune_partition_files(
+                self.table, files, self.pfilter
+            )
+            pv = txlog.snapshot_pv(self.table)
+            pure = {f for f in files if f in pv}
+            row_filter = tuple(
+                (
+                    c,
+                    tuple(
+                        txlog._pv_str(x)
+                        for x in (
+                            v if isinstance(v, (list, tuple)) else [v]
+                        )
+                    ),
+                )
+                for c, v in sorted(self.pfilter.items())
+            )
         return [
             TxLogBatchPartition(
                 self.table,
@@ -466,6 +539,7 @@ class TxLogReader(DataSourceReader):
                 self.fields,
                 tuple(dvs.get(rel, ())),
                 self._arrow_schema,
+                () if rel in pure else row_filter,
             )
             for rel in files
         ]
@@ -477,6 +551,7 @@ class TxLogReader(DataSourceReader):
             partition.fields,
             partition.arrow_schema,
             partition.dv,
+            partition.row_filter,
         )
 
 
@@ -487,16 +562,104 @@ class TxLogBatchPartition(InputPartition):
     fields: tuple
     dv: tuple
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
+    row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
+
+
+def _check_constraints_duckdb(
+    cons: dict, *, arrow_tbl=None, parquet_paths=None, table: str = ""
+) -> None:
+    """Enforce the table's CHECK constraints WITHOUT a SparkSession —
+    the streaming sink's write tasks run in executor Python workers
+    and its commit hook runs in the driver's DataSource worker, and
+    neither holds a session, so ``txlog._enforce_constraints`` (one
+    Spark job) is unreachable from this path. DuckDB evaluates the
+    same ANSI predicate over the task's in-memory Arrow batch (or the
+    staged parquet files, for the commit-time race recheck) with
+    identical SQL CHECK semantics: a row passes when the predicate is
+    TRUE **or NULL**, only FALSE violates. Fail-closed: a predicate
+    DuckDB cannot evaluate (Spark-only function) raises rather than
+    letting rows land unvalidated."""
+    if not cons:
+        return
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        if arrow_tbl is not None:
+            con.register("__batch", arrow_tbl)
+            src = "__batch"
+        else:
+            quoted = ", ".join(
+                "'" + p.replace("'", "''") + "'" for p in parquet_paths
+            )
+            src = f"read_parquet([{quoted}], union_by_name=true)"
+        bad = {}
+        for name in sorted(cons):
+            pred = cons[name]
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM {src} "
+                    f"WHERE NOT coalesce(({pred}), TRUE)"
+                ).fetchone()[0]
+            except ValueError:
+                raise
+            except Exception as exc:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({pred!r}) on {table} "
+                    "is not evaluable on the streaming-sink path "
+                    "(sink-side enforcement runs without a "
+                    f"SparkSession; keep predicates ANSI-SQL): {exc}"
+                ) from exc
+            if n:
+                bad[name] = int(n)
+        if bad:
+            raise ValueError(
+                f"CHECK constraint violation on {table}: "
+                + ", ".join(
+                    f"{n} ({cons[n]!r}) fails {c} row(s)"
+                    for n, c in sorted(bad.items())
+                )
+            )
+    finally:
+        con.close()
+
+
+def _split_value_pure(tbl, pcols: list[str]):
+    """Split one task's Arrow batch into VALUE-PURE sub-batches, one
+    per combination of the table's declared partition columns —
+    ``[(sub_table, {col: value-string | None}), ...]`` with values
+    rendered by :func:`txlog._pv_str`, the same format
+    ``_stage_partitioned`` records (Spark's CAST AS STRING), so
+    streamed and batch-appended files prune identically. The grouping
+    walk is a plain Python pass over the partition columns only — a
+    micro-batch task holds at most one partition's worth of rows in
+    memory already, so this is bounded by data the task owns."""
+    import pyarrow as pa
+
+    pdata = [tbl.column(c).to_pylist() for c in pcols]
+    groups: dict = {}
+    for i in range(tbl.num_rows):
+        key = tuple(txlog._pv_str(col[i]) for col in pdata)
+        groups.setdefault(key, []).append(i)
+    out = []
+    for key in sorted(
+        groups, key=lambda t: tuple((x is None, x or "") for x in t)
+    ):
+        part = tbl.take(pa.array(groups[key], type=pa.int64()))
+        out.append((part, dict(zip(pcols, key))))
+    return out
 
 
 @dataclass
 class TxLogWriteMessage(WriterCommitMessage):
-    """One staged file per write task (or None for an empty task):
-    the data-relative path plus its row count — kilobytes to the
-    driver, never rows."""
+    """The staged files of one write task (empty tuple for an empty
+    task): ``(data-relative path, partition-values-JSON-or-None)``
+    pairs plus the row count and the constraint map the task validated
+    against — kilobytes to the driver, never rows."""
 
-    rel: str | None
+    files: tuple  # ((rel, pv_json | None), ...)
     n_rows: int
+    cons: tuple = ()  # sorted (name, predicate) pairs enforced in write()
 
 
 class TxLogStreamWriter(DataSourceStreamWriter):
@@ -527,6 +690,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         self._arrow_schema = to_arrow_schema(schema)
 
     def write(self, iterator):  # runs on executors
+        import json as _json
         import os
         import uuid as _uuid
 
@@ -535,25 +699,81 @@ class TxLogStreamWriter(DataSourceStreamWriter):
 
         rows = list(iterator)
         if not rows:
-            return TxLogWriteMessage(rel=None, n_rows=0)
+            return TxLogWriteMessage(files=(), n_rows=0)
         names = self._arrow_schema.names
         cols = list(zip(*rows))
         tbl = pa.table(
             {n: list(c) for n, c in zip(names, cols)},
             schema=self._arrow_schema,
         )
-        rel = f"{txlog.DATA}/{_uuid.uuid4().hex[:12]}-w0.parquet"
+        # CHECK constraints enforce on EVERY write path (Delta's
+        # contract — tx_append, UPDATE post-images, MERGE sources, and
+        # this sink): each task validates its own rows in parallel,
+        # executor-side, before anything stages. The enforced map rides
+        # the commit message so the driver can detect a constraint
+        # commit racing the batch and revalidate (commit() below).
+        cons = txlog.table_constraints(self.table)
+        _check_constraints_duckdb(cons, arrow_tbl=tbl, table=self.table)
+        # declared partitioning: stage VALUE-PURE files with recorded
+        # partitionValues, exactly like batch _stage_partitioned — so
+        # prune_partition_files prunes streamed appends too, not just
+        # batch ones
+        pcols = txlog.table_partition_by(self.table)
+        if pcols and all(c in names for c in pcols):
+            parts = _split_value_pure(tbl, pcols)
+        else:
+            parts = [(tbl, None)]
         os.makedirs(os.path.join(self.table, txlog.DATA), exist_ok=True)
-        pq.write_table(tbl, os.path.join(self.table, rel))
-        return TxLogWriteMessage(rel=rel, n_rows=len(rows))
+        tag = _uuid.uuid4().hex[:12]
+        files = []
+        for i, (part, vals) in enumerate(parts):
+            rel = f"{txlog.DATA}/{tag}-w{i}.parquet"
+            pq.write_table(part, os.path.join(self.table, rel))
+            files.append(
+                (rel, None if vals is None else _json.dumps(vals))
+            )
+        return TxLogWriteMessage(
+            files=tuple(files),
+            n_rows=len(rows),
+            cons=tuple(sorted(cons.items())),
+        )
 
     def commit(self, messages, batchId):  # driver: one atomic publish
-        added = sorted(m.rel for m in messages if m and m.rel)
+        import json as _json
+        import os
+
+        msgs = [m for m in messages if m and m.files]
+        added = sorted(rel for m in msgs for rel, _ in m.files)
+        pv = {
+            rel: _json.loads(vals)
+            for m in msgs
+            for rel, vals in m.files
+            if vals is not None
+        }
         if txlog.txn_seen(self.table, self.app, batchId):
             return  # replay of a committed batch: staged files orphan
         meta = {"txn_app": self.app, "txn_batch": int(batchId)}
+        validated = {m.cons for m in msgs}
         for _ in range(16):
             parent = (txlog.log_versions(self.table) or [0])[-1]
+            if added:
+                # a constraint commit may have raced the batch (landed
+                # after the tasks validated, or mid-batch so tasks
+                # disagree): revalidate the staged rows against the
+                # FRESH map before publishing. Combined with commit()'s
+                # added-vs-constraints conflict class this closes the
+                # race both ways — no row ever lands unvalidated.
+                cons_now = txlog.table_constraints(self.table)
+                sig_now = tuple(sorted(cons_now.items()))
+                if validated != {sig_now}:
+                    _check_constraints_duckdb(
+                        cons_now,
+                        parquet_paths=[
+                            os.path.join(self.table, r) for r in added
+                        ],
+                        table=self.table,
+                    )
+                    validated = {sig_now}
             current = txlog._validate_append_schema(
                 self.table, self.schema, merge_schema=self.merge_schema
             )
@@ -563,7 +783,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             try:
                 txlog.commit(
                     self.table, "append", added, [], parent,
-                    schema_json=schema_json, meta=meta,
+                    schema_json=schema_json, meta=meta, pv=pv or None,
                 )
                 return
             except txlog.TxConflict:
@@ -576,9 +796,9 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         import os
 
         for m in messages:
-            if m and m.rel:
+            for rel, _ in (m.files if m else ()):
                 try:
-                    os.remove(os.path.join(self.table, m.rel))
+                    os.remove(os.path.join(self.table, rel))
                 except FileNotFoundError:
                     pass
 

@@ -1887,3 +1887,64 @@ def test_tx_history_describes_commits(spark, table):
     assert h[1].txn_app == "ing" and h[1].txn_batch == 0
     assert h[2].n_dv_rows == 1 and h[3].has_cdc
     assert h[1].commit_ts <= h[2].commit_ts <= h[3].commit_ts
+
+
+def test_partition_filter_bool_values_and_unknown_columns(spark, tmp_path):
+    """Filter values stringify via _pv_str, the exact format Spark's
+    CAST AS STRING recorded (str(True) is 'True' but Spark writes
+    'true' — the raw-str comparison silently pruned every recorded
+    file); unknown filter columns raise instead of matching nothing."""
+    t = str(tmp_path / "bt")
+    txlog.tx_append(
+        _df(spark, [(1, True), (2, False), (3, True)],
+            "k long, flag boolean"),
+        t,
+        partition_by=["flag"],
+    )
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(t, files, {"flag": True})
+    assert kept and all(
+        txlog.snapshot_pv(t)[f] == {"flag": "true"} for f in kept
+    )
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"flag": True}
+        ).collect()
+    }
+    assert got == {1, 3}
+    # a non-partition column would prune EVERY value-pure file (its
+    # values are never recorded) — wrong results, so it must raise
+    with pytest.raises(ValueError, match="not partition column"):
+        txlog.read_snapshot(spark, t, partition_filter={"k": 1})
+
+
+def test_pv_str_matches_spark_cast_rendering(spark, tmp_path):
+    """_pv_str must render dates/timestamps/bools byte-identically to
+    the CAST(col AS STRING) values _stage_partitioned records, or
+    recorded files get wrongly pruned."""
+    import datetime as dt
+
+    t = str(tmp_path / "dt")
+    rows = [
+        (1, dt.date(2024, 3, 7)),
+        (2, dt.date(2024, 3, 8)),
+    ]
+    txlog.tx_append(
+        _df(spark, rows, "k long, d date"), t, partition_by=["d"]
+    )
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"d": dt.date(2024, 3, 7)}
+        ).collect()
+    }
+    assert got == {1}
+    assert txlog._pv_str(True) == "true"
+    assert txlog._pv_str(dt.datetime(2024, 1, 2, 3, 4, 5)) == (
+        "2024-01-02 03:04:05"
+    )
+    assert txlog._pv_str(
+        dt.datetime(2024, 1, 2, 3, 4, 5, 500000)
+    ) == "2024-01-02 03:04:05.5"
+    assert txlog._pv_str(None) is None

@@ -502,3 +502,164 @@ def test_native_sink_merge_schema_option(spark, table, tmp_path):
            for r in txlog.read_snapshot(spark, table).collect()}
     assert got == {(1, "a", None), (2, "b", None), (3, "c", None),
                    (10, "n", 2.5)}
+
+
+def test_native_sink_enforces_check_constraints(spark, tmp_path):
+    """CHECK constraints enforce on EVERY write path, including the
+    native streaming sink (Delta's contract): a violating micro-batch
+    fails atomically — no commit lands, no rows become visible — and a
+    conforming batch still flows afterwards."""
+    register_txlog_source(spark)
+    out = str(tmp_path / "ct")
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), out
+    )
+    txlog.tx_set_constraint(spark, out, "k_pos", "k > 0")
+    head = txlog.log_versions(out)[-1]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(5, "ok"), (-3, "bad")], "k long, v string"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v string").parquet(src)
+        .writeStream.format("txlog").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        q.awaitTermination()
+    assert txlog.log_versions(out)[-1] == head  # nothing landed
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(1, "a")}
+    # a conforming batch (fresh source + checkpoint) commits normally
+    src2, ck2 = str(tmp_path / "src2"), str(tmp_path / "ck2")
+    spark.createDataFrame(
+        [(7, "ok")], "k long, v string"
+    ).write.parquet(src2)
+    q = (
+        spark.readStream.schema("k long, v string").parquet(src2)
+        .writeStream.format("txlog").option("path", out)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(1, "a"), (7, "ok")}
+
+
+def test_native_sink_revalidates_on_constraint_race(spark, tmp_path):
+    """The write tasks validate against the constraint map as of task
+    time; if a constraint commit lands BEFORE the driver's atomic
+    publish, commit() must notice the signature drift and revalidate
+    the staged rows against the fresh map — the exact interleaving the
+    r8 sink let through."""
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamWriter
+
+    out = str(tmp_path / "race")
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), out
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    w = TxLogStreamWriter({"path": out, "app": "race"}, schema)
+    # no constraint at task time: write-side validation passes
+    msg = w.write(iter([(5, "ok"), (-3, "bad")]))
+    head = txlog.log_versions(out)[-1]
+    txlog.tx_set_constraint(spark, out, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        w.commit([msg], 0)
+    # the staged rows never became visible
+    assert txlog.log_versions(out)[-1] == head + 1  # just the constraint
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(1, "a")}
+    # conforming staged rows pass the SAME recheck and publish
+    msg2 = w.write(iter([(6, "ok")]))
+    w.commit([msg2], 1)
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, out).collect()}
+    assert got == {(1, "a"), (6, "ok")}
+
+
+def test_native_sink_records_partition_values(spark, tmp_path):
+    """Streaming appends into a partitioned table stage VALUE-PURE
+    files with recorded partitionValues — metadata pruning covers
+    streamed files exactly like batch-appended ones (the r8 sink left
+    them unrecorded, silently degrading pruning on append-heavy
+    streamed tables)."""
+    register_txlog_source(spark)
+    out = str(tmp_path / "pt")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1, "NL"), (2, "BE")], "k long, country string"
+        ),
+        out,
+        partition_by=["country"],
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(3, "NL"), (4, "DE"), (5, "NL")], "k long, country string"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, country string").parquet(src)
+        .writeStream.format("txlog").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    _, files = txlog.snapshot_files(out)
+    pv = txlog.snapshot_pv(out)
+    assert all(f in pv for f in files)  # streamed files recorded too
+    kept = txlog.prune_partition_files(out, files, {"country": "NL"})
+    assert set(kept) < set(files)  # strictly prunes, no conservative reads
+    assert all(pv[f] == {"country": "NL"} for f in kept)
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, out, partition_filter={"country": "NL"}
+        ).collect()
+    }
+    assert got == {1, 3, 5}
+
+
+def test_batch_face_partition_filter_option(spark, tmp_path):
+    """format("txlog").option("partitionFilter", ...) — the format-API
+    twin of read_snapshot(partition_filter=...): value-pure files
+    prune at plan time (strictly fewer input partitions), unrecorded
+    files (sorted compaction drops partition values) get the exact
+    row-level backstop, and unknown columns raise instead of silently
+    pruning everything."""
+    register_txlog_source(spark)
+    out = str(tmp_path / "pf")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, ["NL", "BE", "DE"][i % 3]) for i in range(9)],
+            "k long, country string",
+        ),
+        out,
+        partition_by=["country"],
+    )
+    base = spark.read.format("txlog").option("path", out).load()
+    flt = (
+        spark.read.format("txlog").option("path", out)
+        .option("partitionFilter", '{"country": "NL"}').load()
+    )
+    assert flt.rdd.getNumPartitions() < base.rdd.getNumPartitions()
+    assert {r.k for r in flt.collect()} == {0, 3, 6}
+    # sorted compaction drops partition values -> the one compacted
+    # file is unrecorded; the option stays exact via the row backstop
+    txlog.tx_compact(spark, out, sort_by=["k"])
+    flt2 = (
+        spark.read.format("txlog").option("path", out)
+        .option("partitionFilter", '{"country": ["NL", "BE"]}').load()
+    )
+    assert {r.k for r in flt2.collect()} == {0, 1, 3, 4, 6, 7}
+    with pytest.raises(Exception, match="not partition column"):
+        (
+            spark.read.format("txlog").option("path", out)
+            .option("partitionFilter", '{"k": 1}').load().collect()
+        )
