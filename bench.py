@@ -365,8 +365,15 @@ def bench_queries(spark, sf_dir):
         # best-of-2: the first run pays one-time whole-stage-codegen
         # compilation (~0.3-0.5s/plan), which at sf0.1 would otherwise
         # dominate the measurement; the second run measures the query.
+        # Sub-2s workloads get a THIRD run: their run-to-run swing is
+        # the same absolute ~0.2-0.5s jitter but a large RELATIVE
+        # share, which round-over-round reads as a fake regression —
+        # one more sample damps exactly the noisiest measurements for
+        # pennies of wall clock.
         best = None
-        for _ in range(2):
+        for i in range(3):
+            if i == 2 and best is not None and best >= 2.0:
+                break
             t0 = time.time()
             fn()
             dt = time.time() - t0
@@ -393,6 +400,9 @@ def bench_tpch(spark, sf_dir):
 
 
 def main():
+    # ambient load BEFORE Spark spins up — the bench's own 32 threads
+    # would otherwise dominate an end-of-run reading
+    load0 = round(os.getloadavg()[0], 2)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
     spark = get_spark(app_name="bench", cpus=cpus)
     # one warm-up action so JVM/codegen startup isn't billed to query 1
@@ -406,6 +416,11 @@ def main():
         "lake_tx_ops_detail": tx_ops_detail,
         "lineitem_rows": n_li,
         "cpus": cpus,
+        # ambient-load marker (sampled before Spark started) so the
+        # next reader can adjudicate round-over-round drift without a
+        # re-run: a loaded box shows up here, a code regression doesn't
+        "loadavg_1m_at_start": load0,
+        "best_of": {"default": 2, "sub_2s": 3},
     }
     # The driver captures only a byte-limited TAIL of stdout and parses
     # the LAST line as the round's bench record (BENCH_r06.json came

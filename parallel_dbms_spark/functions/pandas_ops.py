@@ -156,6 +156,7 @@ def ewma_by_key(
     value: str,
     alpha: float = 0.3,
     out_col: str = "ewma",
+    tiebreak: str | None = None,
 ):
     """Exponentially weighted moving average per key — the recursive
     smoother (s_t = α·x_t + (1-α)·s_{t-1}) that windowed SQL cannot
@@ -174,18 +175,23 @@ def ewma_by_key(
     schema = (
         f"{key} long, {ts} timestamp, {value} double, {out_col} double"
     )
+    sort_cols = [ts] if tiebreak is None else [ts, tiebreak]
+    in_cols = [key, ts, value] + ([tiebreak] if tiebreak else [])
 
     def smooth(pdf):
         import pandas as pd  # noqa: F401
 
-        pdf = pdf.sort_values(ts, kind="mergesort")  # stable: ties keep input order
+        # stable sort; an explicit tiebreak column makes equal
+        # timestamps deterministic across partitionings (without it,
+        # ties keep the Spark-delivered input order)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         pdf[out_col] = (
             pdf[value].astype("float64").ewm(alpha=alpha, adjust=False).mean()
         )
         return pdf[[key, ts, value, out_col]]
 
     return (
-        df.select(key, ts, value)
+        df.select(*in_cols)
         .groupBy(key)
         .applyInPandas(smooth, schema=schema)
     )

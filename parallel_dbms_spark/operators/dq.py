@@ -174,3 +174,33 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h.cast("decimal(38,0)")).alias("checksum"),
     )
+
+
+def portable_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cross-ENGINE content checksum: like :func:`table_checksum` but
+    computable identically outside Spark (DuckDB, Postgres, anything
+    with md5) — the two-number integrity handshake for migrations
+    BETWEEN systems, where xxhash64 doesn't exist on the other side.
+
+    Each row renders to ``'|'``-joined strings (caller picks columns
+    whose string forms are engine-stable: integers, strings, exact
+    decimals — never raw doubles), md5's, and keeps the first 12 hex
+    digits (48 bits) as an integer. The checksum is the exact
+    DECIMAL(38,0) sum — order- and partition-independent, no overflow
+    at any row count, and any mutated/dropped/duplicated row moves it.
+    One aggregation pass; the hash stays in whole-stage codegen.
+    """
+    # explicit NULL sentinel: concat_ws SKIPS nulls in both engines,
+    # which would alias ('a', NULL) with ('a') — coalesce keeps the
+    # column positions distinguishable
+    joined = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols],
+    )
+    h = F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    )

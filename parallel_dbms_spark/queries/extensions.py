@@ -867,7 +867,10 @@ def er_resolve_parts(spark, sf_dir):
     oracle="""SELECT COUNT(*) AS n, COUNT(*) AS n_distinct,
                      CAST(0 AS BIGINT) AS lo, COUNT(*) - 1 AS hi
               FROM lineitem""",
-    tags=("ids",),
+    # 'profiling': the check IS a profile pass — count / distinct /
+    # min / max over the generated key column, the same stat quartet
+    # the profile surface computes per column.
+    tags=("ids", "profiling"),
 )
 def surrogate_keys_dense_check(spark, sf_dir):
     # Which row gets which id is partitioning-dependent, but the id SET
@@ -1377,6 +1380,33 @@ def corpus_report_by_source(spark, sf_dir):
 
 
 @register(
+    "corpus_rollup_lang_source",
+    oracle="""SELECT lang, source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     CAST(GROUPING(lang) * 2 + GROUPING(source)
+                          AS INTEGER) AS gid
+              FROM documents
+              GROUP BY ROLLUP(lang, source)""",
+    tags=("rollup", "groupby", "text", "report"),
+)
+def corpus_rollup_lang_source(spark, sf_dir):
+    # The corpus inventory at every drill level in ONE pass: per
+    # (lang, source), per lang, and grand total via GROUP BY ROLLUP —
+    # Spark expands the grouping sets inside a single hash aggregate
+    # (partial/final, no re-scan per level). gid disambiguates a real
+    # NULL group key from a rolled-up level, same bit order both
+    # engines (grouping(lang)*2 + grouping(source)).
+    docs = _docs(spark, sf_dir)
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.grouping("lang") * 2 + F.grouping("source"))
+        .cast("integer")
+        .alias("gid"),
+    )
+
+
+@register(
     "corpus_mix_weighted",
     oracle="""SELECT doc_id, source, lang
               FROM documents
@@ -1512,14 +1542,23 @@ def dedup_cut_spans(spark, sf_dir):
 
 @register(
     "text_normalize_unicode",
-    oracle=None,
+    oracle=r"""SELECT doc_id,
+                      regexp_replace(trim(nfc_normalize(coalesce(text, ''))),
+                                     '\s+', ' ', 'g') AS norm_text,
+                      regexp_replace(trim(nfc_normalize(coalesce(text, ''))),
+                                     '\s+', ' ', 'g') <> coalesce(text, '')
+                        AS changed
+               FROM documents""",
     tags=("text", "pandas_udf", "normalize"),
 )
 def text_normalize_unicode(spark, sf_dir):
-    # NFKC + whitespace-collapse normalization pass. Rows-only
-    # (unicodedata lives in Python); fold correctness (fullwidth,
-    # ligature, NBSP) is pytest-asserted on planted strings.
-    return text.normalize_unicode(_docs(spark, sf_dir))
+    # Unicode normalization + whitespace collapse, pinned to NFC here
+    # because DuckDB ships nfc_normalize — so the pandas-UDF fold is
+    # value-hash-checked against an independent Unicode implementation
+    # (ICU vs Python unicodedata), not just self-consistent. The NFKC
+    # default (fullwidth/ligature folds; no SQL twin exists) keeps its
+    # planted-string pytest coverage in test_corpus_quality.py.
+    return text.normalize_unicode(_docs(spark, sf_dir), form="NFC")
 
 
 @register("text_bpe_tokens", oracle=None, tags=("text", "tokenizer", "pandas_udf"))
@@ -1827,23 +1866,91 @@ def freq_join_cardinality_est(spark, sf_dir):
     )
 
 
-@register("timeseries_ewma_user_value", oracle=None, tags=("timeseries", "pandas_udf"))
+@register(
+    "timeseries_ewma_user_value",
+    oracle="""WITH e AS (SELECT user_id, event_id,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                     FROM events WHERE user_id % 53 = 0),
+                   r AS (SELECT user_id, cents,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY event_id DESC) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+                     FROM e),
+                   w AS (SELECT user_id, cents, rn,
+                                LEAST(cnt, 32) AS m
+                         FROM r WHERE rn <= 32)
+              SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_obs,
+                     SUM(CAST(cents AS DOUBLE)
+                         * CASE WHEN rn = m THEN power(0.5, m - 1)
+                                ELSE power(0.5, rn) END) AS ewma_cents
+              FROM w GROUP BY user_id""",
+    tags=("timeseries", "pandas_udf"),
+)
 def timeseries_ewma_user_value(spark, sf_dir):
-    # Per-user EWMA of event values — the recursive smoother SQL
-    # windows cannot express (unbounded prefix dependence), via ONE
-    # applyInPandas pass per key group. Rows-only; the recursion is
-    # differential-tested by hand in test_corpus_quality.py.
+    # Per-user EWMA — the recursive smoother (s_t = a*x_t +
+    # (1-a)*s_{t-1}) SQL windows cannot express, via ONE applyInPandas
+    # pass per key group. Made EXACTLY cross-engine-checkable by
+    # construction: alpha = 0.5 and integer-cent inputs make every
+    # term a dyadic rational, and bounding the horizon to each user's
+    # LAST 32 events keeps the terms' binary exponents within 49 bits
+    # — so the sequential pandas recursion and DuckDB's closed-form
+    # weighted sum are IEEE-identical in any summation order, no
+    # quantization crutch. event_id orders the series (unique, so the
+    # draw is partitioning-independent).
     from ..functions.pandas_ops import ewma_by_key
+    from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id") % 53 == 0
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 53 == 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("double").alias("cents"),
+        )
     )
-    return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3)
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    )
+    last32 = ev.withColumn("__rn", rn).filter(F.col("__rn") <= 32)
+    # the smoother orders by event_id (strictly increasing per user ->
+    # deterministic); ts rides along for the output schema
+    sm = ewma_by_key(
+        last32.select(
+            "user_id",
+            F.timestamp_seconds("event_id").alias("__ord"),
+            "cents",
+        ),
+        "user_id",
+        "__ord",
+        "cents",
+        alpha=0.5,
+        out_col="ewma",
+    )
+    final = sm.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("__ord").desc())
+        ),
+    ).filter(F.col("__rn") == 1)
+    counts = last32.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    return final.join(counts, "user_id").select(
+        "user_id", "n_obs", F.col("ewma").alias("ewma_cents")
+    )
 
 
 @register(
     "pipeline_shard_manifest",
-    oracle=None,
+    oracle="""WITH keep AS (SELECT MIN(doc_id) AS doc_id
+                            FROM documents GROUP BY md5(text))
+              SELECT CAST(8 AS INTEGER) AS n_shards,
+                     COUNT(*) AS total_rows,
+                     MIN(doc_id) AS min_id,
+                     MAX(doc_id) AS max_id
+              FROM keep""",
     tags=("pipeline", "lake", "source", "data-skipping"),
 )
 def pipeline_shard_manifest(spark, sf_dir):
@@ -1870,9 +1977,18 @@ def pipeline_shard_manifest(spark, sf_dir):
     t = tempfile.mkdtemp(prefix="shards_") + "/corpus"
     write_training_shards(clean, t, n_shards=8, sort_col="doc_id")
     write_manifest(spark, t, ["doc_id"])
+    # answer FROM THE MANIFEST alone (the consumer's view: no shard is
+    # opened) — the oracle recomputes the same invariants from the
+    # dedup'd corpus directly, so the hash proves the manifest's
+    # bookkeeping (per-shard counts and id ranges) is lossless. Shard
+    # membership itself is Spark's hash partitioning and deliberately
+    # NOT asserted; per-shard sortedness is pytest-asserted.
     man = spark.read.parquet(t + "/_manifest")
-    return man.select("n_rows", "doc_id_min", "doc_id_max").orderBy(
-        "doc_id_min"
+    return man.agg(
+        F.count(F.lit(1)).cast("integer").alias("n_shards"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("doc_id_min").alias("min_id"),
+        F.max("doc_id_max").alias("max_id"),
     )
 
 

@@ -39,105 +39,90 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-9 ROTATION CANDIDATES (registered in r8, oracle-verified green
-# locally at sf0.01 AND sf0.1, never driver-graded):
-# lake_tx_update_cdf_images, stream_tx_starting_timestamp,
-# lake_tx_partition_prune, lake_tx_clone_divergence,
-# split_group_aware_users, udaf_weighted_mean, udtf_sentences — plus
-# the ~44 older never-graded rows (text/corpus remainder, sampling,
-# window-analytics, graph, lake misc). Candidate keeper swaps if more
-# slots are needed: lake_tx_partition_prune carries data-skipping,
-# lake_tx_clone_divergence carries versioned/acid.
-#
-# ROUND-8 ROTATION: all 50 r7 rows were green, so the window re-solves
-# from scratch: 20 keepers = the minimal set cover of the families no
-# never-graded oracled row carries (only four pair up on one row:
-# filter+pushdown, theta+bnlj, ivm+rollup — outer+watermark moved to
-# incoming rows via accurate tags, and the new round-8
-# lake_tx_check_constraints carries dq), and 30 slots rotate to
-# never-graded rows. Tag repairs that shrank the keeper set (each
-# verified against the query's actual plan): tpch_q10 uses LIMIT 20
-# ('limit'), tpch_q13 is a LEFT OUTER join ('outer'),
-# pipeline_hybrid_retrieval's shortlist stage IS bm25_topk ('bm25'),
-# corpus_report_by_source is per-source data profiling ('profiling'),
-# stream_trending_event_types / stream_stream_join_attrib call
-# withWatermark ('watermark'), and window_analytics_full gained
-# ntile(4) on both engines ('ntile'). Rotated out (graded history in
-# CORRECTNESS_r0{2..7}.json): rfm_segments, top_n, profile_orders,
-# text_bm25_topk, asof_join_forward, stream_stream_left_outer,
-# sql_trycast_values_ilike, tpch_q2/q4/q11/q15/q16/q20 shapes, the
-# round-6 lake_tx op suite (skipping/zorder/restore/update/merge/
-# change-feed/delete-vectors), stream_tx_merge_upsert,
-# stream_tx_source_tail, stream_ohlc_hourly, stream_dedup_users,
-# stream_stateful_running_totals, stream_mv_event_rollup,
-# batch_session... (kept), embedding_cosine_neardup,
-# dedup_keep_canonical, agg_histogram_by_flag, profile-family rows.
-# New families pinned this round: metadata, retention
+# ROUND-9 ROTATION (applied): all 50 r8 rows graded green, so the
+# window re-solves again: 23 keepers = the exact-minimal set cover
+# (branch-and-bound, scripts/rotate_window.py history) of the families
+# no never-graded oracled row carries, and 27 slots rotate to
+# never-graded rows — every incoming row oracle-verified at sf0.01
+# AND sf0.1 before rotation. Tag repairs that shrank the keeper set
+# this round (each verified against the query's actual semantics):
+# union_by_name_drift IS a set operation ('setop'),
+# surrogate_keys_dense_check computes the count/distinct/min/max
+# profile quartet ('profiling'), mv_incremental_refresh's delta fold
+# IS incremental view maintenance ('ivm'), sql_lateral_alias is the
+# pure scan-filter-project shape ('scan'), and
+# revenue_share_by_nation gained ntile(4) quartiles on both engines
+# ('ntile'). New round-9 feature-proof rows carry the families that
+# freed their keepers: stream_tx_partitioned_sink (sink + partition +
+# constraints — the constrained partitioned native-sink loop),
+# lake_tx_partitioned_merge (merge — partition-aware rewrite),
+# corpus_rollup_lang_source (rollup), dq_table_checksum (dq —
+# converted from rows-only to an exact cross-engine md5 checksum).
+# Rotated out (graded history in CORRECTNESS_r0{2..8}.json):
+# scan_project, set_except, sql_recursive_balance_paydown (kept),
+# json_variant_agg, scd2_time_in_state, agg_two_stage... see git.
+# New families pinned this round: partition, constraints
 # (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 20 keepers: minimal set cover of the families no never-graded
-    # row carries (graded green in CORRECTNESS_r0{2..7}.json) ---
-    "scan_project",              # scan
-    "filter_pushdown_conj",      # filter + pushdown
-    "join_theta_only",           # theta + bnlj
-    "join_bloom_prefilter",      # bloom
-    "join_longest_prefix",       # range
-    "set_except",                # setop
+    # --- 23 keepers: exact-minimal set cover of the families no
+    # never-graded oracled row carries (all graded green r2-r8) ---
+    "agg_bitmap_distinct_weekly",     # distinct + sketch
+    "agg_two_stage_distinct",         # distinct + skew
+    "batch_session_window_native",    # session_window
+    "dedup_ngram_jaccard",            # jaccard
+    "er_resolve_parts",               # clustering + fuzzy
+    "event_transition_matrix",        # sessionize
+    "filter_pushdown_conj",           # filter + pushdown
+    "interval_overlap_sessions",      # range
+    "join_bloom_prefilter",           # bloom
+    "join_theta_only",                # bnlj + theta
+    "json_agg_by_type",               # functions + json
+    "lake_instant_distinct",          # metadata
+    "lake_tx_log_retention",          # retention
+    "multimodal_frame_sample",        # multimodal
+    "order_by_multikey",              # limit + sort
+    "pipeline_hybrid_retrieval",      # bm25 + similarity
+    "scd2_pit_enrich",                # asof + scd2
+    "search_phrase",                  # phrase
     "sql_recursive_balance_paydown",  # recursive
-    "json_variant_agg",          # json
-    "tpch_q22_shape",            # anti
-    "scd2_time_in_state",        # scd2
-    "event_transition_matrix",   # sessionize
-    "batch_session_window_native",  # session_window
-    "agg_two_stage_distinct",    # skew
-    "mv_txlog_ivm",              # ivm + rollup + mv
-    "dedup_prefix_jaccard",      # jaccard
-    "dedup_jw_fuzzy_parts",      # fuzzy
-    "text_tfidf_topk",           # tfidf
-    "search_phrase",             # phrase
-    "multimodal_frame_sample",   # multimodal
-    "vector_centroid_drift",     # vectors
-    # --- 30 first-time rows (never driver-graded; all locally
-    # oracle-verified at sf0.01 before rotation) ---
-    # the seven round-7 transactional-lake / tx-stream ops
-    "lake_tx_instant_distinct",
-    "lake_tx_instant_agg",
-    "lake_tx_sorted_export",
-    "lake_tx_log_retention",
-    "lake_tx_optimize_small_files",
-    "stream_tx_native_sink",
-    "stream_tx_change_feed",
-    # TPC-H remainder (q10 carries limit, q13 carries outer)
-    "tpch_q7_shape",
-    "tpch_q8_shape",
-    "tpch_q9_shape",
-    "tpch_q10_shape",
-    "tpch_q13_shape",
-    # streaming remainder (trending + attrib carry watermark)
-    "stream_sliding_2h",
-    "stream_static_enrich",
-    "stream_stream_join_attrib",
-    "stream_trending_event_types",
-    "stream_histogram_value",
-    # CDC merge, window analytics (ntile), as-of tolerance, LOCF
-    "merge_upsert_orders",
-    "window_analytics_full",
-    "asof_join_tolerance",
-    "window_locf_fill",
-    # text / corpus / retrieval (hybrid carries bm25, report carries
-    # profiling)
-    "text_heavy_hitters",
-    "text_scrub_pii",
-    "text_token_topk",
-    "pipeline_hybrid_retrieval",
-    "corpus_report_by_source",
-    # SQL depth, functions, dedup clustering
-    "sql_lateral_topk",
-    "regex_functions",
-    "dedup_clusters_star",
-    # round-8 feature proof: CHECK constraints (sole dq carrier — a
-    # 30th first-time row, replacing the graded stream_dq_report)
-    "lake_tx_check_constraints",
+    "stream_stream_left_outer",       # outer + watermark
+    "text_tfidf_topk",                # tfidf
+    "tpch_q22_shape",                 # anti + subquery + tpch
+    "vector_centroid_drift",          # vectors
+    # --- 27 first-time rows (never driver-graded; all locally
+    # oracle-verified at sf0.01 and sf0.1 before rotation) ---
+    # round-9 feature proofs + conversions (family carriers)
+    "stream_tx_partitioned_sink",     # sink + partition + constraints
+    "lake_tx_partitioned_merge",      # merge + partition
+    "corpus_rollup_lang_source",      # rollup
+    "dq_table_checksum",              # dq (rows-only -> oracled)
+    "mv_incremental_refresh",         # mv + ivm
+    "revenue_share_by_nation",        # window + ntile
+    "sql_lateral_alias",              # sql + scan + projection
+    "union_by_name_drift",            # setop
+    "surrogate_keys_dense_check",     # profiling
+    # the seven round-8 additions (judge-verified green in VERDICT r8)
+    "lake_tx_update_cdf_images",
+    "stream_tx_starting_timestamp",
+    "lake_tx_partition_prune",
+    "lake_tx_clone_divergence",
+    "split_group_aware_users",
+    "udaf_weighted_mean",
+    "udtf_sentences",
+    # text / corpus / sampling remainder (judge-verified r8)
+    "text_unigram_surprisal",
+    "text_bigram_surprisal",
+    "text_lang_distribution",
+    "text_repetition_stats",
+    "corpus_mix_weighted",
+    # aggregate / cleaning tail (histogram + null carriers)
+    "agg_histogram",
+    "impute_group_mean",
+    # graph + search pairs (judge-verified r8)
+    "graph_bfs_hops",
+    "graph_triangles_cooccurrence",
+    "search_and_terms",
+    "search_served_postings",
 )
 
 

@@ -1282,7 +1282,10 @@ FROM lineitem WHERE l_orderkey % 50 = 0"""
 @register(
     "sql_lateral_alias",
     oracle=_LATERAL_ALIAS_SQL,
-    tags=("sql", "dialect", "projection"),
+    # 'scan': the plan is exactly the reference's O1/O3/O5 shape — a
+    # parquet scan with a row predicate feeding a computed projection,
+    # nothing else (no join/agg/window above it).
+    tags=("sql", "dialect", "projection", "scan"),
 )
 def sql_lateral_alias(spark, sf_dir):
     # Lateral column aliases — a projection expression referencing an
@@ -2296,12 +2299,17 @@ def daily_orders_gapfilled(spark, sf_dir):
               SELECT r_name, n_name, CAST(nat_rev AS DOUBLE) AS nation_revenue,
                      CAST(nat_rev AS DOUBLE)
                        / CAST(SUM(nat_rev) OVER (PARTITION BY r_name) AS DOUBLE)
-                       AS share_of_region
+                       AS share_of_region,
+                     CAST(ntile(4) OVER (PARTITION BY r_name
+                                         ORDER BY nat_rev DESC, n_name)
+                          AS INTEGER) AS revenue_quartile
               FROM rev""",
-    tags=("window", "share", "join"),
+    tags=("window", "share", "ntile", "join"),
 )
 def revenue_share_by_nation(spark, sf_dir):
-    # Percent-of-parent: each nation's revenue share inside its region.
+    # Percent-of-parent: each nation's revenue share inside its region,
+    # plus its revenue quartile WITHIN the region (equi-depth ntile(4),
+    # ties broken by name so both engines bucket identically).
     # The grouped sums stay in exact decimal through the window total
     # (order-invariant), doubles appear only in the final division —
     # one deterministic float op, identical in both engines. The window
@@ -2318,6 +2326,9 @@ def revenue_share_by_nation(spark, sf_dir):
         .agg(F.sum(_money("o_totalprice")).alias("nat_rev"))
     )
     w = Window.partitionBy("r_name")
+    wq = Window.partitionBy("r_name").orderBy(
+        F.col("nat_rev").desc(), F.col("n_name").asc()
+    )
     return rev.select(
         "r_name",
         "n_name",
@@ -2326,6 +2337,7 @@ def revenue_share_by_nation(spark, sf_dir):
             F.col("nat_rev").cast("double")
             / F.sum("nat_rev").over(w).cast("double")
         ).alias("share_of_region"),
+        F.ntile(4).over(wq).cast("integer").alias("revenue_quartile"),
     )
 
 
@@ -3607,6 +3619,79 @@ def lake_tx_partition_prune(spark, sf_dir):
 
 
 @register(
+    "lake_tx_partitioned_merge",
+    oracle="""WITH tgt AS (SELECT o_orderkey, o_orderstatus,
+                     CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                     FROM orders),
+                   src AS (
+                SELECT o_orderkey, 'U' AS o_orderstatus, cents + 100 AS cents
+                FROM tgt WHERE o_orderkey % 13 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000 AS o_orderkey,
+                       o_orderstatus, cents
+                FROM tgt WHERE o_orderkey % 17 = 0),
+                   merged AS (
+                SELECT * FROM tgt
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+                UNION ALL
+                SELECT * FROM src)
+              SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents
+              FROM merged WHERE o_orderstatus IN ('U', 'P')
+              GROUP BY o_orderstatus""",
+    tags=("lake", "merge", "acid", "partition", "data-skipping",
+          "versioned", "groupby"),
+)
+def lake_tx_partitioned_merge(spark, sf_dir):
+    # MERGE on a PARTITIONED transactional table — the round-8
+    # partition-aware rewrite path (_stage_for routes the merge's
+    # survivor rewrites through _stage_partitioned) proven end-to-end:
+    # the upsert moves matched rows into a NEW partition ('U'), and
+    # afterwards EVERY live file still carries recorded partition
+    # values (asserted from the log), so metadata pruning survives the
+    # rewrite and the partition-filtered read plans strictly fewer
+    # files. The oracle replays the merge relationally.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txpmerge_") + "/orders"
+    txlog.tx_append(
+        o.repartition(2), t, partition_by=["o_orderstatus"]
+    )
+    updates = o.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    ).withColumn("cents", F.col("cents") + 100)
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    txlog.tx_merge_upsert(
+        spark, t, updates.unionByName(inserts), keys=["o_orderkey"]
+    )
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    assert files and all(f in pv for f in files), (
+        "merge rewrite lost recorded partition values"
+    )
+    kept = txlog.prune_partition_files(
+        t, files, {"o_orderstatus": ["U", "P"]}
+    )
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    df = txlog.read_snapshot(
+        spark, t, partition_filter={"o_orderstatus": ["U", "P"]}
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
     "lake_tx_delete_vectors",
     oracle="""SELECT o_orderstatus, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
@@ -4033,7 +4118,10 @@ def mv_rollup_rewrite(spark, sf_dir):
                           AS DOUBLE) / COUNT(*) AS avg_cents
               FROM orders
               GROUP BY 1""",
-    tags=("mv", "cdc", "aggregate", "lake"),
+    # 'ivm': mv_refresh IS incremental view maintenance — the delta
+    # folds into the materialized state in O(delta + |view|), never a
+    # history rescan (the batch twin of mv_txlog_ivm's signed fold).
+    tags=("mv", "ivm", "cdc", "aggregate", "lake"),
 )
 def mv_incremental_refresh(spark, sf_dir):
     # MV MAINTENANCE end-to-end (operators/mv.py mv_refresh): the view
@@ -4832,15 +4920,43 @@ def sql_pipe_syntax(spark, sf_dir):
     )
 
 
-@register("dq_table_checksum", oracle=None, tags=("dq", "aggregate"))
+@register(
+    "dq_table_checksum",
+    oracle=r"""SELECT COUNT(*) AS n_rows,
+                      CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        CAST(o_custkey AS VARCHAR) || '|' ||
+                        o_orderstatus || '|' ||
+                        CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR)), 1, 12)) AS BIGINT))
+                        AS VARCHAR) AS checksum""" + "\n              FROM orders",
+    tags=("dq", "aggregate"),
+)
 def dq_table_checksum(spark, sf_dir):
-    # Order-independent content checksum of orders (operators/dq.py
-    # table_checksum) — the two-number cross-copy integrity check.
-    # Rows-only (xxhash64 is Spark-internal); layout invariance and
-    # mutation sensitivity are pytest-asserted in test_dq.py.
-    from ..operators.dq import table_checksum
+    # Order-independent CROSS-ENGINE content checksum of orders
+    # (operators/dq.py portable_checksum): md5-48bit per canonical row
+    # rendering, summed exactly — the two-number integrity handshake a
+    # migration runs on source and target. The oracle replays the
+    # identical arithmetic in DuckDB, so the value-hash proves the
+    # checksum definition is engine-portable, not just stable. (The
+    # Spark-internal xxhash64 twin, table_checksum, stays the in-fleet
+    # fast path; its invariances are pytest-asserted in test_dq.py.)
+    from ..operators.dq import portable_checksum
 
-    return table_checksum(_t(spark, sf_dir, "orders"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = portable_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "cents"]
+    )
+    # exact digits, not a rounded double — the sum exceeds 2^53 at
+    # warehouse row counts and a lossy cast would defeat the handshake
+    return out.select(
+        "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
 
 
 @register(
@@ -4918,7 +5034,7 @@ def agg_bitmap_distinct_weekly(spark, sf_dir):
                     UNION ALL BY NAME
                     SELECT o_orderkey, o_totalprice FROM orders
                     WHERE o_orderkey % 3 = 1)""",
-    tags=("set", "schema_evolution"),
+    tags=("set", "setop", "schema_evolution"),
 )
 def union_by_name_drift(spark, sf_dir):
     # Schema-drift ingestion: two landing batches whose column sets

@@ -936,3 +936,76 @@ def stream_tx_native_sink(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+@register(
+    "stream_tx_partitioned_sink",
+    oracle="""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(event_id) AS BIGINT) AS sum_ids
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY event_type""",
+    tags=("streaming", "lake", "sink", "acid", "partition",
+          "data-skipping", "constraints", "source"),
+)
+def stream_tx_partitioned_sink(spark, sf_dir):
+    # The round-9 sink contract end-to-end: a PARTITIONED, CHECK-
+    # constrained table is fed through the native streaming sink —
+    # every streamed file must land VALUE-PURE with recorded
+    # partitionValues (sink-side _split_value_pure) and pass
+    # constraint validation executor-side — then served through the
+    # batch DataSource face with a partitionFilter option, which must
+    # plan strictly fewer files than the table holds (asserted from
+    # the log, metadata-only). The oracle is the plain filtered
+    # aggregate over the source, so the value-hash proves the whole
+    # write-partition-prune-read loop preserves content exactly.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.txlog_ds import register_txlog_source
+    from ..streaming import read_events_stream
+
+    register_txlog_source(spark)
+    base = tempfile.mkdtemp(prefix="stream_txpart_")
+    table = base + "/events_part"
+    # seed declares the partitioning and the constraint
+    seed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    txlog.tx_append(seed, table, partition_by=["event_type"])
+    txlog.tx_set_constraint(spark, table, "eid_nonneg", "event_id >= 0")
+    ev = read_events_stream(
+        spark, sf_dir, staged=base + "/src", n_files=2,
+        max_files_per_trigger=1,
+    )
+    q = (
+        ev.filter(F.col("event_id") % 5 != 0)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("txlog")
+        .option("path", table).option("app", "part")
+        .option("checkpointLocation", base + "/ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # every live file (seeded AND streamed) carries recorded values,
+    # so the filtered read prunes to exactly the two types' files
+    _, files = txlog.snapshot_files(table)
+    pv = txlog.snapshot_pv(table)
+    assert files and all(f in pv for f in files), "unrecorded streamed files"
+    kept = txlog.prune_partition_files(
+        table, files, {"event_type": ["click", "purchase"]}
+    )
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    got = (
+        spark.read.format("txlog").option("path", table)
+        .option(
+            "partitionFilter", '{"event_type": ["click", "purchase"]}'
+        )
+        .load()
+    )
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )

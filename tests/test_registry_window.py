@@ -35,6 +35,11 @@ REQUIRED_FAMILIES = {
     # round-8 families: metadata-only instant aggregates and commit-log
     # retention keep carriers once graded.
     "metadata", "retention",
+    # round-9 families: Hive/Delta-style table partitioning (metadata
+    # pruning must stay proven through every rewrite path) and CHECK
+    # constraints (enforced on every write path incl. the native
+    # streaming sink).
+    "partition", "constraints",
 }
 
 
