@@ -161,6 +161,53 @@ class TxLogInputPartition(InputPartition):
     rel: str
     fields: tuple
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
+    row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
+
+
+def _parse_partition_filter(options, table: str):
+    """Parse `.option("partitionFilter", '{"col": value-or-list}')`
+    into (filter-dict | None, row-filter tuple). Keys are validated
+    against the table's declared partition columns up front — a
+    non-partition column can never match a recorded value map and
+    would silently drop every value-pure file."""
+    import json as _json
+
+    raw = options.get("partitionfilter")
+    if not raw:
+        return None, ()
+    pf = _json.loads(raw)
+    if not isinstance(pf, dict):
+        raise ValueError(
+            "partitionFilter must be a JSON object {column: value-or-list}"
+        )
+    declared = set(txlog.table_partition_by(table))
+    unknown = sorted(set(pf) - declared)
+    if unknown:
+        raise ValueError(
+            f"partitionFilter column(s) {unknown} are not partition "
+            f"columns of {table} (declared: {sorted(declared) or 'none'})"
+        )
+    row_filter = tuple(
+        (
+            c,
+            tuple(
+                txlog._pv_str(x)
+                for x in (v if isinstance(v, (list, tuple)) else [v])
+            ),
+        )
+        for c, v in sorted(pf.items())
+    )
+    return pf, row_filter
+
+
+def _pv_matches(vals: dict | None, row_filter: tuple) -> bool | None:
+    """Metadata verdict for one file's recorded partition values:
+    True = provably all-matching (serve with no row work), False =
+    provably disjoint (skip the file entirely), None = unrecorded
+    (must read with the row-level backstop)."""
+    if vals is None:
+        return None
+    return all(c in vals and vals[c] in set(w) for c, w in row_filter)
 
 
 def _read_one_file(
@@ -349,6 +396,13 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.starting_version = _resolve_starting_version(
             options, self.table
         )
+        # partition pruning PER MICRO-BATCH: a consumer tailing one
+        # partition of a partitioned table skips the other partitions'
+        # value-pure files from commit metadata alone — never opened,
+        # never shipped to an executor
+        self.pfilter, self.row_filter = _parse_partition_filter(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -363,16 +417,35 @@ class TxLogStreamReader(DataSourceStreamReader):
         return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
+        lo, hi = int(start["v"]), int(end["v"])
         rels = _plan_rels(
-            self.table, int(start["v"]), int(end["v"]),
-            self.ignore_changes, self.ignore_deletes,
+            self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
         )
-        return [
-            TxLogInputPartition(
-                self.table, rel, self.fields, self._arrow_schema
+        if not self.pfilter:
+            return [
+                TxLogInputPartition(
+                    self.table, rel, self.fields, self._arrow_schema
+                )
+                for rel in rels
+            ]
+        # the replayed commits' own pv records (not snapshot_pv: the
+        # stream replays commit contents even for files later removed)
+        pv: dict = {}
+        for v in txlog.log_versions(self.table):
+            if lo < v <= hi:
+                pv.update(txlog.read_commit(self.table, v).get("pv", {}))
+        out = []
+        for rel in rels:
+            verdict = _pv_matches(pv.get(rel), self.row_filter)
+            if verdict is False:
+                continue  # provably disjoint: skipped from metadata
+            out.append(
+                TxLogInputPartition(
+                    self.table, rel, self.fields, self._arrow_schema,
+                    () if verdict else self.row_filter,
+                )
             )
-            for rel in rels
-        ]
+        return out
 
     def read(self, partition):  # runs in an executor Python worker
         return _read_one_file(
@@ -380,6 +453,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             partition.rel,
             partition.fields,
             partition.arrow_schema,
+            row_filter=partition.row_filter,
         )
 
     def commit(self, end):
@@ -484,22 +558,13 @@ class TxLogReader(DataSourceReader):
     streaming."""
 
     def __init__(self, options, schema: T.StructType):
-        import json as _json
-
         self.table = options.get("path")
         self.fields = tuple(f.name for f in schema.fields)
-        raw = options.get("partitionfilter")
-        self.pfilter = None
-        if raw:
-            # `.option("partitionFilter", '{"country": "NL"}')` — the
-            # format-API twin of read_snapshot(partition_filter=...):
-            # a JSON object {col: value-or-list}
-            self.pfilter = _json.loads(raw)
-            if not isinstance(self.pfilter, dict):
-                raise ValueError(
-                    "partitionFilter must be a JSON object "
-                    "{column: value-or-list}"
-                )
+        # `.option("partitionFilter", '{"country": "NL"}')` — the
+        # format-API twin of read_snapshot(partition_filter=...)
+        self.pfilter, self.row_filter = _parse_partition_filter(
+            options, self.table
+        )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -518,20 +583,8 @@ class TxLogReader(DataSourceReader):
             files = txlog.prune_partition_files(
                 self.table, files, self.pfilter
             )
-            pv = txlog.snapshot_pv(self.table)
-            pure = {f for f in files if f in pv}
-            row_filter = tuple(
-                (
-                    c,
-                    tuple(
-                        txlog._pv_str(x)
-                        for x in (
-                            v if isinstance(v, (list, tuple)) else [v]
-                        )
-                    ),
-                )
-                for c, v in sorted(self.pfilter.items())
-            )
+            pure = {f for f in files if f in txlog.snapshot_pv(self.table)}
+            row_filter = self.row_filter
         return [
             TxLogBatchPartition(
                 self.table,
@@ -684,6 +737,11 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         self.merge_schema = (
             str(options.get("mergeschema", "false")).lower() == "true"
         )
+        # `.option("statsCols", "a,b")` — per-file min/max riding each
+        # micro-batch commit, the same opt-in as tx_append(stats_cols=),
+        # so tx_read_skipping serves streamed tables too
+        raw_stats = options.get("statscols", "")
+        self.stats_cols = [c.strip() for c in raw_stats.split(",") if c.strip()]
         self.schema = schema
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -754,6 +812,13 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             return  # replay of a committed batch: staged files orphan
         meta = {"txn_app": self.app, "txn_batch": int(batchId)}
         validated = {m.cons for m in msgs}
+        # footer min/max once per batch (snapshot-independent): one
+        # footer read per staged file, the add-file stats pattern
+        stats = (
+            txlog.collect_file_stats(self.table, added, self.stats_cols)
+            if self.stats_cols and added
+            else None
+        )
         for _ in range(16):
             parent = (txlog.log_versions(self.table) or [0])[-1]
             if added:
@@ -784,6 +849,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                 txlog.commit(
                     self.table, "append", added, [], parent,
                     schema_json=schema_json, meta=meta, pv=pv or None,
+                    stats=stats,
                 )
                 return
             except txlog.TxConflict:

@@ -127,7 +127,7 @@ def test_stream_partitions_one_per_file_no_driver_transit(spark, table):
     # partition value is metadata-sized: paths, field names, and the
     # expected Arrow schema (kilobytes) — never row data
     assert {f for p in parts for f in vars(p)} == {
-        "table", "rel", "fields", "arrow_schema",
+        "table", "rel", "fields", "arrow_schema", "row_filter",
     }
     # the executor-side read of all partitions reconstructs the batch
     # (Arrow RecordBatches on the fast path — normalize to tuples)
@@ -662,4 +662,88 @@ def test_batch_face_partition_filter_option(spark, tmp_path):
         (
             spark.read.format("txlog").option("path", out)
             .option("partitionFilter", '{"k": 1}').load().collect()
+        )
+
+
+def test_native_sink_records_file_stats_for_skipping(spark, tmp_path):
+    """statsCols on the native sink: per-file min/max ride each
+    micro-batch commit (footer reads on the committing driver, the
+    add-file stats pattern), so tx_read_skipping prunes streamed
+    files exactly like batch-appended ones."""
+    register_txlog_source(spark)
+    out = str(tmp_path / "st")
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, "a") for i in range(100)], "k long, v string"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("k long, v string").parquet(src)
+        .writeStream.format("txlog").option("path", out)
+        .option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    stats = txlog.snapshot_stats(out)
+    _, files = txlog.snapshot_files(out)
+    assert files and all(
+        "k" in stats.get(f, {}).get("c", {}) for f in files
+    ), stats
+    # skipping answers from the recorded ranges: a probe outside every
+    # file's [min,max] opens zero files
+    df, n_read, n_total = txlog.tx_read_skipping(
+        spark, out, "k", lo=10_000, hi=20_000
+    )
+    assert n_total >= 1 and n_read == 0
+    df2, n_read2, _ = txlog.tx_read_skipping(spark, out, "k", lo=0, hi=5)
+    assert n_read2 >= 1
+    assert df2.filter("k <= 5").count() == 6
+
+
+def test_stream_source_partition_filter_prunes_micro_batches(
+    spark, tmp_path
+):
+    """partitionFilter on the STREAMING source: each micro-batch plans
+    only the commits' files whose recorded partition values match —
+    provably-disjoint value-pure files are skipped from commit
+    metadata (never opened), matching files serve with zero row work,
+    and the planned-partition count proves the skip."""
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamReader
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "pt")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(mk([(1, "a"), (2, "b")]), t, partition_by=["c"])
+    txlog.tx_append(mk([(3, "a"), (4, "b"), (5, "c")]), t)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("partitionFilter", '{"c": ["a", "c"]}')
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.k, r.c) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (3, "a"), (5, "c")}
+    # plan-level proof: the filtered reader plans strictly fewer
+    # file-splits than the unfiltered one over the same offset range
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("c", T.StringType())]
+    )
+    head = txlog.log_versions(t)[-1]
+    plain = TxLogStreamReader({"path": t}, schema)
+    filt = TxLogStreamReader(
+        {"path": t, "partitionfilter": '{"c": "a"}'}, schema
+    )
+    n_plain = len(plain.partitions({"v": 0}, {"v": head}))
+    n_filt = len(filt.partitions({"v": 0}, {"v": head}))
+    assert 0 < n_filt < n_plain, (n_filt, n_plain)
+    # unknown columns raise up front, mirroring the batch face
+    with pytest.raises(ValueError, match="not partition column"):
+        TxLogStreamReader(
+            {"path": t, "partitionfilter": '{"k": 1}'}, schema
         )
