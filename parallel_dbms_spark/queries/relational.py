@@ -4727,15 +4727,35 @@ def spatial_radius_pairs(spark, sf_dir):
 
 @register(
     "spatial_geo_radius",
-    oracle=None,  # haversine trig is libm-specific; differential pytest instead
+    oracle="""WITH p AS (SELECT event_id AS id,
+                     CAST(event_id * 40503 % 170000 AS DOUBLE) / 1000.0
+                       - 85.0 AS lat,
+                     CAST(event_id * 2654435761 % 360000 AS DOUBLE) / 1000.0
+                       - 180.0 AS lon
+                     FROM events WHERE event_id % 53 = 0),
+                   j AS (SELECT a.id AS id_a, b.id AS id_b,
+                     2.0 * 6371.0088 * asin(sqrt(least(
+                       sin(radians(b.lat - a.lat) / 2)
+                         * sin(radians(b.lat - a.lat) / 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * sin(radians(b.lon - a.lon) / 2)
+                         * sin(radians(b.lon - a.lon) / 2), 1.0))) AS d
+                     FROM p a JOIN p b ON a.id < b.id)
+              SELECT id_a, id_b,
+                     CAST(ROUND(d * 1000) AS BIGINT) AS dist_m
+              FROM j WHERE d <= 300.0""",
     tags=("spatial", "range", "join", "geo"),
 )
 def spatial_geo_radius(spark, sf_dir):
     # Geodesic (lat/lon) radius self-join on a 3-D unit-sphere grid —
     # pole- and date-line-safe (operators/range_join.geo_radius_pairs).
-    # Rows-only: asin/cos are libm-specific across engines; the
-    # differential vs naive haversine (incl. +-180 and near-pole
-    # planted pairs) is tests/test_asof.py.
+    # The grid prunes candidate pairs; the oracle is the naive O(n^2)
+    # haversine join (fine at oracle scale), so the hash proves the
+    # grid drops NO qualifying pair. Distances quantize to integer
+    # meters for the compare — JVM and libm trig agree far beyond
+    # millimeter precision on these fixed fixtures; the raw-double
+    # twin stays differential-tested vs naive haversine in
+    # tests/test_asof.py (incl. +-180 and near-pole planted pairs).
     from ..operators import geo_radius_pairs
 
     pts = (
@@ -4747,7 +4767,12 @@ def spatial_geo_radius(spark, sf_dir):
             ((F.col("event_id") * 2654435761 % 360000).cast("double") / 1000.0 - 180.0).alias("lon"),
         )
     )
-    return geo_radius_pairs(pts, radius_km=300.0)
+    pairs = geo_radius_pairs(pts, radius_km=300.0)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("dist_km") * 1000).cast("long").alias("dist_m"),
+    )
 
 
 # Fixture geofence: convex pentagon, vertices CCW (convexity + winding
