@@ -40,9 +40,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_registry_window.py asserts the window's family coverage.
 #
 # ROUND-9 ROTATION (applied): all 50 r8 rows graded green, so the
-# window re-solves again: 23 keepers = the exact-minimal set cover
+# window re-solves again: 22 keepers = the exact-minimal set cover
 # (branch-and-bound, scripts/rotate_window.py history) of the families
-# no never-graded oracled row carries, and 27 slots rotate to
+# no never-graded oracled row carries, and 28 slots rotate to
 # never-graded rows — every incoming row oracle-verified at sf0.01
 # AND sf0.1 before rotation. Tag repairs that shrank the keeper set
 # this round (each verified against the query's actual semantics):
@@ -64,7 +64,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # New families pinned this round: partition, constraints
 # (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 23 keepers: exact-minimal set cover of the families no
+    # --- 22 keepers: exact-minimal set cover of the families no
     # never-graded oracled row carries (all graded green r2-r8) ---
     "agg_bitmap_distinct_weekly",     # distinct + sketch
     "agg_two_stage_distinct",         # distinct + skew
@@ -73,7 +73,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "er_resolve_parts",               # clustering + fuzzy
     "event_transition_matrix",        # sessionize
     "filter_pushdown_conj",           # filter + pushdown
-    "interval_overlap_sessions",      # range
     "join_bloom_prefilter",           # bloom
     "join_theta_only",                # bnlj + theta
     "json_agg_by_type",               # functions + json
@@ -118,6 +117,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # aggregate / cleaning tail (histogram + null carriers)
     "agg_histogram",
     "impute_group_mean",
+    # range-join carrier freed by this round's conversion: the geodesic
+    # radius join is itself never-graded now that it is oracled
+    "spatial_geo_radius",
     # graph + search pairs (judge-verified r8)
     "graph_bfs_hops",
     "graph_triangles_cooccurrence",

@@ -1,4 +1,4 @@
-"""Driver-window rotation advisor.
+"""Driver-window rotation solver.
 
 The driver grades exactly the first 50 exported registry entries, so
 each round we convert judge/pytest-only proof into graded proof by
@@ -6,15 +6,18 @@ swapping rows that are already green in prior rounds for oracled
 queries the driver has never seen — WITHOUT dropping any operator
 family from the window (tests/test_registry_window.py's invariant).
 
-Usage:
-    python scripts/rotate_window.py            # report + suggestion
-    python scripts/rotate_window.py --max 15   # cap the swap size
+This solves the rotation as an EXACT minimum set cover (round 9
+upgraded it from the old greedy advisor): the keepers are the
+provably-smallest set of ever-graded rows covering the families no
+never-graded oracled row carries; every remaining slot rotates to a
+never-graded row. When the optimum still keeps too many slots, the
+printed "sole-carrier families" list is the tag-repair worklist —
+each family a never-graded row can HONESTLY gain (verified against
+the query's actual semantics, see registry.py's round-8/9 notes)
+frees one keeper slot.
 
-Reads every CORRECTNESS_r*.json in the repo root. A window row is a
-rotation candidate once it has hash-matched in >= 1 prior round; a
-row whose family tag no OTHER window row (current or incoming)
-carries is pinned. Suggested swap-ins are oracled, never-graded
-queries ordered to maximize new family tags per slot.
+Usage:
+    python scripts/rotate_window.py            # report + optimal split
 """
 
 from __future__ import annotations
@@ -41,73 +44,103 @@ def graded_history() -> dict[str, list[str]]:
     return hist
 
 
+def minimum_cover(rows: dict[str, frozenset], need: frozenset) -> list[str]:
+    """Exact minimum set cover by branch-and-bound DFS: branch on the
+    least-covered uncovered family (smallest fan-out first), bound by
+    greedy-seeded best and ceil(|uncovered| / max-gain). The universe
+    is ~40 families and rows cover <= 4 each after dominance pruning,
+    so this closes in well under a second."""
+    # drop dominated rows (strictly-contained coverage never helps)
+    names = list(rows)
+    keep = [
+        n
+        for n in names
+        if not any(
+            rows[m] > rows[n] or (rows[m] == rows[n] and m < n)
+            for m in names
+            if m != n
+        )
+    ]
+    rows = {n: rows[n] for n in keep}
+    fam_rows = {f: [n for n, c in rows.items() if f in c] for f in need}
+
+    uncov, greedy = set(need), []
+    while uncov:
+        b = max(rows, key=lambda n: len(rows[n] & uncov))
+        greedy.append(b)
+        uncov -= rows[b]
+    best = [greedy, len(greedy)]
+
+    def dfs(uncov: frozenset, chosen: list[str]) -> None:
+        if len(chosen) >= best[1]:
+            return
+        if not uncov:
+            best[0], best[1] = list(chosen), len(chosen)
+            return
+        mx = max(len(rows[n] & uncov) for n in rows)
+        if len(chosen) + (len(uncov) + mx - 1) // mx >= best[1]:
+            return
+        f = min(
+            uncov,
+            key=lambda f: len([n for n in fam_rows[f] if rows[n] & uncov]),
+        )
+        for n in sorted(fam_rows[f], key=lambda n: -len(rows[n] & uncov)):
+            dfs(uncov - rows[n], chosen + [n])
+
+    sys.setrecursionlimit(10_000)
+    dfs(frozenset(need), [])
+    return sorted(best[0])
+
+
 def main() -> None:
-    max_swaps = 15
-    if "--max" in sys.argv:
-        max_swaps = int(sys.argv[sys.argv.index("--max") + 1])
+    from tests.test_registry_window import REQUIRED_FAMILIES
 
     hist = graded_history()
     ever_graded = set(hist)
     window = list(DRIVER_WINDOW)
 
-    # never-graded oracled queries, most-novel-tags first
-    candidates = [
-        n
-        for n in REGISTRY
-        if REGISTRY[n].oracle and n not in ever_graded and n not in window
+    never = [
+        n for n in REGISTRY if REGISTRY[n].oracle and n not in ever_graded
     ]
+    nev_tags: set = set()
+    for n in never:
+        nev_tags.update(REGISTRY[n].tags)
+    need = frozenset(set(REQUIRED_FAMILIES) - nev_tags)
 
-    def tag_coverage(names):
-        cov: dict[str, int] = {}
-        for n in names:
-            for t in REGISTRY[n].tags:
-                cov[t] = cov.get(t, 0) + 1
-        return cov
+    graded = [n for n in REGISTRY if REGISTRY[n].oracle and n in ever_graded]
+    rows = {
+        n: frozenset(set(REGISTRY[n].tags) & need)
+        for n in graded
+    }
+    rows = {n: c for n, c in rows.items() if c}
+    keepers = minimum_cover(rows, need)
 
-    # greedy: pick the IN rows first (most-novel-tags), then drop
-    # ever-graded rows one at a time while the COMBINED window
-    # (remaining + all chosen INs) still spans every family — incoming
-    # rows count toward coverage, so a sole-carrier OUT row is fine
-    # when an IN row carries the same tag.
-    from tests.test_registry_window import REQUIRED_FAMILIES
-
-    cov = tag_coverage(window)
-    candidates.sort(
-        key=lambda n: -sum(1 for t in REGISTRY[n].tags if cov.get(t, 0) == 0)
+    print(
+        f"window rows ever graded green: "
+        f"{sum(1 for n in window if n in ever_graded)}/{len(window)}"
     )
-    incoming = candidates[:max_swaps]
-
-    def full_coverage(names):
-        got = set()
-        for n in names:
-            got.update(REGISTRY[n].tags)
-        return REQUIRED_FAMILIES <= got
-
-    swappable = []
-    remaining = list(window)
-    for n in sorted(window, key=lambda n: -len(hist.get(n, []))):
-        if len(swappable) == len(incoming):
-            break
-        if n not in ever_graded:
-            continue
-        trial = [x for x in remaining if x != n]
-        if full_coverage(trial + incoming):
-            swappable.append(n)
-            remaining = trial
-
-    n_swap = min(max_swaps, len(swappable), len(candidates))
-    print(f"window rows ever graded green: "
-          f"{sum(1 for n in window if n in ever_graded)}/{len(window)}")
-    print(f"oracled never-graded queries outside window: {len(candidates)}")
-    print(f"\nsuggested swap ({n_swap} slots):")
-    for out, inn in zip(swappable[:n_swap], candidates[:n_swap]):
-        print(f"  OUT {out:34s} (green x{len(hist[out])})  ->  IN {inn} "
-              f"{REGISTRY[inn].tags}")
-    if n_swap:
-        print("\nApply by editing DRIVER_WINDOW in "
-              "parallel_dbms_spark/queries/registry.py, then run:\n"
-              "  python -m pytest tests/test_registry_window.py -q\n"
-              "  python scripts/check_oracles.py /root/testdata/sf0.01 --window")
+    print(f"oracled never-graded queries outside window: "
+          f"{len([n for n in never if n not in window])}")
+    print(f"families only graded rows carry: {len(need)}")
+    print(f"\nOPTIMAL: {len(keepers)} keepers -> "
+          f"{50 - len(keepers)} first-time slots")
+    for n in keepers:
+        print(f"  KEEP {n:34s} {sorted(rows[n])}")
+    sole = sorted(
+        f for f in need
+        if sum(1 for n in keepers if f in rows[n]) == 1
+        and all(len(rows[n]) == 1 for n in keepers if f in rows[n])
+    )
+    print(f"\ntag-repair worklist (families pinning a whole keeper each):")
+    print(f"  {sole}")
+    print(
+        "\nApply by editing DRIVER_WINDOW in "
+        "parallel_dbms_spark/queries/registry.py (keepers + your pick of "
+        "never-graded rows covering the rest), then run:\n"
+        "  python -m pytest tests/test_registry_window.py -q\n"
+        "  python scripts/check_oracles.py /root/testdata/sf0.01 --window\n"
+        "  python scripts/check_oracles.py /root/testdata/sf0.1 --window"
+    )
 
 
 if __name__ == "__main__":
