@@ -63,6 +63,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # json_variant_agg, scd2_time_in_state, agg_two_stage... see git.
 # New families pinned this round: partition, constraints
 # (tests/test_registry_window.py).
+#
+# ROUND-10 ROTATION CANDIDATES (registered/oracled in r9, verified
+# green at sf0.01 AND sf0.1, never driver-graded):
+# lake_tx_partition_evolution (tx_repartition_table feature proof),
+# timeseries_ewma_user_value, text_normalize_unicode,
+# pipeline_shard_manifest (conversions) — plus the ~29 older
+# never-graded rows. scripts/rotate_window.py prints the exact-minimal
+# keeper cover and the tag-repair worklist.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- 22 keepers: exact-minimal set cover of the families no
     # never-graded oracled row carries (all graded green r2-r8) ---

@@ -3692,6 +3692,53 @@ def lake_tx_partitioned_merge(spark, sf_dir):
 
 
 @register(
+    "lake_tx_partition_evolution",
+    oracle="""SELECT o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              GROUP BY o_orderpriority""",
+    tags=("lake", "partition", "data-skipping", "acid", "versioned",
+          "groupby", "compaction"),
+)
+def lake_tx_partition_evolution(spark, sf_dir):
+    # PARTITION EVOLUTION (tx_repartition_table): the table starts
+    # partitioned by o_orderstatus, then one atomic commit re-lays it
+    # value-pure on o_orderpriority and records the new declaration —
+    # asserted in-query: the new-column filter prunes whole files from
+    # log metadata immediately after, the OLD column stops being a
+    # declared partition key, and content is byte-identical (the
+    # oracle is the plain filtered aggregate over the source).
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txevo_") + "/orders"
+    txlog.tx_append(o, t, partition_by=["o_orderstatus"])
+    txlog.tx_repartition_table(spark, t, ["o_orderpriority"])
+    assert txlog.table_partition_by(t) == ["o_orderpriority"]
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(
+        t, files, {"o_orderpriority": ["1-URGENT", "5-LOW"]}
+    )
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    df = txlog.read_snapshot(
+        spark, t,
+        partition_filter={"o_orderpriority": ["1-URGENT", "5-LOW"]},
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
     "lake_tx_delete_vectors",
     oracle="""SELECT o_orderstatus, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))

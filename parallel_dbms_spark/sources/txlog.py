@@ -2134,8 +2134,8 @@ def tx_changes(
         if v <= from_version or v > hi:
             continue
         rec = read_commit(table, v)
-        if rec["action"] == "compact":
-            continue
+        if rec["action"] in ("compact", "repartition"):
+            continue  # content-preserving rewrites: no row-level change
         schema = _schema_at(table, v)
         reader = spark.read if schema is None else spark.read.schema(schema)
 
@@ -2482,6 +2482,78 @@ def tx_compact(
         except TxConflict:
             continue
     raise TxConflict(f"compact on {table} lost {max_retries} straight races")
+
+
+def tx_repartition_table(
+    spark: SparkSession,
+    table: str,
+    partition_by: list[str],
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """PARTITION EVOLUTION (eager): atomically re-lay the current
+    snapshot VALUE-PURE on a NEW set of partition columns and record
+    the new declaration — one commit carries removed = every live
+    file, added = the value-pure rewrite with its partitionValues,
+    and the updated ``partition_by``. Content never changes (a
+    compact-class rewrite), so streams and the change feed skip the
+    commit without reading a byte, exactly like ``compact``.
+
+    This is the operation Hive-style layouts cannot express (their
+    partitioning is baked into paths) and Iceberg solves lazily; here
+    the values live in the LOG, so evolution is just a rewrite that
+    records new metadata — readers are layout-oblivious before,
+    during, and after. Conflicts like compact: an interleaved
+    delete/merge that rewrote the same files forces a retry from the
+    fresh snapshot, while appends commute (a racing append staged
+    under the OLD declaration stays live with its old recorded
+    values — filtered reads simply cannot prune it on the new
+    columns until the next maintenance rewrite, conservative and
+    exact). Returns (new_version, files_replaced)."""
+    if not partition_by:
+        raise ValueError(
+            "partition_by must be non-empty (partition evolution "
+            "declares a NEW layout; use tx_compact for plain bin-packing)"
+        )
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        if not files:
+            raise FileNotFoundError(
+                f"no live files under {table}; declare partitioning on "
+                "the first append instead (tx_append(partition_by=...))"
+            )
+        schema = table_schema(table)
+        if schema is not None:
+            missing = [
+                c for c in partition_by if c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition column(s) {missing} not in table schema"
+                )
+        schema_json = schema.json() if schema is not None else None
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        live_df = _apply_dvs(
+            reader.parquet(*[os.path.join(table, f) for f in files]),
+            table, snapshot_dvs(table),
+        )
+        added, pv = _stage_partitioned(live_df, table, list(partition_by))
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols else None
+        )
+        try:
+            v = commit(
+                table, "repartition", added, files, parent,
+                schema_json=schema_json, stats=stats, pv=pv,
+                partition_by=list(partition_by),
+            )
+            return v, len(files)
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"repartition on {table} lost {max_retries} straight races"
+    )
 
 
 def tx_sorted_file_order(

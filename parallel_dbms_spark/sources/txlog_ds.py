@@ -11,8 +11,8 @@ deterministic and checkpoint-recoverable with no extra bookkeeping.
 
 Change semantics (Delta's):
 - ``append`` / ``merge``-insert-only commits stream their added rows;
-- ``compact`` commits are skipped without reading a byte
-  (content-preserving by construction);
+- ``compact`` / ``repartition`` commits are skipped without reading a
+  byte (content-preserving by construction);
 - ``delete`` / file-rewriting ``merge`` commits RAISE by default — a
   streaming consumer silently missing deletions is a correctness trap.
   Pass ``ignoreChanges=true`` to stream such commits' ADDED files
@@ -101,8 +101,8 @@ def _plan_rels(
         if v <= lo or v > hi:
             continue
         rec = txlog.read_commit(table, v)
-        if rec["action"] == "compact":
-            continue  # content-preserving rewrite: nothing to emit
+        if rec["action"] in ("compact", "repartition"):
+            continue  # content-preserving rewrites: nothing to emit
         if ignore_deletes and not rec["added"] and (
             rec["removed"] or rec.get("dv")
         ):
@@ -293,13 +293,16 @@ class TxLogChangePartition(InputPartition):
     change_type: str
     version: int
     positions: tuple = ()  # delete partitions: DV row indexes
+    row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
 
 
 def _read_change_partition(p: TxLogChangePartition):
     """Executor-side CDC read: the file's rows (or its vectored
     positions) with ``_change_type`` / ``_commit_version`` appended.
     A ``cdc`` partition is a writer-persisted change-data sidecar —
-    its rows already carry their own ``_change_type``."""
+    its rows already carry their own ``_change_type``. ``row_filter``
+    is the partition-filter backstop for splits whose partition
+    values are not provably pure (sidecars, unrecorded files)."""
     import os
 
     import pyarrow.parquet as pq
@@ -308,7 +311,12 @@ def _read_change_partition(p: TxLogChangePartition):
     if p.change_type == "delete":
         tbl = tbl.take(list(p.positions))
     cols = set(tbl.column_names)
+    want = {c: set(w) for c, w in p.row_filter}
     for rec in tbl.to_pylist():
+        if want and not all(
+            txlog._pv_str(rec.get(c)) in w for c, w in want.items()
+        ):
+            continue
         ct = rec["_change_type"] if p.change_type == "cdc" else p.change_type
         yield tuple(
             rec.get(f) if f in cols else None for f in p.fields
@@ -340,7 +348,7 @@ def _plan_change_partitions(
             continue
         rec = txlog.read_commit(table, v)
         action = rec["action"]
-        if action == "compact":
+        if action in ("compact", "repartition"):
             continue
         if rec.get("cdc"):
             # the writer persisted this commit's change set (Delta's
@@ -478,6 +486,14 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         self.starting_version = _resolve_starting_version(
             options, self.table
         )
+        # partitionFilter on the CHANGE FEED too (Delta pushes
+        # partition predicates into CDF reads): insert splits prune by
+        # their own commit's recorded values, DV-delete splits by the
+        # values live at their commit, sidecar change sets keep the
+        # row-level backstop (a change file is never value-pure)
+        self.pfilter, self.row_filter = _parse_partition_filter(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -489,9 +505,36 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
-        return _plan_change_partitions(
+        parts = _plan_change_partitions(
             self.table, int(start["v"]), int(end["v"]), self.fields
         )
+        if not self.pfilter:
+            return parts
+        pv_at: dict = {}  # snapshot pv per referenced commit version
+        out = []
+        for p in parts:
+            if p.change_type == "insert":
+                vals = txlog.read_commit(self.table, p.version).get(
+                    "pv", {}
+                ).get(p.rel)
+            elif p.change_type == "delete":
+                if p.version not in pv_at:
+                    pv_at[p.version] = txlog.snapshot_pv(
+                        self.table, p.version
+                    )
+                vals = pv_at[p.version].get(p.rel)
+            else:  # cdc sidecar: mixed rows, never prunable
+                vals = None
+            verdict = _pv_matches(vals, self.row_filter)
+            if verdict is False:
+                continue  # provably disjoint: skipped from metadata
+            out.append(
+                TxLogChangePartition(
+                    p.table, p.rel, p.fields, p.change_type, p.version,
+                    p.positions, () if verdict else self.row_filter,
+                )
+            )
+        return out
 
     def read(self, partition):  # runs in an executor Python worker
         return _read_change_partition(partition)

@@ -1948,3 +1948,63 @@ def test_pv_str_matches_spark_cast_rendering(spark, tmp_path):
         dt.datetime(2024, 1, 2, 3, 4, 5, 500000)
     ) == "2024-01-02 03:04:05.5"
     assert txlog._pv_str(None) is None
+
+
+def test_partition_evolution_rewrites_layout_not_content(spark, tmp_path):
+    """tx_repartition_table: one atomic commit re-lays the snapshot
+    value-pure on NEW partition columns and records the declaration —
+    content identical, pruning immediately serves the new columns,
+    later appends inherit the new layout, and streams/CDC skip the
+    commit like compact (content-preserving)."""
+    t = str(tmp_path / "pe")
+    rows = [
+        (1, "a", "eu"), (2, "b", "eu"), (3, "a", "us"),
+        (4, "b", "us"), (5, "a", "ap"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, region string")
+    txlog.tx_append(df, t, partition_by=["v"])
+    before = {(r.k, r.v, r.region) for r in txlog.read_snapshot(spark, t).collect()}
+    v, replaced = txlog.tx_repartition_table(spark, t, ["region"])
+    assert replaced >= 1
+    assert txlog.table_partition_by(t) == ["region"]
+    after = {(r.k, r.v, r.region) for r in txlog.read_snapshot(spark, t).collect()}
+    assert after == before  # pure layout change
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    assert files and all(pv[f].keys() == {"region"} for f in files)
+    kept = txlog.prune_partition_files(t, files, {"region": "eu"})
+    assert 0 < len(kept) < len(files)
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"region": "eu"}
+        ).collect()
+    }
+    assert got == {1, 2}
+    # the OLD column is no longer a declared partition column
+    with pytest.raises(ValueError, match="not partition column"):
+        txlog.read_snapshot(spark, t, partition_filter={"v": "a"})
+    # a later append inherits the NEW declaration
+    txlog.tx_append(
+        spark.createDataFrame([(6, "c", "eu")], "k long, v string, region string"), t
+    )
+    _, files2 = txlog.snapshot_files(t)
+    pv2 = txlog.snapshot_pv(t)
+    assert all(pv2[f] == {"region": "eu"} for f in set(files2) - set(files))
+    # streams and the change feed treat the rewrite as content-free
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions,
+        _plan_rels,
+    )
+
+    head = txlog.log_versions(t)[-1]
+    rels = _plan_rels(t, 0, head, ignore_changes=False)  # no raise
+    appended = set(txlog.read_commit(t, 1)["added"]) | set(
+        txlog.read_commit(t, head)["added"]
+    )
+    assert set(rels) == appended  # the rewrite's files never stream
+    parts = _plan_change_partitions(t, 0, head, ("k", "v", "region"))
+    assert {p.version for p in parts} == {1, head}
+    # evolving to a column the schema lacks raises before staging
+    with pytest.raises(ValueError, match="not in table schema"):
+        txlog.tx_repartition_table(spark, t, ["nope"])

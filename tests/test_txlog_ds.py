@@ -747,3 +747,59 @@ def test_stream_source_partition_filter_prunes_micro_batches(
         TxLogStreamReader(
             {"path": t, "partitionfilter": '{"k": 1}'}, schema
         )
+
+
+def test_change_feed_partition_filter(spark, tmp_path):
+    """partitionFilter composes with readChangeFeed: insert splits
+    prune by their commit's recorded partition values, DV-delete
+    splits by the values live at their commit — both metadata-only —
+    and the served changes carry only the requested partitions."""
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogChangeStreamReader,
+    )
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "cdfp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(mk([(1, "a"), (2, "b")]), t, partition_by=["c"])
+    txlog.tx_append(mk([(3, "a"), (4, "b")]), t)
+    txlog.tx_delete_where_mor(spark, t, "k = 3")  # DV on an 'a' file
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("partitionFilter", '{"c": "a"}')
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.c, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a", "insert"),
+        (3, "a", "insert"),
+        (3, "a", "delete"),
+    }
+    # plan-level proof: the 'b' partition's splits never exist
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    head = txlog.log_versions(t)[-1]
+    plain = TxLogChangeStreamReader({"path": t}, schema)
+    filt = TxLogChangeStreamReader(
+        {"path": t, "partitionfilter": '{"c": "a"}'}, schema
+    )
+    n_plain = len(plain.partitions({"v": 0}, {"v": head}))
+    n_filt = len(filt.partitions({"v": 0}, {"v": head}))
+    assert 0 < n_filt < n_plain, (n_filt, n_plain)
