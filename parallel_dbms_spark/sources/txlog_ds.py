@@ -561,9 +561,46 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         self.starting_version = _resolve_starting_version(
             options, self.table
         )
+        # option parity with the partition-planned face: silently
+        # ignoring partitionFilter here would serve UNFILTERED rows to
+        # a caller who asked for one partition — the worst failure mode
+        self.pfilter, self.row_filter = _parse_partition_filter(
+            options, self.table
+        )
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
+
+    def _rows(self, lo: int, hi: int):
+        rels = _plan_rels(
+            self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
+        )
+        if not self.pfilter:
+            return list(_rows_from_files(self.table, rels, self.fields))
+        # commit-metadata pruning like the planned reader: disjoint
+        # value-pure files never open; unrecorded files row-filter
+        pv: dict = {}
+        for v in txlog.log_versions(self.table):
+            if lo < v <= hi:
+                pv.update(txlog.read_commit(self.table, v).get("pv", {}))
+        pure, backstop = [], []
+        for rel in rels:
+            verdict = _pv_matches(pv.get(rel), self.row_filter)
+            if verdict is False:
+                continue
+            (pure if verdict else backstop).append(rel)
+        rows = list(_rows_from_files(self.table, pure, self.fields))
+        if backstop:
+            idx = {c: self.fields.index(c) for c, _ in self.row_filter}
+            want = {c: set(w) for c, w in self.row_filter}
+            rows.extend(
+                r
+                for r in _rows_from_files(self.table, backstop, self.fields)
+                if all(
+                    txlog._pv_str(r[idx[c]]) in w for c, w in want.items()
+                )
+            )
+        return rows
 
     def read(self, start):
         versions = txlog.log_versions(self.table)
@@ -571,23 +608,12 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         # never records a regressed offset (same rule as latestOffset
         # on the partition-planned readers)
         head = max(versions[-1] if versions else 0, int(start["v"]))
-        rels = _plan_rels(
-            self.table, int(start["v"]), head,
-            self.ignore_changes, self.ignore_deletes,
-        )
         # a LIST iterator (pickles, supports replay probing), as the
         # Simple reader runner requires
-        return (
-            iter(list(_rows_from_files(self.table, rels, self.fields))),
-            {"v": head},
-        )
+        return iter(self._rows(int(start["v"]), head)), {"v": head}
 
     def readBetweenOffsets(self, start, end):
-        rels = _plan_rels(
-            self.table, int(start["v"]), int(end["v"]),
-            self.ignore_changes, self.ignore_deletes,
-        )
-        return iter(list(_rows_from_files(self.table, rels, self.fields)))
+        return iter(self._rows(int(start["v"]), int(end["v"])))
 
 
 class TxLogReader(DataSourceReader):

@@ -803,3 +803,33 @@ def test_change_feed_partition_filter(spark, tmp_path):
     n_plain = len(plain.partitions({"v": 0}, {"v": head}))
     n_filt = len(filt.partitions({"v": 0}, {"v": head}))
     assert 0 < n_filt < n_plain, (n_filt, n_plain)
+
+
+def test_simple_face_partition_filter_parity(spark, tmp_path):
+    """simple=true must honor partitionFilter identically to the
+    partition-planned face — silently serving unfiltered rows to a
+    caller who asked for one partition is the worst failure mode."""
+    register_txlog_source(spark)
+    t = str(tmp_path / "sp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(mk([(1, "a"), (2, "b")]), t, partition_by=["c"])
+    txlog.tx_append(mk([(3, "a"), (4, "c")]), t)
+    outs = []
+    for i, opts in enumerate(
+        ({"simple": "true"}, {})
+    ):
+        out, ckpt = str(tmp_path / f"o{i}"), str(tmp_path / f"c{i}")
+        r = (
+            spark.readStream.format("txlog").option("path", t)
+            .option("partitionFilter", '{"c": "a"}')
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        outs.append({(x.k, x.c) for x in spark.read.parquet(out).collect()})
+    assert outs[0] == outs[1] == {(1, "a"), (3, "a")}
