@@ -1040,7 +1040,10 @@ def commit(
         rec["cdc"] = cdc
     if pv:
         rec["pv"] = pv
-    if partition_by:
+    if partition_by is not None:
+        # an explicit EMPTY list records "unpartitioned" (newest-wins
+        # resolution in table_partition_by) — how RESTORE undoes a
+        # later partition evolution; None stays unrecorded
         rec["partition_by"] = list(partition_by)
     if constraints is not None:
         rec["constraints"] = constraints
@@ -2698,10 +2701,13 @@ def tx_restore(table: str, to_version: int) -> int:
     live, removes files added since, and — for files live in BOTH
     snapshots whose deletion vectors drifted — resets the vectors
     exactly by listing the file as removed+re-added with the target's
-    vector (the replay rules make remove-then-add an exact reset, for
-    stats and Bloom pointers too, so the restored snapshot also skips
-    like the original did). The target schema is re-recorded, undoing
-    later evolution.
+    vector (the replay rules make remove-then-add an exact reset —
+    for stats, partition values, Bloom and distinct-bitmap pointers
+    too, so the restored snapshot skips and prunes like the original
+    did). Table-level metadata restores with the data: the target
+    schema, its declared partitioning (undoing a later
+    tx_repartition_table), and its CHECK-constraint map (undoing later
+    ADD/DROP CONSTRAINT) are re-recorded whenever they drifted.
 
     Concurrency: the ``removed`` set is everything this commit
     un-does, so the usual overlap rules apply — a restore racing a
@@ -2744,6 +2750,8 @@ def tx_restore(table: str, to_version: int) -> int:
     tgt_stats = snapshot_stats(table, to_version)
     stats = {f: tgt_stats[f] for f in added if f in tgt_stats} or None
     dv = {f: tgt_dvs[f] for f in added if tgt_dvs.get(f)} or None
+    tgt_pv = snapshot_pv(table, to_version)
+    pv = {f: tgt_pv[f] for f in added if f in tgt_pv} or None
     bloom: dict = {}
     for c, m in snapshot_bloom_map(table, to_version).items():
         by_sidecar: dict = {}
@@ -2755,7 +2763,30 @@ def tx_restore(table: str, to_version: int) -> int:
                 {"sidecar": sc, "files": sorted(fs)}
                 for sc, fs in sorted(by_sidecar.items())
             ]
+    distinct: dict = {}
+    for c, m in snapshot_distinct_map(table, to_version).items():
+        by_sidecar = {}
+        for f in added:
+            if f in m:
+                by_sidecar.setdefault(m[f], []).append(f)
+        if by_sidecar:
+            distinct[c] = [
+                {"sidecar": sc, "files": sorted(fs)}
+                for sc, fs in sorted(by_sidecar.items())
+            ]
     schema = _schema_at(table, to_version)
+    # table-level metadata restores with the data (Delta's RESTORE
+    # covers the full table state): the target's declared partitioning
+    # (an explicit [] undoes a later partition evolution) and CHECK
+    # constraint map (full-map commits are newest-wins, so re-recording
+    # the target's map exactly undoes later ADD/DROP CONSTRAINT) — but
+    # only when they actually drifted, so an unrelated restore does not
+    # spuriously conflict with interleaved data commits through the
+    # constraints-vs-added conflict class.
+    tgt_pb = table_partition_by(table, to_version)
+    cur_pb = table_partition_by(table, cur_v)
+    tgt_cons = table_constraints(table, to_version)
+    cur_cons = table_constraints(table, cur_v)
     return commit(
         table,
         "restore",
@@ -2766,7 +2797,11 @@ def tx_restore(table: str, to_version: int) -> int:
         meta={"restore_of": to_version},
         stats=stats,
         dv=dv,
+        pv=pv,
         bloom=bloom or None,
+        distinct=distinct or None,
+        partition_by=tgt_pb if tgt_pb != cur_pb else None,
+        constraints=tgt_cons if tgt_cons != cur_cons else None,
     )
 
 

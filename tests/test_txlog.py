@@ -2008,3 +2008,48 @@ def test_partition_evolution_rewrites_layout_not_content(spark, tmp_path):
     # evolving to a column the schema lacks raises before staging
     with pytest.raises(ValueError, match="not in table schema"):
         txlog.tx_repartition_table(spark, t, ["nope"])
+
+
+def test_restore_recovers_partitioning_constraints_and_pv(spark, tmp_path):
+    """RESTORE covers the full table state: re-added files get their
+    partition values back (pruning works like the original snapshot),
+    and table-level metadata — declared partitioning and the CHECK
+    constraint map — restores with the data, undoing later evolution
+    and later ADD CONSTRAINT."""
+    t = str(tmp_path / "rs")
+    df = spark.createDataFrame(
+        [(1, "a", "eu"), (2, "b", "us"), (3, "a", "us")],
+        "k long, v string, region string",
+    )
+    txlog.tx_append(df, t, partition_by=["v"])
+    v1 = txlog.log_versions(t)[-1]
+    cons_v = txlog.tx_set_constraint(spark, t, "k_pos", "k > 0")
+    txlog.tx_repartition_table(spark, t, ["region"])
+    assert txlog.table_partition_by(t) == ["region"]
+    # restore to BEFORE the constraint and the evolution
+    txlog.tx_restore(t, v1)
+    assert txlog.table_partition_by(t) == ["v"]
+    assert txlog.table_constraints(t) == {}
+    # pv of the re-added files restored: pruning on the OLD column
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    assert files and all(pv[f].keys() == {"v"} for f in files)
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"v": "a"}
+        ).collect()
+    }
+    assert got == {1, 3}
+    # a violating append is accepted again (constraint gone)...
+    txlog.tx_append(
+        _df(spark, [(-9, "a", "eu")], "k long, v string, region string"), t
+    )
+    # ...and restoring FORWARD to the constrained version re-arms it
+    txlog.tx_restore(t, cons_v)
+    assert txlog.table_constraints(t) == {"k_pos": "k > 0"}
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        txlog.tx_append(
+            _df(spark, [(-1, "z", "ap")], "k long, v string, region string"),
+            t,
+        )
