@@ -1110,6 +1110,21 @@ def commit(
                 f"version {v} added rows after our constraint "
                 "validation; revalidate and retry"
             )
+        if (
+            partition_by is not None
+            and "partition_by" in theirs
+            and list(theirs["partition_by"]) != list(partition_by)
+        ):
+            # declaration write-write: two commits racing DIFFERENT
+            # partition declarations (repartition-vs-repartition, or a
+            # declaring append vs an evolution). Last-wins would leave
+            # the loser believing its layout landed — the loser re-lays
+            # against the fresh declaration instead.
+            raise TxConflict(
+                f"version {v} declared partitioning "
+                f"{theirs['partition_by']} after our snapshot; re-lay "
+                "and retry"
+            )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
         ):
@@ -1415,7 +1430,13 @@ def tx_append(
                 bloom=bloom,
                 distinct=distinct,
                 pv=pv,
-                partition_by=eff_partition or None,
+                # only an EXPLICIT partition_by records the declaration
+                # (the declaring append). Inherited appends must not
+                # re-record what they read: an append racing a
+                # tx_repartition_table would otherwise re-publish the
+                # stale declaration AFTER the evolution commit and
+                # silently revert it (newest-wins resolution).
+                partition_by=list(partition_by) if partition_by else None,
             )
         except TxConflict:
             continue
@@ -1656,8 +1677,17 @@ def prune_partition_files(
         if vals is None:
             kept.append(f)  # unrecorded layout: must read
             continue
-        if all(c in vals and vals[c] in w for c, w in want.items()):
-            kept.append(f)
+        # a file is skippable ONLY when a filter column it RECORDS
+        # provably mismatches. A file recording OTHER columns (staged
+        # under a previous declaration, before tx_repartition_table)
+        # says nothing about these — must read, conservative like
+        # unrecorded files. Treating missing columns as non-matching
+        # would silently drop their rows.
+        if any(
+            c in vals and vals[c] not in w for c, w in want.items()
+        ):
+            continue
+        kept.append(f)
     return kept
 
 

@@ -203,11 +203,16 @@ def _parse_partition_filter(options, table: str):
 def _pv_matches(vals: dict | None, row_filter: tuple) -> bool | None:
     """Metadata verdict for one file's recorded partition values:
     True = provably all-matching (serve with no row work), False =
-    provably disjoint (skip the file entirely), None = unrecorded
-    (must read with the row-level backstop)."""
+    provably disjoint (skip the file entirely), None = not provable
+    (unrecorded file, or values recorded under a PREVIOUS declaration
+    that misses a filter column — read with the row-level backstop)."""
     if vals is None:
         return None
-    return all(c in vals and vals[c] in set(w) for c, w in row_filter)
+    if any(c in vals and vals[c] not in set(w) for c, w in row_filter):
+        return False
+    if all(c in vals for c, _ in row_filter):
+        return True
+    return None
 
 
 def _read_one_file(

@@ -2053,3 +2053,54 @@ def test_restore_recovers_partitioning_constraints_and_pv(spark, tmp_path):
             _df(spark, [(-1, "z", "ap")], "k long, v string, region string"),
             t,
         )
+
+
+def test_repartition_races_appends_and_deletes_safely(spark, tmp_path):
+    """Partition evolution under contention: racing appends commute
+    (their rows survive, staged under whichever declaration they read)
+    and a racing delete forces the evolution to retry from the fresh
+    snapshot — final content is exactly appends minus deletes, with
+    the new declaration in force."""
+    t = str(tmp_path / "race")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], "eu") for i in range(6)],
+        "k long, v string, region string",
+    )
+    txlog.tx_append(df, t, partition_by=["v"])
+    done = threading.Event()
+    seen = []
+
+    def appender():
+        i = 100
+        while not done.is_set():
+            txlog.tx_append(
+                spark.createDataFrame(
+                    [(i, "c", "us")], "k long, v string, region string"
+                ),
+                t,
+            )
+            seen.append(i)
+            i += 1
+
+    th = threading.Thread(target=appender)
+    th.start()
+    try:
+        txlog.tx_delete_where(spark, t, "k = 3")
+        v, replaced = txlog.tx_repartition_table(spark, t, ["region"])
+        assert replaced >= 1
+    finally:
+        done.set()
+        th.join()
+    assert txlog.table_partition_by(t) == ["region"]
+    ks = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert ks == ({0, 1, 2, 4, 5} | set(seen))  # no loss, no resurrection
+    # pruning on the new column serves the evolved files; racing
+    # appends staged under the OLD declaration are simply unprunable
+    # on it (conservative), never wrong
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"region": "eu"}
+        ).collect()
+    }
+    assert got == {0, 1, 2, 4, 5}
