@@ -1417,6 +1417,18 @@ def tx_append(
             # a constraint commit won a race: revalidate our rows
             # against the fresh map before re-claiming a version
             enforced_cons = _enforce_constraints(df, table)
+        if partition_by is not None:
+            # a DECLARING append re-checks the declaration each attempt
+            # (the commit-level write-write conflict only fires on a
+            # lost CAS race; a repartition landing between our staging
+            # and a clean claim would otherwise be silently reverted)
+            fresh = table_partition_by(table)
+            if fresh and list(partition_by) != fresh:
+                raise ValueError(
+                    f"table {table} was re-declared as partitioned by "
+                    f"{fresh} while this append staged under "
+                    f"{list(partition_by)}; re-run against the new layout"
+                )
         try:
             return commit(
                 table,

@@ -2104,3 +2104,35 @@ def test_repartition_races_appends_and_deletes_safely(spark, tmp_path):
         ).collect()
     }
     assert got == {0, 1, 2, 4, 5}
+
+
+def test_declaring_append_detects_interleaved_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """A DECLARING append whose table gets re-declared between its
+    staging and its (clean, non-racing) commit claim must refuse —
+    committing would silently revert the evolution, and the commit-
+    level write-write conflict only fires on a lost CAS race."""
+    t = str(tmp_path / "dw")
+    df = spark.createDataFrame(
+        [(1, "a", "eu"), (2, "b", "us")], "k long, v string, region string"
+    )
+    txlog.tx_append(df, t)  # unpartitioned table with live files
+    real = txlog.collect_file_stats
+    fired = []
+
+    def interleave(table, rels, cols):
+        if not fired:
+            fired.append(1)
+            txlog.tx_repartition_table(spark, t, ["region"])
+        return real(table, rels, cols)
+
+    monkeypatch.setattr(txlog, "collect_file_stats", interleave)
+    with pytest.raises(ValueError, match="re-declared"):
+        txlog.tx_append(
+            spark.createDataFrame(
+                [(3, "c", "ap")], "k long, v string, region string"
+            ),
+            t, partition_by=["v"], stats_cols=["k"],
+        )
+    assert txlog.table_partition_by(t) == ["region"]  # evolution stands
