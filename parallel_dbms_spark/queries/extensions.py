@@ -476,13 +476,45 @@ def corpus_sample_10pct(spark, sf_dir):
     return deterministic_sample(docs, frac=0.1)
 
 
-@register("pack_sequences_2k", oracle=None, tags=("pandas_udf", "packing"))
+@register(
+    "pack_sequences_2k",
+    oracle=r"""WITH RECURSIVE t AS (
+                 SELECT source, doc_id,
+                        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                          AS n_tokens
+                 FROM documents),
+                   r AS (SELECT source, doc_id, n_tokens,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS rn
+                         FROM t),
+                   walk AS (
+                 SELECT source, rn, doc_id, n_tokens,
+                        CAST(0 AS BIGINT) AS bin_id, n_tokens AS running
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.source, r.rn, r.doc_id, r.n_tokens,
+                        CASE WHEN w.running + r.n_tokens > 2048
+                             THEN w.bin_id + 1 ELSE w.bin_id END,
+                        CASE WHEN w.running + r.n_tokens > 2048
+                             THEN r.n_tokens
+                             ELSE w.running + r.n_tokens END
+                 FROM walk w JOIN r
+                   ON r.source = w.source AND r.rn = w.rn + 1)
+              SELECT source, doc_id, n_tokens, bin_id,
+                     MAX(running) OVER (PARTITION BY source, bin_id)
+                       AS bin_tokens
+              FROM walk""",
+    tags=("pandas_udf", "packing", "recursive"),
+)
 def pack_sequences_2k(spark, sf_dir):
     # Sequence packing for pretraining: greedy close-when-full token
-    # binning per source (grouped-map pandas; inherently sequential per
-    # group, so no SQL oracle). Rows-only here; pytest asserts the
-    # packing invariants (budget respected, all docs packed, bins
-    # contiguous and greedy-tight).
+    # binning per source. The grouped-map pandas recursion (a running
+    # total that RESETS on overflow is not a window function) is
+    # exactly restated as a DuckDB RECURSIVE CTE walking each source's
+    # id-ordered rows — one frontier row per source per step, so the
+    # oracle's work is groups x max-rows, trivial at oracle scale —
+    # making every column (bin assignment AND bin totals) value-hash
+    # checked, not just the packing invariants.
     from ..functions.pandas_ops import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents").select(
