@@ -504,7 +504,10 @@ def corpus_sample_10pct(spark, sf_dir):
                      MAX(running) OVER (PARTITION BY source, bin_id)
                        AS bin_tokens
               FROM walk""",
-    tags=("pandas_udf", "packing", "recursive"),
+    # NOT tagged 'recursive': that family is the engine's own
+    # recursive-CTE surface (queries/recursive_sql.py); only the
+    # ORACLE here recurses.
+    tags=("pandas_udf", "packing"),
 )
 def pack_sequences_2k(spark, sf_dir):
     # Sequence packing for pretraining: greedy close-when-full token

@@ -68,9 +68,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # green at sf0.01 AND sf0.1, never driver-graded):
 # lake_tx_partition_evolution (tx_repartition_table feature proof),
 # timeseries_ewma_user_value, text_normalize_unicode,
-# pipeline_shard_manifest (conversions) — plus the ~29 older
-# never-graded rows. scripts/rotate_window.py prints the exact-minimal
-# keeper cover and the tag-repair worklist.
+# pipeline_shard_manifest, pack_sequences_2k (conversions) — plus the
+# ~28 older never-graded rows. scripts/rotate_window.py prints the
+# exact-minimal keeper cover and the tag-repair worklist.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- 22 keepers: exact-minimal set cover of the families no
     # never-graded oracled row carries (all graded green r2-r8) ---
