@@ -68,7 +68,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # green at sf0.01 AND sf0.1, never driver-graded):
 # lake_tx_partition_evolution (tx_repartition_table feature proof),
 # timeseries_ewma_user_value, text_normalize_unicode,
-# pipeline_shard_manifest, pack_sequences_2k (conversions) — plus the
+# pipeline_shard_manifest, pack_sequences_2k (conversions),
+# lake_tx_convert_import (zero-copy CONVERT TO) — plus the
 # ~28 older never-graded rows. scripts/rotate_window.py prints the
 # exact-minimal keeper cover and the tag-repair worklist.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -96,7 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
     "vector_centroid_drift",          # vectors
-    # --- 27 first-time rows (never driver-graded; all locally
+    # --- 28 first-time rows (never driver-graded; all locally
     # oracle-verified at sf0.01 and sf0.1 before rotation) ---
     # round-9 feature proofs + conversions (family carriers)
     "stream_tx_partitioned_sink",     # sink + partition + constraints

@@ -3692,6 +3692,53 @@ def lake_tx_partitioned_merge(spark, sf_dir):
 
 
 @register(
+    "lake_tx_convert_import",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_orderstatus""",
+    tags=("lake", "acid", "source", "import", "groupby"),
+)
+def lake_tx_convert_import(spark, sf_dir):
+    # CONVERT TO transactional (tx_convert_parquet_dir): an existing
+    # plain-parquet directory becomes the table's first commit through
+    # HARDLINKS — zero bytes copied (asserted in-query via inode
+    # identity), O(files) for a directory of any size — and the
+    # converted table immediately serves snapshot reads. The oracle is
+    # the plain aggregate over the source fact table, so the hash
+    # proves conversion is a pure metadata registration.
+    import os as _os
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="lake_txconv_")
+    plain = base + "/plain"
+    o.repartition(4).write.parquet(plain)
+    t = base + "/orders_tx"
+    txlog.tx_convert_parquet_dir(spark, plain, t, stats_cols=["o_orderkey"])
+    src_inodes = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(plain)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    _, files = txlog.snapshot_files(t)
+    assert files and all(
+        _os.stat(_os.path.join(t, f)).st_ino in src_inodes for f in files
+    ), "convert must hardlink, not copy"
+    return txlog.read_snapshot(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
     "lake_tx_partition_evolution",
     oracle="""SELECT o_orderpriority, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))

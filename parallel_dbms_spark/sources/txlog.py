@@ -2909,6 +2909,90 @@ def tx_clone(
     )
 
 
+def tx_convert_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
+) -> int:
+    """CONVERT an existing plain-parquet directory into a
+    transactional table (Delta's ``CONVERT TO DELTA``) WITHOUT copying
+    bytes: every data file hardlinks into the table's ``data/`` and
+    the first commit references them — converting a 100 TB directory
+    is O(files) metadata ops plus (optionally) one footer read per
+    file for riding stats. The links pin the inodes, so the source
+    directory can be deleted afterwards without stranding the table.
+
+    Schema contract: by default every file's parquet schema must match
+    the first file's EXACTLY (names and Arrow types) — a silently
+    mixed directory is how converted tables corrupt; pass
+    ``merge_schema=True`` to accept additive drift (the recorded
+    schema is Spark's unioned footer schema and narrower files
+    null-fill on read, same rule as evolved appends).
+
+    The converted table is a first-class citizen from version 1:
+    appends, rewrites, constraints, partitioning declarations, time
+    travel, and the DataSource faces all apply."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if log_versions(table):
+        raise ValueError(
+            f"convert destination {table} already has commits; "
+            "tx_append into it instead"
+        )
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                            recursive=True)
+        if os.path.isfile(f)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    first = pq.read_schema(files[0])
+    if not merge_schema:
+        for f in files[1:]:
+            sch = pq.read_schema(f)
+            if sch != first:  # pyarrow == ignores metadata
+                raise ValueError(
+                    f"schema drift inside {src_dir}: {f} differs from "
+                    f"{files[0]}; pass merge_schema=True to union "
+                    "additively"
+                )
+    reader = (
+        spark.read.option("mergeSchema", True) if merge_schema
+        else spark.read
+    )
+    # explicit file list, not the directory: nested layouts (per-batch
+    # subdirs) would otherwise defeat schema inference
+    schema = reader.parquet(*files).schema
+    _init_table(table)
+    tag = uuid.uuid4().hex[:12]
+    added: list[str] = []
+    for i, f in enumerate(files):
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue  # like _stage: empty part files never go live
+        rel = f"{DATA}/{tag}-p{i}.parquet"
+        try:
+            os.link(f, os.path.join(table, rel))
+        except OSError:  # cross-device: pay the copy for this file
+            shutil.copy2(f, os.path.join(table, rel))
+        added.append(rel)
+    if not added:
+        raise ValueError(f"every parquet file under {src_dir} is empty")
+    stats = (
+        collect_file_stats(table, added, stats_cols) if stats_cols else None
+    )
+    return commit(
+        table, "convert", added, [], 0,
+        schema_json=schema.json(), stats=stats,
+        meta={"converted_from": os.path.abspath(src_dir)},
+    )
+
+
 def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
     """Reclaim orphans: staged directories, data files, and Bloom
     sidecars never referenced by ANY commit still in the log (crashed

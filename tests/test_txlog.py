@@ -2136,3 +2136,63 @@ def test_declaring_append_detects_interleaved_evolution(
             t, partition_by=["v"], stats_cols=["k"],
         )
     assert txlog.table_partition_by(t) == ["region"]  # evolution stands
+
+
+def test_convert_parquet_dir_zero_copy_import(spark, tmp_path):
+    """CONVERT TO: an existing plain-parquet directory becomes the
+    table's first commit via hardlinks (zero bytes copied, inode
+    equality asserted), with optional footer stats riding the commit —
+    and the converted table is a first-class citizen (appends,
+    skipping, time travel, deletes all apply)."""
+    import os as _os
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(30)], "k long, v string"
+    ).repartition(3).write.parquet(src)
+    t = str(tmp_path / "t")
+    v = txlog.tx_convert_parquet_dir(spark, src, t, stats_cols=["k"])
+    assert v == 1
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {(i, f"v{i % 3}") for i in range(30)}
+    # zero-copy: every live file shares an inode with a source file
+    src_inodes = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    _, files = txlog.snapshot_files(t)
+    assert files and all(
+        _os.stat(_os.path.join(t, f)).st_ino in src_inodes for f in files
+    )
+    # stats rode the commit: out-of-range probes open zero files
+    _, n_read, n_total = txlog.tx_read_skipping(spark, t, "k", lo=500)
+    assert n_total == len(files) and n_read == 0
+    # first-class from version 1: append + MOR delete + time travel
+    txlog.tx_append(_df(spark, [(99, "z")]), t)
+    txlog.tx_delete_where_mor(spark, t, "k = 0")
+    now = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert 0 not in now and 99 in now
+    v1 = {r.k for r in txlog.read_snapshot(spark, t, version=1).collect()}
+    assert v1 == set(range(30))
+    # guard rails: double convert and schema drift
+    with pytest.raises(ValueError, match="already has commits"):
+        txlog.tx_convert_parquet_dir(spark, src, t)
+    drift = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        drift + "/a"
+    )
+    spark.createDataFrame([(2, "b", 1.5)], "k long, v string, w double")\
+        .write.parquet(drift + "/b")
+    with pytest.raises(ValueError, match="schema drift"):
+        txlog.tx_convert_parquet_dir(spark, drift, str(tmp_path / "t2"))
+    # merge_schema=True unions additively; narrow files null-fill
+    v = txlog.tx_convert_parquet_dir(
+        spark, drift, str(tmp_path / "t3"), merge_schema=True
+    )
+    rows = {
+        (r.k, r.v, r.w)
+        for r in txlog.read_snapshot(spark, str(tmp_path / "t3")).collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", 1.5)}
