@@ -2915,6 +2915,7 @@ def tx_convert_parquet_dir(
     table: str,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """CONVERT an existing plain-parquet directory into a
     transactional table (Delta's ``CONVERT TO DELTA``) WITHOUT copying
@@ -2930,6 +2931,18 @@ def tx_convert_parquet_dir(
     ``merge_schema=True`` to accept additive drift (the recorded
     schema is Spark's unioned footer schema and narrower files
     null-fill on read, same rule as evolved appends).
+
+    ``partition_by`` declares the table partitioning AT conversion and
+    derives each file's partitionValues from its FOOTER STATS: a file
+    whose min == max for every partition column (no nulls) is provably
+    value-pure and records those values — converted tables prune from
+    day one with zero data reads. Files that are not provably pure (or
+    hold nulls in a partition column) convert UNRECORDED: reads stay
+    exact through the must-read rule, they just aren't prunable until
+    the next maintenance rewrite re-lays them. The columns must live
+    IN the files (this engine's layout-oblivious model); a Hive-style
+    directory whose files lack the partition columns cannot convert
+    zero-copy — rewrite it through tx_append(partition_by=) instead.
 
     The converted table is a first-class citizen from version 1:
     appends, rewrites, constraints, partitioning declarations, time
@@ -2969,11 +2982,46 @@ def tx_convert_parquet_dir(
     # explicit file list, not the directory: nested layouts (per-batch
     # subdirs) would otherwise defeat schema inference
     schema = reader.parquet(*files).schema
+    if partition_by:
+        missing = [c for c in partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} not in the files' schema "
+                "(this engine keeps partition columns IN the data files; "
+                "a Hive-style layout needs a rewrite via "
+                "tx_append(partition_by=) instead)"
+            )
+
+    def _pure_values(md) -> dict | None:
+        """{col: value-string} when the file is PROVABLY value-pure on
+        every partition column (footer min == max, no nulls in the
+        column); None otherwise (convert unrecorded, must-read)."""
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        vals: dict = {}
+        for c in partition_by:
+            if c not in idx:
+                return None
+            mn = mx = None
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(idx[c]).statistics
+                if st is None or not st.has_min_max or (st.null_count or 0):
+                    return None
+                lo, hi = st.min, st.max
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            if mn != mx:
+                return None
+            v = mn.decode("utf-8") if isinstance(mn, bytes) else mn
+            vals[c] = _pv_str(v)
+        return vals
+
     _init_table(table)
     tag = uuid.uuid4().hex[:12]
     added: list[str] = []
+    pv: dict = {}
     for i, f in enumerate(files):
-        if pq.ParquetFile(f).metadata.num_rows == 0:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
             continue  # like _stage: empty part files never go live
         rel = f"{DATA}/{tag}-p{i}.parquet"
         try:
@@ -2981,6 +3029,10 @@ def tx_convert_parquet_dir(
         except OSError:  # cross-device: pay the copy for this file
             shutil.copy2(f, os.path.join(table, rel))
         added.append(rel)
+        if partition_by:
+            vals = _pure_values(md)
+            if vals is not None:
+                pv[rel] = vals
     if not added:
         raise ValueError(f"every parquet file under {src_dir} is empty")
     stats = (
@@ -2989,6 +3041,8 @@ def tx_convert_parquet_dir(
     return commit(
         table, "convert", added, [], 0,
         schema_json=schema.json(), stats=stats,
+        pv=pv or None,
+        partition_by=list(partition_by) if partition_by else None,
         meta={"converted_from": os.path.abspath(src_dir)},
     )
 

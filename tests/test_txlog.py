@@ -2196,3 +2196,48 @@ def test_convert_parquet_dir_zero_copy_import(spark, tmp_path):
         for r in txlog.read_snapshot(spark, str(tmp_path / "t3")).collect()
     }
     assert rows == {(1, "a", None), (2, "b", 1.5)}
+
+
+def test_convert_with_partitioning_derives_pv_from_footers(spark, tmp_path):
+    """Converting with partition_by declares the layout AND derives
+    partitionValues from footer stats: provably value-pure files
+    (min == max, no nulls) record their values and prune immediately;
+    impure files convert unrecorded and stay exact via must-read."""
+    src = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(i, ["eu", "us"][i % 2]) for i in range(20)],
+        "k long, region string",
+    )
+    # value-pure files on disk, one per region (Hive's partitionBy
+    # would DROP the column from the files, which convert refuses —
+    # this engine keeps partition columns in the data)
+    df.filter("region = 'eu'").coalesce(1).write.parquet(src + "/p1")
+    df.filter("region = 'us'").coalesce(1).write.parquet(src + "/p2")
+    # plus one deliberately MIXED file
+    df.limit(4).coalesce(1).write.parquet(src + "/mix")
+    t = str(tmp_path / "t")
+    txlog.tx_convert_parquet_dir(
+        spark, src, t, partition_by=["region"]
+    )
+    assert txlog.table_partition_by(t) == ["region"]
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    assert len(files) == 3 and len(pv) == 2  # mixed file unrecorded
+    kept = txlog.prune_partition_files(t, files, {"region": "eu"})
+    assert len(kept) == 2  # the eu file + the unrecorded must-read
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"region": "eu"}
+        ).collect()
+    }
+    assert got == {i for i in range(20) if i % 2 == 0}
+    # later appends inherit the declaration and record values
+    txlog.tx_append(
+        spark.createDataFrame([(99, "ap")], "k long, region string"), t
+    )
+    _, files2 = txlog.snapshot_files(t)
+    new = set(files2) - set(files)
+    assert new and all(
+        txlog.snapshot_pv(t)[f] == {"region": "ap"} for f in new
+    )
