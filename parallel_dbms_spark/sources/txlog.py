@@ -130,18 +130,24 @@ _COMMIT_CACHE_MAX = 4096
 
 
 def read_commit(table: str, v: int) -> dict:
+    """Parsed commit record. The TOP-LEVEL dict is a fresh copy per
+    call (callers may pop/assign keys safely); the NESTED values
+    (``pv``, ``added``, ``stats``, ...) are the shared cached objects
+    and are READ-ONLY by contract — mutating them would corrupt every
+    subsequent read of this commit process-wide. A deep copy here
+    would cost what the cache saves on the hottest replay path."""
     path = _commit_path(table, v)
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
     hit = _COMMIT_CACHE.get(key)
     if hit is not None:
-        return hit
+        return dict(hit)
     with open(path) as fh:
         rec = json.load(fh)
     if len(_COMMIT_CACHE) >= _COMMIT_CACHE_MAX:
         _COMMIT_CACHE.clear()  # bounded; cold restart is just re-parsing
     _COMMIT_CACHE[key] = rec
-    return rec
+    return dict(rec)
 
 
 def snapshot_files(table: str, version: int | None = None) -> tuple[int, list[str]]:
@@ -2916,6 +2922,7 @@ def tx_convert_parquet_dir(
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    copy: bool = False,
 ) -> int:
     """CONVERT an existing plain-parquet directory into a
     transactional table (Delta's ``CONVERT TO DELTA``) WITHOUT copying
@@ -2923,7 +2930,13 @@ def tx_convert_parquet_dir(
     the first commit references them — converting a 100 TB directory
     is O(files) metadata ops plus (optionally) one footer read per
     file for riding stats. The links pin the inodes, so the source
-    directory can be deleted afterwards without stranding the table.
+    directory can be DELETED afterwards without stranding the table —
+    but because the table shares inodes with the source, an IN-PLACE
+    MODIFICATION of a source file afterwards silently mutates
+    committed snapshot data. The source must be treated as immutable
+    after conversion (delete-safe, not rewrite-safe); pass
+    ``copy=True`` to pay one byte-copy per file and sever the inode
+    sharing when the source directory will keep being written.
 
     Schema contract: by default every file's parquet schema must match
     the first file's EXACTLY (names and Arrow types) — a silently
@@ -3024,10 +3037,13 @@ def tx_convert_parquet_dir(
         if md.num_rows == 0:
             continue  # like _stage: empty part files never go live
         rel = f"{DATA}/{tag}-p{i}.parquet"
-        try:
-            os.link(f, os.path.join(table, rel))
-        except OSError:  # cross-device: pay the copy for this file
+        if copy:
             shutil.copy2(f, os.path.join(table, rel))
+        else:
+            try:
+                os.link(f, os.path.join(table, rel))
+            except OSError:  # cross-device: pay the copy for this file
+                shutil.copy2(f, os.path.join(table, rel))
         added.append(rel)
         if partition_by:
             vals = _pure_values(md)

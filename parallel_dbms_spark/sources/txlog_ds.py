@@ -596,13 +596,22 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             (pure if verdict else backstop).append(rel)
         rows = list(_rows_from_files(self.table, pure, self.fields))
         if backstop:
-            idx = {c: self.fields.index(c) for c, _ in self.row_filter}
+            # a partitionFilter column may be absent from the READ
+            # schema — read it alongside the serve fields (absent in
+            # the file serves as NULL, exactly like the planned face's
+            # _read_one_file) and project back after filtering
+            fcols = [c for c, _ in self.row_filter]
+            ext = list(self.fields) + [
+                c for c in fcols if c not in self.fields
+            ]
+            n = len(self.fields)
+            pos = {c: ext.index(c) for c in fcols}
             want = {c: set(w) for c, w in self.row_filter}
             rows.extend(
-                r
-                for r in _rows_from_files(self.table, backstop, self.fields)
+                r[:n]
+                for r in _rows_from_files(self.table, backstop, ext)
                 if all(
-                    txlog._pv_str(r[idx[c]]) in w for c, w in want.items()
+                    txlog._pv_str(r[pos[c]]) in w for c, w in want.items()
                 )
             )
         return rows
@@ -651,13 +660,22 @@ class TxLogReader(DataSourceReader):
         if self.pfilter:
             # metadata-only pruning from the log's recorded partition
             # values — whole files drop before any footer is read.
-            # Files the pruner kept BECAUSE their values matched need
-            # no row work; kept-because-unrecorded files get the exact
-            # row-level backstop (mirrors read_snapshot).
+            # Only files whose recorded values PROVABLY match every
+            # filter column skip the row work (_pv_matches is True);
+            # unrecorded files AND files recording other columns than
+            # the filter (staged under a previous declaration) are
+            # kept by the pruner as must-reads and keep the exact
+            # row-level backstop — the same verdict contract as the
+            # stream faces and read_snapshot.
             files = txlog.prune_partition_files(
                 self.table, files, self.pfilter
             )
-            pure = {f for f in files if f in txlog.snapshot_pv(self.table)}
+            pv = txlog.snapshot_pv(self.table)
+            pure = {
+                f
+                for f in files
+                if _pv_matches(pv.get(f), self.row_filter) is True
+            }
             row_filter = self.row_filter
         return [
             TxLogBatchPartition(

@@ -833,3 +833,73 @@ def test_simple_face_partition_filter_parity(spark, tmp_path):
         q.awaitTermination()
         outs.append({(x.k, x.c) for x in spark.read.parquet(out).collect()})
     assert outs[0] == outs[1] == {(1, "a"), (3, "a")}
+
+
+def test_batch_face_stale_declaration_file_keeps_row_backstop(
+    spark, tmp_path
+):
+    """An inherited append racing partition EVOLUTION lands a file
+    whose recorded values cover the PREVIOUS declaration's columns.
+    Filtering on the new column, the pruner keeps that file as a
+    must-read — and the batch DataSource must give it the row-level
+    backstop: 'recorded SOME values' is not 'provably pure for THIS
+    filter'. Regression: the face treated any pv-recorded file as
+    pure and served its non-matching rows."""
+    register_txlog_source(spark)
+    t = str(tmp_path / "stale")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, v string, region string"
+    )
+    txlog.tx_append(
+        mk([(1, "a", "eu"), (2, "b", "us")]), t, partition_by=["v"]
+    )
+    txlog.tx_repartition_table(spark, t, ["region"])
+    # the race, deterministically: a writer that read the OLD
+    # declaration stages value-pure on v and commits WITHOUT
+    # re-recording partition_by (the stale-declaration rule) — its
+    # file lands recording only {"v"} while the table declares region
+    from parallel_dbms_spark.sources.txlog import _stage_partitioned, commit
+
+    rels, pv = _stage_partitioned(
+        mk([(5, "a", "eu"), (6, "a", "us")]), t, ["v"]
+    )
+    commit(t, "append", rels, [], txlog.log_versions(t)[-1], pv=pv)
+    assert any(
+        set(vals) == {"v"} for vals in txlog.snapshot_pv(t).values()
+    )
+    got = {
+        r.k
+        for r in spark.read.format("txlog").option("path", t)
+        .option("partitionFilter", '{"region": "eu"}').load().collect()
+    }
+    assert got == {1, 5}  # k=6 is region='us' inside the stale file
+
+
+def test_simple_face_filter_column_outside_read_schema(spark, tmp_path):
+    """partitionFilter on a column the READ schema omits: pure files
+    still prune from metadata, and backstop files read the filter
+    column from the parquet alongside the serve fields (absent in the
+    file serves NULL) — parity with the planned face. Regression: the
+    simple face indexed the filter column into the serve fields and
+    raised ValueError."""
+    register_txlog_source(spark)
+    t = str(tmp_path / "subset")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(mk([(1, "a"), (2, "b")]), t, partition_by=["c"])
+    txlog.tx_append(mk([(3, "a"), (4, "b")]), t)
+    # sorted compaction drops partition values -> the compacted file
+    # is an unrecorded must-read that exercises the backstop
+    txlog.tx_compact(spark, t, sort_by=["k"])
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .schema("k long")  # serve schema OMITS the partition column
+        .option("simple", "true")
+        .option("partitionFilter", '{"c": "a"}')
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {r.k for r in spark.read.parquet(out).collect()} == {1, 3}
