@@ -199,12 +199,15 @@ def _try_create(path: str, payload: dict) -> bool:
 
 def _write_checkpoint(table: str, v: int) -> None:
     _, live = snapshot_files(table, v)
-    stats = snapshot_stats(table, v)
+    # file-level metadata folds in its RECORDED (physical-key) form —
+    # the checkpoint seeds the same replay the commits feed
+    stats = _snapshot_stats_raw(table, v)
     dvs = snapshot_dvs(table, v)
-    blooms = snapshot_bloom_map(table, v)
-    distincts = snapshot_distinct_map(table, v)
+    blooms = _snapshot_bloom_raw(table, v)
+    distincts = _snapshot_distinct_raw(table, v)
     schema = _schema_at(table, v)
     txns = snapshot_txns(table, v)
+    cm = table_column_mapping(table, v)
     tmp = _ckpt_path(table, v) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(
@@ -217,9 +220,11 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "distincts": distincts,
                 "schema": schema.json() if schema is not None else None,
                 "txns": txns,
-                "pv": snapshot_pv(table, v),
+                "pv": _snapshot_pv_raw(table, v),
                 "partition_by": table_partition_by(table, v),
                 "constraints": table_constraints(table, v),
+                "column_mapping": cm[0] if cm else None,
+                "retired_physical": cm[1] if cm else None,
             },
             fh,
         )
@@ -309,7 +314,7 @@ def _tagged_scan(reader, table: str, files: list[str], dvs: dict) -> DataFrame:
         pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
         excl = spark.createDataFrame(pairs, "__rel string, __pos long")
         df = df.join(F.broadcast(excl), ["__rel", "__pos"], "left_anti")
-    return df
+    return _serve_logical(df, table)
 
 
 def snapshot_stats(table: str, version: int | None = None) -> dict:
@@ -318,7 +323,20 @@ def snapshot_stats(table: str, version: int | None = None) -> dict:
     checkpoint-plus-tail replay as :func:`snapshot_files`, so resolving
     stats is O(tail commits), never O(table age). Files committed
     without stats simply have no entry (readers must scan them —
-    conservative, never wrong)."""
+    conservative, never wrong). Column keys are LOGICAL names (records
+    store physical; see :func:`table_column_mapping`)."""
+    raw = _snapshot_stats_raw(table, version)
+    if table_column_mapping(table, version) is None:
+        return raw
+    return {
+        f: {**s, "c": _keys_to_logical(table, s.get("c", {}), version)}
+        for f, s in raw.items()
+    }
+
+
+def _snapshot_stats_raw(table: str, version: int | None = None) -> dict:
+    """Stats exactly as recorded (PHYSICAL column keys) — the form
+    checkpoints fold and commits carry."""
     versions = log_versions(table)
     if not versions:
         return {}
@@ -345,7 +363,15 @@ def snapshot_pv(table: str, version: int | None = None) -> dict:
     value-string | None}}`` (Delta's partitionValues). Files committed
     without values (rewrites, pre-partitioning history) have no entry
     — partition-pruned reads must scan them, conservative like
-    stat-less files. Checkpoint-plus-tail replay, O(tail)."""
+    stat-less files. Checkpoint-plus-tail replay, O(tail). Column keys
+    are LOGICAL names (records store physical)."""
+    return _pv_keys_to_logical(
+        table, _snapshot_pv_raw(table, version), version
+    )
+
+
+def _snapshot_pv_raw(table: str, version: int | None = None) -> dict:
+    """partitionValues exactly as recorded (PHYSICAL column keys)."""
     versions = log_versions(table)
     if not versions:
         return {}
@@ -404,6 +430,308 @@ def table_constraints(table: str, version: int | None = None) -> dict:
             with open(ckpt) as fh:
                 return dict(json.load(fh).get("constraints") or {})
     return {}
+
+
+def table_column_mapping(
+    table: str, version: int | None = None
+) -> tuple[dict, list] | None:
+    """COLUMN MAPPING state at a version: ``({logical: physical},
+    retired_physical_names)`` — or ``None`` when the table has never
+    mapped (identity; every read/write fast-path skips translation).
+
+    Delta's column mapping (name mode) re-expressed for this log
+    (reference has nothing comparable — its CSV headers are fixed,
+    ``/root/reference/src/headers/duckdb_manager.cpp:52-140``): data
+    files carry stable PHYSICAL column names; RENAME and DROP are
+    metadata-only commits that re-point the logical→physical map — no
+    data rewrite, O(1) regardless of table size. ALL per-file metadata
+    in commit records (partitionValues, file stats, bloom/distinct
+    sidecar keys) is keyed by PHYSICAL name, so layout metadata
+    recorded before a rename stays valid after it; the public
+    ``snapshot_*`` faces translate to logical on the way out.
+    ``retired`` accumulates physical names whose logical column was
+    dropped — re-adding the same logical name later mints a FRESH
+    physical name, so old files' bytes never resurrect under the new
+    column (Delta's column-id guarantee, by name instead of id).
+
+    Newest-wins resolution like constraints (every mapping commit
+    stores the FULL map + full retired list), checkpoint-backed —
+    O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return None
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "column_mapping" in rec:
+            return dict(rec["column_mapping"]), list(
+                rec.get("retired_physical") or []
+            )
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                folded = json.load(fh)
+            if folded.get("column_mapping") is not None:
+                return dict(folded["column_mapping"]), list(
+                    folded.get("retired_physical") or []
+                )
+            return None
+    return None
+
+
+def _l2p_map(table: str, version: int | None = None) -> dict:
+    """{logical: physical} restricted to names that DIFFER — empty
+    means identity (the common case; callers skip all rename work)."""
+    cm = table_column_mapping(table, version)
+    if not cm:
+        return {}
+    return {l: p for l, p in cm[0].items() if l != p}
+
+
+def _physical_schema(table: str, schema, version: int | None = None):
+    """The schema with logical field names swapped to the PHYSICAL
+    names stored inside the data files (identity -> returned as-is)."""
+    m = _l2p_map(table, version)
+    if not m or schema is None:
+        return schema
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(
+                m.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _data_reader(spark: SparkSession, table: str, schema,
+                 version: int | None = None):
+    """``spark.read`` carrying the PHYSICAL serve schema for this
+    table's data files — pair with :func:`_serve_logical` after the
+    scan. Identity tables read exactly as before."""
+    phys = _physical_schema(table, schema, version)
+    return spark.read if phys is None else spark.read.schema(phys)
+
+
+def _serve_logical(df: DataFrame, table: str,
+                   version: int | None = None) -> DataFrame:
+    """Rename physical columns back to their logical names (no-op on
+    identity tables). Provenance tags (``__rel``/``__pos``) and any
+    non-mapped column pass through untouched."""
+    m = _l2p_map(table, version)
+    if not m:
+        return df
+    return df.withColumnsRenamed({p: l for l, p in m.items()})
+
+
+def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a logical DataFrame's columns to physical names before
+    staging (``mapping`` = full logical→physical map or None)."""
+    if not mapping:
+        return df
+    ren = {
+        l: p for l, p in mapping.items() if l != p and l in df.columns
+    }
+    return df.withColumnsRenamed(ren) if ren else df
+
+
+def _l2p_col(table: str, col: str, version: int | None = None) -> str:
+    """One logical column's physical name (itself when unmapped)."""
+    cm = table_column_mapping(table, version)
+    return cm[0].get(col, col) if cm else col
+
+
+def _effective_mapping(table: str) -> dict | None:
+    """The committed full logical→physical map, or None (identity)."""
+    cm = table_column_mapping(table)
+    return dict(cm[0]) if cm else None
+
+
+def _keys_to_logical(table: str, d: dict,
+                     version: int | None = None) -> dict:
+    """Translate a {physical_col: ...} metadata map to logical keys.
+    Physical names not currently mapped (dropped columns' metadata)
+    are omitted — they are unreachable from the logical schema."""
+    cm = table_column_mapping(table, version)
+    if not cm:
+        return d
+    p2l = {p: l for l, p in cm[0].items()}
+    return {p2l[k]: v for k, v in d.items() if k in p2l}
+
+
+def _pv_keys_to_logical(table: str, pv: dict,
+                        version: int | None = None) -> dict:
+    """Translate recorded partitionValues ({rel: {physical: val}}) to
+    logical column keys (identity fast path)."""
+    cm = table_column_mapping(table, version)
+    if not cm:
+        return pv
+    p2l = {p: l for l, p in cm[0].items()}
+    return {
+        rel: {p2l.get(c, c): v for c, v in vals.items()}
+        for rel, vals in pv.items()
+    }
+
+
+def _rewrite_idents(sql: str, renames: dict) -> str:
+    """Rewrite bare identifiers in a SQL predicate, OUTSIDE
+    single-quoted string literals (re-binding CHECK constraints across
+    a column rename). Word-boundary match so ``qty`` never clobbers
+    ``qty2`` or ``net_qty``; backquoted identifiers are rewritten
+    too."""
+    import re
+
+    if not renames:
+        return sql
+    pat = re.compile(
+        "('(?:[^']|'')*')|`([^`]*)`|\\b(" +
+        "|".join(re.escape(k) for k in renames) + ")\\b"
+    )
+
+    def sub(m):
+        if m.group(1) is not None:
+            return m.group(1)  # string literal: untouched
+        if m.group(2) is not None:
+            inner = m.group(2)
+            return "`" + renames.get(inner, inner) + "`"
+        return renames[m.group(3)]
+
+    return pat.sub(sub, sql)
+
+
+def _constraint_refs(sql: str, col: str) -> bool:
+    """Does a CHECK predicate reference ``col`` as a bare identifier
+    (outside string literals)?"""
+    return _rewrite_idents(sql, {col: "\x00probe\x00"}) != sql
+
+
+def tx_rename_column(
+    spark: SparkSession, table: str, old: str, new: str,
+    max_retries: int = 8,
+) -> int:
+    """ALTER TABLE RENAME COLUMN without rewriting a byte: one
+    metadata commit re-points the logical name at the column's stable
+    physical name (Delta's column-mapping rename). Declared partition
+    columns follow the rename (their pruning metadata is keyed
+    physically, so recorded partitionValues stay valid), and CHECK
+    constraints RE-BIND — each predicate's identifier occurrences
+    rewrite to the new name, so enforcement continues uninterrupted.
+    Reads at old versions (time travel) serve the old name; reads at
+    or after this commit serve the new one."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        schema = table_schema(table)
+        if schema is None:
+            raise FileNotFoundError(f"no schema committed under {table}")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} not in {table} ({names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists in {table}")
+        cm = table_column_mapping(table)
+        mapping, retired = (
+            (dict(cm[0]), list(cm[1])) if cm
+            else ({c: c for c in names}, [])
+        )
+        mapping[new] = mapping.pop(old)
+        from pyspark.sql.types import StructField
+
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType, f.nullable, f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        cons = table_constraints(table)
+        new_cons = {
+            n: _rewrite_idents(p, {old: new}) for n, p in cons.items()
+        }
+        pb = table_partition_by(table)
+        new_pb = [new if c == old else c for c in pb]
+        try:
+            return commit(
+                table, "rename_column", [], [], parent,
+                schema_json=new_schema.json(),
+                meta={
+                    "column_mapping": mapping,
+                    "retired_physical": retired,
+                    "renamed": {"from": old, "to": new},
+                },
+                constraints=new_cons if new_cons != cons else None,
+                partition_by=new_pb if new_pb != pb else None,
+            )
+        except TxConflict:
+            continue  # interleaved commit: re-read schema and retry
+    raise TxConflict(
+        f"rename_column on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_drop_column(
+    spark: SparkSession, table: str, col: str, max_retries: int = 8,
+) -> int:
+    """ALTER TABLE DROP COLUMN without rewriting a byte: one metadata
+    commit removes the logical column from the schema and the mapping
+    and RETIRES its physical name. The bytes stay in the files but are
+    unreachable (explicit-schema reads column-prune them — dropped
+    data costs zero I/O at any scale); re-adding the same logical name
+    later mints a fresh physical name, so the old bytes never
+    resurrect. Declared partition columns cannot drop (repartition
+    first), and a CHECK constraint referencing the column blocks the
+    drop (drop the constraint first) — both Delta's rules."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        schema = table_schema(table)
+        if schema is None:
+            raise FileNotFoundError(f"no schema committed under {table}")
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"column {col!r} not in {table} ({names})")
+        if len(names) == 1:
+            raise ValueError(f"cannot drop {table}'s only column")
+        if col in table_partition_by(table):
+            raise ValueError(
+                f"column {col!r} is a declared partition column of "
+                f"{table}; tx_repartition_table first"
+            )
+        offending = [
+            n for n, p in table_constraints(table).items()
+            if _constraint_refs(p, col)
+        ]
+        if offending:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) "
+                f"{offending}; tx_drop_constraint first"
+            )
+        cm = table_column_mapping(table)
+        mapping, retired = (
+            (dict(cm[0]), list(cm[1])) if cm
+            else ({c: c for c in names}, [])
+        )
+        retired.append(mapping.pop(col))
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        try:
+            return commit(
+                table, "drop_column", [], [], parent,
+                schema_json=new_schema.json(),
+                meta={
+                    "column_mapping": mapping,
+                    "retired_physical": retired,
+                    "dropped": col,
+                },
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop_column on {table} lost {max_retries} straight races"
+    )
 
 
 def _enforce_constraints(df: DataFrame, table: str) -> dict:
@@ -512,7 +840,15 @@ def snapshot_bloom_map(table: str, version: int | None = None) -> dict:
     actual bit words; the log only names it (kilobytes per commit, the
     same discipline as the file list). Checkpoint-plus-tail replay;
     pointers for files a later commit removed are dropped (a rewrite
-    invalidates the old file's filter along with the file)."""
+    invalidates the old file's filter along with the file). Column
+    keys are LOGICAL names (records store physical)."""
+    return _keys_to_logical(
+        table, _snapshot_bloom_raw(table, version), version
+    )
+
+
+def _snapshot_bloom_raw(table: str, version: int | None = None) -> dict:
+    """Bloom pointers exactly as recorded (PHYSICAL column keys)."""
     versions = log_versions(table)
     if not versions:
         return {}
@@ -553,7 +889,15 @@ def snapshot_distinct_map(table: str, version: int | None = None) -> dict:
     [{"sidecar": rel, "files": [rels...]}]}}``; the sidecar parquet
     holds the bitmap rows, the log only names it). Checkpoint-plus-
     tail replay; pointers for files a later commit removed are dropped
-    (a rewrite invalidates the old file's bitmaps with the file)."""
+    (a rewrite invalidates the old file's bitmaps with the file).
+    Column keys are LOGICAL names (records store physical)."""
+    return _keys_to_logical(
+        table, _snapshot_distinct_raw(table, version), version
+    )
+
+
+def _snapshot_distinct_raw(table: str, version: int | None = None) -> dict:
+    """Distinct pointers exactly as recorded (PHYSICAL column keys)."""
     versions = log_versions(table)
     if not versions:
         return {}
@@ -588,7 +932,8 @@ def snapshot_distinct_map(table: str, version: int | None = None) -> dict:
 
 
 def _build_distinct_sidecar(
-    spark: SparkSession, table: str, rels: list[str], col: str
+    spark: SparkSession, table: str, rels: list[str], col: str,
+    physical: str | None = None,
 ) -> dict:
     """Build per-file exact-distinct BITMAPS over exactly ``rels`` and
     write them as ONE immutable sidecar parquet under ``_sidecars/``;
@@ -607,7 +952,9 @@ def _build_distinct_sidecar(
 
     paths = [os.path.join(table, r) for r in rels]
     df = spark.read.parquet(*paths).select(
-        _rel_expr(table).alias("file"), F.col(col).alias("__id")
+        _rel_expr(table).alias("file"),
+        # files carry physical names
+        F.col(physical or _l2p_col(table, col)).alias("__id"),
     )
     bm = build_bitmaps(df, ["file"], "__id")
     tag = uuid.uuid4().hex[:12]
@@ -631,7 +978,8 @@ def tx_distinct(spark: SparkSession, table: str, cols: list[str]) -> int:
     if not files:
         raise FileNotFoundError(f"no live files under {table}")
     distinct = {
-        c: [_build_distinct_sidecar(spark, table, files, c)] for c in cols
+        _l2p_col(table, c): [_build_distinct_sidecar(spark, table, files, c)]
+        for c in cols
     }
     return commit(table, "distinct", [], [], v, distinct=distinct)
 
@@ -685,7 +1033,7 @@ def tx_instant_distinct(
             spark.read.parquet(*[os.path.join(table, f) for f in uncovered]),
             table,
             {f: p for f, p in dvs.items() if f in set(uncovered)},
-        ).select(F.col(col).alias("__id"))
+        ).select(F.col(_l2p_col(table, col, version)).alias("__id"))
         parts.append(
             build_bitmaps(df, [], "__id").select(BUCKET, BITMAP)
         )
@@ -769,11 +1117,12 @@ def tx_instant_agg(
             table,
             {f: p for f, p in dvs.items() if f in set(uncovered)},
         )
+        pcol = _l2p_col(table, col, version)  # raw files are physical
         parts.append(
             df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.min(col).alias("col_min"),
-                F.max(col).alias("col_max"),
+                F.min(pcol).alias("col_min"),
+                F.max(pcol).alias("col_max"),
             )
         )
     if not parts:
@@ -807,6 +1156,7 @@ def _build_bloom_sidecar(
     col: str,
     n_bits: int | None = None,
     n_hashes: int = 5,
+    physical: str | None = None,
 ) -> dict:
     """Build per-file Bloom filters over exactly ``rels`` and write
     them as ONE immutable sidecar parquet under ``_sidecars/``;
@@ -832,7 +1182,8 @@ def _build_bloom_sidecar(
         while n_bits < 10 * rows:
             n_bits <<= 1
     df = spark.read.parquet(*paths).select(
-        _rel_expr(table).alias("__rel"), F.col(col).alias("__v")
+        _rel_expr(table).alias("__rel"),
+        F.col(physical or _l2p_col(table, col)).alias("__v"),
     )
     probes = df.select(
         "__rel",
@@ -920,7 +1271,9 @@ def tx_bloom(
     if not files:
         raise FileNotFoundError(f"no live files under {table}")
     bloom = {
-        c: [_build_bloom_sidecar(spark, table, files, c, n_bits, n_hashes)]
+        _l2p_col(table, c): [
+            _build_bloom_sidecar(spark, table, files, c, n_bits, n_hashes)
+        ]
         for c in cols
     }
     return commit(table, "bloom", [], [], v, bloom=bloom)
@@ -988,14 +1341,16 @@ def tx_point_lookup(
         return True
 
     keep = [f for f in files if f not in blooms or _admits(blooms[f])]
+    mv = None if version is None else v
     if not keep:
         df = spark.createDataFrame([], schema)
         return df.filter(F.col(col) == lit), 0, len(files)
-    df = spark.read.schema(schema).parquet(
+    df = _data_reader(spark, table, schema, mv).parquet(
         *[os.path.join(table, f) for f in keep]
     )
     dvs = snapshot_dvs(table, v)
     df = _apply_dvs(df, table, {f: p for f, p in dvs.items() if f in set(keep)})
+    df = _serve_logical(df, table, mv)
     return df.filter(F.col(col) == lit), len(keep), len(files)
 
 
@@ -1148,9 +1503,16 @@ def commit(
     raise RuntimeError(f"could not claim a version after {max_attempts} tries")
 
 
-def _stage(df: DataFrame, table: str) -> list[str]:
+def _stage(df: DataFrame, table: str,
+           mapping: dict | None = None) -> list[str]:
     """Write df's parquet into data/ under fresh UUID names; returns
-    relpaths. Files are invisible until committed."""
+    relpaths. Files are invisible until committed. Data files always
+    carry PHYSICAL column names — ``mapping`` (full logical→physical;
+    None = the committed one) renames a logical DataFrame on the way
+    in; identity tables skip the rename entirely."""
+    df = _to_physical_df(
+        df, _effective_mapping(table) if mapping is None else mapping
+    )
     _init_table(table)
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(table, STAGING, tag)
@@ -1174,7 +1536,8 @@ def _stage(df: DataFrame, table: str) -> list[str]:
 
 
 def _stage_partitioned(
-    df: DataFrame, table: str, partition_by: list[str]
+    df: DataFrame, table: str, partition_by: list[str],
+    mapping: dict | None = None,
 ) -> tuple[list[str], dict]:
     """Stage df as VALUE-PURE files: every staged file holds rows of
     exactly one combination of the partition columns, and the commit
@@ -1188,12 +1551,19 @@ def _stage_partitioned(
     ``data/`` (vacuum/retention walk it flat); the value map lives in
     the log, not the path.
 
-    Returns (relpaths, {rel: {col: value-string | None}}).
+    Returns (relpaths, {rel: {col: value-string | None}}) — rels hold
+    PHYSICAL column names and pv is keyed PHYSICALLY (``partition_by``
+    arrives logical; the committed metadata contract is physical).
     """
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
 
+    m = _effective_mapping(table) if mapping is None else mapping
+    df = _to_physical_df(df, m)
+    partition_by = [m.get(c, c) for c in partition_by] if m else list(
+        partition_by
+    )
     _init_table(table)
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(table, STAGING, tag)
@@ -1257,7 +1627,8 @@ def _json_safe(v):
 
 
 def collect_file_stats(
-    table: str, rels: list[str], stats_cols: list[str]
+    table: str, rels: list[str], stats_cols: list[str],
+    mapping: dict | None = None,
 ) -> dict:
     """Per-file min/max/rowcount for freshly staged files, read from
     the parquet FOOTERS (no data scan): the write that produced the
@@ -1269,11 +1640,17 @@ def collect_file_stats(
     it (all-null files and suppressed stats yield no entry, which
     skipping treats as must-read). Decimal columns are skipped —
     their JSON encoding would not preserve order.
+
+    ``stats_cols`` arrives LOGICAL; recorded keys are the PHYSICAL
+    footer names (the committed-metadata contract under column
+    mapping — :func:`snapshot_stats` translates back on read).
     """
     import decimal
 
     import pyarrow.parquet as pq
 
+    m = _effective_mapping(table) if mapping is None else mapping
+    stats_cols = [m.get(c, c) for c in stats_cols] if m else stats_cols
     out: dict = {}
     for rel in rels:
         md = pq.ParquetFile(os.path.join(table, rel)).metadata
@@ -1386,15 +1763,46 @@ def tx_append(
         from .lake import z_cluster
 
         df = z_cluster(df, list(cluster_by), num_files=cluster_files)
+    # COLUMN MAPPING: a mapped table stages physical names; a brand-new
+    # logical column (merge_schema evolution) MINTS its physical name
+    # here — fresh when the name was ever used before (mapped now or
+    # retired by a drop), so old files' bytes never resurrect under a
+    # re-added column.
+    cm = table_column_mapping(table)
+    eff_mapping: dict | None = None
+    mapping_grew = False
+    if cm:
+        eff_mapping, retired = dict(cm[0]), list(cm[1])
+        used = set(eff_mapping.values()) | set(retired)
+        for c in df.columns:
+            if c not in eff_mapping:
+                phys = c
+                while phys in used:
+                    phys = f"{c}_{uuid.uuid4().hex[:8]}"
+                eff_mapping[c] = phys
+                used.add(phys)
+                mapping_grew = True
     pv = None
     if eff_partition:
-        added, pv = _stage_partitioned(df, table, eff_partition)
+        added, pv = _stage_partitioned(
+            df, table, eff_partition, mapping=eff_mapping or {}
+        )
     else:
-        added = _stage(df, table)
-    stats = collect_file_stats(table, added, stats_cols) if stats_cols else None
+        added = _stage(df, table, mapping=eff_mapping or {})
+    stats = (
+        collect_file_stats(
+            table, added, stats_cols, mapping=eff_mapping or {}
+        )
+        if stats_cols else None
+    )
+    _p = (eff_mapping or {}).get
     bloom = (
         {
-            c: [_build_bloom_sidecar(df.sparkSession, table, added, c)]
+            _p(c, c): [
+                _build_bloom_sidecar(
+                    df.sparkSession, table, added, c, physical=_p(c, c)
+                )
+            ]
             for c in bloom_cols
         }
         if bloom_cols and added
@@ -1402,7 +1810,11 @@ def tx_append(
     )
     distinct = (
         {
-            c: [_build_distinct_sidecar(df.sparkSession, table, added, c)]
+            _p(c, c): [
+                _build_distinct_sidecar(
+                    df.sparkSession, table, added, c, physical=_p(c, c)
+                )
+            ]
             for c in distinct_cols
         }
         if distinct_cols and added
@@ -1435,6 +1847,31 @@ def tx_append(
                     f"{fresh} while this append staged under "
                     f"{list(partition_by)}; re-run against the new layout"
                 )
+        eff_meta = meta
+        if eff_mapping is not None:
+            # a rename/drop landing after our staging means the files
+            # we staged carry stale physical names — fail loudly, the
+            # caller re-runs against the fresh mapping (same contract
+            # as the partition re-declaration race above)
+            fresh_cm = table_column_mapping(table)
+            fresh_map = dict(fresh_cm[0]) if fresh_cm else {}
+            drift = [
+                c for c in df.columns
+                if c in fresh_map and fresh_map[c] != eff_mapping.get(c)
+            ]
+            if drift:
+                raise ValueError(
+                    f"column mapping of {table} changed for {drift} "
+                    "while this append staged; re-run the append"
+                )
+            if mapping_grew:
+                # evolution on a mapped table: the commit records the
+                # grown map so the minted physical names resolve
+                eff_meta = {
+                    **(meta or {}),
+                    "column_mapping": eff_mapping,
+                    "retired_physical": retired,
+                }
         try:
             return commit(
                 table,
@@ -1443,7 +1880,7 @@ def tx_append(
                 [],
                 parent,
                 schema_json=schema_json,
-                meta=meta,
+                meta=eff_meta,
                 stats=stats,
                 bloom=bloom,
                 distinct=distinct,
@@ -1743,9 +2180,11 @@ def read_snapshot(
         if schema is None:
             raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
         return spark.createDataFrame([], schema)
-    reader = spark.read if schema is None else spark.read.schema(schema)
+    mv = None if version is None else v  # mapping AS OF the pin
+    reader = _data_reader(spark, table, schema, mv)
     df = reader.parquet(*[os.path.join(table, f) for f in files])
     df = _apply_dvs(df, table, snapshot_dvs(table, v))
+    df = _serve_logical(df, table, mv)
     if partition_filter:
         from pyspark.sql import functions as F
 
@@ -1850,10 +2289,12 @@ def tx_read_skipping(
             schema = spark.read.parquet(os.path.join(table, files[0])).schema
         df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        mv = None if version is None else v
+        reader = _data_reader(spark, table, schema, mv)
         df = reader.parquet(*[os.path.join(table, f) for f in keep])
         dvs = snapshot_dvs(table, v)
         df = _apply_dvs(df, table, {f: p for f, p in dvs.items() if f in set(keep)})
+        df = _serve_logical(df, table, mv)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -1899,7 +2340,7 @@ def tx_delete_where(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         dvs = snapshot_dvs(table)
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = _data_reader(spark, table, schema)
         df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
         hit_rels = sorted(
@@ -1981,7 +2422,7 @@ def tx_update_where(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         dvs = snapshot_dvs(table)
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = _data_reader(spark, table, schema)
         df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
         hit_rels = sorted(
@@ -2091,7 +2532,7 @@ def tx_delete_where_mor(
             return parent, 0
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = _data_reader(spark, table, schema)
         tagged = _tagged_scan(reader, table, files, snapshot_dvs(table))
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
         hits = tagged.filter(pred).select("__rel", "__pos")
@@ -2188,7 +2629,7 @@ def tx_changes(
         if rec["action"] in ("compact", "repartition"):
             continue  # content-preserving rewrites: no row-level change
         schema = _schema_at(table, v)
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = _data_reader(spark, table, schema, v)
 
         if rec.get("cdc"):
             # the writer persisted this commit's change set (Delta's
@@ -2209,6 +2650,14 @@ def tx_changes(
             # action, and the diff still cancels all untouched rows.
             before = read_snapshot(spark, table, v - 1)
             after = read_snapshot(spark, table, v)
+            if table_column_mapping(table) is not None:
+                # a restore can cross a rename: snapshots serve their
+                # own versions' LOGICAL names — diff in the stable
+                # PHYSICAL space instead (final select serves `hi`'s)
+                cmb = table_column_mapping(table, v - 1)
+                cma = table_column_mapping(table, v)
+                before = _to_physical_df(before, dict(cmb[0]) if cmb else None)
+                after = _to_physical_df(after, dict(cma[0]) if cma else None)
             types = dict(after.dtypes)
             aligned = before.select(
                 *[
@@ -2291,7 +2740,27 @@ def tx_changes(
         return empty.withColumn("_change_type", F.lit("")).withColumn(
             "_commit_version", F.lit(0).cast("long")
         ).limit(0)
-    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    cm_hi = table_column_mapping(table, hi)
+    if cm_hi:
+        # a mapped table's per-commit parts are PHYSICAL (stable across
+        # renames); serve the whole feed under hi's LOGICAL names —
+        # Delta CDF's end-version-schema rule. Physical columns whose
+        # logical was dropped by hi are not served; columns added after
+        # a part's commit null-fill.
+        sch = _schema_at(table, hi)
+        extra = [c for c in ("_change_type", "_commit_version")
+                 if c in out.columns]
+        cols = [
+            (
+                F.col(cm_hi[0].get(f.name, f.name)).alias(f.name)
+                if cm_hi[0].get(f.name, f.name) in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in sch.fields
+        ]
+        out = out.select(*cols, *extra)
+    return out
 
 
 def tx_merge_upsert(
@@ -2367,7 +2836,7 @@ def tx_merge_upsert(
                 return v, 0
             except TxConflict:
                 continue
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = _data_reader(spark, table, schema)
         dvs = snapshot_dvs(table)
         df = _tagged_scan(reader, table, files, dvs)
         src_keys = source.select(*keys).distinct()
@@ -2492,11 +2961,11 @@ def tx_compact(
         # removes the old files, making the loss permanent.
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
-        reader = spark.read if schema is None else spark.read.schema(schema)
-        live_df = _apply_dvs(
+        reader = _data_reader(spark, table, schema)
+        live_df = _serve_logical(_apply_dvs(
             reader.parquet(*[os.path.join(table, f) for f in files]),
             table, snapshot_dvs(table),
-        )
+        ), table)
         if zorder_by:
             from .lake import z_cluster
 
@@ -2583,11 +3052,11 @@ def tx_repartition_table(
                     f"partition column(s) {missing} not in table schema"
                 )
         schema_json = schema.json() if schema is not None else None
-        reader = spark.read if schema is None else spark.read.schema(schema)
-        live_df = _apply_dvs(
+        reader = _data_reader(spark, table, schema)
+        live_df = _serve_logical(_apply_dvs(
             reader.parquet(*[os.path.join(table, f) for f in files]),
             table, snapshot_dvs(table),
-        )
+        ), table)
         added, pv = _stage_partitioned(live_df, table, list(partition_by))
         stats = (
             collect_file_stats(table, added, stats_cols)
@@ -2663,6 +3132,10 @@ def _stage_cdc(df, table: str) -> str:
     (``txlog_ds`` readChangeFeed)."""
     import shutil
 
+    # change sets carry PHYSICAL column names like data files do (the
+    # feed's final select translates back to the serve-version names);
+    # _change_type is reserved and never mapped
+    df = _to_physical_df(df, _effective_mapping(table))
     tag = uuid.uuid4().hex[:12]
     tmp = os.path.join(table, SIDECARS, f"tmp-{tag}")
     df.coalesce(1).write.parquet(tmp)
@@ -2718,12 +3191,12 @@ def tx_optimize(
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
-        reader = spark.read if schema is None else spark.read.schema(schema)
-        packed = _apply_dvs(
+        reader = _data_reader(spark, table, schema)
+        packed = _serve_logical(_apply_dvs(
             reader.parquet(*[os.path.join(table, f) for f in small]),
             table,
             {f: p for f, p in dvs.items() if f in set(small)},
-        ).coalesce(int(n_out))
+        ), table).coalesce(int(n_out))
         added, pv = _stage_for(packed, table)
         stats = (
             collect_file_stats(table, added, stats_cols) if stats_cols else None
@@ -2795,13 +3268,13 @@ def tx_restore(table: str, to_version: int) -> int:
     # re-record skipping metadata for every (re-)added file — the
     # remove-side of the replay drops it, the commit's own entries
     # put the target version's back
-    tgt_stats = snapshot_stats(table, to_version)
+    tgt_stats = _snapshot_stats_raw(table, to_version)
     stats = {f: tgt_stats[f] for f in added if f in tgt_stats} or None
     dv = {f: tgt_dvs[f] for f in added if tgt_dvs.get(f)} or None
-    tgt_pv = snapshot_pv(table, to_version)
+    tgt_pv = _snapshot_pv_raw(table, to_version)
     pv = {f: tgt_pv[f] for f in added if f in tgt_pv} or None
     bloom: dict = {}
-    for c, m in snapshot_bloom_map(table, to_version).items():
+    for c, m in _snapshot_bloom_raw(table, to_version).items():
         by_sidecar: dict = {}
         for f in added:
             if f in m:
@@ -2812,7 +3285,7 @@ def tx_restore(table: str, to_version: int) -> int:
                 for sc, fs in sorted(by_sidecar.items())
             ]
     distinct: dict = {}
-    for c, m in snapshot_distinct_map(table, to_version).items():
+    for c, m in _snapshot_distinct_raw(table, to_version).items():
         by_sidecar = {}
         for f in added:
             if f in m:
@@ -2835,6 +3308,19 @@ def tx_restore(table: str, to_version: int) -> int:
     cur_pb = table_partition_by(table, cur_v)
     tgt_cons = table_constraints(table, to_version)
     cur_cons = table_constraints(table, cur_v)
+    # restore also undoes later RENAME/DROP COLUMN: re-record the
+    # target's mapping when it drifted (retired stays CUMULATIVE
+    # across the restore — a physical name once used never re-mints)
+    meta: dict = {"restore_of": to_version}
+    tgt_cm = table_column_mapping(table, to_version)
+    cur_cm = table_column_mapping(table, cur_v)
+    if tgt_cm != cur_cm and (tgt_cm or cur_cm):
+        names = [f.name for f in schema.fields] if schema else []
+        meta["column_mapping"] = (
+            dict(tgt_cm[0]) if tgt_cm else {c: c for c in names}
+        )
+        retired = list(cur_cm[1]) if cur_cm else []
+        meta["retired_physical"] = retired
     return commit(
         table,
         "restore",
@@ -2842,7 +3328,7 @@ def tx_restore(table: str, to_version: int) -> int:
         removed,
         cur_v,
         schema_json=schema.json() if schema is not None else None,
-        meta={"restore_of": to_version},
+        meta=meta,
         stats=stats,
         dv=dv,
         pv=pv,
@@ -2882,9 +3368,9 @@ def tx_clone(
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(src, timestamp)
     v, files = snapshot_files(src, version)
-    stats = snapshot_stats(src, v)
+    stats = _snapshot_stats_raw(src, v)
     dvs = snapshot_dvs(src, v)
-    pv = snapshot_pv(src, v)
+    pv = _snapshot_pv_raw(src, v)
     schema = _schema_at(src, v)
     if log_versions(dst):
         raise ValueError(f"clone destination {dst} already has commits")
@@ -2911,7 +3397,21 @@ def tx_clone(
         pv={rel_map[f]: s for f, s in pv.items() if f in rel_map} or None,
         partition_by=table_partition_by(src, v) or None,
         constraints=table_constraints(src, v) or None,
-        meta={"cloned_from": os.path.abspath(src), "source_version": v},
+        meta={
+            "cloned_from": os.path.abspath(src),
+            "source_version": v,
+            # the clone's files carry the source's PHYSICAL names, so
+            # the mapping travels with them (retired too: a re-added
+            # name in the clone must keep minting fresh)
+            **(
+                {
+                    "column_mapping": dict(cm[0]),
+                    "retired_physical": list(cm[1]),
+                }
+                if (cm := table_column_mapping(src, v))
+                else {}
+            ),
+        },
     )
 
 

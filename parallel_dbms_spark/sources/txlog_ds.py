@@ -50,8 +50,25 @@ from pyspark.sql.datasource import (
 from . import txlog
 
 
+def _p2l_pairs(table: str) -> tuple:
+    """((physical, logical), ...) rename pairs for this table's data
+    files — empty on identity tables (see txlog.table_column_mapping).
+    Computed once at plan time; ships inside each partition so
+    executor reads never replay the log for the mapping."""
+    return tuple((p, l) for l, p in txlog._l2p_map(table).items())
+
+
+def _rename_arrow(tbl, rename: tuple):
+    """Apply physical→logical rename pairs to an Arrow table."""
+    if not rename:
+        return tbl
+    ren = dict(rename)
+    return tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
+
+
 def _rows_from_files(
-    table: str, rels: list[str], fields: list[str], dvs: dict | None = None
+    table: str, rels: list[str], fields: list[str], dvs: dict | None = None,
+    rename: tuple = (),
 ):
     """Read parquet files by value (pyarrow, in whichever Python worker
     runs this) aligned to the serve schema: absent columns
@@ -63,7 +80,7 @@ def _rows_from_files(
     import pyarrow.parquet as pq
 
     for rel in rels:
-        tbl = pq.read_table(os.path.join(table, rel))
+        tbl = _rename_arrow(pq.read_table(os.path.join(table, rel)), rename)
         cols = set(tbl.column_names)
         excl = set((dvs or {}).get(rel, ()))
         for i, rec in enumerate(tbl.to_pylist()):
@@ -162,6 +179,7 @@ class TxLogInputPartition(InputPartition):
     fields: tuple
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
     row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
+    rename: tuple = ()  # ((physical, logical), ...) column mapping
 
 
 def _parse_partition_filter(options, table: str):
@@ -217,7 +235,7 @@ def _pv_matches(vals: dict | None, row_filter: tuple) -> bool | None:
 
 def _read_one_file(
     table: str, rel: str, fields: tuple, arrow_schema, exclude: tuple = (),
-    row_filter: tuple = (),
+    row_filter: tuple = (), rename: tuple = (),
 ):
     """Executor-side read of one data file. Fast path: when the file's
     Arrow schema for the selected fields EXACTLY equals the serve
@@ -233,7 +251,7 @@ def _read_one_file(
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(table, rel))
+    tbl = _rename_arrow(pq.read_table(os.path.join(table, rel)), rename)
     if exclude:
         import pyarrow as pa
 
@@ -299,6 +317,7 @@ class TxLogChangePartition(InputPartition):
     version: int
     positions: tuple = ()  # delete partitions: DV row indexes
     row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
+    rename: tuple = ()  # ((physical, logical), ...) column mapping
 
 
 def _read_change_partition(p: TxLogChangePartition):
@@ -312,7 +331,7 @@ def _read_change_partition(p: TxLogChangePartition):
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(p.table, p.rel))
+    tbl = _rename_arrow(pq.read_table(os.path.join(p.table, p.rel)), p.rename)
     if p.change_type == "delete":
         tbl = tbl.take(list(p.positions))
     cols = set(tbl.column_names)
@@ -329,7 +348,7 @@ def _read_change_partition(p: TxLogChangePartition):
 
 
 def _plan_change_partitions(
-    table: str, lo: int, hi: int, fields: tuple
+    table: str, lo: int, hi: int, fields: tuple, rename: tuple = ()
 ) -> list[TxLogChangePartition]:
     """CDC splits for commits in (lo, hi]. Appends stream their added
     files as inserts and MOR deletes stream their vectored positions
@@ -360,7 +379,9 @@ def _plan_change_partitions(
             # change-data file): one partition scans the sidecar —
             # rewriting commits become streamable after all
             parts.append(
-                TxLogChangePartition(table, rec["cdc"], fields, "cdc", v)
+                TxLogChangePartition(
+                    table, rec["cdc"], fields, "cdc", v, rename=rename
+                )
             )
             continue
         if rec["removed"]:
@@ -372,12 +393,15 @@ def _plan_change_partitions(
             )
         for rel in rec["added"]:
             parts.append(
-                TxLogChangePartition(table, rel, fields, "insert", v)
+                TxLogChangePartition(
+                    table, rel, fields, "insert", v, rename=rename
+                )
             )
         for rel, pos in rec.get("dv", {}).items():
             parts.append(
                 TxLogChangePartition(
-                    table, rel, fields, "delete", v, tuple(pos)
+                    table, rel, fields, "delete", v, tuple(pos),
+                    rename=rename,
                 )
             )
     return parts
@@ -434,19 +458,24 @@ class TxLogStreamReader(DataSourceStreamReader):
         rels = _plan_rels(
             self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
         )
+        ren = _p2l_pairs(self.table)
         if not self.pfilter:
             return [
                 TxLogInputPartition(
-                    self.table, rel, self.fields, self._arrow_schema
+                    self.table, rel, self.fields, self._arrow_schema,
+                    rename=ren,
                 )
                 for rel in rels
             ]
         # the replayed commits' own pv records (not snapshot_pv: the
-        # stream replays commit contents even for files later removed)
+        # stream replays commit contents even for files later removed);
+        # recorded keys are PHYSICAL — translate to the filter's
+        # logical names before matching
         pv: dict = {}
         for v in txlog.log_versions(self.table):
             if lo < v <= hi:
                 pv.update(txlog.read_commit(self.table, v).get("pv", {}))
+        pv = txlog._pv_keys_to_logical(self.table, pv)
         out = []
         for rel in rels:
             verdict = _pv_matches(pv.get(rel), self.row_filter)
@@ -456,6 +485,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                 TxLogInputPartition(
                     self.table, rel, self.fields, self._arrow_schema,
                     () if verdict else self.row_filter,
+                    rename=ren,
                 )
             )
         return out
@@ -467,6 +497,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             partition.fields,
             partition.arrow_schema,
             row_filter=partition.row_filter,
+            rename=partition.rename,
         )
 
     def commit(self, end):
@@ -510,8 +541,10 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
+        ren = _p2l_pairs(self.table)
         parts = _plan_change_partitions(
-            self.table, int(start["v"]), int(end["v"]), self.fields
+            self.table, int(start["v"]), int(end["v"]), self.fields,
+            rename=ren,
         )
         if not self.pfilter:
             return parts
@@ -519,11 +552,13 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         out = []
         for p in parts:
             if p.change_type == "insert":
-                vals = txlog.read_commit(self.table, p.version).get(
-                    "pv", {}
+                vals = txlog._pv_keys_to_logical(
+                    self.table,
+                    txlog.read_commit(self.table, p.version).get("pv", {}),
                 ).get(p.rel)
             elif p.change_type == "delete":
                 if p.version not in pv_at:
+                    # snapshot_pv serves LOGICAL keys already
                     pv_at[p.version] = txlog.snapshot_pv(
                         self.table, p.version
                     )
@@ -537,6 +572,7 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
                 TxLogChangePartition(
                     p.table, p.rel, p.fields, p.change_type, p.version,
                     p.positions, () if verdict else self.row_filter,
+                    rename=ren,
                 )
             )
         return out
@@ -580,21 +616,28 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         rels = _plan_rels(
             self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
         )
+        ren = _p2l_pairs(self.table)
         if not self.pfilter:
-            return list(_rows_from_files(self.table, rels, self.fields))
+            return list(
+                _rows_from_files(self.table, rels, self.fields, rename=ren)
+            )
         # commit-metadata pruning like the planned reader: disjoint
-        # value-pure files never open; unrecorded files row-filter
+        # value-pure files never open; unrecorded files row-filter.
+        # Recorded pv keys are PHYSICAL — translate before matching.
         pv: dict = {}
         for v in txlog.log_versions(self.table):
             if lo < v <= hi:
                 pv.update(txlog.read_commit(self.table, v).get("pv", {}))
+        pv = txlog._pv_keys_to_logical(self.table, pv)
         pure, backstop = [], []
         for rel in rels:
             verdict = _pv_matches(pv.get(rel), self.row_filter)
             if verdict is False:
                 continue
             (pure if verdict else backstop).append(rel)
-        rows = list(_rows_from_files(self.table, pure, self.fields))
+        rows = list(
+            _rows_from_files(self.table, pure, self.fields, rename=ren)
+        )
         if backstop:
             # a partitionFilter column may be absent from the READ
             # schema — read it alongside the serve fields (absent in
@@ -609,7 +652,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             want = {c: set(w) for c, w in self.row_filter}
             rows.extend(
                 r[:n]
-                for r in _rows_from_files(self.table, backstop, ext)
+                for r in _rows_from_files(
+                    self.table, backstop, ext, rename=ren
+                )
                 if all(
                     txlog._pv_str(r[pos[c]]) in w for c, w in want.items()
                 )
@@ -677,6 +722,7 @@ class TxLogReader(DataSourceReader):
                 if _pv_matches(pv.get(f), self.row_filter) is True
             }
             row_filter = self.row_filter
+        ren = _p2l_pairs(self.table)
         return [
             TxLogBatchPartition(
                 self.table,
@@ -685,6 +731,7 @@ class TxLogReader(DataSourceReader):
                 tuple(dvs.get(rel, ())),
                 self._arrow_schema,
                 () if rel in pure else row_filter,
+                ren,
             )
             for rel in files
         ]
@@ -697,6 +744,7 @@ class TxLogReader(DataSourceReader):
             partition.arrow_schema,
             partition.dv,
             partition.row_filter,
+            partition.rename,
         )
 
 
@@ -708,6 +756,7 @@ class TxLogBatchPartition(InputPartition):
     dv: tuple
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
     row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
+    rename: tuple = ()  # ((physical, logical), ...) column mapping
 
 
 def _check_constraints_duckdb(
@@ -864,13 +913,19 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         # commit racing the batch and revalidate (commit() below).
         cons = txlog.table_constraints(self.table)
         _check_constraints_duckdb(cons, arrow_tbl=tbl, table=self.table)
+        # COLUMN MAPPING: staged files carry PHYSICAL names (validated
+        # logically above); pv keys record physically like
+        # _stage_partitioned
+        m = txlog._l2p_map(self.table)
+        if m:
+            tbl = _rename_arrow(tbl, tuple((l, p) for l, p in m.items()))
         # declared partitioning: stage VALUE-PURE files with recorded
         # partitionValues, exactly like batch _stage_partitioned — so
         # prune_partition_files prunes streamed appends too, not just
         # batch ones
         pcols = txlog.table_partition_by(self.table)
         if pcols and all(c in names for c in pcols):
-            parts = _split_value_pure(tbl, pcols)
+            parts = _split_value_pure(tbl, [m.get(c, c) for c in pcols])
         else:
             parts = [(tbl, None)]
         os.makedirs(os.path.join(self.table, txlog.DATA), exist_ok=True)
@@ -923,8 +978,14 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                 cons_now = txlog.table_constraints(self.table)
                 sig_now = tuple(sorted(cons_now.items()))
                 if validated != {sig_now}:
+                    # staged files carry PHYSICAL names: re-bind the
+                    # (logical) predicates before DuckDB evaluates them
+                    m = txlog._l2p_map(self.table)
                     _check_constraints_duckdb(
-                        cons_now,
+                        {
+                            n: txlog._rewrite_idents(pred, m)
+                            for n, pred in cons_now.items()
+                        },
                         parquet_paths=[
                             os.path.join(self.table, r) for r in added
                         ],

@@ -295,8 +295,8 @@ def test_concurrent_merge_schema_appends_keep_both_columns(spark, table):
     real_stage = txlog._stage
     fired = {"done": False}
 
-    def racing_stage(df, tbl):
-        rels = real_stage(df, tbl)
+    def racing_stage(df, tbl, mapping=None):
+        rels = real_stage(df, tbl, mapping)
         if not fired["done"]:
             fired["done"] = True
             # interleave A's widen AFTER B validated + staged
@@ -2121,11 +2121,11 @@ def test_declaring_append_detects_interleaved_evolution(
     real = txlog.collect_file_stats
     fired = []
 
-    def interleave(table, rels, cols):
+    def interleave(table, rels, cols, mapping=None):
         if not fired:
             fired.append(1)
             txlog.tx_repartition_table(spark, t, ["region"])
-        return real(table, rels, cols)
+        return real(table, rels, cols, mapping)
 
     monkeypatch.setattr(txlog, "collect_file_stats", interleave)
     with pytest.raises(ValueError, match="re-declared"):

@@ -127,7 +127,7 @@ def test_stream_partitions_one_per_file_no_driver_transit(spark, table):
     # partition value is metadata-sized: paths, field names, and the
     # expected Arrow schema (kilobytes) — never row data
     assert {f for p in parts for f in vars(p)} == {
-        "table", "rel", "fields", "arrow_schema", "row_filter",
+        "table", "rel", "fields", "arrow_schema", "row_filter", "rename",
     }
     # the executor-side read of all partitions reconstructs the batch
     # (Arrow RecordBatches on the fast path — normalize to tuples)
