@@ -3786,6 +3786,89 @@ def lake_tx_partition_evolution(spark, sf_dir):
 
 
 @register(
+    "lake_tx_column_mapping",
+    oracle="""WITH base AS (
+                SELECT o_orderkey AS okey,
+                       o_orderstatus AS status,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CASE WHEN o_orderkey % 2 = 1 THEN 7 ELSE 0 END
+                           AS tagv
+                FROM orders)
+              SELECT status, COUNT(*) AS n,
+                     CAST(SUM(price_cents) AS BIGINT) AS cents,
+                     CAST(SUM(tagv) AS BIGINT) AS tag_sum
+              FROM base WHERE status IN ('F', 'O')
+              GROUP BY status""",
+    tags=("lake", "acid", "column-mapping", "partition",
+          "data-skipping", "constraints", "groupby"),
+)
+def lake_tx_column_mapping(spark, sf_dir):
+    # COLUMN MAPPING end-to-end (txlog.tx_rename_column /
+    # tx_drop_column — Delta's name-mode mapping; the reference's
+    # fixed typed headers have no rename surface): half of orders
+    # lands under the ORIGINAL names (partitioned + stats +
+    # constraint), then the partition column, the stats column, and a
+    # throwaway column rename/drop as METADATA-ONLY commits (asserted:
+    # no file added or removed), the other half appends under the NEW
+    # names, and the dropped column is re-added — minting a fresh
+    # physical name, so pre-drop bytes must read NULL (the oracle
+    # makes that relational: old rows contribute 0, new rows 7).
+    # Pruning by the RENAMED partition column and skipping by the
+    # RENAMED stats column are asserted on the way out.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("tagv"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txcm_") + "/orders"
+    txlog.tx_append(
+        o.filter(F.col("okey") % 2 == 0), t,
+        partition_by=["o_orderstatus"], stats_cols=["cents"],
+    )
+    txlog.tx_set_constraint(spark, t, "cents_pos", "cents >= 0")
+    files_before = set(txlog.snapshot_files(t)[1])
+    txlog.tx_rename_column(spark, t, "o_orderstatus", "status")
+    txlog.tx_rename_column(spark, t, "cents", "price_cents")
+    txlog.tx_drop_column(spark, t, "tagv")
+    assert set(txlog.snapshot_files(t)[1]) == files_before, (
+        "rename/drop must be metadata-only"
+    )
+    # the constraint re-bound to the new name and still enforces
+    assert txlog.table_constraints(t) == {"cents_pos": "price_cents >= 0"}
+    # second half appends under the NEW names; tagv re-adds with a
+    # fresh physical name (old bytes stay dead)
+    txlog.tx_append(
+        o.filter(F.col("okey") % 2 == 1)
+        .withColumn("tagv", F.lit(7).cast("long"))
+        .withColumnsRenamed({"o_orderstatus": "status",
+                             "cents": "price_cents"}),
+        t, merge_schema=True,
+    )
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(t, files, {"status": ["F", "O"]})
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    _, n_read, n_total = txlog.tx_read_skipping(
+        spark, t, "price_cents", lo=10**15, hi=None
+    )
+    assert n_read < n_total, "pre-rename stats must skip post-rename"
+    df = txlog.read_snapshot(
+        spark, t, partition_filter={"status": ["F", "O"]}
+    )
+    return df.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").cast("long").alias("cents"),
+        F.sum(F.coalesce(F.col("tagv"), F.lit(0))).cast("long")
+        .alias("tag_sum"),
+    )
+
+
+@register(
     "lake_tx_delete_vectors",
     oracle="""SELECT o_orderstatus, COUNT(*) AS n,
                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))

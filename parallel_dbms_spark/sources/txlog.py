@@ -1399,6 +1399,18 @@ def commit(
         rec["distinct"] = distinct
     if cdc:
         rec["cdc"] = cdc
+        # one footer read: the sidecar's [min,max] for the declared
+        # partition columns ride the commit (PHYSICAL keys, like file
+        # stats), so a partition-filtered CDF stream can prove a whole
+        # change set disjoint and skip it — a change file is never
+        # value-pure, but its stats can still exclude it.
+        pb = table_partition_by(table)
+        if pb:
+            cstats = collect_file_stats(table, [cdc], pb).get(
+                cdc, {}
+            ).get("c")
+            if cstats:
+                rec["cdc_stats"] = cstats
     if pv:
         rec["pv"] = pv
     if partition_by is not None:

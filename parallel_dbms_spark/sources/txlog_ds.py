@@ -218,6 +218,33 @@ def _parse_partition_filter(options, table: str):
     return pf, row_filter
 
 
+def _cdc_stats_excludes(stats: dict, pfilter: dict, types: dict) -> bool:
+    """True when a change-data sidecar's recorded [min, max] column
+    stats PROVE no wanted partition value can appear in it — the
+    sidecar prunes whole. Conservative in every doubtful case: a
+    missing column, a null in the wanted set, a type mismatch, or a
+    timestamp column (its stat bounds are ISO-T strings while filter
+    literals use Spark's space-separated CAST format — the formats
+    sort differently, so comparing them could WRONGLY prune) all read
+    the sidecar."""
+    for col, want in pfilter.items():
+        vals = list(want) if isinstance(want, (list, tuple)) else [want]
+        if any(v is None for v in vals):
+            continue  # stats ignore nulls: cannot prove absence
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        if types.get(col, "").startswith("timestamp"):
+            continue
+        mn, mx = rng
+        try:
+            if all(v < mn or v > mx for v in vals):
+                return True
+        except TypeError:
+            continue  # incomparable literal: must-read
+    return False
+
+
 def _pv_matches(vals: dict | None, row_filter: tuple) -> bool | None:
     """Metadata verdict for one file's recorded partition values:
     True = provably all-matching (serve with no row work), False =
@@ -563,8 +590,27 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
                         self.table, p.version
                     )
                 vals = pv_at[p.version].get(p.rel)
-            else:  # cdc sidecar: mixed rows, never prunable
+            else:  # cdc sidecar: mixed rows — never value-pure, but
+                # the commit's recorded sidecar stats (cdc_stats) can
+                # still prove it DISJOINT from the filter and skip it
                 vals = None
+                st = txlog.read_commit(self.table, p.version).get(
+                    "cdc_stats"
+                )
+                if st:
+                    sch = txlog._schema_at(self.table, p.version)
+                    types = {
+                        f.name: f.dataType.simpleString()
+                        for f in (sch.fields if sch else [])
+                    }
+                    if _cdc_stats_excludes(
+                        txlog._keys_to_logical(
+                            self.table, st, p.version
+                        ),
+                        self.pfilter,
+                        types,
+                    ):
+                        continue
             verdict = _pv_matches(vals, self.row_filter)
             if verdict is False:
                 continue  # provably disjoint: skipped from metadata
@@ -824,24 +870,62 @@ def _split_value_pure(tbl, pcols: list[str]):
     ``[(sub_table, {col: value-string | None}), ...]`` with values
     rendered by :func:`txlog._pv_str`, the same format
     ``_stage_partitioned`` records (Spark's CAST AS STRING), so
-    streamed and batch-appended files prune identically. The grouping
-    walk is a plain Python pass over the partition columns only — a
-    micro-batch task holds at most one partition's worth of rows in
-    memory already, so this is bounded by data the task owns."""
+    streamed and batch-appended files prune identically. VECTORIZED:
+    one Arrow ``group_by`` over the partition columns collects each
+    combination's row indices kernel-side, then one ``take`` per
+    group — Python touches only the per-GROUP key values (bounded by
+    partition-combination count, never batch width)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    pdata = [tbl.column(c).to_pylist() for c in pcols]
-    groups: dict = {}
-    for i in range(tbl.num_rows):
-        key = tuple(txlog._pv_str(col[i]) for col in pdata)
-        groups.setdefault(key, []).append(i)
-    out = []
-    for key in sorted(
-        groups, key=lambda t: tuple((x is None, x or "") for x in t)
-    ):
-        part = tbl.take(pa.array(groups[key], type=pa.int64()))
-        out.append((part, dict(zip(pcols, key))))
-    return out
+    # group on NULL-MASKED stringified keys, not the raw columns:
+    # pyarrow's multi-key group_by (16.x) fragments groups whose key
+    # contains a null into per-minibatch duplicates — correct pv, but
+    # thousands of needless tiny files. A (filled-string, is-null)
+    # pair per column is null-safe and injective per distinct value.
+    n = tbl.num_rows
+    gb: dict = {}
+    for j, c in enumerate(pcols):
+        col = tbl.column(c)
+        try:
+            as_str = pc.cast(col, pa.string())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            as_str = pa.array(
+                [txlog._pv_str(v) for v in col.to_pylist()],
+                type=pa.string(),
+            )
+        gb[f"__k{j}"] = pc.fill_null(as_str, "")
+        gb[f"__n{j}"] = pc.is_null(col)
+    rowcol = "__row"
+    gb[rowcol] = pa.array(range(n), type=pa.int64())
+    agg = (
+        pa.table(gb)
+        .group_by([k for k in gb if k != rowcol], use_threads=False)
+        .aggregate([(rowcol, "list")])
+    )
+    rows_per_group = agg.column(f"{rowcol}_list").to_pylist()
+    # pv strings render from each group's FIRST original value via
+    # txlog._pv_str — the recorded format stays exactly Spark's CAST
+    pdata = {c: tbl.column(c) for c in pcols}
+    entries = [
+        (
+            tuple(
+                txlog._pv_str(pdata[c][rows[0]].as_py()) for c in pcols
+            ),
+            rows,
+        )
+        for rows in rows_per_group
+    ]
+    entries.sort(
+        key=lambda e: tuple((x is None, x or "") for x in e[0])
+    )
+    return [
+        (
+            tbl.take(pa.array(rows, type=pa.int64())),
+            dict(zip(pcols, key)),
+        )
+        for key, rows in entries
+    ]
 
 
 @dataclass

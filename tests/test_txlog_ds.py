@@ -903,3 +903,88 @@ def test_simple_face_filter_column_outside_read_schema(spark, tmp_path):
     )
     q.awaitTermination()
     assert {r.k for r in spark.read.parquet(out).collect()} == {1, 3}
+
+
+def test_change_feed_sidecar_stats_prune(spark, tmp_path):
+    """cdc_stats: a write_cdc commit records its change-set sidecar's
+    [min, max] for the partition columns, and a partition-filtered
+    CDF stream uses them to skip whole sidecars whose range is
+    provably disjoint — with identical rows out (the pruned sidecar
+    held only other partitions' changes)."""
+    from pyspark.sql import types as T
+
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogChangeStreamReader,
+    )
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "cdcst")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(
+        mk([(1, "a"), (2, "a"), (3, "b"), (4, "b")]), t,
+        partition_by=["c"],
+    )
+    # a delete touching ONLY partition 'b' -> its sidecar's c-range is
+    # ['b','b'], provably disjoint from filter c='a'
+    txlog.tx_delete_where(spark, t, "c = 'b' AND k = 3", write_cdc=True)
+    rec = txlog.read_commit(t, txlog.log_versions(t)[-1])
+    assert rec.get("cdc") and rec.get("cdc_stats", {}).get("c") == [
+        "b", "b",
+    ], rec.get("cdc_stats")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("c", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    head = txlog.log_versions(t)[-1]
+    n_plain = len(
+        TxLogChangeStreamReader({"path": t}, schema)
+        .partitions({"v": 0}, {"v": head})
+    )
+    filt = TxLogChangeStreamReader(
+        {"path": t, "partitionfilter": '{"c": "a"}'}, schema
+    )
+    parts = filt.partitions({"v": 0}, {"v": head})
+    # the 'b' insert split AND the delete's sidecar both pruned
+    assert len(parts) < n_plain - 1, (len(parts), n_plain)
+    assert all(p.change_type != "cdc" for p in parts)
+    # rows identical to the unpruned feed filtered to the partition
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("partitionFilter", '{"c": "a"}')
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.c, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, "a", "insert"), (2, "a", "insert")}
+    # a sidecar SPANNING the filtered partition is NOT pruned: delete
+    # across both partitions -> its changes for 'a' must stream
+    txlog.tx_delete_where(spark, t, "k IN (2, 4)", write_cdc=True)
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("partitionFilter", '{"c": "a"}')
+        .load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got2 = {
+        (r.k, r.c, r._change_type)
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert (2, "a", "delete") in got2, got2
+    assert all(c == "a" for _, c, _ in got2), got2
