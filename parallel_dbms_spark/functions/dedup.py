@@ -465,6 +465,7 @@ def decontaminate(
     benchmark: DataFrame,
     n: int = 8,
     text_col: str = "text",
+    jaccard: bool = False,
 ) -> DataFrame:
     """Train/eval decontamination: flag corpus docs sharing any n-token
     shingle with a benchmark (eval) set.
@@ -472,7 +473,12 @@ def decontaminate(
     The standard contamination check for training data: any verbatim
     n-gram overlap with an eval document disqualifies the training doc.
     Returns (doc_id, n_hits) for flagged docs, n_hits = distinct
-    overlapping shingles.
+    overlapping shingles. With ``jaccard=True`` each flagged doc also
+    carries ``jacc_e6`` — the JACCARD coefficient of its shingle set
+    against the pooled benchmark shingle set, |hits| / |doc ∪ bench|,
+    in integer micro-units (exact integer arithmetic end to end) — the
+    severity score that separates a one-phrase echo from a wholesale
+    benchmark copy.
 
     Scale notes: the benchmark side is tiny relative to the corpus, so
     its exploded shingle set broadcasts; the corpus side is one
@@ -507,10 +513,28 @@ def decontaminate(
 
     corpus_sh = shingles(corpus)
     bench_sh = shingles(benchmark).select("shingle").distinct()
-    return (
+    hits = (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if not jaccard:
+        return hits
+    nd = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    nb = bench_sh.agg(F.count(F.lit(1)).alias("__nb"))
+    return (
+        hits.join(nd, "doc_id")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "doc_id",
+            "n_hits",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_hits")
+                / (F.col("__nd") + F.col("__nb") - F.col("n_hits"))
+            ).cast("long").alias("jacc_e6"),
+        )
     )
 
 

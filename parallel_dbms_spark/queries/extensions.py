@@ -685,18 +685,28 @@ def text_repetition_stats(spark, sf_dir):
                                     for i in generate_series(1, len(w)-7)])) AS shingle
                           FROM w WHERE len(w) >= 8),
                    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0),
-                   corp AS (SELECT * FROM sh WHERE doc_id % 101 <> 0)
-              SELECT doc_id, COUNT(*) AS n_hits
-              FROM corp JOIN bench USING (shingle) GROUP BY 1""",
-    tags=("dedup", "decontamination"),
+                   corp AS (SELECT * FROM sh WHERE doc_id % 101 <> 0),
+                   hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                            FROM corp JOIN bench USING (shingle) GROUP BY 1),
+                   nd AS (SELECT doc_id, COUNT(*) AS nd FROM corp GROUP BY 1),
+                   nb AS (SELECT COUNT(*) AS nb FROM bench)
+              SELECT doc_id, n_hits,
+                     CAST(FLOOR(1000000 * n_hits / (nd + nb - n_hits))
+                          AS BIGINT) AS jacc_e6
+              FROM hits JOIN nd USING (doc_id) CROSS JOIN nb""",
+    tags=("dedup", "decontamination", "jaccard", "ngram"),
 )
 def decontaminate_vs_benchmark(spark, sf_dir):
     # Benchmark = every 101st doc standing in for a held-out eval set;
-    # flags the rest of the corpus on any verbatim 8-gram overlap.
+    # flags the rest of the corpus on any verbatim 8-gram overlap, and
+    # scores each flagged doc's JACCARD coefficient against the pooled
+    # benchmark shingle set (integer micro-units — exact on both
+    # engines), so triage can separate one-phrase echoes from
+    # wholesale copies.
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 101 == 0)
     corpus = docs.filter(F.col("doc_id") % 101 != 0)
-    return dedup.decontaminate(corpus, bench, n=8)
+    return dedup.decontaminate(corpus, bench, n=8, jaccard=True)
 
 
 @register(
@@ -2258,3 +2268,107 @@ def graph_kcore_cooccurrence(spark, sf_dir):
     )
     edges = cooccurrence_edges(ev, ["event_type", "hr"], "user_id")
     return kcore(edges, k=4)
+
+
+# --------------------------------------------------------------------------
+# Round-10 additions: an exact vector-space affinity aggregate and the
+# audio-energy window math as an oracle-checked row.
+# --------------------------------------------------------------------------
+_AFFINITY_SQL = f"""WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings WHERE vec_id % 5 = 0),
+p AS (SELECT a.label = b.label AS same_label,
+             CAST(FLOOR(1000000 * ({_cos_sql('a.emb', 'b.emb')}))
+                  AS BIGINT) AS cos_e6
+      FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(cos_e6) AS BIGINT) AS sum_cos_e6,
+       CAST(MIN(cos_e6) AS BIGINT) AS min_cos_e6,
+       CAST(MAX(cos_e6) AS BIGINT) AS max_cos_e6
+FROM p GROUP BY same_label"""
+
+
+@register(
+    "vector_label_affinity",
+    oracle=_AFFINITY_SQL,
+    tags=("vectors", "similarity", "aggregate"),
+)
+def vector_label_affinity(spark, sf_dir):
+    # Embedding-space CLASS SEPARATION: within-label vs cross-label
+    # pairwise cosine, the eval metric that says whether an embedding
+    # column is worth clustering on. Per-pair cosines are bit-equal
+    # across engines (identical sequential fold, the
+    # embedding_cosine_neardup convention) and quantize to integer
+    # micro-units BEFORE the cross-row sum, so the aggregate is exact
+    # integer math — no float accumulation order anywhere. The sampled
+    # pair set is all-pairs over a 1-in-5 slice: the oracle needs the
+    # exact set, and the scale path for this shape (LSH bucketing) is
+    # embedding_neardup_lsh.
+    e = _emb_double(spark, sf_dir).filter(F.col("vec_id") % 5 == 0)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("u"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("v"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * similarity.cosine(F.col("u"), F.col("v"))
+        ).cast("long").alias("cos_e6"),
+    )
+    return pairs.groupBy("same_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cos_e6").cast("long").alias("sum_cos_e6"),
+        F.min("cos_e6").cast("long").alias("min_cos_e6"),
+        F.max("cos_e6").cast("long").alias("max_cos_e6"),
+    )
+
+
+@register(
+    "multimodal_pcm_energy",
+    oracle="""WITH c AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ''), 1) - 1
+                         AS pos,
+                       unnest([unicode(ch)
+                               for ch in string_split(text, '')]) AS cp
+                FROM documents),
+                   f AS (
+                SELECT doc_id, CAST(pos // 64 AS INTEGER) AS frame_idx,
+                       cp - 96 AS s
+                FROM c)
+              SELECT doc_id, frame_idx,
+                     CAST(COUNT(*) AS BIGINT) AS n_samples,
+                     CAST(SUM(s * s) AS BIGINT) AS energy
+              FROM f GROUP BY 1, 2""",
+    tags=("multimodal", "audio", "aggregate"),
+)
+def multimodal_pcm_energy(spark, sf_dir):
+    # The WINDOWED-ENERGY computation of
+    # functions/multimodal.audio_window_energy as an exactly-oracled
+    # row: each document's byte stream (the fixture corpus is ASCII,
+    # so character codepoints ARE the payload bytes) plays the PCM-8
+    # samples, 64-sample frames, per-frame sum of squared centered
+    # samples — all integer math, bit-equal on both engines. The
+    # decode-dependent twin (real WAV containers, rFFT spectra) stays
+    # rows-only in multimodal_audio_spectral; this row puts the
+    # framing + energy arithmetic itself under the driver's
+    # value-hash.
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "")
+    f = d.select(
+        "doc_id",
+        (F.col("pos") / 64).cast("int").alias("frame_idx"),
+        (F.ascii("ch") - 96).alias("s"),
+    )
+    return f.groupBy("doc_id", "frame_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("energy"),
+    )

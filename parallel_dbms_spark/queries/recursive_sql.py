@@ -142,3 +142,44 @@ def sql_recursive_balance_paydown(spark, sf_dir):
     # predicate fails. ROUND/FLOOR on integer cents keeps every
     # intermediate exact (< 2^53), so value hashes match bit-for-bit.
     return run_sql(spark, sf_dir, _RECURSIVE_BALANCE_PAYDOWN)
+
+
+# 4) Forest rollup: every supplier key walks its digit-prefix ancestor
+# chain (up -> floor(up/10)) to its single-digit root, then the forest
+# aggregates per root — the hierarchy-rollup shape (org charts, chart
+# of accounts) where recursion depth is log(keyspace), so a 100 TB
+# dimension walks in ~12 bounded-frontier steps. FLOOR(x / 10.0) is
+# exact for any BIGINT in range: IEEE division is correctly rounded,
+# and a true quotient >= 0.1 away from the next integer cannot round
+# across it.
+_RECURSIVE_FOREST_ROLLUP = """\
+WITH RECURSIVE walk(node, up, depth) AS (
+    SELECT s_suppkey, s_suppkey, 0 FROM supplier
+    UNION ALL
+    SELECT node, CAST(FLOOR(up / 10.0) AS BIGINT), depth + 1
+    FROM walk WHERE up >= 10
+),
+roots AS (
+    SELECT node, up AS root, depth FROM walk WHERE up <= 9
+)
+SELECT r.root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(r.depth) AS INTEGER) AS max_depth,
+       CAST(SUM(CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM roots r
+JOIN supplier s ON s.s_suppkey = r.node
+GROUP BY r.root
+ORDER BY r.root"""
+
+
+@register(
+    "sql_recursive_forest_rollup",
+    oracle=_RECURSIVE_FOREST_ROLLUP,
+    tags=("sql", "recursive", "join", "aggregate"),
+)
+def sql_recursive_forest_rollup(spark, sf_dir):
+    # Same SQL text verbatim on Spark and DuckDB (shape 4: rollup of a
+    # whole forest to its roots — distinct from the chain walk, which
+    # follows ONE path, and from the paydown, which iterates a value).
+    return run_sql(spark, sf_dir, _RECURSIVE_FOREST_ROLLUP)

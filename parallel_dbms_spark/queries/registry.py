@@ -39,101 +39,88 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-9 ROTATION (applied): all 50 r8 rows graded green, so the
-# window re-solves again: 22 keepers = the exact-minimal set cover
-# (branch-and-bound, scripts/rotate_window.py history) of the families
-# no never-graded oracled row carries, and 28 slots rotate to
-# never-graded rows — every incoming row oracle-verified at sf0.01
-# AND sf0.1 before rotation. Tag repairs that shrank the keeper set
-# this round (each verified against the query's actual semantics):
-# union_by_name_drift IS a set operation ('setop'),
-# surrogate_keys_dense_check computes the count/distinct/min/max
-# profile quartet ('profiling'), mv_incremental_refresh's delta fold
-# IS incremental view maintenance ('ivm'), sql_lateral_alias is the
-# pure scan-filter-project shape ('scan'), and
-# revenue_share_by_nation gained ntile(4) quartiles on both engines
-# ('ntile'). New round-9 feature-proof rows carry the families that
-# freed their keepers: stream_tx_partitioned_sink (sink + partition +
-# constraints — the constrained partitioned native-sink loop),
-# lake_tx_partitioned_merge (merge — partition-aware rewrite),
-# corpus_rollup_lang_source (rollup), dq_table_checksum (dq —
-# converted from rows-only to an exact cross-engine md5 checksum).
-# Rotated out (graded history in CORRECTNESS_r0{2..8}.json):
-# scan_project, set_except, sql_recursive_balance_paydown (kept),
-# json_variant_agg, scd2_time_in_state, agg_two_stage... see git.
-# New families pinned this round: partition, constraints
-# (tests/test_registry_window.py).
-#
-# ROUND-10 ROTATION CANDIDATES (registered/oracled in r9, verified
-# green at sf0.01 AND sf0.1, never driver-graded):
-# lake_tx_partition_evolution (tx_repartition_table feature proof),
-# timeseries_ewma_user_value, text_normalize_unicode,
-# pipeline_shard_manifest, pack_sequences_2k (conversions),
-# lake_tx_convert_import (zero-copy CONVERT TO) — plus the
-# ~28 older never-graded rows. scripts/rotate_window.py prints the
-# exact-minimal keeper cover and the tag-repair worklist.
+# ROUND-10 ROTATION (applied): all 50 r9 rows graded green, so the
+# window re-solves: 21 keepers = the exact-minimal set cover
+# (branch-and-bound, scripts/rotate_window.py) of the families no
+# never-graded oracled row carries, and 29 slots rotate to never-graded
+# rows — every incoming row oracle-verified at sf0.01 AND sf0.1 before
+# rotation. The keeper set shrank 32 -> 21 through (a) nine NEW
+# round-10 feature-proof rows carrying previously keeper-pinned
+# families (column mapping, Bloom point lookup, vacuum retention,
+# recursive forest rollup, band range-join, set intersection, gap
+# sessionization, vector label affinity, PCM window energy) and
+# (b) three tag-repaired extensions applied to BOTH engines:
+# decontaminate_vs_benchmark now scores an actual Jaccard coefficient
+# ('jaccard'), seasonal_profile_hourly gained the min/max half of the
+# profile quartet ('profiling'), and trend_slope_per_user gained exact
+# distributed NTILE(4) slope quartiles ('ntile').
+# Rotated out (graded history in CORRECTNESS_r0{2..9}.json):
+# dedup_ngram_jaccard, filter_pushdown_conj, join_bloom_prefilter,
+# event_transition_matrix, multimodal_frame_sample,
+# lake_tx_log_retention, sql_recursive_balance_paydown,
+# vector_centroid_drift, ... see git. New families pinned this round:
+# column-mapping, vacuum (tests/test_registry_window.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 22 keepers: exact-minimal set cover of the families no
-    # never-graded oracled row carries (all graded green r2-r8) ---
-    "agg_bitmap_distinct_weekly",     # distinct + sketch
+    # --- 21 keepers: exact-minimal set cover (branch-and-bound,
+    # scripts/rotate_window.py) of the families no never-graded
+    # oracled row carries (all graded green r2-r9) ---
     "agg_two_stage_distinct",         # distinct + skew
     "batch_session_window_native",    # session_window
-    "dedup_ngram_jaccard",            # jaccard
     "er_resolve_parts",               # clustering + fuzzy
-    "event_transition_matrix",        # sessionize
-    "filter_pushdown_conj",           # filter + pushdown
-    "join_bloom_prefilter",           # bloom
     "join_theta_only",                # bnlj + theta
     "json_agg_by_type",               # functions + json
     "lake_instant_distinct",          # metadata
-    "lake_tx_log_retention",          # retention
-    "multimodal_frame_sample",        # multimodal
+    "mv_txlog_ivm",                   # ivm + mv + rollup
     "order_by_multikey",              # limit + sort
-    "pipeline_hybrid_retrieval",      # bm25 + similarity
+    "pipeline_hybrid_retrieval",      # bm25 + search
+    "scan_project",                   # projection + scan
     "scd2_pit_enrich",                # asof + scd2
     "search_phrase",                  # phrase
-    "sql_recursive_balance_paydown",  # recursive
+    "sql_nulls_ordering",             # null
+    "stream_dq_report",               # dq + streaming
+    "stream_histogram_value",         # histogram + sketch
     "stream_stream_left_outer",       # outer + watermark
+    "stream_tx_change_feed",          # cdc-feed
+    "stream_tx_merge_upsert",         # merge + sink
     "text_tfidf_topk",                # tfidf
-    "tpch_q22_shape",                 # anti + subquery + tpch
-    "vector_centroid_drift",          # vectors
-    # --- 28 first-time rows (never driver-graded; all locally
-    # oracle-verified at sf0.01 and sf0.1 before rotation) ---
-    # round-9 feature proofs + conversions (family carriers)
-    "stream_tx_partitioned_sink",     # sink + partition + constraints
-    "lake_tx_partitioned_merge",      # merge + partition
-    "corpus_rollup_lang_source",      # rollup
-    "dq_table_checksum",              # dq (rows-only -> oracled)
-    "mv_incremental_refresh",         # mv + ivm
-    "revenue_share_by_nation",        # window + ntile
-    "sql_lateral_alias",              # sql + scan + projection
-    "union_by_name_drift",            # setop
-    "surrogate_keys_dense_check",     # profiling
-    # the seven round-8 additions (judge-verified green in VERDICT r8)
-    "lake_tx_update_cdf_images",
-    "stream_tx_starting_timestamp",
-    "lake_tx_partition_prune",
-    "lake_tx_clone_divergence",
-    "split_group_aware_users",
-    "udaf_weighted_mean",
-    "udtf_sentences",
-    # text / corpus / sampling remainder (judge-verified r8)
-    "text_unigram_surprisal",
-    "text_bigram_surprisal",
-    "text_lang_distribution",
-    "text_repetition_stats",
-    "corpus_mix_weighted",
-    # aggregate / cleaning tail (histogram + null carriers)
-    "agg_histogram",
-    "impute_group_mean",
-    # range-join carrier freed by this round's conversion: the geodesic
-    # radius join is itself never-graded now that it is oracled
-    "spatial_geo_radius",
-    # graph + search pairs (judge-verified r8)
-    "graph_bfs_hops",
-    "graph_triangles_cooccurrence",
-    "search_and_terms",
-    "search_served_postings",
+    "tpch_q19_shape",                 # filter + tpch
+    "tpch_q22_shape",                 # anti + subquery
+    # --- 29 first-time rows (never driver-graded; every one
+    # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
+    # round-10 feature proofs + family carriers
+    "lake_tx_column_mapping",         # column-mapping + constraints + partition
+    "lake_tx_point_lookup_bloom",     # bloom + pushdown
+    "lake_tx_vacuum_retention",       # retention + vacuum
+    "sql_recursive_forest_rollup",    # recursive + sql
+    "join_band_prices",               # range + join
+    "set_intersect_active_users",     # setop
+    "sessionize_gap_stats",           # sessionize + window
+    "vector_label_affinity",          # vectors + similarity
+    "multimodal_pcm_energy",          # multimodal
+    # round-10 tag-repaired extensions (jaccard coefficient, profile
+    # min/max, distributed ntile quartiles — extended on BOTH engines)
+    "decontaminate_vs_benchmark",     # dedup + jaccard
+    "seasonal_profile_hourly",        # timeseries + profiling
+    "trend_slope_per_user",           # aggregate + ntile
+    # round-9 conversions / additions (judge-verified green)
+    "lake_tx_partition_evolution",    # partition + versioned
+    "lake_tx_convert_import",         # source + acid
+    "timeseries_ewma_user_value",     # pandas_udf
+    "pipeline_shard_manifest",        # pipeline + data-skipping
+    "text_normalize_unicode",         # text + pandas_udf
+    "pack_sequences_2k",              # packing + pandas_udf
+    # older never-graded tail (judge-verified where noted in VERDICT)
+    "cdc_orders_diff",                # cdc
+    "zorder_key_orders",              # lake + zorder
+    "lake_zorder_2d_skipping",        # data-skipping + zorder
+    "split_train_val_test",           # sampling + split
+    "lang_id_confusion",              # text + eval
+    "sql_group_by_all",               # sql + groupby
+    "event_sequence_match",           # cep + pattern
+    "corpus_mix_token_budget",        # sampling + mixing + window
+    "cohort_retention_weekly",        # cohort + join
+    "winsorize_prices",               # percentile + cleaning
+    "sample_k_per_group",             # sampling
 )
 
 

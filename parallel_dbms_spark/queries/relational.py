@@ -1151,11 +1151,14 @@ def typed_csv_roundtrip(spark, sf_dir):
               SELECT e.event_type, e.hod, MIN(prof.n) AS n,
                      MIN(prof.mean_cents) AS mean_cents,
                      CAST(FLOOR(AVG(ABS(e.cents - prof.mean_cents)))
-                          AS BIGINT) AS mad_cents
+                          AS BIGINT) AS mad_cents,
+                     CAST(MIN(e.cents) AS BIGINT) AS min_cents,
+                     CAST(MAX(e.cents) AS BIGINT) AS max_cents
               FROM e JOIN prof
                 ON e.event_type = prof.event_type AND e.hod = prof.hod
               GROUP BY 1, 2""",
-    tags=("timeseries", "seasonal", "aggregate", "join", "anomaly"),
+    tags=("timeseries", "seasonal", "aggregate", "join", "anomaly",
+          "profiling"),
 )
 def seasonal_profile_hourly(spark, sf_dir):
     # Hour-of-day seasonal profile + mean-absolute-deviation residual
@@ -1184,6 +1187,10 @@ def seasonal_profile_hourly(spark, sf_dir):
             F.floor(F.avg(F.abs(F.col("cents") - F.col("mean_cents"))))
             .cast("long")
             .alias("mad_cents"),
+            # count/mean/deviation/min/max: the per-group PROFILE
+            # quartet a column profiler emits, per seasonal bucket
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
         )
     )
 
@@ -2566,12 +2573,19 @@ def lake_time_travel(spark, sf_dir):
                        CAST(SUM(y) AS BIGINT) AS sy,
                        CAST(SUM(x * y) AS BIGINT) AS sxy,
                        CAST(SUM(x * x) AS BIGINT) AS sxx
-                FROM p GROUP BY 1)
-              SELECT user_id, n,
-                     CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s
-              FROM s WHERE n * sxx - sx * sx <> 0""",
-    tags=("aggregate", "regression", "timeseries"),
+                FROM p GROUP BY 1),
+                   sl AS (
+                SELECT user_id, n,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         AS slope_cents_per_s
+                FROM s WHERE n * sxx - sx * sx <> 0)
+              SELECT user_id, n, slope_cents_per_s,
+                     CAST(ntile(4) OVER (ORDER BY slope_cents_per_s,
+                                         user_id) AS INTEGER)
+                       AS slope_quartile
+              FROM sl""",
+    tags=("aggregate", "regression", "timeseries", "ntile"),
 )
 def trend_slope_per_user(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -2589,13 +2603,23 @@ def trend_slope_per_user(spark, sf_dir):
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return (
-        s.filter(den != 0)
-        .select(
-            "user_id",
-            "n",
-            (num.cast("double") / den.cast("double")).alias("slope_cents_per_s"),
-        )
+    sl = s.filter(den != 0).select(
+        "user_id",
+        "n",
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_s"
+        ),
+    )
+    # slope QUARTILES (exact NTILE(4) over the bit-exact slope,
+    # user_id tiebreak) via the range-partitioned distributed ntile —
+    # never a single-partition global window
+    from ..operators import ntile_distributed
+
+    return ntile_distributed(
+        sl,
+        [F.col("slope_cents_per_s"), F.col("user_id")],
+        4,
+        out_col="slope_quartile",
     )
 
 
@@ -5963,5 +5987,248 @@ def changepoint_cusum_priority(spark, sf_dir):
             F.round(F.sum(F.col("n") - F.col("mu")).over(w) * 1e6)
             .cast("long")
             .alias("cusum_e6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-10 additions: lake feature proofs (Bloom point lookup, vacuum
+# retention guard) and three operator-family rows (set intersection,
+# gap sessionization, band range-join) — each an oracle-checked query
+# a real pipeline runs, registered to carry its family in the driver
+# window.
+# --------------------------------------------------------------------------
+@register(
+    "lake_tx_point_lookup_bloom",
+    oracle="""WITH probe AS (
+                SELECT o_custkey FROM orders
+                ORDER BY o_orderkey LIMIT 1)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents,
+                     CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+              FROM orders
+              WHERE o_custkey = (SELECT o_custkey FROM probe)""",
+    tags=("lake", "bloom", "acid", "pushdown"),
+)
+def lake_tx_point_lookup_bloom(spark, sf_dir):
+    # Needle-in-haystack equality through the commit log's per-file
+    # BLOOM sidecars (txlog.tx_point_lookup): the appended files are
+    # range-localized on o_custkey, the filters ride the append commit
+    # (bloom_cols=), and the probe opens strictly fewer files than the
+    # snapshot holds — asserted in-query, so the driver grade proves
+    # the skipping, not just the answer. WHERE id = ? on an
+    # unclustered 100 TB table prunes nothing by min/max stats; the
+    # per-file Bloom filter is what kills the other files.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txbloom_") + "/orders"
+    txlog.tx_append(
+        o.repartitionByRange(8, "o_custkey"), t, bloom_cols=["o_custkey"]
+    )
+    probe = int(
+        o.orderBy("o_orderkey").select("o_custkey").first().o_custkey
+    )
+    df, n_read, n_total = txlog.tx_point_lookup(
+        spark, t, "o_custkey", probe
+    )
+    assert 0 < n_read < n_total, (n_read, n_total)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+
+
+@register(
+    "lake_tx_vacuum_retention",
+    oracle="""SELECT o_orderstatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_orderstatus""",
+    tags=("lake", "retention", "vacuum", "acid", "groupby"),
+)
+def lake_tx_vacuum_retention(spark, sf_dir):
+    # VACUUM with Delta's retention guard, driver-graded: orphan files
+    # land in data/ exactly like a crashed writer's staging
+    # (txlog._stage writes BEFORE any commit references them), a
+    # guarded vacuum (24 h retention) must reclaim NOTHING — a fresh
+    # orphan is indistinguishable from an in-flight writer's staged
+    # file — and only the zero-retention pass reclaims them. The
+    # committed snapshot must read identically before and after, which
+    # is what the oracle grades.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = tempfile.mkdtemp(prefix="lake_txvac_") + "/orders"
+    txlog.tx_append(o, t)
+    # a crashed writer: staged, never committed
+    orphans = txlog._stage(o.limit(100), t)
+    assert orphans
+    kept = txlog.tx_vacuum(t, retention_seconds=86400.0)
+    assert kept == [], f"retention guard must protect fresh files: {kept}"
+    reclaimed = txlog.tx_vacuum(t, retention_seconds=0.0)
+    assert set(orphans) <= {r for r in reclaimed}, (orphans, reclaimed)
+    return txlog.read_snapshot(spark, t).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@register(
+    "set_intersect_active_users",
+    oracle="""WITH w AS (
+                SELECT user_id,
+                       (CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 604800) % 2 AS par
+                FROM events)
+              SELECT user_id FROM w WHERE par = 0
+              INTERSECT
+              SELECT user_id FROM w WHERE par = 1""",
+    tags=("setop", "events"),
+)
+def set_intersect_active_users(spark, sf_dir):
+    # Audience overlap as a SET OPERATION: users active in even weeks
+    # INTERSECT users active in odd weeks (the retention-adjacent
+    # "active in both periods" cut every growth dashboard computes).
+    # INTERSECT deduplicates by definition — both engines must agree
+    # on the set, not row multiplicity.
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_timestamp("ts") / 604800).cast("long") % 2).alias("par"),
+    )
+    even = e.filter(F.col("par") == 0).select("user_id")
+    odd = e.filter(F.col("par") == 1).select("user_id")
+    return even.intersect(odd)
+
+
+@register(
+    "sessionize_gap_stats",
+    oracle="""WITH e AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         AS sec
+                FROM events),
+                   g AS (
+                SELECT user_id, event_id, sec,
+                       CASE WHEN sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY sec, event_id)),
+                   s AS (
+                SELECT user_id, sec,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+                FROM g),
+                   per AS (
+                SELECT user_id, session_id,
+                       COUNT(*) AS n_events,
+                       MAX(sec) - MIN(sec) AS dur_s
+                FROM s GROUP BY 1, 2)
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                     CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+                     CAST(SUM(dur_s) AS BIGINT) AS active_s
+              FROM per GROUP BY user_id""",
+    tags=("sessionize", "events", "window"),
+)
+def sessionize_gap_stats(spark, sf_dir):
+    # Classic GAP SESSIONIZATION (30-minute inactivity closes a
+    # session): a lag + running-sum window assigns session ids, then
+    # per-user session stats. One shuffle on user_id serves all three
+    # window/group steps (same partitioning reused); per-key state is
+    # a counter, so the plan survives any user count. Integer epoch
+    # math keeps both engines bit-identical.
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+    )
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur_s"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("dur_s").cast("long").alias("active_s"),
+    )
+
+
+@register(
+    "join_band_prices",
+    oracle="""WITH bands(band, lo, hi) AS (
+                VALUES ('p00_20k', 0, 2000000),
+                       ('p20_40k', 2000000, 4000000),
+                       ('p40_60k', 4000000, 6000000),
+                       ('p60_80k', 6000000, 8000000),
+                       ('p80_up', 8000000, 9223372036854775807)),
+                   li AS (
+                SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                         AS cents
+                FROM lineitem)
+              SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS cents
+              FROM li JOIN bands
+                ON li.cents >= bands.lo AND li.cents < bands.hi
+              GROUP BY band""",
+    tags=("range", "join", "aggregate"),
+)
+def join_band_prices(spark, sf_dir):
+    # BAND (range) JOIN: the fact table lands in static price bands
+    # through a non-equi join — the canonical range-join shape (rate
+    # tables, tax brackets, SLA tiers). The band side is broadcast, so
+    # the non-equi condition evaluates scan-side with NO shuffle and
+    # no cartesian blowup (plan-sweep forbids real cartesians; a
+    # broadcast nested loop against 5 rows is the intended physical
+    # plan at any fact-table scale).
+    bands = F.broadcast(
+        _t(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+            [
+                ("p00_20k", 0, 2_000_000),
+                ("p20_40k", 2_000_000, 4_000_000),
+                ("p40_60k", 4_000_000, 6_000_000),
+                ("p60_80k", 6_000_000, 8_000_000),
+                ("p80_up", 8_000_000, 9_223_372_036_854_775_807),
+            ],
+            "band string, lo long, hi long",
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return (
+        li.join(
+            bands,
+            (li.cents >= bands.lo) & (li.cents < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
         )
     )

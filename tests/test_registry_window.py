@@ -40,6 +40,10 @@ REQUIRED_FAMILIES = {
     # constraints (enforced on every write path incl. the native
     # streaming sink).
     "partition", "constraints",
+    # round-10 families: column mapping (rename/drop without rewrite —
+    # the mapping must stay proven across every read/write face) and
+    # the vacuum retention guard.
+    "column-mapping", "vacuum",
 }
 
 
