@@ -1226,8 +1226,14 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
 
 @register("text_compression_ratio", oracle=None, tags=("text", "quality"))
 def text_compression_ratio(spark, sf_dir):
-    # Rows-only: zlib lives outside SQL. Monotonicity (repetitive <
-    # varied) and determinism are pytest-asserted.
+    # Rows-only, verified unconvertible (round 10): DuckDB 1.0 exposes
+    # NO compression function at the SQL layer (checked against
+    # duckdb_functions(): no zlib/gzip/deflate entries), so a
+    # value-hash oracle cannot reproduce zlib ratios, and swapping the
+    # metric for a SQL-expressible proxy (RLE runs, distinct n-grams)
+    # would change what the query measures — text_repetition_stats
+    # already covers that family with an exact oracle. Monotonicity
+    # (repetitive < varied) and determinism are pytest-asserted.
     return text.compression_ratio(_docs(spark, sf_dir))
 
 
