@@ -519,22 +519,41 @@ def _serve_logical(df: DataFrame, table: str,
                    version: int | None = None) -> DataFrame:
     """Rename physical columns back to their logical names (no-op on
     identity tables). Provenance tags (``__rel``/``__pos``) and any
-    non-mapped column pass through untouched."""
+    non-mapped column pass through untouched. One SELECT with aliases,
+    applied SIMULTANEOUSLY — sequential withColumnsRenamed would
+    collide when one column's physical name equals another column's
+    logical name (rename a->b where 'b' was later re-added)."""
     m = _l2p_map(table, version)
     if not m:
         return df
-    return df.withColumnsRenamed({p: l for l, p in m.items()})
+    from pyspark.sql import functions as F
+
+    p2l = {p: l for l, p in m.items()}
+    if not any(c in p2l for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(p2l.get(c, c)) for c in df.columns]
+    )
 
 
 def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
     """Rename a logical DataFrame's columns to physical names before
-    staging (``mapping`` = full logical→physical map or None)."""
+    staging (``mapping`` = full logical→physical map or None). One
+    SELECT with aliases — simultaneous, so a swap-shaped mapping
+    (logical X -> physical Y while logical Y -> fresh physical) never
+    trips the sequential-rename collision."""
     if not mapping:
         return df
     ren = {
         l: p for l, p in mapping.items() if l != p and l in df.columns
     }
-    return df.withColumnsRenamed(ren) if ren else df
+    if not ren:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+    )
 
 
 def _l2p_col(table: str, col: str, version: int | None = None) -> str:

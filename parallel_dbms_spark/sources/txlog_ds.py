@@ -59,10 +59,21 @@ def _p2l_pairs(table: str) -> tuple:
 
 
 def _rename_arrow(tbl, rename: tuple):
-    """Apply physical→logical rename pairs to an Arrow table."""
+    """Apply physical→logical rename pairs to an Arrow table. A column
+    NOT being renamed whose name equals a rename TARGET is a retired
+    physical shadowed by the mapping (drop-then-re-add left its bytes
+    in old files while a later rename re-points the logical name):
+    drop it first, or the renamed table would carry duplicate names
+    and serve dead bytes."""
     if not rename:
         return tbl
     ren = dict(rename)
+    targets = set(ren.values())
+    shadowed = [
+        c for c in tbl.column_names if c not in ren and c in targets
+    ]
+    if shadowed:
+        tbl = tbl.drop_columns(shadowed)
     return tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
 
 
