@@ -432,6 +432,10 @@ def table_constraints(table: str, version: int | None = None) -> dict:
     return {}
 
 
+_CM_CACHE: dict = {}
+_CM_MISS = object()
+
+
 def table_column_mapping(
     table: str, version: int | None = None
 ) -> tuple[dict, list] | None:
@@ -456,27 +460,50 @@ def table_column_mapping(
 
     Newest-wins resolution like constraints (every mapping commit
     stores the FULL map + full retired list), checkpoint-backed —
-    O(tail)."""
+    O(tail). Memoized per (table, resolved version): commits are
+    immutable and the resolution at a pinned version can never change,
+    so the cache needs no invalidation — a new commit is a new head
+    key. The returned (dict, list) is the shared cached object and is
+    READ-ONLY by contract (every internal mutator copies first). This
+    keeps the mapping probe O(1) on the hot stage/read paths, which
+    call it once per operation — a young unmapped table without a
+    checkpoint would otherwise re-walk its whole log each time."""
     versions = log_versions(table)
     if not versions:
         return None
-    scan = versions if version is None else [x for x in versions if x <= version]
-    for c in reversed(scan):
+    v = versions[-1] if version is None else version
+    # the commit file's stat rides the key (the _COMMIT_CACHE guard):
+    # a table rebuilt at the same path re-mints its commit files, so
+    # stale process-wide entries can never serve
+    try:
+        st = os.stat(_commit_path(table, v))
+    except FileNotFoundError:
+        st = None  # expired prefix version: resolution still works
+    key = (table, v, None if st is None else (st.st_mtime_ns, st.st_size))
+    hit = _CM_CACHE.get(key, _CM_MISS)
+    if hit is not _CM_MISS:
+        return hit
+    out = None
+    for c in reversed([x for x in versions if x <= v]):
         rec = read_commit(table, c)
         if "column_mapping" in rec:
-            return dict(rec["column_mapping"]), list(
+            out = dict(rec["column_mapping"]), list(
                 rec.get("retired_physical") or []
             )
+            break
         ckpt = _ckpt_path(table, c)
         if os.path.exists(ckpt):
             with open(ckpt) as fh:
                 folded = json.load(fh)
             if folded.get("column_mapping") is not None:
-                return dict(folded["column_mapping"]), list(
+                out = dict(folded["column_mapping"]), list(
                     folded.get("retired_physical") or []
                 )
-            return None
-    return None
+            break
+    if len(_CM_CACHE) >= _COMMIT_CACHE_MAX:
+        _CM_CACHE.clear()  # bounded; cold restart is just re-resolving
+    _CM_CACHE[key] = out
+    return out
 
 
 def _l2p_map(table: str, version: int | None = None) -> dict:
