@@ -338,3 +338,32 @@ def test_ds_faces_serve_logical_names(spark, table):
     )
     assert df.columns == ["id", "cat", "region", "amt"]
     assert {r.id for r in df.collect()} == {1, 3}
+
+
+def test_zorder_compact_and_bloom_backfill_after_rename(spark, tmp_path):
+    """Maintenance ops run with LOGICAL names after a rename: a
+    Z-order compaction clusters by the renamed column (stats recorded
+    physically, skipping served logically), and a Bloom backfill keyed
+    by the renamed column prunes point lookups — the full
+    stats/bloom/skipping loop survives the mapping."""
+    t = str(tmp_path / "zb")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, i % 7, float(i)) for i in range(2000)],
+            "k long, g long, x double",
+        ).repartition(4),
+        t,
+    )
+    txlog.tx_rename_column(spark, t, "k", "id")
+    txlog.tx_compact(
+        spark, t, num_files=4, zorder_by=["id"], stats_cols=["id"]
+    )
+    df, n_read, n_total = txlog.tx_read_skipping(
+        spark, t, "id", lo=0, hi=99
+    )
+    assert n_total == 4 and n_read < n_total, (n_read, n_total)
+    assert df.filter("id < 100").count() == 100
+    txlog.tx_bloom(spark, t, ["id"])
+    hit, nr, nt = txlog.tx_point_lookup(spark, t, "id", 1234)
+    assert {r.id for r in hit.collect()} == {1234}
+    assert nr < nt, (nr, nt)
