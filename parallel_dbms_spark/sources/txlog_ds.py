@@ -50,12 +50,18 @@ from pyspark.sql.datasource import (
 from . import txlog
 
 
-def _p2l_pairs(table: str) -> tuple:
+def _p2l_pairs(table: str, version: int | None = None) -> tuple:
     """((physical, logical), ...) rename pairs for this table's data
     files — empty on identity tables (see txlog.table_column_mapping).
     Computed once at plan time; ships inside each partition so
-    executor reads never replay the log for the mapping."""
-    return tuple((p, l) for l, p in txlog._l2p_map(table).items())
+    executor reads never replay the log for the mapping. Stream
+    readers PIN the version at init: their serve schema is fixed at
+    stream start, and physical names are stable, so the init-time map
+    keeps serving the declared schema correctly across later renames
+    (a rename mid-stream must never silently null the column)."""
+    return tuple(
+        (p, l) for l, p in txlog._l2p_map(table, version).items()
+    )
 
 
 def _rename_arrow(tbl, rename: tuple):
@@ -106,6 +112,7 @@ def _plan_rels(
     hi: int,
     ignore_changes: bool,
     ignore_deletes: bool = False,
+    schema_pin: int = 0,
 ) -> list[str]:
     """Added-file relpaths for commits in (lo, hi], with the Delta
     change-semantics checks. Walks commit RECORDS only — cost is
@@ -131,6 +138,21 @@ def _plan_rels(
         rec = txlog.read_commit(table, v)
         if rec["action"] in ("compact", "repartition"):
             continue  # content-preserving rewrites: nothing to emit
+        if rec["action"] == "drop_column" and v > schema_pin:
+            # Delta's rule: a stream cannot serve across a DROPPED
+            # column landing AFTER its schema was fixed (later
+            # re-adds would silently null it under the pinned
+            # schema) — fail loudly, restart with a fresh checkpoint
+            # against the new schema. Renames pass: the pinned
+            # init-time mapping keeps serving them correctly; drops
+            # already reflected in the stream's schema (v <= pin)
+            # pass too.
+            raise ValueError(
+                f"commit {v} dropped a column "
+                f"({rec.get('dropped')!r}); the stream's schema was "
+                "fixed at start — restart the query with a fresh "
+                "checkpoint to pick up the new table schema"
+            )
         if ignore_deletes and not rec["added"] and (
             rec["removed"] or rec.get("dv")
         ):
@@ -386,7 +408,8 @@ def _read_change_partition(p: TxLogChangePartition):
 
 
 def _plan_change_partitions(
-    table: str, lo: int, hi: int, fields: tuple, rename: tuple = ()
+    table: str, lo: int, hi: int, fields: tuple, rename: tuple = (),
+    schema_pin: int = 0,
 ) -> list[TxLogChangePartition]:
     """CDC splits for commits in (lo, hi]. Appends stream their added
     files as inserts and MOR deletes stream their vectored positions
@@ -412,6 +435,12 @@ def _plan_change_partitions(
         action = rec["action"]
         if action in ("compact", "repartition"):
             continue
+        if action == "drop_column" and v > schema_pin:
+            raise ValueError(
+                f"commit {v} dropped a column "
+                f"({rec.get('dropped')!r}); restart the change-feed "
+                "query with a fresh checkpoint against the new schema"
+            )
         if rec.get("cdc"):
             # the writer persisted this commit's change set (Delta's
             # change-data file): one partition scans the sidecar —
@@ -463,6 +492,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
+        # column mapping pinned at stream start (see _p2l_pairs)
+        self._map_v = (txlog.log_versions(self.table) or [0])[-1]
+        self._rename = _p2l_pairs(self.table, self._map_v or None)
         # Delta's startingVersion / startingTimestamp: begin the
         # stream AT a commit (inclusive) instead of the log's start —
         # how a consumer attaches to a long-lived table without
@@ -495,8 +527,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         lo, hi = int(start["v"]), int(end["v"])
         rels = _plan_rels(
             self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
+            schema_pin=self._map_v,
         )
-        ren = _p2l_pairs(self.table)
+        ren = self._rename
         if not self.pfilter:
             return [
                 TxLogInputPartition(
@@ -508,12 +541,15 @@ class TxLogStreamReader(DataSourceStreamReader):
         # the replayed commits' own pv records (not snapshot_pv: the
         # stream replays commit contents even for files later removed);
         # recorded keys are PHYSICAL — translate to the filter's
-        # logical names before matching
+        # logical names (at the stream's pinned mapping) before
+        # matching
         pv: dict = {}
         for v in txlog.log_versions(self.table):
             if lo < v <= hi:
                 pv.update(txlog.read_commit(self.table, v).get("pv", {}))
-        pv = txlog._pv_keys_to_logical(self.table, pv)
+        pv = txlog._pv_keys_to_logical(
+            self.table, pv, self._map_v or None
+        )
         out = []
         for rel in rels:
             verdict = _pv_matches(pv.get(rel), self.row_filter)
@@ -557,6 +593,9 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
             for f in schema.fields
             if f.name not in ("_change_type", "_commit_version")
         )
+        # column mapping pinned at stream start (see _p2l_pairs)
+        self._map_v = (txlog.log_versions(self.table) or [0])[-1]
+        self._rename = _p2l_pairs(self.table, self._map_v or None)
         self.starting_version = _resolve_starting_version(
             options, self.table
         )
@@ -579,10 +618,10 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         return {"v": max(head, self.starting_version - 1)}
 
     def partitions(self, start, end):
-        ren = _p2l_pairs(self.table)
+        ren = self._rename
         parts = _plan_change_partitions(
             self.table, int(start["v"]), int(end["v"]), self.fields,
-            rename=ren,
+            rename=ren, schema_pin=self._map_v,
         )
         if not self.pfilter:
             return parts
@@ -593,6 +632,7 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
                 vals = txlog._pv_keys_to_logical(
                     self.table,
                     txlog.read_commit(self.table, p.version).get("pv", {}),
+                    self._map_v or None,
                 ).get(p.rel)
             elif p.change_type == "delete":
                 if p.version not in pv_at:
@@ -656,6 +696,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
         self.fields = [f.name for f in schema.fields]
+        # column mapping pinned at stream start (see _p2l_pairs)
+        self._map_v = (txlog.log_versions(self.table) or [0])[-1]
+        self._rename = _p2l_pairs(self.table, self._map_v or None)
         self.starting_version = _resolve_starting_version(
             options, self.table
         )
@@ -672,8 +715,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int):
         rels = _plan_rels(
             self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
+            schema_pin=self._map_v,
         )
-        ren = _p2l_pairs(self.table)
+        ren = self._rename
         if not self.pfilter:
             return list(
                 _rows_from_files(self.table, rels, self.fields, rename=ren)
@@ -685,7 +729,9 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
         for v in txlog.log_versions(self.table):
             if lo < v <= hi:
                 pv.update(txlog.read_commit(self.table, v).get("pv", {}))
-        pv = txlog._pv_keys_to_logical(self.table, pv)
+        pv = txlog._pv_keys_to_logical(
+            self.table, pv, self._map_v or None
+        )
         pure, backstop = [], []
         for rel in rels:
             verdict = _pv_matches(pv.get(rel), self.row_filter)

@@ -367,3 +367,53 @@ def test_zorder_compact_and_bloom_backfill_after_rename(spark, tmp_path):
     hit, nr, nt = txlog.tx_point_lookup(spark, t, "id", 1234)
     assert {r.id for r in hit.collect()} == {1234}
     assert nr < nt, (nr, nt)
+
+
+def test_stream_serves_pinned_schema_across_rename(spark, tmp_path):
+    """A rename landing MID-STREAM (between micro-batches of one
+    running query) must not null the column: the reader pinned the
+    init-time mapping, physical names are stable, so post-rename
+    appends keep serving under the stream's declared (old) names —
+    translating with the LATEST mapping instead would rename the file
+    column away from the serve schema and silently null it. A DROP
+    mid-stream fails loudly instead (Delta's rule)."""
+    import pyarrow as pa
+
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamReader
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "st")
+    mk = lambda rows, sch: spark.createDataFrame(rows, sch)
+    txlog.tx_append(mk([(1, "a")], "k long, c string"), t)
+    # ONE running query: the reader initializes BEFORE the rename
+    rdr = TxLogStreamReader({"path": t}, txlog.table_schema(t))
+    assert rdr.fields == ("k", "c")
+    # rename + append land between micro-batches
+    txlog.tx_rename_column(spark, t, "c", "cat")
+    txlog.tx_append(mk([(2, "b")], "k long, cat string"), t)
+    parts = rdr.partitions({"v": 0}, rdr.latestOffset())
+    rows = []
+    for p in parts:
+        for r in rdr.read(p):
+            if isinstance(r, pa.RecordBatch):
+                rows.extend(tuple(d.values()) for d in r.to_pylist())
+            else:
+                rows.append(tuple(r))
+    assert sorted(rows) == [(1, "a"), (2, "b")], rows  # NOT (2, None)
+    # a drop mid-stream raises with a restart instruction
+    txlog.tx_drop_column(spark, t, "cat")
+    txlog.tx_append(mk([(3,)], "k long"), t)
+    with pytest.raises(ValueError, match="dropped a column"):
+        rdr.partitions({"v": 0}, rdr.latestOffset())
+    # a FRESH stream (restart against the new schema) serves cleanly
+    rdr2 = TxLogStreamReader({"path": t}, txlog.table_schema(t))
+    assert rdr2.fields == ("k",)
+    parts2 = rdr2.partitions({"v": 0}, rdr2.latestOffset())
+    got = []
+    for p in parts2:
+        for r in rdr2.read(p):
+            if isinstance(r, pa.RecordBatch):
+                got.extend(tuple(d.values()) for d in r.to_pylist())
+            else:
+                got.append(tuple(r))
+    assert sorted(got) == [(1,), (2,), (3,)], got

@@ -39,12 +39,13 @@ def _gen_rows(rng: random.Random, n: int):
 
 def _gen_filter(rng: random.Random, pcols: list):
     col = rng.choice(pcols)
+    base = col[:-2] if col.endswith("_r") else col  # renamed columns
     domain = {
         "tag": ["a", "b", "c", None],
         "grp": [0, 1, 2],
         "flag": [True, False],
         "day": [dt.date(2024, 3, 1 + d) for d in range(3)],
-    }[col]
+    }[base]
     k = rng.randrange(1, len(domain) + 1)
     vals = rng.sample(domain, k)
     return {col: vals}
@@ -75,6 +76,14 @@ def test_partition_filter_equals_row_filter(spark, tmp_path, seed):
         txlog.tx_append(
             spark.createDataFrame(_gen_rows(rng, 100), schema), t
         )
+    if rng.random() < 0.5:
+        # COLUMN MAPPING mid-history: rename one declared partition
+        # column — pruning metadata is keyed physically, so every
+        # face must keep pruning recorded files under the NEW name
+        ren = rng.choice(pcols)
+        txlog.tx_rename_column(spark, t, ren, f"{ren}_r")
+        pcols = [f"{ren}_r" if c == ren else c for c in pcols]
+        assert txlog.table_partition_by(t) == pcols
     flt = _gen_filter(rng, pcols)
 
     def row_filter(df):
