@@ -6232,3 +6232,56 @@ def join_band_prices(spark, sf_dir):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "lake_tx_type_widening",
+    oracle="""WITH u AS (
+                SELECT o_orderkey AS k,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS cents,
+                     CAST(MAX(k) AS BIGINT) AS max_k
+              FROM u""",
+    tags=("lake", "acid", "evolution", "widening", "aggregate"),
+)
+def lake_tx_type_widening(spark, sf_dir):
+    # TYPE WIDENING (Delta 3.x) end-to-end: half of orders lands with
+    # INT keys and FLOAT-cent prices, the other half widens the table
+    # to BIGINT/DOUBLE via merge_schema — a pure schema-record change,
+    # asserted in-query: the narrow files stay live untouched and the
+    # scan upcasts them natively. The oracle is the whole table's
+    # aggregate computed from the source, so the grade proves the
+    # upcast serves the narrow half's exact values.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txwide_") + "/orders"
+    narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("cents").cast("int").alias("cents"),  # sf<=1 fits int
+    )
+    txlog.tx_append(narrow, t)
+    files_v1 = set(txlog.snapshot_files(t)[1])
+    wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"), F.col("cents")
+    )
+    txlog.tx_append(wide, t, merge_schema=True)
+    assert {
+        f.name: f.dataType.simpleString()
+        for f in txlog.table_schema(t).fields
+    } == {"k": "bigint", "cents": "bigint"}
+    assert files_v1 < set(txlog.snapshot_files(t)[1]), (
+        "widening must not rewrite the narrow files"
+    )
+    return txlog.read_snapshot(spark, t).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.max("k").cast("long").alias("max_k"),
+    )

@@ -1956,6 +1956,28 @@ def tx_append(
     raise TxConflict(f"append on {table} lost 16 straight schema races")
 
 
+# Safe type-widening ladders (Delta 3.x's type widening, the subset
+# Spark's parquet reader upcasts natively — probed: int32 files read
+# exactly under a long/double/decimal read schema, float under
+# double). A widened column never rewrites a byte: old narrow files
+# upcast at scan time; appends narrower than the table's type are
+# accepted and stay narrow in their files under the same rule.
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widen_type(a, b):
+    """The wider of two column types when one safely contains the
+    other (commutative); None when the pair is not widenable."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_RANK and bn in _INT_RANK:
+        return a if _INT_RANK[an] >= _INT_RANK[bn] else b
+    if {an, bn} == {"float", "double"}:
+        return a if an == "double" else b
+    return None
+
+
 def _validate_append_schema(
     table: str, new_schema: StructType, merge_schema: bool
 ) -> StructType | None:
@@ -1967,10 +1989,17 @@ def _validate_append_schema(
     cur = {f.name: f.dataType for f in current.fields}
     new = {f.name: f.dataType for f in new_schema.fields}
     changed = [n for n in new if n in cur and new[n] != cur[n]]
+    if changed and merge_schema:
+        # TYPE WIDENING under evolution: integer-ladder and
+        # float->double pairs resolve to the wider type (recorded by
+        # _widened_schema_json); anything else still refuses
+        changed = [n for n in changed if _widen_type(cur[n], new[n]) is None]
     if changed:
         raise ValueError(
             f"append changes column type(s) {changed}; "
-            "type evolution is not supported"
+            "pass merge_schema=True for safe type WIDENING "
+            "(byte<short<int<long, float<double) — other changes "
+            "are not supported"
         )
     extra = set(new) - set(cur)
     missing = set(cur) - set(new)
@@ -1992,8 +2021,23 @@ def _widened_schema_json(
     current: StructType | None, new_schema: StructType, merge_schema: bool
 ) -> str:
     if current is not None and merge_schema:
+        from pyspark.sql.types import StructField
+
+        new_by_name = {f.name: f for f in new_schema.fields}
+        merged = []
+        for f in current.fields:
+            g = new_by_name.get(f.name)
+            wide = (
+                _widen_type(f.dataType, g.dataType)
+                if g is not None else None
+            )
+            merged.append(
+                StructField(f.name, wide, f.nullable, f.metadata)
+                if wide is not None and wide != f.dataType
+                else f
+            )
         widened = StructType(
-            list(current.fields)
+            merged
             + [
                 f
                 for f in new_schema.fields

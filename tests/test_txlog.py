@@ -2241,3 +2241,54 @@ def test_convert_with_partitioning_derives_pv_from_footers(spark, tmp_path):
     assert new and all(
         txlog.snapshot_pv(t)[f] == {"region": "ap"} for f in new
     )
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """TYPE WIDENING under merge_schema (Delta 3.x): an int column
+    widens to long (and float to double) as a pure schema-record
+    change — old narrow files never rewrite, the scan upcasts them
+    (probed native in Spark 4's parquet reader), and later NARROWER
+    appends are accepted too (their files stay narrow under the same
+    upcast-at-read rule). Non-widenable changes still refuse."""
+    t = str(tmp_path / "tw")
+    txlog.tx_append(
+        spark.createDataFrame([(1, 1.5)], "k int, x float"), t
+    )
+    files_v1 = set(txlog.snapshot_files(t)[1])
+    # widening append: long + double
+    txlog.tx_append(
+        spark.createDataFrame([(2**40, 2.5)], "k long, x double"),
+        t, merge_schema=True,
+    )
+    sch = {f.name: f.dataType.simpleString() for f in txlog.table_schema(t).fields}
+    assert sch == {"k": "bigint", "x": "double"}
+    assert files_v1 < set(txlog.snapshot_files(t)[1])  # nothing rewrote
+    rows = {r.k: r.x for r in txlog.read_snapshot(spark, t).collect()}
+    assert rows == {1: 1.5, 2**40: 2.5}
+    # a narrower append after the widening is fine (upcast at read)
+    txlog.tx_append(
+        spark.createDataFrame([(7, 7.5)], "k int, x float"),
+        t, merge_schema=True,
+    )
+    assert {
+        f.name: f.dataType.simpleString()
+        for f in txlog.table_schema(t).fields
+    } == {"k": "bigint", "x": "double"}
+    got = {r.k: r.x for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {1: 1.5, 2**40: 2.5, 7: 7.5}
+    # incompatible change still refuses, with and without merge_schema
+    with pytest.raises(ValueError, match="type"):
+        txlog.tx_append(
+            spark.createDataFrame([("s", 1.0)], "k string, x double"),
+            t, merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="type"):
+        # widenable pair but merge_schema NOT passed: still refuses
+        txlog.tx_append(
+            spark.createDataFrame([(3, 3.5)], "k long, x float"), t
+        )
+    # widening composes with DML: delete + update rewrite wide
+    txlog.tx_delete_where(spark, t, "k = 7")
+    assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {
+        1, 2**40,
+    }
