@@ -225,6 +225,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "constraints": table_constraints(table, v),
                 "column_mapping": cm[0] if cm else None,
                 "retired_physical": cm[1] if cm else None,
+                "column_defaults": table_column_defaults(table, v),
             },
             fh,
         )
@@ -430,6 +431,74 @@ def table_constraints(table: str, version: int | None = None) -> dict:
             with open(ckpt) as fh:
                 return dict(json.load(fh).get("constraints") or {})
     return {}
+
+
+def table_column_defaults(table: str, version: int | None = None) -> dict:
+    """The table's COLUMN DEFAULTS ({col: sql_expr}): write-time
+    defaults — an append may OMIT a defaulted column and the writer
+    fills it (Delta/SQL-standard DEFAULT semantics: applied when the
+    write does not supply the column, never backfilled into existing
+    rows). Newest-wins full-map commits like constraints; O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "column_defaults" in rec:
+            return dict(rec["column_defaults"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return dict(json.load(fh).get("column_defaults") or {})
+    return {}
+
+
+def tx_set_default(
+    table: str, col: str, sql_expr: str, max_retries: int = 8
+) -> int:
+    """ALTER TABLE ... SET DEFAULT: a metadata-only commit recording
+    the column's write-time default expression (any deterministic SQL
+    over literals and the row's OTHER supplied columns). Existing rows
+    are untouched — defaults fill only future writes that omit the
+    column."""
+    schema = table_schema(table)
+    if schema is None:
+        raise FileNotFoundError(f"no schema committed under {table}")
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} not in {table}")
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        d = table_column_defaults(table)
+        d[col] = sql_expr
+        try:
+            return commit(
+                table, "set_default", [], [], parent,
+                meta={"column_defaults": d},
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"set_default on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_drop_default(table: str, col: str, max_retries: int = 8) -> int:
+    """ALTER TABLE ... DROP DEFAULT (metadata-only)."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        d = table_column_defaults(table)
+        d.pop(col, None)
+        try:
+            return commit(
+                table, "drop_default", [], [], parent,
+                meta={"column_defaults": d},
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop_default on {table} lost {max_retries} straight races"
+    )
 
 
 _CM_CACHE: dict = {}
@@ -699,15 +768,25 @@ def tx_rename_column(
         }
         pb = table_partition_by(table)
         new_pb = [new if c == old else c for c in pb]
+        # column DEFAULTS follow the rename: the defaulted column's
+        # key moves, and expressions referencing the old name re-bind
+        dfl = table_column_defaults(table)
+        new_dfl = {
+            (new if c == old else c): _rewrite_idents(e, {old: new})
+            for c, e in dfl.items()
+        }
+        meta = {
+            "column_mapping": mapping,
+            "retired_physical": retired,
+            "renamed": {"from": old, "to": new},
+        }
+        if new_dfl != dfl:
+            meta["column_defaults"] = new_dfl
         try:
             return commit(
                 table, "rename_column", [], [], parent,
                 schema_json=new_schema.json(),
-                meta={
-                    "column_mapping": mapping,
-                    "retired_physical": retired,
-                    "renamed": {"from": old, "to": new},
-                },
+                meta=meta,
                 constraints=new_cons if new_cons != cons else None,
                 partition_by=new_pb if new_pb != pb else None,
             )
@@ -763,15 +842,30 @@ def tx_drop_column(
         new_schema = StructType(
             [f for f in schema.fields if f.name != col]
         )
+        meta = {
+            "column_mapping": mapping,
+            "retired_physical": retired,
+            "dropped": col,
+        }
+        dfl = table_column_defaults(table)
+        offending_dfl = [
+            c for c, e in dfl.items()
+            if c != col and _constraint_refs(e, col)
+        ]
+        if offending_dfl:
+            raise ValueError(
+                f"column {col!r} is referenced by the DEFAULT of "
+                f"{offending_dfl}; tx_drop_default first"
+            )
+        if col in dfl:
+            meta["column_defaults"] = {
+                c: e for c, e in dfl.items() if c != col
+            }
         try:
             return commit(
                 table, "drop_column", [], [], parent,
                 schema_json=new_schema.json(),
-                meta={
-                    "column_mapping": mapping,
-                    "retired_physical": retired,
-                    "dropped": col,
-                },
+                meta=meta,
             )
         except TxConflict:
             continue
@@ -1800,6 +1894,23 @@ def tx_append(
     final schema containing both (or the loser is rejected under the
     same rules a sequential append would be).
     """
+    # write-time DEFAULTS: an append may omit a defaulted column —
+    # fill it (typed to the table's column) BEFORE validation, so the
+    # additive-only schema contract sees a complete row set
+    defaults = table_column_defaults(table)
+    if defaults:
+        cur_schema = table_schema(table)
+        cur_types = (
+            {f.name: f.dataType for f in cur_schema.fields}
+            if cur_schema is not None else {}
+        )
+        from pyspark.sql import functions as F
+
+        for c, expr in defaults.items():
+            if c not in df.columns and c in cur_types:
+                df = df.withColumn(
+                    c, F.expr(expr).cast(cur_types[c])
+                )
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
     # partition_by is a TABLE property (Delta's): the first partitioned

@@ -2292,3 +2292,51 @@ def test_type_widening_evolution(spark, tmp_path):
     assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {
         1, 2**40,
     }
+
+
+def test_column_defaults_fill_omitting_appends(spark, tmp_path):
+    """Write-time DEFAULTS (SQL-standard / Delta): an append may OMIT
+    a defaulted column — the writer fills it (typed, may reference the
+    row's other columns); existing rows never backfill; renames
+    re-bind the default's key and expression; dropping a column that
+    another column's default references is blocked."""
+    t = str(tmp_path / "dflt")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, v string, amt long"
+        ),
+        t,
+    )
+    txlog.tx_set_default(t, "v", "'unknown'")
+    txlog.tx_set_default(t, "amt", "k * 100")
+    # omit BOTH defaulted columns: filled per row
+    txlog.tx_append(spark.createDataFrame([(7,), (8,)], "k long"), t)
+    rows = {
+        r.k: (r.v, r.amt) for r in txlog.read_snapshot(spark, t).collect()
+    }
+    assert rows == {
+        1: ("a", 10), 2: ("b", 20),
+        7: ("unknown", 700), 8: ("unknown", 800),
+    }
+    # a SUPPLIED value wins over the default
+    txlog.tx_append(
+        spark.createDataFrame([(9, "x", 1)], "k long, v string, amt long"),
+        t,
+    )
+    assert txlog.read_snapshot(spark, t).filter("k=9").collect()[0].v == "x"
+    # rename re-binds the default (key and referenced columns)
+    txlog.tx_rename_column(spark, t, "k", "id")
+    assert txlog.table_column_defaults(t)["amt"] == "id * 100"
+    txlog.tx_append(spark.createDataFrame([(10,)], "id long"), t)
+    got = txlog.read_snapshot(spark, t).filter("id=10").collect()[0]
+    assert (got.v, got.amt) == ("unknown", 1000)
+    # dropping a column referenced by another's default is blocked
+    with pytest.raises(ValueError, match="DEFAULT"):
+        txlog.tx_drop_column(spark, t, "id")
+    # dropping the default restores the strict contract: omitting the
+    # column is a schema-drift rejection again (the default was what
+    # made omission legal)
+    txlog.tx_drop_default(t, "amt")
+    assert "amt" not in txlog.table_column_defaults(t)
+    with pytest.raises(ValueError, match="missing"):
+        txlog.tx_append(spark.createDataFrame([(11,)], "id long"), t)
