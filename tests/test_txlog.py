@@ -2340,3 +2340,38 @@ def test_column_defaults_fill_omitting_appends(spark, tmp_path):
     assert "amt" not in txlog.table_column_defaults(t)
     with pytest.raises(ValueError, match="missing"):
         txlog.tx_append(spark.createDataFrame([(11,)], "id long"), t)
+
+
+def test_change_feed_and_stream_across_widening(spark, tmp_path):
+    """tx_changes and the streaming face serve a widening history
+    under the WIDE types: per-commit parts read with their own
+    commit's schema and the union coerces narrow parts up; the stream
+    reader's tuple fallback null-safely serves narrow files under the
+    wide serve schema."""
+    import pyarrow as pa
+
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamReader
+
+    t = str(tmp_path / "wf")
+    txlog.tx_append(spark.createDataFrame([(1, 1.5)], "k int, x float"), t)
+    txlog.tx_append(
+        spark.createDataFrame([(2**40, 2.5)], "k long, x double"),
+        t, merge_schema=True,
+    )
+    txlog.tx_delete_where(spark, t, "k = 1")
+    ch = txlog.tx_changes(spark, t, 0)
+    assert dict(ch.dtypes)["k"] == "bigint"
+    assert sorted((r.k, r.x, r._change_type) for r in ch.collect()) == [
+        (1, 1.5, "delete"), (1, 1.5, "insert"), (2**40, 2.5, "insert"),
+    ]
+    rdr = TxLogStreamReader(
+        {"path": t, "ignorechanges": "true"}, txlog.table_schema(t)
+    )
+    rows = []
+    for p in rdr.partitions({"v": 0}, rdr.latestOffset()):
+        for r in rdr.read(p):
+            if isinstance(r, pa.RecordBatch):
+                rows.extend(tuple(d.values()) for d in r.to_pylist())
+            else:
+                rows.append(tuple(r))
+    assert sorted(rows) == [(1, 1.5), (2**40, 2.5)]
