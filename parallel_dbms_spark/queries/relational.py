@@ -6328,3 +6328,55 @@ def lake_tx_column_defaults(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "lake_tx_generated_partition",
+    oracle="""WITH o AS (
+                SELECT o_orderkey AS k,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderkey % 7 AS bucket
+                FROM orders)
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS cents
+              FROM o WHERE bucket IN (1, 3)
+              GROUP BY bucket""",
+    tags=("lake", "acid", "generated", "partition", "data-skipping",
+          "groupby"),
+)
+def lake_tx_generated_partition(spark, sf_dir):
+    # GENERATED ALWAYS AS + partitioning, the canonical composition:
+    # the partition column derives from the key by law
+    # (tx_set_generated), the second half of the appends OMIT it
+    # entirely — the writer computes it, stages value-pure, and the
+    # partition-filtered read prunes from the log (strictly fewer
+    # files asserted in-query). No writer can ever mis-derive the
+    # partition value; the oracle replays the law relationally.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 7).alias("bucket"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txgen_") + "/orders"
+    txlog.tx_append(
+        o.filter(F.col("k") % 2 == 0), t, partition_by=["bucket"]
+    )
+    txlog.tx_set_generated(spark, t, "bucket", "k % 7")
+    # the other half appends WITHOUT the partition column
+    txlog.tx_append(
+        o.filter(F.col("k") % 2 == 1).select("k", "cents"), t
+    )
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(t, files, {"bucket": ["1", "3"]})
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    df = txlog.read_snapshot(
+        spark, t, partition_filter={"bucket": ["1", "3"]}
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

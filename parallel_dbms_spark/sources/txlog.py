@@ -226,6 +226,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "column_mapping": cm[0] if cm else None,
                 "retired_physical": cm[1] if cm else None,
                 "column_defaults": table_column_defaults(table, v),
+                "generated_columns": table_generated_columns(table, v),
             },
             fh,
         )
@@ -467,6 +468,11 @@ def tx_set_default(
         raise FileNotFoundError(f"no schema committed under {table}")
     if col not in schema.fieldNames():
         raise ValueError(f"column {col!r} not in {table}")
+    if col in table_generated_columns(table):
+        raise ValueError(
+            f"column {col!r} is GENERATED; a column is generated OR "
+            "defaulted, not both (tx_drop_generated first)"
+        )
     for _ in range(max_retries):
         parent = (log_versions(table) or [0])[-1]
         d = table_column_defaults(table)
@@ -499,6 +505,150 @@ def tx_drop_default(table: str, col: str, max_retries: int = 8) -> int:
     raise TxConflict(
         f"drop_default on {table} lost {max_retries} straight races"
     )
+
+
+def table_generated_columns(
+    table: str, version: int | None = None
+) -> dict:
+    """The table's GENERATED columns ({col: sql_expr} — Delta's
+    GENERATED ALWAYS AS): the column's value IS the expression over
+    the row's other columns. Writers fill it when omitted and REJECT
+    a supplied value that disagrees (unlike a DEFAULT, which only
+    fills). The canonical use: partition_by on a generated date column
+    derived from an event timestamp — pruning by day without trusting
+    writers to derive it consistently. Newest-wins full-map commits;
+    O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "generated_columns" in rec:
+            return dict(rec["generated_columns"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return dict(json.load(fh).get("generated_columns") or {})
+    return {}
+
+
+def tx_set_generated(
+    spark: SparkSession, table: str, col: str, sql_expr: str,
+    max_retries: int = 8,
+) -> int:
+    """ALTER TABLE: declare ``col`` GENERATED ALWAYS AS (sql_expr) —
+    validated against the CURRENT snapshot first (existing rows must
+    already satisfy the generation, or nothing lands), then published
+    as a metadata-only commit. Mutually exclusive with a DEFAULT on
+    the same column (a generated value is never optional-with-
+    fallback; it is the law)."""
+    from pyspark.sql import functions as F
+
+    schema = table_schema(table)
+    if schema is None:
+        raise FileNotFoundError(f"no schema committed under {table}")
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} not in {table}")
+    if col in table_column_defaults(table):
+        raise ValueError(
+            f"column {col!r} has a DEFAULT; a column is generated OR "
+            "defaulted, not both (tx_drop_default first)"
+        )
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        g = table_generated_columns(table)
+        g[col] = sql_expr
+        if parent:
+            snap = read_snapshot(spark, table)
+            n_bad = snap.filter(
+                ~F.expr(f"{col} IS NOT DISTINCT FROM ({sql_expr})")
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"cannot declare {col!r} generated: {n_bad} existing "
+                    f"row(s) violate {sql_expr!r}"
+                )
+        try:
+            return commit(
+                table, "set_generated", [], [], parent,
+                meta={"generated_columns": g},
+            )
+        except TxConflict:
+            continue  # data landed mid-validation; re-validate
+    raise TxConflict(
+        f"set_generated on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_drop_generated(table: str, col: str, max_retries: int = 8) -> int:
+    """Drop a column's GENERATED declaration (metadata-only)."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        g = table_generated_columns(table)
+        g.pop(col, None)
+        try:
+            return commit(
+                table, "drop_generated", [], [], parent,
+                meta={"generated_columns": g},
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop_generated on {table} lost {max_retries} straight races"
+    )
+
+
+def _apply_generated(df: DataFrame, table: str) -> tuple:
+    """Fill-or-enforce the table's generated columns on incoming
+    rows: an OMITTED generated column computes per row; a SUPPLIED
+    one must equal its expression on every row (one job checks all,
+    null-safe) or the write is rejected before staging. Returns
+    (df, enforced_map) — the map feeds the same race-revalidation
+    pattern as constraints."""
+    from pyspark.sql import functions as F
+
+    gmap = table_generated_columns(table)
+    if not gmap:
+        return df, {}
+    schema = table_schema(table)
+    types = (
+        {f.name: f.dataType for f in schema.fields}
+        if schema is not None else {}
+    )
+    checks = []
+    for c, expr in gmap.items():
+        if c not in df.columns:
+            gen = F.expr(expr)
+            df = df.withColumn(
+                c, gen.cast(types[c]) if c in types else gen
+            )
+        else:
+            checks.append(c)
+    if checks:
+        agg = df.select(
+            *[
+                (~F.expr(f"{c} IS NOT DISTINCT FROM ({gmap[c]})"))
+                .cast("long").alias(f"__g_{i}")
+                for i, c in enumerate(checks)
+            ]
+        ).agg(
+            *[F.sum(f"__g_{i}").alias(f"n_{i}") for i in range(len(checks))]
+        ).collect()[0]
+        bad = {
+            checks[i]: int(agg[f"n_{i}"] or 0)
+            for i in range(len(checks))
+            if (agg[f"n_{i}"] or 0) > 0
+        }
+        if bad:
+            raise ValueError(
+                f"GENERATED column violation on {table}: "
+                + ", ".join(
+                    f"{c} != ({gmap[c]}) on {n} row(s)"
+                    for c, n in sorted(bad.items())
+                )
+            )
+    return df, gmap
 
 
 _CM_CACHE: dict = {}
@@ -775,6 +925,11 @@ def tx_rename_column(
             (new if c == old else c): _rewrite_idents(e, {old: new})
             for c, e in dfl.items()
         }
+        gen = table_generated_columns(table)
+        new_gen = {
+            (new if c == old else c): _rewrite_idents(e, {old: new})
+            for c, e in gen.items()
+        }
         meta = {
             "column_mapping": mapping,
             "retired_physical": retired,
@@ -782,6 +937,8 @@ def tx_rename_column(
         }
         if new_dfl != dfl:
             meta["column_defaults"] = new_dfl
+        if new_gen != gen:
+            meta["generated_columns"] = new_gen
         try:
             return commit(
                 table, "rename_column", [], [], parent,
@@ -860,6 +1017,20 @@ def tx_drop_column(
         if col in dfl:
             meta["column_defaults"] = {
                 c: e for c, e in dfl.items() if c != col
+            }
+        gen = table_generated_columns(table)
+        offending_gen = [
+            c for c, e in gen.items()
+            if c != col and _constraint_refs(e, col)
+        ]
+        if offending_gen:
+            raise ValueError(
+                f"column {col!r} is referenced by the GENERATED "
+                f"expression of {offending_gen}; tx_drop_generated first"
+            )
+        if col in gen:
+            meta["generated_columns"] = {
+                c: e for c, e in gen.items() if c != col
             }
         try:
             return commit(
@@ -1911,6 +2082,10 @@ def tx_append(
                 df = df.withColumn(
                     c, F.expr(expr).cast(cur_types[c])
                 )
+    # GENERATED columns: fill when omitted, enforce when supplied —
+    # before validation so partition checks see the filled column
+    # (partition_by on a generated date column is the canonical use)
+    df, enforced_gen = _apply_generated(df, table)
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
     # partition_by is a TABLE property (Delta's): the first partitioned
@@ -2004,6 +2179,15 @@ def tx_append(
             # a constraint commit won a race: revalidate our rows
             # against the fresh map before re-claiming a version
             enforced_cons = _enforce_constraints(df, table)
+        if table_generated_columns(table) != enforced_gen:
+            # a generated-column declaration raced the append: our
+            # rows (already complete) must satisfy the fresh law
+            df2, enforced_gen = _apply_generated(df, table)
+            if df2 is not df:
+                raise ValueError(
+                    f"a generated-column declaration on {table} raced "
+                    "this append after staging; re-run the append"
+                )
         if partition_by is not None:
             # a DECLARING append re-checks the declaration each attempt
             # (the commit-level write-write conflict only fires on a
@@ -2650,6 +2834,13 @@ def tx_update_where(
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {unknown}")
         types = {f.name: f.dataType for f in src.schema.fields}
+        gmap = table_generated_columns(table)
+        gen_set = sorted(set(assignments) & set(gmap))
+        if gen_set:
+            raise ValueError(
+                f"cannot UPDATE generated column(s) {gen_set}; they "
+                "recompute from their expressions (Delta's rule)"
+            )
         rewritten = src.select(
             *[
                 F.when(pred, F.expr(assignments[c]).cast(types[c]))
@@ -2660,6 +2851,15 @@ def tx_update_where(
                 for c in cols
             ]
         )
+        # generated columns RECOMPUTE on the updated rows (an update
+        # to a source column must never leave a stale derived value)
+        for c, expr in gmap.items():
+            if c in types:
+                rewritten = rewritten.withColumn(
+                    c,
+                    F.when(pred, F.expr(expr).cast(types[c]))
+                    .otherwise(F.col(c)),
+                )
         # CHECK constraints hold on the POST-update rows (the rewrite
         # re-lands untouched rows too, but those passed at their own
         # write time; validating the whole rewrite is one pass and
@@ -3017,6 +3217,10 @@ def tx_merge_upsert(
 
     keys = list(keys)
     source = source.dropDuplicates(keys)
+    # a merge lands source rows verbatim, so the source obeys the
+    # same generated-column law as an append: omitted -> filled,
+    # supplied -> must equal its expression
+    source, _ = _apply_generated(source, table)
     for _ in range(max_retries):
         # a merge lands source rows verbatim (matched keys replace,
         # the rest insert) — CHECK constraints validate the source

@@ -862,6 +862,18 @@ class TxLogBatchPartition(InputPartition):
     rename: tuple = ()  # ((physical, logical), ...) column mapping
 
 
+def _write_checks(table: str) -> dict:
+    """The full predicate set a sink write must satisfy: the table's
+    CHECK constraints plus one null-safe equality per GENERATED column
+    (the sink's rows arrive complete, so a generated column must equal
+    its expression — IS NOT DISTINCT FROM never yields NULL, which
+    keeps the TRUE-or-NULL CHECK semantics exact for it)."""
+    cons = dict(txlog.table_constraints(table))
+    for c, e in txlog.table_generated_columns(table).items():
+        cons[f"__generated_{c}"] = f"{c} IS NOT DISTINCT FROM ({e})"
+    return cons
+
+
 def _check_constraints_duckdb(
     cons: dict, *, arrow_tbl=None, parquet_paths=None, table: str = ""
 ) -> None:
@@ -1052,7 +1064,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         # executor-side, before anything stages. The enforced map rides
         # the commit message so the driver can detect a constraint
         # commit racing the batch and revalidate (commit() below).
-        cons = txlog.table_constraints(self.table)
+        cons = _write_checks(self.table)
         _check_constraints_duckdb(cons, arrow_tbl=tbl, table=self.table)
         # COLUMN MAPPING: staged files carry PHYSICAL names (validated
         # logically above); pv keys record physically like
@@ -1116,7 +1128,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                 # FRESH map before publishing. Combined with commit()'s
                 # added-vs-constraints conflict class this closes the
                 # race both ways — no row ever lands unvalidated.
-                cons_now = txlog.table_constraints(self.table)
+                cons_now = _write_checks(self.table)
                 sig_now = tuple(sorted(cons_now.items()))
                 if validated != {sig_now}:
                     # staged files carry PHYSICAL names: re-bind the

@@ -2375,3 +2375,89 @@ def test_change_feed_and_stream_across_widening(spark, tmp_path):
             else:
                 rows.append(tuple(r))
     assert sorted(rows) == [(1, 1.5), (2**40, 2.5)]
+
+
+def test_generated_columns_fill_enforce_and_recompute(spark, tmp_path):
+    """GENERATED ALWAYS AS: omitted -> computed per row; supplied ->
+    must equal the expression (write rejected otherwise); UPDATE of a
+    source column recomputes the derived one and direct UPDATE of a
+    generated column is blocked; declaring over violating history is
+    rejected; partition_by on a generated column prunes."""
+    t = str(tmp_path / "gen")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1, 10, 101), (2, 20, 400)], "k long, a long, sq long"
+        ),
+        t,
+    )
+    # declaring over violating history rejects (sq != a*a for k=1)
+    with pytest.raises(ValueError, match="violate"):
+        txlog.tx_set_generated(spark, t, "sq", "a * a")
+    txlog.tx_update_where(spark, t, "k = 1", {"sq": "a * a"})
+    txlog.tx_set_generated(spark, t, "sq", "a * a")
+    # omitted -> filled
+    txlog.tx_append(spark.createDataFrame([(3, 5)], "k long, a long"), t)
+    rows = {r.k: r.sq for r in txlog.read_snapshot(spark, t).collect()}
+    assert rows == {1: 100, 2: 400, 3: 25}
+    # supplied-but-wrong -> rejected before staging
+    with pytest.raises(ValueError, match="GENERATED"):
+        txlog.tx_append(
+            spark.createDataFrame([(4, 6, 99)], "k long, a long, sq long"),
+            t,
+        )
+    # supplied-and-right -> accepted
+    txlog.tx_append(
+        spark.createDataFrame([(4, 6, 36)], "k long, a long, sq long"), t
+    )
+    # UPDATE the source column: the generated one recomputes
+    with pytest.raises(ValueError, match="generated"):
+        txlog.tx_update_where(spark, t, "k = 4", {"sq": "1"})
+    txlog.tx_update_where(spark, t, "k = 4", {"a": "7"})
+    got = txlog.read_snapshot(spark, t).filter("k = 4").collect()[0]
+    assert (got.a, got.sq) == (7, 49)
+    # MERGE sources obey the same law
+    with pytest.raises(ValueError, match="GENERATED"):
+        txlog.tx_merge_upsert(
+            spark, t,
+            spark.createDataFrame([(9, 3, 8)], "k long, a long, sq long"),
+            keys=["k"],
+        )
+    txlog.tx_merge_upsert(
+        spark, t, spark.createDataFrame([(9, 3)], "k long, a long"),
+        keys=["k"],
+    )
+    assert txlog.read_snapshot(spark, t).filter("k=9").collect()[0].sq == 9
+    # default/generated mutual exclusion, both directions
+    with pytest.raises(ValueError, match="generated OR"):
+        txlog.tx_set_default(t, "sq", "0")
+    txlog.tx_set_default(t, "a", "1")
+    with pytest.raises(ValueError, match="generated OR"):
+        txlog.tx_set_generated(spark, t, "a", "k")
+
+
+def test_partition_by_generated_date_column(spark, tmp_path):
+    """The canonical generated-column use: a day column derived from
+    the event key partitions the table — writers omit it, staging
+    fills it value-pure, and pruning answers from the log."""
+    t = str(tmp_path / "genp")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "k long, day long"
+        ),
+        t, partition_by=["day"],
+    )
+    txlog.tx_set_generated(spark, t, "day", "k % 3")
+    # appends OMIT the partition column entirely
+    txlog.tx_append(
+        spark.createDataFrame([(100,), (101,)], "k long"), t
+    )
+    pv = txlog.snapshot_pv(t)
+    _, files = txlog.snapshot_files(t)
+    assert files and all(set(v) == {"day"} for v in pv.values())
+    got = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"day": "1"}
+        ).collect()
+    }
+    assert got == {1, 4, 7, 10, 100}

@@ -988,3 +988,43 @@ def test_change_feed_sidecar_stats_prune(spark, tmp_path):
     }
     assert (2, "a", "delete") in got2, got2
     assert all(c == "a" for _, c, _ in got2), got2
+
+
+def test_native_sink_enforces_generated_columns(spark, tmp_path):
+    """The streaming sink's executor-side DuckDB check covers
+    GENERATED columns: a micro-batch whose supplied value disagrees
+    with the generation law fails the write task — nothing stages,
+    nothing commits."""
+    register_txlog_source(spark)
+    t = str(tmp_path / "gsink")
+    txlog.tx_append(
+        spark.createDataFrame([(1, 10, 100)], "k long, a long, sq long"),
+        t,
+    )
+    txlog.tx_set_generated(spark, t, "sq", "a * a")
+    src_ok, src_bad = str(tmp_path / "s1"), str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(2, 3, 9)], "k long, a long, sq long"
+    ).write.parquet(src_ok)
+    spark.createDataFrame(
+        [(3, 4, 99)], "k long, a long, sq long"
+    ).write.parquet(src_bad)
+    q = (
+        spark.readStream.schema("k long, a long, sq long").parquet(src_ok)
+        .writeStream.format("txlog").option("path", t)
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1, 2}
+    v_before = txlog.log_versions(t)[-1]
+    q = (
+        spark.readStream.schema("k long, a long, sq long").parquet(src_bad)
+        .writeStream.format("txlog").option("path", t)
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="generated|CHECK"):
+        q.awaitTermination()
+    assert txlog.log_versions(t)[-1] == v_before  # nothing committed
+    assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1, 2}
