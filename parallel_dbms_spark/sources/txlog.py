@@ -3340,6 +3340,7 @@ def tx_compact(
     zorder_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     ascending: bool = True,
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """Bin-pack the current snapshot into ``num_files`` files. Removes
     every live file, so it conflicts with any interleaved delete (and
@@ -3362,6 +3363,14 @@ def tx_compact(
     ``write_sorted_export``, promoted to the commit log). Mutually
     exclusive with ``zorder_by``.
 
+    ``partition_filter``: Delta's ``OPTIMIZE ... WHERE`` — scope the
+    rewrite to the files PROVABLY pure on the requested partitions
+    (recorded partitionValues match on every filter column; unrecorded
+    or mixed-declaration files are left alone, strictly-scoped by
+    design). At 100 TB this is the only OPTIMIZE anyone runs: compact
+    yesterday's partition, never the table. The untouched partitions'
+    files stay live byte-for-byte.
+
     Returns (new_version, files_replaced).
     """
     if zorder_by and sort_by:
@@ -3370,6 +3379,35 @@ def tx_compact(
         stats_cols = sorted(set(stats_cols or []) | {sort_by[0]})
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
+        if partition_filter:
+            declared = set(table_partition_by(table))
+            unknown = sorted(set(partition_filter) - declared)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter column(s) {unknown} are not "
+                    f"partition columns of {table} "
+                    f"(declared: {sorted(declared) or 'none'})"
+                )
+            pv = snapshot_pv(table)
+            want = {
+                c: {
+                    _pv_str(x)
+                    for x in (
+                        v if isinstance(v, (list, tuple, set)) else [v]
+                    )
+                }
+                for c, v in partition_filter.items()
+            }
+            files = [
+                f
+                for f in files
+                if f in pv
+                and all(
+                    c in pv[f] and pv[f][c] in w for c, w in want.items()
+                )
+            ]
+            if not files:
+                return parent, 0
         if len(files) <= num_files and not zorder_by and not sort_by:
             return parent, 0
         # RECORDED schema, not footer inference: a mixed-schema live set

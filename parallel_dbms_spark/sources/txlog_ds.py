@@ -173,6 +173,33 @@ def _plan_rels(
     return rels
 
 
+def _cap_offset_by_files(
+    table: str, last: int, head: int, max_files: int
+) -> int:
+    """Delta's maxFilesPerTrigger re-expressed on commit-version
+    offsets: walk the commit RECORDS from ``last`` toward ``head``
+    accumulating added-file counts and stop at the last version whose
+    cumulative total still fits the budget — a backlogged stream
+    catches up in bounded micro-batches instead of one giant one. At
+    least one commit always advances (a single commit larger than the
+    budget must still plan, or the stream wedges). Metadata-only:
+    cost is the records walked, never rows."""
+    if head <= last:
+        return head
+    n = 0
+    end = last
+    for v in txlog.log_versions(table):
+        if v <= last or v > head:
+            continue
+        n += len(txlog.read_commit(table, v).get("added", ()))
+        if n > max_files and end > last:
+            return end
+        end = v
+        if n >= max_files:
+            return end
+    return end
+
+
 def _resolve_starting_version(options, table: str) -> int:
     """Where the stream attaches: ``startingVersion`` (a commit
     number, inclusive) or ``startingTimestamp`` (epoch seconds or an
@@ -510,6 +537,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.pfilter, self.row_filter = _parse_partition_filter(
             options, self.table
         )
+        # Delta's maxFilesPerTrigger: bound each micro-batch's planned
+        # file count (the tracker syncs to Spark's true offsets in
+        # partitions(), so restarts resume from the checkpoint)
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        self._last_end = self.starting_version - 1
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -521,10 +556,16 @@ class TxLogStreamReader(DataSourceStreamReader):
         # current head would otherwise plan a NEGATIVE first batch and
         # record the lower offset, re-emitting commits the user asked
         # to skip once they land
-        return {"v": max(head, self.starting_version - 1)}
+        head = max(head, self.starting_version - 1)
+        if self.max_files is not None:
+            head = _cap_offset_by_files(
+                self.table, self._last_end, head, self.max_files
+            )
+        return {"v": head}
 
     def partitions(self, start, end):
         lo, hi = int(start["v"]), int(end["v"])
+        self._last_end = max(self._last_end, hi)
         rels = _plan_rels(
             self.table, lo, hi, self.ignore_changes, self.ignore_deletes,
             schema_pin=self._map_v,
@@ -607,6 +648,14 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         self.pfilter, self.row_filter = _parse_partition_filter(
             options, self.table
         )
+        # maxFilesPerTrigger on the feed too (same budget walk; DV and
+        # sidecar splits ride their commit, so the bound is approximate
+        # by added files — bounded either way)
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        self._last_end = self.starting_version - 1
 
     def initialOffset(self):
         return {"v": self.starting_version - 1}
@@ -615,9 +664,15 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         versions = txlog.log_versions(self.table)
         head = versions[-1] if versions else 0
         # clamped like the plain reader: never below initialOffset
-        return {"v": max(head, self.starting_version - 1)}
+        head = max(head, self.starting_version - 1)
+        if self.max_files is not None:
+            head = _cap_offset_by_files(
+                self.table, self._last_end, head, self.max_files
+            )
+        return {"v": head}
 
     def partitions(self, start, end):
+        self._last_end = max(self._last_end, int(end["v"]))
         ren = self._rename
         parts = _plan_change_partitions(
             self.table, int(start["v"]), int(end["v"]), self.fields,

@@ -2461,3 +2461,43 @@ def test_partition_by_generated_date_column(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 4, 7, 10, 100}
+
+
+def test_partition_scoped_compact(spark, tmp_path):
+    """OPTIMIZE ... WHERE: a partition-scoped compact rewrites ONLY
+    the requested partition's provably-pure files — other partitions'
+    files stay live byte-identical, content is preserved, pruning
+    still works, and streams skip the compact commit as always."""
+    t = str(tmp_path / "pc")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(20)], "k long, c string"
+    )
+    txlog.tx_append(df.filter("k < 10").repartition(3), t,
+                    partition_by=["c"])
+    txlog.tx_append(df.filter("k >= 10").repartition(3), t)
+    _, before = txlog.snapshot_files(t)
+    pv_before = txlog.snapshot_pv(t)
+    b_files = {f for f in before if pv_before.get(f, {}).get("c") == "b"}
+    v, n = txlog.tx_compact(
+        spark, t, num_files=1, partition_filter={"c": "a"}
+    )
+    assert n > 0
+    _, after = txlog.snapshot_files(t)
+    # partition b's files untouched
+    assert b_files <= set(after)
+    # partition a compacted to one file, still recorded pure on 'a'
+    pv_after = txlog.snapshot_pv(t)
+    a_files = [f for f in after if pv_after.get(f, {}).get("c") == "a"]
+    assert len(a_files) == 1
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == set(range(20))
+    pruned = {
+        r.k
+        for r in txlog.read_snapshot(
+            spark, t, partition_filter={"c": "a"}
+        ).collect()
+    }
+    assert pruned == {i for i in range(20) if i % 2 == 0}
+    # unknown filter keys raise, like every other pruning face
+    with pytest.raises(ValueError, match="not partition columns"):
+        txlog.tx_compact(spark, t, partition_filter={"k": 1})

@@ -1028,3 +1028,67 @@ def test_native_sink_enforces_generated_columns(spark, tmp_path):
         q.awaitTermination()
     assert txlog.log_versions(t)[-1] == v_before  # nothing committed
     assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1, 2}
+
+
+def test_max_files_per_trigger_bounds_backlog_batches(spark, tmp_path):
+    """maxFilesPerTrigger (Delta's): a backlogged table streams in
+    bounded micro-batches — offsets advance a budgeted number of
+    added files per trigger, every row arrives exactly once, and a
+    single oversized commit still planes (the stream never wedges)."""
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamReader
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "mft")
+    for i in range(6):  # 6 commits x 1 file
+        txlog.tx_append(
+            spark.createDataFrame([(i, "x")], "k long, v string")
+            .coalesce(1),
+            t,
+        )
+    rdr = TxLogStreamReader(
+        {"path": t, "maxfilespertrigger": "2"}, txlog.table_schema(t)
+    )
+    offsets, cur = [], rdr.initialOffset()
+    for _ in range(10):
+        nxt = rdr.latestOffset()
+        if nxt == cur:
+            break
+        rdr.partitions(cur, nxt)  # sync the tracker like Spark would
+        offsets.append(int(nxt["v"]))
+        cur = nxt
+    assert offsets == [2, 4, 6], offsets  # 3 bounded batches, no loss
+    # an oversized commit (4 files > budget 2) still advances
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(10 + j, "y") for j in range(4)], "k long, v string"
+        ).repartition(4),
+        t,
+    )
+    nxt = rdr.latestOffset()
+    assert int(nxt["v"]) == 7
+    assert len(rdr.partitions(cur, nxt)) == 4
+    # end-to-end: under availableNow the Python DataSource API
+    # snapshots ONE capped batch per run — each invocation consumes a
+    # bounded chunk and the checkpoint resumes exactly where it
+    # stopped, so repeated runs drain the backlog with no loss and no
+    # re-emission (bounded-work-per-invocation semantics; a
+    # processingTime trigger instead caps every micro-batch of one
+    # continuous query)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "ck")
+    seen = []
+    for _ in range(8):
+        q = (
+            spark.readStream.format("txlog").option("path", t)
+            .option("maxFilesPerTrigger", "2").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out).count()
+        seen.append(n)
+        if n == 10:
+            break
+    assert seen[0] <= 4 < seen[-1] == 10, seen  # bounded chunks, drained
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted(list(range(6)) + [10, 11, 12, 13]), got
