@@ -227,6 +227,7 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "retired_physical": cm[1] if cm else None,
                 "column_defaults": table_column_defaults(table, v),
                 "generated_columns": table_generated_columns(table, v),
+                "cluster_by": table_cluster_by(table, v),
             },
             fh,
         )
@@ -599,6 +600,54 @@ def tx_drop_generated(table: str, col: str, max_retries: int = 8) -> int:
     )
 
 
+def table_cluster_by(table: str, version: int | None = None) -> list:
+    """The table's declared CLUSTERING columns (Delta liquid-
+    clustering-style declaration): maintenance passes z-order on them
+    by default and every append records their file stats
+    automatically, so the table stays skippable on its access pattern
+    without per-call arguments. Newest-wins; empty = undeclared."""
+    versions = log_versions(table)
+    if not versions:
+        return []
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "cluster_by" in rec:
+            return list(rec["cluster_by"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return list(json.load(fh).get("cluster_by") or [])
+    return []
+
+
+def tx_set_cluster_by(
+    table: str, cols: list, max_retries: int = 8
+) -> int:
+    """ALTER TABLE ... CLUSTER BY: declare the clustering columns as
+    table metadata (an explicit [] undeclares). Declaration only —
+    existing files re-lay on the next tx_optimize/tx_compact, which
+    default their z-order to this."""
+    schema = table_schema(table)
+    if schema is None:
+        raise FileNotFoundError(f"no schema committed under {table}")
+    missing = [c for c in cols if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"cluster columns {missing} not in {table}")
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        try:
+            return commit(
+                table, "set_cluster_by", [], [], parent,
+                meta={"cluster_by": list(cols)},
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"set_cluster_by on {table} lost {max_retries} straight races"
+    )
+
+
 def _apply_generated(df: DataFrame, table: str) -> tuple:
     """Fill-or-enforce the table's generated columns on incoming
     rows: an OMITTED generated column computes per row; a SUPPLIED
@@ -939,6 +988,10 @@ def tx_rename_column(
             meta["column_defaults"] = new_dfl
         if new_gen != gen:
             meta["generated_columns"] = new_gen
+        cb = table_cluster_by(table)
+        new_cb = [new if c == old else c for c in cb]
+        if new_cb != cb:
+            meta["cluster_by"] = new_cb
         try:
             return commit(
                 table, "rename_column", [], [], parent,
@@ -1032,6 +1085,9 @@ def tx_drop_column(
             meta["generated_columns"] = {
                 c: e for c, e in gen.items() if c != col
             }
+        cb = table_cluster_by(table)
+        if col in cb:
+            meta["cluster_by"] = [c for c in cb if c != col]
         try:
             return commit(
                 table, "drop_column", [], [], parent,
@@ -2082,6 +2138,12 @@ def tx_append(
                 df = df.withColumn(
                     c, F.expr(expr).cast(cur_types[c])
                 )
+    # declared CLUSTERING columns ride every append's stats
+    # automatically (one footer read per staged file) — the table
+    # stays skippable on its access pattern with no per-call args
+    declared_cluster = table_cluster_by(table)
+    if declared_cluster:
+        stats_cols = sorted(set(stats_cols or []) | set(declared_cluster))
     # GENERATED columns: fill when omitted, enforce when supplied —
     # before validation so partition checks see the filled column
     # (partition_by on a generated date column is the canonical use)
@@ -3375,6 +3437,13 @@ def tx_compact(
     """
     if zorder_by and sort_by:
         raise ValueError("zorder_by and sort_by are mutually exclusive")
+    if zorder_by is None and not sort_by:
+        # declared clustering is the table's standing OPTIMIZE order
+        declared = table_cluster_by(table)
+        if declared:
+            zorder_by = declared
+    if zorder_by:
+        stats_cols = sorted(set(stats_cols or []) | set(zorder_by))
     if sort_by:
         stats_cols = sorted(set(stats_cols or []) | {sort_by[0]})
     for _ in range(max_retries):

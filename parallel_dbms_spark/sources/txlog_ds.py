@@ -174,28 +174,45 @@ def _plan_rels(
 
 
 def _cap_offset_by_files(
-    table: str, last: int, head: int, max_files: int
+    table: str, last: int, head: int,
+    max_files: int | None, max_bytes: int | None = None,
 ) -> int:
-    """Delta's maxFilesPerTrigger re-expressed on commit-version
-    offsets: walk the commit RECORDS from ``last`` toward ``head``
-    accumulating added-file counts and stop at the last version whose
-    cumulative total still fits the budget — a backlogged stream
-    catches up in bounded micro-batches instead of one giant one. At
-    least one commit always advances (a single commit larger than the
-    budget must still plan, or the stream wedges). Metadata-only:
-    cost is the records walked, never rows."""
+    """Delta's maxFilesPerTrigger / maxBytesPerTrigger re-expressed on
+    commit-version offsets: walk the commit RECORDS from ``last``
+    toward ``head`` accumulating added-file counts (and sizes, one
+    stat per file) and stop at the last version whose cumulative total
+    still fits every given budget — a backlogged stream catches up in
+    bounded micro-batches instead of one giant one. At least one
+    commit always advances (a single commit larger than the budget
+    must still plan, or the stream wedges). Metadata-only: cost is
+    the records walked, never rows."""
+    import os
+
     if head <= last:
         return head
-    n = 0
+    n = nb = 0
     end = last
     for v in txlog.log_versions(table):
         if v <= last or v > head:
             continue
-        n += len(txlog.read_commit(table, v).get("added", ()))
-        if n > max_files and end > last:
+        added = txlog.read_commit(table, v).get("added", ())
+        n += len(added)
+        if max_bytes is not None:
+            for rel in added:
+                try:
+                    nb += os.path.getsize(os.path.join(table, rel))
+                except OSError:
+                    pass  # vacuumed-orphan edge: size unknowable
+        over = (max_files is not None and n > max_files) or (
+            max_bytes is not None and nb > max_bytes
+        )
+        if over and end > last:
             return end
         end = v
-        if n >= max_files:
+        at = (max_files is not None and n >= max_files) or (
+            max_bytes is not None and nb >= max_bytes
+        )
+        if at:
             return end
     return end
 
@@ -544,6 +561,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         self._last_end = self.starting_version - 1
 
     def initialOffset(self):
@@ -557,9 +578,10 @@ class TxLogStreamReader(DataSourceStreamReader):
         # record the lower offset, re-emitting commits the user asked
         # to skip once they land
         head = max(head, self.starting_version - 1)
-        if self.max_files is not None:
+        if self.max_files is not None or self.max_bytes is not None:
             head = _cap_offset_by_files(
-                self.table, self._last_end, head, self.max_files
+                self.table, self._last_end, head,
+                self.max_files, self.max_bytes,
             )
         return {"v": head}
 
@@ -655,6 +677,10 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         self._last_end = self.starting_version - 1
 
     def initialOffset(self):
@@ -665,9 +691,10 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
         head = versions[-1] if versions else 0
         # clamped like the plain reader: never below initialOffset
         head = max(head, self.starting_version - 1)
-        if self.max_files is not None:
+        if self.max_files is not None or self.max_bytes is not None:
             head = _cap_offset_by_files(
-                self.table, self._last_end, head, self.max_files
+                self.table, self._last_end, head,
+                self.max_files, self.max_bytes,
             )
         return {"v": head}
 

@@ -2501,3 +2501,39 @@ def test_partition_scoped_compact(spark, tmp_path):
     # unknown filter keys raise, like every other pruning face
     with pytest.raises(ValueError, match="not partition columns"):
         txlog.tx_compact(spark, t, partition_filter={"k": 1})
+
+
+def test_declared_clustering_drives_optimize_and_stats(spark, tmp_path):
+    """CLUSTER BY as a table property: appends record the clustering
+    columns' stats automatically, a bare tx_compact z-orders on the
+    declaration (2-D skipping prunes afterwards), and renames carry
+    the declaration."""
+    t = str(tmp_path / "cb")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, (i * 37) % 100, (i * 61) % 100) for i in range(4000)],
+            "k long, x long, y long",
+        ).repartition(4),
+        t,
+    )
+    txlog.tx_set_cluster_by(t, ["x", "y"])
+    assert txlog.table_cluster_by(t) == ["x", "y"]
+    # appends now ride x/y stats with no per-call args
+    txlog.tx_append(
+        spark.createDataFrame([(9001, 5, 5)], "k long, x long, y long"), t
+    )
+    _, files = txlog.snapshot_files(t)
+    st = txlog.snapshot_stats(t)
+    newest = [f for f in files if f in st]
+    assert newest and all(
+        {"x", "y"} <= set(st[f]["c"]) for f in newest
+    )
+    # a BARE compact z-orders on the declaration: afterwards a tight
+    # x-range opens strictly fewer files than the snapshot holds
+    txlog.tx_compact(spark, t, num_files=8)
+    df, n_read, n_total = txlog.tx_read_skipping(spark, t, "x", lo=0, hi=9)
+    assert n_total == 8 and 0 < n_read < n_total, (n_read, n_total)
+    assert df.filter("x < 10").count() == 401
+    # rename follows the declaration
+    txlog.tx_rename_column(spark, t, "x", "lon")
+    assert txlog.table_cluster_by(t) == ["lon", "y"]

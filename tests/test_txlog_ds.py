@@ -1092,3 +1092,34 @@ def test_max_files_per_trigger_bounds_backlog_batches(spark, tmp_path):
     assert seen[0] <= 4 < seen[-1] == 10, seen  # bounded chunks, drained
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == sorted(list(range(6)) + [10, 11, 12, 13]), got
+
+
+def test_max_bytes_per_trigger_bounds_backlog(spark, tmp_path):
+    """maxBytesPerTrigger: the budget walk counts staged file SIZES
+    (one stat per record-listed file); a byte-capped backlog advances
+    in multiple offsets and still delivers exactly once."""
+    from parallel_dbms_spark.sources.txlog_ds import TxLogStreamReader
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "mbt")
+    for i in range(4):
+        txlog.tx_append(
+            spark.createDataFrame(
+                [(i * 10 + j, "x" * 50) for j in range(5)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+        )
+    rdr = TxLogStreamReader(
+        {"path": t, "maxbytespertrigger": "1"}, txlog.table_schema(t)
+    )
+    # 1-byte budget degenerates to one commit per trigger (never wedges)
+    offsets, cur = [], rdr.initialOffset()
+    for _ in range(8):
+        nxt = rdr.latestOffset()
+        if nxt == cur:
+            break
+        rdr.partitions(cur, nxt)
+        offsets.append(int(nxt["v"]))
+        cur = nxt
+    assert offsets == [1, 2, 3, 4], offsets
