@@ -3845,6 +3845,16 @@ def tx_restore(table: str, to_version: int) -> int:
         )
         retired = list(cur_cm[1]) if cur_cm else []
         meta["retired_physical"] = retired
+    # the remaining table-level metadata planes restore the same way:
+    # newest-wins full-map commits, re-recorded only when drifted
+    for key, fn in (
+        ("column_defaults", table_column_defaults),
+        ("generated_columns", table_generated_columns),
+        ("cluster_by", table_cluster_by),
+    ):
+        tgt, cur = fn(table, to_version), fn(table, cur_v)
+        if tgt != cur:
+            meta[key] = tgt
     return commit(
         table,
         "restore",

@@ -2537,3 +2537,37 @@ def test_declared_clustering_drives_optimize_and_stats(spark, tmp_path):
     # rename follows the declaration
     txlog.tx_rename_column(spark, t, "x", "lon")
     assert txlog.table_cluster_by(t) == ["lon", "y"]
+
+
+def test_restore_recovers_defaults_generated_and_clustering(spark, tmp_path):
+    """RESTORE undoes later SET DEFAULT / SET GENERATED / CLUSTER BY
+    exactly like it undoes constraint and partition drift — the full
+    table-level metadata state travels with the data."""
+    t = str(tmp_path / "rsm")
+    txlog.tx_append(
+        spark.createDataFrame([(1, 10, 100)], "k long, a long, sq long"),
+        t,
+    )
+    v1 = txlog.log_versions(t)[-1]
+    txlog.tx_set_default(t, "a", "7")
+    txlog.tx_set_generated(spark, t, "sq", "a * a")
+    txlog.tx_set_cluster_by(t, ["k"])
+    assert txlog.table_column_defaults(t) and txlog.table_cluster_by(t)
+    txlog.tx_restore(t, v1)
+    assert txlog.table_column_defaults(t) == {}
+    assert txlog.table_generated_columns(t) == {}
+    assert txlog.table_cluster_by(t) == []
+    # an append omitting the (no-longer) defaulted column drifts again
+    with pytest.raises(ValueError, match="missing"):
+        txlog.tx_append(
+            spark.createDataFrame([(2, 99)], "k long, sq long"), t
+        )
+    # ...and restoring FORWARD re-arms all three planes
+    head = txlog.log_versions(t)
+    txlog.tx_restore(t, head[-2])  # the version right before restore
+    assert txlog.table_column_defaults(t) == {"a": "7"}
+    assert txlog.table_generated_columns(t) == {"sq": "a * a"}
+    assert txlog.table_cluster_by(t) == ["k"]
+    txlog.tx_append(spark.createDataFrame([(3,)], "k long"), t)
+    got = txlog.read_snapshot(spark, t).filter("k = 3").collect()[0]
+    assert (got.a, got.sq) == (7, 49)
