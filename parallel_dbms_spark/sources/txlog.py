@@ -3934,6 +3934,16 @@ def tx_clone(
         meta={
             "cloned_from": os.path.abspath(src),
             "source_version": v,
+            # every table-level metadata plane travels with the clone
+            **{
+                k: val
+                for k, val in (
+                    ("column_defaults", table_column_defaults(src, v)),
+                    ("generated_columns", table_generated_columns(src, v)),
+                    ("cluster_by", table_cluster_by(src, v)),
+                )
+                if val
+            },
             # the clone's files carry the source's PHYSICAL names, so
             # the mapping travels with them (retired too: a re-added
             # name in the clone must keep minting fresh)

@@ -2571,3 +2571,22 @@ def test_restore_recovers_defaults_generated_and_clustering(spark, tmp_path):
     txlog.tx_append(spark.createDataFrame([(3,)], "k long"), t)
     got = txlog.read_snapshot(spark, t).filter("k = 3").collect()[0]
     assert (got.a, got.sq) == (7, 49)
+
+
+def test_clone_carries_defaults_generated_clustering(spark, tmp_path):
+    t = str(tmp_path / "csrc")
+    txlog.tx_append(
+        spark.createDataFrame([(1, 10, 100)], "k long, a long, sq long"),
+        t,
+    )
+    txlog.tx_set_default(t, "a", "7")
+    txlog.tx_set_generated(spark, t, "sq", "a * a")
+    txlog.tx_set_cluster_by(t, ["k"])
+    dst = str(tmp_path / "cdst")
+    txlog.tx_clone(t, dst)
+    assert txlog.table_column_defaults(dst) == {"a": "7"}
+    assert txlog.table_generated_columns(dst) == {"sq": "a * a"}
+    assert txlog.table_cluster_by(dst) == ["k"]
+    txlog.tx_append(spark.createDataFrame([(2,)], "k long"), dst)
+    got = txlog.read_snapshot(spark, dst).filter("k = 2").collect()[0]
+    assert (got.a, got.sq) == (7, 49)
