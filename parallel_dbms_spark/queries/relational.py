@@ -6088,6 +6088,83 @@ def lake_tx_vacuum_retention(spark, sf_dir):
 
 
 @register(
+    "lake_tx_identity_merge",
+    oracle="""SELECT c_mktsegment,
+                     COUNT(*) AS n,
+                     COUNT(*) AS n_unique_ids,
+                     COUNT(*) AS n_on_lattice,
+                     CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS balance_cents
+              FROM customer GROUP BY c_mktsegment""",
+    tags=("lake", "acid", "identity", "merge", "groupby"),
+)
+def lake_tx_identity_merge(spark, sf_dir):
+    # IDENTITY COLUMNS end-to-end (txlog.tx_set_identity — Delta's
+    # GENERATED ALWAYS AS IDENTITY; the reference has no generator
+    # surface at all): half of customer appends with engine-ASSIGNED
+    # surrogate keys (distributed, no global sort), the other half —
+    # overlapping 1-in-3 of the first — lands via MERGE, where matched
+    # rows must KEEP their assigned id and inserts must mint fresh
+    # ones beyond the watermark. The generated values themselves are
+    # nondeterministic (gap-allowed reservation), so the oracle grades
+    # the CONTRACT relationally: n_unique_ids == n proves global
+    # uniqueness across append+merge, n_on_lattice == n proves every
+    # id is on the start + k*step lattice, and the payload aggregate
+    # proves the merge itself was lossless. Matched-id stability is
+    # asserted in-query (one scalar aggregate).
+    import tempfile
+
+    from ..sources import txlog
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txid_") + "/customer"
+    txlog.tx_append(
+        c.filter(F.col("c_custkey") % 2 == 0).limit(0).withColumn(
+            "id", F.lit(None).cast("long")
+        ),
+        t,
+    )
+    txlog.tx_set_identity(spark, t, "id", start=10, step=3, always=True)
+    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0), t)
+    before = txlog.read_snapshot(spark, t).select(
+        "c_custkey", F.col("id").alias("id_before")
+    )
+    # merge source: all odd keys (inserts) + every 6th key (matched)
+    src = c.filter(
+        (F.col("c_custkey") % 2 == 1) | (F.col("c_custkey") % 6 == 0)
+    )
+    txlog.tx_merge_upsert(spark, t, src, ["c_custkey"])
+    snap = txlog.read_snapshot(spark, t)
+    n_changed = (
+        snap.join(before, "c_custkey")
+        .filter(F.col("id") != F.col("id_before"))
+        .count()
+    )
+    assert n_changed == 0, (
+        f"merge re-minted {n_changed} matched ids"
+    )
+    tot = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("u"),
+    ).collect()[0]
+    assert tot["n"] == tot["u"], (
+        f"ids not globally unique: {tot['n']} rows, {tot['u']} ids"
+    )
+    return snap.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("n_unique_ids"),
+        F.sum(
+            ((F.col("id") >= 10) & ((F.col("id") - 10) % 3 == 0))
+            .cast("long")
+        ).alias("n_on_lattice"),
+        F.sum("cents").cast("long").alias("balance_cents"),
+    )
+
+
+@register(
     "set_intersect_active_users",
     oracle="""WITH w AS (
                 SELECT user_id,

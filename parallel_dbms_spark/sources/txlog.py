@@ -228,6 +228,8 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "column_defaults": table_column_defaults(table, v),
                 "generated_columns": table_generated_columns(table, v),
                 "cluster_by": table_cluster_by(table, v),
+                "identity_columns": table_identity(table, v),
+                "identity_watermark": identity_watermark(table, v),
             },
             fh,
         )
@@ -474,6 +476,11 @@ def tx_set_default(
             f"column {col!r} is GENERATED; a column is generated OR "
             "defaulted, not both (tx_drop_generated first)"
         )
+    if col in table_identity(table):
+        raise ValueError(
+            f"column {col!r} is an IDENTITY column; identity is its "
+            "own generator (tx_drop_identity first)"
+        )
     for _ in range(max_retries):
         parent = (log_versions(table) or [0])[-1]
         d = table_column_defaults(table)
@@ -555,6 +562,11 @@ def tx_set_generated(
         raise ValueError(
             f"column {col!r} has a DEFAULT; a column is generated OR "
             "defaulted, not both (tx_drop_default first)"
+        )
+    if col in table_identity(table):
+        raise ValueError(
+            f"column {col!r} is an IDENTITY column; identity is its "
+            "own generator (tx_drop_identity first)"
         )
     for _ in range(max_retries):
         parent = (log_versions(table) or [0])[-1]
@@ -645,6 +657,229 @@ def tx_set_cluster_by(
             continue
     raise TxConflict(
         f"set_cluster_by on {table} lost {max_retries} straight races"
+    )
+
+
+def table_identity(table: str, version: int | None = None) -> dict:
+    """The table's IDENTITY columns ({col: {"start", "step",
+    "always"}} — Delta's GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY):
+    a write that omits the column gets engine-assigned BIGINT values,
+    each unique and strictly beyond every previously generated value
+    on the ``start + k*step`` lattice (gaps allowed — the Delta
+    contract — so assignment never needs a global sort or a driver
+    funnel). ALWAYS rejects a supplied value; BY DEFAULT accepts one
+    (uniqueness then owed to the writer; :func:`tx_identity_sync`
+    re-aligns the generator afterwards). Newest-wins full-map commits
+    like constraints; O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "identity_columns" in rec:
+            return {k: dict(v) for k, v in rec["identity_columns"].items()}
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                got = json.load(fh).get("identity_columns") or {}
+            return {k: dict(v) for k, v in got.items()}
+    return {}
+
+
+def identity_watermark(table: str, version: int | None = None) -> dict:
+    """The identity HIGH WATERMARK per column ({col: furthest value
+    the generator has handed out} — beyond it in the step's direction
+    is guaranteed unassigned). Advanced by every append that generated
+    values (derived from the staged files' parquet FOOTER stats — the
+    write already paid for them) and by :func:`tx_identity_sync`.
+    Never moves backward, including across RESTORE."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "identity_watermark" in rec:
+            return dict(rec["identity_watermark"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return dict(json.load(fh).get("identity_watermark") or {})
+    return {}
+
+
+def _ident_next_base(start: int, step: int, wm: int) -> int:
+    """Smallest lattice value start + k*step (k >= 0) strictly beyond
+    ``wm`` in the step's direction. Floor division handles both
+    directions: for step < 0 "beyond" means smaller."""
+    return start + max(0, (wm - start) // step + 1) * step
+
+
+def _ident_wm_from_stats(
+    table: str, idents: dict, cols: list, stats: dict | None,
+    ident_wm: dict, _p,
+) -> dict:
+    """The new identity watermark per generated column, derived from
+    the staged files' already-collected FOOTER stats (the write paid
+    for them) — with a per-file column read as the fallback when a
+    footer suppressed them, bounded by the commit's own file count."""
+    out: dict = {}
+    for c in cols:
+        phys = _p(c, c)
+        step = int(idents[c]["step"])
+        vals = [
+            int(s["c"][phys][1 if step > 0 else 0])
+            for s in (stats or {}).values()
+            if phys in s.get("c", {})
+        ]
+        missing = [
+            r for r, s in (stats or {}).items()
+            if phys not in s.get("c", {})
+        ]
+        if missing:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for r in missing:
+                colv = pq.read_table(
+                    os.path.join(table, r), columns=[phys]
+                )[phys]
+                agg = pc.max(colv) if step > 0 else pc.min(colv)
+                if agg.is_valid:
+                    vals.append(int(agg.as_py()))
+        wm0 = int(ident_wm.get(c, int(idents[c]["start"]) - step))
+        out[c] = max([wm0] + vals) if step > 0 else min([wm0] + vals)
+    return out
+
+
+def tx_set_identity(
+    spark: SparkSession, table: str, col: str,
+    start: int = 1, step: int = 1, always: bool = True,
+    max_retries: int = 8,
+) -> int:
+    """ALTER TABLE: declare ``col`` GENERATED {ALWAYS | BY DEFAULT} AS
+    IDENTITY (START WITH ``start`` INCREMENT BY ``step``). Metadata
+    only — existing rows keep their values; the watermark initializes
+    beyond them (one aggregate read of the current snapshot), so the
+    first generated value never collides with history. The column must
+    be BIGINT (Delta's rule — generated values are 64-bit) and must
+    not carry a DEFAULT or GENERATED expression."""
+    from pyspark.sql import functions as F
+
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    schema = table_schema(table)
+    if schema is None:
+        raise FileNotFoundError(f"no schema committed under {table}")
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} not in {table}")
+    if schema[col].dataType.simpleString() != "bigint":
+        raise ValueError(
+            f"identity column {col!r} must be BIGINT, is "
+            f"{schema[col].dataType.simpleString()} (64-bit generated "
+            "values are the Delta contract)"
+        )
+    if col in table_column_defaults(table):
+        raise ValueError(
+            f"column {col!r} has a DEFAULT; drop it first — identity "
+            "is its own generator"
+        )
+    if col in table_generated_columns(table):
+        raise ValueError(
+            f"column {col!r} is GENERATED; drop that first — identity "
+            "is its own generator"
+        )
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        ids = table_identity(table)
+        wm_map = identity_watermark(table)
+        wm = start - step
+        if parent:
+            agg = F.max(col) if step > 0 else F.min(col)
+            row = read_snapshot(spark, table).agg(agg.alias("m")).collect()
+            m = row[0]["m"] if row else None
+            if m is not None:
+                m = int(m)
+                wm = max(wm, m) if step > 0 else min(wm, m)
+        ids[col] = {
+            "start": int(start), "step": int(step), "always": bool(always)
+        }
+        wm_map[col] = int(wm)
+        try:
+            return commit(
+                table, "set_identity", [], [], parent,
+                meta={"identity_columns": ids, "identity_watermark": wm_map},
+            )
+        except TxConflict:
+            continue  # data landed mid-scan: re-read the max
+    raise TxConflict(
+        f"set_identity on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_drop_identity(table: str, col: str, max_retries: int = 8) -> int:
+    """Drop a column's IDENTITY declaration (metadata-only). The
+    column keeps its values and becomes an ordinary BIGINT; the
+    watermark entry drops with it (a later re-declaration re-scans)."""
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        ids = table_identity(table)
+        ids.pop(col, None)
+        wm = identity_watermark(table)
+        wm.pop(col, None)
+        try:
+            return commit(
+                table, "drop_identity", [], [], parent,
+                meta={"identity_columns": ids, "identity_watermark": wm},
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"drop_identity on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_identity_sync(
+    spark: SparkSession, table: str, col: str | None = None,
+    max_retries: int = 8,
+) -> int:
+    """ALTER TABLE ... SYNC IDENTITY: re-align the watermark with the
+    column's actual extreme — after BY DEFAULT writers supplied their
+    own values, the generator must not re-issue them. One aggregate
+    read; the watermark only ever advances (Delta's rule: SYNC never
+    moves it backward, so already-promised ranges stay promised)."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        ids = table_identity(table)
+        if col is not None and col not in ids:
+            raise ValueError(f"column {col!r} is not an identity column")
+        cols = [col] if col else sorted(ids)
+        wm = identity_watermark(table)
+        if cols and parent:
+            aggs = [
+                (F.max(c) if ids[c]["step"] > 0 else F.min(c)).alias(c)
+                for c in cols
+            ]
+            row = read_snapshot(spark, table).agg(*aggs).collect()[0]
+            for c in cols:
+                m = row[c]
+                if m is None:
+                    continue
+                step = ids[c]["step"]
+                old = wm.get(c, ids[c]["start"] - step)
+                wm[c] = max(old, int(m)) if step > 0 else min(old, int(m))
+        try:
+            return commit(
+                table, "identity_sync", [], [], parent,
+                meta={"identity_watermark": wm},
+            )
+        except TxConflict:
+            continue  # a generating append raced the scan: re-read
+    raise TxConflict(
+        f"identity_sync on {table} lost {max_retries} straight races"
     )
 
 
@@ -992,6 +1227,18 @@ def tx_rename_column(
         new_cb = [new if c == old else c for c in cb]
         if new_cb != cb:
             meta["cluster_by"] = new_cb
+        # identity follows the rename: declaration and watermark are
+        # keyed by logical name (the generator state is the column's,
+        # whatever it is called)
+        ids = table_identity(table)
+        if old in ids:
+            meta["identity_columns"] = {
+                (new if c == old else c): spec for c, spec in ids.items()
+            }
+            wm = identity_watermark(table)
+            meta["identity_watermark"] = {
+                (new if c == old else c): w for c, w in wm.items()
+            }
         try:
             return commit(
                 table, "rename_column", [], [], parent,
@@ -1088,6 +1335,15 @@ def tx_drop_column(
         cb = table_cluster_by(table)
         if col in cb:
             meta["cluster_by"] = [c for c in cb if c != col]
+        ids = table_identity(table)
+        if col in ids:
+            meta["identity_columns"] = {
+                c: s for c, s in ids.items() if c != col
+            }
+            meta["identity_watermark"] = {
+                c: w for c, w in identity_watermark(table).items()
+                if c != col
+            }
         try:
             return commit(
                 table, "drop_column", [], [], parent,
@@ -1865,6 +2121,16 @@ def commit(
                 f"{theirs['partition_by']} after our snapshot; re-lay "
                 "and retry"
             )
+        if "identity_watermark" in rec and "identity_watermark" in theirs:
+            # generator-vs-generator: both commits reserved id ranges
+            # from the same watermark read — last-wins would roll the
+            # other's reservation back and re-issue its values. The
+            # loser re-reads and retries (tx_set_identity/sync recompute
+            # in their loops; tx_append re-runs, its ids are baked in).
+            raise TxConflict(
+                f"version {v} advanced an identity watermark this "
+                "commit also records; re-read and retry"
+            )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
         ):
@@ -2138,6 +2404,43 @@ def tx_append(
                 df = df.withColumn(
                     c, F.expr(expr).cast(cur_types[c])
                 )
+    # IDENTITY columns: an omitted one is ASSIGNED here — distributed,
+    # one pass, no global sort: base + monotonically_increasing_id()
+    # * step is unique per row and strictly beyond the watermark (the
+    # id's partition<<33 layout leaves gaps, which the Delta identity
+    # contract explicitly allows). The new watermark is derived later
+    # from the staged files' FOOTER stats — zero extra data reads.
+    idents = table_identity(table)
+    ident_wm = identity_watermark(table)
+    ident_assigned: list[str] = []
+    if idents:
+        from pyspark.sql import functions as F
+
+        for c, spec in sorted(idents.items()):
+            if c in df.columns:
+                if spec["always"]:
+                    raise ValueError(
+                        f"column {c!r} of {table} is GENERATED ALWAYS "
+                        "AS IDENTITY; writes may not supply it "
+                        "(declare BY DEFAULT to allow explicit values)"
+                    )
+                continue  # BY DEFAULT value supplied: writer's problem
+            start, step = int(spec["start"]), int(spec["step"])
+            base = _ident_next_base(
+                start, step, int(ident_wm.get(c, start - step))
+            )
+            df = df.withColumn(
+                c,
+                (
+                    F.lit(base)
+                    + F.monotonically_increasing_id() * F.lit(step)
+                ).cast("long"),
+            )
+            ident_assigned.append(c)
+        if ident_assigned:
+            # the assigned columns' footer stats carry the new
+            # watermark out of the staged files for free
+            stats_cols = sorted(set(stats_cols or []) | set(ident_assigned))
     # declared CLUSTERING columns ride every append's stats
     # automatically (one footer read per staged file) — the table
     # stays skippable on its access pattern with no per-call args
@@ -2202,6 +2505,11 @@ def tx_append(
         if stats_cols else None
     )
     _p = (eff_mapping or {}).get
+    ident_new_wm: dict = (
+        _ident_wm_from_stats(table, idents, ident_assigned, stats,
+                             ident_wm, _p)
+        if ident_assigned and added else {}
+    )
     bloom = (
         {
             _p(c, c): [
@@ -2287,6 +2595,34 @@ def tx_append(
                     "column_mapping": eff_mapping,
                     "retired_physical": retired,
                 }
+        if idents != table_identity(table):
+            # an identity declaration (set/drop/sync direction change)
+            # raced the append: our rows were assigned — or validated
+            # as supplied — under the stale declaration
+            raise ValueError(
+                f"identity declarations on {table} changed while this "
+                "append staged; re-run the append"
+            )
+        if ident_assigned and ident_new_wm:
+            cur_wm = identity_watermark(table)
+            drift = [
+                c for c in ident_assigned
+                if cur_wm.get(c) != ident_wm.get(c)
+            ]
+            if drift:
+                # a racing generator already handed out values from the
+                # watermark we assigned against — our staged ids could
+                # collide with its rows; the ids are baked into files,
+                # so the append re-runs (Delta's identity conflict)
+                raise ValueError(
+                    f"identity watermark of {table} advanced for "
+                    f"{drift} while this append staged; re-run the "
+                    "append"
+                )
+            eff_meta = {
+                **(eff_meta or {}),
+                "identity_watermark": {**cur_wm, **ident_new_wm},
+            }
         try:
             return commit(
                 table,
@@ -2903,6 +3239,15 @@ def tx_update_where(
                 f"cannot UPDATE generated column(s) {gen_set}; they "
                 "recompute from their expressions (Delta's rule)"
             )
+        ids = table_identity(table)
+        id_set = sorted(
+            c for c in set(assignments) & set(ids) if ids[c]["always"]
+        )
+        if id_set:
+            raise ValueError(
+                f"cannot UPDATE GENERATED ALWAYS AS IDENTITY column(s) "
+                f"{id_set} (Delta's rule; declare BY DEFAULT to allow it)"
+            )
         rewritten = src.select(
             *[
                 F.when(pred, F.expr(assignments[c]).cast(types[c]))
@@ -3283,24 +3628,76 @@ def tx_merge_upsert(
     # same generated-column law as an append: omitted -> filled,
     # supplied -> must equal its expression
     source, _ = _apply_generated(source, table)
+    # IDENTITY under MERGE (Delta's semantics): the source may not
+    # supply a GENERATED ALWAYS column; an OMITTED identity column is
+    # completed here — matched keys keep the TABLE's existing values
+    # (an upsert must never re-mint a row's id), unmatched keys
+    # generate fresh ones beyond the watermark
+    ids_map = table_identity(table)
+    supplied_always = sorted(
+        c for c in ids_map
+        if c in source.columns and ids_map[c]["always"]
+    )
+    if supplied_always:
+        raise ValueError(
+            f"merge source supplies GENERATED ALWAYS AS IDENTITY "
+            f"column(s) {supplied_always}; omit them (matched rows "
+            "keep the table's values, inserts generate) or declare "
+            "BY DEFAULT"
+        )
     for _ in range(max_retries):
-        # a merge lands source rows verbatim (matched keys replace,
-        # the rest insert) — CHECK constraints validate the source
-        # before anything stages, re-run per attempt so a constraint
-        # commit winning a race never lets stale-validated rows land
-        _enforce_constraints(source, table)
         parent, files = snapshot_files(table)
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
+        ident_wm = identity_watermark(table)
+        tbl_cols = {f.name for f in schema.fields} if schema else set()
+        gen_cols = sorted(
+            c for c in ids_map
+            if c not in source.columns and c in tbl_cols
+        )
+        eff_stats_cols = (
+            sorted(set(stats_cols or []) | set(gen_cols))
+            if gen_cols else stats_cols
+        )
         if not files:
-            added = _stage(source, table)
+            eff_source = source
+            for c in gen_cols:
+                spec = ids_map[c]
+                step = int(spec["step"])
+                base = _ident_next_base(
+                    int(spec["start"]), step,
+                    int(ident_wm.get(c, int(spec["start"]) - step)),
+                )
+                eff_source = eff_source.withColumn(
+                    c,
+                    (
+                        F.lit(base)
+                        + F.monotonically_increasing_id() * F.lit(step)
+                    ).cast("long"),
+                )
+            # CHECK constraints validate the COMPLETED source (they may
+            # reference the identity column), re-run per attempt so a
+            # constraint commit winning a race never lets
+            # stale-validated rows land
+            _enforce_constraints(eff_source, table)
+            added = _stage(eff_source, table)
             stats = (
-                collect_file_stats(table, added, stats_cols)
-                if stats_cols else None
+                collect_file_stats(table, added, eff_stats_cols)
+                if eff_stats_cols else None
             )
+            eff_meta = meta
+            if gen_cols and added:
+                new_wm = _ident_wm_from_stats(
+                    table, ids_map, gen_cols, stats, ident_wm,
+                    (_effective_mapping(table) or {}).get,
+                )
+                eff_meta = {
+                    **(meta or {}),
+                    "identity_watermark": {**ident_wm, **new_wm},
+                }
             cdc = (
                 _stage_cdc(
-                    source.withColumn("_change_type", F.lit("insert")),
+                    eff_source.withColumn("_change_type", F.lit("insert")),
                     table,
                 )
                 if write_cdc
@@ -3309,8 +3706,8 @@ def tx_merge_upsert(
             try:
                 v = commit(
                     table, "merge", added, [], parent,
-                    schema_json=schema_json or source.schema.json(),
-                    stats=stats, meta=meta, cdc=cdc,
+                    schema_json=schema_json or eff_source.schema.json(),
+                    stats=stats, meta=eff_meta, cdc=cdc,
                 )
                 return v, 0
             except TxConflict:
@@ -3326,6 +3723,49 @@ def tx_merge_upsert(
             .distinct()
             .collect()
         )
+        eff_source = source
+        if gen_cols:
+            # matched keys keep the table's identity values: one
+            # key->id lookup bounded by the HIT files (the only places
+            # a matched key can live); unmatched keys coalesce to a
+            # fresh generated value beyond the watermark
+            if hit_rels:
+                matched_ids = (
+                    _tagged_scan(reader, table, hit_rels, dvs)
+                    .join(src_keys, keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(*[
+                        F.max(c).alias(f"__tgt_{c}") for c in gen_cols
+                    ])
+                )
+                eff_source = eff_source.join(matched_ids, keys, "left")
+            else:
+                for c in gen_cols:
+                    eff_source = eff_source.withColumn(
+                        f"__tgt_{c}", F.lit(None).cast("long")
+                    )
+            for c in gen_cols:
+                spec = ids_map[c]
+                step = int(spec["step"])
+                base = _ident_next_base(
+                    int(spec["start"]), step,
+                    int(ident_wm.get(c, int(spec["start"]) - step)),
+                )
+                eff_source = eff_source.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(f"__tgt_{c}"),
+                        (
+                            F.lit(base)
+                            + F.monotonically_increasing_id()
+                            * F.lit(step)
+                        ).cast("long"),
+                    ),
+                ).drop(f"__tgt_{c}")
+        # CHECK constraints validate the COMPLETED source, re-run per
+        # attempt so a constraint commit winning a race never lets
+        # stale-validated rows land
+        _enforce_constraints(eff_source, table)
         added, pv = [], {}
         if hit_rels:
             survivors = (
@@ -3339,15 +3779,25 @@ def tx_merge_upsert(
                 pv.update(p or {})
         tgt_cols = (
             [f.name for f in schema.fields] if schema is not None
-            else source.columns
+            else eff_source.columns
         )
-        a, p = _stage_for(source.select(*tgt_cols), table)
+        a, p = _stage_for(eff_source.select(*tgt_cols), table)
         added += a
         pv.update(p or {})
         stats = (
-            collect_file_stats(table, added, stats_cols)
-            if stats_cols and added else None
+            collect_file_stats(table, added, eff_stats_cols)
+            if eff_stats_cols and added else None
         )
+        eff_meta = meta
+        if gen_cols and added:
+            new_wm = _ident_wm_from_stats(
+                table, ids_map, gen_cols, stats, ident_wm,
+                (_effective_mapping(table) or {}).get,
+            )
+            eff_meta = {
+                **(meta or {}),
+                "identity_watermark": {**ident_wm, **new_wm},
+            }
         cdc = None
         if write_cdc:
             # Delta's MERGE change-data encoding: matched keys emit
@@ -3356,7 +3806,7 @@ def tx_merge_upsert(
             # the source rows replacing them); unmatched source keys
             # emit plain 'insert'. Splitting the source needs the
             # matched-key set, which is bounded by the hit files.
-            srcd = source.select(*tgt_cols)
+            srcd = eff_source.select(*tgt_cols)
             if hit_rels:
                 matched = (
                     _tagged_scan(reader, table, hit_rels, dvs)
@@ -3384,8 +3834,8 @@ def tx_merge_upsert(
         try:
             v = commit(
                 table, "merge", added, hit_rels, parent,
-                schema_json=schema_json, stats=stats, meta=meta, cdc=cdc,
-                pv=pv or None,
+                schema_json=schema_json, stats=stats, meta=eff_meta,
+                cdc=cdc, pv=pv or None,
             )
             return v, len(hit_rels)
         except TxConflict:
@@ -3851,10 +4301,30 @@ def tx_restore(table: str, to_version: int) -> int:
         ("column_defaults", table_column_defaults),
         ("generated_columns", table_generated_columns),
         ("cluster_by", table_cluster_by),
+        ("identity_columns", table_identity),
     ):
         tgt, cur = fn(table, to_version), fn(table, cur_v)
         if tgt != cur:
             meta[key] = tgt
+    # the identity WATERMARK is the one plane that does NOT restore
+    # backward: ranges handed out since the target version were
+    # promised-unique forever (values may live in clones, exports,
+    # downstream systems) — the merged watermark keeps the furthest
+    # of both snapshots per column, Delta's monotone rule
+    tgt_wm = identity_watermark(table, to_version)
+    cur_wm = identity_watermark(table, cur_v)
+    if tgt_wm != cur_wm:
+        specs = {**table_identity(table, cur_v), **table_identity(table, to_version)}
+        merged = dict(tgt_wm)
+        for c, w in cur_wm.items():
+            if c not in merged:
+                merged[c] = w
+            else:
+                step = int(specs.get(c, {}).get("step", 1))
+                merged[c] = (
+                    max(merged[c], w) if step > 0 else min(merged[c], w)
+                )
+        meta["identity_watermark"] = merged
     return commit(
         table,
         "restore",
@@ -3941,6 +4411,8 @@ def tx_clone(
                     ("column_defaults", table_column_defaults(src, v)),
                     ("generated_columns", table_generated_columns(src, v)),
                     ("cluster_by", table_cluster_by(src, v)),
+                    ("identity_columns", table_identity(src, v)),
+                    ("identity_watermark", identity_watermark(src, v)),
                 )
                 if val
             },
