@@ -91,6 +91,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lake_tx_column_mapping",         # column-mapping + constraints + partition
     "lake_tx_point_lookup_bloom",     # bloom + pushdown
     "lake_tx_vacuum_retention",       # retention + vacuum
+    "lake_tx_identity_merge",         # identity + merge
+    "lake_tx_row_tracking",           # row-tracking + versioned
     "sql_recursive_forest_rollup",    # recursive + sql
     "join_band_prices",               # range + join
     "set_intersect_active_users",     # setop
@@ -111,7 +113,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_sequences_2k",              # packing + pandas_udf
     # older never-graded tail (judge-verified where noted in VERDICT)
     "cdc_orders_diff",                # cdc
-    "zorder_key_orders",              # lake + zorder
     "lake_zorder_2d_skipping",        # data-skipping + zorder
     "split_train_val_test",           # sampling + split
     "lang_id_confusion",              # text + eval
@@ -120,8 +121,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_mix_token_budget",        # sampling + mixing + window
     "cohort_retention_weekly",        # cohort + join
     "winsorize_prices",               # percentile + cleaning
-    "sample_k_per_group",             # sampling
 )
+# Swapped out late in round 10 for the identity/row-tracking feature
+# proofs (every family they carried stays covered by other rows):
+# zorder_key_orders, sample_k_per_group — both judge-verified green
+# at sf0.01 (VERDICT r9), still exported and oracled, just unwindowed.
 
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):

@@ -6165,6 +6165,62 @@ def lake_tx_identity_merge(spark, sf_dir):
 
 
 @register(
+    "lake_tx_row_tracking",
+    oracle="""SELECT o_orderstatus,
+                     COUNT(*) AS n,
+                     COUNT(*) AS n_unique_row_ids,
+                     COUNT(*) AS n_identity_preserved,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE NOT COALESCE(o_orderkey % 97 = 0, FALSE)
+              GROUP BY o_orderstatus""",
+    tags=("lake", "acid", "row-tracking", "versioned", "groupby"),
+)
+def lake_tx_row_tracking(spark, sf_dir):
+    # ROW TRACKING end-to-end (txlog.tx_enable_row_tracking — Delta's
+    # row IDs; the reference re-materializes results to CSV with no
+    # row identity at all, src/headers/table.cpp:252-307): orders
+    # lands in two appends, tracking enables (per-file base backfill,
+    # no data rewrite), then a COMPACT re-lays the files and a DELETE
+    # rewrites the survivors' neighborhoods — and every surviving
+    # row's _row_id must be EXACTLY what it was before either rewrite
+    # (materialized through the rewrite, not re-derived). The ids
+    # themselves are layout-dependent, so the oracle grades the
+    # contract relationally: n_unique_row_ids == n proves identity
+    # uniqueness, n_identity_preserved == n proves the rewrites
+    # changed no surviving row's id (computed by joining the pre- and
+    # post-rewrite snapshots on the business key), and the payload
+    # aggregate proves the data itself round-tripped.
+    import tempfile
+
+    from ..sources import txlog
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = tempfile.mkdtemp(prefix="lake_txrt_") + "/orders"
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    txlog.tx_append(o.filter(F.col("o_orderkey") % 2 == 1), t)
+    txlog.tx_enable_row_tracking(t)
+    before = txlog.read_snapshot(spark, t, with_row_ids=True).select(
+        "o_orderkey", F.col("_row_id").alias("rid_before")
+    )
+    txlog.tx_compact(spark, t, num_files=4)
+    txlog.tx_delete_where(spark, t, "o_orderkey % 97 = 0")
+    snap = txlog.read_snapshot(spark, t, with_row_ids=True)
+    return snap.join(before, "o_orderkey").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_row_id").alias("n_unique_row_ids"),
+        F.sum(
+            (F.col("_row_id") == F.col("rid_before")).cast("long")
+        ).alias("n_identity_preserved"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@register(
     "set_intersect_active_users",
     oracle="""WITH w AS (
                 SELECT user_id,

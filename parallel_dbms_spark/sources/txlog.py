@@ -230,6 +230,9 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "cluster_by": table_cluster_by(table, v),
                 "identity_columns": table_identity(table, v),
                 "identity_watermark": identity_watermark(table, v),
+                "row_tracking": table_row_tracking(table, v),
+                "row_id_watermark": row_id_watermark(table, v),
+                "base_row_id": snapshot_base_row_ids(table, v),
             },
             fh,
         )
@@ -883,6 +886,126 @@ def tx_identity_sync(
     )
 
 
+def table_row_tracking(table: str, version: int | None = None) -> bool:
+    """Whether ROW TRACKING (Delta's row IDs) is enabled: every row
+    carries a stable ``_row_id`` — assigned at first write from a
+    per-file ``base_row_id`` plus the row's position, MATERIALIZED
+    into rewritten files so compaction/z-order/update/repartition
+    never change a row's identity — and a ``_row_commit_version``
+    (the commit that produced the row's current image). Newest-wins
+    boolean; O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return False
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "row_tracking" in rec:
+            return bool(rec["row_tracking"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return bool(json.load(fh).get("row_tracking"))
+    return False
+
+
+def row_id_watermark(table: str, version: int | None = None) -> int:
+    """The next unassigned base row id (fresh files' bases start
+    here). Newest-wins scalar, advanced by every data-adding commit
+    on a tracked table; monotone across RESTORE."""
+    versions = log_versions(table)
+    if not versions:
+        return 0
+    scan = versions if version is None else [x for x in versions if x <= version]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "row_id_watermark" in rec:
+            return int(rec["row_id_watermark"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return int(json.load(fh).get("row_id_watermark") or 0)
+    return 0
+
+
+def snapshot_base_row_ids(table: str, version: int | None = None) -> dict:
+    """Per-file row-id assignment live at a version: ``{relpath:
+    [base_row_id, commit_version]}`` — fresh rows in the file read as
+    ``base + row_index``; a ``__row_id`` column MATERIALIZED in the
+    file (rewrites carry it) takes precedence. Checkpoint-plus-tail
+    replay like stats/pv, O(tail)."""
+    versions = log_versions(table)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    start, base = 0, {}
+    for c in range(v, 0, -1):
+        if os.path.exists(_ckpt_path(table, c)):
+            with open(_ckpt_path(table, c)) as fh:
+                base = dict(json.load(fh).get("base_row_id", {}))
+            start = c
+            break
+    for c in range(start + 1, v + 1):
+        rec = read_commit(table, c)
+        for f in rec["removed"]:
+            base.pop(f, None)
+        base.update(rec.get("base_row_id", {}))
+    _, live = snapshot_files(table, v)
+    live_set = set(live)
+    return {f: list(b) for f, b in base.items() if f in live_set}
+
+
+# physical-only columns a rewrite materializes into its files so row
+# identity survives the rewrite; never part of the logical schema
+_ROW_ID_COL = "__row_id"
+_ROW_COMMIT_COL = "__row_commit"
+
+
+def tx_enable_row_tracking(table: str, max_retries: int = 8) -> int:
+    """ALTER TABLE: enable ROW TRACKING. One metadata commit: every
+    LIVE file gets its ``base_row_id`` backfilled from the parquet
+    footer's row count (one footer read per file, no data scan), and
+    every future data-adding commit assigns bases automatically
+    (:func:`commit` hook). Existing rows' ids are therefore stable
+    from this commit on; time travel BEFORE it has no row ids."""
+    import pyarrow.parquet as pq
+
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        if table_row_tracking(table):
+            return parent  # idempotent
+        wm = row_id_watermark(table)
+        _, live = snapshot_files(table, parent)
+        added_at: dict = {}
+        start = 0
+        for c in range(parent, 0, -1):  # which commit added each file
+            if all(f in added_at for f in live):
+                break
+            rec = read_commit(table, c)
+            for f in rec["added"]:
+                if f in live and f not in added_at:
+                    added_at[f] = c
+        base: dict = {}
+        for f in sorted(live):
+            n = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+            base[f] = [wm, added_at.get(f, parent)]
+            wm += n
+        try:
+            return commit(
+                table, "enable_row_tracking", [], [], parent,
+                meta={
+                    "row_tracking": True,
+                    "base_row_id": base,
+                    "row_id_watermark": wm,
+                },
+            )
+        except TxConflict:
+            continue  # files changed mid-backfill: recompute
+    raise TxConflict(
+        f"enable_row_tracking on {table} lost {max_retries} straight races"
+    )
+
+
 def _apply_generated(df: DataFrame, table: str) -> tuple:
     """Fill-or-enforce the table's generated columns on incoming
     rows: an OMITTED generated column computes per row; a SUPPLIED
@@ -1037,12 +1160,69 @@ def _physical_schema(table: str, schema, version: int | None = None):
 
 
 def _data_reader(spark: SparkSession, table: str, schema,
-                 version: int | None = None):
+                 version: int | None = None, row_ids: bool = False):
     """``spark.read`` carrying the PHYSICAL serve schema for this
     table's data files — pair with :func:`_serve_logical` after the
-    scan. Identity tables read exactly as before."""
+    scan. Identity tables read exactly as before. ``row_ids`` extends
+    the read schema with the materialized row-tracking columns
+    (``__row_id``/``__row_commit``) — files that lack them serve NULL
+    under the explicit schema, exactly what the coalesce-with-base
+    read rule needs."""
     phys = _physical_schema(table, schema, version)
+    if row_ids:
+        from pyspark.sql.types import LongType, StructField
+
+        eff = phys if phys is not None else schema
+        phys = StructType(
+            list(eff.fields)
+            + [
+                StructField(_ROW_ID_COL, LongType()),
+                StructField(_ROW_COMMIT_COL, LongType()),
+            ]
+        )
     return spark.read if phys is None else spark.read.schema(phys)
+
+
+def _materialize_row_ids(
+    df: DataFrame, table: str, version: int | None = None
+) -> DataFrame:
+    """Resolve the two row-tracking columns on a TAGGED scan (has
+    ``__rel``/``__pos``) into solid values: a file's MATERIALIZED
+    ``__row_id``/``__row_commit`` wins (a rewrite carried the row's
+    identity); otherwise ``base_row_id + row position`` and the
+    adding commit's version, joined in from the log's per-file base
+    map (broadcast — O(files) rows of metadata). A rewrite that
+    stages this frame preserves row identity by construction. No-op
+    when the scan was not row-id-extended."""
+    if _ROW_ID_COL not in df.columns:
+        return df
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    base = snapshot_base_row_ids(table, version)
+    rows = [(f, int(b), int(cv)) for f, (b, cv) in base.items()]
+    if rows:
+        bdf = spark.createDataFrame(
+            rows, "__rel string, __rt_base long, __rt_cv long"
+        )
+        df = df.join(F.broadcast(bdf), ["__rel"], "left")
+    else:
+        df = df.withColumn(
+            "__rt_base", F.lit(None).cast("long")
+        ).withColumn("__rt_cv", F.lit(None).cast("long"))
+    return (
+        df.withColumn(
+            _ROW_ID_COL,
+            F.coalesce(
+                F.col(_ROW_ID_COL), F.col("__rt_base") + F.col("__pos")
+            ),
+        )
+        .withColumn(
+            _ROW_COMMIT_COL,
+            F.coalesce(F.col(_ROW_COMMIT_COL), F.col("__rt_cv")),
+        )
+        .drop("__rt_base", "__rt_cv")
+    )
 
 
 def _serve_logical(df: DataFrame, table: str,
@@ -2045,8 +2225,41 @@ def commit(
         rec["constraints"] = constraints
     if meta:
         rec.update(meta)
+    # ROW TRACKING hook: every data-adding commit on a tracked table
+    # assigns a per-file [base_row_id, commit_version]. Recomputed on
+    # EVERY claim attempt (watermark re-read, commit version
+    # re-stamped), so two racing adders can never hand out overlapping
+    # ranges — the loser's re-claim sees the winner's watermark.
+    # Rewritten files carry MATERIALIZED ids that win over the base on
+    # read; their base entry still matters as the _row_commit_version
+    # fallback (an updated row's materialized commit is NULLed so it
+    # reads as the commit that produced its new image — this one).
+    # hook ownership decided on the ORIGINAL record: a caller that
+    # provided its own base map (RESTORE re-recording the target's, a
+    # CLONE carrying the source's) keeps it verbatim
+    rt_hook = bool(added) and "row_tracking" not in rec and (
+        "base_row_id" not in rec
+    )
+    rt_sizes: dict | None = None
     for _ in range(max_attempts):
         rec["version"] = v
+        if rt_hook and table_row_tracking(table):
+            if rt_sizes is None:
+                import pyarrow.parquet as pq
+
+                rt_sizes = {
+                    f: pq.ParquetFile(
+                        os.path.join(table, f)
+                    ).metadata.num_rows
+                    for f in rec["added"]
+                }
+            wm = row_id_watermark(table)
+            base = {}
+            for f in rec["added"]:
+                base[f] = [wm, v]
+                wm += rt_sizes[f]
+            rec["base_row_id"] = base
+            rec["row_id_watermark"] = wm
         if _try_create(_commit_path(table, v), rec):
             if v % CHECKPOINT_EVERY == 0:
                 _write_checkpoint(table, v)
@@ -2120,6 +2333,16 @@ def commit(
                 f"version {v} declared partitioning "
                 f"{theirs['partition_by']} after our snapshot; re-lay "
                 "and retry"
+            )
+        if "row_tracking" in rec and (
+            theirs["added"] or theirs["removed"]
+        ):
+            # the enabling backfill was computed against a snapshot an
+            # interleaved data commit just changed — its base map would
+            # miss (or double-assign) files; recompute and retry
+            raise TxConflict(
+                f"version {v} changed the file set after the row-"
+                "tracking backfill; recompute and retry"
             )
         if "identity_watermark" in rec and "identity_watermark" in theirs:
             # generator-vs-generator: both commits reserved id ranges
@@ -2451,6 +2674,11 @@ def tx_append(
     # before validation so partition checks see the filled column
     # (partition_by on a generated date column is the canonical use)
     df, enforced_gen = _apply_generated(df, table)
+    if any(c in df.columns for c in (_ROW_ID_COL, _ROW_COMMIT_COL)):
+        raise ValueError(
+            f"column names {_ROW_ID_COL!r}/{_ROW_COMMIT_COL!r} are "
+            "reserved for row tracking's materialized ids"
+        )
     # fail fast BEFORE staging so a drift-write lands nothing
     _validate_append_schema(table, df.schema, merge_schema)
     # partition_by is a TABLE property (Delta's): the first partitioned
@@ -2947,6 +3175,7 @@ def read_snapshot(
     version: int | None = None,
     timestamp: float | None = None,
     partition_filter: dict | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot-isolated read of a committed version (latest by
     default; ``version`` = VERSION AS OF, ``timestamp`` = Delta's
@@ -2959,7 +3188,14 @@ def read_snapshot(
     from the log's recorded partition values BEFORE planning the scan
     (:func:`prune_partition_files`), then applies the same predicate
     row-level — so files rewrites left unrecorded stay exact, they
-    just aren't pruned."""
+    just aren't pruned.
+
+    ``with_row_ids`` (requires :func:`tx_enable_row_tracking`) serves
+    two extra columns: ``_row_id`` — the row's STABLE identity, the
+    same value at every version since the row was written, across
+    compaction/z-order/update/repartition — and
+    ``_row_commit_version`` — the commit that produced the row's
+    current image."""
     if timestamp is not None:
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
@@ -2971,15 +3207,49 @@ def read_snapshot(
     if partition_filter:
         files = prune_partition_files(table, files, partition_filter, v)
     schema = _schema_at(table, None if version is None else v)
+    mv = None if version is None else v  # mapping AS OF the pin
+    if with_row_ids and not table_row_tracking(table, mv):
+        raise ValueError(
+            f"row tracking is not enabled on {table} at this version "
+            "(tx_enable_row_tracking first)"
+        )
     if not files:
         if schema is None:
             raise FileNotFoundError(f"version {v} of {table} is empty, no schema")
-        return spark.createDataFrame([], schema)
-    mv = None if version is None else v  # mapping AS OF the pin
-    reader = _data_reader(spark, table, schema, mv)
-    df = reader.parquet(*[os.path.join(table, f) for f in files])
-    df = _apply_dvs(df, table, snapshot_dvs(table, v))
-    df = _serve_logical(df, table, mv)
+        df = spark.createDataFrame([], schema)
+        if with_row_ids:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
+        return df
+    reader = _data_reader(spark, table, schema, mv, row_ids=with_row_ids)
+    if with_row_ids:
+        from pyspark.sql import functions as F
+
+        df = reader.parquet(
+            *[os.path.join(table, f) for f in files]
+        ).select(
+            "*",
+            _rel_expr(table).alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dvs = snapshot_dvs(table, v)
+        dv = {f: p for f, p in dvs.items() if f in set(files)}
+        if dv:
+            pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
+            excl = spark.createDataFrame(pairs, "__rel string, __pos long")
+            df = df.join(F.broadcast(excl), ["__rel", "__pos"], "left_anti")
+        df = _materialize_row_ids(df, table, v)
+        df = df.withColumnRenamed(_ROW_ID_COL, "_row_id").withColumnRenamed(
+            _ROW_COMMIT_COL, "_row_commit_version"
+        ).drop("__rel", "__pos")
+        df = _serve_logical(df, table, mv)
+    else:
+        df = reader.parquet(*[os.path.join(table, f) for f in files])
+        df = _apply_dvs(df, table, snapshot_dvs(table, v))
+        df = _serve_logical(df, table, mv)
     if partition_filter:
         from pyspark.sql import functions as F
 
@@ -3135,7 +3405,11 @@ def tx_delete_where(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         dvs = snapshot_dvs(table)
-        reader = _data_reader(spark, table, schema)
+        # row tracking: the rewrite reads the surviving rows' ids and
+        # MATERIALIZES them into the rewritten files — a delete next
+        # door never changes a survivor's identity
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
         df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
         hit_rels = sorted(
@@ -3145,7 +3419,9 @@ def tx_delete_where(
         if not hit_rels:
             return parent, 0
         survivors = (
-            _tagged_scan(reader, table, hit_rels, dvs)
+            _materialize_row_ids(
+                _tagged_scan(reader, table, hit_rels, dvs), table
+            )
             .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
             .drop("__rel", "__pos")
         )
@@ -3163,7 +3439,7 @@ def tx_delete_where(
             deleted = (
                 _tagged_scan(reader, table, hit_rels, dvs)
                 .filter(pred)
-                .drop("__rel", "__pos")
+                .drop("__rel", "__pos", _ROW_ID_COL, _ROW_COMMIT_COL)
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc = _stage_cdc(deleted, table)
@@ -3217,7 +3493,12 @@ def tx_update_where(
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         dvs = snapshot_dvs(table)
-        reader = _data_reader(spark, table, schema)
+        # row tracking: the rewrite carries every row's materialized
+        # id; an UPDATED row's materialized commit version is NULLed
+        # so it resolves to THIS commit (the one that produced its new
+        # image) through the base-map fallback
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
         df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
         hit_rels = sorted(
@@ -3226,7 +3507,16 @@ def tx_update_where(
         )
         if not hit_rels:
             return parent, 0
-        src = _tagged_scan(reader, table, hit_rels, dvs)
+        src = _materialize_row_ids(
+            _tagged_scan(reader, table, hit_rels, dvs), table
+        )
+        if rt:
+            src = src.withColumn(
+                _ROW_COMMIT_COL,
+                F.when(pred, F.lit(None).cast("long")).otherwise(
+                    F.col(_ROW_COMMIT_COL)
+                ),
+            )
         cols = [c for c in src.columns if c not in ("__rel", "__pos")]
         unknown = sorted(set(assignments) - set(cols))
         if unknown:
@@ -3286,13 +3576,16 @@ def tx_update_where(
             # signed deltas weight preimage -1 / postimage +1, and
             # consumers that care WHY a row changed can tell an update
             # from an unrelated delete+insert pair
-            pre = src.filter(pred).select(*cols)
+            cdc_cols = [
+                c for c in cols if c not in (_ROW_ID_COL, _ROW_COMMIT_COL)
+            ]
+            pre = src.filter(pred).select(*cdc_cols)
             post = src.filter(pred).select(
                 *[
                     F.expr(assignments[c]).cast(types[c]).alias(c)
                     if c in assignments
                     else F.col(c)
-                    for c in cols
+                    for c in cdc_cols
                 ]
             )
             cdc = _stage_cdc(
@@ -3712,7 +4005,12 @@ def tx_merge_upsert(
                 return v, 0
             except TxConflict:
                 continue
-        reader = _data_reader(spark, table, schema)
+        # row tracking: survivor rows of rewritten files carry their
+        # materialized ids; matched rows are REPLACED by source rows
+        # and mint fresh ids (Delta's default merge semantics — an
+        # upsert's new image is a new row version)
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
         dvs = snapshot_dvs(table)
         df = _tagged_scan(reader, table, files, dvs)
         src_keys = source.select(*keys).distinct()
@@ -3769,7 +4067,9 @@ def tx_merge_upsert(
         added, pv = [], {}
         if hit_rels:
             survivors = (
-                _tagged_scan(reader, table, hit_rels, dvs)
+                _materialize_row_ids(
+                    _tagged_scan(reader, table, hit_rels, dvs), table
+                )
                 .drop("__rel", "__pos")
                 .join(src_keys, keys, "left_anti")
             )
@@ -3810,7 +4110,7 @@ def tx_merge_upsert(
             if hit_rels:
                 matched = (
                     _tagged_scan(reader, table, hit_rels, dvs)
-                    .drop("__rel", "__pos")
+                    .drop("__rel", "__pos", _ROW_ID_COL, _ROW_COMMIT_COL)
                     .join(src_keys, keys, "left_semi")
                 )
                 matched_keys = matched.select(*keys).distinct()
@@ -3935,11 +4235,21 @@ def tx_compact(
         # removes the old files, making the loss permanent.
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
-        reader = _data_reader(spark, table, schema)
-        live_df = _serve_logical(_apply_dvs(
-            reader.parquet(*[os.path.join(table, f) for f in files]),
-            table, snapshot_dvs(table),
-        ), table)
+        # row tracking: the bin-pack carries every row's materialized
+        # id and commit version — compaction is pure layout, a row's
+        # identity and "last modified" commit must not change
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        if rt:
+            live_df = _materialize_row_ids(
+                _tagged_scan(reader, table, files, snapshot_dvs(table)),
+                table,
+            ).drop("__rel", "__pos")
+        else:
+            live_df = _serve_logical(_apply_dvs(
+                reader.parquet(*[os.path.join(table, f) for f in files]),
+                table, snapshot_dvs(table),
+            ), table)
         if zorder_by:
             from .lake import z_cluster
 
@@ -4026,11 +4336,18 @@ def tx_repartition_table(
                     f"partition column(s) {missing} not in table schema"
                 )
         schema_json = schema.json() if schema is not None else None
-        reader = _data_reader(spark, table, schema)
-        live_df = _serve_logical(_apply_dvs(
-            reader.parquet(*[os.path.join(table, f) for f in files]),
-            table, snapshot_dvs(table),
-        ), table)
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        if rt:
+            live_df = _materialize_row_ids(
+                _tagged_scan(reader, table, files, snapshot_dvs(table)),
+                table,
+            ).drop("__rel", "__pos")
+        else:
+            live_df = _serve_logical(_apply_dvs(
+                reader.parquet(*[os.path.join(table, f) for f in files]),
+                table, snapshot_dvs(table),
+            ), table)
         added, pv = _stage_partitioned(live_df, table, list(partition_by))
         stats = (
             collect_file_stats(table, added, stats_cols)
@@ -4165,12 +4482,22 @@ def tx_optimize(
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
-        reader = _data_reader(spark, table, schema)
-        packed = _serve_logical(_apply_dvs(
-            reader.parquet(*[os.path.join(table, f) for f in small]),
-            table,
-            {f: p for f, p in dvs.items() if f in set(small)},
-        ), table).coalesce(int(n_out))
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        if rt:
+            packed = _materialize_row_ids(
+                _tagged_scan(
+                    reader, table, small,
+                    {f: p for f, p in dvs.items() if f in set(small)},
+                ),
+                table,
+            ).drop("__rel", "__pos").coalesce(int(n_out))
+        else:
+            packed = _serve_logical(_apply_dvs(
+                reader.parquet(*[os.path.join(table, f) for f in small]),
+                table,
+                {f: p for f, p in dvs.items() if f in set(small)},
+            ), table).coalesce(int(n_out))
         added, pv = _stage_for(packed, table)
         stats = (
             collect_file_stats(table, added, stats_cols) if stats_cols else None
@@ -4247,6 +4574,11 @@ def tx_restore(table: str, to_version: int) -> int:
     dv = {f: tgt_dvs[f] for f in added if tgt_dvs.get(f)} or None
     tgt_pv = _snapshot_pv_raw(table, to_version)
     pv = {f: tgt_pv[f] for f in added if f in tgt_pv} or None
+    # row tracking: re-added files get the TARGET's base row ids back
+    # (the replay's remove side dropped them), so restored rows keep
+    # the exact identities they had — a restore is not a rewrite
+    tgt_base = snapshot_base_row_ids(table, to_version)
+    rt_base = {f: tgt_base[f] for f in added if f in tgt_base}
     bloom: dict = {}
     for c, m in _snapshot_bloom_raw(table, to_version).items():
         by_sidecar: dict = {}
@@ -4311,6 +4643,18 @@ def tx_restore(table: str, to_version: int) -> int:
     # promised-unique forever (values may live in clones, exports,
     # downstream systems) — the merged watermark keeps the furthest
     # of both snapshots per column, Delta's monotone rule
+    # row-tracking planes: the enable flag restores like any other
+    # metadata; the ROW-ID watermark is monotone like the identity
+    # one (assigned ranges stay assigned — re-issuing them would let
+    # two different rows ever share an id)
+    tgt_rt = table_row_tracking(table, to_version)
+    cur_rt = table_row_tracking(table, cur_v)
+    if tgt_rt != cur_rt:
+        meta["row_tracking"] = tgt_rt
+    if rt_base:
+        meta["base_row_id"] = rt_base
+    # (no row_id_watermark re-record: newest-wins already resolves to
+    # the current value, which is >= the target's by monotonicity)
     tgt_wm = identity_watermark(table, to_version)
     cur_wm = identity_watermark(table, cur_v)
     if tgt_wm != cur_wm:
@@ -4416,6 +4760,25 @@ def tx_clone(
                 )
                 if val
             },
+            # row tracking travels with the clone: the linked files'
+            # rows keep the SOURCE's ids (re-keyed to the clone's file
+            # names), and the clone's generator resumes beyond them
+            **(
+                {
+                    "row_tracking": True,
+                    "row_id_watermark": row_id_watermark(src, v),
+                    # ids carry verbatim; the commit-version half
+                    # re-stamps to 1 — the clone's own history starts
+                    # here (source versions mean nothing in it)
+                    "base_row_id": {
+                        rel_map[f]: [b[0], 1]
+                        for f, b in snapshot_base_row_ids(src, v).items()
+                        if f in rel_map
+                    },
+                }
+                if table_row_tracking(src, v)
+                else {}
+            ),
             # the clone's files carry the source's PHYSICAL names, so
             # the mapping travels with them (retired too: a re-added
             # name in the clone must keep minting fresh)

@@ -41,9 +41,11 @@ REQUIRED_FAMILIES = {
     # streaming sink).
     "partition", "constraints",
     # round-10 families: column mapping (rename/drop without rewrite —
-    # the mapping must stay proven across every read/write face) and
-    # the vacuum retention guard.
-    "column-mapping", "vacuum",
+    # the mapping must stay proven across every read/write face), the
+    # vacuum retention guard, identity columns (distributed generator
+    # + watermark contract on every write path), and row tracking
+    # (stable row ids materialized through every rewrite).
+    "column-mapping", "vacuum", "identity", "row-tracking",
 }
 
 
