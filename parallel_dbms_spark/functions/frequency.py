@@ -98,14 +98,49 @@ def heavy_hitters(
 # Estimates overcount only: err <= n*e/width with prob 1-(1/2)^depth.
 
 
-def _cms_cells(df: DataFrame, term_col: str, depth: int, width: int):
-    """One (d, w) cell coordinate per (row, hash-seed)."""
-    hashes = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
+def _cms_hashes(term_col: str, depth: int, width: int, hash_fn: str):
+    """Per-seed cell index expressions. ``xxhash64`` (default) is the
+    scale path — one 64-bit JVM hash per seed. ``md5`` places cells
+    from a 5-hex-digit prefix of the seeded digest (0..2^20-1, pmod
+    width) — slower per row but still whole-stage codegen, and
+    REPLAYABLE by any engine with md5 (DuckDB included), which makes a
+    sketch query value-hash-checkable end to end. Same trade as the
+    sampling surface's md5 ranks: determinism across engines is the
+    feature. md5 mode requires width <= 2^20."""
+    if hash_fn == "md5":
+        if width > 1 << 20:
+            raise ValueError("md5 cell placement supports width <= 2^20")
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.encode(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col(term_col).cast("string"),
+                            ),
+                            "UTF-8",
+                        )),
+                        1, 5,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(width),
+            )
             for i in range(depth)
         ]
-    )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown cms hash_fn {hash_fn!r}")
+    return [
+        F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
+        for i in range(depth)
+    ]
+
+
+def _cms_cells(df: DataFrame, term_col: str, depth: int, width: int,
+               hash_fn: str = "xxhash64"):
+    """One (d, w) cell coordinate per (row, hash-seed)."""
+    hashes = F.array(*_cms_hashes(term_col, depth, width, hash_fn))
     return df.select(F.posexplode(hashes).alias("d", "w"))
 
 
@@ -114,11 +149,13 @@ def cms_build(
     term_col: str = "term",
     depth: int = 4,
     width: int = 2048,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Sketch the multiset of ``term_col`` values into (d, w, cnt)
-    counters. Zero cells are omitted (they read as 0 downstream)."""
+    counters. Zero cells are omitted (they read as 0 downstream).
+    Sketches merge only at equal (depth, width, hash_fn)."""
     return (
-        _cms_cells(df, term_col, depth, width)
+        _cms_cells(df, term_col, depth, width, hash_fn)
         .groupBy("d", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -142,6 +179,7 @@ def cms_estimate(
     term_col: str = "term",
     depth: int = 4,
     width: int = 2048,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-frequency estimates for ``terms``: (term, est). The
     estimate is min over the depth counters the term hashes to —
@@ -150,12 +188,7 @@ def cms_estimate(
     probes = terms.select(
         F.col(term_col).alias("term"),
         F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(term_col), F.lit(i)), F.lit(width))
-                    for i in range(depth)
-                ]
-            )
+            F.array(*_cms_hashes(term_col, depth, width, hash_fn))
         ).alias("d", "w"),
     )
     hits = probes.join(F.broadcast(sketch), on=["d", "w"], how="left").select(

@@ -1798,13 +1798,41 @@ def pipeline_pretrain_mix(spark, sf_dir):
     return packed.select("doc_id", "source", "n_tokens", "bin_id")
 
 
-@register("freq_cms_estimates", oracle=None, tags=("frequency", "sketch"))
+@register(
+    "freq_cms_estimates",
+    oracle=r"""WITH toks AS (
+                 SELECT unnest(list_filter(
+                          regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x <> '')) AS term
+                 FROM documents),
+                   seeds AS (SELECT unnest(range(4)) AS d),
+                   cells AS (
+                 SELECT d,
+                        CAST('0x' || substr(md5(d || ':' || term), 1, 5)
+                             AS BIGINT) % 8192 AS w,
+                        COUNT(*) AS cnt
+                 FROM toks, seeds GROUP BY 1, 2),
+                   probes AS (
+                 SELECT term FROM toks GROUP BY term
+                 ORDER BY COUNT(*) DESC, term ASC LIMIT 20),
+                   pc AS (
+                 SELECT p.term, s.d,
+                        CAST('0x' || substr(md5(s.d || ':' || p.term), 1, 5)
+                             AS BIGINT) % 8192 AS w
+                 FROM probes p, seeds s)
+              SELECT pc.term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+              FROM pc LEFT JOIN cells c ON c.d = pc.d AND c.w = pc.w
+              GROUP BY pc.term""",
+    tags=("frequency", "sketch"),
+)
 def freq_cms_estimates(spark, sf_dir):
     # Count-min sketch point-frequency estimates for the exact top-20
-    # terms. Rows-only for the driver (the estimate depends on
-    # xxhash64 cell placement DuckDB cannot replay); the one-sided
-    # error guarantee (est >= true, tight for heavy terms) and exact
-    # merge linearity are pytest-asserted in test_corpus_quality.py.
+    # terms — VALUE-HASH-CHECKED cell for cell: the sketch is pinned to
+    # md5 cell placement here (frequency._cms_hashes md5 mode), which
+    # DuckDB replays exactly, so the oracle rebuilds the same counters
+    # and must land the same estimates. xxhash64 stays the scale
+    # default; the one-sided error guarantee and exact merge linearity
+    # are pytest-asserted in test_corpus_quality.py either way.
     from ..functions.frequency import (
         _tokens,
         cms_build,
@@ -1814,9 +1842,11 @@ def freq_cms_estimates(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     toks = _tokens(docs, "text")
-    sketch = cms_build(toks, depth=4, width=8192)
+    sketch = cms_build(toks, depth=4, width=8192, hash_fn="md5")
     probes = heavy_hitters(docs, k=20, cap=65_536).select("term")
-    return cms_estimate(sketch, probes, depth=4, width=8192)
+    return cms_estimate(
+        sketch, probes, depth=4, width=8192, hash_fn="md5"
+    )
 
 
 @register("classifier_lang_logit", oracle=None, tags=("regression", "ml", "classifier"))
@@ -1897,13 +1927,38 @@ def vector_centroid_drift(spark, sf_dir):
     return centroid_drift(emb, F.col("vec_id") % 2 == 0)
 
 
-@register("freq_join_cardinality_est", oracle=None, tags=("frequency", "sketch", "join"))
+@register(
+    "freq_join_cardinality_est",
+    oracle="""WITH seeds AS (SELECT unnest(range(4)) AS d),
+                   oc AS (
+                 SELECT d,
+                        CAST('0x' || substr(md5(
+                               d || ':' || CAST(o_orderkey AS VARCHAR)),
+                             1, 5) AS BIGINT) % 16384 AS w,
+                        COUNT(*) AS a_cnt
+                 FROM orders, seeds GROUP BY 1, 2),
+                   lc AS (
+                 SELECT d,
+                        CAST('0x' || substr(md5(
+                               d || ':' || CAST(l_orderkey AS VARCHAR)),
+                             1, 5) AS BIGINT) % 16384 AS w,
+                        COUNT(*) AS b_cnt
+                 FROM lineitem, seeds GROUP BY 1, 2),
+                   ip AS (
+                 SELECT oc.d, SUM(oc.a_cnt * lc.b_cnt) AS p
+                 FROM oc JOIN lc ON lc.d = oc.d AND lc.w = oc.w
+                 GROUP BY 1)
+              SELECT CAST(MIN(p) AS BIGINT) AS est FROM ip""",
+    tags=("frequency", "sketch", "join"),
+)
 def freq_join_cardinality_est(spark, sf_dir):
     # CMS inner-product join-size estimate (orders ⋈ lineitem on
     # orderkey) from two key sketches — never an undercount; the true
-    # size and tightness are pytest-asserted. Rows-only (xxhash cell
-    # placement). The sketches see only the key columns; the estimate
-    # never touches either table again.
+    # size and tightness are pytest-asserted. Pinned to md5 cell
+    # placement so the oracle rebuilds both sketches and the per-row
+    # inner products EXACTLY (value-hash-checked estimator, not just a
+    # plausibility bound). The sketches see only the key columns; the
+    # estimate never touches either table again.
     from ..functions.frequency import cms_build, cms_inner_product
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -1913,7 +1968,8 @@ def freq_join_cardinality_est(spark, sf_dir):
         F.col("l_orderkey").alias("term")
     )
     return cms_inner_product(
-        cms_build(o, width=16384), cms_build(li, width=16384)
+        cms_build(o, width=16384, hash_fn="md5"),
+        cms_build(li, width=16384, hash_fn="md5"),
     )
 
 

@@ -367,6 +367,38 @@ def test_cms_merge_is_exactly_linear(spark):
     assert merged == whole  # counters are sums -> merge is EXACT
 
 
+def test_cms_md5_mode_matches_reference_placement(spark):
+    """The oracle-checkable md5 cell mode places cells EXACTLY where
+    an independent md5 implementation says (5-hex prefix of the
+    seeded digest, pmod width) — the cross-engine determinism the
+    DuckDB oracle of freq_cms_estimates relies on — and keeps the
+    one-sided estimate guarantee."""
+    import hashlib
+
+    from parallel_dbms_spark.functions.frequency import (
+        cms_build,
+        cms_estimate,
+    )
+
+    terms = _zipf_terms(spark)
+    sk = {(r.d, r.w): r.cnt for r in
+          cms_build(terms, depth=4, width=512, hash_fn="md5").collect()}
+    true = {r.term: r.n for r in
+            terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    ref: dict = {}
+    for t, n in true.items():
+        for d in range(4):
+            hx = hashlib.md5(f"{d}:{t}".encode()).hexdigest()
+            cell = (d, int(hx[:5], 16) % 512)
+            ref[cell] = ref.get(cell, 0) + n
+    assert sk == ref
+    sketch = cms_build(terms, depth=4, width=512, hash_fn="md5")
+    est = {r.term: r.est for r in
+           cms_estimate(sketch, terms.select("term").distinct(),
+                        depth=4, width=512, hash_fn="md5").collect()}
+    assert all(est[t] >= n for t, n in true.items())
+
+
 def test_cms_inner_product_bounds_join_cardinality(spark):
     from pyspark.sql import functions as F
 
