@@ -340,6 +340,7 @@ def _pv_matches(vals: dict | None, row_filter: tuple) -> bool | None:
 def _read_one_file(
     table: str, rel: str, fields: tuple, arrow_schema, exclude: tuple = (),
     row_filter: tuple = (), rename: tuple = (),
+    row_base: tuple | None = None, row_ids: bool = False,
 ):
     """Executor-side read of one data file. Fast path: when the file's
     Arrow schema for the selected fields EXACTLY equals the serve
@@ -350,12 +351,24 @@ def _read_one_file(
     index) are dropped with an Arrow ``take`` before batching, so
     vectored files keep the columnar path. Pre-evolution files (absent
     columns) or type drift fall back to row tuples, which null-fill —
-    slower but always correct."""
+    slower but always correct.
+
+    ``row_ids`` serves the two row-tracking columns: raw row positions
+    ride as a temp column THROUGH the DV/backstop takes (positions
+    index the raw file), then ``_row_id`` resolves as the file's
+    MATERIALIZED ``__row_id`` when present, else ``row_base[0] +
+    position`` — the same coalesce rule as read_snapshot."""
     import os
 
     import pyarrow.parquet as pq
 
     tbl = _rename_arrow(pq.read_table(os.path.join(table, rel)), rename)
+    if row_ids:
+        import pyarrow as pa
+
+        tbl = tbl.append_column(
+            "__rt_pos", pa.array(range(tbl.num_rows), type=pa.int64())
+        )
     if exclude:
         import pyarrow as pa
 
@@ -389,6 +402,45 @@ def _read_one_file(
             )
         ]
         tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    if row_ids:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pos = tbl.column("__rt_pos")
+        tbl = tbl.drop_columns(["__rt_pos"])
+        base, cv = row_base if row_base else (None, None)
+        derived_id = (
+            pc.add(pos, pa.scalar(int(base), type=pa.int64()))
+            if base is not None
+            else pa.nulls(tbl.num_rows, type=pa.int64())
+        )
+        derived_cv = (
+            pa.array([int(cv)] * tbl.num_rows, type=pa.int64())
+            if cv is not None
+            else pa.nulls(tbl.num_rows, type=pa.int64())
+        )
+        names = set(tbl.column_names)
+        rid = (
+            pc.coalesce(
+                pc.cast(tbl.column("__row_id"), pa.int64()), derived_id
+            )
+            if "__row_id" in names
+            else derived_id
+        )
+        rcv = (
+            pc.coalesce(
+                pc.cast(tbl.column("__row_commit"), pa.int64()),
+                derived_cv,
+            )
+            if "__row_commit" in names
+            else derived_cv
+        )
+        tbl = tbl.drop_columns(
+            [c for c in ("__row_id", "__row_commit") if c in names]
+        )
+        tbl = tbl.append_column("_row_id", rid).append_column(
+            "_row_commit_version", rcv
+        )
     if arrow_schema is not None and all(
         n in tbl.column_names for n in arrow_schema.names
     ):
@@ -873,6 +925,12 @@ class TxLogReader(DataSourceReader):
     def __init__(self, options, schema: T.StructType):
         self.table = options.get("path")
         self.fields = tuple(f.name for f in schema.fields)
+        # `.option("withRowIds", "true")` — the format-API twin of
+        # read_snapshot(with_row_ids=True); the serve schema already
+        # carries _row_id/_row_commit_version (DataSource.schema)
+        self.row_ids = (
+            str(options.get("withrowids", "false")).lower() == "true"
+        )
         # `.option("partitionFilter", '{"country": "NL"}')` — the
         # format-API twin of read_snapshot(partition_filter=...)
         self.pfilter, self.row_filter = _parse_partition_filter(
@@ -908,6 +966,10 @@ class TxLogReader(DataSourceReader):
             }
             row_filter = self.row_filter
         ren = _p2l_pairs(self.table)
+        bases = (
+            txlog.snapshot_base_row_ids(self.table) if self.row_ids
+            else {}
+        )
         return [
             TxLogBatchPartition(
                 self.table,
@@ -917,6 +979,8 @@ class TxLogReader(DataSourceReader):
                 self._arrow_schema,
                 () if rel in pure else row_filter,
                 ren,
+                tuple(bases[rel]) if rel in bases else None,
+                self.row_ids,
             )
             for rel in files
         ]
@@ -930,6 +994,8 @@ class TxLogReader(DataSourceReader):
             partition.dv,
             partition.row_filter,
             partition.rename,
+            partition.row_base,
+            partition.row_ids,
         )
 
 
@@ -942,6 +1008,8 @@ class TxLogBatchPartition(InputPartition):
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
     row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
     rename: tuple = ()  # ((physical, logical), ...) column mapping
+    row_base: tuple | None = None  # (base_row_id, commit_version)
+    row_ids: bool = False  # serve _row_id/_row_commit_version
 
 
 def _write_checks(table: str) -> dict:
@@ -1268,6 +1336,11 @@ class TxLogDataSource(DataSource):
             == "true"
         )
 
+    def _row_ids(self) -> bool:
+        return (
+            str(self.options.get("withrowids", "false")).lower() == "true"
+        )
+
     def schema(self):
         table = self.options.get("path")
         schema = txlog.table_schema(table) if table else None
@@ -1277,11 +1350,29 @@ class TxLogDataSource(DataSource):
                 "table with txlog.tx_append first"
             )
         if self._cdc():
+            if self._row_ids():
+                raise ValueError(
+                    "withRowIds does not compose with readChangeFeed "
+                    "(the feed's rows are change images, not live rows)"
+                )
             schema = T.StructType(
                 schema.fields
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+        elif self._row_ids():
+            if not txlog.table_row_tracking(self.options.get("path")):
+                raise ValueError(
+                    "withRowIds requires row tracking "
+                    "(txlog.tx_enable_row_tracking first)"
+                )
+            schema = T.StructType(
+                schema.fields
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
                 ]
             )
         return schema

@@ -221,6 +221,38 @@ def test_partition_filter_composes_with_row_ids(spark, table):
     assert all(part[k] == base[k] for k in part)
 
 
+def test_ds_batch_face_serves_row_ids(spark, table):
+    """format("txlog").option("withRowIds") — the DS face must agree
+    with read_snapshot(with_row_ids=True) bit for bit, through
+    materialized rewrites and deletion vectors."""
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    _seed(spark, table)
+    txlog.tx_update_where(spark, table, "k = 3", {"s": "'up'"})
+    txlog.tx_delete_where_mor(spark, table, "k = 5")
+    txlog.tx_append(_df(spark, [(20, "x")]), table)
+    want = _rows(spark, table)
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in spark.read.format("txlog")
+        .option("path", table)
+        .option("withRowIds", "true")
+        .load()
+        .collect()
+    }
+    assert got == want
+    # untracked tables reject the option loudly
+    t2 = table + "_untracked"
+    txlog.tx_append(_df(spark, [(1, "a")]), t2)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="row tracking"):
+        spark.read.format("txlog").option("path", t2).option(
+            "withRowIds", "true"
+        ).load().collect()
+
+
 def test_streamed_appends_get_row_ids(spark, table, tmp_path):
     """The native streaming sink publishes through txlog.commit, so
     the hook assigns bases to streamed files too — ingest arrives
