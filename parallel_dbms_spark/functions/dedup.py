@@ -104,12 +104,32 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _token_hash(col, hash_fn: str):
+    """Token -> value in [0, MINHASH_PRIME). ``xxhash64`` (default) is
+    the scale path; ``md5`` derives 60 bits from the digest's 15-hex
+    prefix — slower, but any engine with md5 replays it exactly, which
+    is what lets a DuckDB oracle rebuild signatures, buckets, and
+    estimated jaccards bit for bit (same trade as the CMS md5 mode)."""
+    p = F.lit(MINHASH_PRIME)
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+            ).cast("long"),
+            p,
+        )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
+    return F.pmod(F.xxhash64(col), p)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, minhash array<long>[num_perm]).
 
@@ -138,7 +158,7 @@ def minhash_signatures(
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "pos", "tk"
         ),
-    ).select("id", "pos", F.pmod(F.xxhash64("tk"), p).alias("h"))
+    ).select("id", "pos", _token_hash(F.col("tk"), hash_fn).alias("h"))
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("h", j).over(w) for j in range(1, shingle_n)]
     sh = F.col("h")
@@ -168,14 +188,32 @@ def minhash_bands(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding of ``minhash_signatures``: (id, minhash, band,
     bucket), one row per (doc, band). Docs sharing (band, bucket) are
     near-dup candidates. Shared by the batch pair generator
     (``minhash_lsh_pairs``) and the streaming micro-batch dedup
-    (``streaming.dedup``), so both paths bucket identically."""
+    (``streaming.dedup``), so both paths bucket identically. In md5
+    mode the bucket is the digest's hex string (engine-replayable);
+    candidacy only needs bucket EQUALITY, so the type change is
+    invisible downstream."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_n, hash_fn
+    )
+    def _bucket(i):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("minhash", i * rows + 1, rows),
+                lambda x: x.cast("string"),
+            ),
+        )
+        if hash_fn == "md5":
+            return F.md5(F.encode(joined, "UTF-8"))
+        return F.xxhash64(joined)
+
     return sigs.select(
         "id",
         "minhash",
@@ -184,15 +222,7 @@ def minhash_bands(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("minhash", i * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
+                        _bucket(i).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -209,15 +239,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash LSH near-dup pairs.
 
     banding: num_perm/bands rows per band; docs sharing any band bucket
     become candidates (bucket groupBy-join, no all-pairs); candidates
     are verified by estimated jaccard = fraction of matching minhashes.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b. With a
+    power-of-two ``num_perm`` the estimate k/num_perm is EXACTLY
+    representable, so md5 mode is value-hash-comparable across engines.
     """
-    banded = minhash_bands(df, text_col, id_col, num_perm, bands, shingle_n)
+    banded = minhash_bands(
+        df, text_col, id_col, num_perm, bands, shingle_n, hash_fn
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -257,17 +292,34 @@ def _bit_masks(bits: int):
     )
 
 
-def simhash(text_col, bits: int = 64):
+def simhash(text_col, bits: int = 64, hash_fn: str = "xxhash64"):
     """64-bit SimHash of whitespace tokens, built-ins only: per-token
     xxhash64 -> per-bit +/-1 votes -> sign bit -> reassembled long.
 
     Single pass over the token hashes: one aggregate folds a 64-slot
     vote array (zip_with against a constant mask array), instead of 64
     independent traversals of the array per row.
+
+    ``hash_fn="md5"`` (requires ``bits <= 60``) votes on the digest's
+    15-hex prefix instead — every bit of the signature is then
+    replayable by any engine with md5 (the oracle-checkable mode,
+    same trade as minhash/CMS); xxhash64 stays the scale default.
     """
     masks = _bit_masks(bits)
     toks = F.regexp_extract_all(F.lower(text_col), F.lit(r"\S+"), F.lit(0))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 simhash supports bits <= 60")
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    elif hash_fn == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -296,14 +348,19 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs. Candidate generation uses the standard
     block trick: split the 64-bit hash into ``blocks`` chunks — any pair
     within hamming distance < blocks shares at least one exact chunk
     (pigeonhole), so an equi-join per chunk finds all of them without
-    an all-pairs comparison. Returns (id_a, id_b, hamming)."""
+    an all-pairs comparison. Returns (id_a, id_b, hamming). A
+    ``bits < 64`` signature (md5 mode) chunks identically — the top
+    bits are constant zero, so the pigeonhole guarantee is intact."""
     sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("sh"),
     )
     return hamming_neardup_pairs(sh, max_hamming=max_hamming, blocks=blocks)
 

@@ -45,16 +45,121 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
+def _minhash_oracle() -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline under md5
+    token hashing: token hash -> prime-field shingle fold (the same
+    lead-window arithmetic) -> 32 affine-permutation mins (params as
+    literals — the same driver-side LCG constants) -> md5 band buckets
+    -> candidate join -> estimated jaccard (k/32, float-exact)."""
+    from ..functions.dedup import MINHASH_PRIME, _perm_params
+
+    p = MINHASH_PRIME
+    rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(_perm_params(32))
+    )
+    return rf"""WITH params(i, a, b) AS (VALUES {rows}),
+               toks AS (
+                 SELECT doc_id AS id,
+                        generate_subscripts(regexp_split_to_array(
+                          lower(trim(text)), '\s+'), 1) AS pos,
+                        unnest(regexp_split_to_array(
+                          lower(trim(text)), '\s+')) AS tk
+                 FROM documents),
+               th AS (
+                 SELECT id, pos,
+                        CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)
+                          % {p} AS h
+                 FROM toks),
+               led AS (
+                 SELECT id, pos, h,
+                        lead(h, 1) OVER w AS h1,
+                        lead(h, 2) OVER w AS h2
+                 FROM th WINDOW w AS (PARTITION BY id ORDER BY pos)),
+               sh AS (
+                 SELECT id,
+                        ((h * 1000003 + COALESCE(h1, 0)) % {p} * 1000003
+                         + COALESCE(h2, 0)) % {p} AS h
+                 FROM led WHERE h2 IS NOT NULL OR pos = 1),
+               sig AS (
+                 SELECT s.id, q.i, MIN((q.a * s.h + q.b) % {p}) AS m
+                 FROM sh s, params q GROUP BY 1, 2),
+               bands AS (
+                 SELECT id, i // 4 AS band,
+                        md5(string_agg(CAST(m AS VARCHAR), ','
+                                       ORDER BY i)) AS bucket
+                 FROM sig GROUP BY id, i // 4),
+               cand AS (
+                 SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.id < y.id),
+               est AS (
+                 SELECT c.id_a, c.id_b,
+                        SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                          / 32.0 AS est_jaccard
+                 FROM cand c
+                 JOIN sig sa ON sa.id = c.id_a
+                 JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                 GROUP BY 1, 2)
+              SELECT id_a, id_b, est_jaccard
+              FROM est WHERE est_jaccard >= 0.7"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark, sf_dir):
-    # Rows-only: banding buckets depend on xxhash64 (not in DuckDB).
-    # Estimated-jaccard quality is pytest-asserted against exact jaccard.
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    # MinHash LSH near-dup pairs, VALUE-HASH-CHECKED end to end: md5
+    # token hashing (dedup._token_hash md5 mode) makes every stage —
+    # shingle fold, 32-permutation signatures, band buckets, candidate
+    # set, estimated jaccard — replayable by the DuckDB oracle above.
+    # xxhash64 stays the scale default (streaming dedup unchanged);
+    # estimated-vs-exact jaccard quality is pytest-asserted either way.
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), hash_fn="md5")
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+@register(
+    "dedup_simhash",
+    oracle=r"""WITH th AS (
+                 SELECT doc_id AS id,
+                        unnest(regexp_extract_all(lower(text), '\S+')) AS tk
+                 FROM documents),
+               hh AS (
+                 SELECT id,
+                        CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h
+                 FROM th),
+               votes AS (
+                 SELECT id, bb.b,
+                        SUM(CASE WHEN (h >> bb.b) & 1 = 1
+                                 THEN 1 ELSE -1 END) AS v
+                 FROM hh, (SELECT unnest(range(60)) AS b) bb
+                 GROUP BY 1, 2),
+               sig0 AS (
+                 SELECT id,
+                        SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b
+                                 ELSE CAST(0 AS BIGINT) END) AS sh
+                 FROM votes GROUP BY 1),
+               sig AS (
+                 SELECT d.doc_id AS id,
+                        CASE WHEN d.text IS NULL THEN NULL
+                             ELSE COALESCE(s.sh, 0) END AS sh
+                 FROM documents d LEFT JOIN sig0 s ON s.id = d.doc_id)
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+              FROM sig a JOIN sig b ON a.id < b.id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+    tags=("dedup", "simhash"),
+)
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    # SimHash near-dup pairs, VALUE-HASH-CHECKED: md5 token hashing
+    # (60-bit signature) makes every vote replayable, and the oracle is
+    # the NAIVE all-pairs hamming <= 3 definition — so the pigeonhole
+    # block-join candidate path must reproduce the exhaustive answer
+    # EXACTLY (lossless candidate generation, verified end to end, the
+    # search_substring oracle pattern). xxhash64/64-bit stays the
+    # scale default.
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, bits=60, hash_fn="md5"
+    )
 
 
 _JACCARD_PAIRS_CTE = r"""toks AS (
