@@ -722,15 +722,13 @@ def stream_tx_source_tail(spark, sf_dir):
 )
 def stream_tx_starting_timestamp(spark, sf_dir):
     # Delta's startingTimestamp attach point on the txlog stream
-    # source: two append commits land a minute apart (commit-file
-    # mtimes ARE the commit timestamps; pinned here like the
-    # TIMESTAMP AS OF tests), and a stream attaching with a cutover
+    # source: two append commits land with IN-COMMIT timestamps
+    # (writer-stamped, strictly monotone — commit-file mtimes are only
+    # the pre-feature fallback), and a stream attaching with a cutover
     # instant between them must emit exactly the second commit's rows
     # — the first commit is history the consumer already holds. The
     # oracle recomputes the second half declaratively.
-    import os
     import tempfile
-    import time as _time
 
     from ..sources import txlog
     from ..sources.txlog_ds import register_txlog_source
@@ -741,16 +739,15 @@ def stream_tx_starting_timestamp(spark, sf_dir):
     )
     base_dir = tempfile.mkdtemp(prefix="stream_txts_")
     t = base_dir + "/customer"
-    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0), t)
-    txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 1), t)
-    base = _time.time() - 600
-    for i, v in enumerate(txlog.log_versions(t)):
-        p = txlog._commit_path(t, v)
-        os.utime(p, (base + 60 * i, base + 60 * i))
+    v1 = txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 0), t)
+    v2 = txlog.tx_append(c.filter(F.col("c_custkey") % 2 == 1), t)
+    cut = (
+        txlog.commit_timestamp(t, v1) + txlog.commit_timestamp(t, v2)
+    ) / 2.0
     out, ckpt = base_dir + "/out", base_dir + "/ckpt"
     q = (
         spark.readStream.format("txlog").option("path", t)
-        .option("startingTimestamp", str(base + 30)).load()
+        .option("startingTimestamp", repr(cut)).load()
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()

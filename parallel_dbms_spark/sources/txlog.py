@@ -2243,6 +2243,21 @@ def commit(
     rt_sizes: dict | None = None
     for _ in range(max_attempts):
         rec["version"] = v
+        # IN-COMMIT timestamp (Delta's inCommitTimestamps): stamped by
+        # the committing writer and clamped monotone against the actual
+        # predecessor (re-stamped per attempt — after a lost race the
+        # predecessor is the interleaved commit, whose clock may be
+        # ahead of ours). Timestamp time travel then survives the log
+        # directory being copied/rsynced/restored, where mtimes don't.
+        import time as _time
+
+        base_ts = 0.0
+        if v > 1:
+            try:
+                base_ts = commit_timestamp(table, v - 1)
+            except (FileNotFoundError, OSError, ValueError):
+                base_ts = 0.0  # expired predecessor: clock stands alone
+        rec["ts"] = max(_time.time(), base_ts + 1e-6)
         if rt_hook and table_row_tracking(table):
             if rt_sizes is None:
                 import pyarrow.parquet as pq
@@ -3022,8 +3037,8 @@ def txn_seen(table: str, app: str, batch_id: int) -> bool:
 
 def tx_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per surviving commit — version,
-    action, commit timestamp (the commit file's mtime — the atomic
-    link that published it), file/DV/sidecar counts, and the streaming
+    action, commit timestamp (in-commit when recorded, else the
+    commit file's mtime), file/DV/sidecar counts, and the streaming
     txn identity if any. Reads only the log (kilobytes per commit);
     history older than the retention horizon is absent by
     construction (:func:`tx_expire_versions`)."""
@@ -3034,7 +3049,8 @@ def tx_history(spark: SparkSession, table: str) -> DataFrame:
             (
                 v,
                 rec["action"],
-                float(os.path.getmtime(_commit_path(table, v))),
+                float(rec.get("ts") or os.path.getmtime(
+                    _commit_path(table, v))),
                 len(rec["added"]),
                 len(rec["removed"]),
                 sum(len(p) for p in rec.get("dv", {}).values()),
@@ -3051,21 +3067,33 @@ def tx_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def commit_timestamp(table: str, v: int) -> float:
+    """A commit's publication time: the IN-COMMIT timestamp when the
+    record carries one (Delta's inCommitTimestamps — stamped by the
+    committing writer, monotone by construction, and IMMUNE to the
+    file's mtime changing under rsync/backup-restore/cp of the log
+    directory), else the commit file's mtime (pre-feature history)."""
+    rec = read_commit(table, v)
+    ts = rec.get("ts")
+    return float(ts) if ts is not None else os.path.getmtime(
+        _commit_path(table, v)
+    )
+
+
 def version_at_timestamp(table: str, ts: float) -> int:
     """Resolve a wall-clock time to the commit version live AT that
-    instant — the newest commit whose file landed at-or-before ``ts``
-    (Delta's ``TIMESTAMP AS OF``, resolved from commit-file
-    modification times: the atomic link that published the commit IS
-    its timestamp, so no format change and no clock column). Raises if
+    instant — the newest commit published at-or-before ``ts``
+    (Delta's ``TIMESTAMP AS OF``, resolved from in-commit timestamps
+    with an mtime fallback — :func:`commit_timestamp`). Raises if
     ``ts`` predates the first surviving commit — possibly because
     :func:`tx_expire_versions` truncated the history that covered it.
     """
     best = None
     for v in log_versions(table):
-        if os.path.getmtime(_commit_path(table, v)) <= ts:
+        if commit_timestamp(table, v) <= ts:
             best = v
         else:
-            break  # commit files land in version order; mtimes follow
+            break  # commits land in version order; timestamps follow
     if best is None:
         raise ValueError(
             f"no commit of {table} at-or-before timestamp {ts} "
@@ -3083,7 +3111,7 @@ def version_on_or_after_timestamp(table: str, ts: float) -> int:
     ``ts`` is beyond every commit: only future commits stream."""
     versions = log_versions(table)
     for v in versions:
-        if os.path.getmtime(_commit_path(table, v)) >= ts:
+        if commit_timestamp(table, v) >= ts:
             return v
     return (versions[-1] + 1) if versions else 1
 

@@ -1847,32 +1847,33 @@ def test_constraint_and_data_commits_conflict_both_ways(spark, table):
         txlog.commit = orig_commit
 
 
-def test_timestamp_as_of_resolves_by_commit_mtime(spark, table):
-    import time as _time
-
+def test_timestamp_as_of_resolves_by_in_commit_timestamp(spark, table):
     txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), table)
     txlog.tx_append(_df(spark, [(2, "b")]).coalesce(1), table)
     txlog.tx_delete_where(spark, table, "k = 1")
-    # pin commit publish times a minute apart (the atomic link IS the
-    # commit timestamp; tests pin it like the file-stream fixtures do)
-    base = _time.time() - 600
-    for i, v in enumerate(txlog.log_versions(table)):
-        p = txlog._commit_path(table, v)
-        os.utime(p, (base + 60 * i, base + 60 * i))
-    assert txlog.version_at_timestamp(table, base + 30) == 1
-    assert txlog.version_at_timestamp(table, base + 60) == 2
-    assert txlog.version_at_timestamp(table, base + 1e6) == 3
+    ts = [
+        txlog.commit_timestamp(table, v)
+        for v in txlog.log_versions(table)
+    ]
+    assert ts == sorted(ts) and len(set(ts)) == 3
+    # the recorded clock resolves; mangled mtimes must not matter
+    # (an rsync/backup-restore of the log rewrites them)
+    for v in txlog.log_versions(table):
+        os.utime(txlog._commit_path(table, v), (0, 0))
+    assert txlog.version_at_timestamp(table, (ts[0] + ts[1]) / 2) == 1
+    assert txlog.version_at_timestamp(table, ts[1]) == 2
+    assert txlog.version_at_timestamp(table, ts[2] + 1e6) == 3
     got = {
         r.k
         for r in txlog.read_snapshot(
-            spark, table, timestamp=base + 90
+            spark, table, timestamp=(ts[1] + ts[2]) / 2
         ).collect()
     }
     assert got == {1, 2}  # pre-delete state
     with pytest.raises(ValueError, match="at-or-before"):
-        txlog.version_at_timestamp(table, base - 1)
+        txlog.version_at_timestamp(table, ts[0] - 1)
     with pytest.raises(ValueError, match="not both"):
-        txlog.read_snapshot(spark, table, version=1, timestamp=base)
+        txlog.read_snapshot(spark, table, version=1, timestamp=ts[0])
 
 
 def test_tx_history_describes_commits(spark, table):

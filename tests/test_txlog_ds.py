@@ -339,12 +339,13 @@ def test_starting_version_ahead_of_head_clamps_latest_offset(
 def test_starting_timestamp_attaches_at_wall_clock_cutover(
     spark, table, tmp_path
 ):
-    """startingTimestamp resolves (against commit-file mtimes) to the
-    FIRST commit at-or-after the instant and streams from there —
-    Delta's wall-clock attach point, on both the plain and the CDF
-    reader. Mutually exclusive with startingVersion."""
+    """startingTimestamp resolves (against IN-COMMIT timestamps; mtime
+    only as pre-feature fallback) to the FIRST commit at-or-after the
+    instant and streams from there — Delta's wall-clock attach point,
+    on both the plain and the CDF reader. Mutually exclusive with
+    startingVersion. Mangling the commit files' mtimes must not move
+    the attach point: the recorded clock wins."""
     import os
-    import time as _time
 
     import pytest as _pytest
 
@@ -352,29 +353,31 @@ def test_starting_timestamp_attaches_at_wall_clock_cutover(
         _resolve_starting_version,
     )
 
-    base = _time.time() - 600
-    for i, v in enumerate(txlog.log_versions(table)):
-        p = txlog._commit_path(table, v)
-        os.utime(p, (base + 60 * i, base + 60 * i))
+    vs = txlog.log_versions(table)
+    ts2 = txlog.commit_timestamp(table, vs[1])
+    cut = (txlog.commit_timestamp(table, vs[0]) + ts2) / 2.0
+    # an rsync/backup-restore rewrites mtimes; resolution must not care
+    for v in vs:
+        os.utime(txlog._commit_path(table, v), (0, 0))
     # between the two commits -> attach at commit 2; beyond all -> head+1
     assert _resolve_starting_version(
-        {"startingtimestamp": str(base + 30)}, table
+        {"startingtimestamp": repr(cut)}, table
     ) == 2
     assert _resolve_starting_version(
-        {"startingtimestamp": str(base + 1e6)}, table
+        {"startingtimestamp": str(ts2 + 1e6)}, table
     ) == 3
     # ISO-8601 form resolves identically (naive = UTC)
     from datetime import datetime, timezone
 
-    iso = datetime.fromtimestamp(base + 30, tz=timezone.utc).isoformat()
+    iso = datetime.fromtimestamp(cut, tz=timezone.utc).isoformat()
     assert _resolve_starting_version({"startingtimestamp": iso}, table) == 2
     with _pytest.raises(ValueError, match="mutually exclusive"):
         _resolve_starting_version(
-            {"startingversion": "1", "startingtimestamp": str(base)}, table
+            {"startingversion": "1", "startingtimestamp": repr(cut)}, table
         )
     # end to end, plain reader: only commit 2's rows emit
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
-    _run(spark, table, out, ckpt, startingTimestamp=str(base + 30))
+    _run(spark, table, out, ckpt, startingTimestamp=repr(cut))
     got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {(3, "c")}
     # end to end, CDF reader honors it too
@@ -382,7 +385,7 @@ def test_starting_timestamp_attaches_at_wall_clock_cutover(
     q = (
         spark.readStream.format("txlog")
         .option("path", table).option("readChangeFeed", "true")
-        .option("startingTimestamp", str(base + 30)).load()
+        .option("startingTimestamp", repr(cut)).load()
         .writeStream.format("parquet").option("path", out2)
         .option("checkpointLocation", ckpt2)
         .trigger(availableNow=True).start()
