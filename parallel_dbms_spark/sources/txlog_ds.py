@@ -1157,6 +1157,7 @@ class TxLogWriteMessage(WriterCommitMessage):
     files: tuple  # ((rel, pv_json | None), ...)
     n_rows: int
     cons: tuple = ()  # sorted (name, predicate) pairs enforced in write()
+    ident_read: tuple = ()  # sorted (col, watermark) the task assigned from
 
 
 class TxLogStreamWriter(DataSourceStreamWriter):
@@ -1186,10 +1187,45 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         # so tx_read_skipping serves streamed tables too
         raw_stats = options.get("statscols", "")
         self.stats_cols = [c.strip() for c in raw_stats.split(",") if c.strip()]
-        self.schema = schema
+        # IDENTITY on streamed ingest: declarations are PINNED at query
+        # start (the same rule as the stream readers' column mapping).
+        # A supplied GENERATED ALWAYS column is rejected here, before
+        # the query even starts; an OMITTED identity column is ASSIGNED
+        # per micro-batch — each executor task reserves a disjoint
+        # range (base + (taskId*2^33 + i)*step, the gap-allowed Delta
+        # reservation), and the batch commit advances the watermark
+        # from the staged files' footer stats.
+        self.idents = txlog.table_identity(self.table)
+        in_names = set(schema.fieldNames())
+        bad = sorted(
+            c for c in self.idents
+            if c in in_names and self.idents[c]["always"]
+        )
+        if bad:
+            raise ValueError(
+                f"stream supplies GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {bad} of {self.table}; omit them (the sink "
+                "assigns) or declare BY DEFAULT"
+            )
+        self.gen_idents = {
+            c: dict(spec)
+            for c, spec in sorted(self.idents.items())
+            if c not in in_names
+        }
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        self._arrow_schema = to_arrow_schema(schema)
+        self._in_arrow = to_arrow_schema(schema)
+        eff = schema
+        if self.gen_idents:
+            eff = T.StructType(
+                schema.fields
+                + [
+                    T.StructField(c, T.LongType())
+                    for c in sorted(self.gen_idents)
+                ]
+            )
+        self.schema = eff
+        self._arrow_schema = to_arrow_schema(eff)
 
     def write(self, iterator):  # runs on executors
         import json as _json
@@ -1202,12 +1238,43 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         rows = list(iterator)
         if not rows:
             return TxLogWriteMessage(files=(), n_rows=0)
-        names = self._arrow_schema.names
+        names = self._in_arrow.names
         cols = list(zip(*rows))
         tbl = pa.table(
             {n: list(c) for n, c in zip(names, cols)},
-            schema=self._arrow_schema,
+            schema=self._in_arrow,
         )
+        ident_read: tuple = ()
+        if self.gen_idents:
+            # executor-side assignment from the CURRENT watermark (the
+            # log is readable here, like the constraint map): this
+            # task's range is disjoint from every other task's by the
+            # partitionId*2^33 offset; the wm each task read rides the
+            # message so the driver can prove no generator raced the
+            # batch before publishing.
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            wm_map = txlog.identity_watermark(self.table)
+            reads = []
+            for c, spec in sorted(self.gen_idents.items()):
+                start, step = int(spec["start"]), int(spec["step"])
+                wm = int(wm_map.get(c, start - step))
+                base = txlog._ident_next_base(start, step, wm)
+                tbl = tbl.append_column(
+                    c,
+                    pa.array(
+                        [
+                            base + ((pid << 33) + i) * step
+                            for i in range(tbl.num_rows)
+                        ],
+                        type=pa.int64(),
+                    ),
+                )
+                reads.append((c, wm))
+            ident_read = tuple(reads)
+            names = list(names) + sorted(self.gen_idents)
         # CHECK constraints enforce on EVERY write path (Delta's
         # contract — tx_append, UPDATE post-images, MERGE sources, and
         # this sink): each task validates its own rows in parallel,
@@ -1244,6 +1311,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             files=tuple(files),
             n_rows=len(rows),
             cons=tuple(sorted(cons.items())),
+            ident_read=ident_read,
         )
 
     def commit(self, messages, batchId):  # driver: one atomic publish
@@ -1263,14 +1331,59 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         meta = {"txn_app": self.app, "txn_batch": int(batchId)}
         validated = {m.cons for m in msgs}
         # footer min/max once per batch (snapshot-independent): one
-        # footer read per staged file, the add-file stats pattern
+        # footer read per staged file, the add-file stats pattern.
+        # Assigned identity columns ALWAYS ride the stats — their
+        # footer max IS the new watermark.
+        eff_stats = (
+            sorted(set(self.stats_cols) | set(self.gen_idents))
+            if self.gen_idents else self.stats_cols
+        )
         stats = (
-            txlog.collect_file_stats(self.table, added, self.stats_cols)
-            if self.stats_cols and added
+            txlog.collect_file_stats(self.table, added, eff_stats)
+            if eff_stats and added
             else None
         )
         for _ in range(16):
             parent = (txlog.log_versions(self.table) or [0])[-1]
+            if self.gen_idents and added:
+                # every task must have assigned from the watermark that
+                # is STILL current — a racing generator in between
+                # means the staged ids could collide; fail the batch
+                # (a restart replays it and re-assigns fresh)
+                cur_wm = txlog.identity_watermark(self.table)
+                expect = tuple(
+                    (
+                        c,
+                        int(cur_wm.get(
+                            c,
+                            int(spec["start"]) - int(spec["step"]),
+                        )),
+                    )
+                    for c, spec in sorted(self.gen_idents.items())
+                )
+                reads = {m.ident_read for m in msgs}
+                if reads != {expect}:
+                    raise ValueError(
+                        f"identity watermark of {self.table} advanced "
+                        "while this micro-batch staged (a racing "
+                        "generator); restarting the query replays the "
+                        "batch with fresh assignments"
+                    )
+                if txlog.table_identity(self.table) != self.idents:
+                    raise ValueError(
+                        f"identity declarations of {self.table} changed "
+                        "mid-stream; restart the query to re-pin them"
+                    )
+                new_wm = txlog._ident_wm_from_stats(
+                    self.table, self.idents, sorted(self.gen_idents),
+                    stats, cur_wm,
+                    (txlog._effective_mapping(self.table) or {}).get,
+                )
+                meta = {
+                    "txn_app": self.app,
+                    "txn_batch": int(batchId),
+                    "identity_watermark": {**cur_wm, **new_wm},
+                }
             if added:
                 # a constraint commit may have raced the batch (landed
                 # after the tasks validated, or mid-batch so tasks

@@ -240,6 +240,54 @@ def test_watermark_survives_checkpoint_fold(spark, table):
     assert txlog.identity_watermark(table, v)["id"] == wm
 
 
+def test_streaming_sink_assigns_identity(spark, table, tmp_path):
+    """The native sink assigns an OMITTED identity column per
+    micro-batch: executor tasks reserve disjoint ranges, the batch
+    commit advances the watermark from footer stats, and a later batch
+    lands strictly beyond. A stream supplying a GENERATED ALWAYS
+    column is rejected before the query starts."""
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    _seed(spark, table)
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(f"s{i}",) for i in range(7)], "s string"
+    ).repartition(3).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("s string").parquet(src)
+            .writeStream.format("txlog")
+            .option("path", table).option("app", "ident")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    ids = _ids(spark, table)
+    assert len(ids) == 8 and len(set(ids)) == 8
+    wm = txlog.identity_watermark(table)["id"]
+    assert wm == max(ids)
+    spark.createDataFrame([("t1",), ("t2",)], "s string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    ids2 = _ids(spark, table)
+    assert len(ids2) == 10 and len(set(ids2)) == 10
+    assert all(i > wm for i in set(ids2) - set(ids))
+    with pytest.raises(Exception, match="GENERATED ALWAYS"):
+        q = (
+            spark.readStream.schema("id long, s string").parquet(src)
+            .writeStream.format("txlog")
+            .option("path", table).option("app", "bad")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+
 def test_concurrent_generating_appends_never_collide(spark, table):
     """Two writers generating from the same watermark: the commit-level
     identity conflict forces the loser to re-run; whatever lands is
