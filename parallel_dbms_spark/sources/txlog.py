@@ -3067,6 +3067,58 @@ def tx_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def tx_detail(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """DESCRIBE DETAIL: one row summarizing the table's current (or
+    pinned) state — version, live file count and bytes, row count
+    where stats know it, and every declared metadata plane (partition
+    columns, clustering, constraints, defaults, generated columns,
+    identity, column mapping, row tracking). Reads ONLY the log and
+    one ``os.stat`` per live file (no data I/O) — O(files) metadata at
+    any table size, the operational dashboard query."""
+    v, files = snapshot_files(table, version)
+    if not log_versions(table):
+        raise FileNotFoundError(f"no commits under {table}")
+    size = sum(
+        os.path.getsize(os.path.join(table, f)) for f in files
+    )
+    stats = snapshot_stats(table, v)
+    known = [stats[f]["n"] for f in files if f in stats]
+    n_rows = sum(known) if len(known) == len(files) else None
+    dvs = snapshot_dvs(table, v)
+    cm = table_column_mapping(table, v)
+    schema = _schema_at(table, v)
+    row = (
+        os.path.abspath(table),
+        int(v),
+        float(commit_timestamp(table, v)),
+        len(files),
+        int(size),
+        n_rows,
+        sum(len(p) for p in dvs.values()),
+        len(schema.fields) if schema is not None else 0,
+        table_partition_by(table, v),
+        table_cluster_by(table, v),
+        sorted(table_constraints(table, v)),
+        sorted(table_column_defaults(table, v)),
+        sorted(table_generated_columns(table, v)),
+        sorted(table_identity(table, v)),
+        bool(cm),
+        table_row_tracking(table, v),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location string, version long, commit_ts double, "
+        "num_files int, size_bytes long, num_rows long, "
+        "num_dv_rows int, num_columns int, "
+        "partition_columns array<string>, cluster_by array<string>, "
+        "constraints array<string>, column_defaults array<string>, "
+        "generated_columns array<string>, identity_columns "
+        "array<string>, column_mapped boolean, row_tracking boolean",
+    )
+
+
 def commit_timestamp(table: str, v: int) -> float:
     """A commit's publication time: the IN-COMMIT timestamp when the
     record carries one (Delta's inCommitTimestamps — stamped by the

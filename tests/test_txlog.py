@@ -2591,3 +2591,33 @@ def test_clone_carries_defaults_generated_clustering(spark, tmp_path):
     txlog.tx_append(spark.createDataFrame([(2,)], "k long"), dst)
     got = txlog.read_snapshot(spark, dst).filter("k = 2").collect()[0]
     assert (got.a, got.sq) == (7, 49)
+
+
+def test_describe_detail_summarizes_every_metadata_plane(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(20)],
+            "id long, g string, x double",
+        ),
+        table, partition_by=["g"], stats_cols=["id"],
+    )
+    txlog.tx_set_identity(spark, table, "id", always=False)
+    txlog.tx_enable_row_tracking(table)
+    txlog.tx_set_constraint(spark, table, "pos", "x >= 0")
+    txlog.tx_rename_column(spark, table, "x", "val")
+    r = txlog.tx_detail(spark, table).collect()[0]
+    assert r["num_files"] >= 2 and r["size_bytes"] > 0
+    assert r["num_rows"] == 20  # every live file has recorded stats
+    assert r["partition_columns"] == ["g"]
+    assert r["constraints"] == ["pos"]
+    assert r["identity_columns"] == ["id"]
+    assert r["row_tracking"] is True and r["column_mapped"] is True
+    assert r["version"] == txlog.log_versions(table)[-1]
+    # version pin: the planes resolve AS OF, like every other face
+    r0 = txlog.tx_detail(spark, table, version=1).collect()[0]
+    assert r0["row_tracking"] is False
+    assert r0["identity_columns"] == [] and r0["column_mapped"] is False
+    # a stat-less file makes num_rows honestly unknown, not wrong
+    txlog.tx_compact(spark, table, num_files=1)
+    r2 = txlog.tx_detail(spark, table).collect()[0]
+    assert r2["num_rows"] in (20, None)
