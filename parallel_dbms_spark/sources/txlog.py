@@ -3759,8 +3759,10 @@ def tx_delete_where_mor(
 def tx_changes(
     spark: SparkSession,
     table: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_timestamp: float | None = None,
+    to_timestamp: float | None = None,
 ) -> DataFrame:
     """Row-level change feed for the commits in ``(from_version,
     to_version]`` — the Delta Change Data Feed re-derived from the log
@@ -3798,6 +3800,25 @@ def tx_changes(
     versions = log_versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits under {table}")
+    # wall-clock bounds (Delta's startingTimestamp/endingTimestamp on
+    # table_changes): resolved against IN-COMMIT timestamps — the feed
+    # starts at the first commit at-or-after ``from_timestamp``
+    # (exclusive lower bound is the prior version) and ends at the
+    # newest commit at-or-before ``to_timestamp``
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass from_version OR from_timestamp, not both"
+            )
+        from_version = version_on_or_after_timestamp(
+            table, from_timestamp
+        ) - 1
+    if from_version is None:
+        raise ValueError("tx_changes needs from_version or from_timestamp")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp, not both")
+        to_version = version_at_timestamp(table, to_timestamp)
     if from_version < versions[0] and not (
         from_version == 0 and versions[0] == 1
     ):
@@ -4593,7 +4614,10 @@ def tx_optimize(
     raise TxConflict(f"optimize on {table} lost {max_retries} straight races")
 
 
-def tx_restore(table: str, to_version: int) -> int:
+def tx_restore(
+    table: str, to_version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
     """RESTORE the table to an earlier version as one NEW commit
     (Delta's RESTORE semantics): history is never rewritten — the
     restore itself is versioned, auditable, and re-restorable.
@@ -4618,7 +4642,17 @@ def tx_restore(table: str, to_version: int) -> int:
     it had landed just after. :func:`tx_vacuum` keeps every
     commit-referenced file, so the target's files still exist unless
     the log itself was truncated (checked; raises FileNotFoundError).
+
+    ``timestamp``: Delta's ``RESTORE ... TO TIMESTAMP AS OF`` —
+    resolved to the version live at that instant via in-commit
+    timestamps, then identical.
     """
+    if timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR timestamp, not both")
+        to_version = version_at_timestamp(table, timestamp)
+    if to_version is None:
+        raise ValueError("tx_restore needs to_version or timestamp")
     versions = log_versions(table)
     if to_version not in versions:
         raise ValueError(

@@ -81,3 +81,41 @@ def test_racing_writers_stay_monotone(spark, table):
     ]
     assert stamps == sorted(stamps)
     assert len(set(stamps)) == len(stamps)  # strictly increasing
+
+
+def test_timestamp_bounds_on_changes_and_restore(spark, table):
+    """tx_changes and tx_restore accept wall-clock bounds resolved
+    from in-commit timestamps (Delta's table_changes timestamps and
+    RESTORE TIMESTAMP AS OF)."""
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(_df(spark, [(2, "b")]), table)
+    txlog.tx_delete_where(spark, table, "k = 1")
+    ts = [
+        txlog.commit_timestamp(table, v)
+        for v in txlog.log_versions(table)
+    ]
+    # changes strictly after commit 1: commit 2's insert + 3's delete
+    ch = txlog.tx_changes(
+        spark, table, from_timestamp=(ts[0] + ts[1]) / 2
+    ).collect()
+    got = {(r.k, r._change_type, r._commit_version) for r in ch}
+    assert got == {(2, "insert", 2), (1, "delete", 3)}
+    # bounded above: only commit 2
+    ch2 = txlog.tx_changes(
+        spark, table,
+        from_timestamp=(ts[0] + ts[1]) / 2,
+        to_timestamp=(ts[1] + ts[2]) / 2,
+    ).collect()
+    assert {(r.k, r._change_type) for r in ch2} == {(2, "insert")}
+    with pytest.raises(ValueError, match="not both"):
+        txlog.tx_changes(
+            spark, table, from_version=1, from_timestamp=ts[0]
+        )
+    # RESTORE to the pre-delete instant
+    txlog.tx_restore(table, timestamp=(ts[1] + ts[2]) / 2)
+    got = {
+        r.k for r in txlog.read_snapshot(spark, table).collect()
+    }
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="needs"):
+        txlog.tx_restore(table)
