@@ -257,6 +257,8 @@ class TxLogInputPartition(InputPartition):
     arrow_schema: object = None  # pa.Schema (pickles); None = tuples
     row_filter: tuple = ()  # ((col, (want_str | None, ...)), ...)
     rename: tuple = ()  # ((physical, logical), ...) column mapping
+    row_base: tuple | None = None  # (base_row_id, commit_version)
+    row_ids: bool = False  # serve _row_id/_row_commit_version
 
 
 def _parse_partition_filter(options, table: str):
@@ -585,6 +587,13 @@ class TxLogStreamReader(DataSourceStreamReader):
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
         self.fields = tuple(f.name for f in schema.fields)
+        # `.option("withRowIds", "true")`: the serve schema (from
+        # DataSource.schema) already carries the two row-tracking
+        # columns; partitions ship each replayed file's base so the
+        # executor derives ids exactly like the batch face
+        self.row_ids = (
+            str(options.get("withrowids", "false")).lower() == "true"
+        )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(schema)
@@ -645,11 +654,27 @@ class TxLogStreamReader(DataSourceStreamReader):
             schema_pin=self._map_v,
         )
         ren = self._rename
+        bases: dict = {}
+        if self.row_ids:
+            # the replayed commits' own base records (not the snapshot
+            # map: the stream replays commit contents even for files a
+            # later commit removed)
+            for v in txlog.log_versions(self.table):
+                if lo < v <= hi:
+                    bases.update(
+                        txlog.read_commit(self.table, v).get(
+                            "base_row_id", {}
+                        )
+                    )
         if not self.pfilter:
             return [
                 TxLogInputPartition(
                     self.table, rel, self.fields, self._arrow_schema,
                     rename=ren,
+                    row_base=(
+                        tuple(bases[rel]) if rel in bases else None
+                    ),
+                    row_ids=self.row_ids,
                 )
                 for rel in rels
             ]
@@ -675,6 +700,10 @@ class TxLogStreamReader(DataSourceStreamReader):
                     self.table, rel, self.fields, self._arrow_schema,
                     () if verdict else self.row_filter,
                     rename=ren,
+                    row_base=(
+                        tuple(bases[rel]) if rel in bases else None
+                    ),
+                    row_ids=self.row_ids,
                 )
             )
         return out
@@ -687,6 +716,8 @@ class TxLogStreamReader(DataSourceStreamReader):
             partition.arrow_schema,
             row_filter=partition.row_filter,
             rename=partition.rename,
+            row_base=partition.row_base,
+            row_ids=partition.row_ids,
         )
 
     def commit(self, end):
@@ -1508,6 +1539,12 @@ class TxLogDataSource(DataSource):
         return TxLogStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema: T.StructType):
+        if self._row_ids():
+            raise ValueError(
+                "withRowIds requires the partition-planned stream face "
+                "(drop simple=true); the by-value face serves rows "
+                "without per-file provenance"
+            )
         return TxLogSimpleStreamReader(self.options, schema)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):

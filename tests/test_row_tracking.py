@@ -253,6 +253,44 @@ def test_ds_batch_face_serves_row_ids(spark, table):
         ).load().collect()
 
 
+def test_stream_face_serves_row_ids(spark, table, tmp_path):
+    """readStream.format("txlog").option("withRowIds"): streamed rows
+    carry the same _row_id/_row_commit_version the snapshot serves —
+    including pre-enable files, whose bases replay from the enabling
+    commit's backfill map. The by-value simple face rejects the option
+    (no per-file provenance there)."""
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    _seed(spark, table, n=6)
+    txlog.tx_append(_df(spark, [(10, "x"), (11, "y")]), table)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", table).option("withRowIds", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == _rows(spark, table)
+    with pytest.raises(Exception, match="partition-planned"):
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table).option("simple", "true")
+            .option("withRowIds", "true").load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o2"))
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+
 def test_streamed_appends_get_row_ids(spark, table, tmp_path):
     """The native streaming sink publishes through txlog.commit, so
     the hook assigns bases to streamed files too — ingest arrives
