@@ -304,10 +304,12 @@ def _apply_dvs(df: DataFrame, table: str, dvs: dict) -> DataFrame:
     ).select(*cols)
 
 
-def _tagged_scan(reader, table: str, files: list[str], dvs: dict) -> DataFrame:
+def _tagged_scan(reader, table: str, files: list[str], dvs: dict,
+                 serve_version: int | None = None) -> DataFrame:
     """Raw scan of ``files`` with ``__rel``/``__pos`` provenance tags
     (resolved off ``_metadata`` BEFORE any projection hides it) and
-    deletion vectors already excluded."""
+    deletion vectors already excluded. ``serve_version`` pins the
+    column-mapping resolution (time-travel reads)."""
     from pyspark.sql import functions as F
 
     df = reader.parquet(*[os.path.join(table, f) for f in files]).select(
@@ -322,7 +324,7 @@ def _tagged_scan(reader, table: str, files: list[str], dvs: dict) -> DataFrame:
         pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
         excl = spark.createDataFrame(pairs, "__rel string, __pos long")
         df = df.join(F.broadcast(excl), ["__rel", "__pos"], "left_anti")
-    return _serve_logical(df, table)
+    return _serve_logical(df, table, serve_version)
 
 
 def snapshot_stats(table: str, version: int | None = None) -> dict:
@@ -976,15 +978,22 @@ def tx_enable_row_tracking(table: str, max_retries: int = 8) -> int:
             return parent  # idempotent
         wm = row_id_watermark(table)
         _, live = snapshot_files(table, parent)
+        live_set = set(live)
         added_at: dict = {}
-        start = 0
-        for c in range(parent, 0, -1):  # which commit added each file
-            if all(f in added_at for f in live):
+        # which SURVIVING commit added each live file — walk the
+        # surviving log only (tx_expire_versions may have truncated
+        # the prefix; files added below the horizon fall back to the
+        # enabling commit's own version), newest first, stopping as
+        # soon as every live file is attributed
+        missing = len(live_set)
+        for c in reversed(log_versions(table)):
+            if missing == 0:
                 break
             rec = read_commit(table, c)
             for f in rec["added"]:
-                if f in live and f not in added_at:
+                if f in live_set and f not in added_at:
                     added_at[f] = c
+                    missing -= 1
         base: dict = {}
         for f in sorted(live):
             n = pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
@@ -2679,6 +2688,16 @@ def tx_append(
             # the assigned columns' footer stats carry the new
             # watermark out of the staged files for free
             stats_cols = sorted(set(stats_cols or []) | set(ident_assigned))
+            if table_constraints(table) or table_generated_columns(table):
+                # the assignment expression is NONDETERMINISTIC
+                # (monotonically_increasing_id): constraint/generated
+                # enforcement runs its own job before staging, and two
+                # evaluations could disagree — validating values that
+                # never land. Pin ONE evaluation (executor-local
+                # materialization, no driver funnel) for the
+                # correctness-sensitive case; plain appends stay
+                # single-evaluation lazy.
+                df = df.localCheckpoint()
     # declared CLUSTERING columns ride every append's stats
     # automatically (one footer read per staged file) — the table
     # stays skippable on its access pattern with no per-call args
@@ -3084,9 +3103,14 @@ def tx_detail(
         os.path.getsize(os.path.join(table, f)) for f in files
     )
     stats = snapshot_stats(table, v)
-    known = [stats[f]["n"] for f in files if f in stats]
-    n_rows = sum(known) if len(known) == len(files) else None
     dvs = snapshot_dvs(table, v)
+    known = [stats[f]["n"] for f in files if f in stats]
+    # LOGICAL row count: physical footer counts minus rows deletion
+    # vectors hide; honestly NULL when any live file lacks stats
+    n_rows = (
+        sum(known) - sum(len(p) for p in dvs.values())
+        if len(known) == len(files) else None
+    )
     cm = table_column_mapping(table, v)
     schema = _schema_at(table, v)
     row = (
@@ -3306,26 +3330,16 @@ def read_snapshot(
         return df
     reader = _data_reader(spark, table, schema, mv, row_ids=with_row_ids)
     if with_row_ids:
-        from pyspark.sql import functions as F
-
-        df = reader.parquet(
-            *[os.path.join(table, f) for f in files]
-        ).select(
-            "*",
-            _rel_expr(table).alias("__rel"),
-            F.col("_metadata.row_index").alias("__pos"),
+        df = _materialize_row_ids(
+            _tagged_scan(
+                reader, table, files, snapshot_dvs(table, v),
+                serve_version=mv,
+            ),
+            table, v,
         )
-        dvs = snapshot_dvs(table, v)
-        dv = {f: p for f, p in dvs.items() if f in set(files)}
-        if dv:
-            pairs = [(f, int(p)) for f, pos in dv.items() for p in pos]
-            excl = spark.createDataFrame(pairs, "__rel string, __pos long")
-            df = df.join(F.broadcast(excl), ["__rel", "__pos"], "left_anti")
-        df = _materialize_row_ids(df, table, v)
         df = df.withColumnRenamed(_ROW_ID_COL, "_row_id").withColumnRenamed(
             _ROW_COMMIT_COL, "_row_commit_version"
         ).drop("__rel", "__pos")
-        df = _serve_logical(df, table, mv)
     else:
         df = reader.parquet(*[os.path.join(table, f) for f in files])
         df = _apply_dvs(df, table, snapshot_dvs(table, v))
@@ -4043,6 +4057,15 @@ def tx_merge_upsert(
         parent, files = snapshot_files(table)
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
+        if table_identity(table) != ids_map:
+            # a set/drop-identity raced the merge (the identity-vs-
+            # identity conflict class sent us back here): regenerating
+            # under the stale declaration would resurrect a dropped
+            # generator or miss a new one — same guard as tx_append
+            raise ValueError(
+                f"identity declarations on {table} changed while this "
+                "merge ran; re-run the merge"
+            )
         ident_wm = identity_watermark(table)
         tbl_cols = {f.name for f in schema.fields} if schema else set()
         gen_cols = sorted(
@@ -4069,6 +4092,11 @@ def tx_merge_upsert(
                         + F.monotonically_increasing_id() * F.lit(step)
                     ).cast("long"),
                 )
+            if gen_cols:
+                # pin ONE evaluation of the nondeterministic assignment
+                # — constraint validation, staging, and the CDC image
+                # are separate jobs and must all see the same ids
+                eff_source = eff_source.localCheckpoint()
             # CHECK constraints validate the COMPLETED source (they may
             # reference the identity column), re-run per attempt so a
             # constraint commit winning a race never lets
@@ -4161,6 +4189,10 @@ def tx_merge_upsert(
                         ).cast("long"),
                     ),
                 ).drop(f"__tgt_{c}")
+            # pin ONE evaluation of the nondeterministic assignment —
+            # constraint validation, data staging, and the CDC image
+            # are separate jobs and must all see the same ids
+            eff_source = eff_source.localCheckpoint()
         # CHECK constraints validate the COMPLETED source, re-run per
         # attempt so a constraint commit winning a race never lets
         # stale-validated rows land
@@ -4881,9 +4913,15 @@ def tx_clone(
                 {
                     "row_tracking": True,
                     "row_id_watermark": row_id_watermark(src, v),
-                    # ids carry verbatim; the commit-version half
-                    # re-stamps to 1 — the clone's own history starts
-                    # here (source versions mean nothing in it)
+                    # ids carry VERBATIM (stability is the feature);
+                    # the commit-version half re-stamps to 1 for
+                    # base-derived rows. Files the source REWROTE carry
+                    # materialized __row_commit values that win on
+                    # read, so their rows serve SOURCE-history version
+                    # numbers — read them as "modified no later than
+                    # the clone", not as clone versions (the zero-copy
+                    # trade; Delta's alternative is dropping row
+                    # tracking from clones entirely, losing the ids)
                     "base_row_id": {
                         rel_map[f]: [b[0], 1]
                         for f, b in snapshot_base_row_ids(src, v).items()

@@ -656,9 +656,13 @@ class TxLogStreamReader(DataSourceStreamReader):
         ren = self._rename
         bases: dict = {}
         if self.row_ids:
-            # the replayed commits' own base records (not the snapshot
-            # map: the stream replays commit contents even for files a
-            # later commit removed)
+            # base resolution must not depend on trigger pacing: the
+            # snapshot replay AT hi covers every live file (including
+            # pre-enable files whose bases live in the enabling
+            # commit's backfill map, which may be OUTSIDE this batch's
+            # range), and the replayed commits' own records then
+            # overlay files a later commit already removed
+            bases = dict(txlog.snapshot_base_row_ids(self.table, hi))
             for v in txlog.log_versions(self.table):
                 if lo < v <= hi:
                     bases.update(

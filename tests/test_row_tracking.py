@@ -147,6 +147,19 @@ def test_clone_carries_ids_and_generator(spark, table, tmp_path):
     txlog.tx_append(_df(spark, [(99, "c")]), dst)
     now = _rows(spark, dst)
     assert len({v[0] for v in now.values()}) == len(now)
+    # a source REWRITE before cloning materializes ids into the files:
+    # the clone keeps the ids verbatim (stability is the contract);
+    # materialized commit versions read as source-history stamps,
+    # "modified no later than the clone" (documented zero-copy trade)
+    txlog.tx_compact(spark, table, num_files=1)
+    src_head = txlog.log_versions(table)[-1]
+    dst2 = str(tmp_path / "clone2")
+    txlog.tx_clone(table, dst2)
+    c2 = _rows(spark, dst2)
+    assert {k: v[0] for k, v in c2.items()} == {
+        k: v[0] for k, v in base.items()
+    }
+    assert all(v[1] <= src_head for v in c2.values())
 
 
 def test_checkpoint_folds_row_tracking_planes(spark, table):

@@ -128,6 +128,7 @@ def test_stream_partitions_one_per_file_no_driver_transit(spark, table):
     # expected Arrow schema (kilobytes) — never row data
     assert {f for p in parts for f in vars(p)} == {
         "table", "rel", "fields", "arrow_schema", "row_filter", "rename",
+        "row_base", "row_ids",
     }
     # the executor-side read of all partitions reconstructs the batch
     # (Arrow RecordBatches on the fast path — normalize to tuples)
