@@ -437,6 +437,12 @@ def main():
             "split_value_pure_vectorized": "2M rows x 12 groups ~1.3s",
             "column_mapping_resolution": "memoized per (table, head)",
             "dedup_spans_cut": "3.05-3.36s across runs, noise",
+            "cms_sketch": "+0.3s by design: md5 cell placement pinned "
+                          "for the DuckDB oracle (xxhash64 stays the "
+                          "scale default)",
+            "commit_hooks": "identity/row-tracking/in-commit-ts hooks "
+                            "cost nothing measurable: lake append "
+                            "0.549->0.473s vs r9",
         },
     }
     # The driver captures only a byte-limited TAIL of stdout and parses
