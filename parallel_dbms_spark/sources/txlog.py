@@ -4577,6 +4577,7 @@ def tx_optimize(
     min_files: int = 2,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """INCREMENTAL compaction (Delta's OPTIMIZE bin-packing, not the
     full-table rewrite): select only the live files smaller than
@@ -4599,9 +4600,43 @@ def tx_optimize(
     conflicts and this retries from a fresh snapshot; racing appends
     commute. Returns (version, files_replaced) — (current, 0) when
     fewer than ``min_files`` qualify and no vectors need folding.
+
+    ``partition_filter``: Delta's ``OPTIMIZE ... WHERE`` on the
+    incremental path — only files PROVABLY pure on the requested
+    partitions are candidates (same strict scoping as
+    ``tx_compact(partition_filter=)``). This is the compaction a
+    streaming ingest actually runs continuously: bin-pack TODAY's
+    partition's small-file tail without ever touching the rest.
     """
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
+        if partition_filter:
+            declared = set(table_partition_by(table))
+            unknown = sorted(set(partition_filter) - declared)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter column(s) {unknown} are not "
+                    f"partition columns of {table} "
+                    f"(declared: {sorted(declared) or 'none'})"
+                )
+            pv = snapshot_pv(table)
+            want = {
+                c: {
+                    _pv_str(x)
+                    for x in (
+                        v if isinstance(v, (list, tuple, set)) else [v]
+                    )
+                }
+                for c, v in partition_filter.items()
+            }
+            files = [
+                f
+                for f in files
+                if f in pv
+                and all(
+                    c in pv[f] and pv[f][c] in w for c, w in want.items()
+                )
+            ]
         dvs = snapshot_dvs(table)
         small = [
             f

@@ -2621,3 +2621,43 @@ def test_describe_detail_summarizes_every_metadata_plane(spark, table):
     txlog.tx_compact(spark, table, num_files=1)
     r2 = txlog.tx_detail(spark, table).collect()[0]
     assert r2["num_rows"] in (20, None)
+
+
+def test_partition_scoped_incremental_optimize(spark, table):
+    """tx_optimize(partition_filter=): only the requested partition's
+    small files bin-pack; other partitions stay live byte-identical
+    (Delta's OPTIMIZE ... WHERE on the incremental path)."""
+    for i in range(3):  # small-file tail in both partitions
+        txlog.tx_append(
+            spark.createDataFrame(
+                [(10 * i + j, "ab"[j % 2]) for j in range(4)],
+                "k long, g string",
+            ),
+            table, partition_by=["g"],
+        )
+    before = set(txlog.snapshot_files(table)[1])
+    pv = txlog.snapshot_pv(table)
+    a_files = {f for f in before if pv.get(f, {}).get("g") == "a"}
+    b_files = before - a_files
+    v, n = txlog.tx_optimize(
+        spark, table, target_file_bytes=1 << 30,
+        partition_filter={"g": "a"},
+    )
+    assert n == len(a_files) and n >= 2
+    after = set(txlog.snapshot_files(table)[1])
+    assert b_files <= after, "other partition untouched"
+    assert not (a_files & after), "scoped files replaced"
+    # rewritten files re-record their partition values: pruning holds
+    kept = txlog.prune_partition_files(
+        table, sorted(after), {"g": "a"}
+    )
+    assert 0 < len(kept) < len(after)
+    got = sorted(
+        (r.k, r.g)
+        for r in txlog.read_snapshot(spark, table).collect()
+    )
+    assert got == sorted(
+        (10 * i + j, "ab"[j % 2]) for i in range(3) for j in range(4)
+    )
+    with pytest.raises(ValueError, match="not partition columns"):
+        txlog.tx_optimize(spark, table, partition_filter={"k": 1})
