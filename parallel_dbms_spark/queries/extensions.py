@@ -343,7 +343,10 @@ def sim_bruteforce_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
-@register("sim_ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+@register(
+    "sim_ann_lsh_topk", oracle=None,
+    tags=("similarity", "lsh", "pandas_udf"),
+)
 def sim_ann_lsh_topk(spark, sf_dir):
     # Rows-only: bucket membership depends on our hyperplane PRNG.
     # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
@@ -355,7 +358,10 @@ def sim_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, nbits=6, num_tables=16)
 
 
-@register("sim_ivf_topk", oracle=None, tags=("similarity", "ivf"))
+@register(
+    "sim_ivf_topk", oracle=None,
+    tags=("similarity", "ivf", "pandas_udf"),
+)
 def sim_ivf_topk(spark, sf_dir):
     # IVF(Flat) ANN: k-means coarse cells + nprobe probing. Rows-only:
     # cell assignment depends on our deterministic seeding/Lloyd steps.
@@ -384,7 +390,10 @@ def embedding_cosine_neardup(spark, sf_dir):
     return pairs.filter(F.col("cos") >= 0.9)
 
 
-@register("embedding_neardup_lsh", oracle=None, tags=("similarity", "dedup", "lsh"))
+@register(
+    "embedding_neardup_lsh", oracle=None,
+    tags=("similarity", "dedup", "lsh", "pandas_udf"),
+)
 def embedding_neardup_lsh(spark, sf_dir):
     # The scale path for near-dup pairs: bucket-join candidates (no
     # all-pairs), exact cosine verify on candidates only. Rows-only;
@@ -398,7 +407,11 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_semantic", oracle=None, tags=("similarity", "dedup", "semantic"))
+@register(
+    "dedup_semantic",
+    oracle=None,
+    tags=("similarity", "dedup", "semantic", "pandas_udf"),
+)
 def dedup_semantic(spark, sf_dir):
     # SemDeDup (arXiv:2303.09540): k-means cluster the embeddings, then
     # greedy within-cluster cosine pruning — drops documents that are
@@ -1266,7 +1279,10 @@ def sim_mmr_rank1(spark, sf_dir):
     return out.filter(F.col("rank") == 1)
 
 
-@register("sim_pq_topk", oracle=None, tags=("similarity", "pq"))
+@register(
+    "sim_pq_topk", oracle=None,
+    tags=("similarity", "pq", "pandas_udf"),
+)
 def sim_pq_topk(spark, sf_dir):
     # PQ/ADC ANN: 16-subspace product-quantized codes scanned with
     # per-query lookup tables, exact re-rank of the short list.
@@ -1329,7 +1345,10 @@ def pipeline_hybrid_retrieval(spark, sf_dir):
     )
 
 
-@register("text_compression_ratio", oracle=None, tags=("text", "quality"))
+@register(
+    "text_compression_ratio", oracle=None,
+    tags=("text", "quality", "pandas_udf"),
+)
 def text_compression_ratio(spark, sf_dir):
     # Rows-only, verified unconvertible (round 10): DuckDB 1.0 exposes
     # NO compression function at the SQL layer (checked against

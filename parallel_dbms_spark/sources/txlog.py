@@ -2378,6 +2378,23 @@ def commit(
                 f"version {v} advanced an identity watermark this "
                 "commit also records; re-read and retry"
             )
+        if "identity_watermark" in rec and not rec["added"] and (
+            theirs["added"]
+        ):
+            # scan-vs-append (symmetric to constraints-vs-added): a
+            # metadata-only watermark commit (set_identity/sync scanned
+            # the column max; rename/drop/restore carried the map
+            # forward) raced a plain append. Writer-supplied BY DEFAULT
+            # values in the interleaved rows can exceed the scanned
+            # max WITHOUT recording a watermark of their own — the
+            # generator-vs-generator check above never fires, and the
+            # stale watermark would let the generator re-issue the
+            # racer's values. The loser re-reads and retries (every
+            # caller recomputes its map from the fresh snapshot).
+            raise TxConflict(
+                f"version {v} added rows after our watermark "
+                "read; re-scan and retry"
+            )
         if schema_json and "schema" in theirs and not _schema_eq(
             theirs["schema"], schema_json
         ):
@@ -3168,8 +3185,15 @@ def version_at_timestamp(table: str, ts: float) -> int:
     for v in log_versions(table):
         if commit_timestamp(table, v) <= ts:
             best = v
-        else:
-            break  # commits land in version order; timestamps follow
+        elif read_commit(table, v).get("ts") is not None:
+            # in-commit timestamps are monotone by construction, so
+            # every later commit is strictly newer — safe to stop.
+            # An MTIME-resolved commit is not: rsync/cp of the log
+            # sets pre-feature commits' mtimes to copy time, LARGER
+            # than later in-commit stamps — breaking there would hide
+            # every newer ts-carrying commit from timestamp travel,
+            # so mtime misses keep scanning instead.
+            break
     if best is None:
         raise ValueError(
             f"no commit of {table} at-or-before timestamp {ts} "
@@ -4135,9 +4159,10 @@ def tx_merge_upsert(
             except TxConflict:
                 continue
         # row tracking: survivor rows of rewritten files carry their
-        # materialized ids; matched rows are REPLACED by source rows
-        # and mint fresh ids (Delta's default merge semantics — an
-        # upsert's new image is a new row version)
+        # materialized ids; matched rows KEEP the target row's id
+        # (joined in by merge key at staging below — an upsert is an
+        # UPDATE of the same logical row) with __row_commit re-stamped
+        # to this commit; only unmatched inserts mint fresh ids
         rt = table_row_tracking(table)
         reader = _data_reader(spark, table, schema, row_ids=rt)
         dvs = snapshot_dvs(table)
@@ -4214,7 +4239,32 @@ def tx_merge_upsert(
             [f.name for f in schema.fields] if schema is not None
             else eff_source.columns
         )
-        a, p = _stage_for(eff_source.select(*tgt_cols), table)
+        stage_src = eff_source.select(*tgt_cols)
+        if rt and hit_rels:
+            # row tracking under MERGE (Delta's stable-id contract): a
+            # matched key's upsert UPDATES the same logical row, so the
+            # source row inherits the target's materialized _row_id —
+            # one key->id lookup bounded by the hit files, the same
+            # pattern as the __tgt_ identity lookup above. __row_commit
+            # stages as NULL so the read path re-stamps it from this
+            # commit's base map (the merge IS the row's current image).
+            # Unmatched inserts stay NULL/NULL and resolve to fresh
+            # base+pos ids like any appended row.
+            tgt_ids = (
+                _materialize_row_ids(
+                    _tagged_scan(reader, table, hit_rels, dvs), table
+                )
+                .join(src_keys, keys, "left_semi")
+                .groupBy(*keys)
+                .agg(F.max(_ROW_ID_COL).alias("__tgt_rid"))
+            )
+            stage_src = (
+                stage_src.join(tgt_ids, keys, "left")
+                .withColumn(_ROW_ID_COL, F.col("__tgt_rid").cast("long"))
+                .withColumn(_ROW_COMMIT_COL, F.lit(None).cast("long"))
+                .drop("__tgt_rid")
+            )
+        a, p = _stage_for(stage_src, table)
         added += a
         pv.update(p or {})
         stats = (
@@ -4607,7 +4657,19 @@ def tx_optimize(
     ``tx_compact(partition_filter=)``). This is the compaction a
     streaming ingest actually runs continuously: bin-pack TODAY's
     partition's small-file tail without ever touching the rest.
+
+    A declared ``CLUSTER BY`` is the table's standing OPTIMIZE order
+    here too (same default as ``tx_compact``): the bin-packed output
+    is z-clustered on the declared columns and their stats ride the
+    commit — otherwise the continuous compaction behind a streaming
+    ingest would gradually strip both the clustered layout and the
+    skipping stats from the very tail it rewrites. Cost is a sort of
+    ONLY the selected small files' rows, not the table.
     """
+    cluster_by = table_cluster_by(table)
+    eff_stats_cols = stats_cols
+    if cluster_by:
+        eff_stats_cols = sorted(set(stats_cols or []) | set(cluster_by))
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
         if partition_filter:
@@ -4653,22 +4715,29 @@ def tx_optimize(
         rt = table_row_tracking(table)
         reader = _data_reader(spark, table, schema, row_ids=rt)
         if rt:
-            packed = _materialize_row_ids(
+            live_df = _materialize_row_ids(
                 _tagged_scan(
                     reader, table, small,
                     {f: p for f, p in dvs.items() if f in set(small)},
                 ),
                 table,
-            ).drop("__rel", "__pos").coalesce(int(n_out))
+            ).drop("__rel", "__pos")
         else:
-            packed = _serve_logical(_apply_dvs(
+            live_df = _serve_logical(_apply_dvs(
                 reader.parquet(*[os.path.join(table, f) for f in small]),
                 table,
                 {f: p for f, p in dvs.items() if f in set(small)},
-            ), table).coalesce(int(n_out))
+            ), table)
+        if cluster_by:
+            from .lake import z_cluster
+
+            packed = z_cluster(live_df, cluster_by, num_files=int(n_out))
+        else:
+            packed = live_df.coalesce(int(n_out))
         added, pv = _stage_for(packed, table)
         stats = (
-            collect_file_stats(table, added, stats_cols) if stats_cols else None
+            collect_file_stats(table, added, eff_stats_cols)
+            if eff_stats_cols else None
         )
         try:
             v = commit(

@@ -316,3 +316,36 @@ def test_concurrent_generating_appends_never_collide(spark, table):
     ids = _ids(spark, table)
     assert len(ids) == 7
     assert len(set(ids)) == 7
+
+
+def test_watermark_scan_conflicts_with_racing_plain_append(spark, table):
+    """The scan-vs-append conflict class: set_identity/SYNC read the
+    column max, then commit a metadata-only watermark. A plain append
+    with writer-supplied BY DEFAULT values that lands BETWEEN the scan
+    and the commit records no watermark of its own — without this
+    conflict the stale watermark would land and the generator could
+    re-issue the racer's values. The loser must re-scan."""
+    _seed(spark, table, always=False)
+    parent = txlog.log_versions(table)[-1]
+    wm = dict(txlog.identity_watermark(table))
+    # the racer: a plain append with a writer-supplied id beyond the
+    # scanned max, carrying NO identity_watermark record
+    txlog.tx_append(_df(spark, [(10**6, "racer")]), table)
+    assert "identity_watermark" not in txlog.read_commit(
+        table, txlog.log_versions(table)[-1]
+    )
+    # the stale metadata-only watermark commit loses the race
+    with pytest.raises(txlog.TxConflict):
+        txlog.commit(
+            table, "identity_sync", [], [], parent,
+            meta={"identity_watermark": wm},
+        )
+    # the public retry loop resolves it: SYNC re-scans and lands past
+    # the racer's value
+    txlog.tx_identity_sync(spark, table)
+    assert txlog.identity_watermark(table)["id"] == 10**6
+    txlog.tx_append(
+        spark.createDataFrame([("fresh",)], "s string"), table
+    )
+    ids = _ids(spark, table)
+    assert len(set(ids)) == len(ids) and max(ids) > 10**6

@@ -119,3 +119,31 @@ def test_timestamp_bounds_on_changes_and_restore(spark, table):
     assert got == {1, 2}
     with pytest.raises(ValueError, match="needs"):
         txlog.tx_restore(table)
+
+
+def test_mixed_history_mangled_prefeature_mtimes_stay_reachable(spark, table):
+    """Mixed history: pre-feature commits (no in-commit ts) resolve by
+    mtime. After an rsync/cp their mtimes become COPY time — larger
+    than every later in-commit stamp. Resolution must not stop at the
+    first too-new mtime: the newer ts-carrying commits stay reachable
+    for TIMESTAMP AS OF (this is exactly the scenario in-commit
+    timestamps exist for)."""
+    import json
+
+    txlog.tx_append(_df(spark, [(1, "a")]), table)
+    txlog.tx_append(_df(spark, [(2, "b")]), table)
+    txlog.tx_append(_df(spark, [(3, "c")]), table)
+    ts3 = txlog.commit_timestamp(table, 3)
+    # strip v1/v2 to pre-feature records, then "rsync" them: mtime ->
+    # far future, larger than every in-commit stamp
+    for v in (1, 2):
+        p = txlog._commit_path(table, v)
+        with open(p) as fh:
+            rec = json.load(fh)
+        rec.pop("ts", None)
+        with open(p, "w") as fh:
+            json.dump(rec, fh)
+        os.utime(p, (2**31 - 1, 2**31 - 1))
+    assert txlog.version_at_timestamp(table, ts3 + 1) == 3
+    rows = txlog.read_snapshot(spark, table, timestamp=ts3 + 1).collect()
+    assert {r.k for r in rows} == {1, 2, 3}

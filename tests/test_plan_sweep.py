@@ -33,4 +33,10 @@ def test_no_cartesian_and_no_row_python(spark, name):
     )
     if "pandas_udf" not in spec.tags:
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
-        assert "ArrowEvalPython" not in plan or True  # Arrow-batched is acceptable
+        # Arrow-batched stages are fine WHERE DECLARED — a query that
+        # needs one carries the pandas_udf tag. An undeclared one means
+        # a built-in-expressible step silently left codegen.
+        assert "ArrowEvalPython" not in plan, (
+            f"{name} has an undeclared Arrow-UDF stage; express it with "
+            "built-ins or tag the query pandas_udf"
+        )

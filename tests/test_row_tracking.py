@@ -114,6 +114,34 @@ def test_mor_delete_and_merge(spark, table):
         "merge survivors keep identity"
     )
     assert now[100][1] == mv
+    # the MATCHED key is an UPDATE of the same logical row: its id is
+    # the target's, its commit version re-stamps to the merge
+    assert now[3][0] == base[3][0], "upsert never re-mints a row's id"
+    assert now[3][1] == mv
+    assert now[100][0] not in {v[0] for v in base.values()}
+
+
+def test_merge_matched_rows_inherit_target_ids(spark, table):
+    """Delta's row-tracking contract under MERGE: matched keys keep
+    the target row's _row_id (an upsert is an UPDATE, not
+    delete+insert) with _row_commit_version re-stamped to the merge;
+    only unmatched inserts mint fresh ids. Consumers keying
+    incremental logic on _row_id must not see matched upserts churn."""
+    _seed(spark, table)
+    base = _rows(spark, table)
+    src = _df(spark, [(2, "up2"), (5, "up5"), (200, "ins")])
+    mv, rewritten = txlog.tx_merge_upsert(spark, table, src, ["k"])
+    assert rewritten >= 1
+    now = _rows(spark, table)
+    for k in (2, 5):
+        assert now[k][0] == base[k][0], f"matched k={k} changed _row_id"
+        assert now[k][1] == mv
+    assert now[200][0] not in {v[0] for v in base.values()}
+    assert len({v[0] for v in now.values()}) == len(now)
+    # a second merge over the SAME keys still serves the original ids
+    mv2, _ = txlog.tx_merge_upsert(spark, table, _df(spark, [(2, "again")]), ["k"])
+    after = _rows(spark, table)
+    assert after[2][0] == base[2][0] and after[2][1] == mv2
 
 
 def test_time_travel_and_restore_serve_exact_ids(spark, table):

@@ -2661,3 +2661,46 @@ def test_partition_scoped_incremental_optimize(spark, table):
     )
     with pytest.raises(ValueError, match="not partition columns"):
         txlog.tx_optimize(spark, table, partition_filter={"k": 1})
+
+
+def test_incremental_optimize_honors_declared_clustering(spark, tmp_path):
+    """tx_optimize on a CLUSTER BY table: the bin-packed output is
+    z-clustered on the declared columns and carries their stats — the
+    continuous small-file compaction behind a streaming ingest must
+    not strip the clustered layout/skipping the declaration promises
+    (tx_compact and tx_append already defaulted this way)."""
+    t = str(tmp_path / "cbo")
+    txlog.tx_append(
+        spark.createDataFrame([(0, 0, 0)], "k long, x long, y long"), t
+    )
+    txlog.tx_set_cluster_by(t, ["x", "y"])
+    # a small-file tail, as a streaming sink would leave: each file
+    # covers the FULL x/y range, so nothing skips before re-layout
+    for j in range(16):
+        txlog.tx_append(
+            spark.createDataFrame(
+                [(j * 250 + i, (i * 37) % 100, (i * 61) % 100)
+                 for i in range(250)],
+                "k long, x long, y long",
+            ).coalesce(1),
+            t,
+        )
+    _, files = txlog.snapshot_files(t)
+    total = sum(os.path.getsize(os.path.join(t, f)) for f in files)
+    # target ~ total/8: every tail file (~total/16) qualifies, and the
+    # bin-pack emits ~8 outputs — enough granularity to prove layout
+    v, replaced = txlog.tx_optimize(spark, t, target_file_bytes=total // 8)
+    assert replaced >= 16
+    _, after = txlog.snapshot_files(t)
+    st = txlog.snapshot_stats(t)
+    assert len(after) > 1
+    assert all({"x", "y"} <= set(st[f].get("c", {})) for f in after), (
+        "optimize output lost the clustering columns' stats"
+    )
+    # the layout is z-clustered, not arbitrary coalescing: a tight
+    # x-range opens strictly fewer files than live, losslessly
+    df, n_read, n_total = txlog.tx_read_skipping(spark, t, "x", lo=0, hi=9)
+    assert n_total == len(after) and n_read < n_total, (n_read, n_total)
+    assert df.filter("x between 0 and 9").count() == (
+        txlog.read_snapshot(spark, t).filter("x between 0 and 9").count()
+    )
