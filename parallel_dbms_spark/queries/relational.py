@@ -6513,3 +6513,90 @@ def lake_tx_generated_partition(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "lake_sql_lifecycle",
+    oracle="""WITH base AS (
+                SELECT o_orderkey AS okey,
+                       o_orderstatus AS status,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+              SELECT status, COUNT(*) AS n,
+                     CAST(SUM(cents + CASE WHEN okey % 100 = 0
+                                           THEN 7 ELSE 0 END)
+                          AS BIGINT) AS cents
+              FROM base WHERE status IN ('F', 'O')
+              GROUP BY status""",
+    tags=("lake", "sql", "ddl", "acid", "versioned", "column-mapping",
+          "constraints", "metadata", "vacuum", "retention", "groupby"),
+)
+def lake_sql_lifecycle(spark, sf_dir):
+    # The WHOLE lake lifecycle through the SQL door (sources/tx_sql.py
+    # — the reference's only entry point is a SQL string,
+    # /root/reference/src/main.cpp:719-794): CREATE/INSERT SELECT, ADD
+    # CONSTRAINT, two RENAME COLUMNs (asserted metadata-only, with the
+    # constraint re-bound), an append under the NEW names, UPDATE and
+    # DELETE, VERSION AS OF time travel (asserted in-query), CLUSTER
+    # BY + OPTIMIZE (clustering stats asserted on the rewritten
+    # output), a retention-GUARDED vacuum (24 h reclaims nothing — the
+    # optimize's tombstones are fresh) then a zero-retention vacuum,
+    # and DESCRIBE DETAIL — every statement a SQL string, every effect
+    # graded relationally by the oracle on the surviving rows.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.tx_sql import tx_sql
+
+    d = tempfile.mkdtemp(prefix="lake_sql_")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.createOrReplaceTempView("__lake_sql_src")
+
+    def run(s):
+        return tx_sql(spark, s, base_dir=d)
+
+    run("CREATE TABLE t (okey BIGINT, o_orderstatus STRING, cents BIGINT)")
+    run("INSERT INTO t SELECT okey, o_orderstatus, cents "
+        "FROM __lake_sql_src WHERE okey % 2 = 0")
+    run("ALTER TABLE t ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+    t = d + "/t"
+    files_before = set(txlog.snapshot_files(t)[1])
+    run("ALTER TABLE t RENAME COLUMN o_orderstatus TO status")
+    run("ALTER TABLE t RENAME COLUMN cents TO price_cents")
+    assert set(txlog.snapshot_files(t)[1]) == files_before, (
+        "SQL rename must be metadata-only"
+    )
+    assert txlog.table_constraints(t) == {"cents_pos": "price_cents >= 0"}
+    run("INSERT INTO t SELECT okey, o_orderstatus AS status, "
+        "cents AS price_cents FROM __lake_sql_src WHERE okey % 2 = 1")
+    v_full, n_full = txlog.log_versions(t)[-1], o.count()
+    run("UPDATE t SET price_cents = price_cents + 7 WHERE okey % 100 = 0")
+    run("DELETE FROM t WHERE status NOT IN ('F', 'O')")
+    # time travel through the SQL door: the pre-update snapshot is whole
+    tt = run(
+        f"SELECT COUNT(*) AS n FROM t VERSION AS OF {v_full}"
+    ).collect()[0]["n"]
+    assert tt == n_full, (tt, n_full)
+    run("ALTER TABLE t CLUSTER BY (price_cents)")
+    run("OPTIMIZE t")
+    st = txlog.snapshot_stats(t)
+    _, files = txlog.snapshot_files(t)
+    assert files and all(
+        "price_cents" in st[f].get("c", {}) for f in files
+    ), "SQL OPTIMIZE must carry the declared clustering stats"
+    # retention guard: the optimize's tombstones are FRESH — a guarded
+    # vacuum reclaims nothing, only zero-retention does
+    guarded = run("VACUUM t RETAIN 24.0 HOURS").collect()[0]["info"]
+    assert guarded == "0 files removed", guarded
+    run("VACUUM t RETAIN 0.0 HOURS")
+    det = run("DESCRIBE DETAIL t").collect()[0]
+    assert det["num_files"] == len(files)
+    return run(
+        "SELECT status, COUNT(*) AS n, "
+        "CAST(SUM(price_cents) AS BIGINT) AS cents "
+        "FROM t GROUP BY status"
+    )

@@ -13,6 +13,7 @@ from .lake import (
     write_sorted_export,
     write_version,
 )
+from .tx_sql import is_lake_statement, tx_sql
 from .typed_csv import read_typed_csv, register_typed_csv_dir, write_typed_csv
 from .typed_csv_ds import TypedCSVDataSource, register_typed_csv
 
@@ -32,6 +33,8 @@ __all__ = [
     "TypedCSVDataSource",
     "register_typed_csv_dir",
     "sorted_export_file_order",
+    "is_lake_statement",
+    "tx_sql",
     "update_manifest",
     "write_bucketed_table",
     "write_sorted_export",

@@ -1,0 +1,451 @@
+"""SQL surface for the transactional lake — ``tx_sql(spark, sql)``.
+
+The reference engine's ONLY entry point is a SQL string
+(/root/reference/src/main.cpp:719-794); this repo's lake operations
+(rename/drop column, constraints, identity, OPTIMIZE, VACUUM,
+RESTORE, DESCRIBE DETAIL/HISTORY, ...) were Python-API-only. This
+module routes the standard lakehouse DDL/DML dialect (Delta's SQL
+surface, re-expressed) to the :mod:`txlog` API, so a user can drive
+the whole table lifecycle through the SQL door:
+
+    CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
+    INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
+    UPDATE t SET v = expr WHERE pred
+    DELETE FROM t WHERE pred
+    ALTER TABLE t RENAME COLUMN a TO b
+    ALTER TABLE t DROP COLUMN a
+    ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
+    ALTER TABLE t DROP CONSTRAINT name
+    ALTER TABLE t CLUSTER BY (a, b) | CLUSTER BY NONE
+    ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
+    ALTER TABLE t ALTER COLUMN c SET GENERATED {ALWAYS | BY DEFAULT}
+        AS IDENTITY [(START WITH n [INCREMENT BY n])]
+    ALTER TABLE t ALTER COLUMN c SYNC IDENTITY | DROP IDENTITY
+    ALTER TABLE t SET TBLPROPERTIES ('delta.enableRowTracking'='true')
+    OPTIMIZE t [WHERE col = v [AND ...]] [ZORDER BY (a, b)] [FULL]
+    VACUUM t [RETAIN n HOURS]
+    RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
+    DESCRIBE DETAIL t | DESCRIBE HISTORY t
+    SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+
+Table identifiers resolve against ``base_dir`` (a bare name is a
+subdirectory holding a ``_txlog/``); a backtick-quoted identifier is
+taken as a literal path — Delta's ``delta.`/path``` convention
+without the scheme. SELECT statements register every referenced
+lake table as a snapshot-isolated temp view (time-travel suffixes
+rewritten per-reference) and then run through ``spark.sql`` —
+Catalyst plans the query exactly as it would any DataFrame read, so
+pushdown/pruning/skipping behavior is identical to the Python API.
+
+Every statement is ONE dispatcher pass: parsing is regex-anchored on
+the statement head, the heavy lifting stays in txlog (same conflict
+rules, same O(files) metadata costs) — the SQL layer adds no
+driver-side data movement at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import txlog
+
+_IDENT = r"(`[^`]+`|[A-Za-z_][\w./-]*)"
+_WS = r"\s+"
+
+
+def _path(ident: str, base_dir: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1]
+    if os.path.isabs(ident):
+        return ident
+    return os.path.join(base_dir, ident)
+
+
+def _is_lake_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, txlog.TXLOG))
+
+
+def _result(spark: SparkSession, op: str, table: str, version,
+            info: str = "") -> DataFrame:
+    """Uniform one-row result frame for operation statements."""
+    return spark.createDataFrame(
+        [(op, table, None if version is None else int(version), info)],
+        "op string, table string, version long, info string",
+    )
+
+
+def _literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
+
+
+def _split_cols(s: str) -> list[str]:
+    return [c.strip().strip("`") for c in s.split(",") if c.strip()]
+
+
+def _parse_partition_where(s: str) -> dict:
+    """``col = v AND col2 IN (a, b)`` -> {col: v, col2: [a, b]} for
+    txlog's partition_filter (equality/IN only — the strict scoping
+    OPTIMIZE WHERE promises)."""
+    out: dict = {}
+    for clause in re.split(r"(?i)\s+AND\s+", s.strip()):
+        m = re.fullmatch(
+            rf"{_IDENT}\s*=\s*('[^']*'|[\w.+-]+)", clause.strip()
+        )
+        if m:
+            out[m.group(1).strip("`")] = _literal(m.group(2))
+            continue
+        m = re.fullmatch(
+            rf"{_IDENT}\s+IN\s*\(([^)]*)\)", clause.strip(),
+            flags=re.IGNORECASE,
+        )
+        if m:
+            out[m.group(1).strip("`")] = [
+                _literal(x) for x in m.group(2).split(",")
+            ]
+            continue
+        raise ValueError(
+            f"OPTIMIZE/partition WHERE supports only `col = value` and "
+            f"`col IN (...)` conjunctions, got: {clause!r}"
+        )
+    return out
+
+
+def _register_lake_views(
+    spark: SparkSession, sql: str, base_dir: str
+) -> str:
+    """Rewrite every ``FROM/JOIN <lake-table> [VERSION AS OF n |
+    TIMESTAMP AS OF 'ts']`` reference to a snapshot temp view and
+    return the rewritten SQL. Non-lake identifiers (already-registered
+    views, subqueries) pass through untouched."""
+    pat = re.compile(
+        rf"(?i)\b(FROM|JOIN){_WS}{_IDENT}"
+        rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+        rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?"
+    )
+    counter = [0]
+
+    def sub(m: re.Match) -> str:
+        ident = m.group(2)
+        path = _path(ident, base_dir)
+        if not _is_lake_table(path):
+            return m.group(0)
+        version = int(m.group(3)) if m.group(3) else None
+        ts = m.group(4)
+        kw: dict = {}
+        if version is not None:
+            kw["version"] = version
+        elif ts:
+            import datetime as _dt
+
+            kw["timestamp"] = _dt.datetime.fromisoformat(ts).timestamp()
+        counter[0] += 1
+        view = f"__tx_{counter[0]}_{os.path.basename(path)}".replace(
+            "-", "_"
+        ).replace(".", "_")
+        txlog.read_snapshot(spark, path, **kw).createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    return pat.sub(sub, sql)
+
+
+def tx_sql(
+    spark: SparkSession, sql: str, base_dir: str = "."
+) -> DataFrame:
+    """Execute one lake SQL statement (see module docstring for the
+    dialect). Operation statements return a one-row frame
+    ``(op, table, version, info)``; DESCRIBE and SELECT return their
+    natural frames."""
+    s = sql.strip().rstrip(";").strip()
+
+    # ---------------- CREATE TABLE ----------------
+    m = re.match(
+        rf"(?is)^CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
+        rf"{_IDENT}\s*\((.*?)\)"
+        rf"(?:{_WS}CLUSTER{_WS}BY\s*\(([^)]*)\))?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        if_not_exists = re.search(rf"(?i)IF{_WS}NOT{_WS}EXISTS", s) is not None
+        if _is_lake_table(path):
+            if if_not_exists:
+                return _result(spark, "create_table", path,
+                               txlog.log_versions(path)[-1], "exists")
+            raise ValueError(f"table already exists: {path}")
+        empty = spark.createDataFrame([], m.group(2))
+        v = txlog.tx_append(empty, path)
+        if m.group(3):
+            v = txlog.tx_set_cluster_by(path, _split_cols(m.group(3)))
+        return _result(spark, "create_table", path, v,
+                       empty.schema.simpleString())
+
+    # ---------------- INSERT INTO ----------------
+    m = re.match(
+        rf"(?is)^INSERT{_WS}INTO{_WS}{_IDENT}"
+        rf"(?:\s*\(([^)]*)\))?{_WS}(VALUES\b.*|SELECT\b.*)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        cols = _split_cols(m.group(2)) if m.group(2) else None
+        body = m.group(3).strip()
+        if body.upper().startswith("VALUES"):
+            if cols is None:
+                schema = txlog.table_schema(path)
+                if schema is None:
+                    raise ValueError(
+                        f"INSERT without a column list needs an existing "
+                        f"table schema under {path}"
+                    )
+                cols = schema.fieldNames()
+            df = spark.sql(
+                f"SELECT * FROM ({body}) AS _ins({', '.join(cols)})"
+            )
+        else:
+            df = spark.sql(_register_lake_views(spark, body, base_dir))
+            if cols:
+                df = df.toDF(*cols)
+        schema = txlog.table_schema(path)
+        if schema is not None:
+            # align VALUES literal types (int -> declared bigint etc.)
+            from pyspark.sql import functions as F
+
+            want = {f.name: f.dataType for f in schema.fields}
+            df = df.select(*[
+                F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                for c in df.columns
+            ])
+        v = txlog.tx_append(df, path)
+        return _result(spark, "insert", path, v, f"{len(df.columns)} cols")
+
+    # ---------------- UPDATE / DELETE ----------------
+    m = re.match(
+        rf"(?is)^UPDATE{_WS}{_IDENT}{_WS}SET{_WS}(.*?){_WS}WHERE{_WS}(.*)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        assignments: dict[str, str] = {}
+        for part in m.group(2).split(","):
+            col, _, expr = part.partition("=")
+            if not expr:
+                raise ValueError(f"bad SET clause: {part!r}")
+            assignments[col.strip().strip("`")] = expr.strip()
+        v, n = txlog.tx_update_where(spark, path, m.group(3), assignments)
+        return _result(spark, "update", path, v, f"{n} files rewritten")
+
+    m = re.match(
+        rf"(?is)^DELETE{_WS}FROM{_WS}{_IDENT}{_WS}WHERE{_WS}(.*)$", s
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        v, n = txlog.tx_delete_where(spark, path, m.group(2))
+        return _result(spark, "delete", path, v, f"{n} files rewritten")
+
+    # ---------------- ALTER TABLE ----------------
+    m = re.match(rf"(?is)^ALTER{_WS}TABLE{_WS}{_IDENT}{_WS}(.*)$", s)
+    if m:
+        path = _path(m.group(1), base_dir)
+        rest = m.group(2).strip()
+
+        m2 = re.match(
+            rf"(?is)^RENAME{_WS}COLUMN{_WS}{_IDENT}{_WS}TO{_WS}{_IDENT}$",
+            rest,
+        )
+        if m2:
+            v = txlog.tx_rename_column(
+                spark, path, m2.group(1).strip("`"), m2.group(2).strip("`")
+            )
+            return _result(spark, "rename_column", path, v,
+                           f"{m2.group(1)} -> {m2.group(2)}")
+
+        m2 = re.match(rf"(?is)^DROP{_WS}COLUMN{_WS}{_IDENT}$", rest)
+        if m2:
+            v = txlog.tx_drop_column(spark, path, m2.group(1).strip("`"))
+            return _result(spark, "drop_column", path, v, m2.group(1))
+
+        m2 = re.match(
+            rf"(?is)^ADD{_WS}CONSTRAINT{_WS}{_IDENT}{_WS}CHECK\s*"
+            rf"\((.*)\)$",
+            rest,
+        )
+        if m2:
+            v = txlog.tx_set_constraint(
+                spark, path, m2.group(1).strip("`"), m2.group(2)
+            )
+            return _result(spark, "add_constraint", path, v, m2.group(2))
+
+        m2 = re.match(rf"(?is)^DROP{_WS}CONSTRAINT{_WS}{_IDENT}$", rest)
+        if m2:
+            v = txlog.tx_drop_constraint(path, m2.group(1).strip("`"))
+            return _result(spark, "drop_constraint", path, v, m2.group(1))
+
+        m2 = re.match(rf"(?is)^CLUSTER{_WS}BY{_WS}NONE$", rest)
+        if m2:
+            v = txlog.tx_set_cluster_by(path, [])
+            return _result(spark, "cluster_by", path, v, "NONE")
+        m2 = re.match(rf"(?is)^CLUSTER{_WS}BY\s*\(([^)]*)\)$", rest)
+        if m2:
+            cols = _split_cols(m2.group(1))
+            v = txlog.tx_set_cluster_by(path, cols)
+            return _result(spark, "cluster_by", path, v, ", ".join(cols))
+
+        m2 = re.match(
+            rf"(?is)^SET{_WS}TBLPROPERTIES\s*\((.*)\)$", rest
+        )
+        if m2:
+            props = dict(
+                (k.strip().strip("'\""), v.strip().strip("'\""))
+                for k, _, v in (
+                    p.partition("=") for p in m2.group(1).split(",")
+                )
+            )
+            rt = props.get("delta.enableRowTracking", "").lower()
+            if rt == "true":
+                v = txlog.tx_enable_row_tracking(path)
+                return _result(spark, "set_tblproperties", path, v,
+                               "row tracking enabled")
+            raise ValueError(
+                f"unsupported TBLPROPERTIES {sorted(props)} — supported: "
+                "'delta.enableRowTracking'='true'"
+            )
+
+        m2 = re.match(
+            rf"(?is)^ALTER{_WS}COLUMN{_WS}{_IDENT}{_WS}(.*)$", rest
+        )
+        if m2:
+            col, action = m2.group(1).strip("`"), m2.group(2).strip()
+            m3 = re.match(
+                rf"(?is)^SET{_WS}GENERATED{_WS}"
+                rf"(ALWAYS|BY{_WS}DEFAULT){_WS}AS{_WS}IDENTITY"
+                rf"(?:\s*\(\s*START{_WS}WITH{_WS}(-?\d+)"
+                rf"(?:{_WS}INCREMENT{_WS}BY{_WS}(-?\d+))?\s*\))?$",
+                action,
+            )
+            if m3:
+                always = m3.group(1).upper() == "ALWAYS"
+                start = int(m3.group(2)) if m3.group(2) else 1
+                step = int(m3.group(3)) if m3.group(3) else 1
+                v = txlog.tx_set_identity(
+                    spark, path, col, start=start, step=step, always=always
+                )
+                return _result(
+                    spark, "set_identity", path, v,
+                    f"{col} START {start} STEP {step} "
+                    f"{'ALWAYS' if always else 'BY DEFAULT'}",
+                )
+            if re.match(rf"(?is)^SYNC{_WS}IDENTITY$", action):
+                v = txlog.tx_identity_sync(spark, path, col)
+                return _result(spark, "sync_identity", path, v, col)
+            if re.match(rf"(?is)^DROP{_WS}IDENTITY$", action):
+                v = txlog.tx_drop_identity(path, col)
+                return _result(spark, "drop_identity", path, v, col)
+            m3 = re.match(rf"(?is)^SET{_WS}DEFAULT{_WS}(.*)$", action)
+            if m3:
+                v = txlog.tx_set_default(path, col, m3.group(1))
+                return _result(spark, "set_default", path, v,
+                               f"{col} = {m3.group(1)}")
+            if re.match(rf"(?is)^DROP{_WS}DEFAULT$", action):
+                v = txlog.tx_drop_default(path, col)
+                return _result(spark, "drop_default", path, v, col)
+            raise ValueError(f"unsupported ALTER COLUMN action: {action!r}")
+
+        raise ValueError(f"unsupported ALTER TABLE statement: {rest!r}")
+
+    # ---------------- OPTIMIZE ----------------
+    m = re.match(
+        rf"(?is)^OPTIMIZE{_WS}{_IDENT}"
+        rf"(?:{_WS}WHERE{_WS}(.*?))?"
+        rf"(?:{_WS}ZORDER{_WS}BY\s*\(([^)]*)\))?"
+        rf"({_WS}FULL)?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        pf = _parse_partition_where(m.group(2)) if m.group(2) else None
+        zorder = _split_cols(m.group(3)) if m.group(3) else None
+        full = bool(m.group(4))
+        if zorder or full:
+            # explicit ZORDER BY (or FULL) = the full rewrite of the
+            # selected scope, tx_compact's OPTIMIZE-ZORDER
+            v, n = txlog.tx_compact(
+                spark, path, num_files=8, zorder_by=zorder,
+                partition_filter=pf,
+            )
+            return _result(spark, "optimize_zorder", path, v,
+                           f"{n} files rewritten")
+        v, n = txlog.tx_optimize(spark, path, partition_filter=pf)
+        return _result(spark, "optimize", path, v, f"{n} files packed")
+
+    # ---------------- VACUUM ----------------
+    m = re.match(
+        rf"(?is)^VACUUM{_WS}{_IDENT}"
+        rf"(?:{_WS}RETAIN{_WS}([\d.]+){_WS}HOURS)?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        hours = float(m.group(2)) if m.group(2) else 24.0
+        removed = txlog.tx_vacuum(path, retention_seconds=hours * 3600.0)
+        return _result(spark, "vacuum", path, None,
+                       f"{len(removed)} files removed")
+
+    # ---------------- RESTORE ----------------
+    m = re.match(
+        rf"(?is)^RESTORE{_WS}(?:TABLE{_WS})?{_IDENT}{_WS}(?:TO{_WS})?"
+        rf"(?:VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+        rf"|TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        if m.group(2):
+            v = txlog.tx_restore(path, int(m.group(2)))
+        else:
+            import datetime as _dt
+
+            v = txlog.tx_restore(
+                path,
+                timestamp=_dt.datetime.fromisoformat(
+                    m.group(3)
+                ).timestamp(),
+            )
+        return _result(spark, "restore", path, v, s.split(None, 1)[1])
+
+    # ---------------- DESCRIBE ----------------
+    m = re.match(rf"(?is)^DESCRIBE{_WS}DETAIL{_WS}{_IDENT}$", s)
+    if m:
+        return txlog.tx_detail(spark, _path(m.group(1), base_dir))
+    m = re.match(rf"(?is)^DESCRIBE{_WS}HISTORY{_WS}{_IDENT}$", s)
+    if m:
+        return txlog.tx_history(spark, _path(m.group(1), base_dir))
+
+    # ---------------- SELECT (incl. time travel) ----------------
+    if re.match(r"(?is)^(SELECT|WITH)\b", s):
+        return spark.sql(_register_lake_views(spark, s, base_dir))
+
+    raise ValueError(f"unsupported lake SQL statement: {sql!r}")
+
+
+def is_lake_statement(sql: str) -> bool:
+    """Whether ``tx_sql`` (vs a plain ``spark.sql``) should run this
+    statement — the CLI's routing predicate."""
+    return bool(re.match(
+        r"(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|UPDATE\s|DELETE\s+FROM|"
+        r"ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
+        r"DESCRIBE\s+(DETAIL|HISTORY))\b",
+        sql,
+    ))

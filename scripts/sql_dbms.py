@@ -31,6 +31,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split a script on ';' outside single-quoted strings — the CLI
+    accepts a whole session's statements in one invocation (one JVM),
+    executed in order; the LAST result is the one spooled to CSV."""
+    out, cur, in_str = [], [], False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--explain"]
     explain = "--explain" in sys.argv[1:]
@@ -43,21 +60,45 @@ def main():
     csv_dir, sql = argv[0], argv[1]
 
     from parallel_dbms_spark.session import get_spark
-    from parallel_dbms_spark.sources import register_typed_csv_dir, write_typed_csv
+    from parallel_dbms_spark.sources import (
+        is_lake_statement,
+        register_typed_csv_dir,
+        tx_sql,
+        write_typed_csv,
+    )
 
     spark = get_spark(app_name="sql_dbms")
-    tables = register_typed_csv_dir(spark, csv_dir)
-    if not tables:
-        print(f"no *.csv tables found in {csv_dir}", file=sys.stderr)
-        sys.exit(1)
-    print(f"registered tables: {', '.join(sorted(tables))}")
+    statements = [st.strip() for st in _split_statements(sql) if st.strip()]
+    csv_registered = False
+    result = None
+    for st in statements:
+        if is_lake_statement(st):
+            # lake DDL/DML (ALTER/OPTIMIZE/VACUUM/RESTORE/DESCRIBE/...):
+            # table names resolve against <dir> as transactional-table
+            # directories — the same single entry point the reference
+            # has, extended to the lakehouse surface
+            result = tx_sql(spark, st, base_dir=csv_dir)
+        else:
+            if not csv_registered:
+                tables = register_typed_csv_dir(spark, csv_dir)
+                csv_registered = True
+                if tables:
+                    print(
+                        f"registered tables: {', '.join(sorted(tables))}"
+                    )
+            from parallel_dbms_spark.sources.tx_sql import (
+                _register_lake_views,
+            )
 
-    result = spark.sql(sql)
-    if explain:
-        from parallel_dbms_spark.plans import formatted_plan
+            result = spark.sql(_register_lake_views(spark, st, csv_dir))
+        if explain:
+            from parallel_dbms_spark.plans import formatted_plan
 
-        print(formatted_plan(result))
-    result.show(50, truncate=False)
+            print(formatted_plan(result))
+        result.show(50, truncate=False)
+    if result is None:
+        print("no statement to run", file=sys.stderr)
+        sys.exit(2)
 
     out_dir = os.path.join(os.getcwd(), "output")
     os.makedirs(out_dir, exist_ok=True)

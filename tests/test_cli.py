@@ -42,3 +42,42 @@ def test_cli_explain_prints_physical_plan(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Physical Plan" in proc.stdout
     assert "PushedFilters" in proc.stdout  # filter reached the scan
+
+
+def test_cli_lake_sql_roundtrip_rename_append_prune(tmp_path):
+    """The lake lifecycle purely through the SQL door, one CLI
+    invocation (one JVM): create a partitioned-by-proxy table, rename
+    a column (metadata-only), append under the NEW name, prune with a
+    filter, and DESCRIBE DETAIL — the reference's single entry point
+    (src/main.cpp:719-794) extended to the lakehouse surface."""
+    script = "; ".join([
+        "CREATE TABLE t (k BIGINT, x BIGINT, v STRING) CLUSTER BY (x)",
+        "INSERT INTO t VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')",
+        "ALTER TABLE t ADD CONSTRAINT xpos CHECK (x >= 0)",
+        "ALTER TABLE t RENAME COLUMN x TO meters",
+        "INSERT INTO t (k, meters, v) VALUES (4, 40, 'd')",
+        "OPTIMIZE t",
+        "DESCRIBE DETAIL t",
+        "SELECT k, meters FROM t WHERE meters >= 20 ORDER BY k",
+    ])
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "sql_dbms.py"),
+         str(tmp_path / "lake"), script],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    for op in ("create_table", "insert", "add_constraint",
+               "rename_column", "optimize"):
+        assert op in out, f"{op} missing from CLI output\n{out[-2000:]}"
+    # the final SELECT served the renamed column and the filter
+    assert "meters" in out
+    for row in ("|2  |20", "|3  |30", "|4  |40"):
+        assert row in out, out[-2000:]
+    assert "|1  |10" not in out
+    # the last result spooled as typed-header CSV (reference sink shape)
+    parts = glob.glob(str(tmp_path / "output" / "query_result.csv" / "*.csv"))
+    assert parts
+    lines = open(parts[0]).read().splitlines()
+    assert lines[0].split(",")[0].startswith("k (")
+    assert [ln.split(",")[0] for ln in lines[1:4]] == ["2", "3", "4"]
