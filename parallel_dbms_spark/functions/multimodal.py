@@ -270,29 +270,50 @@ def audio_window_energy(
     binary in via Arrow batches, ONE output row per (doc, window) —
     the fan-out happens executor-side inside mapInPandas, and window
     count scales with payload size, never with driver memory.
+
+    Besides the float ``rms``, every window carries an INTEGER
+    ``energy`` — the sum of squared samples on the pre-normalized
+    lattice (stub: ``byte - 128``; WAV: the int16 values, recovered
+    exactly since /32768 is a power-of-two scale). Integer energy is
+    bit-equal across engines, which is what lets the registry row
+    value-hash against a DuckDB oracle (rms's sqrt stays the
+    float twin for audio consumers).
     """
-    out_schema = "doc_id bigint, window_idx int, n_samples int, rms double"
+    out_schema = (
+        "doc_id bigint, window_idx int, n_samples int, rms double, "
+        "energy bigint"
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, widx, nb, rms = [], [], [], []
+            ids, widx, nb, rms, energy = [], [], [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if use_stub:
                     buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                     sig = buf.astype(np.float64) - 128.0
+                    lattice = sig
                 else:
                     samples, _rate = decode_wav(bytes(payload))
                     sig = samples.mean(axis=1)  # downmix to mono
+                    lattice = np.rint(sig * 32768.0)
                 if len(sig) == 0:
                     continue
                 for w in range(0, len(sig), frame_bytes):
                     chunk = sig[w : w + frame_bytes]
+                    lat = lattice[w : w + frame_bytes]
                     ids.append(did)
                     widx.append(w // frame_bytes)
                     nb.append(len(chunk))
                     rms.append(float(np.sqrt((chunk * chunk).mean())))
+                    energy.append(int((lat * lat).sum()))
             yield pd.DataFrame(
-                {"doc_id": ids, "window_idx": widx, "n_samples": nb, "rms": rms}
+                {
+                    "doc_id": ids,
+                    "window_idx": widx,
+                    "n_samples": nb,
+                    "rms": rms,
+                    "energy": energy,
+                }
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)

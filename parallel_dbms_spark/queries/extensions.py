@@ -1379,13 +1379,40 @@ def lang_id_confusion(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_energy", oracle=None, tags=("multimodal", "audio"))
+@register(
+    "multimodal_audio_energy",
+    oracle="""WITH c AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ''), 1) - 1
+                         AS pos,
+                       unnest([unicode(ch)
+                               for ch in string_split(text, '')]) AS cp
+                FROM documents),
+                   f AS (
+                SELECT doc_id, CAST(pos // 256 AS INTEGER) AS window_idx,
+                       cp - 128 AS s
+                FROM c)
+              SELECT doc_id, window_idx,
+                     CAST(COUNT(*) AS INTEGER) AS n_samples,
+                     CAST(SUM(s * s) AS BIGINT) AS energy
+              FROM f GROUP BY 1, 2""",
+    tags=("multimodal", "audio", "pandas_udf"),
+)
 def multimodal_audio_energy(spark, sf_dir):
-    # Audio framing plumbing over the binary column (decode stubbed —
-    # documented in functions/multimodal.py). Rows-only; windowing
-    # invariants are pytest-asserted.
+    # The REAL audio framing operator (functions/multimodal.
+    # audio_window_energy — binary payload in via Arrow batches,
+    # executor-side windowing inside mapInPandas), now value-hashed:
+    # each window's integer ``energy`` (sum of squared centered
+    # samples on the pre-normalized lattice) is bit-equal math DuckDB
+    # replays from the documents' codepoints (ASCII fixture: codepoint
+    # == payload byte — the same contract multimodal_pcm_energy pins).
+    # The float rms column stays on the function for audio consumers;
+    # this row selects the integer contract. Converted round 11 (was
+    # rows-only).
     mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
-    return multimodal.audio_window_energy(mm, frame_bytes=256)
+    return multimodal.audio_window_energy(mm, frame_bytes=256).select(
+        "doc_id", "window_idx", "n_samples", "energy"
+    )
 
 
 @register(
@@ -1734,6 +1761,75 @@ def text_normalize_unicode(spark, sf_dir):
     # default (fullwidth/ligature folds; no SQL twin exists) keeps its
     # planted-string pytest coverage in test_corpus_quality.py.
     return text.normalize_unicode(_docs(spark, sf_dir), form="NFC")
+
+
+# A PINNED, well-ordered merge list (every merge's components are
+# single characters or the product of an EARLIER merge — the property
+# real learned BPE has by construction, and the property that makes
+# greedy rank-priority encoding equal to applying each merge
+# exhaustively in rank order).
+_BPE_PINNED = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("in", "g"),
+    ("ing", "</w>"), ("a", "n"), ("an", "d"), ("and", "</w>"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("s", "</w>"), ("e", "</w>"),
+]
+
+
+def _bpe_apply_oracle(merges) -> str:
+    # DuckDB replay of the greedy BPE encoder: each word becomes a
+    # chr(2)<sym>chr(3)-wrapped symbol string (delimiters can't
+    # overlap, so replace() is exactly the leftmost non-overlapping
+    # merge), each merge is one sequential replace in rank order, then
+    # the wrappers fold into the '|'-joined token string.
+    r = (
+        "array_to_string(list_transform(string_split(w, ''), "
+        "c -> chr(2) || c || chr(3)), '') || chr(2) || '</w>' || chr(3)"
+    )
+    for a, b in merges:
+        r = (
+            f"replace({r}, chr(2) || '{a}' || chr(3) || "
+            f"chr(2) || '{b}' || chr(3), chr(2) || '{a}{b}' || chr(3))"
+        )
+    return rf"""WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\s+'), x -> x <> '') AS words
+  FROM documents),
+     r AS (SELECT doc_id, list_transform(words, w -> {r}) AS reprs FROM w)
+SELECT doc_id,
+       array_to_string(list_transform(reprs,
+         s -> replace(replace(replace(s, chr(3) || chr(2), '|'),
+                              chr(2), ''), chr(3), '')), '|') AS tokens,
+       CAST(coalesce(list_sum(list_transform(reprs,
+         s -> length(s) - length(replace(s, chr(2), '')))), 0)
+            AS INTEGER) AS n_bpe_tokens
+FROM r"""
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(_BPE_PINNED),
+    tags=("text", "tokenizer", "pandas_udf"),
+)
+def text_bpe_apply(spark, sf_dir):
+    # The BPE APPLY step under the driver's value-hash (round 11 —
+    # learning stays rows-only in text_bpe_tokens because merges are
+    # corpus-learned state; the ENCODER itself is deterministic given
+    # pinned merges): the real Arrow-batched greedy encoder
+    # (functions/bpe.apply_bpe, rank-priority merging with per-batch
+    # word memoization) runs with a fixed well-ordered merge list, and
+    # DuckDB replays it as sequential rank-ordered replaces on
+    # delimiter-wrapped symbol strings — the two are provably equal
+    # for well-ordered lists, so every token boundary of every word is
+    # hash-checked, not just the counts.
+    from ..functions import bpe
+
+    enc = bpe.apply_bpe(_docs(spark, sf_dir), _BPE_PINNED)
+    return enc.select(
+        "doc_id",
+        F.array_join("bpe_tokens", "|").alias("tokens"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+    )
 
 
 @register("text_bpe_tokens", oracle=None, tags=("text", "tokenizer", "pandas_udf"))

@@ -865,6 +865,13 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
         self.fields = [f.name for f in schema.fields]
+        # `.option("withRowIds", "true")` — face parity with the
+        # batch and partition-planned readers: by-value rows carry
+        # _row_id/_row_commit_version too (the serve schema already
+        # has them from DataSource.schema)
+        self.row_ids = (
+            str(options.get("withrowids", "false")).lower() == "true"
+        )
         # column mapping pinned at stream start (see _p2l_pairs)
         self._map_v = (txlog.log_versions(self.table) or [0])[-1]
         self._rename = _p2l_pairs(self.table, self._map_v or None)
@@ -887,6 +894,8 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
             schema_pin=self._map_v,
         )
         ren = self._rename
+        if self.row_ids:
+            return self._rows_with_ids(rels, lo, hi)
         if not self.pfilter:
             return list(
                 _rows_from_files(self.table, rels, self.fields, rename=ren)
@@ -932,6 +941,52 @@ class TxLogSimpleStreamReader(SimpleDataSourceStreamReader):
                 )
             )
         return rows
+
+    def _rows_with_ids(self, rels: list, lo: int, hi: int):
+        """Row-id serving for the by-value face: the same base
+        resolution as the partition-planned reader (snapshot replay AT
+        hi — pre-enable files' bases live in the enabling commit's
+        backfill map — overlaid by the replayed range's own records),
+        each file folded through _read_one_file's coalesce rule
+        (materialized __row_id wins, else base + position), with the
+        partition-filter verdict deciding prune / pure / backstop
+        exactly like the id-less path."""
+        bases = dict(txlog.snapshot_base_row_ids(self.table, hi))
+        for v in txlog.log_versions(self.table):
+            if lo < v <= hi:
+                bases.update(
+                    txlog.read_commit(self.table, v).get("base_row_id", {})
+                )
+        pv: dict = {}
+        if self.pfilter:
+            for v in txlog.log_versions(self.table):
+                if lo < v <= hi:
+                    pv.update(
+                        txlog.read_commit(self.table, v).get("pv", {})
+                    )
+            pv = txlog._pv_keys_to_logical(
+                self.table, pv, self._map_v or None
+            )
+        out: list = []
+        for rel in rels:
+            rf: tuple = ()
+            if self.pfilter:
+                verdict = _pv_matches(pv.get(rel), self.row_filter)
+                if verdict is False:
+                    continue
+                if verdict is not True:
+                    rf = self.row_filter
+            out.extend(
+                _read_one_file(
+                    self.table, rel, tuple(self.fields), None,
+                    row_filter=rf, rename=self._rename,
+                    row_base=(
+                        tuple(bases[rel]) if rel in bases else None
+                    ),
+                    row_ids=True,
+                )
+            )
+        return out
 
     def read(self, start):
         versions = txlog.log_versions(self.table)
@@ -1543,12 +1598,6 @@ class TxLogDataSource(DataSource):
         return TxLogStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema: T.StructType):
-        if self._row_ids():
-            raise ValueError(
-                "withRowIds requires the partition-planned stream face "
-                "(drop simple=true); the by-value face serves rows "
-                "without per-file provenance"
-            )
         return TxLogSimpleStreamReader(self.options, schema)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):

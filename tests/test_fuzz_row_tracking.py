@@ -117,6 +117,12 @@ def test_random_ops_never_change_a_surviving_rows_identity(
             for k, v in model.items():
                 if k != matched:
                     assert now[k] == v, (seed, op, k)
+            # the matched upsert is an UPDATE of the same logical row:
+            # id stable, commit re-stamped to the merge
+            assert now[matched][0] == model[matched][0], (
+                seed, "merge keeps matched id"
+            )
+            assert now[matched][1] == mv, (seed, op)
             for i, _g, _v in rows:
                 if i != matched:
                     assert now[i][0] not in ever_ids, (seed, "id reuse")

@@ -294,21 +294,28 @@ def test_ds_batch_face_serves_row_ids(spark, table):
         ).load().collect()
 
 
-def test_stream_face_serves_row_ids(spark, table, tmp_path):
+@pytest.mark.parametrize("simple", [False, True])
+def test_stream_face_serves_row_ids(spark, table, tmp_path, simple):
     """readStream.format("txlog").option("withRowIds"): streamed rows
     carry the same _row_id/_row_commit_version the snapshot serves —
     including pre-enable files, whose bases replay from the enabling
-    commit's backfill map. The by-value simple face rejects the option
-    (no per-file provenance there)."""
+    commit's backfill map. Both stream faces agree (the by-value
+    simple face resolves the same bases driver-side — face parity, so
+    a consumer switching faces never sees ids churn)."""
     from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
 
     register_txlog_source(spark)
     _seed(spark, table, n=6)
     txlog.tx_append(_df(spark, [(10, "x"), (11, "y")]), table)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
-    q = (
+    reader = (
         spark.readStream.format("txlog")
-        .option("path", table).option("withRowIds", "true").load()
+        .option("path", table).option("withRowIds", "true")
+    )
+    if simple:
+        reader = reader.option("simple", "true")
+    q = (
+        reader.load()
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()
@@ -319,17 +326,6 @@ def test_stream_face_serves_row_ids(spark, table, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == _rows(spark, table)
-    with pytest.raises(Exception, match="partition-planned"):
-        q = (
-            spark.readStream.format("txlog")
-            .option("path", table).option("simple", "true")
-            .option("withRowIds", "true").load()
-            .writeStream.format("parquet")
-            .option("path", str(tmp_path / "o2"))
-            .option("checkpointLocation", str(tmp_path / "c2"))
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
 
 
 def test_streamed_appends_get_row_ids(spark, table, tmp_path):
