@@ -106,7 +106,13 @@ def _minhash_oracle() -> str:
               FROM est WHERE est_jaccard >= 0.7"""
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
+@register(
+    "dedup_minhash_lsh", oracle=_minhash_oracle(),
+    # jaccard: the output IS the minhash-estimated Jaccard coefficient
+    # (est_jaccard = matches/32, thresholded) — the estimator twin of
+    # decontaminate_vs_benchmark's exact coefficient
+    tags=("dedup", "lsh", "jaccard"),
+)
 def dedup_minhash_lsh(spark, sf_dir):
     # MinHash LSH near-dup pairs, VALUE-HASH-CHECKED end to end: md5
     # token hashing (dedup._token_hash md5 mode) makes every stage —

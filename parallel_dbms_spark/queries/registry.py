@@ -39,88 +39,97 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-10 ROTATION (applied): all 50 r9 rows graded green, so the
-# window re-solves: 21 keepers = the exact-minimal set cover
+# ROUND-11 ROTATION (applied): all 50 r10 rows graded green, so the
+# window re-solves: 23 keepers = the exact-minimal set cover
 # (branch-and-bound, scripts/rotate_window.py) of the families no
-# never-graded oracled row carries, and 29 slots rotate to never-graded
+# never-graded oracled row carries, and 27 slots rotate to never-graded
 # rows — every incoming row oracle-verified at sf0.01 AND sf0.1 before
-# rotation. The keeper set shrank 32 -> 21 through (a) nine NEW
-# round-10 feature-proof rows carrying previously keeper-pinned
-# families (column mapping, Bloom point lookup, vacuum retention,
-# recursive forest rollup, band range-join, set intersection, gap
-# sessionization, vector label affinity, PCM window energy) and
-# (b) three tag-repaired extensions applied to BOTH engines:
-# decontaminate_vs_benchmark now scores an actual Jaccard coefficient
-# ('jaccard'), seasonal_profile_hourly gained the min/max half of the
-# profile quartet ('profiling'), and trend_slope_per_user gained exact
-# distributed NTILE(4) slope quartiles ('ntile').
-# Rotated out (graded history in CORRECTNESS_r0{2..9}.json):
-# dedup_ngram_jaccard, filter_pushdown_conj, join_bloom_prefilter,
-# event_transition_matrix, multimodal_frame_sample,
-# lake_tx_log_retention, sql_recursive_balance_paydown,
-# vector_centroid_drift, ... see git. New families pinned this round:
-# column-mapping, vacuum (tests/test_registry_window.py).
+# rotation, clearing the oracled-never-graded debt to ZERO. The keeper
+# count dropped 35 -> 23 through (a) the round-11 SQL-door row
+# lake_sql_lifecycle carrying nine previously keeper-pinned families
+# in one integration row (column-mapping, constraints, metadata,
+# vacuum, retention, versioned, identity, merge, row-tracking, bloom),
+# (b) the two new conversions multimodal_audio_energy ('multimodal')
+# and text_bpe_apply, and (c) four honest tag repairs verified against
+# the queries' actual semantics: dedup_minhash_lsh emits the
+# minhash-ESTIMATED Jaccard coefficient ('jaccard'),
+# lake_compact_roundtrip writes-and-grades its compacted output
+# ('sink'), categorical_drift_event_types materializes the cohorts'
+# distribution profiles ('profiling'), sample_k_per_group is top-N
+# per group via row_number <= k ('limit'), plus agg_percentile_cont
+# extended on BOTH engines with total-order NTILE(4) quartile mass
+# ('ntile').
+# Rotated out (graded history in CORRECTNESS_r*.json): lake_instant_
+# distinct, order_by_multikey, stream_tx_merge_upsert, tpch_q19_shape,
+# lake_tx_column_mapping, lake_tx_point_lookup_bloom,
+# lake_tx_vacuum_retention, lake_tx_identity_merge,
+# lake_tx_row_tracking, sql_recursive_forest_rollup, join_band_prices,
+# set_intersect_active_users, sessionize_gap_stats,
+# multimodal_pcm_energy, decontaminate_vs_benchmark, ... see git.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 21 keepers: exact-minimal set cover (branch-and-bound,
+    # --- 23 keepers: exact-minimal set cover (branch-and-bound,
     # scripts/rotate_window.py) of the families no never-graded
-    # oracled row carries (all graded green r2-r9) ---
+    # oracled row carries (all graded green r2-r10) ---
     "agg_two_stage_distinct",         # distinct + skew
-    "batch_session_window_native",    # session_window
+    "batch_session_window_native",    # session_window + streaming
     "er_resolve_parts",               # clustering + fuzzy
+    "event_transition_matrix",        # sessionize
+    "filter_pushdown_conj",           # filter + pushdown
+    "interval_overlap_sessions",      # range
     "join_theta_only",                # bnlj + theta
     "json_agg_by_type",               # functions + json
-    "lake_instant_distinct",          # metadata
-    "mv_txlog_ivm",                   # ivm + mv + rollup
-    "order_by_multikey",              # limit + sort
-    "pipeline_hybrid_retrieval",      # bm25 + search
+    "mv_txlog_ivm",                   # cdc + ivm + mv + rollup
+    "pipeline_hybrid_retrieval",      # bm25 + search + similarity
     "scan_project",                   # projection + scan
-    "scd2_pit_enrich",                # asof + scd2
-    "search_phrase",                  # phrase
-    "sql_nulls_ordering",             # null
+    "scd2_pit_enrich",                # asof + cdc + scd2
+    "search_phrase",                  # phrase + search
+    "set_except",                     # setop
+    "sql_nulls_ordering",             # null + sort
+    "sql_recursive_balance_paydown",  # recursive
     "stream_dq_report",               # dq + streaming
-    "stream_histogram_value",         # histogram + sketch
-    "stream_stream_left_outer",       # outer + watermark
-    "stream_tx_change_feed",          # cdc-feed
-    "stream_tx_merge_upsert",         # merge + sink
+    "stream_histogram_value",         # histogram + streaming
+    "stream_stream_left_outer",       # outer + streaming + watermark
+    "stream_tx_change_feed",          # cdc-feed + streaming
     "text_tfidf_topk",                # tfidf
-    "tpch_q19_shape",                 # filter + tpch
-    "tpch_q22_shape",                 # anti + subquery
-    # --- 29 first-time rows (never driver-graded; every one
-    # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
-    # round-10 feature proofs + family carriers
-    "lake_tx_column_mapping",         # column-mapping + constraints + partition
-    "lake_tx_point_lookup_bloom",     # bloom + pushdown
-    "lake_tx_vacuum_retention",       # retention + vacuum
-    "lake_tx_identity_merge",         # identity + merge
-    "lake_tx_row_tracking",           # row-tracking + versioned
-    "sql_recursive_forest_rollup",    # recursive + sql
-    "join_band_prices",               # range + join
-    "set_intersect_active_users",     # setop
-    "sessionize_gap_stats",           # sessionize + window
-    "vector_label_affinity",          # vectors + similarity
-    "multimodal_pcm_energy",          # multimodal
-    # round-10 tag-repaired extensions (jaccard coefficient, profile
-    # min/max, distributed ntile quartiles — extended on BOTH engines)
-    "decontaminate_vs_benchmark",     # dedup + jaccard
-    "seasonal_profile_hourly",        # timeseries + profiling
-    "trend_slope_per_user",           # aggregate + ntile
-    # round-9 conversions / additions (judge-verified green)
-    "lake_tx_partition_evolution",    # partition + versioned
-    "lake_tx_convert_import",         # source + acid
-    "timeseries_ewma_user_value",     # pandas_udf
-    "pipeline_shard_manifest",        # pipeline + data-skipping
-    "text_normalize_unicode",         # text + pandas_udf
-    "pack_sequences_2k",              # packing + pandas_udf
-    # older never-graded tail (judge-verified where noted in VERDICT)
-    "cdc_orders_diff",                # cdc
-    "lake_zorder_2d_skipping",        # data-skipping + zorder
-    "split_train_val_test",           # sampling + split
-    "lang_id_confusion",              # text + eval
-    "sql_group_by_all",               # sql + groupby
-    "event_sequence_match",           # cep + pattern
-    "corpus_mix_token_budget",        # sampling + mixing + window
-    "cohort_retention_weekly",        # cohort + join
-    "winsorize_prices",               # percentile + cleaning
+    "tpch_q22_shape",                 # anti + subquery + tpch
+    "vector_label_affinity",          # similarity + vectors
+    # --- 27 first-time rows (never driver-graded; every one
+    # oracle-verified at sf0.01 AND sf0.1 before rotation — this
+    # clears the oracled-never-graded debt to ZERO) ---
+    # round-11 feature proofs
+    "lake_sql_lifecycle",             # sql door: ddl + identity + merge
+                                      #  + row-tracking + bloom + vacuum
+                                      #  + retention + column-mapping
+                                      #  + constraints + metadata
+    "multimodal_audio_energy",        # multimodal + audio (mapInPandas)
+    "text_bpe_apply",                 # tokenizer (pinned-merge encoder)
+    # round-10/11 conversions (md5 modes / invariant oracles)
+    "dedup_minhash_lsh",              # dedup + lsh + jaccard
+    "dedup_simhash",                  # dedup + simhash
+    "freq_cms_estimates",             # frequency + sketch
+    "freq_join_cardinality_est",      # frequency + join + sketch
+    "dedup_duplicate_spans",          # dedup + ngram + spans
+    "dedup_span_intervals",           # dedup + spans + window
+    "dedup_cut_spans",                # dedup + pipeline + spans
+    # round-10 feature rows first graded now
+    "lake_tx_type_widening",          # widening + evolution
+    "lake_tx_column_defaults",        # defaults + evolution
+    "lake_tx_generated_partition",    # generated + partition + skipping
+    # older judge-verified tail (VERDICT r10 check_oracles: all green)
+    "agg_percentile_cont",            # percentile + cont + ntile
+    "sql_collated_group",             # collation + dialect + sql
+    "basket_pairs_support",           # basket + self_join
+    "zorder_key_orders",              # lake + zorder
+    "sample_k_per_group",             # sampling + limit
+    "incremental_rollup_merge",       # incremental + aggregate
+    "lake_compact_roundtrip",         # compaction + source + sink
+    "categorical_drift_event_types",  # drift + profiling
+    "pareto_frontier_parts",          # skyline + pandas_udf
+    "changepoint_cusum_priority",     # anomaly + timeseries + window
+    "pandas_zscore_by_type",          # groupby + pandas_udf
+    "corpus_sample_10pct",            # sampling
+    "chunk_documents_32",             # chunking + text
+    "sample_contrastive_negatives",   # contrastive + sampling
 )
 # Swapped out late in round 10 for the identity/row-tracking feature
 # proofs (every family they carried stays covered by other rows):

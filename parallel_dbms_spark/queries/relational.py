@@ -1249,15 +1249,25 @@ def join_longest_prefix(spark, sf_dir):
 
 @register(
     "agg_percentile_cont",
-    oracle="""SELECT o_orderpriority,
-                     CAST(ROUND(quantile_cont(
-                         CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5) * 10)
+    oracle="""WITH c AS (
+                SELECT o_orderpriority,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+                       NTILE(4) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY CAST(FLOOR(o_totalprice * 100)
+                                                    AS BIGINT),
+                                               o_orderkey) AS q
+                FROM orders)
+              SELECT o_orderpriority,
+                     CAST(ROUND(quantile_cont(cents, 0.5) * 10)
                        AS BIGINT) AS p50_e1,
-                     CAST(ROUND(quantile_cont(
-                         CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.9) * 10)
-                       AS BIGINT) AS p90_e1
-              FROM orders GROUP BY 1""",
-    tags=("aggregate", "percentile", "cont"),
+                     CAST(ROUND(quantile_cont(cents, 0.9) * 10)
+                       AS BIGINT) AS p90_e1,
+                     CAST(SUM(CASE WHEN q = 1 THEN cents END) AS BIGINT)
+                       AS q1_cents,
+                     CAST(SUM(CASE WHEN q = 4 THEN cents END) AS BIGINT)
+                       AS q4_cents
+              FROM c GROUP BY 1""",
+    tags=("aggregate", "percentile", "cont", "ntile"),
 )
 def agg_percentile_cont(spark, sf_dir):
     # Interpolated (continuous) percentiles — Spark's exact
@@ -1266,14 +1276,25 @@ def agg_percentile_cont(spark, sf_dir):
     # operands are exact, so the 0.1-cent-quantized result hashes
     # across engines (the discrete form is agg_percentile_disc; the
     # bounded-sketch scale path is agg_histogram_quantiles /
-    # robust_zscore_prices_approx).
+    # robust_zscore_prices_approx). The quartile columns are the
+    # NTILE twin of the same profile: NTILE(4) over a TOTAL order
+    # (cents, key — ties broken, so bucket edges are engine-identical)
+    # feeds bottom/top-quartile mass, value-hashing the tile
+    # assignment itself, not just the interpolation.
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
+        "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    return o.groupBy("o_orderpriority").agg(
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    c = o.withColumn("q", F.ntile(4).over(w))
+    return c.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(cents, 0.5)") * 10).cast("long").alias("p50_e1"),
         F.round(F.expr("percentile(cents, 0.9)") * 10).cast("long").alias("p90_e1"),
+        F.sum(F.when(F.col("q") == 1, F.col("cents"))).cast("long")
+        .alias("q1_cents"),
+        F.sum(F.when(F.col("q") == 4, F.col("cents"))).cast("long")
+        .alias("q4_cents"),
     )
 
 
@@ -2105,7 +2126,9 @@ def validate_orders(spark, sf_dir):
                                 doc_id ASC) AS rk
                      FROM documents)
               SELECT doc_id, lang FROM r WHERE rk <= 20""",
-    tags=("sampling",),
+    # limit: per-group TOP-N via row_number <= k — exactly the
+    # LIMIT/TOP-N primitive SURVEY §2.3 names (F.row_number() <= n)
+    tags=("sampling", "limit"),
 )
 def sample_k_per_group_q(spark, sf_dir):
     # Deterministic per-class cap: 20 docs per language, chosen by
@@ -4369,7 +4392,10 @@ def mv_incremental_refresh(spark, sf_dir):
                        AS o_totalprice,
                      o_orderpriority
               FROM orders""",
-    tags=("lake", "compaction", "source", "pipeline"),
+    # sink: the roundtrip WRITES the compacted parquet output and the
+    # oracle grades the written bytes' content — an exercised sink, not
+    # just a source
+    tags=("lake", "compaction", "source", "pipeline", "sink"),
 )
 def lake_compact_roundtrip(spark, sf_dir):
     # Nightly-compaction story (sources/lake.py compact_small_files):
@@ -4725,7 +4751,10 @@ def robust_zscore_prices_approx(spark, sf_dir):
               SELECT c.event_type, c.na, c.nb,
                      CAST(ABS(c.na * t.tb - c.nb * t.ta) AS BIGINT) AS drift_num
               FROM c CROSS JOIN t""",
-    tags=("aggregate", "drift", "events"),
+    # profiling: the row materializes the two cohorts' per-category
+    # distribution profiles (na/nb counts) — drift is a comparison OF
+    # profiles, the categorical sibling of the corpus report
+    tags=("aggregate", "drift", "events", "profiling"),
 )
 def categorical_drift_event_types(spark, sf_dir):
     # Categorical-distribution drift between two cohorts (even/odd
@@ -6529,20 +6558,24 @@ def lake_tx_generated_partition(spark, sf_dir):
               FROM base WHERE status IN ('F', 'O')
               GROUP BY status""",
     tags=("lake", "sql", "ddl", "acid", "versioned", "column-mapping",
-          "constraints", "metadata", "vacuum", "retention", "groupby"),
+          "constraints", "metadata", "vacuum", "retention", "groupby",
+          "identity", "merge", "row-tracking", "bloom"),
 )
 def lake_sql_lifecycle(spark, sf_dir):
     # The WHOLE lake lifecycle through the SQL door (sources/tx_sql.py
     # — the reference's only entry point is a SQL string,
     # /root/reference/src/main.cpp:719-794): CREATE/INSERT SELECT, ADD
     # CONSTRAINT, two RENAME COLUMNs (asserted metadata-only, with the
-    # constraint re-bound), an append under the NEW names, UPDATE and
-    # DELETE, VERSION AS OF time travel (asserted in-query), CLUSTER
-    # BY + OPTIMIZE (clustering stats asserted on the rewritten
-    # output), a retention-GUARDED vacuum (24 h reclaims nothing — the
-    # optimize's tombstones are fresh) then a zero-retention vacuum,
-    # and DESCRIBE DETAIL — every statement a SQL string, every effect
-    # graded relationally by the oracle on the surviving rows.
+    # constraint re-bound), an append under the NEW names, the
+    # identity lifecycle (SET GENERATED BY DEFAULT / SYNC, generation
+    # contract asserted on a probe row), UPDATE and MERGE (each
+    # carrying half of the +7 correction), DELETE, VERSION AS OF time
+    # travel (asserted in-query), CLUSTER BY + OPTIMIZE (clustering
+    # stats asserted on the rewritten output), a retention-GUARDED
+    # vacuum (24 h reclaims nothing — the tombstones are fresh) then a
+    # zero-retention vacuum, and DESCRIBE DETAIL — every statement a
+    # SQL string, every effect graded relationally by the oracle on
+    # the surviving rows.
     import tempfile
 
     from ..sources import txlog
@@ -6560,6 +6593,8 @@ def lake_sql_lifecycle(spark, sf_dir):
         return tx_sql(spark, s, base_dir=d)
 
     run("CREATE TABLE t (okey BIGINT, o_orderstatus STRING, cents BIGINT)")
+    run("ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableRowTracking'='true')")
     run("INSERT INTO t SELECT okey, o_orderstatus, cents "
         "FROM __lake_sql_src WHERE okey % 2 = 0")
     run("ALTER TABLE t ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
@@ -6573,8 +6608,38 @@ def lake_sql_lifecycle(spark, sf_dir):
     assert txlog.table_constraints(t) == {"cents_pos": "price_cents >= 0"}
     run("INSERT INTO t SELECT okey, o_orderstatus AS status, "
         "cents AS price_cents FROM __lake_sql_src WHERE okey % 2 = 1")
+    # identity lifecycle through SQL: okey becomes BY DEFAULT identity,
+    # SYNC aligns the generator past the supplied keys, a key-omitting
+    # probe insert generates beyond them (contract asserted, then the
+    # probe deletes so the oracle never sees a nondeterministic key)
+    run("ALTER TABLE t ALTER COLUMN okey SET GENERATED BY DEFAULT AS "
+        "IDENTITY (START WITH 1 INCREMENT BY 1)")
+    run("ALTER TABLE t ALTER COLUMN okey SYNC IDENTITY")
+    max_key = txlog.identity_watermark(t)["okey"]
+    run("INSERT INTO t (status, price_cents) VALUES ('ID_PROBE', 0)")
+    probe = run(
+        "SELECT okey FROM t WHERE status = 'ID_PROBE'"
+    ).collect()
+    assert len(probe) == 1 and probe[0]["okey"] is not None
+    assert probe[0]["okey"] > max_key, "generated key must clear SYNC"
+    run("DELETE FROM t WHERE status = 'ID_PROBE'")
     v_full, n_full = txlog.log_versions(t)[-1], o.count()
-    run("UPDATE t SET price_cents = price_cents + 7 WHERE okey % 100 = 0")
+    # row tracking (enabled at CREATE via TBLPROPERTIES): capture a
+    # bounded key sample's stable ids — UPDATE/MERGE/DELETE/OPTIMIZE
+    # below must never change a surviving row's _row_id
+    rid_pre = {
+        r["okey"]: r["_row_id"]
+        for r in txlog.read_snapshot(spark, t, with_row_ids=True)
+        .filter("okey % 997 = 0").collect()
+    }
+    assert rid_pre
+    # the +7 correction lands through BOTH row-level doors: UPDATE for
+    # one residue class, MERGE (matched-update, zero inserts) for the
+    # other — okey % 100 = 0 is exactly their union
+    run("UPDATE t SET price_cents = price_cents + 7 WHERE okey % 200 = 0")
+    run("MERGE INTO t USING (SELECT okey, status, price_cents + 7 AS "
+        "price_cents FROM t WHERE okey % 200 = 100) ON t.okey = s.okey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     run("DELETE FROM t WHERE status NOT IN ('F', 'O')")
     # time travel through the SQL door: the pre-update snapshot is whole
     tt = run(
@@ -6588,8 +6653,23 @@ def lake_sql_lifecycle(spark, sf_dir):
     assert files and all(
         "price_cents" in st[f].get("c", {}) for f in files
     ), "SQL OPTIMIZE must carry the declared clustering stats"
-    # retention guard: the optimize's tombstones are FRESH — a guarded
-    # vacuum reclaims nothing, only zero-retention does
+    rid_post = {
+        r["okey"]: r["_row_id"]
+        for r in txlog.read_snapshot(spark, t, with_row_ids=True)
+        .filter("okey % 997 = 0").collect()
+    }
+    assert all(
+        rid_post[k] == rid_pre[k] for k in rid_post if k in rid_pre
+    ), "row ids must survive UPDATE/MERGE/DELETE/OPTIMIZE"
+    # Bloom point-lookup side: the SQL-built index must prove a
+    # nonexistent key absent without opening a single file
+    run("CREATE BLOOMFILTER INDEX ON TABLE t FOR COLUMNS (okey)")
+    miss, n_read, n_total = txlog.tx_point_lookup(spark, t, "okey", -1)
+    assert n_total >= 1 and n_read == 0 and miss.count() == 0, (
+        n_read, n_total,
+    )
+    # retention guard: the bloom backfill's and optimize's tombstones
+    # are FRESH — a guarded vacuum reclaims nothing, zero-retention does
     guarded = run("VACUUM t RETAIN 24.0 HOURS").collect()[0]["info"]
     assert guarded == "0 files removed", guarded
     run("VACUUM t RETAIN 0.0 HOURS")

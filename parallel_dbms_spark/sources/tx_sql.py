@@ -9,7 +9,10 @@ surface, re-expressed) to the :mod:`txlog` API, so a user can drive
 the whole table lifecycle through the SQL door:
 
     CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
+    CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
+    MERGE INTO t USING (<select> | src) ON t.k = s.k [AND ...]
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     UPDATE t SET v = expr WHERE pred
     DELETE FROM t WHERE pred
     ALTER TABLE t RENAME COLUMN a TO b
@@ -231,6 +234,49 @@ def tx_sql(
         v = txlog.tx_append(df, path)
         return _result(spark, "insert", path, v, f"{len(df.columns)} cols")
 
+    # ---------------- MERGE INTO ----------------
+    m = re.match(
+        rf"(?is)^MERGE{_WS}INTO{_WS}{_IDENT}"
+        rf"(?:{_WS}AS{_WS}\w+)?{_WS}USING{_WS}"
+        rf"(?:\((.*)\)|{_IDENT})(?:{_WS}AS{_WS}\w+)?{_WS}"
+        rf"ON{_WS}(.*?){_WS}"
+        rf"WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*{_WS}"
+        rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        if m.group(2):
+            src = spark.sql(_register_lake_views(spark, m.group(2), base_dir))
+        else:
+            src_path = _path(m.group(3), base_dir)
+            if _is_lake_table(src_path):
+                src = txlog.read_snapshot(spark, src_path)
+            else:
+                src = spark.table(m.group(3).strip("`"))
+        # ON clause: same-named equality conjunctions (`t.k = s.k AND
+        # ...`) or a bare key list `(k1, k2)` — tx_merge_upsert's key
+        # model (UPDATE SET * / INSERT * is the only supported tail,
+        # which is exactly its upsert semantics)
+        on = m.group(4).strip()
+        km = re.fullmatch(r"\(([^)]*)\)", on)
+        if km:
+            keys = _split_cols(km.group(1))
+        else:
+            keys = []
+            for clause in re.split(r"(?i)\s+AND\s+", on):
+                cm = re.fullmatch(
+                    r"(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)", clause.strip()
+                )
+                if not cm or cm.group(1) != cm.group(2):
+                    raise ValueError(
+                        "MERGE ON supports same-named equality "
+                        f"conjunctions or a (key, ...) list, got: {on!r}"
+                    )
+                keys.append(cm.group(1))
+        v, n = txlog.tx_merge_upsert(spark, path, src, keys)
+        return _result(spark, "merge", path, v, f"{n} files rewritten")
+
     # ---------------- UPDATE / DELETE ----------------
     m = re.match(
         rf"(?is)^UPDATE{_WS}{_IDENT}{_WS}SET{_WS}(.*?){_WS}WHERE{_WS}(.*)$",
@@ -365,6 +411,20 @@ def tx_sql(
 
         raise ValueError(f"unsupported ALTER TABLE statement: {rest!r}")
 
+    # ---------------- CREATE BLOOMFILTER INDEX ----------------
+    m = re.match(
+        rf"(?is)^CREATE{_WS}BLOOMFILTER{_WS}INDEX{_WS}ON{_WS}"
+        rf"(?:TABLE{_WS})?{_IDENT}{_WS}FOR{_WS}COLUMNS{_WS}?"
+        rf"\s*\(([^)]*)\)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        cols = _split_cols(m.group(2))
+        v = txlog.tx_bloom(spark, path, cols)
+        return _result(spark, "create_bloom_index", path, v,
+                       ", ".join(cols))
+
     # ---------------- OPTIMIZE ----------------
     m = re.match(
         rf"(?is)^OPTIMIZE{_WS}{_IDENT}"
@@ -444,8 +504,9 @@ def is_lake_statement(sql: str) -> bool:
     """Whether ``tx_sql`` (vs a plain ``spark.sql``) should run this
     statement — the CLI's routing predicate."""
     return bool(re.match(
-        r"(?is)^\s*(CREATE\s+TABLE|INSERT\s+INTO|UPDATE\s|DELETE\s+FROM|"
-        r"ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
+        r"(?is)^\s*(CREATE\s+(TABLE|BLOOMFILTER\s+INDEX)|INSERT\s+INTO|"
+        r"MERGE\s+INTO|UPDATE\s|"
+        r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
         r"DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,
     ))
