@@ -3485,6 +3485,70 @@ def tx_read_skipping(
     return df, len(keep), len(files)
 
 
+def _partition_only_equality(
+    table: str, predicate_sql: str
+) -> dict | None:
+    """``{col: {stringified values}}`` when the predicate is purely a
+    conjunction of ``col = literal`` / ``col IN (literals)`` clauses
+    over DECLARED partition columns — the shape whose all-match files
+    a delete can drop metadata-only. Anything else (expressions,
+    non-partition columns, OR, IS NULL, ambiguous literals) returns
+    None and the caller takes the ordinary row-level path.
+
+    Soundness rule: a file is later classified all-match only when its
+    RECORDED value for every filter column equals a requested
+    stringified literal — the same :func:`_pv_str` rendering the
+    stager recorded, so "pure" can never over-claim. Files that fail
+    the pure test are NEVER skipped on this evidence (stringification
+    drift must not hide matching rows) — they stay in the scan set."""
+    import re as _re
+
+    declared = set(table_partition_by(table))
+    if not declared:
+        return None
+
+    def lit(tok: str):
+        tok = tok.strip()
+        if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+            return tok[1:-1]
+        if tok.lower() in ("true", "false"):
+            return tok.lower() == "true"
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            return None  # unparseable literal: no fast path
+
+    _L = r"(?:'[^']*'|-?\d+(?:\.\d+)?|true|false|TRUE|FALSE|True|False)"
+    out: dict = {}
+    for clause in _re.split(r"(?i)\s+AND\s+", predicate_sql.strip()):
+        clause = clause.strip()
+        while clause.startswith("(") and clause.endswith(")"):
+            clause = clause[1:-1].strip()
+        m = _re.fullmatch(rf"`?(\w+)`?\s*=\s*({_L})", clause)
+        if m:
+            vals = [lit(m.group(2))]
+        else:
+            m = _re.fullmatch(
+                rf"`?(\w+)`?\s+(?i:IN)\s*\(\s*({_L}(?:\s*,\s*{_L})*)\s*\)",
+                clause,
+            )
+            if not m:
+                return None
+            vals = [lit(x) for x in _re.findall(_L, m.group(2))]
+        col = m.group(1)
+        if col not in declared or any(v is None for v in vals):
+            return None
+        want = {_pv_str(v) for v in vals}
+        # repeated column in the conjunction: intersect (p=1 AND p=2
+        # matches nothing; the empty set classifies no file as pure)
+        out[col] = out[col] & want if col in out else want
+    return out or None
+
+
 def tx_delete_where(
     spark: SparkSession,
     table: str,
@@ -3501,19 +3565,47 @@ def tx_delete_where(
     NULL predicate rows survive (3VL: DELETE removes only
     predicate-true rows — same contract as lake.delete_where_rewrite).
 
+    METADATA-ONLY fast path (Delta's partition delete): when the
+    predicate is a conjunction of equality/IN literals over declared
+    partition columns, every file whose RECORDED partition values
+    prove all its rows match is dropped from the log with NO data
+    I/O — ``DELETE FROM t WHERE day = X`` on a 100 TB table is then
+    O(files) driver metadata. Files the record can't prove pure
+    (rewrites with unrecorded layout, pre-declaration history) keep
+    the exact row-level rewrite, in the SAME atomic commit. The fast
+    path is soundness-gated: "pure" requires the recorded value to
+    equal the literal under the exact stringification the stager
+    used, and a failed pure test never skips a file.
+
     ``write_cdc``: persist the deleted rows as a change-data sidecar
     riding the commit (Delta's CDF-at-write-time trade: one extra
     O(deleted rows) write makes ``tx_changes`` for this commit a plain
     sidecar scan and the commit streamable by ``readChangeFeed``).
+    The CDC image must contain the dropped rows, so ``write_cdc``
+    reads the pure files too — correctness over the shortcut.
 
-    Returns (new_version, files_rewritten).
+    Returns (new_version, files_rewritten) — rewritten counts every
+    removed file, metadata-dropped or rewritten.
     """
     from pyspark.sql import functions as F
 
+    pf = _partition_only_equality(table, predicate_sql)
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
         if not files:
             return parent, 0
+        pure: list[str] = []
+        scan_files = files
+        if pf and not write_cdc:
+            pv_map = snapshot_pv(table)
+            pure = [
+                f
+                for f in files
+                if (vals := pv_map.get(f)) is not None
+                and all(c in vals and vals[c] in w for c, w in pf.items())
+            ]
+            pure_set = set(pure)
+            scan_files = [f for f in files if f not in pure_set]
         # read with the RECORDED schema, not footer inference: after an
         # additive merge_schema append the live set is mixed-schema and
         # inference from one footer would silently drop evolved columns
@@ -3528,26 +3620,32 @@ def tx_delete_where(
         # door never changes a survivor's identity
         rt = table_row_tracking(table)
         reader = _data_reader(spark, table, schema, row_ids=rt)
-        df = _tagged_scan(reader, table, files, dvs)
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
-        hit_rels = sorted(
-            r["__rel"]
-            for r in df.filter(pred).select("__rel").distinct().collect()
-        )
-        if not hit_rels:
-            return parent, 0
-        survivors = (
-            _materialize_row_ids(
-                _tagged_scan(reader, table, hit_rels, dvs), table
+        if scan_files:
+            df = _tagged_scan(reader, table, scan_files, dvs)
+            hit_rels = sorted(
+                r["__rel"]
+                for r in df.filter(pred).select("__rel").distinct().collect()
             )
-            .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
-            .drop("__rel", "__pos")
-        )
-        pv = None
-        if survivors.limit(1).count():
-            added, pv = _stage_for(survivors, table)
         else:
-            added = []
+            hit_rels = []
+        if not hit_rels and not pure:
+            return parent, 0
+        if hit_rels:
+            survivors = (
+                _materialize_row_ids(
+                    _tagged_scan(reader, table, hit_rels, dvs), table
+                )
+                .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
+                .drop("__rel", "__pos")
+            )
+            pv = None
+            if survivors.limit(1).count():
+                added, pv = _stage_for(survivors, table)
+            else:
+                added = []
+        else:
+            added, pv = [], None
         stats = (
             collect_file_stats(table, added, stats_cols)
             if stats_cols and added else None
@@ -3561,13 +3659,14 @@ def tx_delete_where(
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc = _stage_cdc(deleted, table)
+        removed = sorted(set(pure) | set(hit_rels))
         try:
             v = commit(
-                table, "delete", added, hit_rels, parent,
+                table, "delete", added, removed, parent,
                 schema_json=schema_json, stats=stats, cdc=cdc,
                 pv=pv or None,
             )
-            return v, len(hit_rels)
+            return v, len(removed)
         except TxConflict:
             continue  # fresh snapshot, re-find affected files
     raise TxConflict(f"delete on {table} lost {max_retries} straight races")
@@ -3754,37 +3853,70 @@ def tx_delete_where_mor(
     ``max_dv_rows`` bounds the driver-side vector (vectors ship in the
     JSON commit and broadcast at read); past it, use the rewrite
     delete. Returns (new_version, n_rows_deleted).
+
+    The METADATA-ONLY partition fast path applies here too (same
+    soundness gate as :func:`tx_delete_where`): provably-all-match
+    files DROP from the log instead of vectoring every one of their
+    rows — strictly better than a vector on both the commit size and
+    every subsequent read, and the vectors cover only the remainder.
     """
     from pyspark.sql import functions as F
 
+    pf = _partition_only_equality(table, predicate_sql)
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
         if not files:
             return parent, 0
+        dvs_now = snapshot_dvs(table)
+        pure: list[str] = []
+        scan_files = files
+        if pf:
+            pv_map = snapshot_pv(table)
+            pure = [
+                f
+                for f in files
+                if (vals := pv_map.get(f)) is not None
+                and all(c in vals and vals[c] in w for c, w in pf.items())
+            ]
+            pure_set = set(pure)
+            scan_files = [f for f in files if f not in pure_set]
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
         reader = _data_reader(spark, table, schema)
-        tagged = _tagged_scan(reader, table, files, snapshot_dvs(table))
-        pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
-        hits = tagged.filter(pred).select("__rel", "__pos")
-        n = hits.count()
-        if n == 0:
-            return parent, 0
-        if n > max_dv_rows:
-            raise ValueError(
-                f"{n} matching rows > max_dv_rows={max_dv_rows}: a "
-                "vector this size should be a rewrite — use "
-                "tx_delete_where"
-            )
+        n = 0
         dv: dict[str, list[int]] = {}
-        for r in hits.collect():
-            dv.setdefault(r["__rel"], []).append(int(r["__pos"]))
-        dv = {f: sorted(p) for f, p in dv.items()}
+        if scan_files:
+            tagged = _tagged_scan(reader, table, scan_files, dvs_now)
+            pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
+            hits = tagged.filter(pred).select("__rel", "__pos")
+            n = hits.count()
+            if n > max_dv_rows:
+                raise ValueError(
+                    f"{n} matching rows > max_dv_rows={max_dv_rows}: a "
+                    "vector this size should be a rewrite — use "
+                    "tx_delete_where"
+                )
+            for r in hits.collect():
+                dv.setdefault(r["__rel"], []).append(int(r["__pos"]))
+            dv = {f: sorted(p) for f, p in dv.items()}
+        if n == 0 and not pure:
+            return parent, 0
+        if pure:
+            # deleted-row accounting for the dropped files: footer
+            # row count minus already-vectored positions — one footer
+            # read per dropped file, no data scan
+            import pyarrow.parquet as pq
+
+            n += sum(
+                pq.ParquetFile(os.path.join(table, f)).metadata.num_rows
+                - len(dvs_now.get(f, ()))
+                for f in pure
+            )
         try:
             v = commit(
-                table, "delete_mor", [], [], parent,
-                schema_json=schema_json, dv=dv,
-                depends_on=sorted(dv),
+                table, "delete_mor", [], pure, parent,
+                schema_json=schema_json, dv=dv or None,
+                depends_on=sorted(dv) if dv else None,
             )
             return v, n
         except TxConflict:
@@ -3932,8 +4064,26 @@ def tx_changes(
 
         if rec["action"] == "delete_mor":
             # the newly-vectored rows ARE the deletes — read just the
-            # referenced files, keep just the vectored positions
+            # referenced files, keep just the vectored positions. The
+            # partition fast path may additionally DROP whole all-match
+            # files (removed, no vector): their still-live rows are
+            # deletes too, minus positions vectored before this commit.
             dv = rec.get("dv", {})
+            dropped = rec.get("removed", [])
+            if dropped:
+                prior = snapshot_dvs(table, v - 1) if v > 1 else {}
+                dset = set(dropped)
+                whole = _apply_dvs(
+                    reader.parquet(
+                        *[os.path.join(table, f) for f in sorted(dropped)]
+                    ),
+                    table,
+                    {f: p for f, p in prior.items() if f in dset},
+                )
+                parts.append(
+                    whole.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
             if not dv:
                 continue
             tagged = reader.parquet(

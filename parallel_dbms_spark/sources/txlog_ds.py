@@ -492,6 +492,12 @@ def _read_change_partition(p: TxLogChangePartition):
     tbl = _rename_arrow(pq.read_table(os.path.join(p.table, p.rel)), p.rename)
     if p.change_type == "delete":
         tbl = tbl.take(list(p.positions))
+    elif p.change_type == "delete_file":
+        # a metadata-dropped all-match file: every LIVE row (all rows
+        # minus the positions vectored BEFORE the dropping commit) is
+        # a delete
+        prior = set(p.positions)
+        tbl = tbl.take([i for i in range(tbl.num_rows) if i not in prior])
     cols = set(tbl.column_names)
     want = {c: set(w) for c, w in p.row_filter}
     for rec in tbl.to_pylist():
@@ -500,6 +506,8 @@ def _read_change_partition(p: TxLogChangePartition):
         ):
             continue
         ct = rec["_change_type"] if p.change_type == "cdc" else p.change_type
+        if ct == "delete_file":
+            ct = "delete"
         yield tuple(
             rec.get(f) if f in cols else None for f in p.fields
         ) + (ct, p.version)
@@ -549,7 +557,19 @@ def _plan_change_partitions(
                 )
             )
             continue
-        if rec["removed"]:
+        if action == "delete_mor" and rec["removed"]:
+            # the partition fast path DROPPED whole all-match files
+            # (no rewrite): their live rows are pure deletes, plannable
+            # per file — positions carry the PRIOR vectors to exclude
+            prior = txlog.snapshot_dvs(table, v - 1)
+            for rel in rec["removed"]:
+                parts.append(
+                    TxLogChangePartition(
+                        table, rel, fields, "delete_file", v,
+                        tuple(prior.get(rel, ())), rename=rename,
+                    )
+                )
+        elif rec["removed"]:
             raise ValueError(
                 f"commit {v} ({action}) rewrote files; its row-level "
                 "diff is a batch computation — consume "

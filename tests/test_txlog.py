@@ -2704,3 +2704,142 @@ def test_incremental_optimize_honors_declared_clustering(spark, tmp_path):
     assert df.filter("x between 0 and 9").count() == (
         txlog.read_snapshot(spark, t).filter("x between 0 and 9").count()
     )
+
+
+def test_partition_delete_is_metadata_only(spark, tmp_path):
+    """Delta's partition delete: DELETE WHERE <partition equality>
+    drops every provably-all-match file from the log with NO data I/O
+    — no file read, no file written — while files the record can't
+    prove pure (an unrecorded compaction rewrite) keep the exact
+    row-level rewrite in the SAME atomic commit."""
+    t = str(tmp_path / "t")
+    df = spark.range(300).selectExpr(
+        "id AS k", "id % 3 AS p", "CAST(id AS STRING) AS s"
+    )
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    p0 = {f for f in files if pv.get(f, {}).get("p") == "0"}
+    others = {f: os.path.getmtime(os.path.join(t, f))
+              for f in files if f not in p0}
+    assert p0 and others
+    v, n = txlog.tx_delete_where(spark, t, "p = 0")
+    assert n == len(p0)
+    rec = txlog.read_commit(t, v)
+    assert rec["added"] == [], "metadata-only: nothing staged"
+    assert set(rec["removed"]) == p0
+    _, after = txlog.snapshot_files(t)
+    assert set(after) == set(others), "untouched partitions stay live"
+    assert all(
+        os.path.getmtime(os.path.join(t, f)) == m for f, m in others.items()
+    ), "no surviving file was rewritten"
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(300) if i % 3 != 0}
+    # IN form, multiple partitions at once, also metadata-only
+    v2, n2 = txlog.tx_delete_where(spark, t, "p IN (1, 2)")
+    assert n2 == len(others)
+    assert txlog.read_commit(t, v2)["added"] == []
+    assert txlog.read_snapshot(spark, t).count() == 0
+
+
+def test_partition_delete_mixed_pure_and_unrecorded(spark, tmp_path):
+    """A compaction leaves a mixed, pv-unrecorded file: the partition
+    delete must drop the pure files metadata-only AND row-rewrite the
+    mixed file, atomically, without losing either side's rows."""
+    t = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("id AS k", "id % 2 AS p")
+    # pre-declaration history: ONE mixed file, no recorded pv
+    txlog.tx_append(df.coalesce(1), t)
+    # the declaring append records only ITS OWN files' values — the
+    # old mixed file stays unrecorded (partition evolution contract)
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1000, 0), (1001, 1)], "k long, p long"
+        ),
+        t,
+        partition_by=["p"],
+    )
+    _, files = txlog.snapshot_files(t)
+    pv = txlog.snapshot_pv(t)
+    unrecorded = [f for f in files if "p" not in pv.get(f, {})]
+    assert unrecorded, "fixture must hold an unrecorded mixed file"
+    pure_p0 = {
+        f for f in files if pv.get(f, {}).get("p") == "0"
+    }
+    assert pure_p0, "fixture must hold a recorded p=0 file"
+    v, n = txlog.tx_delete_where(spark, t, "p = 0")
+    rec = txlog.read_commit(t, v)
+    # the mixed file was rewritten (its p=1 survivors had to live on);
+    # the recorded p=0 file dropped without a replacement
+    assert rec["added"], "mixed file needs a rewrite"
+    assert pure_p0 <= set(rec["removed"])
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(200) if i % 2 == 1} | {1001}
+
+
+def test_partition_delete_fast_path_guards(spark, tmp_path):
+    """No fast path without proof: non-partition predicates, NULL
+    partition values, and write_cdc all take (or force) the row-level
+    path and stay exact."""
+    t = str(tmp_path / "t")
+    rows = [(float(i), i % 2, f"s{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "k double, p long, s string")
+    nulls = spark.createDataFrame(
+        [(99.0, None, "null-p")], "k double, p long, s string"
+    )
+    txlog.tx_append(df.unionByName(nulls).repartition("p"), t,
+                    partition_by=["p"])
+    # predicate over a non-partition column: ordinary path, exact
+    v, _ = txlog.tx_delete_where(spark, t, "k < 5.0")
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {float(i) for i in range(5, 20)} | {99.0}
+    # 3VL: p = 0 must not touch the NULL-partition row
+    txlog.tx_delete_where(spark, t, "p = 0")
+    got = {r.s for r in txlog.read_snapshot(spark, t).collect()}
+    assert "null-p" in got and all(
+        int(s[1:]) % 2 == 1 for s in got if s.startswith("s")
+    )
+    # write_cdc needs the deleted images: the sidecar must hold them
+    # even when the predicate is partition-shaped
+    v2, _ = txlog.tx_delete_where(spark, t, "p = 1", write_cdc=True)
+    ch = txlog.tx_changes(spark, t, v2 - 1, v2)
+    dels = ch.filter("_change_type = 'delete'")
+    assert dels.count() == len(
+        [s for s in got if s.startswith("s")]
+    )
+
+
+def test_mor_partition_delete_drops_files_not_vectors(spark, tmp_path):
+    """The MOR delete's partition fast path: provably-all-match files
+    DROP from the log (no vector over every row), the remainder keeps
+    vectoring — and both the batch change feed and the streaming CDC
+    face emit the dropped rows as deletes."""
+    t = str(tmp_path / "t")
+    df = spark.range(60).selectExpr("id AS k", "id % 3 AS p")
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    # vector a couple of rows first so prior-DV exclusion is exercised
+    txlog.tx_delete_where_mor(spark, t, "k IN (0, 3)")  # p=0 rows
+    pv = txlog.snapshot_pv(t)
+    _, files = txlog.snapshot_files(t)
+    p0 = {f for f in files if pv.get(f, {}).get("p") == "0"}
+    v, n = txlog.tx_delete_where_mor(spark, t, "p = 0")
+    rec = txlog.read_commit(t, v)
+    assert set(rec["removed"]) == p0, "all-match files must drop"
+    assert not rec.get("dv"), "no vector needed for dropped files"
+    assert n == 20 - 2  # 20 p=0 rows minus the 2 already vectored
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(60) if i % 3 != 0}
+    # batch change feed serves the dropped rows as deletes, excluding
+    # the previously-vectored positions
+    ch = txlog.tx_changes(spark, t, v - 1, v)
+    dels = {r.k for r in ch.filter("_change_type = 'delete'").collect()}
+    assert dels == {i for i in range(60) if i % 3 == 0} - {0, 3}
+    # streaming CDC face plans the dropped file as delete partitions
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions, _read_change_partition,
+    )
+
+    parts = _plan_change_partitions(t, v - 1, v, ("k", "p"))
+    rows = [r for p in parts for r in _read_change_partition(p)]
+    assert {r[0] for r in rows if r[2] == "delete"} == dels
+    assert all(r[3] == v for r in rows)
