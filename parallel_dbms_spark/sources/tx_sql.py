@@ -11,6 +11,8 @@ the whole table lifecycle through the SQL door:
     CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
     CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
+    INSERT INTO t REPLACE WHERE pred (SELECT ... | VALUES ...)
+    INSERT OVERWRITE [TABLE] t PARTITION (p = v, ...) (SELECT | VALUES)
     MERGE INTO t USING (<select> | src) ON t.k = s.k [AND ...]
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     UPDATE t SET v = expr WHERE pred
@@ -28,7 +30,10 @@ the whole table lifecycle through the SQL door:
     OPTIMIZE t [WHERE col = v [AND ...]] [ZORDER BY (a, b)] [FULL]
     VACUUM t [RETAIN n HOURS]
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
+    COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+        [PATTERN = '<glob>']
     DESCRIBE DETAIL t | DESCRIBE HISTORY t
+    SELECT ... FROM table_changes('t', v1 [, v2]) ...
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
 
 Table identifiers resolve against ``base_dir`` (a bare name is a
@@ -133,12 +138,35 @@ def _register_lake_views(
     TIMESTAMP AS OF 'ts']`` reference to a snapshot temp view and
     return the rewritten SQL. Non-lake identifiers (already-registered
     views, subqueries) pass through untouched."""
+    counter = [0]
+    # table_changes('t', v1[, v2]) — Databricks' CDF table function:
+    # the change feed between two versions as a queryable relation
+    tc = re.compile(
+        rf"(?i)\b(FROM|JOIN){_WS}table_changes\s*\(\s*"
+        rf"'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+    )
+
+    def sub_tc(m: re.Match) -> str:
+        path = _path(m.group(2), base_dir)
+        lo = int(m.group(3))
+        hi = int(m.group(4)) if m.group(4) else None
+        counter[0] += 1
+        view = f"__txc_{counter[0]}_{os.path.basename(path)}".replace(
+            "-", "_"
+        ).replace(".", "_")
+        # Databricks semantics: the start version is INCLUSIVE;
+        # tx_changes takes an exclusive lower bound
+        txlog.tx_changes(
+            spark, path, lo - 1, hi
+        ).createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    sql = tc.sub(sub_tc, sql)
     pat = re.compile(
         rf"(?i)\b(FROM|JOIN){_WS}{_IDENT}"
         rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
         rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?"
     )
-    counter = [0]
 
     def sub(m: re.Match) -> str:
         ident = m.group(2)
@@ -194,6 +222,66 @@ def tx_sql(
             v = txlog.tx_set_cluster_by(path, _split_cols(m.group(3)))
         return _result(spark, "create_table", path, v,
                        empty.schema.simpleString())
+
+    # ------- INSERT ... REPLACE WHERE / INSERT OVERWRITE PARTITION ----
+    m = re.match(
+        rf"(?is)^INSERT{_WS}INTO{_WS}{_IDENT}{_WS}REPLACE{_WS}WHERE{_WS}"
+        rf"(.*?){_WS}(VALUES\b.*|SELECT\b.*)$",
+        s,
+    ) or re.match(
+        rf"(?is)^INSERT{_WS}OVERWRITE{_WS}(?:TABLE{_WS})?{_IDENT}{_WS}"
+        rf"PARTITION\s*\((.*?)\){_WS}(VALUES\b.*|SELECT\b.*)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        overwrite_part = re.match(r"(?is)^INSERT\s+OVERWRITE\b", s)
+        if overwrite_part:
+            # PARTITION (p = 1, q = 'x') -> predicate + auto-filled
+            # constant columns on the inserted rows (Hive's static
+            # partition-overwrite form)
+            spec = _parse_partition_where(
+                m.group(2).replace(",", " AND ")
+            )
+            pred = " AND ".join(
+                f"{c} = {v!r}" if isinstance(v, str) else f"{c} = {v}"
+                for c, v in spec.items()
+            )
+        else:
+            spec, pred = None, m.group(2)
+        body = m.group(3).strip()
+        if body.upper().startswith("VALUES"):
+            schema = txlog.table_schema(path)
+            if schema is None:
+                raise ValueError(
+                    f"REPLACE WHERE needs an existing table under {path}"
+                )
+            cols = [
+                c for c in schema.fieldNames()
+                if not (spec and c in spec)
+            ]
+            df = spark.sql(
+                f"SELECT * FROM ({body}) AS _ins({', '.join(cols)})"
+            )
+        else:
+            df = spark.sql(_register_lake_views(spark, body, base_dir))
+        if spec:
+            from pyspark.sql import functions as F
+
+            for c, v in spec.items():
+                df = df.withColumn(c, F.lit(v))
+        schema = txlog.table_schema(path)
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            want = {f.name: f.dataType for f in schema.fields}
+            df = df.select(*[
+                F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                for c in df.columns
+            ])
+        v, n = txlog.tx_replace_where(spark, path, df, pred)
+        return _result(spark, "replace_where", path, v,
+                       f"{n} files replaced WHERE {pred}")
 
     # ---------------- INSERT INTO ----------------
     m = re.match(
@@ -425,6 +513,23 @@ def tx_sql(
         return _result(spark, "create_bloom_index", path, v,
                        ", ".join(cols))
 
+    # ---------------- COPY INTO ----------------
+    m = re.match(
+        rf"(?is)^COPY{_WS}INTO{_WS}{_IDENT}{_WS}FROM{_WS}'([^']+)'"
+        rf"{_WS}FILEFORMAT{_WS}?={_WS}?(\w+)"
+        rf"(?:{_WS}PATTERN{_WS}?={_WS}?'([^']+)')?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        v, n = txlog.tx_copy_into(
+            spark, path, m.group(2),
+            file_format=m.group(3).lower(),
+            pattern=m.group(4),
+        )
+        return _result(spark, "copy_into", path,
+                       v if n else None, f"{n} files loaded")
+
     # ---------------- OPTIMIZE ----------------
     m = re.match(
         rf"(?is)^OPTIMIZE{_WS}{_IDENT}"
@@ -504,9 +609,10 @@ def is_lake_statement(sql: str) -> bool:
     """Whether ``tx_sql`` (vs a plain ``spark.sql``) should run this
     statement — the CLI's routing predicate."""
     return bool(re.match(
-        r"(?is)^\s*(CREATE\s+(TABLE|BLOOMFILTER\s+INDEX)|INSERT\s+INTO|"
+        r"(?is)^\s*(CREATE\s+(TABLE|BLOOMFILTER\s+INDEX)|"
+        r"INSERT\s+(INTO|OVERWRITE)|"
         r"MERGE\s+INTO|UPDATE\s|"
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
-        r"DESCRIBE\s+(DETAIL|HISTORY))\b",
+        r"COPY\s+INTO|DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,
     ))

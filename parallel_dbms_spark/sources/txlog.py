@@ -231,6 +231,9 @@ def _write_checkpoint(table: str, v: int) -> None:
                 "identity_columns": table_identity(table, v),
                 "identity_watermark": identity_watermark(table, v),
                 "row_tracking": table_row_tracking(table, v),
+                "copy_into_sources": sorted(
+                    copy_into_sources(table, v)
+                ),
                 "row_id_watermark": row_id_watermark(table, v),
                 "base_row_id": snapshot_base_row_ids(table, v),
             },
@@ -756,6 +759,149 @@ def _ident_wm_from_stats(
         wm0 = int(ident_wm.get(c, int(idents[c]["start"]) - step))
         out[c] = max([wm0] + vals) if step > 0 else min([wm0] + vals)
     return out
+
+
+def copy_into_sources(table: str, version: int | None = None) -> set:
+    """Source paths already loaded by :func:`tx_copy_into` — the
+    newest-wins FULL set (each copy commit re-records the cumulative
+    set, so resolution is one record read; checkpoints fold it like
+    every other metadata plane)."""
+    versions = log_versions(table)
+    if not versions:
+        return set()
+    scan = versions if version is None else [
+        x for x in versions if x <= version
+    ]
+    for c in reversed(scan):
+        rec = read_commit(table, c)
+        if "copy_into_sources" in rec:
+            return set(rec["copy_into_sources"])
+        ckpt = _ckpt_path(table, c)
+        if os.path.exists(ckpt):
+            with open(ckpt) as fh:
+                return set(json.load(fh).get("copy_into_sources") or [])
+    return set()
+
+
+def tx_copy_into(
+    spark: SparkSession,
+    table: str,
+    source: str,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+    max_retries: int = 8,
+    **append_kwargs,
+) -> tuple[int, int]:
+    """Databricks' ``COPY INTO``: idempotent bulk file ingestion. Every
+    matching file under ``source`` that has NOT been loaded before is
+    appended in one commit, and the commit re-records the cumulative
+    loaded-file set — re-running the same COPY INTO (a retried
+    pipeline, a cron double-fire) loads nothing twice, and newly
+    landed files load exactly once. Idempotence is by SOURCE PATH
+    (Delta's contract): a file's content changing under the same name
+    is the producer's bug, not a reload trigger.
+
+    Scale: the loaded-set is O(source files) driver metadata riding
+    the commit (newest-wins, checkpoint-folded — resolution is one
+    record read, not a log walk); the data load itself is a plain
+    distributed read of only the NEW files. Two racing COPY INTOs
+    conflict at the commit (copy-vs-copy class) and the loser re-plans
+    against the winner's recorded set, so a file can never double-load
+    under concurrency either.
+
+    ``file_format``: parquet | csv (header) | json (jsonl).
+    ``pattern``: glob within ``source`` (defaults to the format's
+    extension). ``stats_cols`` passes through to the staged files'
+    footer stats. Returns (version, n_files_loaded) — (head, 0) when
+    nothing is new."""
+    import glob as _glob
+
+    pat = pattern or {
+        "parquet": "*.parquet", "csv": "*.csv", "json": "*.json*",
+    }.get(file_format, "*")
+    for _ in range(max_retries):
+        head = (log_versions(table) or [0])[-1]
+        loaded = copy_into_sources(table)
+        found = sorted(
+            os.path.abspath(f)
+            for f in _glob.glob(os.path.join(source, pat))
+            if os.path.isfile(f)
+        )
+        todo = [f for f in found if f not in loaded]
+        if not todo:
+            return head, 0
+        if file_format == "parquet":
+            df = spark.read.parquet(*todo)
+        elif file_format == "csv":
+            df = spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(todo)
+        elif file_format == "json":
+            df = spark.read.json(todo)
+        else:
+            raise ValueError(f"unsupported COPY INTO format {file_format!r}")
+        schema = table_schema(table)
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            want = {f.name: f.dataType for f in schema.fields}
+            missing = [c for c in df.columns if c not in want]
+            if missing:
+                raise ValueError(
+                    f"COPY INTO source carries columns {missing} not in "
+                    f"{table}; evolve the schema first (tx_append "
+                    "merge_schema) or fix the source"
+                )
+            df = df.select(*[
+                F.col(c).cast(want[c]).alias(c) for c in df.columns
+            ])
+        # the append laws apply to bulk loads too (defaults, identity,
+        # generated, constraints, strict schema)
+        df, eff_stats, idents, ident_wm, ident_assigned = (
+            _complete_append_laws(
+                df, table, append_kwargs.pop("stats_cols", None)
+            )
+        )
+        if append_kwargs:
+            raise ValueError(
+                f"unsupported COPY INTO kwargs {sorted(append_kwargs)}"
+            )
+        added, pv = _stage_for(df, table)
+        stats = (
+            collect_file_stats(table, added, eff_stats)
+            if eff_stats and added else None
+        )
+        schema = table_schema(table)
+        meta = {"copy_into_sources": sorted(set(loaded) | set(todo))}
+        if ident_assigned and added:
+            new_wm = _ident_wm_from_stats(
+                table, idents, ident_assigned, stats, ident_wm,
+                (_effective_mapping(table) or {}).get,
+            )
+            meta["identity_watermark"] = {**ident_wm, **new_wm}
+        try:
+            # parent pinned at PLAN time (when the loaded set was
+            # read): a racing COPY INTO claiming a later version is
+            # then an interleaved commit the conflict loop validates —
+            # copy-vs-copy fires, this loser re-reads the winner's set
+            # and re-plans, so no file ever double-loads. (tx_append
+            # re-reads the parent per attempt, which would make racing
+            # copies invisible to each other — exactly the lost-update
+            # this pinning prevents.)
+            v = commit(
+                table, "copy_into", added, [], head,
+                schema_json=(
+                    schema.json() if schema is not None
+                    else df.schema.json()
+                ),
+                stats=stats, pv=pv or None, meta=meta,
+            )
+            return v, len(todo)
+        except TxConflict:
+            continue  # a racing COPY landed: re-read its set, re-plan
+    raise TxConflict(
+        f"copy_into on {table} lost {max_retries} straight races"
+    )
 
 
 def tx_set_identity(
@@ -2378,6 +2524,15 @@ def commit(
                 f"version {v} advanced an identity watermark this "
                 "commit also records; re-read and retry"
             )
+        if "copy_into_sources" in rec and "copy_into_sources" in theirs:
+            # copy-vs-copy: both commits recorded the full loaded-file
+            # set from the same read — last-wins would FORGET the
+            # other's files and a re-run would load them twice. The
+            # loser re-reads the set and re-plans (tx_copy_into).
+            raise TxConflict(
+                f"version {v} recorded COPY INTO sources this commit "
+                "also records; re-read and retry"
+            )
         if "identity_watermark" in rec and not rec["added"] and (
             theirs["added"]
         ):
@@ -3670,6 +3825,188 @@ def tx_delete_where(
         except TxConflict:
             continue  # fresh snapshot, re-find affected files
     raise TxConflict(f"delete on {table} lost {max_retries} straight races")
+
+
+def _complete_append_laws(
+    df: DataFrame, table: str, stats_cols: list[str] | None
+) -> tuple[DataFrame, list[str] | None, dict, dict, list[str]]:
+    """Apply the append-side laws to a frame about to land as fresh
+    rows outside :func:`tx_append` (replaceWhere's insert side, COPY
+    INTO): DEFAULTs fill, an omitted identity column is assigned (one
+    pinned evaluation), declared clustering columns join the stats,
+    GENERATED columns fill/enforce, reserved names reject, the strict
+    (non-evolving) schema contract validates, and CHECK constraints
+    enforce. Returns (df, stats_cols, idents, ident_wm,
+    ident_assigned) — the caller records the advanced watermark when
+    it assigned."""
+    from pyspark.sql import functions as F
+
+    defaults = table_column_defaults(table)
+    if defaults:
+        cur_schema = table_schema(table)
+        cur_types = (
+            {f.name: f.dataType for f in cur_schema.fields}
+            if cur_schema is not None else {}
+        )
+        for c, expr in defaults.items():
+            if c not in df.columns and c in cur_types:
+                df = df.withColumn(c, F.expr(expr).cast(cur_types[c]))
+    idents = table_identity(table)
+    ident_wm = identity_watermark(table)
+    ident_assigned: list[str] = []
+    for c, spec in sorted(idents.items()):
+        if c in df.columns:
+            if spec["always"]:
+                raise ValueError(
+                    f"column {c!r} of {table} is GENERATED ALWAYS AS "
+                    "IDENTITY; writes may not supply it"
+                )
+            continue
+        start, step = int(spec["start"]), int(spec["step"])
+        base = _ident_next_base(
+            start, step, int(ident_wm.get(c, start - step))
+        )
+        df = df.withColumn(
+            c,
+            (
+                F.lit(base) + F.monotonically_increasing_id() * F.lit(step)
+            ).cast("long"),
+        )
+        ident_assigned.append(c)
+    if ident_assigned:
+        stats_cols = sorted(set(stats_cols or []) | set(ident_assigned))
+        # pin ONE evaluation of the nondeterministic assignment (same
+        # rule as append/merge: validation and staging must agree)
+        df = df.localCheckpoint()
+    declared_cluster = table_cluster_by(table)
+    if declared_cluster:
+        stats_cols = sorted(set(stats_cols or []) | set(declared_cluster))
+    df, _ = _apply_generated(df, table)
+    if any(c in df.columns for c in (_ROW_ID_COL, _ROW_COMMIT_COL)):
+        raise ValueError(
+            f"column names {_ROW_ID_COL!r}/{_ROW_COMMIT_COL!r} are "
+            "reserved for row tracking's materialized ids"
+        )
+    _validate_append_schema(table, df.schema, merge_schema=False)
+    _enforce_constraints(df, table)
+    return df, stats_cols, idents, ident_wm, ident_assigned
+
+
+def tx_replace_where(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    predicate_sql: str,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Delta's ``replaceWhere``: ATOMICALLY replace exactly the rows
+    matching the predicate with ``df``'s rows — the standard backfill
+    idiom (recompute one day/partition, swap it in, readers never see
+    the gap between delete and insert that two commits would open).
+
+    Delta's constraint applies: every replacement row must itself
+    satisfy the predicate (checked first; nothing lands otherwise) —
+    a replacement that leaks rows outside its scope would silently
+    double them against the untouched files.
+
+    The deletion side reuses the partition fast path: a predicate of
+    partition equality/IN literals drops provably-all-match files
+    metadata-only, while unprovable files get the exact row-level
+    rewrite — so backfilling a partitioned table costs the NEW data's
+    write plus O(files) metadata, never a read of the old partition.
+    The insertion side obeys the append laws: DEFAULTs fill, GENERATED
+    columns fill/enforce, an omitted identity column is assigned
+    (watermark advanced in the same commit), CHECK constraints
+    validate, and the staged files honor the declared partitioning
+    with recorded partition values and clustering stats.
+
+    Returns (new_version, files_removed).
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
+    if df.filter(~pred).limit(1).count():
+        raise ValueError(
+            "replaceWhere data must satisfy the predicate "
+            f"{predicate_sql!r} (Delta's rule: a replacement may not "
+            "write outside the range it replaces)"
+        )
+    # the append laws on the replacement frame
+    df, stats_cols, idents, ident_wm, ident_assigned = (
+        _complete_append_laws(df, table, stats_cols)
+    )
+
+    pf = _partition_only_equality(table, predicate_sql)
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        dvs = snapshot_dvs(table)
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        pure: list[str] = []
+        scan_files = files
+        if pf:
+            pv_map = snapshot_pv(table)
+            pure = [
+                f
+                for f in files
+                if (vals := pv_map.get(f)) is not None
+                and all(c in vals and vals[c] in w for c, w in pf.items())
+            ]
+            pure_set = set(pure)
+            scan_files = [f for f in files if f not in pure_set]
+        if scan_files:
+            tagged = _tagged_scan(reader, table, scan_files, dvs)
+            hit_rels = sorted(
+                r["__rel"]
+                for r in tagged.filter(pred)
+                .select("__rel").distinct().collect()
+            )
+        else:
+            hit_rels = []
+        added, pv = [], {}
+        if hit_rels:
+            survivors = (
+                _materialize_row_ids(
+                    _tagged_scan(reader, table, hit_rels, dvs), table
+                )
+                .filter(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
+                .drop("__rel", "__pos")
+            )
+            if survivors.limit(1).count():
+                a, p = _stage_for(survivors, table)
+                added += a
+                pv.update(p or {})
+        a, p = _stage_for(df, table)
+        new_files = list(a)
+        added += a
+        pv.update(p or {})
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols and added else None
+        )
+        eff_meta = None
+        if ident_assigned and new_files:
+            new_wm = _ident_wm_from_stats(
+                table, idents, ident_assigned, stats, ident_wm,
+                (_effective_mapping(table) or {}).get,
+            )
+            eff_meta = {"identity_watermark": {**ident_wm, **new_wm}}
+        removed = sorted(set(pure) | set(hit_rels))
+        try:
+            v = commit(
+                table, "replace_where", added, removed, parent,
+                schema_json=schema_json, stats=stats, pv=pv or None,
+                meta=eff_meta,
+            )
+            return v, len(removed)
+        except TxConflict:
+            continue  # fresh snapshot, re-find affected files
+    raise TxConflict(
+        f"replace_where on {table} lost {max_retries} straight races"
+    )
 
 
 def tx_update_where(

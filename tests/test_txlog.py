@@ -2843,3 +2843,104 @@ def test_mor_partition_delete_drops_files_not_vectors(spark, tmp_path):
     rows = [r for p in parts for r in _read_change_partition(p)]
     assert {r[0] for r in rows if r[2] == "delete"} == dels
     assert all(r[3] == v for r in rows)
+
+
+def test_replace_where_atomic_partition_backfill(spark, tmp_path):
+    """replaceWhere: one commit swaps exactly the predicate's rows for
+    the new frame; a partition-shaped predicate drops the old files
+    metadata-only; data outside the predicate is rejected up front."""
+    t = str(tmp_path / "t")
+    df = spark.range(90).selectExpr("id AS k", "id % 3 AS p", "'old' AS v")
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    pv = txlog.snapshot_pv(t)
+    _, files = txlog.snapshot_files(t)
+    p1 = {f for f in files if pv.get(f, {}).get("p") == "1"}
+    repl = spark.createDataFrame(
+        [(1000, 1, "new"), (1001, 1, "new")], "k long, p long, v string"
+    )
+    v, n = txlog.tx_replace_where(spark, t, repl, "p = 1")
+    rec = txlog.read_commit(t, v)
+    assert p1 <= set(rec["removed"]) and n >= len(p1)
+    # metadata-only on the delete side: everything staged is NEW data
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == (
+        {(i, "old") for i in range(90) if i % 3 != 1}
+        | {(1000, "new"), (1001, "new")}
+    )
+    # the new files carry recorded partition values: pruning still works
+    kept = txlog.prune_partition_files(
+        t, txlog.snapshot_files(t)[1], {"p": 1}
+    )
+    assert 0 < len(kept) < len(txlog.snapshot_files(t)[1])
+    with pytest.raises(ValueError, match="satisfy the predicate"):
+        txlog.tx_replace_where(
+            spark, t,
+            spark.createDataFrame([(5, 2, "leak")], "k long, p long, v string"),
+            "p = 1",
+        )
+    # constraints + identity laws hold on the replacement frame
+    txlog.tx_set_constraint(spark, t, "kpos", "k >= 0")
+    with pytest.raises(Exception):
+        txlog.tx_replace_where(
+            spark, t,
+            spark.createDataFrame([(-7, 0, "bad")], "k long, p long, v string"),
+            "p = 0",
+        )
+
+
+def test_copy_into_idempotent_and_incremental(spark, tmp_path):
+    """COPY INTO loads each source file exactly once: the re-run is a
+    no-op, newly landed files load alone, and the loaded-set plane
+    survives checkpoint folds."""
+    src = str(tmp_path / "landing")
+    t = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "'a' AS v").coalesce(1) \
+        .write.parquet(src)
+    v1, n1 = txlog.tx_copy_into(spark, t, src)
+    assert n1 == 1 and txlog.read_snapshot(spark, t).count() == 10
+    # idempotent re-run
+    v2, n2 = txlog.tx_copy_into(spark, t, src)
+    assert n2 == 0 and v2 == v1
+    # a new file lands: only IT loads
+    import glob as _glob
+
+    spark.range(10, 15).selectExpr("id AS k", "'b' AS v").coalesce(1) \
+        .write.mode("append").parquet(src)
+    v3, n3 = txlog.tx_copy_into(spark, t, src)
+    assert n3 == len(_glob.glob(src + "/*.parquet")) - 1
+    assert txlog.read_snapshot(spark, t).count() == 15
+    # burn versions past a checkpoint; the loaded set must survive
+    for i in range(txlog.CHECKPOINT_EVERY + 1):
+        txlog.tx_set_constraint(spark, t, "c", f"k >= -1 OR {i} = {i}")
+    assert txlog.copy_into_sources(t) == {
+        os.path.abspath(f) for f in _glob.glob(src + "/*.parquet")
+    }
+    v4, n4 = txlog.tx_copy_into(spark, t, src)
+    assert n4 == 0
+    assert txlog.read_snapshot(spark, t).count() == 15
+
+
+def test_copy_into_concurrent_racers_never_double_load(spark, tmp_path):
+    """Two COPY INTOs racing on the same landing dir: the copy-vs-copy
+    conflict forces the loser to re-plan against the winner's recorded
+    set — every file loads exactly once."""
+    src = str(tmp_path / "landing")
+    t = str(tmp_path / "t")
+    spark.range(20).selectExpr("id AS k").repartition(4) \
+        .write.parquet(src)
+    errs, results = [], []
+
+    def racer():
+        try:
+            results.append(txlog.tx_copy_into(spark, t, src))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=racer) for _ in range(3)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    assert not errs
+    assert sum(n for _, n in results) >= 1
+    assert txlog.read_snapshot(spark, t).count() == 20, (
+        "a double-load would show > 20 rows"
+    )
