@@ -28,7 +28,7 @@ the whole table lifecycle through the SQL door:
     ALTER TABLE t ALTER COLUMN c SYNC IDENTITY | DROP IDENTITY
     ALTER TABLE t SET TBLPROPERTIES ('delta.enableRowTracking'='true')
     OPTIMIZE t [WHERE col = v [AND ...]] [ZORDER BY (a, b)] [FULL]
-    VACUUM t [RETAIN n HOURS]
+    VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         [PATTERN = '<glob>']
@@ -558,15 +558,22 @@ def tx_sql(
     # ---------------- VACUUM ----------------
     m = re.match(
         rf"(?is)^VACUUM{_WS}{_IDENT}"
-        rf"(?:{_WS}RETAIN{_WS}([\d.]+){_WS}HOURS)?$",
+        rf"(?:{_WS}RETAIN{_WS}([\d.]+){_WS}HOURS)?"
+        rf"({_WS}DRY{_WS}RUN)?$",
         s,
     )
     if m:
         path = _path(m.group(1), base_dir)
         hours = float(m.group(2)) if m.group(2) else 24.0
-        removed = txlog.tx_vacuum(path, retention_seconds=hours * 3600.0)
-        return _result(spark, "vacuum", path, None,
-                       f"{len(removed)} files removed")
+        dry = bool(m.group(3))
+        removed = txlog.tx_vacuum(
+            path, retention_seconds=hours * 3600.0, dry_run=dry
+        )
+        return _result(
+            spark, "vacuum", path, None,
+            f"{len(removed)} files "
+            + ("would be removed" if dry else "removed"),
+        )
 
     # ---------------- RESTORE ----------------
     m = re.match(

@@ -5685,7 +5685,9 @@ def tx_convert_parquet_dir(
     )
 
 
-def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
+def tx_vacuum(
+    table: str, retention_seconds: float = 86400.0, dry_run: bool = False
+) -> list[str]:
     """Reclaim orphans: staged directories, data files, and Bloom
     sidecars never referenced by ANY commit still in the log (crashed
     writers, conflicted/retried commits). Files referenced by old
@@ -5707,7 +5709,11 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
     in-flight writer would delete its staged files and the subsequent
     commit would reference files that no longer exist. The same guard
     covers sidecars, which also land on disk before their commit. Pass
-    a smaller window only when no writer can be active within it."""
+    a smaller window only when no writer can be active within it.
+
+    ``dry_run`` (Delta's ``VACUUM ... DRY RUN``): report exactly what
+    a real run would reclaim, touching nothing — the operator's
+    pre-flight check before dropping the retention window."""
     import shutil
     import time
 
@@ -5740,14 +5746,16 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
             rel = f"{DATA}/{f}"
             p = os.path.join(data_dir, f)
             if rel not in referenced and os.path.getmtime(p) <= cutoff:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed.append(rel)
     staging = os.path.join(table, STAGING)
     if os.path.isdir(staging):
         for d in os.listdir(staging):
             p = os.path.join(staging, d)
             if os.path.getmtime(p) <= cutoff:
-                shutil.rmtree(p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
                 removed.append(f"{STAGING}/{d}")
     side_dir = os.path.join(table, SIDECARS)
     if os.path.isdir(side_dir):
@@ -5756,10 +5764,11 @@ def tx_vacuum(table: str, retention_seconds: float = 86400.0) -> list[str]:
             p = os.path.join(side_dir, f)
             if rel in sidecars_ref or os.path.getmtime(p) > cutoff:
                 continue
-            if os.path.isdir(p):  # crashed _build_bloom_sidecar tmp dir
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                os.remove(p)
+            if not dry_run:
+                if os.path.isdir(p):  # crashed bloom-sidecar tmp dir
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
             removed.append(rel)
     return removed
 

@@ -83,6 +83,50 @@ def _rename_arrow(tbl, rename: tuple):
     return tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
 
 
+def _z_sort_arrow(tbl, cluster_cols: list):
+    """Sort an Arrow table on the z-curve of the clustering columns —
+    the numpy twin of lake.z_cluster for the Spark-free auto-compact
+    path (min-max normalize each NUMERIC dimension into the bit
+    range, interleave, argsort). Non-numeric keys (or none) fall back
+    to a plain lexicographic sort on whichever cluster columns exist;
+    no cluster columns = keep arrival order."""
+    cols = [c for c in cluster_cols if c in tbl.column_names]
+    if not cols:
+        return tbl
+    import numpy as np
+    import pyarrow as pa
+
+    dims = []
+    for c in cols:
+        arr = tbl.column(c)
+        if not pa.types.is_integer(arr.type) and not pa.types.is_floating(
+            arr.type
+        ):
+            dims = None
+            break
+        v = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+        v = np.where(np.isnan(v), 0.0, v)
+        dims.append(v)
+    if dims is None:
+        return tbl.sort_by([(c, "ascending") for c in cols])
+    bits = min(16, 63 // len(dims))
+    top = (1 << bits) - 1
+    norm = []
+    for v in dims:
+        lo, hi = float(v.min()), float(v.max())
+        span = max(hi - lo, 1.0)
+        norm.append(
+            np.floor((v - lo) * top / span).astype(np.int64)
+        )
+    z = np.zeros(len(norm[0]), dtype=np.int64)
+    k = len(norm)
+    for i in range(bits):
+        for j, v in enumerate(norm):
+            z |= ((v >> i) & 1) << (i * k + j)
+    order = np.argsort(z, kind="stable")
+    return tbl.take(pa.array(order, type=pa.int64()))
+
+
 def _rows_from_files(
     table: str, rels: list[str], fields: list[str], dvs: dict | None = None,
     rename: tuple = (),
@@ -1297,6 +1341,25 @@ class TxLogStreamWriter(DataSourceStreamWriter):
         # so tx_read_skipping serves streamed tables too
         raw_stats = options.get("statscols", "")
         self.stats_cols = [c.strip() for c in raw_stats.split(",") if c.strip()]
+        # `.option("autoCompact", "true")` — Databricks' auto
+        # compaction re-expressed: after a micro-batch commits, if the
+        # live small-file count crossed the threshold, the sink packs
+        # the tail itself — Spark-free (see _maybe_auto_compact): the
+        # DataSource driver commit has no SparkSession, so the pass is
+        # pure pyarrow, bounded by the tail bytes, z-ordering on the
+        # declared CLUSTER BY. Best-effort: a conflicting racer skips
+        # the pass (the next batch retries); the data commit is NEVER
+        # failed by maintenance.
+        self.auto_compact = (
+            str(options.get("autocompact", "false")).lower() == "true"
+        )
+        self.ac_min_files = int(options.get("autocompactminfiles", 16))
+        self.ac_target = int(
+            options.get("autocompacttargetbytes", 128 << 20)
+        )
+        self.ac_max_bytes = int(
+            options.get("autocompactmaxbytes", 512 << 20)
+        )
         # IDENTITY on streamed ingest: declarations are PINNED at query
         # start (the same rule as the stream readers' column mapping).
         # A supplied GENERATED ALWAYS column is rejected here, before
@@ -1530,12 +1593,157 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                     schema_json=schema_json, meta=meta, pv=pv or None,
                     stats=stats,
                 )
-                return
             except txlog.TxConflict:
                 continue
+            if self.auto_compact:
+                self._maybe_auto_compact()
+            return
         raise txlog.TxConflict(
             f"stream sink on {self.table} lost 16 straight schema races"
         )
+
+    def _maybe_auto_compact(self):
+        """Post-commit incremental compaction when the small-file tail
+        crossed the threshold — SPARK-FREE (the Python DataSource's
+        driver commit runs with no SparkSession): the tail is read,
+        z-ordered, and rewritten with pyarrow alone. That is sound at
+        any table size because the work is bounded by the TAIL, never
+        the table — selection is one os.path.getsize per live file,
+        the pass caps its input bytes (autoCompactMaxBytes), and
+        at-target files are never touched.
+
+        Semantics preserved exactly: files compact only WITHIN their
+        recorded partition-value group (outputs inherit the group's
+        pv, so pruning never degrades), DV-carrying and
+        schema-divergent files are left for the real tx_optimize,
+        row-tracking ids MATERIALIZE into the rewrite (base + index,
+        the same coalesce rule as every reader), declared CLUSTER BY
+        drives a numpy z-order (lexicographic fallback for
+        non-numeric keys) and the clustering columns' stats ride the
+        commit. A lost race abandons the pass (fresh orphans, vacuum
+        reclaims); the data commit is already safely published."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parent, files = txlog.snapshot_files(self.table)
+        dvs = txlog.snapshot_dvs(self.table)
+        sizes = {
+            f: os.path.getsize(os.path.join(self.table, f)) for f in files
+        }
+        small = [
+            f for f in files if f not in dvs and sizes[f] < self.ac_target
+        ]
+        if len(small) < self.ac_min_files:
+            return
+        # group by recorded partition values (unrecorded = own group)
+        pv_map = txlog.snapshot_pv(self.table)
+        groups: dict = {}
+        for f in small:
+            key = tuple(sorted((pv_map.get(f) or {}).items()))
+            groups.setdefault(key, []).append(f)
+        rt = txlog.table_row_tracking(self.table)
+        bases = txlog.snapshot_base_row_ids(self.table) if rt else {}
+        cluster = txlog.table_cluster_by(self.table)
+        l2p = txlog._l2p_map(self.table)
+        phys_cluster = [l2p.get(c, c) for c in cluster]
+        added, removed, pv_out = [], [], {}
+        budget = int(
+            getattr(self, "ac_max_bytes", 512 << 20)
+        )
+        for key, rels in groups.items():
+            rels = [r for r in rels if sizes[r] <= budget]
+            take: list = []
+            tot = 0
+            for r in rels:
+                if tot + sizes[r] > budget and take:
+                    break
+                take.append(r)
+                tot += sizes[r]
+            if len(take) < 2:
+                continue
+            tbls, kept = [], []
+            schema0 = None
+            for r in take:
+                t = pq.read_table(os.path.join(self.table, r))
+                if rt:
+                    n = t.num_rows
+                    base = bases.get(r)
+                    names = set(t.column_names)
+                    rid = (
+                        t.column("__row_id")
+                        if "__row_id" in names
+                        else pa.nulls(n, type=pa.int64())
+                    )
+                    rcv = (
+                        t.column("__row_commit")
+                        if "__row_commit" in names
+                        else pa.nulls(n, type=pa.int64())
+                    )
+                    if base is not None:
+                        import pyarrow.compute as pc
+
+                        b, cv = int(base[0]), int(base[1])
+                        rid = pc.coalesce(
+                            pc.cast(rid, pa.int64()),
+                            pa.array(
+                                range(b, b + n), type=pa.int64()
+                            ),
+                        )
+                        rcv = pc.coalesce(
+                            pc.cast(rcv, pa.int64()),
+                            pa.array([cv] * n, type=pa.int64()),
+                        )
+                    t = t.drop_columns(
+                        [c for c in ("__row_id", "__row_commit")
+                         if c in names]
+                    )
+                    t = t.append_column("__row_id", rid).append_column(
+                        "__row_commit", rcv
+                    )
+                if schema0 is None:
+                    schema0 = t.schema
+                elif t.schema != schema0:
+                    continue  # schema drift: real OPTIMIZE's problem
+                tbls.append(t)
+                kept.append(r)
+            if len(kept) < 2:
+                continue
+            merged = pa.concat_tables(tbls)
+            merged = _z_sort_arrow(merged, phys_cluster)
+            tag = __import__("uuid").uuid4().hex[:12]
+            n_out = max(1, -(-tot // self.ac_target))
+            rows_per = -(-merged.num_rows // n_out)
+            for i in range(n_out):
+                chunk = merged.slice(i * rows_per, rows_per)
+                if chunk.num_rows == 0:
+                    continue
+                rel = f"{txlog.DATA}/{tag}-ac{i}.parquet"
+                pq.write_table(
+                    chunk, os.path.join(self.table, rel)
+                )
+                added.append(rel)
+                if key:
+                    # per-file metadata planes are PHYSICALLY keyed
+                    # (the column-mapping contract: a later rename
+                    # must invalidate nothing) — snapshot_pv served
+                    # logical keys, so translate back before recording
+                    pv_out[rel] = {l2p.get(c, c): v for c, v in key}
+            removed.extend(kept)
+        if not removed:
+            return
+        stats = (
+            txlog.collect_file_stats(self.table, added, cluster)
+            if cluster and added else None
+        )
+        try:
+            txlog.commit(
+                self.table, "compact", added, removed, parent,
+                stats=stats, pv=pv_out or None,
+            )
+        except txlog.TxConflict:
+            pass  # racing rewriter owns the tail; fresh orphans vacuum
 
     def abort(self, messages, batchId):
         import os

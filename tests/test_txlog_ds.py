@@ -1127,3 +1127,96 @@ def test_max_bytes_per_trigger_bounds_backlog(spark, tmp_path):
         offsets.append(int(nxt["v"]))
         cur = nxt
     assert offsets == [1, 2, 3, 4], offsets
+
+
+def test_sink_auto_compact_packs_small_file_tail(spark, tmp_path):
+    """.option("autoCompact"): after enough micro-batches leave a
+    small-file tail, the sink runs the incremental OPTIMIZE behind the
+    ingest — file count collapses, rows stay exact, clustering stats
+    ride the rewrite (CLUSTER BY default), and the data commits are
+    never blocked by the maintenance pass."""
+    from parallel_dbms_spark.sources import txlog
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "t")
+    txlog.tx_append(
+        spark.createDataFrame([(0, 0)], "k long, x long"), t
+    )
+    txlog.tx_set_cluster_by(t, ["x"])
+    src = str(tmp_path / "in")
+    for j in range(6):
+        spark.createDataFrame(
+            [(j * 10 + i, (i * 13) % 50) for i in range(10)],
+            "k long, x long",
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("k long, x long").parquet(src)
+        .writeStream.format("txlog")
+        .option("path", t).option("checkpointLocation", str(tmp_path / "ck"))
+        .option("autoCompact", "true")
+        .option("autoCompactMinFiles", "4")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, files = txlog.snapshot_files(t)
+    assert len(files) < 6, f"tail not compacted: {len(files)} files"
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == set(range(60)) | {0}
+    st = txlog.snapshot_stats(t)
+    packed = [f for f in files if f in st and "x" in st[f].get("c", {})]
+    assert packed, "auto-compacted output must carry clustering stats"
+    # the log shows data commits AND at least one compact commit
+    actions = [
+        txlog.read_commit(t, v)["action"] for v in txlog.log_versions(t)
+    ]
+    assert "compact" in actions
+
+
+def test_sink_auto_compact_preserves_pv_and_row_ids(spark, tmp_path):
+    """Auto-compact semantics: files compact only within their
+    recorded partition-value group (outputs inherit the pv, pruning
+    never degrades), and row-tracking ids materialize through the
+    Arrow rewrite exactly as tx_compact would."""
+    from parallel_dbms_spark.sources import txlog
+    from parallel_dbms_spark.sources.txlog_ds import register_txlog_source
+
+    register_txlog_source(spark)
+    t = str(tmp_path / "t")
+    txlog.tx_append(
+        spark.createDataFrame([(0, 0, "seed")], "k long, p long, s string"),
+        t, partition_by=["p"],
+    )
+    txlog.tx_enable_row_tracking(t)
+    src = str(tmp_path / "in")
+    for j in range(5):
+        spark.createDataFrame(
+            [(100 + j * 10 + i, i % 2, f"b{j}") for i in range(10)],
+            "k long, p long, s string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    before_rows = None
+    q = (
+        spark.readStream.schema("k long, p long, s string").parquet(src)
+        .writeStream.format("txlog")
+        .option("path", t).option("checkpointLocation", str(tmp_path / "ck"))
+        .option("autoCompact", "true")
+        .option("autoCompactMinFiles", "4")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    actions = [
+        txlog.read_commit(t, v)["action"] for v in txlog.log_versions(t)
+    ]
+    assert "compact" in actions
+    # pruning still answers from log metadata after the compaction
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(t, files, {"p": 0})
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    df0 = txlog.read_snapshot(spark, t, partition_filter={"p": 0})
+    assert df0.count() == 1 + 25  # seed + half the streamed rows
+    # row ids: unique, and the compacted rewrite materialized them
+    rows = txlog.read_snapshot(spark, t, with_row_ids=True).collect()
+    ids = [r["_row_id"] for r in rows]
+    assert len(set(ids)) == len(ids) and all(i is not None for i in ids)
