@@ -3892,6 +3892,81 @@ def _complete_append_laws(
     return df, stats_cols, idents, ident_wm, ident_assigned
 
 
+def tx_derive_partition_filter(
+    spark: SparkSession, table: str, source_filter: dict
+) -> dict:
+    """Delta's generated-column partition derivation: a table
+    partitioned by GENERATED columns (``tx_set_generated`` +
+    ``partition_by``, e.g. ``day = to_date(ts)``) can prune from a
+    filter on the SOURCE columns alone — the reader never needs to
+    know the layout column exists.
+
+    ``source_filter`` is {source_col: value-or-list} EQUALITY/IN
+    literals. For every declared partition column: a directly-filtered
+    column passes through; a GENERATED one whose expression references
+    ONLY filtered source columns derives its value set by evaluating
+    the expression over the literal combinations — in Spark itself
+    (one driver-side VALUES plan, zero table I/O), so the derivation
+    uses byte-identical semantics to what the stager computed when it
+    recorded partitionValues. Generated columns referencing UNFILTERED
+    sources contribute nothing (conservative — their files simply
+    don't prune). Returns a ``partition_filter`` for
+    :func:`read_snapshot` / the DS faces.
+
+    Soundness: generated expressions are deterministic by contract
+    (validated at declaration), and equality pins every referenced
+    input, so each combination yields exactly the value the matching
+    rows' files recorded. Cost: one tiny local plan per derived
+    column — O(|literal combinations|) rows, never data."""
+    import itertools
+    import re as _re
+
+    declared = table_partition_by(table)
+    if not declared:
+        raise ValueError(f"{table} declares no partition columns")
+    gmap = table_generated_columns(table)
+    norm = {
+        c: list(v) if isinstance(v, (list, tuple, set)) else [v]
+        for c, v in source_filter.items()
+    }
+    out: dict = {}
+    for pc in declared:
+        if pc in norm:
+            out[pc] = norm[pc]
+            continue
+        expr = gmap.get(pc)
+        if expr is None:
+            continue
+        # the expression's identifier set must be fully pinned
+        idents = set(_re.findall(r"[A-Za-z_]\w*", expr))
+        refs = [c for c in norm if c in idents]
+        unpinned = [
+            f.name
+            for f in (table_schema(table) or StructType([])).fields
+            if f.name in idents and f.name not in norm and f.name != pc
+        ]
+        if not refs or unpinned:
+            continue
+        schema = table_schema(table)
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        rows = list(itertools.product(*[norm[c] for c in refs]))
+        src = spark.createDataFrame(
+            rows, ", ".join(f"{c} {types[c]}" for c in refs)
+        )
+        vals = [
+            r["__g"]
+            for r in src.selectExpr(f"({expr}) AS __g").distinct().collect()
+        ]
+        out[pc] = vals
+    if not out:
+        raise ValueError(
+            f"no partition column of {table} is derivable from "
+            f"{sorted(source_filter)} (generated expressions reference "
+            "unfiltered sources)"
+        )
+    return out
+
+
 def tx_replace_where(
     spark: SparkSession,
     table: str,

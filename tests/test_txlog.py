@@ -2944,3 +2944,43 @@ def test_copy_into_concurrent_racers_never_double_load(spark, tmp_path):
     assert txlog.read_snapshot(spark, t).count() == 20, (
         "a double-load would show > 20 rows"
     )
+
+
+def test_derive_partition_filter_from_generated_source(spark, tmp_path):
+    """Generated-column partition derivation: a table partitioned by
+    day = to_date(ts) prunes from a filter on ts alone — the derived
+    filter opens exactly the files the explicit one would."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3), 8 + (i % 12)))
+        for i in range(120)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k long, ts timestamp").withColumn(
+        "day", F.to_date("ts")
+    )
+    txlog.tx_append(df, t, partition_by=["day"])
+    txlog.tx_set_generated(spark, t, "day", "to_date(ts)")
+    probe = dt.datetime(2024, 1, 2, 9)
+    pf = txlog.tx_derive_partition_filter(spark, t, {"ts": [probe]})
+    assert pf == {"day": [dt.date(2024, 1, 2)]}
+    _, files = txlog.snapshot_files(t)
+    kept = txlog.prune_partition_files(t, files, pf)
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+    got = txlog.read_snapshot(spark, t, partition_filter=pf)
+    assert got.filter("ts = timestamp'2024-01-02 09:00:00'").count() == (
+        df.filter("ts = timestamp'2024-01-02 09:00:00'").count()
+    )
+    # multiple literals derive a value SET; direct partition columns
+    # pass through untouched
+    pf2 = txlog.tx_derive_partition_filter(
+        spark, t,
+        {"ts": [probe, dt.datetime(2024, 1, 3, 10)], "day": dt.date(2024, 1, 1)},
+    )
+    assert set(pf2["day"]) >= {dt.date(2024, 1, 1)}
+    # underivable: filter pins nothing the expression references
+    with pytest.raises(ValueError, match="derivable"):
+        txlog.tx_derive_partition_filter(spark, t, {"k": 5})
