@@ -32,6 +32,8 @@ the whole table lifecycle through the SQL door:
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         [PATTERN = '<glob>']
+    FSCK REPAIR TABLE t [DRY RUN]
+    GENERATE symlink_format_manifest FOR TABLE t
     DESCRIBE DETAIL t | DESCRIBE HISTORY t
     SELECT ... FROM table_changes('t', v1 [, v2]) ...
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
@@ -597,6 +599,33 @@ def tx_sql(
             )
         return _result(spark, "restore", path, v, s.split(None, 1)[1])
 
+    # ---------------- FSCK / GENERATE ----------------
+    m = re.match(
+        rf"(?is)^FSCK{_WS}REPAIR{_WS}TABLE{_WS}{_IDENT}"
+        rf"({_WS}DRY{_WS}RUN)?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        dry = bool(m.group(2))
+        missing = txlog.tx_fsck(path, dry_run=dry)
+        return _result(
+            spark, "fsck", path,
+            None if dry else (txlog.log_versions(path) or [None])[-1],
+            f"{len(missing)} missing file references "
+            + ("found" if dry else "removed"),
+        )
+
+    m = re.match(
+        rf"(?is)^GENERATE{_WS}symlink_format_manifest{_WS}FOR{_WS}"
+        rf"TABLE{_WS}{_IDENT}$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        out = txlog.tx_generate_manifest(path)
+        return _result(spark, "generate_manifest", path, None, out)
+
     # ---------------- DESCRIBE ----------------
     m = re.match(rf"(?is)^DESCRIBE{_WS}DETAIL{_WS}{_IDENT}$", s)
     if m:
@@ -620,6 +649,7 @@ def is_lake_statement(sql: str) -> bool:
         r"INSERT\s+(INTO|OVERWRITE)|"
         r"MERGE\s+INTO|UPDATE\s|"
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
-        r"COPY\s+INTO|DESCRIBE\s+(DETAIL|HISTORY))\b",
+        r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink|"
+        r"DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,
     ))

@@ -5848,6 +5848,76 @@ def tx_vacuum(
     return removed
 
 
+def tx_fsck(
+    table: str, dry_run: bool = False, max_retries: int = 8
+) -> list[str]:
+    """Delta's ``FSCK REPAIR TABLE``: drop the log's references to
+    live data files that no longer exist on disk (an external actor
+    deleted them — storage incident, fat-fingered rm, a foreign
+    retention job). Reads fail loudly until repaired; after the repair
+    commit the table serves the surviving rows again, and the commit
+    is ordinary history (auditable, time-travel-able, CDC-visible as
+    deletes of the lost rows' references).
+
+    ``dry_run`` reports the missing files without committing. Pure
+    metadata: one os.path.exists per live file, never a data read.
+    Returns the missing relpaths."""
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        missing = [
+            f for f in files
+            if not os.path.exists(os.path.join(table, f))
+        ]
+        if dry_run or not missing:
+            return missing
+        try:
+            commit(table, "fsck", [], missing, parent)
+            return missing
+        except TxConflict:
+            continue  # an interleaved rewrite touched them: re-scan
+    raise TxConflict(f"fsck on {table} lost {max_retries} straight races")
+
+
+def tx_generate_manifest(table: str, version: int | None = None) -> str:
+    """Delta's ``GENERATE symlink_format_manifest``: publish the
+    current (or pinned) snapshot's live parquet paths as plain-text
+    manifest files under ``_symlink_format_manifest/`` — the interop
+    handshake engines like Presto/Trino/Athena read to query the
+    table WITHOUT understanding the commit log. Partitioned tables
+    get one manifest per recorded partition-value combination
+    (``col=value/manifest``), mirroring the Hive layout those engines
+    expect; files with unrecorded values land in the root manifest.
+
+    Generation is O(live files) metadata and atomic per manifest
+    (tmp + rename); re-running replaces the whole directory, so a
+    stale manifest never mixes with a fresh one. The manifest is a
+    CONSUMER artifact: nothing in this engine reads it back."""
+    import shutil
+
+    v, files = snapshot_files(table, version)
+    pv = snapshot_pv(table, v)
+    root = os.path.join(table, "_symlink_format_manifest")
+    tmp = root + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    groups: dict = {}
+    for f in files:
+        vals = pv.get(f) or {}
+        key = "/".join(
+            f"{c}={vals[c]}" for c in sorted(vals)
+        )
+        groups.setdefault(key, []).append(f)
+    for key, rels in groups.items():
+        d = os.path.join(tmp, key) if key else tmp
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "manifest"), "w") as fh:
+            for r in sorted(rels):
+                fh.write(os.path.abspath(os.path.join(table, r)) + "\n")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    os.replace(tmp, root)
+    return root
+
+
 def tx_expire_versions(table: str, keep_from: int) -> list[int]:
     """Truncate log history below ``keep_from`` (Delta's
     ``logRetentionDuration`` re-expressed as an explicit horizon): a
