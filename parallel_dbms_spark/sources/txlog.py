@@ -4424,6 +4424,15 @@ def tx_changes(
         rec = read_commit(table, v)
         if rec["action"] in ("compact", "repartition"):
             continue  # content-preserving rewrites: no row-level change
+        if rec["action"] == "fsck":
+            # the repaired references' bytes were lost EXTERNALLY —
+            # their rows cannot be replayed as deletes; a consumer of
+            # this range must re-baseline from a snapshot
+            raise ValueError(
+                f"commit {v} is an FSCK repair (data files were lost); "
+                "the change feed cannot replay it — re-baseline from "
+                "read_snapshot"
+            )
         schema = _schema_at(table, v)
         reader = _data_reader(spark, table, schema, v)
 

@@ -601,10 +601,21 @@ def _plan_change_partitions(
                 )
             )
             continue
-        if action == "delete_mor" and rec["removed"]:
-            # the partition fast path DROPPED whole all-match files
-            # (no rewrite): their live rows are pure deletes, plannable
-            # per file — positions carry the PRIOR vectors to exclude
+        if action == "fsck":
+            # the repaired references' bytes are GONE from disk — the
+            # lost rows cannot be served as deletes; the consumer must
+            # re-baseline from a snapshot
+            raise ValueError(
+                f"commit {v} is an FSCK repair (data files were lost "
+                "externally); the change feed cannot replay it — "
+                "re-baseline from read_snapshot with a fresh checkpoint"
+            )
+        if rec["removed"] and not rec["added"]:
+            # whole-file drops with NO rewrite (the partition fast
+            # path on either delete flavor, a shrinking RESTORE):
+            # every live row of each dropped file is a pure delete,
+            # plannable per file — positions carry the PRIOR vectors
+            # to exclude
             prior = txlog.snapshot_dvs(table, v - 1)
             for rel in rec["removed"]:
                 parts.append(
@@ -867,13 +878,19 @@ class TxLogChangeStreamReader(DataSourceStreamReader):
                     txlog.read_commit(self.table, p.version).get("pv", {}),
                     self._map_v or None,
                 ).get(p.rel)
-            elif p.change_type == "delete":
-                if p.version not in pv_at:
+            elif p.change_type in ("delete", "delete_file"):
+                # a vectored file is still live AT its commit; a
+                # DROPPED file (partition fast path) is not — its
+                # recorded values live at the predecessor snapshot
+                at = (
+                    p.version
+                    if p.change_type == "delete"
+                    else p.version - 1
+                )
+                if at not in pv_at:
                     # snapshot_pv serves LOGICAL keys already
-                    pv_at[p.version] = txlog.snapshot_pv(
-                        self.table, p.version
-                    )
-                vals = pv_at[p.version].get(p.rel)
+                    pv_at[at] = txlog.snapshot_pv(self.table, at)
+                vals = pv_at[at].get(p.rel)
             else:  # cdc sidecar: mixed rows — never value-pure, but
                 # the commit's recorded sidecar stats (cdc_stats) can
                 # still prove it DISJOINT from the filter and skip it

@@ -2984,3 +2984,29 @@ def test_derive_partition_filter_from_generated_source(spark, tmp_path):
     # underivable: filter pins nothing the expression references
     with pytest.raises(ValueError, match="derivable"):
         txlog.tx_derive_partition_filter(spark, t, {"k": 5})
+
+
+def test_fsck_commits_are_unreplayable_in_change_feeds(spark, tmp_path):
+    """An FSCK repair's rows were lost externally — both change-feed
+    faces refuse the range loudly instead of crashing on a missing
+    file or silently skipping the loss."""
+    t = str(tmp_path / "t")
+    txlog.tx_append(_df(spark, [(1, "a")]).coalesce(1), t)
+    txlog.tx_append(_df(spark, [(2, "b")]).coalesce(1), t)
+    victim = txlog.snapshot_files(t)[1][0]
+    os.remove(os.path.join(t, victim))
+    missing = txlog.tx_fsck(t)
+    assert missing == [victim]
+    v = txlog.log_versions(t)[-1]
+    with pytest.raises(ValueError, match="FSCK repair"):
+        txlog.tx_changes(spark, t, v - 1, v).collect()
+    from parallel_dbms_spark.sources.txlog_ds import (
+        _plan_change_partitions,
+    )
+
+    with pytest.raises(ValueError, match="FSCK repair"):
+        _plan_change_partitions(t, v - 1, v, ("k", "v"))
+    # reads serve the survivors
+    assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {2} or (
+        {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1}
+    )

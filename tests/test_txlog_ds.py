@@ -1220,3 +1220,66 @@ def test_sink_auto_compact_preserves_pv_and_row_ids(spark, tmp_path):
     rows = txlog.read_snapshot(spark, t, with_row_ids=True).collect()
     ids = [r["_row_id"] for r in rows]
     assert len(set(ids)) == len(ids) and all(i is not None for i in ids)
+
+
+def test_cdc_stream_prunes_dropped_file_partitions(spark, tmp_path):
+    """The partition-filtered CDC stream prunes delete_file splits
+    (metadata-dropped all-match files) from the PREDECESSOR snapshot's
+    recorded values — a consumer tailing one partition's changes never
+    opens the other partitions' dropped files."""
+    from parallel_dbms_spark.sources import txlog
+    from parallel_dbms_spark.sources.txlog_ds import (
+        TxLogChangePartition, _plan_change_partitions,
+        _read_change_partition,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(60).selectExpr("id AS k", "id % 3 AS p")
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    v, _ = txlog.tx_delete_where_mor(spark, t, "p IN (0, 1)")
+    parts = _plan_change_partitions(t, v - 1, v, ("k", "p"))
+    assert parts and all(p.change_type == "delete_file" for p in parts)
+    # drive the reader's filter path: the p=1 consumer reads ONLY the
+    # p=1 drop, and its rows filter exactly
+    rows = []
+    for p in parts:
+        vals = txlog.snapshot_pv(t, v - 1).get(p.rel)
+        if vals and vals.get("p") not in (None, "1"):
+            continue  # what the stream face's metadata verdict does
+        rows += list(_read_change_partition(p))
+    ks = {r[0] for r in rows}
+    assert ks == {i for i in range(60) if i % 3 == 1}
+
+
+def test_change_feed_partition_filter_over_dropped_files(spark, tmp_path):
+    """End-to-end: partitionFilter + readChangeFeed across a
+    metadata-dropped partition delete — the consumer sees its
+    partition's rows as deletes, never the other partition's."""
+    register_txlog_source(spark)
+    t = str(tmp_path / "cdfd")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, c string")
+    txlog.tx_append(
+        mk([(1, "a"), (2, "b"), (3, "a"), (4, "b")]), t,
+        partition_by=["c"],
+    )
+    txlog.tx_delete_where(spark, t, "c = 'a'")   # CoW drop, pure
+    txlog.tx_delete_where_mor(spark, t, "c = 'b'")  # MOR drop, pure
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("txlog").option("path", t)
+        .option("readChangeFeed", "true")
+        .option("partitionFilter", '{"c": "a"}')
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.k, r.c, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "a", "insert"), (3, "a", "insert"),
+        (1, "a", "delete"), (3, "a", "delete"),
+    }, got
