@@ -32,6 +32,8 @@ the whole table lifecycle through the SQL door:
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         [PATTERN = '<glob>']
+    TRUNCATE TABLE t
+    SHOW CREATE TABLE t | SHOW PARTITIONS t
     FSCK REPAIR TABLE t [DRY RUN]
     GENERATE symlink_format_manifest FOR TABLE t
     DESCRIBE DETAIL t | DESCRIBE HISTORY t
@@ -599,6 +601,30 @@ def tx_sql(
             )
         return _result(spark, "restore", path, v, s.split(None, 1)[1])
 
+    # ---------------- TRUNCATE / SHOW ----------------
+    m = re.match(rf"(?is)^TRUNCATE{_WS}TABLE{_WS}{_IDENT}$", s)
+    if m:
+        path = _path(m.group(1), base_dir)
+        v, n = txlog.tx_truncate(path)
+        return _result(spark, "truncate", path, v, f"{n} files dropped")
+
+    m = re.match(rf"(?is)^SHOW{_WS}CREATE{_WS}TABLE{_WS}{_IDENT}$", s)
+    if m:
+        ddl = txlog.tx_show_create_table(_path(m.group(1), base_dir))
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+
+    m = re.match(rf"(?is)^SHOW{_WS}PARTITIONS{_WS}{_IDENT}$", s)
+    if m:
+        path = _path(m.group(1), base_dir)
+        combos = txlog.tx_partitions(path)
+        cols = txlog.table_partition_by(path)
+        if not cols:
+            raise ValueError(f"{path} declares no partition columns")
+        return spark.createDataFrame(
+            [tuple(c.get(col) for col in cols) for c in combos],
+            ", ".join(f"{c} string" for c in cols),
+        )
+
     # ---------------- FSCK / GENERATE ----------------
     m = re.match(
         rf"(?is)^FSCK{_WS}REPAIR{_WS}TABLE{_WS}{_IDENT}"
@@ -650,6 +676,7 @@ def is_lake_statement(sql: str) -> bool:
         r"MERGE\s+INTO|UPDATE\s|"
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
         r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink|"
+        r"TRUNCATE\s+TABLE|SHOW\s+(CREATE\s+TABLE|PARTITIONS)|"
         r"DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,
     ))

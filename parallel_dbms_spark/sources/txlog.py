@@ -5857,6 +5857,76 @@ def tx_vacuum(
     return removed
 
 
+def tx_truncate(table: str, max_retries: int = 8) -> tuple[int, int]:
+    """TRUNCATE TABLE: drop every live file from the log as ONE
+    metadata-only commit — no file is read or written, so truncating
+    a 100 TB table costs O(files) driver metadata. History is intact
+    (time travel and RESTORE still reach the pre-truncate snapshots;
+    vacuum + expiration reclaim the bytes on the normal schedule),
+    and the change feed streams the drop as whole-file deletes.
+    Returns (new_version, files_dropped)."""
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        if not files:
+            return parent, 0
+        try:
+            v = commit(table, "truncate", [], files, parent)
+            return v, len(files)
+        except TxConflict:
+            continue  # an interleaved rewrite: re-list and retry
+    raise TxConflict(
+        f"truncate on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_show_create_table(table: str) -> str:
+    """SHOW CREATE TABLE: reconstruct the DDL + ALTER statements that
+    would recreate this table's declared metadata — schema, CLUSTER
+    BY, partitioning, CHECK constraints, column DEFAULTs, GENERATED
+    columns, identity declarations, and row tracking — from the log
+    alone. The operational "what is this table?" answer, and a
+    migration artifact (the statements run through tx_sql)."""
+    schema = table_schema(table)
+    if schema is None:
+        raise FileNotFoundError(f"no schema committed under {table}")
+    name = os.path.basename(table.rstrip("/"))
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}"
+        for f in schema.fields
+    )
+    out = [f"CREATE TABLE {name} (\n  {cols}\n)"]
+    cb = table_cluster_by(table)
+    if cb:
+        out[0] += f" CLUSTER BY ({', '.join(cb)})"
+    pb = table_partition_by(table)
+    if pb:
+        out.append(
+            f"-- partitioned by ({', '.join(pb)}) "
+            "(declared by the first partitioned append)"
+        )
+    for c, expr in sorted(table_column_defaults(table).items()):
+        out.append(
+            f"ALTER TABLE {name} ALTER COLUMN {c} SET DEFAULT {expr}"
+        )
+    for c, expr in sorted(table_generated_columns(table).items()):
+        out.append(f"-- {c} GENERATED ALWAYS AS ({expr})")
+    for c, spec in sorted(table_identity(table).items()):
+        kind = "ALWAYS" if spec["always"] else "BY DEFAULT"
+        out.append(
+            f"ALTER TABLE {name} ALTER COLUMN {c} SET GENERATED {kind} "
+            f"AS IDENTITY (START WITH {spec['start']} "
+            f"INCREMENT BY {spec['step']})"
+        )
+    for n, pred in sorted(table_constraints(table).items()):
+        out.append(f"ALTER TABLE {name} ADD CONSTRAINT {n} CHECK ({pred})")
+    if table_row_tracking(table):
+        out.append(
+            f"ALTER TABLE {name} SET TBLPROPERTIES "
+            "('delta.enableRowTracking'='true')"
+        )
+    return ";\n".join(out)
+
+
 def tx_fsck(
     table: str, dry_run: bool = False, max_retries: int = 8
 ) -> list[str]:
