@@ -31,7 +31,7 @@ the whole table lifecycle through the SQL door:
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
-        [PATTERN = '<glob>']
+        [PATTERN = '<glob>'] [FORCE = true]
     TRUNCATE TABLE t
     SHOW CREATE TABLE t | SHOW PARTITIONS t
     FSCK REPAIR TABLE t [DRY RUN]
@@ -521,7 +521,8 @@ def tx_sql(
     m = re.match(
         rf"(?is)^COPY{_WS}INTO{_WS}{_IDENT}{_WS}FROM{_WS}'([^']+)'"
         rf"{_WS}FILEFORMAT{_WS}?={_WS}?(\w+)"
-        rf"(?:{_WS}PATTERN{_WS}?={_WS}?'([^']+)')?$",
+        rf"(?:{_WS}PATTERN{_WS}?={_WS}?'([^']+)')?"
+        rf"(?:{_WS}FORCE{_WS}?={_WS}?(true|false))?$",
         s,
     )
     if m:
@@ -530,6 +531,7 @@ def tx_sql(
             spark, path, m.group(2),
             file_format=m.group(3).lower(),
             pattern=m.group(4),
+            force=(m.group(5) or "").lower() == "true",
         )
         return _result(spark, "copy_into", path,
                        v if n else None, f"{n} files loaded")

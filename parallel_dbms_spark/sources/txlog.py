@@ -789,6 +789,7 @@ def tx_copy_into(
     source: str,
     file_format: str = "parquet",
     pattern: str | None = None,
+    force: bool = False,
     max_retries: int = 8,
     **append_kwargs,
 ) -> tuple[int, int]:
@@ -813,7 +814,10 @@ def tx_copy_into(
     ``pattern``: glob within ``source`` (defaults to the format's
     extension). ``stats_cols`` passes through to the staged files'
     footer stats. Returns (version, n_files_loaded) — (head, 0) when
-    nothing is new."""
+    nothing is new. ``force`` (Databricks' ``FORCE = true``) loads
+    every matching file regardless of history — the explicit
+    double-load escape hatch when a producer re-wrote files in
+    place."""
     import glob as _glob
 
     pat = pattern or {
@@ -827,7 +831,7 @@ def tx_copy_into(
             for f in _glob.glob(os.path.join(source, pat))
             if os.path.isfile(f)
         )
-        todo = [f for f in found if f not in loaded]
+        todo = found if force else [f for f in found if f not in loaded]
         if not todo:
             return head, 0
         if file_format == "parquet":
@@ -5578,6 +5582,11 @@ def tx_clone(
                     ("cluster_by", table_cluster_by(src, v)),
                     ("identity_columns", table_identity(src, v)),
                     ("identity_watermark", identity_watermark(src, v)),
+                    # COPY INTO history travels too: a copy on the
+                    # clone must not re-load files the source already
+                    # ingested (their rows are in the linked data)
+                    ("copy_into_sources",
+                     sorted(copy_into_sources(src, v))),
                 )
                 if val
             },

@@ -3010,3 +3010,22 @@ def test_fsck_commits_are_unreplayable_in_change_feeds(spark, tmp_path):
     assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {2} or (
         {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1}
     )
+
+
+def test_copy_into_force_and_clone_carry_history(spark, tmp_path):
+    """FORCE re-loads regardless of history (the explicit double-load
+    escape hatch), and a CLONE carries the COPY INTO history so copies
+    on the clone never re-ingest what the source already loaded."""
+    src = str(tmp_path / "landing")
+    t = str(tmp_path / "t")
+    spark.range(5).selectExpr("id AS k").coalesce(1).write.parquet(src)
+    txlog.tx_copy_into(spark, t, src)
+    assert txlog.read_snapshot(spark, t).count() == 5
+    _, n = txlog.tx_copy_into(spark, t, src, force=True)
+    assert n == 1 and txlog.read_snapshot(spark, t).count() == 10
+    c = str(tmp_path / "c")
+    txlog.tx_clone(t, c)
+    assert txlog.copy_into_sources(c) == txlog.copy_into_sources(t)
+    _, n2 = txlog.tx_copy_into(spark, c, src)
+    assert n2 == 0, "clone must not re-load the source's history"
+    assert txlog.read_snapshot(spark, c).count() == 10
