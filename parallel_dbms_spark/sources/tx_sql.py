@@ -17,6 +17,8 @@ the whole table lifecycle through the SQL door:
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     UPDATE t SET v = expr WHERE pred
     DELETE FROM t WHERE pred
+    ALTER TABLE t ADD COLUMN c TYPE
+    ALTER TABLE t ALTER COLUMN c TYPE WIDER_TYPE
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
     ALTER TABLE t ADD CONSTRAINT name CHECK (pred)
@@ -410,6 +412,17 @@ def tx_sql(
             return _result(spark, "rename_column", path, v,
                            f"{m2.group(1)} -> {m2.group(2)}")
 
+        m2 = re.match(
+            rf"(?is)^ADD{_WS}COLUMN{_WS}{_IDENT}{_WS}(\w+(?:\([^)]*\))?)$",
+            rest,
+        )
+        if m2:
+            v = txlog.tx_add_column(
+                path, m2.group(1).strip("`"), m2.group(2)
+            )
+            return _result(spark, "add_column", path, v,
+                           f"{m2.group(1)} {m2.group(2)}")
+
         m2 = re.match(rf"(?is)^DROP{_WS}COLUMN{_WS}{_IDENT}$", rest)
         if m2:
             v = txlog.tx_drop_column(spark, path, m2.group(1).strip("`"))
@@ -491,6 +504,13 @@ def tx_sql(
             if re.match(rf"(?is)^DROP{_WS}IDENTITY$", action):
                 v = txlog.tx_drop_identity(path, col)
                 return _result(spark, "drop_identity", path, v, col)
+            m3 = re.match(
+                rf"(?is)^TYPE{_WS}(\w+(?:\([^)]*\))?)$", action
+            )
+            if m3:
+                v = txlog.tx_alter_column_type(path, col, m3.group(1))
+                return _result(spark, "alter_column_type", path, v,
+                               f"{col} -> {m3.group(1)}")
             m3 = re.match(rf"(?is)^SET{_WS}DEFAULT{_WS}(.*)$", action)
             if m3:
                 v = txlog.tx_set_default(path, col, m3.group(1))

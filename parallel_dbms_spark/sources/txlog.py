@@ -57,7 +57,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 TXLOG = "_txlog"
 DATA = "data"
@@ -1493,6 +1493,97 @@ def _constraint_refs(sql: str, col: str) -> bool:
     """Does a CHECK predicate reference ``col`` as a bare identifier
     (outside string literals)?"""
     return _rewrite_idents(sql, {col: "\x00probe\x00"}) != sql
+
+
+def tx_add_column(
+    table: str, col: str, type_ddl: str, max_retries: int = 8
+) -> int:
+    """ALTER TABLE ... ADD COLUMN: additive schema evolution as ONE
+    metadata-only commit — no file is touched; files written before
+    the commit serve NULL for the new column (the same null-fill
+    contract merge_schema appends established). Under column mapping
+    the new logical name mints a FRESH physical name when the name was
+    ever used before, so a dropped column's old bytes never resurrect
+    through a re-add."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(type_ddl)
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        schema = table_schema(table)
+        if schema is None:
+            raise FileNotFoundError(f"no schema committed under {table}")
+        if col in schema.fieldNames():
+            raise ValueError(f"column {col!r} already exists in {table}")
+        new_schema = StructType(
+            schema.fields + [StructField(col, dt, True)]
+        )
+        meta: dict = {}
+        cm = table_column_mapping(table)
+        if cm:
+            mapping, retired = dict(cm[0]), list(cm[1])
+            used = set(mapping.values()) | set(retired)
+            phys = col
+            while phys in used:
+                phys = f"{col}_{uuid.uuid4().hex[:8]}"
+            mapping[col] = phys
+            meta = {"column_mapping": mapping, "retired_physical": retired}
+        try:
+            return commit(
+                table, "add_column", [], [], parent,
+                schema_json=new_schema.json(), meta=meta or None,
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"add_column on {table} lost {max_retries} straight races"
+    )
+
+
+def tx_alter_column_type(
+    table: str, col: str, type_ddl: str, max_retries: int = 8
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE: explicit type WIDENING
+    as a metadata-only commit — only the safe ladders merge_schema
+    evolution already honors (integer byte<short<int<long,
+    float<double: the parquet reader upcasts old narrow files at scan
+    time, so not a byte rewrites). Anything else is rejected."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    want = _parse_datatype_string(type_ddl)
+    for _ in range(max_retries):
+        parent = (log_versions(table) or [0])[-1]
+        schema = table_schema(table)
+        if schema is None:
+            raise FileNotFoundError(f"no schema committed under {table}")
+        if col not in schema.fieldNames():
+            raise ValueError(f"column {col!r} not in {table}")
+        cur = schema[col].dataType
+        widened = _widen_type(cur, want)
+        if widened is None or widened != want:
+            raise ValueError(
+                f"cannot alter {col!r} from "
+                f"{cur.simpleString()} to {want.simpleString()}: only "
+                "safe widenings (byte<short<int<long, float<double) "
+                "are metadata-only"
+            )
+        if widened == cur:
+            return parent  # already that type: no-op
+        new_schema = StructType([
+            StructField(f.name, want if f.name == col else f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ])
+        try:
+            return commit(
+                table, "alter_column_type", [], [], parent,
+                schema_json=new_schema.json(),
+            )
+        except TxConflict:
+            continue
+    raise TxConflict(
+        f"alter_column_type on {table} lost {max_retries} straight races"
+    )
 
 
 def tx_rename_column(
