@@ -81,3 +81,21 @@ def test_cli_lake_sql_roundtrip_rename_append_prune(tmp_path):
     lines = open(parts[0]).read().splitlines()
     assert lines[0].split(",")[0].startswith("k (")
     assert [ln.split(",")[0] for ln in lines[1:4]] == ["2", "3", "4"]
+
+
+def test_split_statements_respects_quotes():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sql_dbms", os.path.join(REPO, "scripts", "sql_dbms.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod._split_statements(
+        "INSERT INTO t VALUES (1, 'a;b'); SELECT ';' ; DELETE FROM t"
+    )
+    assert [s.strip() for s in out if s.strip()] == [
+        "INSERT INTO t VALUES (1, 'a;b')",
+        "SELECT ';'",
+        "DELETE FROM t",
+    ]
