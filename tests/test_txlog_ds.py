@@ -436,8 +436,20 @@ def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 5
-    # a rewrite commit is not streamable as CDC
+    # a WHOLE-FILE delete (k=2's file holds no other live rows: k=1 is
+    # already vectored) streams as delete_file partitions since r11
     txlog.tx_delete_where(spark, table, "k = 2")
+    head = txlog.log_versions(table)[-1]
+    parts = _plan_change_partitions(table, head - 1, head, ("k", "v"))
+    assert parts and all(p.change_type == "delete_file" for p in parts)
+    # a PARTIAL rewrite (survivors re-staged) is still not streamable
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(20, "s"), (21, "t")], "k long, v string"
+        ).coalesce(1),
+        table,
+    )
+    txlog.tx_delete_where(spark, table, "k = 21")
     head = txlog.log_versions(table)[-1]
     with pytest.raises(ValueError, match="batch computation"):
         _plan_change_partitions(table, head - 1, head, ("k", "v"))
