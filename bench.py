@@ -449,15 +449,18 @@ def main():
         # change in its family this round — run-to-run noise, not a
         # regression (watched per VERDICT r9 ask #6).
         "notes_r11": {
-            "host_speed": "round-11 idle-box runs measured the FROZEN "
-                          "TPC-H suite ~1.3x slower than the r10 "
-                          "record uniformly (untouched code, loadavg "
-                          "0.7) — host drift, not a regression; the "
-                          "new cpu_probe_sec marker makes this "
-                          "adjudicable next round",
-            "q18_watch": "r10 watch item resolved: q18 2.12 -> 2.00 s "
-                         "while ambient ratio was ~1.3x — the r10 "
-                         "reading was load noise as suspected",
+            "host_speed": "round-11 mid-round runs measured the "
+                          "FROZEN TPC-H suite ~1.3x slower uniformly "
+                          "(loadavg 0.7, cpu_probe 1.89 s); the "
+                          "closing idle run recovered to median "
+                          "1.06x vs r10 with probe 0.40 s — "
+                          "TRANSIENT host slowness, tracked exactly "
+                          "by the cpu_probe_sec marker (4.7x "
+                          "single-thread swing); normalize "
+                          "cross-round deltas by the probe",
+            "q18_watch": "r10 watch item resolved: q18 2.12 -> 1.67 s "
+                         "on the closing idle run — the r10 reading "
+                         "was load noise as suspected",
             "optimize_cluster_by": "tx_optimize's CLUSTER BY default "
                                    "costs nothing on undeclared "
                                    "tables (bench table declares no "
