@@ -9,6 +9,8 @@ surface, re-expressed) to the :mod:`txlog` API, so a user can drive
 the whole table lifecycle through the SQL door:
 
     CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
+    CREATE [OR REPLACE] TABLE t AS SELECT ...
+    INSERT OVERWRITE [TABLE] t (SELECT ... | VALUES ...)
     CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
     INSERT INTO t REPLACE WHERE pred (SELECT ... | VALUES ...)
@@ -207,6 +209,29 @@ def tx_sql(
     natural frames."""
     s = sql.strip().rstrip(";").strip()
 
+    # -------- CREATE [OR REPLACE] TABLE ... AS SELECT (CTAS) --------
+    m = re.match(
+        rf"(?is)^CREATE{_WS}(OR{_WS}REPLACE{_WS})?TABLE{_WS}{_IDENT}"
+        rf"{_WS}AS{_WS}(SELECT\b.*|VALUES\b.*)$",
+        s,
+    )
+    if m:
+        replace = bool(m.group(1))
+        path = _path(m.group(2), base_dir)
+        body = m.group(3).strip()
+        df = spark.sql(_register_lake_views(spark, body, base_dir))
+        if _is_lake_table(path):
+            if not replace:
+                raise ValueError(f"table already exists: {path}")
+            v, _ = txlog.tx_overwrite(
+                spark, path, df, overwrite_schema=True
+            )
+            return _result(spark, "create_or_replace", path, v,
+                           df.schema.simpleString())
+        v = txlog.tx_append(df, path)
+        return _result(spark, "create_table_as", path, v,
+                       df.schema.simpleString())
+
     # ---------------- CREATE TABLE ----------------
     m = re.match(
         rf"(?is)^CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
@@ -288,6 +313,40 @@ def tx_sql(
         v, n = txlog.tx_replace_where(spark, path, df, pred)
         return _result(spark, "replace_where", path, v,
                        f"{n} files replaced WHERE {pred}")
+
+    # -------- INSERT OVERWRITE (whole table) --------
+    m = re.match(
+        rf"(?is)^INSERT{_WS}OVERWRITE{_WS}(?:TABLE{_WS})?{_IDENT}"
+        rf"{_WS}(VALUES\b.*|SELECT\b.*)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        body = m.group(2).strip()
+        if body.upper().startswith("VALUES"):
+            schema = txlog.table_schema(path)
+            if schema is None:
+                raise ValueError(
+                    f"INSERT OVERWRITE needs an existing table at {path}"
+                )
+            cols = schema.fieldNames()
+            df = spark.sql(
+                f"SELECT * FROM ({body}) AS _ins({', '.join(cols)})"
+            )
+        else:
+            df = spark.sql(_register_lake_views(spark, body, base_dir))
+        schema = txlog.table_schema(path)
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            want = {f.name: f.dataType for f in schema.fields}
+            df = df.select(*[
+                F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                for c in df.columns
+            ])
+        v, n = txlog.tx_overwrite(spark, path, df)
+        return _result(spark, "overwrite", path, v,
+                       f"{n} files replaced")
 
     # ---------------- INSERT INTO ----------------
     m = re.match(
@@ -693,11 +752,11 @@ def is_lake_statement(sql: str) -> bool:
     """Whether ``tx_sql`` (vs a plain ``spark.sql``) should run this
     statement — the CLI's routing predicate."""
     return bool(re.match(
-        r"(?is)^\s*(CREATE\s+(TABLE|BLOOMFILTER\s+INDEX)|"
+        r"(?is)^\s*(CREATE\s+(OR\s+REPLACE\s+TABLE|TABLE|BLOOMFILTER\s+INDEX)|"
         r"INSERT\s+(INTO|OVERWRITE)|"
         r"MERGE\s+INTO|UPDATE\s|"
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
-        r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink|"
+        r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink\w*|"
         r"TRUNCATE\s+TABLE|SHOW\s+(CREATE\s+TABLE|PARTITIONS)|"
         r"DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,

@@ -5957,6 +5957,61 @@ def tx_vacuum(
     return removed
 
 
+def tx_overwrite(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    overwrite_schema: bool = False,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """INSERT OVERWRITE (whole table): atomically replace EVERY live
+    row with ``df`` — one commit removes the full live set and adds
+    the staged replacement, so readers flip between complete
+    snapshots. The append laws apply to the new data (defaults,
+    identity, generated, constraints, declared partitioning +
+    clustering stats). The schema must match the table's unless
+    ``overwrite_schema=True`` (Delta's overwriteSchema: the commit
+    re-records the replacement's schema; time travel still serves old
+    versions under their own schema). Returns
+    (new_version, files_replaced)."""
+    if overwrite_schema:
+        schema_json = df.schema.json()
+        _enforce_constraints(df, table)
+    else:
+        df, stats_cols, idents, ident_wm, ident_assigned = (
+            _complete_append_laws(df, table, stats_cols)
+        )
+        cur = table_schema(table)
+        schema_json = cur.json() if cur is not None else df.schema.json()
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        added, pv = _stage_for(df, table)
+        stats = (
+            collect_file_stats(table, added, stats_cols)
+            if stats_cols and added else None
+        )
+        meta = None
+        if not overwrite_schema and ident_assigned and added:
+            new_wm = _ident_wm_from_stats(
+                table, idents, ident_assigned, stats, ident_wm,
+                (_effective_mapping(table) or {}).get,
+            )
+            meta = {"identity_watermark": {**ident_wm, **new_wm}}
+        try:
+            v = commit(
+                table, "overwrite", added, files, parent,
+                schema_json=schema_json, stats=stats, pv=pv or None,
+                meta=meta,
+            )
+            return v, len(files)
+        except TxConflict:
+            continue  # interleaved writer: re-list the live set
+    raise TxConflict(
+        f"overwrite on {table} lost {max_retries} straight races"
+    )
+
+
 def tx_truncate(table: str, max_retries: int = 8) -> tuple[int, int]:
     """TRUNCATE TABLE: drop every live file from the log as ONE
     metadata-only commit — no file is read or written, so truncating
