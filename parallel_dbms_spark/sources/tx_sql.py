@@ -10,6 +10,7 @@ the whole table lifecycle through the SQL door:
 
     CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
     CREATE [OR REPLACE] TABLE t AS SELECT ...
+    CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n]
     INSERT OVERWRITE [TABLE] t (SELECT ... | VALUES ...)
     CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
@@ -208,6 +209,22 @@ def tx_sql(
     ``(op, table, version, info)``; DESCRIBE and SELECT return their
     natural frames."""
     s = sql.strip().rstrip(";").strip()
+
+    # -------- CREATE TABLE ... [SHALLOW] CLONE src --------
+    m = re.match(
+        rf"(?is)^CREATE{_WS}TABLE{_WS}{_IDENT}{_WS}(?:SHALLOW{_WS})?"
+        rf"CLONE{_WS}{_IDENT}"
+        rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+))?$",
+        s,
+    )
+    if m:
+        dst = _path(m.group(1), base_dir)
+        src = _path(m.group(2), base_dir)
+        v = txlog.tx_clone(
+            src, dst,
+            version=int(m.group(3)) if m.group(3) else None,
+        )
+        return _result(spark, "clone", dst, v, f"from {src}")
 
     # -------- CREATE [OR REPLACE] TABLE ... AS SELECT (CTAS) --------
     m = re.match(
