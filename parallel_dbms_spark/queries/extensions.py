@@ -1843,8 +1843,10 @@ def text_bpe_tokens(spark, sf_dir):
     # Learned BPE subword tokenization (Sennrich 2016): merges trained
     # driver-side on the bounded word-frequency table (model-sized
     # data, like IVF centroids), applied in one Arrow-batched pass.
-    # Rows-only: the token arrays aren't SQL-expressible; learning
-    # determinism, reconstruction, and compression are pytest-asserted
+    # Rows-only: the MERGES are corpus-learned state (the documented
+    # unconvertible class); the APPLY step is value-hash-checked under
+    # pinned merges by text_bpe_apply above. Learning determinism,
+    # reconstruction, and compression are pytest-asserted
     # (tests/test_corpus_quality.py).
     from ..functions import bpe
 
@@ -2105,6 +2107,10 @@ def classifier_lang_logit(spark, sf_dir):
     )
 
 
+# round-12 conversion candidate: pin a floor(x+0.5) quantizer mode
+# (numpy rint is banker's rounding, DuckDB round() is half-away — the
+# MODE must be pinned, the md5-hash-mode precedent) and the integer
+# dot products + id-tiebroken top-k would hash across engines.
 @register("sim_int8_topk", oracle=None, tags=("similarity", "quantization"))
 def sim_int8_topk(spark, sf_dir):
     # Scalar-quantized (SQ8) brute-force top-k: int64-exact integer
