@@ -46,9 +46,9 @@ the whole table lifecycle through the SQL door:
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
 
 Table identifiers resolve against ``base_dir`` (a bare name is a
-subdirectory holding a ``_txlog/``); a backtick-quoted identifier is
-taken as a literal path — Delta's ``delta.`/path``` convention
-without the scheme. SELECT statements register every referenced
+subdirectory holding a ``_txlog/``); a backtick-quoted identifier may
+contain any characters, and an ABSOLUTE one is taken literally —
+Delta's ``delta.`/path``` convention without the scheme. SELECT statements register every referenced
 lake table as a snapshot-isolated temp view (time-travel suffixes
 rewritten per-reference) and then run through ``spark.sql`` —
 Catalyst plans the query exactly as it would any DataFrame read, so
@@ -76,7 +76,7 @@ _WS = r"\s+"
 def _path(ident: str, base_dir: str) -> str:
     ident = ident.strip()
     if ident.startswith("`") and ident.endswith("`"):
-        return ident[1:-1]
+        ident = ident[1:-1]  # backticks allow any characters
     if os.path.isabs(ident):
         return ident
     return os.path.join(base_dir, ident)
