@@ -16,8 +16,12 @@ the whole table lifecycle through the SQL door:
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
     INSERT INTO t REPLACE WHERE pred (SELECT ... | VALUES ...)
     INSERT OVERWRITE [TABLE] t PARTITION (p = v, ...) (SELECT | VALUES)
-    MERGE INTO t USING (<select> | src) ON t.k = s.k [AND ...]
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    MERGE INTO t [AS a] USING (<select> | src) [AS b] ON a.k = b.k [...]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET (* | c = expr, ...)]
+        [WHEN MATCHED [AND cond] THEN DELETE]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT (* | (cols) VALUES (...))]
+    CREATE [OR REPLACE] VIEW v AS SELECT ... | DROP VIEW [IF EXISTS] v
+    DROP TABLE [IF EXISTS] t
     UPDATE t SET v = expr WHERE pred
     DELETE FROM t WHERE pred
     ALTER TABLE t ADD COLUMN c TYPE
@@ -86,6 +90,15 @@ def _is_lake_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, txlog.TXLOG))
 
 
+def _view_file(path: str) -> str:
+    """A lake VIEW is a durable SQL text artifact next to the tables
+    (``<name>.view.sql``): late-binding by construction — every query
+    re-reads the definition and re-pins fresh table snapshots, so a
+    view over a table that was written since always serves the new
+    rows (standard SQL view semantics, unlike a pinned temp view)."""
+    return path + ".view.sql"
+
+
 def _result(spark: SparkSession, op: str, table: str, version,
             info: str = "") -> DataFrame:
     """Uniform one-row result frame for operation statements."""
@@ -110,6 +123,29 @@ def _literal(tok: str):
 
 def _split_cols(s: str) -> list[str]:
     return [c.strip().strip("`") for c in s.split(",") if c.strip()]
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren/quote depth 0 (SET assignment lists,
+    INSERT VALUES expression lists — expressions may contain calls
+    and literals with commas)."""
+    out, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _parse_partition_where(s: str) -> dict:
@@ -140,23 +176,81 @@ def _parse_partition_where(s: str) -> dict:
     return out
 
 
+def _mask_spans(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals (and the FROM-bearing scalar-function
+    spans ``EXTRACT(... FROM ...)`` / ``TRIM/SUBSTRING/OVERLAY/
+    POSITION(...)``) with ``\\x00N\\x00`` placeholders so the table-
+    reference rewriter can never match text inside them. Doubled
+    quotes (``'it''s'``) mask as two adjacent literals — content is
+    restored verbatim by :func:`_unmask`. Function spans with NESTED
+    parens aren't masked (rare); they then fall back to the
+    is-lake-table resolve check, which no-ops on column names."""
+    spans: list[str] = []
+
+    def keep(m: re.Match) -> str:
+        spans.append(m.group(0))
+        return f"\x00{len(spans) - 1}\x00"
+
+    sql = re.sub(r"'[^']*'", keep, sql)
+    sql = re.sub(
+        r"(?i)\b(EXTRACT|TRIM|SUBSTRING|OVERLAY|POSITION)\s*\([^()]*\)",
+        keep, sql,
+    )
+    return sql, spans
+
+
+def _unmask(sql: str, spans: list[str]) -> str:
+    return re.sub(
+        r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], sql
+    )
+
+
+# one table reference: identifier, optional time travel, optional
+# alias (an alias never looks like a clause keyword)
+_TT = (
+    rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}\d+"
+    rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}\x00\d+\x00)?"
+)
+_REF_ALIAS = (
+    rf"(?:{_WS}(?:AS{_WS})?"
+    r"(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|ON\b|JOIN\b|HAVING\b|UNION\b|"
+    r"INNER\b|LEFT\b|RIGHT\b|FULL\b|CROSS\b|VERSION\b|TIMESTAMP\b|"
+    r"SELECT\b|WINDOW\b|QUALIFY\b)"
+    r"[A-Za-z_]\w*)?"
+)
+_REF = rf"{_IDENT}{_TT}{_REF_ALIAS}"
+
+
 def _register_lake_views(
-    spark: SparkSession, sql: str, base_dir: str
+    spark: SparkSession, sql: str, base_dir: str, _depth: int = 0
 ) -> str:
     """Rewrite every ``FROM/JOIN <lake-table> [VERSION AS OF n |
     TIMESTAMP AS OF 'ts']`` reference to a snapshot temp view and
-    return the rewritten SQL. Non-lake identifiers (already-registered
-    views, subqueries) pass through untouched."""
+    return the rewritten SQL — including COMMA-SEPARATED FROM lists
+    (``FROM t, u WHERE ...``, the reference's own join dialect,
+    /root/reference/README.md:68). Non-lake identifiers
+    (already-registered views, subqueries) pass through untouched;
+    string literals and EXTRACT/TRIM-style ``FROM``-bearing scalar
+    spans are masked first so they are never rewritten."""
     counter = [0]
+    sql, spans = _mask_spans(sql)
+
+    def _ts_of(ph: str) -> float:
+        import datetime as _dt
+
+        lit = spans[int(ph.strip("\x00"))]
+        return _dt.datetime.fromisoformat(lit.strip("'")).timestamp()
+
     # table_changes('t', v1[, v2]) — Databricks' CDF table function:
     # the change feed between two versions as a queryable relation
     tc = re.compile(
         rf"(?i)\b(FROM|JOIN){_WS}table_changes\s*\(\s*"
-        rf"'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+        rf"(\x00\d+\x00)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
     )
 
     def sub_tc(m: re.Match) -> str:
-        path = _path(m.group(2), base_dir)
+        path = _path(spans[int(m.group(2).strip("\x00"))].strip("'"),
+                     base_dir)
         lo = int(m.group(3))
         hi = int(m.group(4)) if m.group(4) else None
         counter[0] += 1
@@ -171,34 +265,85 @@ def _register_lake_views(
         return f"{m.group(1)} {view}"
 
     sql = tc.sub(sub_tc, sql)
-    pat = re.compile(
-        rf"(?i)\b(FROM|JOIN){_WS}{_IDENT}"
-        rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
-        rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?"
-    )
 
-    def sub(m: re.Match) -> str:
-        ident = m.group(2)
+    def _rewrite_ref(ref: str, depth: int = 0) -> str:
+        """One ``ident [tt] [alias]`` item -> view [alias]."""
+        m = re.match(
+            rf"(?is)^\s*{_IDENT}"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+            rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}(\x00\d+\x00))?"
+            rf"(.*)$",
+            ref,
+        )
+        if not m:
+            return ref
+        ident, tail = m.group(1), m.group(4)
         path = _path(ident, base_dir)
+        if os.path.isfile(_view_file(path)) and not m.group(2) \
+                and not m.group(3):
+            # lake VIEW: expand the stored definition inline (its own
+            # lake references re-register fresh snapshots — late
+            # binding). Nested views expand recursively, cycle-capped.
+            if _depth + depth > 8:
+                raise ValueError(
+                    f"view expansion exceeded depth 8 at {ident!r} "
+                    "(cyclic view definitions?)"
+                )
+            with open(_view_file(path)) as fh:
+                body = fh.read()
+            inner = _register_lake_views(
+                spark, body, base_dir, _depth=_depth + depth + 1
+            )
+            alias = tail.strip()
+            # a parenthesized subquery needs an alias; default to the
+            # view's own name (standard resolution for `FROM v`)
+            if not alias:
+                alias = os.path.basename(path).replace("-", "_")
+            return f"({inner}) {alias}"
         if not _is_lake_table(path):
-            return m.group(0)
-        version = int(m.group(3)) if m.group(3) else None
-        ts = m.group(4)
+            return ref
         kw: dict = {}
-        if version is not None:
-            kw["version"] = version
-        elif ts:
-            import datetime as _dt
-
-            kw["timestamp"] = _dt.datetime.fromisoformat(ts).timestamp()
+        if m.group(2):
+            kw["version"] = int(m.group(2))
+        elif m.group(3):
+            kw["timestamp"] = _ts_of(m.group(3))
         counter[0] += 1
         view = f"__tx_{counter[0]}_{os.path.basename(path)}".replace(
             "-", "_"
         ).replace(".", "_")
-        txlog.read_snapshot(spark, path, **kw).createOrReplaceTempView(view)
-        return f"{m.group(1)} {view}"
+        txlog.read_snapshot(spark, path, **kw).createOrReplaceTempView(
+            view
+        )
+        if not tail.strip():
+            # no explicit alias: alias the snapshot view back to the
+            # ORIGINAL name so qualified references (`t.k` in a comma
+            # join's WHERE) keep resolving
+            alias = re.sub(
+                r"\W", "_",
+                os.path.basename(ident.strip("`").rstrip("/")),
+            )
+            if not re.match(r"^[A-Za-z_]", alias):
+                alias = "_" + alias
+            return f"{view} {alias}"
+        return f"{view}{tail}"
 
-    return pat.sub(sub, sql)
+    # FROM list (comma joins included): rewrite each item; JOIN takes
+    # exactly one reference
+    from_pat = re.compile(
+        rf"(?i)\b(FROM){_WS}({_REF}(?:\s*,\s*{_REF})*)"
+    )
+
+    def sub_from(m: re.Match) -> str:
+        items = [_rewrite_ref(x) for x in m.group(2).split(",")]
+        return f"{m.group(1)} {', '.join(i.strip() for i in items)}"
+
+    sql = from_pat.sub(sub_from, sql)
+    join_pat = re.compile(rf"(?i)\b(JOIN){_WS}({_REF})")
+    sql = join_pat.sub(
+        lambda m: f"{m.group(1)} {_rewrite_ref(m.group(2)).strip()}",
+        sql,
+    )
+    return _unmask(sql, spans)
 
 
 def tx_sql(
@@ -225,6 +370,53 @@ def tx_sql(
             version=int(m.group(3)) if m.group(3) else None,
         )
         return _result(spark, "clone", dst, v, f"from {src}")
+
+    # -------- CREATE [OR REPLACE] VIEW / DROP VIEW / DROP TABLE -----
+    m = re.match(
+        rf"(?is)^CREATE{_WS}(OR{_WS}REPLACE{_WS})?VIEW{_WS}{_IDENT}"
+        rf"{_WS}AS{_WS}(SELECT\b.*|WITH\b.*)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(2), base_dir)
+        vf = _view_file(path)
+        if os.path.exists(vf) and not m.group(1):
+            raise ValueError(f"view already exists: {path}")
+        if _is_lake_table(path):
+            raise ValueError(f"a TABLE already exists at {path}")
+        body = m.group(3).strip()
+        # validate now (parse + resolution), store the RAW text —
+        # late binding re-expands per query
+        spark.sql(_register_lake_views(spark, body, base_dir)).schema
+        with open(vf, "w") as fh:
+            fh.write(body)
+        return _result(spark, "create_view", path, None, body[:80])
+
+    m = re.match(
+        rf"(?is)^DROP{_WS}VIEW{_WS}(IF{_WS}EXISTS{_WS})?{_IDENT}$", s
+    )
+    if m:
+        path = _path(m.group(2), base_dir)
+        vf = _view_file(path)
+        if not os.path.exists(vf):
+            if m.group(1):
+                return _result(spark, "drop_view", path, None, "absent")
+            raise FileNotFoundError(f"no view at {path}")
+        os.remove(vf)
+        return _result(spark, "drop_view", path, None, "dropped")
+
+    m = re.match(
+        rf"(?is)^DROP{_WS}TABLE{_WS}(IF{_WS}EXISTS{_WS})?{_IDENT}$", s
+    )
+    if m:
+        path = _path(m.group(2), base_dir)
+        if not _is_lake_table(path):
+            if m.group(1):
+                return _result(spark, "drop_table", path, None, "absent")
+            raise FileNotFoundError(f"not a lake table: {path}")
+        n = txlog.tx_drop_table(path)
+        return _result(spark, "drop_table", path, None,
+                       f"{n} live files dropped")
 
     # -------- CREATE [OR REPLACE] TABLE ... AS SELECT (CTAS) --------
     m = re.match(
@@ -407,28 +599,43 @@ def tx_sql(
     # ---------------- MERGE INTO ----------------
     m = re.match(
         rf"(?is)^MERGE{_WS}INTO{_WS}{_IDENT}"
-        rf"(?:{_WS}AS{_WS}\w+)?{_WS}USING{_WS}"
-        rf"(?:\((.*)\)|{_IDENT})(?:{_WS}AS{_WS}\w+)?{_WS}"
+        rf"(?:{_WS}(?:AS{_WS})?(?!USING\b)(\w+))?{_WS}USING{_WS}"
+        rf"(?:\((.*)\)|{_IDENT})(?:{_WS}(?:AS{_WS})?(?!ON\b)(\w+))?{_WS}"
         rf"ON{_WS}(.*?){_WS}"
-        rf"WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*{_WS}"
-        rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
+        rf"(WHEN{_WS}(?:NOT{_WS})?MATCHED\b.*)$",
         s,
     )
     if m:
         path = _path(m.group(1), base_dir)
-        if m.group(2):
-            src = spark.sql(_register_lake_views(spark, m.group(2), base_dir))
+        tgt_alias = m.group(2)
+        if m.group(3):
+            src = spark.sql(_register_lake_views(spark, m.group(3), base_dir))
         else:
-            src_path = _path(m.group(3), base_dir)
+            src_path = _path(m.group(4), base_dir)
             if _is_lake_table(src_path):
                 src = txlog.read_snapshot(spark, src_path)
             else:
-                src = spark.table(m.group(3).strip("`"))
+                src = spark.table(m.group(4).strip("`"))
+        src_alias = m.group(5)
+
+        def _norm(expr: str) -> str:
+            # user aliases (and the bare table names) normalize to
+            # tx_merge's t./s. expression model
+            for a, canon in (
+                (tgt_alias, "t"),
+                (os.path.basename(path.rstrip("/")), "t"),
+                (src_alias, "s"),
+                (m.group(4).strip("`") if m.group(4) else None, "s"),
+            ):
+                if a and a not in ("t", "s"):
+                    expr = re.sub(
+                        rf"\b{re.escape(a)}\s*\.", f"{canon}.", expr
+                    )
+            return expr.strip()
+
         # ON clause: same-named equality conjunctions (`t.k = s.k AND
-        # ...`) or a bare key list `(k1, k2)` — tx_merge_upsert's key
-        # model (UPDATE SET * / INSERT * is the only supported tail,
-        # which is exactly its upsert semantics)
-        on = m.group(4).strip()
+        # ...`) or a bare key list `(k1, k2)` — the merge key model
+        on = _norm(m.group(6).strip())
         km = re.fullmatch(r"\(([^)]*)\)", on)
         if km:
             keys = _split_cols(km.group(1))
@@ -444,7 +651,86 @@ def tx_sql(
                         f"conjunctions or a (key, ...) list, got: {on!r}"
                     )
                 keys.append(cm.group(1))
-        v, n = txlog.tx_merge_upsert(spark, path, src, keys)
+        # WHEN clause list (Delta's full model): split the tail at
+        # clause heads, parse each
+        tail = m.group(7)
+        chunks = [
+            c.strip() for c in re.split(
+                r"(?i)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b)", tail
+            ) if c.strip()
+        ]
+        matched, not_matched = [], []
+        for ch in chunks:
+            cm = re.match(
+                rf"(?is)^WHEN{_WS}(NOT{_WS})?MATCHED"
+                rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}(.*)$",
+                ch,
+            )
+            if not cm:
+                raise ValueError(f"bad MERGE WHEN clause: {ch!r}")
+            is_not = bool(cm.group(1))
+            cond = _norm(cm.group(2)) if cm.group(2) else None
+            act = cm.group(3).strip()
+            if is_not:
+                am = re.match(
+                    rf"(?is)^INSERT{_WS}?(?:\*|\(([^)]*)\){_WS}"
+                    rf"VALUES{_WS}?\((.*)\))$",
+                    act,
+                )
+                if not am:
+                    raise ValueError(
+                        f"bad MERGE NOT MATCHED action: {act!r}"
+                    )
+                if am.group(1) is None:
+                    not_matched.append({"cond": cond, "values": None})
+                else:
+                    cols = _split_cols(am.group(1))
+                    exprs = _split_top(am.group(2))
+                    if len(cols) != len(exprs):
+                        raise ValueError(
+                            f"INSERT column/VALUES arity mismatch: {act!r}"
+                        )
+                    not_matched.append({
+                        "cond": cond,
+                        "values": {
+                            c: _norm(e) for c, e in zip(cols, exprs)
+                        },
+                    })
+            elif re.fullmatch(r"(?is)DELETE", act):
+                matched.append({"cond": cond, "action": "delete"})
+            else:
+                am = re.match(rf"(?is)^UPDATE{_WS}SET{_WS}(.*)$", act)
+                if not am:
+                    raise ValueError(f"bad MERGE MATCHED action: {act!r}")
+                body = am.group(1).strip()
+                if body == "*":
+                    matched.append(
+                        {"cond": cond, "action": "update", "set": None}
+                    )
+                else:
+                    st = {}
+                    for part in _split_top(body):
+                        col, _, expr = part.partition("=")
+                        if not expr:
+                            raise ValueError(f"bad SET clause: {part!r}")
+                        col = col.strip().strip("`")
+                        col = re.sub(r"^t\.", "", _norm(col))
+                        st[col] = _norm(expr)
+                    matched.append(
+                        {"cond": cond, "action": "update", "set": st}
+                    )
+        plain_upsert = (
+            matched == [{"cond": None, "action": "update", "set": None}]
+            and not_matched == [{"cond": None, "values": None}]
+        )
+        if plain_upsert:
+            # the UPDATE SET * / INSERT * fast path (no clause engine)
+            v, n = txlog.tx_merge_upsert(spark, path, src, keys)
+        else:
+            v, n = txlog.tx_merge(
+                spark, path, src, keys,
+                matched=matched, not_matched=not_matched,
+            )
         return _result(spark, "merge", path, v, f"{n} files rewritten")
 
     # ---------------- UPDATE / DELETE ----------------
@@ -637,7 +923,8 @@ def tx_sql(
         rf"(?is)^OPTIMIZE{_WS}{_IDENT}"
         rf"(?:{_WS}WHERE{_WS}(.*?))?"
         rf"(?:{_WS}ZORDER{_WS}BY\s*\(([^)]*)\))?"
-        rf"({_WS}FULL)?$",
+        rf"({_WS}FULL)?"
+        rf"(?:{_WS}TARGET{_WS}SIZE{_WS}(\d+)([KMG]?B?))?$",
         s,
     )
     if m:
@@ -645,16 +932,29 @@ def tx_sql(
         pf = _parse_partition_where(m.group(2)) if m.group(2) else None
         zorder = _split_cols(m.group(3)) if m.group(3) else None
         full = bool(m.group(4))
+        unit = {"": 1, "B": 1, "K": 1 << 10, "KB": 1 << 10,
+                "M": 1 << 20, "MB": 1 << 20, "G": 1 << 30, "GB": 1 << 30}
+        target = (
+            int(m.group(5)) * unit[(m.group(6) or "").upper()]
+            if m.group(5) else 128 << 20
+        )
         if zorder or full:
             # explicit ZORDER BY (or FULL) = the full rewrite of the
-            # selected scope, tx_compact's OPTIMIZE-ZORDER
+            # selected scope, tx_compact's OPTIMIZE-ZORDER. The file
+            # count DERIVES from selected bytes / target size (same
+            # sizing rule as tx_optimize) — a fixed count would write
+            # multi-TB unsplittable files on a big table, defeating
+            # the skipping the z-order exists to serve. Override with
+            # `... TARGET SIZE n[MB|GB]`.
             v, n = txlog.tx_compact(
-                spark, path, num_files=8, zorder_by=zorder,
-                partition_filter=pf,
+                spark, path, num_files=None, zorder_by=zorder,
+                partition_filter=pf, target_file_bytes=target,
             )
             return _result(spark, "optimize_zorder", path, v,
                            f"{n} files rewritten")
-        v, n = txlog.tx_optimize(spark, path, partition_filter=pf)
+        v, n = txlog.tx_optimize(
+            spark, path, partition_filter=pf, target_file_bytes=target,
+        )
         return _result(spark, "optimize", path, v, f"{n} files packed")
 
     # ---------------- VACUUM ----------------
@@ -769,12 +1069,14 @@ def is_lake_statement(sql: str) -> bool:
     """Whether ``tx_sql`` (vs a plain ``spark.sql``) should run this
     statement — the CLI's routing predicate."""
     return bool(re.match(
-        r"(?is)^\s*(CREATE\s+(OR\s+REPLACE\s+TABLE|TABLE|BLOOMFILTER\s+INDEX)|"
+        r"(?is)^\s*(CREATE\s+(OR\s+REPLACE\s+(TABLE|VIEW)|TABLE|VIEW|"
+        r"BLOOMFILTER\s+INDEX)|"
         r"INSERT\s+(INTO|OVERWRITE)|"
         r"MERGE\s+INTO|UPDATE\s|"
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
         r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink\w*|"
-        r"TRUNCATE\s+TABLE|SHOW\s+(CREATE\s+TABLE|PARTITIONS)|"
+        r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
+        r"SHOW\s+(CREATE\s+TABLE|PARTITIONS)|"
         r"DESCRIBE\s+(DETAIL|HISTORY))\b",
         sql,
     ))

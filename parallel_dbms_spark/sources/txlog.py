@@ -823,6 +823,16 @@ def tx_copy_into(
     pat = pattern or {
         "parquet": "*.parquet", "csv": "*.csv", "json": "*.json*",
     }.get(file_format, "*")
+    # popped ONCE before the retry loop: a copy-vs-copy TxConflict
+    # re-plans attempt 2+ with the SAME caller-requested stats_cols —
+    # popping inside the loop silently dropped them after a lost race,
+    # so the winning commit's files lacked the skipping stats the
+    # caller asked for
+    req_stats_cols = append_kwargs.pop("stats_cols", None)
+    if append_kwargs:
+        raise ValueError(
+            f"unsupported COPY INTO kwargs {sorted(append_kwargs)}"
+        )
     for _ in range(max_retries):
         head = (log_versions(table) or [0])[-1]
         loaded = copy_into_sources(table)
@@ -862,14 +872,8 @@ def tx_copy_into(
         # the append laws apply to bulk loads too (defaults, identity,
         # generated, constraints, strict schema)
         df, eff_stats, idents, ident_wm, ident_assigned = (
-            _complete_append_laws(
-                df, table, append_kwargs.pop("stats_cols", None)
-            )
+            _complete_append_laws(df, table, req_stats_cols)
         )
-        if append_kwargs:
-            raise ValueError(
-                f"unsupported COPY INTO kwargs {sorted(append_kwargs)}"
-            )
         added, pv = _stage_for(df, table)
         stats = (
             collect_file_stats(table, added, eff_stats)
@@ -2425,6 +2429,8 @@ def commit(
     pv: dict | None = None,
     partition_by: list[str] | None = None,
     constraints: dict | None = None,
+    read_predicate: str | None = None,
+    read_pf: dict | None = None,
 ) -> int:
     """Optimistic commit: claim ``parent+1``; on a lost race,
     re-validate against the interleaved commits and re-claim, or raise
@@ -2473,6 +2479,11 @@ def commit(
         rec["partition_by"] = list(partition_by)
     if constraints is not None:
         rec["constraints"] = constraints
+    if read_predicate is not None:
+        # predicate writes (replaceWhere, whole-table OVERWRITE) record
+        # what they read so the conflict loop below — and the history —
+        # can see the read-set; 'true' means "the whole live set"
+        rec["read_predicate"] = read_predicate
     if meta:
         rec.update(meta)
     # ROW TRACKING hook: every data-adding commit on a tracked table
@@ -2584,6 +2595,34 @@ def commit(
                 f"version {v} added rows after our constraint "
                 "validation; revalidate and retry"
             )
+        if read_predicate is not None and theirs["added"]:
+            # predicate-write read-set conflict (Delta's
+            # ConcurrentAppendException for replaceWhere): our delete
+            # side was computed from a scan an interleaved add just
+            # invalidated — rows the racer appended into the replaced
+            # range would survive the swap, double-counting against
+            # the replacement. EXEMPTION: when the predicate is pure
+            # partition equality (read_pf) and EVERY interleaved file
+            # carries recorded partition values provably OUTSIDE the
+            # predicate, the add is disjoint from the read-set and the
+            # commit proceeds — so a day-partition backfill never
+            # conflicts with the firehose appending today's partition,
+            # which is the whole point of partition-scoped backfills
+            # at scale.
+            their_pv = theirs.get("pv") or {}
+            disjoint = bool(read_pf) and all(
+                (vals := their_pv.get(f)) is not None
+                and any(
+                    c in vals and vals[c] not in w
+                    for c, w in read_pf.items()
+                )
+                for f in theirs["added"]
+            )
+            if not disjoint:
+                raise TxConflict(
+                    f"version {v} added rows after our predicate scan "
+                    f"({read_predicate!r}); re-scan and retry"
+                )
         if (
             partition_by is not None
             and "partition_by" in theirs
@@ -4091,24 +4130,41 @@ def tx_replace_where(
     validate, and the staged files honor the declared partitioning
     with recorded partition values and clustering stats.
 
+    Concurrency: the commit records the predicate as its READ SET, so
+    an interleaved append conflicts (Delta's ConcurrentAppendException
+    for replaceWhere — a racer's matching rows would otherwise survive
+    the swap and double against the replacement) UNLESS the predicate
+    is pure partition equality and the racer's files are provably in
+    other partitions; and the append laws re-plan on every retry
+    attempt (fresh identity watermark read, generator-vs-generator
+    conflict at commit), so assigned identity values can never
+    duplicate a racing generator's nor roll its watermark back.
+
     Returns (new_version, files_removed).
     """
     from pyspark.sql import functions as F
 
-    pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
-    if df.filter(~pred).limit(1).count():
-        raise ValueError(
-            "replaceWhere data must satisfy the predicate "
-            f"{predicate_sql!r} (Delta's rule: a replacement may not "
-            "write outside the range it replaces)"
-        )
-    # the append laws on the replacement frame
-    df, stats_cols, idents, ident_wm, ident_assigned = (
-        _complete_append_laws(df, table, stats_cols)
-    )
-
+    src_df = df
     pf = _partition_only_equality(table, predicate_sql)
+    checked_pred = False
     for _ in range(max_retries):
+        # append laws re-run PER ATTEMPT (mirrors tx_copy_into): the
+        # identity watermark is re-read fresh, ids re-assigned, and
+        # the commit records {**fresh_wm, **new_wm} — a stale map here
+        # would roll a racing generator's reservation back and re-issue
+        # its values (silent uniqueness violation)
+        df, eff_stats, idents, ident_wm, ident_assigned = (
+            _complete_append_laws(src_df, table, stats_cols)
+        )
+        pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
+        if not checked_pred:
+            if df.filter(~pred).limit(1).count():
+                raise ValueError(
+                    "replaceWhere data must satisfy the predicate "
+                    f"{predicate_sql!r} (Delta's rule: a replacement "
+                    "may not write outside the range it replaces)"
+                )
+            checked_pred = True  # law-invariant across attempts
         parent, files = snapshot_files(table)
         schema = table_schema(table)
         schema_json = schema.json() if schema is not None else None
@@ -4154,8 +4210,8 @@ def tx_replace_where(
         added += a
         pv.update(p or {})
         stats = (
-            collect_file_stats(table, added, stats_cols)
-            if stats_cols and added else None
+            collect_file_stats(table, added, eff_stats)
+            if eff_stats and added else None
         )
         eff_meta = None
         if ident_assigned and new_files:
@@ -4165,11 +4221,19 @@ def tx_replace_where(
             )
             eff_meta = {"identity_watermark": {**ident_wm, **new_wm}}
         removed = sorted(set(pure) | set(hit_rels))
+        # the disjointness exemption compares against commit-recorded
+        # pv (PHYSICAL keys) — translate the parsed predicate's logical
+        # keys so it still fires on column-mapped tables
+        lm = _effective_mapping(table) or {}
+        read_pf = (
+            {lm.get(c, c): w for c, w in pf.items()} if pf else None
+        )
         try:
             v = commit(
                 table, "replace_where", added, removed, parent,
                 schema_json=schema_json, stats=stats, pv=pv or None,
-                meta=eff_meta,
+                meta=eff_meta, read_predicate=predicate_sql,
+                read_pf=read_pf,
             )
             return v, len(removed)
         except TxConflict:
@@ -4992,16 +5056,345 @@ def tx_merge_upsert(
     raise TxConflict(f"merge on {table} lost {max_retries} straight races")
 
 
+def tx_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    max_retries: int = 8,
+    stats_cols: list[str] | None = None,
+    write_cdc: bool = False,
+) -> tuple[int, int]:
+    """GENERAL transactional MERGE — Delta's full clause model, which
+    :func:`tx_merge_upsert` (the plain ``UPDATE SET * / INSERT *``
+    fast path) cannot express:
+
+        MERGE INTO t USING s ON <keys>
+          WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...
+          WHEN MATCHED [AND cond] THEN DELETE
+          WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)
+
+    ``matched``: ordered clauses ``{"cond": sql|None, "action":
+    "update"|"delete", "set": {col: sql}|None}`` (``set=None`` =
+    ``SET *``: every same-named target column takes the source's).
+    ``not_matched``: ordered ``{"cond": sql|None, "values":
+    {col: sql}|None}`` (``values=None`` = ``INSERT *``). Conditions
+    and expressions reference the target as ``t.`` and the source as
+    ``s.`` (Delta's alias model; the SQL door rewrites user aliases).
+
+    Semantics (Delta's): clauses evaluate IN ORDER per row, first
+    satisfied one applies; a matched row satisfying none survives
+    verbatim; a source row satisfying no NOT MATCHED clause is
+    dropped. The source is deduplicated on ``keys`` first (same
+    contract as tx_merge_upsert). Unspecified INSERT columns fill
+    like an append: DEFAULTs apply, omitted identity generates
+    (fresh watermark per attempt), GENERATED columns compute, CHECK
+    constraints validate — and updated images re-compute their
+    GENERATED columns and re-validate constraints too. ``SET`` may
+    not target an identity or generated column (Delta rejects both).
+
+    Scale shape = tx_merge_upsert's: only files CONTAINING a source
+    key are read or rewritten (removed = hit files); everything else
+    is untouched metadata. The clause engine is one joined projection
+    over the hit rows — no extra shuffle beyond the upsert path.
+
+    ``write_cdc``: stage the change set (update pre/post images,
+    'delete' pre-images, 'insert' rows) as a sidecar riding the
+    commit, CDF-streamable like the upsert's.
+
+    Row tracking: updated rows keep the target row's ``_row_id`` with
+    ``__row_commit`` re-stamped to this commit; untouched survivors
+    carry both verbatim; inserts mint fresh ids.
+
+    Returns (new_version, files_rewritten).
+    """
+    from pyspark.sql import functions as F
+
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    if not matched and not not_matched:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    for cl in matched:
+        if cl["action"] not in ("update", "delete"):
+            raise ValueError(f"bad matched action {cl['action']!r}")
+    keys = list(keys)
+    source = source.dropDuplicates(keys)
+    src_cols = list(source.columns)
+    ids_map = table_identity(table)
+    gmap = table_generated_columns(table)
+    for cl in matched:
+        for c in (cl.get("set") or {}):
+            if c in ids_map:
+                raise ValueError(
+                    f"MERGE may not SET identity column {c!r}"
+                )
+            if c in gmap:
+                raise ValueError(
+                    f"MERGE may not SET generated column {c!r} "
+                    f"(it computes as {gmap[c]!r})"
+                )
+    supplied_always = sorted(
+        c for c in ids_map
+        if ids_map[c]["always"] and (
+            c in src_cols and any(
+                cl.get("values") is None for cl in not_matched
+            )
+            or any(c in (cl.get("values") or {}) for cl in not_matched)
+        )
+    )
+    if supplied_always:
+        raise ValueError(
+            f"MERGE INSERT supplies GENERATED ALWAYS AS IDENTITY "
+            f"column(s) {supplied_always}; omit them"
+        )
+
+    def _cond(cl) -> "F.Column":
+        c = cl.get("cond")
+        return F.expr(c) if c else F.lit(True)
+
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        schema = table_schema(table)
+        if schema is None and files:
+            raise FileNotFoundError(f"no schema committed under {table}")
+        schema_json = schema.json() if schema is not None else None
+        tgt_cols = (
+            [f.name for f in schema.fields] if schema is not None
+            else src_cols
+        )
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        dvs = snapshot_dvs(table)
+        hit_rels: list[str] = []
+        if files:
+            df = _tagged_scan(reader, table, files, dvs)
+            src_keys = source.select(*keys).distinct()
+            hit_rels = sorted(
+                r["__rel"]
+                for r in df.join(src_keys, keys, "leftsemi")
+                .select("__rel").distinct().collect()
+            )
+        added, pv = [], {}
+        cdc_parts = []
+        if hit_rels:
+            tgt = _materialize_row_ids(
+                _tagged_scan(reader, table, hit_rels, dvs), table
+            ).drop("__rel", "__pos")
+            id_cols = [c for c in (_ROW_ID_COL, _ROW_COMMIT_COL)
+                       if c in tgt.columns]
+            saug = source.withColumn("__merge_src_match", F.lit(True))
+            jc = None
+            for k in keys:
+                e = F.col(f"t.{k}") == F.col(f"s.{k}")
+                jc = e if jc is None else (jc & e)
+            j = tgt.alias("t").join(saug.alias("s"), jc, "left_outer")
+            is_m = F.col("s.__merge_src_match").isNotNull()
+            # first satisfied clause index (Delta: in declaration order)
+            sel = F.lit(None).cast("int")
+            picked = F.lit(False)
+            for i, cl in enumerate(matched):
+                hit = is_m & ~picked & _cond(cl)
+                sel = F.when(hit, F.lit(i)).otherwise(sel)
+                picked = picked | hit
+            j = j.withColumn("__m_sel", sel)
+            del_idx = [i for i, cl in enumerate(matched)
+                       if cl["action"] == "delete"]
+            upd_idx = [i for i, cl in enumerate(matched)
+                       if cl["action"] == "update"]
+            is_del = (
+                F.col("__m_sel").isin(del_idx) if del_idx else F.lit(False)
+            )
+            is_upd = (
+                F.col("__m_sel").isin(upd_idx) if upd_idx else F.lit(False)
+            )
+
+            def _img(c: str) -> "F.Column":
+                out = F.col(f"t.{c}")
+                for i in upd_idx:
+                    st = matched[i].get("set")
+                    if st is None:  # SET *
+                        if c in src_cols:
+                            out = F.when(
+                                F.col("__m_sel") == i, F.col(f"s.{c}")
+                            ).otherwise(out)
+                    elif c in st:
+                        out = F.when(
+                            F.col("__m_sel") == i, F.expr(st[c])
+                        ).otherwise(out)
+                return out
+
+            img_cols = [_img(c).alias(c) for c in tgt_cols]
+            if rt:
+                img_cols.append(F.col(f"t.{_ROW_ID_COL}").alias(_ROW_ID_COL))
+                # updated rows re-stamp __row_commit from THIS commit's
+                # base map on read (NULL = re-stamp); untouched rows
+                # keep their materialized value
+                img_cols.append(
+                    F.when(
+                        is_upd, F.lit(None).cast("long")
+                    ).otherwise(
+                        F.col(f"t.{_ROW_COMMIT_COL}")
+                    ).alias(_ROW_COMMIT_COL)
+                )
+            survivors = j.filter(~is_del).select(*img_cols)
+            if upd_idx and gmap:
+                # updated images re-compute generated columns from the
+                # new values (Delta recomputes on update); deterministic
+                # expressions make this a no-op on untouched rows
+                survivors, _ = _apply_generated(
+                    survivors.drop(*[c for c in gmap]), table
+                )
+                survivors = survivors.select(
+                    *(tgt_cols + (id_cols if rt else []))
+                )
+            if upd_idx:
+                _enforce_constraints(survivors, table)
+            if write_cdc:
+                pre_cols = [F.col(f"t.{c}").alias(c) for c in tgt_cols]
+                cdc_parts.append(
+                    j.filter(is_del).select(*pre_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdc_parts.append(
+                    j.filter(is_upd).select(*pre_cols)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_parts.append(
+                    j.filter(is_upd).select(
+                        *[_img(c).alias(c) for c in tgt_cols]
+                    ).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            if survivors.limit(1).count():
+                a, p = _stage_for(survivors, table)
+                added += a
+                pv.update(p or {})
+            matched_keys = (
+                _tagged_scan(reader, table, hit_rels, dvs)
+                .join(src_keys, keys, "left_semi")
+                .select(*keys).distinct()
+            )
+            ins_src = source.join(matched_keys, keys, "left_anti")
+        else:
+            ins_src = source
+        # ---- NOT MATCHED: clause-select on the source alone ----
+        eff_meta = None
+        idents, ident_wm, ident_assigned = ids_map, {}, []
+        eff_stats = stats_cols
+        ins_df = None
+        if not_matched:
+            s = ins_src.alias("s")
+            sel = F.lit(None).cast("int")
+            picked = F.lit(False)
+            for i, cl in enumerate(not_matched):
+                hit = ~picked & _cond(cl)
+                sel = F.when(hit, F.lit(i)).otherwise(sel)
+                picked = picked | hit
+            s = s.withColumn("__nm_sel", sel).filter(
+                F.col("__nm_sel").isNotNull()
+            )
+            defaults = table_column_defaults(table)
+            explicit: set[str] = set()
+            for cl in not_matched:
+                explicit |= set(
+                    src_cols if cl.get("values") is None
+                    else cl["values"]
+                )
+            out_cols = []
+            types = (
+                {f.name: f.dataType for f in schema.fields}
+                if schema is not None else {}
+            )
+            for c in tgt_cols:
+                if c in explicit:
+                    # untyped NULL seed when the table has no schema
+                    # yet: a string-typed seed would coerce the whole
+                    # clause chain to string
+                    e = (
+                        F.lit(None).cast(types[c]) if c in types
+                        else F.lit(None)
+                    )
+                    for i, cl in enumerate(not_matched):
+                        vals = cl.get("values")
+                        if vals is None:
+                            if c in src_cols:
+                                e = F.when(
+                                    F.col("__nm_sel") == i, F.col(f"s.{c}")
+                                ).otherwise(e)
+                        elif c in vals:
+                            e = F.when(
+                                F.col("__nm_sel") == i, F.expr(vals[c])
+                            ).otherwise(e)
+                    out_cols.append(
+                        (e.cast(types[c]) if c in types else e).alias(c)
+                    )
+                elif c in ids_map or c in gmap or c in defaults:
+                    continue  # omitted: the append laws fill it
+                else:
+                    out_cols.append(
+                        F.lit(None).cast(types.get(c, "string")).alias(c)
+                    )
+            ins_img = s.select(*out_cols)
+            if ins_img.limit(1).count():
+                # the append laws complete the insert side: DEFAULTs,
+                # identity (fresh watermark THIS attempt), generated,
+                # constraints, strict schema
+                ins_df, eff_stats, idents, ident_wm, ident_assigned = (
+                    _complete_append_laws(ins_img, table, stats_cols)
+                )
+                ins_df = ins_df.select(*tgt_cols)
+                a, p = _stage_for(ins_df, table)
+                added += a
+                pv.update(p or {})
+        stats = (
+            collect_file_stats(table, added, eff_stats)
+            if eff_stats and added else None
+        )
+        if ident_assigned and added:
+            new_wm = _ident_wm_from_stats(
+                table, idents, ident_assigned, stats, ident_wm,
+                (_effective_mapping(table) or {}).get,
+            )
+            eff_meta = {"identity_watermark": {**ident_wm, **new_wm}}
+        cdc = None
+        if write_cdc:
+            if ins_df is not None:
+                cdc_parts.append(
+                    ins_df.withColumn("_change_type", F.lit("insert"))
+                )
+            if cdc_parts:
+                all_cdc = cdc_parts[0]
+                for part in cdc_parts[1:]:
+                    all_cdc = all_cdc.unionByName(part)
+                cdc = _stage_cdc(all_cdc, table)
+        try:
+            v = commit(
+                table, "merge", added, hit_rels, parent,
+                schema_json=schema_json or (
+                    ins_df.schema.json() if ins_df is not None else None
+                ),
+                stats=stats, meta=eff_meta, cdc=cdc, pv=pv or None,
+            )
+            return v, len(hit_rels)
+        except TxConflict:
+            continue  # fresh snapshot, re-find affected files
+    raise TxConflict(f"merge on {table} lost {max_retries} straight races")
+
+
 def tx_compact(
     spark: SparkSession,
     table: str,
-    num_files: int = 1,
+    num_files: int | None = 1,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     ascending: bool = True,
     partition_filter: dict | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> tuple[int, int]:
     """Bin-pack the current snapshot into ``num_files`` files. Removes
     every live file, so it conflicts with any interleaved delete (and
@@ -5031,6 +5424,14 @@ def tx_compact(
     design). At 100 TB this is the only OPTIMIZE anyone runs: compact
     yesterday's partition, never the table. The untouched partitions'
     files stay live byte-for-byte.
+
+    ``num_files=None`` derives the output count from the SELECTED
+    bytes / ``target_file_bytes`` (the same sizing rule as
+    :func:`tx_optimize`) — the scale-safe default for any caller that
+    doesn't know the table size: a fixed small count on a 100 TB
+    table would bin-pack into unsplittable multi-TB files and defeat
+    the skipping a z-order exists to serve. Sizing is one
+    ``os.path.getsize`` per selected file, driver-side.
 
     Returns (new_version, files_replaced).
     """
@@ -5076,7 +5477,13 @@ def tx_compact(
             ]
             if not files:
                 return parent, 0
-        if len(files) <= num_files and not zorder_by and not sort_by:
+        eff_num = num_files
+        if eff_num is None:
+            total = sum(
+                os.path.getsize(os.path.join(table, f)) for f in files
+            )
+            eff_num = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= eff_num and not zorder_by and not sort_by:
             return parent, 0
         # RECORDED schema, not footer inference: a mixed-schema live set
         # (post merge_schema evolution) inferred from one footer would
@@ -5102,7 +5509,7 @@ def tx_compact(
         if zorder_by:
             from .lake import z_cluster
 
-            packed = z_cluster(live_df, zorder_by, num_files=num_files)
+            packed = z_cluster(live_df, zorder_by, num_files=eff_num)
         elif sort_by:
             from pyspark.sql import functions as F
 
@@ -5111,10 +5518,10 @@ def tx_compact(
                 for c in sort_by
             ]
             packed = live_df.repartitionByRange(
-                num_files, *keys
+                eff_num, *keys
             ).sortWithinPartitions(*keys)
         else:
-            packed = live_df.coalesce(num_files)
+            packed = live_df.coalesce(eff_num)
         if zorder_by or sort_by:
             # these layouts ORDER files by the clustering key — routing
             # them through partition-pure staging would break the
@@ -5975,21 +6382,30 @@ def tx_overwrite(
     re-records the replacement's schema; time travel still serves old
     versions under their own schema). Returns
     (new_version, files_replaced)."""
+    src_df = df
     if overwrite_schema:
-        schema_json = df.schema.json()
         _enforce_constraints(df, table)
-    else:
-        df, stats_cols, idents, ident_wm, ident_assigned = (
-            _complete_append_laws(df, table, stats_cols)
-        )
-        cur = table_schema(table)
-        schema_json = cur.json() if cur is not None else df.schema.json()
     for _ in range(max_retries):
+        if overwrite_schema:
+            schema_json = df.schema.json()
+            eff_stats, ident_assigned = stats_cols, []
+            idents, ident_wm = {}, {}
+        else:
+            # append laws re-plan PER ATTEMPT (fresh identity
+            # watermark; mirrors tx_replace_where/tx_copy_into) so a
+            # racing generator's reservation is never recorded over
+            df, eff_stats, idents, ident_wm, ident_assigned = (
+                _complete_append_laws(src_df, table, stats_cols)
+            )
+            cur = table_schema(table)
+            schema_json = (
+                cur.json() if cur is not None else df.schema.json()
+            )
         parent, files = snapshot_files(table)
         added, pv = _stage_for(df, table)
         stats = (
-            collect_file_stats(table, added, stats_cols)
-            if stats_cols and added else None
+            collect_file_stats(table, added, eff_stats)
+            if eff_stats and added else None
         )
         meta = None
         if not overwrite_schema and ident_assigned and added:
@@ -5999,10 +6415,14 @@ def tx_overwrite(
             )
             meta = {"identity_watermark": {**ident_wm, **new_wm}}
         try:
+            # read_predicate='true': the overwrite's read-set is the
+            # WHOLE live file list — an interleaved add must conflict,
+            # or its rows would survive a "replace every row" commit
+            # (the retry re-lists files, sweeping the racer's in)
             v = commit(
                 table, "overwrite", added, files, parent,
                 schema_json=schema_json, stats=stats, pv=pv or None,
-                meta=meta,
+                meta=meta, read_predicate="true",
             )
             return v, len(files)
         except TxConflict:
@@ -6010,6 +6430,27 @@ def tx_overwrite(
     raise TxConflict(
         f"overwrite on {table} lost {max_retries} straight races"
     )
+
+
+def tx_drop_table(table: str) -> int:
+    """DROP TABLE: remove the table's directory — data files, the
+    transaction log, sidecars, staging — in one irreversible local
+    operation (Delta's managed-table DROP: metadata AND data go).
+    Refuses anything that isn't a lake table (no ``_txlog/``), so a
+    mistyped path can never delete arbitrary directories. Returns the
+    number of live files that were dropped with it.
+
+    Scale note: this is O(files) unlink calls on a local lake; an
+    object-store deployment would instead tombstone the log head and
+    let lifecycle policies reap the data — the SQL surface is the
+    same either way."""
+    if not os.path.isdir(os.path.join(table, TXLOG)):
+        raise FileNotFoundError(f"not a lake table (no {TXLOG}): {table}")
+    n = len(snapshot_files(table)[1])
+    import shutil
+
+    shutil.rmtree(table)
+    return n
 
 
 def tx_truncate(table: str, max_retries: int = 8) -> tuple[int, int]:

@@ -32,18 +32,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _split_statements(sql: str) -> list[str]:
-    """Split a script on ';' outside single-quoted strings — the CLI
-    accepts a whole session's statements in one invocation (one JVM),
-    executed in order; the LAST result is the one spooled to CSV."""
-    out, cur, in_str = [], [], False
-    for ch in sql:
-        if ch == "'":
-            in_str = not in_str
-        if ch == ";" and not in_str:
+    """Split a script on ';' outside single-quoted strings and
+    backtick-quoted identifiers — the CLI accepts a whole session's
+    statements in one invocation (one JVM), executed in order; the
+    LAST result is the one spooled to CSV. A doubled quote inside a
+    string (``'it''s'``) is the SQL escape, not a close-then-open, so
+    a ';' after it stays inside the literal; a ';' inside a backticked
+    identifier never splits either."""
+    out, cur = [], []
+    i, n = 0, len(sql)
+    in_str = in_tick = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    cur.append("''")  # escaped quote: stay in-string
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+        elif in_tick:
+            if ch == "`":
+                in_tick = False
+            cur.append(ch)
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "`":
+            in_tick = True
+            cur.append(ch)
+        elif ch == ";":
             out.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
+        i += 1
     out.append("".join(cur))
     return out
 

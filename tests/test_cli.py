@@ -99,3 +99,25 @@ def test_split_statements_respects_quotes():
         "SELECT ';'",
         "DELETE FROM t",
     ]
+
+
+def test_split_statements_escaped_quotes_and_backticks():
+    """SQL's doubled-quote escape ('it''s') must not flip the in-string
+    state (a later ';' inside the literal would split mid-statement),
+    and a backtick-quoted identifier containing ';' never splits."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sql_dbms", os.path.join(REPO, "scripts", "sql_dbms.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod._split_statements(
+        "UPDATE t SET v = 'it''s; tricky' WHERE k = 1; "
+        "SELECT `odd;name` FROM t; SELECT ''"
+    )
+    assert [s.strip() for s in out if s.strip()] == [
+        "UPDATE t SET v = 'it''s; tricky' WHERE k = 1",
+        "SELECT `odd;name` FROM t",
+        "SELECT ''",
+    ]

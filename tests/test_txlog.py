@@ -3029,3 +3029,185 @@ def test_copy_into_force_and_clone_carry_history(spark, tmp_path):
     _, n2 = txlog.tx_copy_into(spark, c, src)
     assert n2 == 0, "clone must not re-load the source's history"
     assert txlog.read_snapshot(spark, c).count() == 10
+
+
+def test_copy_into_stats_survive_conflict_retry(spark, tmp_path, monkeypatch):
+    """A COPY INTO that loses its first commit race must still land
+    the caller's requested footer stats: stats_cols is consumed ONCE
+    before the retry loop, not popped per attempt (where attempt 2+
+    would silently plan with None and degrade skipping)."""
+    src = str(tmp_path / "landing")
+    t = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "'a' AS v").coalesce(1) \
+        .write.parquet(src)
+    orig = txlog.commit
+    state = {"fired": False}
+
+    def wrapped(table, action, *a, **kw):
+        if action == "copy_into" and not state["fired"]:
+            state["fired"] = True
+            raise txlog.TxConflict("injected first-attempt race")
+        return orig(table, action, *a, **kw)
+
+    monkeypatch.setattr(txlog, "commit", wrapped)
+    v, n = txlog.tx_copy_into(spark, t, src, stats_cols=["k"])
+    assert state["fired"] and n == 1
+    rec = txlog.read_commit(t, v)
+    assert rec["added"] and rec.get("stats"), (
+        "retry attempt dropped the caller's stats_cols"
+    )
+    for f in rec["added"]:
+        assert "k" in rec["stats"][f]["c"], (
+            "committed files lack the requested skipping stats"
+        )
+
+
+def test_replace_where_conflicts_with_interleaved_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    """An append landing between replaceWhere's predicate scan and its
+    commit CONFLICTS (Delta's ConcurrentAppendException): the retry
+    re-scans and sweeps the racer's matching rows into the swap, so
+    the replaced range never double-counts old racer rows against the
+    replacement."""
+    t = str(tmp_path / "t")
+    df = spark.range(30).selectExpr("id AS k", "id % 3 AS p", "'old' AS v")
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    racer = spark.createDataFrame(
+        [(777, 1, "racer")], "k long, p long, v string"
+    )
+    orig = txlog.commit
+    state = {"fired": False, "rw_attempts": 0}
+
+    def wrapped(table, action, *a, **kw):
+        if action == "replace_where":
+            state["rw_attempts"] += 1
+            if not state["fired"]:
+                state["fired"] = True
+                txlog.tx_append(racer, t)  # lands inside our window
+        return orig(table, action, *a, **kw)
+
+    monkeypatch.setattr(txlog, "commit", wrapped)
+    repl = spark.createDataFrame(
+        [(1000, 1, "new")], "k long, p long, v string"
+    )
+    txlog.tx_replace_where(spark, t, repl, "p = 1")
+    assert state["rw_attempts"] >= 2, (
+        "the matching interleaved append must force a re-scan"
+    )
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, t).collect()}
+    assert (777, "racer") not in got, (
+        "racer's matching row survived the replace — double count"
+    )
+    assert (1000, "new") in got
+    assert {(i, "old") for i in range(30) if i % 3 != 1} <= got
+
+
+def test_replace_where_commutes_with_partition_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """The read-set conflict EXEMPTS provably partition-disjoint adds:
+    a day-partition backfill must not conflict with the firehose
+    appending other partitions — the racer's rows commute and both
+    commits land, first try."""
+    t = str(tmp_path / "t")
+    # nullability-identical to the racer frame: a createDataFrame base,
+    # so the only possible conflict between the writers is the
+    # read-set one under test (not nullability schema widening)
+    df = spark.createDataFrame(
+        [(i, i % 3, "old") for i in range(30)], "k long, p long, v string"
+    )
+    txlog.tx_append(df.repartition(3), t, partition_by=["p"])
+    racer = spark.createDataFrame(
+        [(888, 2, "racer")], "k long, p long, v string"
+    )
+    orig = txlog.commit
+    state = {"fired": False, "rw_attempts": 0}
+
+    def wrapped(table, action, *a, **kw):
+        if action == "replace_where":
+            state["rw_attempts"] += 1
+            if not state["fired"]:
+                state["fired"] = True
+                txlog.tx_append(racer, t, partition_by=["p"])
+        return orig(table, action, *a, **kw)
+
+    monkeypatch.setattr(txlog, "commit", wrapped)
+    repl = spark.createDataFrame(
+        [(1000, 1, "new")], "k long, p long, v string"
+    )
+    txlog.tx_replace_where(spark, t, repl, "p = 1")
+    assert state["rw_attempts"] == 1, (
+        "a provably-disjoint append must NOT conflict with the backfill"
+    )
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, t).collect()}
+    assert (888, "racer") in got and (1000, "new") in got
+
+
+def test_overwrite_sweeps_interleaved_append(spark, tmp_path, monkeypatch):
+    """INSERT OVERWRITE reads the WHOLE live set: an append landing
+    inside its window conflicts, and the retry re-lists files so the
+    racer's rows are swept — 'replace every row' means every row."""
+    t = str(tmp_path / "t")
+    txlog.tx_append(_df(spark, [(1, "a"), (2, "b")]), t)
+    orig = txlog.commit
+    state = {"fired": False, "ow_attempts": 0}
+
+    def wrapped(table, action, *a, **kw):
+        if action == "overwrite":
+            state["ow_attempts"] += 1
+            if not state["fired"]:
+                state["fired"] = True
+                txlog.tx_append(_df(spark, [(999, "racer")]), t)
+        return orig(table, action, *a, **kw)
+
+    monkeypatch.setattr(txlog, "commit", wrapped)
+    txlog.tx_overwrite(spark, t, _df(spark, [(10, "new")]))
+    assert state["ow_attempts"] >= 2
+    got = {(r.k, r.v) for r in txlog.read_snapshot(spark, t).collect()}
+    assert got == {(10, "new")}, (
+        "overwrite left interleaved rows alive: not a whole-snapshot flip"
+    )
+
+
+def test_replace_where_identity_replan_after_racing_generator(
+    spark, tmp_path, monkeypatch
+):
+    """replaceWhere re-plans the append laws on every retry attempt:
+    a racing identity-assigning append advances the watermark mid-
+    window; generator-vs-generator conflicts, and the retry re-reads
+    the FRESH watermark — no duplicate ids, no watermark rollback."""
+    t = str(tmp_path / "t")
+    df = spark.range(12).selectExpr(
+        "id % 2 AS p", "concat('r', id) AS v"
+    )
+    txlog.tx_append(df.repartition(2), t, partition_by=["p"])
+    txlog.tx_add_column(t, "rid", "bigint")
+    txlog.tx_set_identity(spark, t, "rid", always=True)
+    racer = spark.createDataFrame([(0, "racer")], "p long, v string")
+    orig = txlog.commit
+    state = {"fired": False}
+
+    def wrapped(table, action, *a, **kw):
+        if action == "replace_where" and not state["fired"]:
+            state["fired"] = True
+            txlog.tx_append(racer, t, partition_by=["p"])
+        return orig(table, action, *a, **kw)
+
+    monkeypatch.setattr(txlog, "commit", wrapped)
+    repl = spark.createDataFrame(
+        [(1, "n1"), (1, "n2")], "p long, v string"
+    )
+    txlog.tx_replace_where(spark, t, repl, "p = 1")
+    rows = txlog.read_snapshot(spark, t).collect()
+    # pre-ALTER rows serve NULL for the added column; every row the
+    # two racing generators wrote carries an assigned id
+    rids = [r.rid for r in rows if r.rid is not None]
+    assert len(rids) == 3
+    assert len(rids) == len(set(rids)), (
+        "stale identity watermark duplicated a racing generator's ids"
+    )
+    wm = txlog.identity_watermark(t)
+    assert wm["rid"] >= max(rids), (
+        "commit rolled the racing generator's watermark back"
+    )
