@@ -412,11 +412,37 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _cpu_probe_parallel() -> float:
+    """Fixed ALL-CORES CPU spin (seconds): one process per CPU, each
+    doing the single-thread probe's work; returns the wall time for
+    all to finish. The r11 adjudication gap this closes: a uniform
+    TPC-H slowdown on frozen queries with a FAST single-thread probe
+    is explainable by multi-core throttling / noisy neighbors that
+    only show up under full fan-out — the single-thread probe cannot
+    see them. Read the PAIR: single fast + parallel slow = multi-core
+    contention; both fast + queries slow = a real regression."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 8
+    t0 = time.time()
+    with mp.get_context("fork").Pool(n) as pool:
+        pool.map(_probe_spin, range(n))
+    return round(time.time() - t0, 3)
+
+
+def _probe_spin(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return x
+
+
 def main():
     # ambient load BEFORE Spark spins up — the bench's own 32 threads
     # would otherwise dominate an end-of-run reading
     load0 = round(os.getloadavg()[0], 2)
     cpu_probe = _cpu_probe()
+    cpu_probe_par = _cpu_probe_parallel()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
     spark = get_spark(app_name="bench", cpus=cpus)
     # one warm-up action so JVM/codegen startup isn't billed to query 1
@@ -435,6 +461,11 @@ def main():
         # re-run: a loaded box shows up here, a code regression doesn't
         "loadavg_1m_at_start": load0,
         "cpu_probe_sec": cpu_probe,
+        # all-cores spin wall time (r12): single fast + parallel slow
+        # = multi-core throttling/noisy neighbor; both fast + queries
+        # slow = real regression. On a healthy idle box this is close
+        # to cpu_probe_sec (perfect scaling of independent spins).
+        "cpu_probe_parallel_sec": cpu_probe_par,
         "best_of": {"default": 2, "sub_2s": 3},
         # round-10 adjudication notes (static facts, not measured
         # here): the native sink's partition split vectorized to one

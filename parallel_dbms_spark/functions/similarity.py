@@ -980,6 +980,254 @@ def int8_topk(
     )
 
 
+def pq_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 64,
+    refine: int = 4,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLED TWIN of :func:`pq_topk` — the same PQ/ADC pipeline
+    shape (encode corpus to m codes, ADC-score against per-query
+    LUTs, shortlist k*refine, exact re-rank) under PINNED parameters
+    that make every value engine-exact (the pinned-parameter
+    apply-step pattern: learning is unconvertible, applying a pinned
+    model is):
+
+    - vectors pre-quantized to an integer micro-grid
+      ``floor(x * grid + 0.5)`` (no L2 normalization — a float norm is
+      an unordered float sum, the classic unconvertible);
+    - the codebook is the ITERS=0 seeding of the production trainer:
+      the first ``ksub`` corpus vectors in ``md5(vec_id)`` order,
+      split into subvectors (pinned sample order: md5 is identical
+      everywhere; xxhash64, the scale default, is not in DuckDB);
+    - encoding = integer argmin of squared distance per subspace
+      (first-min tie-break = smallest codeword index, numpy's argmin
+      AND the SQL ``ORDER BY d2, kidx LIMIT 1`` agree);
+    - ADC = integer LUT-gather sums (order-free), shortlist and final
+      rank totally ordered by (score DESC, neighbor_id ASC);
+    - exact re-rank = full integer dot product on the grid vectors.
+
+    Output integers only: (query_id, neighbor_id, rank, dot_g, adc).
+    :func:`pq_topk` (learned Lloyd codebooks, normalized floats)
+    stays the scale default; its recall is pytest-asserted."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _grid(df, name):
+        return df.select(
+            F.col(id_col).alias(name),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gv"),
+        )
+
+    gc = _grid(corpus, "neighbor_id")
+    gq = _grid(queries, "query_id")
+    # pinned codebook: model-sized driver collect (ksub rows), the
+    # same bounded-collect class as pq_train_codebooks' sample
+    sample = (
+        gc.withColumn("__h", F.md5(F.col("neighbor_id").cast("string")))
+        .orderBy("__h")
+        .limit(ksub)
+        .collect()
+    )
+    CB = np.array([list(r["gv"]) for r in sample], dtype=np.int64)
+    dim = CB.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    CBr = np.ascontiguousarray(
+        CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )  # (m, ksub, dsub)
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.int64).reshape(
+            -1, m, dsub
+        )
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            d2 = ((V[:, j, None, :] - CBr[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            codes[:, j] = d2.argmin(axis=1)  # first min = smallest kidx
+        return pd.Series(list(codes))
+
+    codes = gc.select("neighbor_id", enc(F.col("gv")).alias("codes"))
+    # integer per-query LUTs ship in the closure (queries are the
+    # small side, same assumption as pq_topk's default path)
+    qrows = gq.collect()
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Qg = np.stack([np.array(list(r["gv"]), dtype=np.int64) for r in qrows])
+    luts = np.einsum(
+        "qjd,jkd->qjk", Qg.reshape(len(Qg), m, dsub), CBr
+    )  # exact: integer einsum
+
+    nper = k * refine
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                s = luts[qi][np.arange(m)[None, :], C].sum(axis=1)
+                mask = ids != qids[qi]
+                s_m, ids_m = s[mask], ids[mask]
+                # block-local top under the TOTAL order (-adc, id):
+                # global top-nper of block tops is then exactly the
+                # global top-nper (distributive top-k)
+                order = np.lexsort((ids_m, -s_m))[:nper]
+                out_q.append(np.full(len(order), qids[qi]))
+                out_n.append(ids_m[order])
+                out_s.append(s_m[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "adc": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    cands = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adc long"
+    )
+    wS = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cands.withColumn(
+        "__rk", F.row_number().over(wS)
+    ).filter(F.col("__rk") <= nper).drop("__rk")
+    # exact integer re-rank on the grid vectors
+    qg = gq.select(
+        F.col("query_id").alias("__qid"), F.col("gv").alias("qgv")
+    )
+    rer = (
+        shortlist.join(gc, "neighbor_id")
+        .join(
+            F.broadcast(qg), F.col("query_id") == F.col("__qid")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qgv"), F.col("gv"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_g"),
+        )
+    )
+    wF = Window.partitionBy("query_id").orderBy(
+        F.col("dot_g").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wF))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_g", "adc")
+    )
+
+
+def int8_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLED TWIN of :func:`int8_topk` — same SQ8 brute-force top-k
+    shape, with every value engine-exact so a SQL oracle (DuckDB) can
+    replay it value-for-value:
+
+    - quantizer pinned to ``floor(x/scale + 0.5)`` (F.round is
+      HALF_UP, numpy rint is banker's, DuckDB round() is half-away —
+      the MODE must be pinned; the md5-hash-mode precedent);
+    - the ranking key is the rational ``sign(dot) * dot^2 / |c|^2``
+      computed from EXACT int64 dot products (dot^2 <= ~1.1e12 < 2^53,
+      so the one double division is correctly rounded identically in
+      every IEEE engine) — ordering is identical to cosine because the
+      query's norm is constant per query and the quantization scales
+      cancel;
+    - output columns are integers only: (query_id, neighbor_id, rank,
+      dot_q = int dot, cnorm2 = int |c|^2).
+
+    :func:`int8_topk` (HALF_UP + float cosine) stays the scale
+    default; this variant exists so the estimator itself is
+    value-hash-graded rather than only recall-asserted."""
+    def _quant(df, idname):
+        v = F.col("v")
+        scale = F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0),
+            F.lit(1e-30),
+        )
+        return (
+            df.withColumn("__sc", scale)
+            .withColumn(
+                "q",
+                F.transform(
+                    v,
+                    lambda x: F.floor(
+                        x.cast("double") / F.col("__sc") + F.lit(0.5)
+                    ).cast("long"),
+                ),
+            )
+            .drop("v", "__sc")
+        )
+
+    q = _quant(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+        ),
+        "query_id",
+    ).withColumnRenamed("q", "qq")
+    c = _quant(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        ),
+        "neighbor_id",
+    ).withColumnRenamed("q", "cq")
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _idot(F.col("qq"), F.col("cq")).alias("dot_q"),
+        _idot(F.col("cq"), F.col("cq")).alias("cnorm2"),
+    )
+    key = (
+        (F.col("dot_q") * F.abs(F.col("dot_q"))).cast("double")
+        / F.col("cnorm2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        key.desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q", "cnorm2")
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

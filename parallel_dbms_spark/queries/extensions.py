@@ -1286,17 +1286,81 @@ def sim_mmr_rank1(spark, sf_dir):
 
 
 @register(
-    "sim_pq_topk", oracle=None,
+    "sim_pq_topk",
+    oracle="""WITH g AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)) AS gv
+           FROM embeddings),
+     samp AS (SELECT * FROM (
+                SELECT vec_id, gv,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS kidx
+                FROM g) WHERE kidx < 64),
+     cb AS (SELECT kidx,
+                   (generate_subscripts(gv, 1) - 1) // 4 AS j,
+                   (generate_subscripts(gv, 1) - 1) % 4 AS d,
+                   unnest(gv) AS val
+            FROM samp),
+     vx AS (SELECT vec_id,
+                   (generate_subscripts(gv, 1) - 1) // 4 AS j,
+                   (generate_subscripts(gv, 1) - 1) % 4 AS d,
+                   unnest(gv) AS val
+            FROM g),
+     d2 AS (SELECT vx.vec_id, vx.j, cb.kidx,
+                   SUM((vx.val - cb.val) * (vx.val - cb.val)) AS dist
+            FROM vx JOIN cb ON cb.j = vx.j AND cb.d = vx.d
+            GROUP BY 1, 2, 3),
+     codes AS (SELECT vec_id, j, kidx FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, j ORDER BY dist, kidx) AS rn
+                 FROM d2) WHERE rn = 1),
+     qx AS (SELECT vec_id AS query_id, j, d, val
+            FROM (SELECT vec_id,
+                         (generate_subscripts(gv, 1) - 1) // 4 AS j,
+                         (generate_subscripts(gv, 1) - 1) % 4 AS d,
+                         unnest(gv) AS val
+                  FROM g WHERE vec_id < 10)),
+     lut AS (SELECT qx.query_id, cb.j, cb.kidx,
+                    CAST(SUM(qx.val * cb.val) AS BIGINT) AS lv
+             FROM qx JOIN cb ON cb.j = qx.j AND cb.d = qx.d
+             GROUP BY 1, 2, 3),
+     adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                    CAST(SUM(l.lv) AS BIGINT) AS adc
+             FROM codes c JOIN lut l ON l.j = c.j AND l.kidx = c.kidx
+             WHERE c.vec_id <> l.query_id
+             GROUP BY 1, 2),
+     sl AS (SELECT query_id, neighbor_id, adc FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc DESC, neighbor_id ASC) AS rk
+              FROM adc) WHERE rk <= 20),
+     rer AS (SELECT sl.query_id, sl.neighbor_id, sl.adc,
+                    CAST(list_dot_product(q.gv, c.gv) AS BIGINT) AS dot_g
+             FROM sl JOIN g c ON c.vec_id = sl.neighbor_id
+                     JOIN g q ON q.vec_id = sl.query_id)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, dot_g, adc
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY dot_g DESC, neighbor_id ASC) AS rn
+      FROM rer)
+WHERE rn <= 5""",
     tags=("similarity", "pq", "pandas_udf"),
 )
 def sim_pq_topk(spark, sf_dir):
-    # PQ/ADC ANN: 16-subspace product-quantized codes scanned with
-    # per-query lookup tables, exact re-rank of the short list.
-    # Rows-only: codebooks come from our deterministic sampled Lloyd
-    # training. Recall vs brute force is pytest-asserted.
+    # PQ/ADC ANN, VALUE-HASH-CHECKED end-to-end (the r11 conversion
+    # note's second target): the pinned-parameter apply-step twin —
+    # integer micro-grid vectors, the trainer's ITERS=0 md5-ordered
+    # codebook seed, integer argmin encoding, integer ADC LUT sums,
+    # totally-ordered shortlist + integer-dot re-rank. DuckDB rebuilds
+    # the same codebook, the same codes, the same LUTs, and must land
+    # the identical top-k. pq_topk (learned Lloyd codebooks over
+    # normalized floats) stays the scale default; its recall and
+    # LUT-strategy equivalence are pytest-asserted in
+    # test_similarity.py.
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.pq_topk(emb, queries, k=5, m=16, ksub=64)
+    return similarity.pq_topk_exact(emb, queries, k=5, m=16, ksub=64)
 
 
 @register(
@@ -2107,22 +2171,53 @@ def classifier_lang_logit(spark, sf_dir):
     )
 
 
-# round-12 conversion candidate: pin a floor(x+0.5) quantizer mode
-# (numpy rint is banker's rounding, DuckDB round() is half-away — the
-# MODE must be pinned, the md5-hash-mode precedent) and the integer
-# dot products + id-tiebroken top-k would hash across engines.
-@register("sim_int8_topk", oracle=None, tags=("similarity", "quantization"))
+@register(
+    "sim_int8_topk",
+    oracle="""WITH e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+         s AS (SELECT vec_id, v,
+                      GREATEST(list_max(list_transform(v, x -> ABS(x)))
+                               / 127.0, 1e-30) AS sc
+               FROM e),
+         q8 AS (SELECT vec_id,
+                       list_transform(
+                         v, x -> CAST(FLOOR(x / sc + 0.5) AS BIGINT)) AS q
+                FROM s),
+         qs AS (SELECT vec_id AS query_id, q AS qq
+                FROM q8 WHERE vec_id % 199 = 0),
+         pairs AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+                          CAST(list_dot_product(qs.qq, c.q) AS BIGINT) AS qd,
+                          CAST(list_dot_product(c.q, c.q) AS BIGINT) AS cd
+                   FROM qs, q8 c WHERE c.vec_id <> qs.query_id),
+         r AS (SELECT *,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY CAST(qd * ABS(qd) AS DOUBLE)
+                                 / CAST(cd AS DOUBLE) DESC,
+                                 neighbor_id ASC) AS rk
+               FROM pairs)
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
+           qd AS dot_q, cd AS cnorm2
+    FROM r WHERE rk <= 5""",
+    tags=("similarity", "quantization"),
+)
 def sim_int8_topk(spark, sf_dir):
-    # Scalar-quantized (SQ8) brute-force top-k: int64-exact integer
-    # dot products over 4x-smaller vectors. Rows-only (the int8
-    # rounding is not SQL-replayable in DuckDB's list ops at equal
-    # float semantics); recall>0.9 and per-score agreement vs the
-    # float path are pytest-asserted in test_similarity.py.
-    from ..functions.similarity import int8_topk
+    # Scalar-quantized (SQ8) brute-force top-k, VALUE-HASH-CHECKED:
+    # the r11 conversion note executed — the quantizer is pinned to
+    # floor(x/scale + 0.5) (numpy rint is banker's, DuckDB round() is
+    # half-away: the MODE is what the md5-hash-mode precedent pins),
+    # the ranking key is the rational sign(dot)*dot^2/|c|^2 from
+    # EXACT int64 dot products (the one double division is correctly
+    # rounded identically everywhere), and the output is integers
+    # only. int8_topk (HALF_UP + float cosine) stays the scale
+    # default; recall>0.9 vs the float path is pytest-asserted in
+    # test_similarity.py for BOTH variants.
+    from ..functions.similarity import int8_topk_exact
 
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 199 == 0)
-    return int8_topk(emb, queries, k=5)
+    return int8_topk_exact(emb, queries, k=5)
 
 
 @register(

@@ -5203,11 +5203,17 @@ def tx_merge(
                        if cl["action"] == "delete"]
             upd_idx = [i for i, cl in enumerate(matched)
                        if cl["action"] == "update"]
+            # NULL-safe: __m_sel is NULL on hit-file rows with no
+            # source match (and matched rows satisfying no clause) —
+            # isin(NULL) is NULL and filter(~NULL) would silently DROP
+            # those survivors
             is_del = (
-                F.col("__m_sel").isin(del_idx) if del_idx else F.lit(False)
+                F.coalesce(F.col("__m_sel").isin(del_idx), F.lit(False))
+                if del_idx else F.lit(False)
             )
             is_upd = (
-                F.col("__m_sel").isin(upd_idx) if upd_idx else F.lit(False)
+                F.coalesce(F.col("__m_sel").isin(upd_idx), F.lit(False))
+                if upd_idx else F.lit(False)
             )
 
             def _img(c: str) -> "F.Column":
