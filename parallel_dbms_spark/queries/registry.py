@@ -39,104 +39,85 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-11 ROTATION (applied): all 50 r10 rows graded green, so the
-# window re-solves: 23 keepers = the exact-minimal set cover
-# (branch-and-bound, scripts/rotate_window.py) of the families no
-# never-graded oracled row carries, and 27 slots rotate to never-graded
-# rows — every incoming row oracle-verified at sf0.01 AND sf0.1 before
-# rotation, clearing the oracled-never-graded debt to ZERO. The keeper
-# count dropped 35 -> 23 through (a) the round-11 SQL-door row
-# lake_sql_lifecycle carrying nine previously keeper-pinned families
-# in one integration row (column-mapping, constraints, metadata,
-# vacuum, retention, versioned, identity, merge, row-tracking, bloom),
-# (b) the two new conversions multimodal_audio_energy ('multimodal')
-# and text_bpe_apply, and (c) four honest tag repairs verified against
-# the queries' actual semantics: dedup_minhash_lsh emits the
-# minhash-ESTIMATED Jaccard coefficient ('jaccard'),
-# lake_compact_roundtrip writes-and-grades its compacted output
-# ('sink'), categorical_drift_event_types materializes the cohorts'
-# distribution profiles ('profiling'), sample_k_per_group is top-N
-# per group via row_number <= k ('limit'), plus agg_percentile_cont
-# extended on BOTH engines with total-order NTILE(4) quartile mass
-# ('ntile').
-# Rotated out (graded history in CORRECTNESS_r*.json): lake_instant_
-# distinct, order_by_multikey, stream_tx_merge_upsert, tpch_q19_shape,
-# lake_tx_column_mapping, lake_tx_point_lookup_bloom,
-# lake_tx_vacuum_retention, lake_tx_identity_merge,
-# lake_tx_row_tracking, sql_recursive_forest_rollup, join_band_prices,
-# set_intersect_active_users, sessionize_gap_stats,
-# multimodal_pcm_energy, decontaminate_vs_benchmark, ... see git.
+# ROUND-12 ROTATION (applied): all 50 r11 rows graded green and the
+# oracled-never-graded debt is ZERO, so rotation switches to the
+# VERDICT-r11 staleness policy: 30 keepers = the exact-minimal set
+# cover (branch-and-bound, scripts/rotate_window.py) of the families
+# only ever-graded rows carry, 3 slots take this round's conversions
+# (sim_int8_topk and sim_pq_topk — the r11 note's pinned-quantizer /
+# pinned-codebook twins — plus lake_sql_merge_clauses, the generalized
+# SQL MERGE + view + DROP lifecycle row), and the remaining 17 slots
+# RE-GRADE the oracled rows whose latest green grade is the OLDEST
+# (all last graded r2) so no row's grade goes permanently stale.
+# Every incoming row oracle-verified at sf0.01 AND sf0.1 before
+# rotation. Rotated out (graded green r11, history in
+# CORRECTNESS_r11.json): sql_nulls_ordering, sql_recursive_balance_
+# paydown, stream_dq_report, stream_histogram_value,
+# vector_label_affinity, multimodal_audio_energy, text_bpe_apply, the
+# seven r10/11 dedup/freq conversions, lake_tx_type_widening/
+# column_defaults/generated_partition, and the judge-verified tail —
+# all still exported and oracled, just unwindowed.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 23 keepers: exact-minimal set cover (branch-and-bound,
-    # scripts/rotate_window.py) of the families no never-graded
-    # oracled row carries (all graded green r2-r10) ---
+    # --- 30 keepers: exact-minimal set cover of the families no
+    # unwindowed row re-covers (all graded green r2-r11) ---
+    "agg_histogram_quantiles",        # histogram + sketch + window
     "agg_two_stage_distinct",         # distinct + skew
     "batch_session_window_native",    # session_window + streaming
-    "er_resolve_parts",               # clustering + fuzzy
-    "event_transition_matrix",        # sessionize
+    "decontaminate_vs_benchmark",     # dedup + jaccard
+    "er_resolve_parts",               # clustering + fuzzy + pipeline
+    "event_transition_matrix",        # sessionize + window
     "filter_pushdown_conj",           # filter + pushdown
-    "interval_overlap_sessions",      # range
+    "impute_group_mean",              # aggregate + join + null
+    "interval_overlap_sessions",      # join + range + timeseries
     "join_theta_only",                # bnlj + theta
     "json_agg_by_type",               # functions + json
+    "lake_sql_lifecycle",             # sql door: ddl + identity +
+                                      #  row-tracking + bloom + vacuum
+                                      #  + retention + column-mapping
+                                      #  + constraints + metadata
+    "lake_tx_check_constraints",      # constraints + dq + versioned
+    "multimodal_pcm_energy",          # multimodal + aggregate
     "mv_txlog_ivm",                   # cdc + ivm + mv + rollup
-    "pipeline_hybrid_retrieval",      # bm25 + search + similarity
+    "order_by_multikey",              # limit + sort
+    "pipeline_hybrid_retrieval",      # bm25 + search + text
+    "rfm_segments",                   # ntile + window
     "scan_project",                   # projection + scan
     "scd2_pit_enrich",                # asof + cdc + scd2
     "search_phrase",                  # phrase + search
+    "seasonal_profile_hourly",        # profiling + timeseries
     "set_except",                     # setop
-    "sql_nulls_ordering",             # null + sort
-    "sql_recursive_balance_paydown",  # recursive
-    "stream_dq_report",               # dq + streaming
-    "stream_histogram_value",         # histogram + streaming
+    "sql_recursive_forest_rollup",    # recursive
     "stream_stream_left_outer",       # outer + streaming + watermark
-    "stream_tx_change_feed",          # cdc-feed + streaming
+    "stream_tx_change_feed",          # cdc-feed + streaming + source
+    "stream_tx_partitioned_sink",     # sink + partition + data-skipping
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
-    "vector_label_affinity",          # similarity + vectors
-    # --- 27 first-time rows (never driver-graded; every one
-    # oracle-verified at sf0.01 AND sf0.1 before rotation — this
-    # clears the oracled-never-graded debt to ZERO) ---
-    # round-11 feature proofs
-    "lake_sql_lifecycle",             # sql door: ddl + identity + merge
-                                      #  + row-tracking + bloom + vacuum
-                                      #  + retention + column-mapping
-                                      #  + constraints + metadata
-    "multimodal_audio_energy",        # multimodal + audio (mapInPandas)
-    "text_bpe_apply",                 # tokenizer (pinned-merge encoder)
-    # round-10/11 conversions (md5 modes / invariant oracles)
-    "dedup_minhash_lsh",              # dedup + lsh + jaccard
-    "dedup_simhash",                  # dedup + simhash
-    "freq_cms_estimates",             # frequency + sketch
-    "freq_join_cardinality_est",      # frequency + join + sketch
-    "dedup_duplicate_spans",          # dedup + ngram + spans
-    "dedup_span_intervals",           # dedup + spans + window
-    "dedup_cut_spans",                # dedup + pipeline + spans
-    # round-10 feature rows first graded now
-    "lake_tx_type_widening",          # widening + evolution
-    "lake_tx_column_defaults",        # defaults + evolution
-    "lake_tx_generated_partition",    # generated + partition + skipping
-    # older judge-verified tail (VERDICT r10 check_oracles: all green)
-    "agg_percentile_cont",            # percentile + cont + ntile
-    "sql_collated_group",             # collation + dialect + sql
-    "basket_pairs_support",           # basket + self_join
-    "zorder_key_orders",              # lake + zorder
-    "sample_k_per_group",             # sampling + limit
-    "incremental_rollup_merge",       # incremental + aggregate
-    "lake_compact_roundtrip",         # compaction + source + sink
-    "categorical_drift_event_types",  # drift + profiling
-    "pareto_frontier_parts",          # skyline + pandas_udf
-    "changepoint_cusum_priority",     # anomaly + timeseries + window
-    "pandas_zscore_by_type",          # groupby + pandas_udf
-    "corpus_sample_10pct",            # sampling
-    "chunk_documents_32",             # chunking + text
-    "sample_contrastive_negatives",   # contrastive + sampling
+    "vector_centroid_drift",          # vectors + aggregate
+    # --- 3 round-12 conversions / feature proofs (never graded;
+    # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
+    "lake_sql_merge_clauses",         # sql merge clauses + views + drop
+    "sim_int8_topk",                  # quantization (pinned SQ8 twin)
+    "sim_pq_topk",                    # pq + pandas_udf (pinned twin)
+    # --- 17 staleness re-grades: oracled rows whose latest green
+    # grade is the oldest on file (all r2) ---
+    "agg_operator_stats",
+    "agg_percentiles",
+    "agg_variance_corr",
+    "asof_join_events",
+    "datetime_functions",
+    "filter_date_range",
+    "filter_disjunction",
+    "grouping_cube",
+    "grouping_sets",
+    "join_semi",
+    "join_theta_conj",
+    "order_by_string",
+    "pivot_status_counts",
+    "project_expressions",
+    "set_intersect",
+    "set_union",
+    "sql_comma_join",
 )
-# Swapped out late in round 10 for the identity/row-tracking feature
-# proofs (every family they carried stays covered by other rows):
-# zorder_key_orders, sample_k_per_group — both judge-verified green
-# at sf0.01 (VERDICT r9), still exported and oracled, just unwindowed.
-
-
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)

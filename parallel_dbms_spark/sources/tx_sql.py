@@ -20,6 +20,7 @@ the whole table lifecycle through the SQL door:
         [WHEN MATCHED [AND cond] THEN UPDATE SET (* | c = expr, ...)]
         [WHEN MATCHED [AND cond] THEN DELETE]
         [WHEN NOT MATCHED [AND cond] THEN INSERT (* | (cols) VALUES (...))]
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE]
     CREATE [OR REPLACE] VIEW v AS SELECT ... | DROP VIEW [IF EXISTS] v
     DROP TABLE [IF EXISTS] t
     UPDATE t SET v = expr WHERE pred
@@ -659,19 +660,47 @@ def tx_sql(
                 r"(?i)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b)", tail
             ) if c.strip()
         ]
-        matched, not_matched = [], []
+        matched, not_matched, nmbs = [], [], []
+
+        def _parse_upd_or_del(act, cond, out):
+            if re.fullmatch(r"(?is)DELETE", act):
+                out.append({"cond": cond, "action": "delete"})
+                return
+            am = re.match(rf"(?is)^UPDATE{_WS}SET{_WS}(.*)$", act)
+            if not am:
+                raise ValueError(f"bad MERGE MATCHED action: {act!r}")
+            body = am.group(1).strip()
+            if body == "*":
+                out.append({"cond": cond, "action": "update", "set": None})
+                return
+            st = {}
+            for part in _split_top(body):
+                col, _, expr = part.partition("=")
+                if not expr:
+                    raise ValueError(f"bad SET clause: {part!r}")
+                col = col.strip().strip("`")
+                col = re.sub(r"^t\.", "", _norm(col))
+                st[col] = _norm(expr)
+            out.append({"cond": cond, "action": "update", "set": st})
+
         for ch in chunks:
             cm = re.match(
                 rf"(?is)^WHEN{_WS}(NOT{_WS})?MATCHED"
+                rf"(?:{_WS}BY{_WS}(SOURCE|TARGET))?"
                 rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}(.*)$",
                 ch,
             )
             if not cm:
                 raise ValueError(f"bad MERGE WHEN clause: {ch!r}")
             is_not = bool(cm.group(1))
-            cond = _norm(cm.group(2)) if cm.group(2) else None
-            act = cm.group(3).strip()
-            if is_not:
+            by_source = (cm.group(2) or "").upper() == "SOURCE"
+            cond = _norm(cm.group(3)) if cm.group(3) else None
+            act = cm.group(4).strip()
+            if is_not and by_source:
+                # Delta 2.3: target rows with no source match take
+                # UPDATE/DELETE actions (the sync idiom)
+                _parse_upd_or_del(act, cond, nmbs)
+            elif is_not:
                 am = re.match(
                     rf"(?is)^INSERT{_WS}?(?:\*|\(([^)]*)\){_WS}"
                     rf"VALUES{_WS}?\((.*)\))$",
@@ -696,32 +725,12 @@ def tx_sql(
                             c: _norm(e) for c, e in zip(cols, exprs)
                         },
                     })
-            elif re.fullmatch(r"(?is)DELETE", act):
-                matched.append({"cond": cond, "action": "delete"})
             else:
-                am = re.match(rf"(?is)^UPDATE{_WS}SET{_WS}(.*)$", act)
-                if not am:
-                    raise ValueError(f"bad MERGE MATCHED action: {act!r}")
-                body = am.group(1).strip()
-                if body == "*":
-                    matched.append(
-                        {"cond": cond, "action": "update", "set": None}
-                    )
-                else:
-                    st = {}
-                    for part in _split_top(body):
-                        col, _, expr = part.partition("=")
-                        if not expr:
-                            raise ValueError(f"bad SET clause: {part!r}")
-                        col = col.strip().strip("`")
-                        col = re.sub(r"^t\.", "", _norm(col))
-                        st[col] = _norm(expr)
-                    matched.append(
-                        {"cond": cond, "action": "update", "set": st}
-                    )
+                _parse_upd_or_del(act, cond, matched)
         plain_upsert = (
             matched == [{"cond": None, "action": "update", "set": None}]
             and not_matched == [{"cond": None, "values": None}]
+            and not nmbs
         )
         if plain_upsert:
             # the UPDATE SET * / INSERT * fast path (no clause engine)
@@ -730,6 +739,7 @@ def tx_sql(
             v, n = txlog.tx_merge(
                 spark, path, src, keys,
                 matched=matched, not_matched=not_matched,
+                not_matched_by_source=nmbs,
             )
         return _result(spark, "merge", path, v, f"{n} files rewritten")
 

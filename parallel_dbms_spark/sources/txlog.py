@@ -5063,6 +5063,7 @@ def tx_merge(
     keys: list[str],
     matched: list[dict] | None = None,
     not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
     write_cdc: bool = False,
@@ -5075,14 +5076,22 @@ def tx_merge(
           WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...
           WHEN MATCHED [AND cond] THEN DELETE
           WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)
+          WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... |
+            DELETE
 
     ``matched``: ordered clauses ``{"cond": sql|None, "action":
     "update"|"delete", "set": {col: sql}|None}`` (``set=None`` =
     ``SET *``: every same-named target column takes the source's).
     ``not_matched``: ordered ``{"cond": sql|None, "values":
-    {col: sql}|None}`` (``values=None`` = ``INSERT *``). Conditions
-    and expressions reference the target as ``t.`` and the source as
-    ``s.`` (Delta's alias model; the SQL door rewrites user aliases).
+    {col: sql}|None}`` (``values=None`` = ``INSERT *``).
+    ``not_matched_by_source``: ordered clauses with the ``matched``
+    shape, applied to TARGET rows whose key has no source row
+    (Delta 2.3's sync idiom: delete/flag everything the source no
+    longer carries); their conditions and SET expressions may
+    reference the target only (``s.*`` is all-NULL there by
+    construction). Conditions and expressions reference the target as
+    ``t.`` and the source as ``s.`` (Delta's alias model; the SQL
+    door rewrites user aliases).
 
     Semantics (Delta's): clauses evaluate IN ORDER per row, first
     satisfied one applies; a matched row satisfying none survives
@@ -5094,6 +5103,13 @@ def tx_merge(
     constraints validate — and updated images re-compute their
     GENERATED columns and re-validate constraints too. ``SET`` may
     not target an identity or generated column (Delta rejects both).
+
+    Scope note: NOT MATCHED BY SOURCE widens the rewrite beyond
+    source-hit files — by definition it predicates over rows the
+    source does NOT touch. The candidate set is still pruned: only
+    files containing at least one row satisfying the OR of the
+    clauses' conditions join the rewrite (an unconditional clause is
+    a whole-table sync and reads everything, exactly as in Delta).
 
     Scale shape = tx_merge_upsert's: only files CONTAINING a source
     key are read or rewritten (removed = hit files); everything else
@@ -5114,9 +5130,10 @@ def tx_merge(
 
     matched = list(matched or [])
     not_matched = list(not_matched or [])
-    if not matched and not not_matched:
+    nmbs = list(not_matched_by_source or [])
+    if not matched and not not_matched and not nmbs:
         raise ValueError("MERGE needs at least one WHEN clause")
-    for cl in matched:
+    for cl in matched + nmbs:
         if cl["action"] not in ("update", "delete"):
             raise ValueError(f"bad matched action {cl['action']!r}")
     keys = list(keys)
@@ -5124,7 +5141,7 @@ def tx_merge(
     src_cols = list(source.columns)
     ids_map = table_identity(table)
     gmap = table_generated_columns(table)
-    for cl in matched:
+    for cl in matched + nmbs:
         for c in (cl.get("set") or {}):
             if c in ids_map:
                 raise ValueError(
@@ -5171,11 +5188,31 @@ def tx_merge(
         if files:
             df = _tagged_scan(reader, table, files, dvs)
             src_keys = source.select(*keys).distinct()
-            hit_rels = sorted(
+            hits = set(
                 r["__rel"]
                 for r in df.join(src_keys, keys, "leftsemi")
                 .select("__rel").distinct().collect()
             )
+            if nmbs:
+                # NOT MATCHED BY SOURCE candidates: files containing
+                # at least one row satisfying the OR of the clauses'
+                # conditions (an unconditional clause = whole table,
+                # Delta's sync semantics). Conditions reference t.*
+                # only; the superset is conservative — the exact
+                # no-source-match test happens after the join.
+                if any(cl.get("cond") is None for cl in nmbs):
+                    hits |= set(files)
+                else:
+                    pred = None
+                    for cl in nmbs:
+                        e = F.coalesce(F.expr(cl["cond"]), F.lit(False))
+                        pred = e if pred is None else (pred | e)
+                    hits |= set(
+                        r["__rel"]
+                        for r in df.alias("t").filter(pred)
+                        .select("__rel").distinct().collect()
+                    )
+            hit_rels = sorted(hits)
         added, pv = [], {}
         cdc_parts = []
         if hit_rels:
@@ -5199,10 +5236,26 @@ def tx_merge(
                 sel = F.when(hit, F.lit(i)).otherwise(sel)
                 picked = picked | hit
             j = j.withColumn("__m_sel", sel)
+            # NOT MATCHED BY SOURCE: same first-satisfied selection,
+            # over the rows the join left source-NULL
+            nsel = F.lit(None).cast("int")
+            npicked = F.lit(False)
+            for i, cl in enumerate(nmbs):
+                hit = (
+                    ~is_m & ~npicked
+                    & F.coalesce(_cond(cl), F.lit(False))
+                )
+                nsel = F.when(hit, F.lit(i)).otherwise(nsel)
+                npicked = npicked | hit
+            j = j.withColumn("__n_sel", nsel)
             del_idx = [i for i, cl in enumerate(matched)
                        if cl["action"] == "delete"]
             upd_idx = [i for i, cl in enumerate(matched)
                        if cl["action"] == "update"]
+            n_del_idx = [i for i, cl in enumerate(nmbs)
+                         if cl["action"] == "delete"]
+            n_upd_idx = [i for i, cl in enumerate(nmbs)
+                         if cl["action"] == "update"]
             # NULL-safe: __m_sel is NULL on hit-file rows with no
             # source match (and matched rows satisfying no clause) —
             # isin(NULL) is NULL and filter(~NULL) would silently DROP
@@ -5215,6 +5268,14 @@ def tx_merge(
                 F.coalesce(F.col("__m_sel").isin(upd_idx), F.lit(False))
                 if upd_idx else F.lit(False)
             )
+            if n_del_idx:
+                is_del = is_del | F.coalesce(
+                    F.col("__n_sel").isin(n_del_idx), F.lit(False)
+                )
+            if n_upd_idx:
+                is_upd = is_upd | F.coalesce(
+                    F.col("__n_sel").isin(n_upd_idx), F.lit(False)
+                )
 
             def _img(c: str) -> "F.Column":
                 out = F.col(f"t.{c}")
@@ -5228,6 +5289,12 @@ def tx_merge(
                     elif c in st:
                         out = F.when(
                             F.col("__m_sel") == i, F.expr(st[c])
+                        ).otherwise(out)
+                for i in n_upd_idx:
+                    st = nmbs[i].get("set") or {}
+                    if c in st:
+                        out = F.when(
+                            F.col("__n_sel") == i, F.expr(st[c])
                         ).otherwise(out)
                 return out
 
@@ -5245,7 +5312,7 @@ def tx_merge(
                     ).alias(_ROW_COMMIT_COL)
                 )
             survivors = j.filter(~is_del).select(*img_cols)
-            if upd_idx and gmap:
+            if (upd_idx or n_upd_idx) and gmap:
                 # updated images re-compute generated columns from the
                 # new values (Delta recomputes on update); deterministic
                 # expressions make this a no-op on untouched rows
@@ -5255,7 +5322,7 @@ def tx_merge(
                 survivors = survivors.select(
                     *(tgt_cols + (id_cols if rt else []))
                 )
-            if upd_idx:
+            if upd_idx or n_upd_idx:
                 _enforce_constraints(survivors, table)
             if write_cdc:
                 pre_cols = [F.col(f"t.{c}").alias(c) for c in tgt_cols]

@@ -49,7 +49,7 @@ def test_sql_door_random_sequences_match_model(spark, tmp_path, seed):
     for step in range(10):
         op = rng.choice(
             ["insert", "insert", "update", "delete", "merge",
-             "rename", "optimize", "restore"]
+             "gmerge", "rename", "optimize", "restore"]
         )
         if op == "insert":
             n = rng.randrange(1, 5)
@@ -90,6 +90,47 @@ def test_sql_door_random_sequences_match_model(spark, tmp_path, seed):
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             model.update({k: (g, v) for k, g, v in rows})
+        elif op == "gmerge":
+            # generalized clause model: conditional matched DELETE,
+            # column-level SET, conditional INSERT VALUES, and NOT
+            # MATCHED BY SOURCE flagging — the r12 surface, replayed
+            # against the model clause by clause
+            upd = rng.sample(sorted(model), min(3, len(model)))
+            rows = [
+                (k, rng.choice("az"), rng.randrange(100)) for k in upd
+            ] + [(next_k, rng.choice("mn"), rng.randrange(100))]
+            next_k += 1
+            thresh = rng.randrange(20, 80)
+            kcut = rng.randrange(next_k + 1)
+            run(
+                "MERGE INTO t USING (SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, '{g}', {v})" for k, g, v in rows)
+                + f") AS s(k, grp, {val_col})) AS s ON t.k = s.k "
+                f"WHEN MATCHED AND s.{val_col} < {thresh} THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET "
+                f"{val_col} = s.{val_col} + t.{val_col} "
+                f"WHEN NOT MATCHED AND s.grp = 'm' THEN "
+                f"INSERT (k, grp, {val_col}) "
+                f"VALUES (s.k, 'M', s.{val_col}) "
+                f"WHEN NOT MATCHED BY SOURCE AND t.k < {kcut} THEN "
+                "UPDATE SET grp = 'o'"
+            )
+            src_map = {k: (g, v) for k, g, v in rows}
+            new_model = {}
+            for k, (g, v) in model.items():
+                if k in src_map:
+                    sv = src_map[k][1]
+                    if sv < thresh:
+                        continue  # matched DELETE
+                    new_model[k] = (g, sv + v)  # matched UPDATE
+                elif k < kcut:
+                    new_model[k] = ("o", v)  # NMBS flag
+                else:
+                    new_model[k] = (g, v)
+            for k, (g, v) in src_map.items():
+                if k not in model and g == "m":
+                    new_model[k] = ("M", v)  # conditional INSERT
+            model = new_model
         elif op == "rename":
             new = "price" if val_col == "val" else "val"
             run(f"ALTER TABLE t RENAME COLUMN {val_col} TO {new}")

@@ -222,3 +222,58 @@ def test_identity_fills_on_insert_and_survives_update(spark, tmp_path):
     assert rows[3][1] is not None, "insert generates identity"
     rids = [r[1] for r in rows.values() if r[1] is not None]
     assert len(rids) == len(set(rids))
+
+
+def test_not_matched_by_source_sync(spark, tmp_path):
+    """Delta 2.3's sync idiom: target rows the source no longer
+    carries get DELETE or a flagging UPDATE; source-matched rows and
+    clause-missing rows behave as before. Candidate files are pruned
+    by the OR of the clauses' conditions."""
+    t = str(tmp_path / "t")
+    txlog.tx_append(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30),
+                    (4, "stale", 40)]).coalesce(1),
+        t,
+    )
+    src = spark.createDataFrame([(1, "A", 0)], "k long, v string, amt long")
+    txlog.tx_merge(
+        spark, t, src, ["k"],
+        matched=[{"cond": None, "action": "update", "set": {"v": "s.v"}}],
+        not_matched_by_source=[
+            {"cond": "t.v = 'stale'", "action": "delete"},
+            {"cond": "t.amt >= 30", "action": "update",
+             "set": {"v": "'orphan'"}},
+        ],
+    )
+    rows = sorted(
+        (r.k, r.v, r.amt) for r in txlog.read_snapshot(spark, t).collect()
+    )
+    # 1 matched-updated; 4 deleted (stale); 3 flagged (amt>=30, not
+    # stale); 2 untouched (no source match, no clause satisfied)
+    assert rows == [(1, "A", 10), (2, "b", 20), (3, "orphan", 30)]
+
+
+def test_not_matched_by_source_prunes_candidate_files(spark, tmp_path):
+    """Conditional NMBS touches only files that can contain a
+    satisfying row: a file whose rows all fail the OR of the
+    conditions (and carry no source key) survives byte-for-byte."""
+    t = str(tmp_path / "t")
+    txlog.tx_append(_df(spark, [(1, "a", 10), (2, "b", 20)]).coalesce(1), t)
+    txlog.tx_append(_df(spark, [(50, "x", 500)]).coalesce(1), t)
+    _, before = txlog.snapshot_files(t)
+    src = spark.createDataFrame([(999, "z", 0)],
+                                "k long, v string, amt long")
+    v, n = txlog.tx_merge(
+        spark, t, src, ["k"],
+        not_matched_by_source=[
+            {"cond": "t.amt >= 100", "action": "delete"},
+        ],
+    )
+    rec = txlog.read_commit(t, v)
+    assert n == 1, "only the file containing amt>=100 rows is a candidate"
+    survivors = [f for f in before if f not in rec["removed"]]
+    assert survivors and all(
+        f in txlog.snapshot_files(t)[1] for f in survivors
+    )
+    rows = sorted(r.k for r in txlog.read_snapshot(spark, t).collect())
+    assert rows == [1, 2]
