@@ -980,6 +980,107 @@ def int8_topk(
     )
 
 
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLED TWIN of :func:`ivf_topk` — the same IVF(Flat) pipeline
+    shape (coarse cells, nprobe probing, re-rank of only the probed
+    cells' vectors) under PINNED parameters that make every value
+    engine-exact (the pq_topk_exact pattern):
+
+    - vectors on the integer micro-grid ``floor(x * grid + 0.5)``;
+    - centroids = the ITERS=0 seeding of the trainer: the first
+      ``nlist`` corpus vectors in ``md5(vec_id)`` order;
+    - assignment/probing by integer squared distance with
+      (distance, centroid-index) total order;
+    - relevance = the exact integer dot product (unnormalized — the
+      production twin ranks cosine; the pinned mode trades the float
+      norm, an unordered float sum, for engine-exactness).
+
+    Output integers only: (query_id, neighbor_id, rank, dot_g, cell).
+    :func:`ivf_topk` (learned Lloyd centroids, cosine) stays the
+    scale default; its recall is pytest-asserted."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _grid(df, name):
+        return df.select(
+            F.col(id_col).alias(name),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gv"),
+        )
+
+    gc = _grid(corpus, "neighbor_id")
+    gq = _grid(queries, "query_id")
+    sample = (
+        gc.withColumn("__h", F.md5(F.col("neighbor_id").cast("string")))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )  # model-sized driver collect, same class as ivf_train_centroids
+    C = np.array([list(r["gv"]) for r in sample], dtype=np.int64)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.int64)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1))  # first min = smallest idx
+
+    cells = gc.select(
+        "neighbor_id", "gv", assign(F.col("gv")).cast("long").alias("cell")
+    )
+    # probes computed driver-side over the SMALL query set (same
+    # broadcast assumption as ivf_topk's probe UDF closure)
+    qrows = gq.collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(list(r["gv"]), dtype=np.int64)
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(nlist), d2))[:nprobe]
+        probe_rows += [(int(r["query_id"]), int(c)) for c in order]
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cell long"
+    )
+    qg = gq.select(
+        F.col("query_id").alias("__qid"), F.col("gv").alias("qgv")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qg), F.col("query_id") == F.col("__qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.aggregate(
+                F.zip_with(F.col("qgv"), F.col("gv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_g"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_g").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_g", "cell")
+    )
+
+
 def pq_topk_exact(
     corpus: DataFrame,
     queries: DataFrame,

@@ -365,16 +365,62 @@ def sim_ann_lsh_topk(spark, sf_dir):
 
 
 @register(
-    "sim_ivf_topk", oracle=None,
+    "sim_ivf_topk",
+    oracle="""WITH g AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)) AS gv
+           FROM embeddings),
+     cent AS (SELECT * FROM (
+                SELECT vec_id, gv,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                FROM g) WHERE cidx < 16),
+     cx AS (SELECT cidx, generate_subscripts(gv, 1) AS d,
+                   unnest(gv) AS val FROM cent),
+     vx AS (SELECT vec_id, generate_subscripts(gv, 1) AS d,
+                   unnest(gv) AS val FROM g),
+     d2 AS (SELECT vx.vec_id, cx.cidx,
+                   SUM((vx.val - cx.val) * (vx.val - cx.val)) AS dist
+            FROM vx JOIN cx ON cx.d = vx.d
+            GROUP BY 1, 2),
+     cells AS (SELECT vec_id, cidx AS cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                 FROM d2) WHERE rn = 1),
+     probes AS (SELECT vec_id AS query_id, cidx AS cell FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                  FROM d2 WHERE vec_id < 10) WHERE rn <= 6),
+     scored AS (SELECT p.query_id, c.vec_id AS neighbor_id, c.cell,
+                       CAST(list_dot_product(q.gv, v.gv) AS BIGINT)
+                         AS dot_g
+                FROM probes p
+                JOIN cells c ON c.cell = p.cell
+                JOIN g v ON v.vec_id = c.vec_id
+                JOIN g q ON q.vec_id = p.query_id
+                WHERE c.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, dot_g, cell
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dot_g DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5""",
     tags=("similarity", "ivf", "pandas_udf"),
 )
 def sim_ivf_topk(spark, sf_dir):
-    # IVF(Flat) ANN: k-means coarse cells + nprobe probing. Rows-only:
-    # cell assignment depends on our deterministic seeding/Lloyd steps.
-    # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
+    # IVF(Flat) ANN, VALUE-HASH-CHECKED: the pinned-parameter twin
+    # (pq_topk_exact's pattern) — integer micro-grid, iters=0
+    # md5-ordered centroid seed, (distance, index)-total-ordered
+    # assignment and probing, exact integer-dot re-rank of only the
+    # probed cells. DuckDB rebuilds the same centroids, cells, and
+    # probes and must land the identical top-k. ivf_topk (learned
+    # Lloyd centroids, cosine ranking) stays the scale default; its
+    # recall is pytest-asserted in test_similarity.py.
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+    return similarity.ivf_topk_exact(
+        emb, queries, k=5, nlist=16, nprobe=6
+    )
 
 
 _NEARDUP_SQL = f"""WITH e AS (

@@ -43,10 +43,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # oracled-never-graded debt is ZERO, so rotation switches to the
 # VERDICT-r11 staleness policy: 30 keepers = the exact-minimal set
 # cover (branch-and-bound, scripts/rotate_window.py) of the families
-# only ever-graded rows carry, 3 slots take this round's conversions
-# (sim_int8_topk and sim_pq_topk — the r11 note's pinned-quantizer /
-# pinned-codebook twins — plus lake_sql_merge_clauses, the generalized
-# SQL MERGE + view + DROP lifecycle row), and the remaining 17 slots
+# only ever-graded rows carry, 4 slots take this round's conversions
+# (sim_int8_topk, sim_pq_topk, and sim_ivf_topk — the r11 note's
+# pinned-quantizer / pinned-codebook twins — plus
+# lake_sql_merge_clauses, the generalized SQL MERGE + view + DROP
+# lifecycle row), and the remaining 16 slots
 # RE-GRADE the oracled rows whose latest green grade is the OLDEST
 # (all last graded r2) so no row's grade goes permanently stale.
 # Every incoming row oracle-verified at sf0.01 AND sf0.1 before
@@ -93,12 +94,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
     "vector_centroid_drift",          # vectors + aggregate
-    # --- 3 round-12 conversions / feature proofs (never graded;
+    # --- 4 round-12 conversions / feature proofs (never graded;
     # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
     "lake_sql_merge_clauses",         # sql merge clauses + views + drop
     "sim_int8_topk",                  # quantization (pinned SQ8 twin)
     "sim_pq_topk",                    # pq + pandas_udf (pinned twin)
-    # --- 17 staleness re-grades: oracled rows whose latest green
+    "sim_ivf_topk",                   # ivf + pandas_udf (pinned twin;
+                                      #  converted late-round, takes
+                                      #  set_union's re-grade slot —
+                                      #  never-graded debt stays 0)
+    # --- 16 staleness re-grades: oracled rows whose latest green
     # grade is the oldest on file (all r2) ---
     "agg_operator_stats",
     "agg_percentiles",
@@ -115,9 +120,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pivot_status_counts",
     "project_expressions",
     "set_intersect",
-    "set_union",
     "sql_comma_join",
 )
+
+
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)

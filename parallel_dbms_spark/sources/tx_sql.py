@@ -8,7 +8,8 @@ module routes the standard lakehouse DDL/DML dialect (Delta's SQL
 surface, re-expressed) to the :mod:`txlog` API, so a user can drive
 the whole table lifecycle through the SQL door:
 
-    CREATE TABLE t (k BIGINT, v STRING) [CLUSTER BY (k)]
+    CREATE TABLE t (k BIGINT, v STRING)
+        [PARTITIONED BY (p)] [CLUSTER BY (k)]
     CREATE [OR REPLACE] TABLE t AS SELECT ...
     CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n]
     INSERT OVERWRITE [TABLE] t (SELECT ... | VALUES ...)
@@ -23,8 +24,9 @@ the whole table lifecycle through the SQL door:
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE]
     CREATE [OR REPLACE] VIEW v AS SELECT ... | DROP VIEW [IF EXISTS] v
     DROP TABLE [IF EXISTS] t
-    UPDATE t SET v = expr WHERE pred
-    DELETE FROM t WHERE pred
+    UPDATE t SET v = expr [WHERE pred]
+    DELETE FROM t [WHERE pred]
+    SHOW TABLES | DESCRIBE [TABLE] t
     ALTER TABLE t ADD COLUMN c TYPE
     ALTER TABLE t ALTER COLUMN c TYPE WIDER_TYPE
     ALTER TABLE t RENAME COLUMN a TO b
@@ -446,6 +448,7 @@ def tx_sql(
     m = re.match(
         rf"(?is)^CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
         rf"{_IDENT}\s*\((.*?)\)"
+        rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
         rf"(?:{_WS}CLUSTER{_WS}BY\s*\(([^)]*)\))?$",
         s,
     )
@@ -458,9 +461,15 @@ def tx_sql(
                                txlog.log_versions(path)[-1], "exists")
             raise ValueError(f"table already exists: {path}")
         empty = spark.createDataFrame([], m.group(2))
-        v = txlog.tx_append(empty, path)
-        if m.group(3):
-            v = txlog.tx_set_cluster_by(path, _split_cols(m.group(3)))
+        # PARTITIONED BY on an empty create is the DECLARING append
+        # (zero files staged, the declaration rides the commit) —
+        # every later INSERT inherits it and stages value-pure
+        v = txlog.tx_append(
+            empty, path,
+            partition_by=_split_cols(m.group(3)) if m.group(3) else None,
+        )
+        if m.group(4):
+            v = txlog.tx_set_cluster_by(path, _split_cols(m.group(4)))
         return _result(spark, "create_table", path, v,
                        empty.schema.simpleString())
 
@@ -745,25 +754,37 @@ def tx_sql(
 
     # ---------------- UPDATE / DELETE ----------------
     m = re.match(
-        rf"(?is)^UPDATE{_WS}{_IDENT}{_WS}SET{_WS}(.*?){_WS}WHERE{_WS}(.*)$",
+        rf"(?is)^UPDATE{_WS}{_IDENT}{_WS}SET{_WS}(.*?)"
+        rf"(?:{_WS}WHERE{_WS}(.*))?$",
         s,
     )
     if m:
         path = _path(m.group(1), base_dir)
         assignments: dict[str, str] = {}
-        for part in m.group(2).split(","):
+        for part in _split_top(m.group(2)):
             col, _, expr = part.partition("=")
             if not expr:
                 raise ValueError(f"bad SET clause: {part!r}")
             assignments[col.strip().strip("`")] = expr.strip()
-        v, n = txlog.tx_update_where(spark, path, m.group(3), assignments)
+        # WHERE-less UPDATE = every row (standard SQL)
+        v, n = txlog.tx_update_where(
+            spark, path, m.group(3) or "true", assignments
+        )
         return _result(spark, "update", path, v, f"{n} files rewritten")
 
     m = re.match(
-        rf"(?is)^DELETE{_WS}FROM{_WS}{_IDENT}{_WS}WHERE{_WS}(.*)$", s
+        rf"(?is)^DELETE{_WS}FROM{_WS}{_IDENT}(?:{_WS}WHERE{_WS}(.*))?$", s
     )
     if m:
         path = _path(m.group(1), base_dir)
+        if m.group(2) is None:
+            # WHERE-less DELETE = drop every live row; route to the
+            # metadata-only truncate (Delta's predicate-less DELETE is
+            # metadata-only too) — history/time travel intact, the
+            # change feed streams whole-file drops
+            v, n = txlog.tx_truncate(path)
+            return _result(spark, "delete", path, v,
+                           f"{n} files dropped (all rows)")
         v, n = txlog.tx_delete_where(spark, path, m.group(2))
         return _result(spark, "delete", path, v, f"{n} files rewritten")
 
@@ -1060,13 +1081,60 @@ def tx_sql(
         out = txlog.tx_generate_manifest(path)
         return _result(spark, "generate_manifest", path, None, out)
 
-    # ---------------- DESCRIBE ----------------
+    # ---------------- SHOW TABLES / DESCRIBE ----------------
+    if re.match(rf"(?is)^SHOW{_WS}TABLES$", s):
+        rows = []
+        for name in sorted(os.listdir(base_dir)):
+            p = os.path.join(base_dir, name)
+            if _is_lake_table(p):
+                rows.append((name, "table"))
+            elif name.endswith(".view.sql") and os.path.isfile(p):
+                rows.append((name[: -len(".view.sql")], "view"))
+        return spark.createDataFrame(
+            rows or [(None, None)], "name string, type string"
+        ).filter("name IS NOT NULL")
+
     m = re.match(rf"(?is)^DESCRIBE{_WS}DETAIL{_WS}{_IDENT}$", s)
     if m:
         return txlog.tx_detail(spark, _path(m.group(1), base_dir))
     m = re.match(rf"(?is)^DESCRIBE{_WS}HISTORY{_WS}{_IDENT}$", s)
     if m:
         return txlog.tx_history(spark, _path(m.group(1), base_dir))
+    m = re.match(rf"(?is)^DESCRIBE{_WS}(?:TABLE{_WS})?{_IDENT}$", s)
+    if m:
+        path = _path(m.group(1), base_dir)
+        if not _is_lake_table(path):
+            # not a lake table: defer to the session catalog (the
+            # CLI's typed-CSV temp views DESCRIBE through Spark)
+            return spark.sql(s)
+        schema = txlog.table_schema(path)
+        if schema is None:
+            raise FileNotFoundError(f"no schema committed under {path}")
+        pb = set(txlog.table_partition_by(path))
+        gmap = txlog.table_generated_columns(path)
+        idents = txlog.table_identity(path)
+        defaults = txlog.table_column_defaults(path)
+        rows = []
+        for f in schema.fields:
+            extras = []
+            if f.name in pb:
+                extras.append("partition")
+            if f.name in gmap:
+                extras.append(f"generated as ({gmap[f.name]})")
+            if f.name in idents:
+                spec = idents[f.name]
+                extras.append(
+                    "identity "
+                    + ("always" if spec["always"] else "by default")
+                )
+            if f.name in defaults:
+                extras.append(f"default {defaults[f.name]}")
+            rows.append(
+                (f.name, f.dataType.simpleString(), ", ".join(extras))
+            )
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, extra string"
+        )
 
     # ---------------- SELECT (incl. time travel) ----------------
     if re.match(r"(?is)^(SELECT|WITH)\b", s):
@@ -1086,7 +1154,7 @@ def is_lake_statement(sql: str) -> bool:
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
         r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink\w*|"
         r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
-        r"SHOW\s+(CREATE\s+TABLE|PARTITIONS)|"
-        r"DESCRIBE\s+(DETAIL|HISTORY))\b",
+        r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES)|"
+        r"DESCRIBE\s)\b",
         sql,
     ))
