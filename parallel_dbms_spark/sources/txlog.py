@@ -5168,8 +5168,14 @@ def tx_merge(
         )
 
     def _cond(cl) -> "F.Column":
+        # NULL-safe (3VL): an unsatisfied-because-NULL condition must
+        # read as FALSE — without the coalesce a NULL poisons the
+        # running `picked` accumulator (False | NULL = NULL) and
+        # silently blocks LATER clauses from selecting the row
         c = cl.get("cond")
-        return F.expr(c) if c else F.lit(True)
+        if not c:
+            return F.lit(True)
+        return F.coalesce(F.expr(c), F.lit(False))
 
     for _ in range(max_retries):
         parent, files = snapshot_files(table)
@@ -5241,10 +5247,7 @@ def tx_merge(
             nsel = F.lit(None).cast("int")
             npicked = F.lit(False)
             for i, cl in enumerate(nmbs):
-                hit = (
-                    ~is_m & ~npicked
-                    & F.coalesce(_cond(cl), F.lit(False))
-                )
+                hit = ~is_m & ~npicked & _cond(cl)
                 nsel = F.when(hit, F.lit(i)).otherwise(nsel)
                 npicked = npicked | hit
             j = j.withColumn("__n_sel", nsel)

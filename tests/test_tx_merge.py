@@ -277,3 +277,39 @@ def test_not_matched_by_source_prunes_candidate_files(spark, tmp_path):
     )
     rows = sorted(r.k for r in txlog.read_snapshot(spark, t).collect())
     assert rows == [1, 2]
+
+
+def test_null_condition_does_not_block_later_clauses(spark, tmp_path):
+    """3VL: a clause condition evaluating to NULL for a row reads as
+    not-satisfied — and must NOT poison the running selector so later
+    clauses still apply (False | NULL = NULL would otherwise block
+    them silently)."""
+    t = str(tmp_path / "t")
+    txlog.tx_append(_df(spark, [(1, "a", 10)]).coalesce(1), t)
+    # s.v IS NULL for the source row, so `s.v = 'zzz'` is NULL —
+    # the second (unconditional) clause must still fire
+    src = spark.createDataFrame([(1, None, 5)], "k long, v string, amt long")
+    txlog.tx_merge(
+        spark, t, src, ["k"],
+        matched=[
+            {"cond": "s.v = 'zzz'", "action": "delete"},
+            {"cond": None, "action": "update", "set": {"amt": "s.amt"}},
+        ],
+    )
+    rows = [(r.k, r.v, r.amt)
+            for r in txlog.read_snapshot(spark, t).collect()]
+    assert rows == [(1, "a", 5)], rows
+    # same on the NOT MATCHED side: NULL first-clause condition must
+    # not block the unconditional insert clause
+    src2 = spark.createDataFrame([(9, None, 90)],
+                                 "k long, v string, amt long")
+    txlog.tx_merge(
+        spark, t, src2, ["k"],
+        not_matched=[
+            {"cond": "s.v = 'zzz'", "values": {
+                "k": "s.k", "v": "'x'", "amt": "0"}},
+            {"cond": None, "values": None},
+        ],
+    )
+    ks = sorted(r.k for r in txlog.read_snapshot(spark, t).collect())
+    assert ks == [1, 9]
