@@ -1034,6 +1034,8 @@ def ivf_topk_exact(
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="int32")
         V = np.stack(vecs.to_numpy()).astype(np.int64)
         d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1))  # first min = smallest idx
@@ -1152,6 +1154,8 @@ def pq_topk_exact(
 
     @pandas_udf("array<int>")
     def enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype=object)
         V = np.stack(vecs.to_numpy()).astype(np.int64).reshape(
             -1, m, dsub
         )
@@ -1177,6 +1181,8 @@ def pq_topk_exact(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty partition batch
+                continue
             C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             ids = pdf["neighbor_id"].to_numpy()
             out_q, out_n, out_s = [], [], []
