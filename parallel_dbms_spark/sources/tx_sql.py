@@ -10,7 +10,8 @@ the whole table lifecycle through the SQL door:
 
     CREATE TABLE t (k BIGINT, v STRING)
         [PARTITIONED BY (p)] [CLUSTER BY (k)]
-    CREATE [OR REPLACE] TABLE t AS SELECT ...
+    CREATE [OR REPLACE] TABLE t
+        [PARTITIONED BY (p)] [CLUSTER BY (k)] AS SELECT ...
     CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n]
     INSERT OVERWRITE [TABLE] t (SELECT ... | VALUES ...)
     CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
@@ -27,7 +28,7 @@ the whole table lifecycle through the SQL door:
     UPDATE t SET v = expr [WHERE pred]
     DELETE FROM t [WHERE pred]
     SHOW TABLES | DESCRIBE [TABLE] t
-    ALTER TABLE t ADD COLUMN c TYPE
+    ALTER TABLE t ADD COLUMN c TYPE | ADD COLUMNS (a T, b T, ...)
     ALTER TABLE t ALTER COLUMN c TYPE WIDER_TYPE
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
@@ -424,13 +425,17 @@ def tx_sql(
     # -------- CREATE [OR REPLACE] TABLE ... AS SELECT (CTAS) --------
     m = re.match(
         rf"(?is)^CREATE{_WS}(OR{_WS}REPLACE{_WS})?TABLE{_WS}{_IDENT}"
+        rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
+        rf"(?:{_WS}CLUSTER{_WS}BY\s*\(([^)]*)\))?"
         rf"{_WS}AS{_WS}(SELECT\b.*|VALUES\b.*)$",
         s,
     )
     if m:
         replace = bool(m.group(1))
         path = _path(m.group(2), base_dir)
-        body = m.group(3).strip()
+        pb = _split_cols(m.group(3)) if m.group(3) else None
+        cb = _split_cols(m.group(4)) if m.group(4) else None
+        body = m.group(5).strip()
         df = spark.sql(_register_lake_views(spark, body, base_dir))
         if _is_lake_table(path):
             if not replace:
@@ -438,9 +443,18 @@ def tx_sql(
             v, _ = txlog.tx_overwrite(
                 spark, path, df, overwrite_schema=True
             )
+            if pb:
+                # OR REPLACE re-declares the layout: one additional
+                # value-pure re-lay commit (partition evolution) —
+                # time travel still serves the pre-replace versions
+                v, _ = txlog.tx_repartition_table(spark, path, pb)
+            if cb is not None:
+                v = txlog.tx_set_cluster_by(path, cb)
             return _result(spark, "create_or_replace", path, v,
                            df.schema.simpleString())
-        v = txlog.tx_append(df, path)
+        v = txlog.tx_append(df, path, partition_by=pb)
+        if cb is not None:
+            v = txlog.tx_set_cluster_by(path, cb)
         return _result(spark, "create_table_as", path, v,
                        df.schema.simpleString())
 
@@ -815,6 +829,29 @@ def tx_sql(
             )
             return _result(spark, "add_column", path, v,
                            f"{m2.group(1)} {m2.group(2)}")
+
+        m2 = re.match(
+            rf"(?is)^ADD{_WS}COLUMNS{_WS}?\(([^)]*)\)$", rest
+        )
+        if m2:
+            # ADD COLUMNS (a T, b T, ...): each addition is one
+            # metadata-only commit, applied in order
+            v = None
+            added = []
+            for part in _split_top(m2.group(1)):
+                cm = re.fullmatch(
+                    rf"(?is){_IDENT}{_WS}(\w+(?:\([^)]*\))?)",
+                    part.strip(),
+                )
+                if not cm:
+                    raise ValueError(f"bad ADD COLUMNS entry: {part!r}")
+                col, typ = cm.group(1).strip("`"), cm.group(2)
+                v = txlog.tx_add_column(path, col, typ)
+                added.append(f"{col} {typ}")
+            if v is None:
+                raise ValueError("ADD COLUMNS needs at least one column")
+            return _result(spark, "add_columns", path, v,
+                           ", ".join(added))
 
         m2 = re.match(rf"(?is)^DROP{_WS}COLUMN{_WS}{_IDENT}$", rest)
         if m2:
