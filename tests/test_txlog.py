@@ -3211,3 +3211,66 @@ def test_replace_where_identity_replan_after_racing_generator(
     assert wm["rid"] >= max(rids), (
         "commit rolled the racing generator's watermark back"
     )
+
+
+def test_replace_where_threaded_appends_serialize(spark, tmp_path):
+    """REAL concurrency: an appender thread keeps landing rows INSIDE
+    the replaced partition while replaceWhere runs. The read-set
+    conflict must serialize them — any racer row that survives the
+    swap was committed AFTER the replace (it logically post-dates the
+    backfill); any row committed before it must be gone."""
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i % 2, "old") for i in range(20)], "k long, p long, v string"
+    )
+    txlog.tx_append(base.repartition(2), t, partition_by=["p"])
+    seq_version: dict[int, int] = {}
+    done = threading.Event()
+
+    def appender():
+        # throttled racer: an append per ~0.7 s, not a tight loop — a
+        # continuous hostile appender livelocks the backfill by
+        # winning every retry window (Delta's equivalent surfaces
+        # ConcurrentAppendException to the caller the same way)
+        import time as _time
+
+        seq = 1000
+        while not done.is_set():
+            v = txlog.tx_append(
+                spark.createDataFrame(
+                    [(seq, 1, "racer")], "k long, p long, v string"
+                ),
+                t,
+            )
+            seq_version[seq] = v
+            seq += 1
+            _time.sleep(0.7)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    try:
+        repl = spark.createDataFrame(
+            [(1, 1, "new"), (3, 1, "new")], "k long, p long, v string"
+        )
+        v_replace, _ = txlog.tx_replace_where(spark, t, repl, "p = 1")
+    finally:
+        done.set()
+        th.join()
+    rows = txlog.read_snapshot(spark, t).collect()
+    p1 = {(r.k, r.v) for r in rows if r.p == 1}
+    survivors = {k for k, v in p1 if v == "racer"}
+    replaced = {k for k, v in p1 if v == "new"}
+    assert replaced == {1, 3}
+    # serializability: surviving racer rows committed AFTER the
+    # replace; pre-replace racer rows were swept by the re-scan
+    for k in survivors:
+        assert seq_version[k] > v_replace, (
+            f"racer k={k} committed at v{seq_version[k]} <= "
+            f"replace v{v_replace} but survived — double count"
+        )
+    for k, v in seq_version.items():
+        if v < v_replace:
+            assert k not in survivors
+    # the untouched partition is byte-identical
+    p0 = {(r.k, r.v) for r in rows if r.p == 0}
+    assert p0 == {(i, "old") for i in range(20) if i % 2 == 0}
