@@ -675,15 +675,20 @@ def tx_sql(
                         f"conjunctions or a (key, ...) list, got: {on!r}"
                     )
                 keys.append(cm.group(1))
-        # WHEN clause list (Delta's full model): split the tail at
-        # clause heads, parse each
-        tail = m.group(7)
+        # WHEN clause list (Delta's full model): string literals mask
+        # FIRST so a 'when matched' inside a VALUES/condition literal
+        # can never split a clause, then the tail splits at clause
+        # heads; every parsed expression unmasks on the way out
+        tail, tspans = _mask_spans(m.group(7))
         chunks = [
             c.strip() for c in re.split(
                 r"(?i)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b)", tail
             ) if c.strip()
         ]
         matched, not_matched, nmbs = [], [], []
+
+        def _xp(expr: str) -> str:
+            return _unmask(_norm(expr), tspans)
 
         def _parse_upd_or_del(act, cond, out):
             if re.fullmatch(r"(?is)DELETE", act):
@@ -703,7 +708,7 @@ def tx_sql(
                     raise ValueError(f"bad SET clause: {part!r}")
                 col = col.strip().strip("`")
                 col = re.sub(r"^t\.", "", _norm(col))
-                st[col] = _norm(expr)
+                st[col] = _xp(expr)
             out.append({"cond": cond, "action": "update", "set": st})
 
         for ch in chunks:
@@ -717,7 +722,7 @@ def tx_sql(
                 raise ValueError(f"bad MERGE WHEN clause: {ch!r}")
             is_not = bool(cm.group(1))
             by_source = (cm.group(2) or "").upper() == "SOURCE"
-            cond = _norm(cm.group(3)) if cm.group(3) else None
+            cond = _xp(cm.group(3)) if cm.group(3) else None
             act = cm.group(4).strip()
             if is_not and by_source:
                 # Delta 2.3: target rows with no source match take
@@ -745,7 +750,7 @@ def tx_sql(
                     not_matched.append({
                         "cond": cond,
                         "values": {
-                            c: _norm(e) for c, e in zip(cols, exprs)
+                            c: _xp(e) for c, e in zip(cols, exprs)
                         },
                     })
             else:
