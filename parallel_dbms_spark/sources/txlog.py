@@ -5066,6 +5066,7 @@ def tx_merge(
     not_matched_by_source: list[dict] | None = None,
     max_retries: int = 8,
     stats_cols: list[str] | None = None,
+    meta: dict | None = None,
     write_cdc: bool = False,
 ) -> tuple[int, int]:
     """GENERAL transactional MERGE — Delta's full clause model, which
@@ -5357,7 +5358,7 @@ def tx_merge(
         else:
             ins_src = source
         # ---- NOT MATCHED: clause-select on the source alone ----
-        eff_meta = None
+        eff_meta = meta  # e.g. a streaming txn identity rides verbatim
         idents, ident_wm, ident_assigned = ids_map, {}, []
         eff_stats = stats_cols
         ins_df = None
@@ -5434,7 +5435,10 @@ def tx_merge(
                 table, idents, ident_assigned, stats, ident_wm,
                 (_effective_mapping(table) or {}).get,
             )
-            eff_meta = {"identity_watermark": {**ident_wm, **new_wm}}
+            eff_meta = {
+                **(meta or {}),
+                "identity_watermark": {**ident_wm, **new_wm},
+            }
         cdc = None
         if write_cdc:
             if ins_df is not None:

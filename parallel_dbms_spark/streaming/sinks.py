@@ -508,6 +508,9 @@ def stream_tx_merge(
     app: str = "stream-merge",
     order_by: list[str] | None = None,
     trigger_available_now: bool = True,
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
 ):
     """Stream a change feed into a TRANSACTIONAL table as exactly-once
     MERGE commits — the streaming face of ``txlog.tx_merge_upsert``
@@ -527,6 +530,16 @@ def stream_tx_merge(
     reduce by ``dropDuplicates`` (arbitrary survivor). Cross-batch,
     merge is arrival-ordered: feed the sink a time-ordered source when
     global latest-wins matters.
+
+    ``matched``/``not_matched``/``not_matched_by_source``: Delta's
+    full CLAUSE model per micro-batch (the streaming face of
+    :func:`txlog.tx_merge` — a CDC feed carrying an op column can
+    delete, conditionally update column-by-column, and conditionally
+    insert, exactly-once). Omit all three for the plain
+    ``UPDATE SET * / INSERT *`` upsert fast path. NOT MATCHED BY
+    SOURCE applies per BATCH (target rows the batch doesn't carry) —
+    an unconditional clause in a streaming sink is almost never what
+    you want; condition it.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -547,13 +560,26 @@ def stream_tx_merge(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        txlog.tx_merge_upsert(
-            batch_df.sparkSession,
-            table,
-            batch_df,
-            keys=keys,
-            meta={"txn_app": app, "txn_batch": batch_id},
-        )
+        ident = {"txn_app": app, "txn_batch": batch_id}
+        if matched or not_matched or not_matched_by_source:
+            txlog.tx_merge(
+                batch_df.sparkSession,
+                table,
+                batch_df,
+                keys=keys,
+                matched=matched,
+                not_matched=not_matched,
+                not_matched_by_source=not_matched_by_source,
+                meta=ident,
+            )
+        else:
+            txlog.tx_merge_upsert(
+                batch_df.sparkSession,
+                table,
+                batch_df,
+                keys=keys,
+                meta=ident,
+            )
 
     w = (
         streaming_df.writeStream.foreachBatch(apply_batch)

@@ -3274,3 +3274,54 @@ def test_replace_where_threaded_appends_serialize(spark, tmp_path):
     # the untouched partition is byte-identical
     p0 = {(r.k, r.v) for r in rows if r.p == 0}
     assert p0 == {(i, "old") for i in range(20) if i % 2 == 0}
+
+
+def test_stream_tx_merge_clauses_exactly_once(spark, tmp_path):
+    """Streaming CLAUSE merge (the CDC-apply shape): an op column
+    drives conditional DELETE / column UPDATE / conditional INSERT per
+    micro-batch, exactly-once — a replayed feed with a fresh
+    checkpoint is skipped by the txn ledger."""
+    from parallel_dbms_spark.streaming.sinks import stream_tx_merge
+
+    table = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, v string, amt long",
+        ),
+        table,
+    )
+    spark.createDataFrame(
+        [(2, "B", 5, "upd"), (3, None, 0, "del"), (9, "i", 90, "ins"),
+         (10, "x", 0, "noise")],
+        "k long, v string, amt long, op string",
+    ).coalesce(1).write.parquet(src)
+
+    clauses = dict(
+        matched=[
+            {"cond": "s.op = 'del'", "action": "delete"},
+            {"cond": "s.op = 'upd'", "action": "update",
+             "set": {"v": "upper(s.v)", "amt": "t.amt + s.amt"}},
+        ],
+        not_matched=[{"cond": "s.op = 'ins'", "values": {
+            "k": "s.k", "v": "s.v", "amt": "s.amt"}}],
+    )
+    stream = spark.readStream.schema(
+        "k long, v string, amt long, op string"
+    ).parquet(src)
+    stream_tx_merge(stream, table, str(tmp_path / "ck1"), keys=["k"],
+                    app="cdc", **clauses)
+    rows = {r.k: (r.v, r.amt)
+            for r in txlog.read_snapshot(spark, table).collect()}
+    assert rows == {1: ("a", 10), 2: ("B", 25), 9: ("i", 90)}, rows
+    n = len(txlog.log_versions(table))
+    # fresh-checkpoint replay: the ledger skips the batch entirely
+    stream2 = spark.readStream.schema(
+        "k long, v string, amt long, op string"
+    ).parquet(src)
+    stream_tx_merge(stream2, table, str(tmp_path / "ck2"), keys=["k"],
+                    app="cdc", **clauses)
+    assert len(txlog.log_versions(table)) == n
+    assert {r.k: (r.v, r.amt)
+            for r in txlog.read_snapshot(spark, table).collect()} == rows
