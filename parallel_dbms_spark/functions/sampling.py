@@ -133,34 +133,71 @@ def weighted_sample_k_per_group(
     weight_col: str,
     k: int,
     salt: str = "w0",
+    mode: str = "es",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement: k rows per
-    group, inclusion probability proportional to ``weight_col``
-    (Efraimidis–Spirakis A-ES).
+    group, inclusion probability proportional to ``weight_col``.
 
     Each row draws u in (0, 1) from a DETERMINISTIC hash of (id, salt)
     — not rand(), so the draw is a pure function of the row and
-    reproducible across partitionings, retries, and engines — and gets
-    key = -ln(u) / w (the exponential-race form of u^(1/w); same
-    order, better numerics). The k SMALLEST keys per group win. Rows
-    with zero/negative/null weight have inclusion probability 0 and
-    are EXCLUDED up front — a group with fewer than k positive-weight
-    rows returns only those rows, never a zero-weight filler.
+    reproducible across partitionings, retries, and engines. The k
+    SMALLEST keys per group win; ties break on ``id_col``. Rows with
+    zero/negative/null weight have inclusion probability 0 and are
+    EXCLUDED up front — a group with fewer than k positive-weight rows
+    returns only those rows, never a zero-weight filler.
 
-    Scale: one window over the group key (partition-parallel after one
-    shuffle), no global sort, no per-group state beyond the running
-    rank. Change ``salt`` for an independent draw.
+    ``mode`` picks the key construction:
+
+    - ``"es"`` (default, the scale path): Efraimidis–Spirakis A-ES —
+      u from xxhash64, key = -ln(u) / w (the exponential-race form of
+      u^(1/w); same order, better numerics). Exact PPS-without-
+      replacement inclusion law, but ``ln`` is a libm transcendental
+      with no cross-engine bit guarantee, so this mode is
+      reproducible WITHIN Spark only.
+    - ``"sps_md5"`` (the oracle-replayable path): sequential Poisson
+      sampling (Ohlsson 1998) — u from the first 13 hex digits of
+      md5(id || '|' || salt) (52 bits: h, h+0.5, and /2^52 are all
+      EXACT in binary64), key = u / w (ONE correctly-rounded IEEE-754
+      division, bit-identical in every conforming engine). SPS is the
+      standard PPS approximation used by national statistics offices;
+      the draw replays verbatim in DuckDB/Postgres/anything with md5,
+      so a value-hash oracle can grade the sampler itself.
+
+    Scale (both modes): one window over the group key (partition-
+    parallel after one shuffle), no global sort, no per-group state
+    beyond the running rank. Change ``salt`` for an independent draw.
     """
     from pyspark.sql import Window
 
-    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
-    # map int64 hash -> u in (0, 1): (h mod M + 0.5) scaled keeps u
-    # strictly inside the open interval so ln(u) is finite
-    m = F.lit(1 << 40)
-    u = ((F.pmod(h, m) + F.lit(0.5)) / m.cast("double"))
     w = F.col(weight_col).cast("double")
     eligible = df.filter(w > 0)  # p(include) = 0 for w <= 0 or null
-    key = -F.log(u) / w
+    if mode == "sps_md5":
+        # 13 hex digits = 52 bits: fits the binary64 mantissa, so u is
+        # exact and key = u / w is a single correctly-rounded division
+        # — the whole draw is bit-identical across engines (verified
+        # vs DuckDB; this is why the registry row can carry an oracle)
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(
+                    F.concat(F.col(id_col).cast("string"),
+                             F.lit("|" + salt)),
+                    "UTF-8",
+                )),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+        key = u / w
+    elif mode == "es":
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(salt))
+        # map int64 hash -> u in (0, 1): (h mod M + 0.5) scaled keeps
+        # u strictly inside the open interval so ln(u) is finite
+        m = F.lit(1 << 40)
+        u = ((F.pmod(h, m) + F.lit(0.5)) / m.cast("double"))
+        key = -F.log(u) / w
+    else:
+        raise ValueError(f"unknown weighted-sampling mode {mode!r}")
     win = Window.partitionBy(group_col).orderBy(
         key.asc(), F.col(id_col).asc()
     )

@@ -94,7 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
     "vector_centroid_drift",          # vectors + aggregate
-    # --- 4 round-12 conversions / feature proofs (never graded;
+    # --- 5 round-12 conversions / feature proofs (never graded;
     # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
     "lake_sql_merge_clauses",         # sql merge clauses + views + drop
     "sim_int8_topk",                  # quantization (pinned SQ8 twin)
@@ -103,7 +103,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
                                       #  converted late-round, takes
                                       #  set_union's re-grade slot —
                                       #  never-graded debt stays 0)
-    # --- 16 staleness re-grades: oracled rows whose latest green
+    "sample_weighted_k_per_group",    # weighted sampling (SPS md5 mode
+                                      #  — first VALUE grade; takes
+                                      #  set_intersect's re-grade slot)
+    # --- 15 staleness re-grades: oracled rows whose latest green
     # grade is the oldest on file (all r2) ---
     "agg_operator_stats",
     "agg_percentiles",
@@ -119,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "order_by_string",
     "pivot_status_counts",
     "project_expressions",
-    "set_intersect",
     "sql_comma_join",
 )
 

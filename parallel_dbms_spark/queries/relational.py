@@ -2517,23 +2517,50 @@ def agg_quantile_buckets_approx(spark, sf_dir):
     )
 
 
+_WEIGHTED_SPS_SQL = """
+WITH e AS (
+  SELECT doc_id, lang, length(text) AS n_chars
+  FROM documents WHERE length(text) > 0),
+k AS (
+  SELECT doc_id, lang, n_chars,
+         ((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|w0'),
+                                     1, 13)) AS BIGINT) AS DOUBLE) + 0.5)
+          / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM e)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY key ASC, doc_id ASC) AS rk
+  FROM k) t
+WHERE rk <= 20"""
+
+
 @register(
     "sample_weighted_k_per_group",
-    oracle=None,
+    oracle=_WEIGHTED_SPS_SQL,
     tags=("sampling", "weighted"),
 )
 def sample_weighted_k_per_group(spark, sf_dir):
-    # Deterministic Efraimidis-Spirakis weighted sampling: 20 docs per
-    # language, inclusion odds proportional to document length. Rows-
-    # only (the draw depends on xxhash64, absent in DuckDB);
-    # determinism + weight-monotonicity are pytest-asserted.
+    # Deterministic weighted sampling, ORACLED (round 12 — was rows-
+    # only since r8): 20 docs per language, inclusion odds proportional
+    # to document length, via sequential Poisson sampling in the
+    # md5-pinned mode. The draw is u/w where u comes exactly from 13
+    # md5 hex digits (52 bits — u, u+0.5, /2^52 all exact in binary64)
+    # and the division is one correctly-rounded IEEE op, so DuckDB
+    # replays every key bit-for-bit and the value-hash grades the
+    # SAMPLER, not a proxy. Efraimidis-Spirakis (mode="es", xxhash64 +
+    # ln) stays the scale default in functions/sampling.py; its ln()
+    # has no cross-engine bit guarantee, which is exactly what kept
+    # this row rows-only before. Weight-monotonicity and determinism
+    # for BOTH modes are pytest-asserted (tests/test_sampling.py).
     from ..functions.sampling import weighted_sample_k_per_group
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.length("text").alias("n_chars")
     )
     return weighted_sample_k_per_group(
-        d, group_col="lang", id_col="doc_id", weight_col="n_chars", k=20
+        d, group_col="lang", id_col="doc_id", weight_col="n_chars", k=20,
+        mode="sps_md5",
     )
 
 

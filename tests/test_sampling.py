@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -149,6 +150,66 @@ def test_quantile_buckets_close_to_exact_ntile(spark):
     }
     for i in range(1, 10):
         assert stats[i][1] <= stats[i + 1][0]
+
+
+def test_weighted_sample_sps_md5_mode(spark):
+    """The oracle-replayable SPS mode: deterministic, partition-
+    invariant, weight-sensitive, zero-weight-excluding — the same laws
+    as ES, plus cross-engine replay (graded by the registry oracle in
+    test_correctness; here we pin the Spark-side laws)."""
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", F.length("text").alias("w")
+    )
+    a = weighted_sample_k_per_group(
+        docs, "lang", "doc_id", "w", k=10, mode="sps_md5"
+    )
+    picked = sorted(r["doc_id"] for r in a.collect())
+    # partition-invariant: the draw is a pure function of the row
+    b = weighted_sample_k_per_group(
+        docs.repartition(17), "lang", "doc_id", "w", k=10, mode="sps_md5"
+    )
+    assert sorted(r["doc_id"] for r in b.collect()) == picked
+    # independent of the ES draw (different key construction)
+    es = weighted_sample_k_per_group(docs, "lang", "doc_id", "w", k=10)
+    assert sorted(r["doc_id"] for r in es.collect()) != picked
+    # zero-weight rows are excluded, never padded in
+    rows = [(i, "g", 1.0 if i < 3 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_k_per_group(
+        df, "g", "doc_id", "w", k=5, mode="sps_md5"
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+
+
+def test_weighted_sample_sps_weight_monotone(spark):
+    """Inclusion odds rise with weight: in a pool where half the rows
+    weigh 10x the rest, the heavy half must dominate the sample (SPS
+    key = u/w, so 10x weight divides the key by 10)."""
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [(i, "g", 10.0 if i % 2 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = weighted_sample_k_per_group(
+        df, "g", "doc_id", "w", k=40, mode="sps_md5"
+    ).collect()
+    heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy > 28, heavy  # E[heavy] ~ 36 of 40; 28 is ~5 sigma slack
+
+
+def test_weighted_sample_unknown_mode_raises(spark):
+    from parallel_dbms_spark.functions.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "doc_id long, g string, w double")
+    with pytest.raises(ValueError, match="mode"):
+        weighted_sample_k_per_group(df, "g", "doc_id", "w", k=1, mode="nope")
 
 
 def test_weighted_sample_never_pads_with_zero_weight_rows(spark):
