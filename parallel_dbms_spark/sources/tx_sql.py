@@ -41,12 +41,16 @@ the whole table lifecycle through the SQL door:
     ALTER TABLE t ALTER COLUMN c SYNC IDENTITY | DROP IDENTITY
     ALTER TABLE t SET TBLPROPERTIES ('delta.enableRowTracking'='true')
     OPTIMIZE t [WHERE col = v [AND ...]] [ZORDER BY (a, b)] [FULL]
+    REORG TABLE t APPLY (PURGE)
+    ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL COLUMNS]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         [PATTERN = '<glob>'] [FORCE = true]
     TRUNCATE TABLE t
+    ALTER TABLE t RENAME TO t2
     SHOW CREATE TABLE t | SHOW PARTITIONS t
+    SHOW TBLPROPERTIES t | SHOW COLUMNS IN t
     FSCK REPAIR TABLE t [DRY RUN]
     GENERATE symlink_format_manifest FOR TABLE t
     DESCRIBE DETAIL t | DESCRIBE HISTORY t
@@ -813,6 +817,13 @@ def tx_sql(
         path = _path(m.group(1), base_dir)
         rest = m.group(2).strip()
 
+        m2 = re.match(rf"(?is)^RENAME{_WS}TO{_WS}{_IDENT}$", rest)
+        if m2:
+            new = _path(m2.group(1), base_dir)
+            txlog.tx_rename_table(path, new)
+            return _result(spark, "rename_table", new, None,
+                           f"{path} -> {new}")
+
         m2 = re.match(
             rf"(?is)^RENAME{_WS}COLUMN{_WS}{_IDENT}{_WS}TO{_WS}{_IDENT}$",
             rest,
@@ -991,6 +1002,32 @@ def tx_sql(
         return _result(spark, "copy_into", path,
                        v if n else None, f"{n} files loaded")
 
+    # ---------------- ANALYZE ----------------
+    m = re.match(
+        rf"(?is)^ANALYZE{_WS}TABLE{_WS}{_IDENT}{_WS}COMPUTE{_WS}"
+        rf"STATISTICS(?:{_WS}FOR{_WS}(?:ALL{_WS}COLUMNS|"
+        rf"COLUMNS{_WS}(.+)))?$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        cols = _split_cols(m.group(2)) if m.group(2) else None
+        v, n = txlog.tx_analyze(path, cols)
+        return _result(spark, "analyze", path, v if n else None,
+                       f"{n} files backfilled")
+
+    # ---------------- REORG ... APPLY (PURGE) ----------------
+    m = re.match(
+        rf"(?is)^REORG{_WS}TABLE{_WS}{_IDENT}{_WS}"
+        rf"APPLY\s*\(\s*PURGE\s*\)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        v, n = txlog.tx_reorg_purge(spark, path)
+        return _result(spark, "reorg_purge", path, v,
+                       f"{n} vectored files purged")
+
     # ---------------- OPTIMIZE ----------------
     m = re.match(
         rf"(?is)^OPTIMIZE{_WS}{_IDENT}"
@@ -1083,6 +1120,39 @@ def tx_sql(
     if m:
         ddl = txlog.tx_show_create_table(_path(m.group(1), base_dir))
         return spark.createDataFrame([(ddl,)], "createtab_stmt string")
+
+    m = re.match(rf"(?is)^SHOW{_WS}TBLPROPERTIES{_WS}{_IDENT}$", s)
+    if m:
+        path = _path(m.group(1), base_dir)
+        if not _is_lake_table(path):
+            raise FileNotFoundError(f"not a lake table: {path}")
+        # every row is DERIVED from the log (newest-wins resolution),
+        # never a stored string — the properties can't drift from the
+        # behavior they describe
+        props = [
+            ("delta.enableRowTracking",
+             str(bool(txlog.table_row_tracking(path))).lower()),
+            ("delta.columnMapping.mode",
+             "name" if txlog.table_column_mapping(path) is not None
+             else "none"),
+            ("delta.enableInCommitTimestamps", "true"),  # always stamped
+        ]
+        cb = txlog.table_cluster_by(path)
+        if cb:
+            props.append(("clusteringColumns", ",".join(cb)))
+        return spark.createDataFrame(props, "key string, value string")
+
+    m = re.match(
+        rf"(?is)^SHOW{_WS}COLUMNS{_WS}(?:IN|FROM){_WS}{_IDENT}$", s
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        schema = txlog.table_schema(path)
+        if schema is None:
+            raise FileNotFoundError(f"no recorded schema: {path}")
+        return spark.createDataFrame(
+            [(f.name,) for f in schema.fields], "col_name string"
+        )
 
     m = re.match(rf"(?is)^SHOW{_WS}PARTITIONS{_WS}{_IDENT}$", s)
     if m:
@@ -1193,10 +1263,13 @@ def is_lake_statement(sql: str) -> bool:
         r"BLOOMFILTER\s+INDEX)|"
         r"INSERT\s+(INTO|OVERWRITE)|"
         r"MERGE\s+INTO|UPDATE\s|"
-        r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|VACUUM\s|RESTORE\s|"
+        r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|REORG\s+TABLE|"
+        r"ANALYZE\s+TABLE|"
+        r"VACUUM\s|RESTORE\s|"
         r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink\w*|"
         r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
-        r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES)|"
+        r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES|TBLPROPERTIES|"
+        r"COLUMNS)|"
         r"DESCRIBE\s)\b",
         sql,
     ))

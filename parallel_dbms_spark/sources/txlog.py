@@ -5624,6 +5624,94 @@ def tx_compact(
     raise TxConflict(f"compact on {table} lost {max_retries} straight races")
 
 
+def tx_reorg_purge(
+    spark: SparkSession,
+    table: str,
+    max_retries: int = 8,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Delta's ``REORG TABLE ... APPLY (PURGE)``: materialize the
+    soft-deletes by rewriting ONLY the files that carry deletion
+    vectors — each hit file's survivors land in fresh files and the
+    vector is dropped (a removed file's DV entry falls out of the
+    snapshot replay automatically). Files without vectors stay live
+    byte-for-byte, so the cost is O(DV debt), never O(table): on a
+    100 TB table where merge-on-read deletes vectored 0.1% of files,
+    PURGE rewrites that 0.1% and nothing else — which is why it is a
+    separate verb from OPTIMIZE (whole-scope rewrite) at all. The GDPR
+    erasure chain is PURGE -> :func:`tx_expire_versions` ->
+    :func:`tx_vacuum`: the DV only hides the row, the purge writes a
+    version without it, expiry drops the versions still referencing
+    the old file, and vacuum removes its bytes (vacuum alone keeps
+    them — retained history stays time-travelable).
+
+    Skipping parity: the rewrite re-collects min/max stats for every
+    column that had recorded stats on any hit file (plus the declared
+    clustering columns), so a purged file is exactly as skippable as
+    the file it replaces. Outputs honor the declared partitioning via
+    the value-pure staging path (pruning never degrades), and row
+    tracking carries materialized ids — purge is pure layout, a
+    surviving row's identity and "last modified" commit don't change.
+
+    Concurrency (all enforced by :func:`commit`'s existing rules, no
+    new machinery): a racing rewrite of a hit file is a remove-remove
+    conflict; a racing merge-on-read delete vectoring a hit file is
+    the dv-vs-removed conflict (our survivor set was computed without
+    its deletes and would resurrect them) — both retry from a fresh
+    snapshot. Appends and writes to unvectored files commute.
+
+    Returns (new_version, files_purged); (parent, 0) when no file
+    carries a vector. Reference parity: the reference engine has no
+    soft deletes at all (`/root/reference/src/main.cpp` rewrites CSVs
+    whole); this is the lakehouse-native completion of its DELETE.
+    """
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        dvs = snapshot_dvs(table)
+        live = set(files)
+        hit = sorted(f for f, pos in dvs.items() if pos and f in live)
+        if not hit:
+            return parent, 0
+        schema = table_schema(table)
+        schema_json = schema.json() if schema is not None else None
+        # stats parity: whatever was skippable before stays skippable
+        prior = snapshot_stats(table)
+        stat_cols = sorted(
+            {c for f in hit for c in prior.get(f, {}).get("c", {})}
+            | set(table_cluster_by(table))
+        )
+        rt = table_row_tracking(table)
+        reader = _data_reader(spark, table, schema, row_ids=rt)
+        if rt:
+            live_df = _materialize_row_ids(
+                _tagged_scan(reader, table, hit, dvs), table
+            ).drop("__rel", "__pos")
+        else:
+            live_df = _serve_logical(_apply_dvs(
+                reader.parquet(*[os.path.join(table, f) for f in hit]),
+                table, dvs,
+            ), table)
+        # output sizing from the HIT bytes (upper bound on survivors)
+        total = sum(os.path.getsize(os.path.join(table, f)) for f in hit)
+        eff = max(1, -(-total // target_file_bytes))  # ceil
+        added, pv = _stage_for(live_df.coalesce(eff), table)
+        stats = (
+            collect_file_stats(table, added, stat_cols)
+            if stat_cols and added else None
+        )
+        try:
+            v = commit(
+                table, "reorg_purge", added, hit, parent,
+                schema_json=schema_json, stats=stats, pv=pv or None,
+            )
+            return v, len(hit)
+        except TxConflict:
+            continue  # fresh snapshot: new vectors / rewritten files
+    raise TxConflict(
+        f"reorg-purge on {table} lost {max_retries} straight races"
+    )
+
+
 def tx_repartition_table(
     spark: SparkSession,
     table: str,
@@ -6533,6 +6621,32 @@ def tx_drop_table(table: str) -> int:
     return n
 
 
+def tx_rename_table(table: str, new_table: str) -> None:
+    """ALTER TABLE ... RENAME TO: one atomic ``os.rename`` of the
+    table directory. Everything a table IS — data files, the commit
+    log, checkpoints, deletion vectors, sidecars — lives inside that
+    directory and is path-relative, so the move carries full history,
+    time travel, and stats untouched; there is no per-file work and
+    no log rewrite, O(1) regardless of table size. Refuses non-lake
+    sources and existing targets.
+
+    Caveat (documented, not hidden): rename is a CATALOG operation,
+    not a transactional one — the log can order commits within a
+    table, not moves of the table itself. Run it with no concurrent
+    writer on the old path; a writer mid-commit would land files in a
+    directory that no longer exists and fail loudly (never silently
+    corrupt — the staged-then-rename commit protocol can't publish
+    into the moved log). Delta path-tables cannot be renamed at all;
+    its managed tables rename in the metastore under an exclusive
+    metastore lock — the same "no concurrent writer" contract.
+    """
+    if not os.path.isdir(os.path.join(table, TXLOG)):
+        raise FileNotFoundError(f"not a lake table (no {TXLOG}): {table}")
+    if os.path.exists(new_table):
+        raise ValueError(f"rename target already exists: {new_table}")
+    os.rename(table, new_table)
+
+
 def tx_truncate(table: str, max_retries: int = 8) -> tuple[int, int]:
     """TRUNCATE TABLE: drop every live file from the log as ONE
     metadata-only commit — no file is read or written, so truncating
@@ -6671,6 +6785,79 @@ def tx_generate_manifest(table: str, version: int | None = None) -> str:
         shutil.rmtree(root)
     os.replace(tmp, root)
     return root
+
+
+def tx_analyze(
+    table: str,
+    cols: list[str] | None = None,
+    max_retries: int = 8,
+) -> tuple[int, int]:
+    """ANALYZE TABLE ... COMPUTE STATISTICS: retro-fit data-skipping
+    stats onto live files that LACK them for the requested columns.
+    Files written without ``stats_cols`` (early loads, conversions of
+    plain parquet dirs, foreign writers) read as "must scan" forever;
+    this recovers their min/max from the parquet FOOTERS — one footer
+    read per back-filled file, NO data scan, because the original
+    write already paid for row-group statistics — and publishes them
+    as one metadata-only commit (no file added or removed, zero data
+    movement). Afterwards the table skips as if every write had
+    declared the columns up front.
+
+    ``cols=None`` analyzes every top-level column of the recorded
+    schema (Delta's ``FOR ALL COLUMNS``). Files that already carry
+    stats for ALL requested columns are left alone, so re-running is
+    a cheap no-op — (head, 0) without committing. Column names are
+    LOGICAL; physical translation follows the committed-metadata
+    contract (:func:`collect_file_stats`).
+
+    Concurrency: stats attach to files by name, and the snapshot
+    replay drops a file's stats the moment any commit removes it — a
+    racing rewrite simply discards the backfill for the files it
+    replaced (its own stats win for the replacements), so the commit
+    needs no read-set and never conflicts with writers.
+
+    Returns (version, files_backfilled).
+    """
+    schema = table_schema(table)
+    if cols is None:
+        if schema is None:
+            raise ValueError(f"{table} has no recorded schema")
+        cols = [f.name for f in schema.fields]
+    for _ in range(max_retries):
+        parent, files = snapshot_files(table)
+        have = snapshot_stats(table)  # LOGICAL keys, like `cols`
+        todo = [
+            f for f in files
+            if not all(c in have.get(f, {}).get("c", {}) for c in cols)
+        ]
+        if not todo:
+            return parent, 0
+        # replay REPLACES a file's stats record wholesale (newest
+        # wins), so the backfill must carry the previously recorded
+        # columns forward or it would un-skip them (both PHYSICAL)
+        prior = _snapshot_stats_raw(table)
+        fresh = collect_file_stats(table, todo, cols)
+        # a footer can yield nothing for a column (all-null file,
+        # suppressed row-group stats): re-running must not recommit
+        # the unchanged record forever — only files that actually
+        # GAIN a column land in the commit
+        stats = {
+            f: {
+                "n": s["n"],
+                "c": {**prior.get(f, {}).get("c", {}), **s["c"]},
+            }
+            for f, s in fresh.items()
+            if set(s["c"]) - set(prior.get(f, {}).get("c", {}))
+        }
+        if not stats:
+            return parent, 0
+        todo = sorted(stats)
+        try:
+            v = commit(table, "analyze", [], [], parent, stats=stats)
+            return v, len(todo)
+        except TxConflict:  # pragma: no cover - no removals, no dv
+            continue
+    raise TxConflict(f"analyze on {table} lost {max_retries} races")
 
 
 def tx_expire_versions(table: str, keep_from: int) -> list[int]:

@@ -807,6 +807,102 @@ def test_change_feed_emits_mor_deletes_once(spark, table):
     assert got == [(2, "delete", 2), (3, "delete", 3)]
 
 
+def test_reorg_purge_rewrites_only_vectored_files(spark, table):
+    """REORG APPLY (PURGE): the DV-carrying file is rewritten without
+    its vectored rows; the unvectored file stays live byte-for-byte —
+    cost is O(DV debt), not O(table)."""
+    txlog.tx_append(_df(spark, [(i, "a") for i in range(5)]).coalesce(1),
+                    table, stats_cols=["k"])
+    txlog.tx_append(_df(spark, [(i, "b") for i in range(10, 15)]).coalesce(1),
+                    table, stats_cols=["k"])
+    # no vectors -> no-op, version unchanged
+    parent, _ = txlog.snapshot_files(table)
+    assert txlog.tx_reorg_purge(spark, table) == (parent, 0)
+    txlog.tx_delete_where_mor(spark, table, "k in (1, 3)")
+    _, before = txlog.snapshot_files(table)
+    untouched = [f for f in before if f not in txlog.snapshot_dvs(table)]
+    assert len(untouched) == 1, "fixture: exactly one unvectored file"
+    v, n = txlog.tx_reorg_purge(spark, table)
+    assert n == 1  # only the vectored file
+    assert txlog.snapshot_dvs(table) == {}
+    _, after = txlog.snapshot_files(table)
+    assert untouched[0] in after, "unvectored file must survive in place"
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == {0, 2, 4, 10, 11, 12, 13, 14}
+    # skipping parity: the replacement files carry the k-stats the
+    # originals had, so the purged table is exactly as skippable
+    stats = txlog.snapshot_stats(table)
+    new_files = [f for f in after if f not in before]
+    assert new_files and all(
+        "k" in stats.get(f, {}).get("c", {}) for f in new_files
+    )
+    # time travel before the purge still serves the vectored view
+    old = {r.k for r in txlog.read_snapshot(spark, table, version=v - 1)
+           .collect()}
+    assert old == got
+
+
+def test_reorg_purge_preserves_row_ids(spark, table):
+    """Purge is pure layout: a surviving row keeps its _row_id and its
+    _row_commit_version (identity and provenance don't churn)."""
+    txlog.tx_enable_row_tracking(table)
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(6)]).coalesce(1),
+                    table)
+    base = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in txlog.read_snapshot(spark, table, with_row_ids=True)
+        .collect()
+    }
+    txlog.tx_delete_where_mor(spark, table, "k = 2")
+    txlog.tx_reorg_purge(spark, table)
+    now = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in txlog.read_snapshot(spark, table, with_row_ids=True)
+        .collect()
+    }
+    assert 2 not in now
+    assert now == {k: t for k, t in base.items() if k != 2}
+
+
+def test_reorg_purge_then_vacuum_sheds_vectored_bytes(spark, table):
+    """The GDPR path: DV hides the row, PURGE rewrites it out, history
+    expiry drops the versions that referenced the old file, VACUUM
+    physically removes the bytes (vacuum alone keeps them — files
+    referenced by retained history stay time-travelable)."""
+    import os as _os
+
+    txlog.tx_append(_df(spark, [(i, "s") for i in range(8)]).coalesce(1),
+                    table)
+    _, files = txlog.snapshot_files(table)
+    txlog.tx_delete_where_mor(spark, table, "k = 7")
+    v, _ = txlog.tx_reorg_purge(spark, table)
+    # retained history still references the pre-purge file: protected
+    assert files[0] not in txlog.tx_vacuum(table, retention_seconds=0.0)
+    txlog.tx_expire_versions(table, keep_from=v)
+    removed = txlog.tx_vacuum(table, retention_seconds=0.0)
+    assert files[0] in removed
+    assert not _os.path.exists(_os.path.join(table, files[0]))
+    got = {r.k for r in txlog.read_snapshot(spark, table).collect()}
+    assert got == set(range(7))
+
+
+def test_reorg_purge_conflicts_with_racing_vector(spark, table):
+    """A MOR delete landing after the purge's snapshot vectors a file
+    the purge removes: committing the stale purge must conflict (its
+    survivor set would resurrect the racer's deletes)."""
+    txlog.tx_append(_df(spark, [(i, "x") for i in range(4)]).coalesce(1),
+                    table)
+    parent, files = txlog.snapshot_files(table)
+    txlog.tx_delete_where_mor(spark, table, "k = 1")
+    with pytest.raises(txlog.TxConflict, match="deletion vectors"):
+        txlog.commit(table, "reorg_purge", [], files, parent)
+    # the public API retries through it: vector then purge serves right
+    v, n = txlog.tx_reorg_purge(spark, table)
+    assert n == 1
+    assert {r.k for r in txlog.read_snapshot(spark, table).collect()} == \
+        {0, 2, 3}
+
+
 def test_clustered_append_arrives_pre_skippable(spark, table):
     import random
 
@@ -3325,3 +3421,52 @@ def test_stream_tx_merge_clauses_exactly_once(spark, tmp_path):
     assert len(txlog.log_versions(table)) == n
     assert {r.k: (r.v, r.amt)
             for r in txlog.read_snapshot(spark, table).collect()} == rows
+
+
+def test_analyze_backfills_skipping_stats_from_footers(spark, table):
+    """ANALYZE: files appended WITHOUT stats_cols become skippable
+    after a footer-only backfill; re-running is a no-commit no-op."""
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "k long, x double").coalesce(1), table,
+    )
+    txlog.tx_append(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 110)],
+                              "k long, x double").coalesce(1), table,
+    )
+    _, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                              lo=0, hi=5)
+    assert nread == ntotal == 2, "fixture: no stats -> no skipping"
+    v, n = txlog.tx_analyze(table, ["k"])
+    assert n == 2
+    df, nread, ntotal = txlog.tx_read_skipping(spark, table, "k",
+                                               lo=0, hi=5)
+    assert (nread, ntotal) == (1, 2)
+    assert {r.k for r in df.collect()} == {0, 1, 2, 3, 4, 5}
+    # converged: nothing left to backfill, no new version
+    assert txlog.tx_analyze(table, ["k"]) == (v, 0)
+    # FOR ALL COLUMNS (cols=None) backfills the rest, MERGING with the
+    # k-stats already recorded — k must stay skippable afterwards
+    v2, n2 = txlog.tx_analyze(table)
+    assert v2 == v + 1 and n2 == 2
+    stats = txlog.snapshot_stats(table)
+    for s in stats.values():
+        assert {"k", "x"} <= set(s["c"])
+    _, nread, _ = txlog.tx_read_skipping(spark, table, "k", lo=0, hi=5)
+    assert nread == 1
+
+
+def test_analyze_leaves_statted_files_alone(spark, table):
+    txlog.tx_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table,
+        stats_cols=["k"],
+    )
+    before = txlog.snapshot_stats(table)
+    txlog.tx_append(
+        spark.createDataFrame([(2, "b")], "k long, v string"), table,
+    )
+    v, n = txlog.tx_analyze(table, ["k"])
+    assert n == 1  # only the stat-less file
+    after = txlog.snapshot_stats(table)
+    for f, s in before.items():
+        assert after[f] == s, "already-statted file must be untouched"
