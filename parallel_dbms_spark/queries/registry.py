@@ -43,11 +43,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # oracled-never-graded debt is ZERO, so rotation switches to the
 # VERDICT-r11 staleness policy: 30 keepers = the exact-minimal set
 # cover (branch-and-bound, scripts/rotate_window.py) of the families
-# only ever-graded rows carry, 4 slots take this round's conversions
+# only ever-graded rows carry, 6 slots take this round's conversions
 # (sim_int8_topk, sim_pq_topk, and sim_ivf_topk — the r11 note's
 # pinned-quantizer / pinned-codebook twins — plus
 # lake_sql_merge_clauses, the generalized SQL MERGE + view + DROP
-# lifecycle row), and the remaining 16 slots
+# lifecycle row; sample_weighted_k_per_group, the SPS-md5 sampling
+# conversion; and lake_sql_maintenance, the REORG/ANALYZE/RENAME
+# feature proof), and the remaining 14 slots
 # RE-GRADE the oracled rows whose latest green grade is the OLDEST
 # (all last graded r2) so no row's grade goes permanently stale.
 # Every incoming row oracle-verified at sf0.01 AND sf0.1 before
@@ -106,7 +108,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_weighted_k_per_group",    # weighted sampling (SPS md5 mode
                                       #  — first VALUE grade; takes
                                       #  set_intersect's re-grade slot)
-    # --- 15 staleness re-grades: oracled rows whose latest green
+    "lake_sql_maintenance",           # REORG PURGE + ANALYZE + RENAME
+                                      #  TO + SHOW props/cols (takes
+                                      #  order_by_string's slot —
+                                      #  ordering stays covered by the
+                                      #  order_by_multikey keeper)
+    # --- 14 staleness re-grades: oracled rows whose latest green
     # grade is the oldest on file (all r2) ---
     "agg_operator_stats",
     "agg_percentiles",
@@ -119,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grouping_sets",
     "join_semi",
     "join_theta_conj",
-    "order_by_string",
     "pivot_status_counts",
     "project_expressions",
     "sql_comma_join",

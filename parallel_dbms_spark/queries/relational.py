@@ -6789,3 +6789,87 @@ def lake_sql_lifecycle(spark, sf_dir):
         "CAST(SUM(price_cents) AS BIGINT) AS cents "
         "FROM t GROUP BY status"
     )
+
+
+@register(
+    "lake_sql_maintenance",
+    oracle="""WITH base AS (
+                SELECT o_orderkey AS okey,
+                       o_orderstatus AS status,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 4 = 0)
+              SELECT status, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS cents
+              FROM base WHERE okey % 10 <> 4
+              GROUP BY status""",
+    tags=("lake", "sql", "maintenance", "reorg", "analyze", "rename",
+          "deletion-vectors", "stats", "groupby"),
+)
+def lake_sql_maintenance(spark, sf_dir):
+    # The round-12 MAINTENANCE verbs through the SQL door, graded
+    # relationally: ANALYZE (footer-only stats backfill onto a table
+    # whose INSERT recorded none — skipping asserted before/after),
+    # a merge-on-read delete followed by REORG TABLE ... APPLY (PURGE)
+    # (vectors dropped, UNVECTORED files asserted byte-identical live
+    # — the O(DV debt) contract), SHOW COLUMNS / SHOW TBLPROPERTIES
+    # (log-derived), and ALTER TABLE RENAME TO (atomic dir move; the
+    # final aggregate is read under the NEW name, so the oracle only
+    # matches if history and data rode along). Companion to
+    # lake_sql_lifecycle, which grades the DML/DDL verbs.
+    import tempfile
+
+    from ..sources import txlog
+    from ..sources.tx_sql import tx_sql
+
+    d = tempfile.mkdtemp(prefix="lake_maint_")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.createOrReplaceTempView("__lake_maint_src")
+
+    def run(s):
+        return tx_sql(spark, s, base_dir=d)
+
+    run("CREATE TABLE t (okey BIGINT, status STRING, cents BIGINT)")
+    run("INSERT INTO t SELECT okey, status, cents FROM __lake_maint_src "
+        "WHERE okey % 4 = 0")
+    t = d + "/t"
+    # ANALYZE: the INSERT recorded no column stats; the backfill is
+    # footer-only (no data scan) and must leave every file skippable
+    assert not any(
+        s.get("c") for s in txlog.snapshot_stats(t).values()
+    ), "fixture: INSERT SELECT records no column stats"
+    run("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS okey, cents")
+    st = txlog.snapshot_stats(t)
+    _, live = txlog.snapshot_files(t)
+    assert live and all(
+        {"okey", "cents"} <= set(st.get(f, {}).get("c", {})) for f in live
+    ), "ANALYZE must backfill every live file"
+    # DV delete (the lakehouse fast-delete door) then PURGE: only the
+    # vectored files may be rewritten
+    txlog.tx_delete_where_mor(spark, t, "okey % 10 = 4")
+    dvs = txlog.snapshot_dvs(t)
+    assert dvs, "fixture: the MOR delete must vector at least one file"
+    _, before = txlog.snapshot_files(t)
+    unvectored = [f for f in before if f not in dvs]
+    run("REORG TABLE t APPLY (PURGE)")
+    assert txlog.snapshot_dvs(t) == {}
+    _, after = txlog.snapshot_files(t)
+    assert all(f in after for f in unvectored), (
+        "PURGE must not touch unvectored files"
+    )
+    # log-derived inspection
+    cols = [r["col_name"] for r in run("SHOW COLUMNS IN t").collect()]
+    assert cols == ["okey", "status", "cents"], cols
+    props = {r["key"]: r["value"]
+             for r in run("SHOW TBLPROPERTIES t").collect()}
+    assert props["delta.enableRowTracking"] == "false"
+    # atomic rename: aggregate under the NEW name
+    run("ALTER TABLE t RENAME TO warehouse_final")
+    return run(
+        "SELECT status, COUNT(*) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM warehouse_final GROUP BY status"
+    )
