@@ -61,7 +61,8 @@ def test_write_surface_random_sequences(spark, tmp_path, seed):
     for step in range(8):
         op = rng.choice(
             ["append", "copy", "copy_rerun", "replace", "pdelete",
-             "truncate", "restore", "add_column_probe"]
+             "truncate", "restore", "add_column_probe", "reorg_purge",
+             "analyze"]
         )
         if op == "append":
             rows = fresh(rng.randrange(1, 4))
@@ -116,6 +117,23 @@ def test_write_surface_random_sequences(spark, tmp_path, seed):
             ver, old = history[rng.randrange(len(history))]
             txlog.tx_restore(t, ver)
             model = dict(old)
+        elif op == "reorg_purge":
+            # maintenance is INVISIBLE to the model: purging vectors
+            # (or a no-op when none exist) must never change a row
+            had_dvs = bool(txlog.snapshot_dvs(t))
+            _, n = txlog.tx_reorg_purge(spark, t)
+            assert (n > 0) == had_dvs, (seed, step)
+            assert txlog.snapshot_dvs(t) == {}
+        elif op == "analyze":
+            # stats backfill is metadata-only: rows unchanged, and
+            # afterwards every live file is skippable on k
+            txlog.tx_analyze(t, ["k"])
+            st = txlog.snapshot_stats(t)
+            _, live = txlog.snapshot_files(t)
+            missing = [
+                f for f in live if "k" not in st.get(f, {}).get("c", {})
+            ]
+            assert not missing, (seed, step, missing)
         elif op == "add_column_probe":
             # additive evolution mid-sequence: new column serves NULL
             # everywhere, then drops again — the surrounding ops must
