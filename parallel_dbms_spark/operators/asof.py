@@ -339,6 +339,99 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample with LINEAR INTERPOLATION — TimescaleDB's
+    ``interpolate()`` next to :func:`resample_ffill`'s ``locf()``:
+    each grid point takes the value a straight line between its
+    bracketing observations passes through, the standard gap-fill for
+    continuously-varying signals (temperatures, prices) where a
+    forward fill would hold stale plateaus.
+
+    Composition, no custom execution: the same sequence()+explode grid
+    as ``resample_ffill``, then TWO as-of joins — backward for the
+    observation at-or-before, forward for at-or-after — and one
+    arithmetic projection. Grid points outside [first obs, last obs]
+    lack a bracket and drop (inner both sides). Equal-timestamp
+    observations pre-aggregate to MAX(value).
+
+    Determinism contract (repo-wide oracle convention): values
+    quantize to integer MICRO-units and timestamps to whole epoch
+    seconds before any arithmetic, so the lerp numerator
+    ``v_prev*(t_next-t) + v_next*(t-t_prev)`` is exact int64 in any
+    order and the result is ONE double division — bit-identical in
+    every IEEE-conforming engine (DuckDB replays it verbatim).
+    Overflow headroom: micro-units(1e10) x bracket-seconds(1e7) stays
+    well under 2^63.
+
+    Scale: two one-shuffle as-of window plans over the same key
+    partitioning — Catalyst reuses the exchange; rows/key = span/step
+    exactly like ``resample_ffill`` (use that function's
+    ``shard_timeline`` pattern if a single key's timeline explodes).
+    Returns (key, grid_ts, r_value_e6 double).
+    """
+    tcol = F.col(ts)
+    obs = (
+        events.groupBy(F.col(key), tcol.alias("__ts_o"))
+        .agg(F.max(F.col(value)).alias("__v"))
+        .select(
+            key,
+            F.col("__ts_o"),
+            F.unix_timestamp("__ts_o").alias("__sec"),
+            F.floor(F.col("__v") * F.lit(1_000_000.0)).cast("long")
+            .alias("__v_e6"),
+        )
+    )
+    bounds = events.groupBy(key).agg(
+        F.date_trunc("hour", F.min(tcol)).alias("__t0"),
+        F.date_trunc("hour", F.max(tcol)).alias("__t1"),
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence("__t0", "__t1", F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    prev = asof_join(
+        grid,
+        obs.select(
+            key, F.col("__ts_o").alias("__pts"),
+            F.col("__sec").alias("p_sec"), F.col("__v_e6").alias("p_e6"),
+        ),
+        on=key, left_ts="grid_ts", right_ts="__pts",
+        right_values=["p_sec", "p_e6"], how="inner",
+        direction="backward",
+    )
+    both = asof_join(
+        prev,
+        obs.select(
+            key, F.col("__ts_o").alias("__nts"),
+            F.col("__sec").alias("n_sec"), F.col("__v_e6").alias("n_e6"),
+        ),
+        on=key, left_ts="grid_ts", right_ts="__nts",
+        right_values=["n_sec", "n_e6"], how="inner",
+        direction="forward",
+    )
+    g = F.unix_timestamp("grid_ts")
+    num = (
+        F.col("r_p_e6") * (F.col("r_n_sec") - g)
+        + F.col("r_n_e6") * (g - F.col("r_p_sec"))
+    )
+    den = F.col("r_n_sec") - F.col("r_p_sec")
+    return both.select(
+        key,
+        "grid_ts",
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.col("r_p_e6").cast("double"))
+        .alias("r_value_e6"),
+    )
+
+
 def twap(
     events: DataFrame,
     key: str = "user_id",

@@ -6873,3 +6873,60 @@ def lake_sql_maintenance(spark, sf_dir):
         "CAST(SUM(cents) AS BIGINT) AS cents "
         "FROM warehouse_final GROUP BY status"
     )
+
+
+@register(
+    "resample_interpolate_hourly",
+    oracle="""WITH obs AS (
+                -- FLOOR before the cast: DuckDB rounds double->bigint,
+                -- Spark's unix_timestamp truncates; sub-second event
+                -- timestamps must land on the same whole second
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)))
+                            AS BIGINT) AS sec,
+                       CAST(FLOOR(MAX(value) * 1000000.0) AS BIGINT) AS v_e6
+                FROM events GROUP BY 1, 2, 3),
+              b AS (
+                SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+                       date_trunc('hour', MAX(ts)) AS t1
+                FROM obs GROUP BY 1),
+              g AS (
+                SELECT user_id,
+                       unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                           AS grid_ts
+                FROM b),
+              p AS (
+                SELECT g.user_id, g.grid_ts,
+                       o.sec AS p_sec, o.v_e6 AS p_e6
+                FROM g ASOF JOIN obs o
+                  ON g.user_id = o.user_id AND g.grid_ts >= o.ts),
+              pn AS (
+                SELECT p.user_id, p.grid_ts,
+                       CAST(epoch(p.grid_ts) AS BIGINT) AS g_sec,
+                       p.p_sec, p.p_e6, o.sec AS n_sec, o.v_e6 AS n_e6
+                FROM p ASOF JOIN obs o
+                  ON p.user_id = o.user_id AND p.grid_ts <= o.ts)
+              SELECT user_id, grid_ts,
+                     CASE WHEN n_sec > p_sec
+                          THEN CAST(p_e6 * (n_sec - g_sec)
+                                    + n_e6 * (g_sec - p_sec) AS DOUBLE)
+                               / CAST(n_sec - p_sec AS DOUBLE)
+                          ELSE CAST(p_e6 AS DOUBLE)
+                     END AS r_value_e6
+              FROM pn""",
+    tags=("timeseries", "asof", "gap_fill", "interpolate"),
+)
+def resample_interpolate_hourly(spark, sf_dir):
+    # Linear-interpolation gap-fill (TimescaleDB's interpolate() next
+    # to resample_ffill_hourly's locf()): hourly grid, each point on
+    # the straight line between its bracketing observations. Exact
+    # cross-engine by the integer-lerp convention — micro-unit values
+    # x whole-second gaps, one double division at the end — and the
+    # oracle replays the two as-of joins with DuckDB's native ASOF
+    # JOIN in both directions.
+    from ..operators import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample_interpolate(
+        ev, key="user_id", ts="ts", value="value", step="1 hour"
+    )

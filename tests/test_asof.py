@@ -88,6 +88,60 @@ def test_resample_ffill_semantics(spark):
     assert out == {(1, 1): 1.0, (1, 2): 1.0}
 
 
+def test_resample_interpolate_semantics(spark):
+    # Hand-built series: obs at 00:00 (v=1.0) and 02:00 (v=5.0).
+    # Grid 00:00..02:00. 00:00 and 02:00 sit ON observations (exact
+    # bracket both sides -> the observation itself); 01:00 is the
+    # exact midpoint -> lerp( 1e6, 5e6, 0.5 ) = 3e6 micro-units.
+    # Integer-lerp exactness: (1e6*3600 + 5e6*3600) / 7200 = 3e6.
+    import datetime
+    from pyspark.sql import Row
+    from parallel_dbms_spark.operators import resample_interpolate
+
+    rows = [
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 0), value=1.0),
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 2, 0), value=5.0),
+    ]
+    out = {
+        (r.user_id, r.grid_ts.hour): r.r_value_e6
+        for r in resample_interpolate(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {
+        (1, 0): 1_000_000.0, (1, 1): 3_000_000.0, (1, 2): 5_000_000.0,
+    }
+    # vs ffill on the same series: the forward fill would hold 1.0 at
+    # 01:00 — interpolation is the different (and here exact) answer
+    # Asymmetric gap: obs at 00:00 (v=0.0) and 03:00 (v=3.0) -> the
+    # line passes 1.0 at 01:00 and 2.0 at 02:00
+    rows2 = [
+        Row(user_id=2, ts=datetime.datetime(2024, 1, 1, 0, 0), value=0.0),
+        Row(user_id=2, ts=datetime.datetime(2024, 1, 1, 3, 0), value=3.0),
+    ]
+    out2 = {
+        r.grid_ts.hour: r.r_value_e6
+        for r in resample_interpolate(spark.createDataFrame(rows2)).collect()
+    }
+    assert out2 == {0: 0.0, 1: 1_000_000.0, 2: 2_000_000.0,
+                    3: 3_000_000.0}
+    # single off-grid observation: its floor()-hour grid point lies
+    # BEFORE the observation, so no backward bracket exists and the
+    # point drops (inner) — no divide-by-zero, no fabricated value
+    rows3 = [
+        Row(user_id=3, ts=datetime.datetime(2024, 1, 1, 1, 30), value=7.5),
+    ]
+    assert resample_interpolate(spark.createDataFrame(rows3)).count() == 0
+    # single ON-grid observation: exact bracket on both sides, den=0
+    # path returns the observation itself
+    rows4 = [
+        Row(user_id=4, ts=datetime.datetime(2024, 1, 1, 1, 0), value=7.5),
+    ]
+    out4 = [
+        (r.grid_ts.hour, r.r_value_e6)
+        for r in resample_interpolate(spark.createDataFrame(rows4)).collect()
+    ]
+    assert out4 == [(1, 7_500_000.0)]
+
+
 def test_forward_asof_picks_earliest_at_or_after(spark):
     from pyspark.sql import Row
 
