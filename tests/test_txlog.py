@@ -3372,6 +3372,67 @@ def test_replace_where_threaded_appends_serialize(spark, tmp_path):
     assert p0 == {(i, "old") for i in range(20) if i % 2 == 0}
 
 
+def test_maintenance_threaded_against_writers(spark, tmp_path):
+    """REAL concurrency for the maintenance verbs: while an appender
+    and a MOR-deleter keep mutating the table, interleaved
+    REORG PURGE and ANALYZE passes must (a) never lose or duplicate a
+    row, (b) never resurrect a vectored delete, and (c) leave the
+    final table purgeable to zero vectors and fully stats-backfilled
+    — maintenance is invisible to readers under churn."""
+    import time as _time
+
+    t = str(tmp_path / "t")
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, "base") for i in range(10)], "k long, v string"
+        ).coalesce(1), t,
+    )
+    done = threading.Event()
+    appended: list[int] = []
+    deleted: list[int] = []
+
+    def mutator():
+        seq = 1000
+        while not done.is_set():
+            txlog.tx_append(
+                spark.createDataFrame(
+                    [(seq, "new"), (seq + 1, "new")], "k long, v string"
+                ).coalesce(1), t,
+            )
+            appended.extend([seq, seq + 1])
+            # vector one of the freshly landed keys half the time
+            if seq % 4 == 0:
+                txlog.tx_delete_where_mor(spark, t, f"k = {seq}")
+                deleted.append(seq)
+            seq += 2
+            _time.sleep(0.5)
+
+    th = threading.Thread(target=mutator)
+    th.start()
+    try:
+        for _ in range(3):
+            txlog.tx_reorg_purge(spark, t)
+            txlog.tx_analyze(t, ["k"])
+            _time.sleep(0.4)
+    finally:
+        done.set()
+        th.join()
+    # quiesced: one final purge drains whatever vectors remain
+    txlog.tx_reorg_purge(spark, t)
+    assert txlog.snapshot_dvs(t) == {}
+    got = {r.k for r in txlog.read_snapshot(spark, t).collect()}
+    want = (set(range(10)) | set(appended)) - set(deleted)
+    assert got == want, (
+        sorted(got.symmetric_difference(want))[:8],
+        "maintenance under churn lost/resurrected rows",
+    )
+    # final analyze converges and every live file skips on k
+    txlog.tx_analyze(t, ["k"])
+    st = txlog.snapshot_stats(t)
+    _, live = txlog.snapshot_files(t)
+    assert all("k" in st.get(f, {}).get("c", {}) for f in live)
+
+
 def test_stream_tx_merge_clauses_exactly_once(spark, tmp_path):
     """Streaming CLAUSE merge (the CDC-apply shape): an op column
     drives conditional DELETE / column UPDATE / conditional INSERT per
