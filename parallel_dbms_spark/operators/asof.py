@@ -354,11 +354,18 @@ def resample_interpolate(
     forward fill would hold stale plateaus.
 
     Composition, no custom execution: the same sequence()+explode grid
-    as ``resample_ffill``, then TWO as-of joins — backward for the
-    observation at-or-before, forward for at-or-after — and one
-    arithmetic projection. Grid points outside [first obs, last obs]
-    lack a bracket and drop (inner both sides). Equal-timestamp
-    observations pre-aggregate to MAX(value).
+    as ``resample_ffill``, then BOTH brackets in one pass — grid and
+    observation rows union into a single (key,)-partitioned timeline
+    and two window columns walk it in opposite directions (last
+    observation carried forward = the at-or-before bracket, last
+    observation carried backward = the at-or-after bracket). One hash
+    exchange feeds both windows (same partitioning, opposite sort
+    orders — Spark inserts a re-sort, never a re-shuffle), where two
+    chained as-of joins would pay a full union+shuffle each. Grid
+    points outside [first obs, last obs] lack a bracket and drop.
+    Equal-timestamp observations pre-aggregate to MAX(value); an
+    observation exactly ON a grid point brackets it on BOTH sides
+    (den=0 path serves the observation verbatim).
 
     Determinism contract (repo-wide oracle convention): values
     quantize to integer MICRO-units and timestamps to whole epoch
@@ -369,20 +376,22 @@ def resample_interpolate(
     Overflow headroom: micro-units(1e10) x bracket-seconds(1e7) stays
     well under 2^63.
 
-    Scale: two one-shuffle as-of window plans over the same key
-    partitioning — Catalyst reuses the exchange; rows/key = span/step
-    exactly like ``resample_ffill`` (use that function's
-    ``shard_timeline`` pattern if a single key's timeline explodes).
-    Returns (key, grid_ts, r_value_e6 double).
+    Scale: rows/key = span/step exactly like ``resample_ffill``; the
+    timeline is partition-parallel per key after the one exchange
+    (shard the timeline like ``asof_join_sharded`` if a single key's
+    span/step explodes). Returns (key, grid_ts, r_value_e6 double).
     """
+    from pyspark.sql import Window
+
     tcol = F.col(ts)
     obs = (
-        events.groupBy(F.col(key), tcol.alias("__ts_o"))
+        events.groupBy(F.col(key), tcol.alias("__t"))
         .agg(F.max(F.col(value)).alias("__v"))
         .select(
             key,
-            F.col("__ts_o"),
-            F.unix_timestamp("__ts_o").alias("__sec"),
+            "__t",
+            F.lit(1).alias("__is_obs"),
+            F.unix_timestamp("__t").alias("__sec"),
             F.floor(F.col("__v") * F.lit(1_000_000.0)).cast("long")
             .alias("__v_e6"),
         )
@@ -395,39 +404,43 @@ def resample_interpolate(
         key,
         F.explode(
             F.sequence("__t0", "__t1", F.expr(f"INTERVAL {step}"))
-        ).alias("grid_ts"),
+        ).alias("__t"),
+        F.lit(0).alias("__is_obs"),
+        F.lit(None).cast("long").alias("__sec"),
+        F.lit(None).cast("long").alias("__v_e6"),
     )
-    prev = asof_join(
-        grid,
-        obs.select(
-            key, F.col("__ts_o").alias("__pts"),
-            F.col("__sec").alias("p_sec"), F.col("__v_e6").alias("p_e6"),
-        ),
-        on=key, left_ts="grid_ts", right_ts="__pts",
-        right_values=["p_sec", "p_e6"], how="inner",
-        direction="backward",
+    # __is_obs DESC within equal __t: the observation row sorts BEFORE
+    # the grid point it coincides with — in BOTH directions — so an
+    # on-grid observation is inside both frames (allow_exact)
+    fwd = Window.partitionBy(key).orderBy(
+        F.col("__t").asc(), F.col("__is_obs").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bwd = Window.partitionBy(key).orderBy(
+        F.col("__t").desc(), F.col("__is_obs").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = obs.unionByName(grid)
+    both = (
+        u.withColumn("p_sec", F.last("__sec", ignorenulls=True).over(fwd))
+        .withColumn("p_e6", F.last("__v_e6", ignorenulls=True).over(fwd))
+        .withColumn("n_sec", F.last("__sec", ignorenulls=True).over(bwd))
+        .withColumn("n_e6", F.last("__v_e6", ignorenulls=True).over(bwd))
+        .filter(
+            (F.col("__is_obs") == 0)
+            & F.col("p_sec").isNotNull()
+            & F.col("n_sec").isNotNull()
+        )
     )
-    both = asof_join(
-        prev,
-        obs.select(
-            key, F.col("__ts_o").alias("__nts"),
-            F.col("__sec").alias("n_sec"), F.col("__v_e6").alias("n_e6"),
-        ),
-        on=key, left_ts="grid_ts", right_ts="__nts",
-        right_values=["n_sec", "n_e6"], how="inner",
-        direction="forward",
-    )
-    g = F.unix_timestamp("grid_ts")
+    g = F.unix_timestamp("__t")
     num = (
-        F.col("r_p_e6") * (F.col("r_n_sec") - g)
-        + F.col("r_n_e6") * (g - F.col("r_p_sec"))
+        F.col("p_e6") * (F.col("n_sec") - g)
+        + F.col("n_e6") * (g - F.col("p_sec"))
     )
-    den = F.col("r_n_sec") - F.col("r_p_sec")
+    den = F.col("n_sec") - F.col("p_sec")
     return both.select(
         key,
-        "grid_ts",
+        F.col("__t").alias("grid_ts"),
         F.when(den > 0, num.cast("double") / den.cast("double"))
-        .otherwise(F.col("r_p_e6").cast("double"))
+        .otherwise(F.col("p_e6").cast("double"))
         .alias("r_value_e6"),
     )
 
