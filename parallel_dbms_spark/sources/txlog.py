@@ -6836,7 +6836,22 @@ def tx_analyze(
         # wins), so the backfill must carry the previously recorded
         # columns forward or it would un-skip them (both PHYSICAL)
         prior = _snapshot_stats_raw(table)
-        fresh = collect_file_stats(table, todo, cols)
+        # footer reads are independent I/O — pool them (a backfill's
+        # scope is the table's whole stat-less set, not one commit's
+        # file count like the write path; serial reads would make the
+        # driver the bottleneck on a large backlog). Mapping resolved
+        # once, not per file.
+        from concurrent.futures import ThreadPoolExecutor
+
+        eff_map = _effective_mapping(table) or {}
+        with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
+            parts = list(ex.map(
+                lambda f: collect_file_stats(
+                    table, [f], cols, mapping=eff_map
+                ),
+                todo,
+            ))
+        fresh = {f: s for p in parts for f, s in p.items()}
         # a footer can yield nothing for a column (all-null file,
         # suppressed row-group stats): re-running must not recommit
         # the unchanged record forever — only files that actually

@@ -49,7 +49,8 @@ def test_sql_door_random_sequences_match_model(spark, tmp_path, seed):
     for step in range(10):
         op = rng.choice(
             ["insert", "insert", "update", "delete", "merge",
-             "gmerge", "rename", "optimize", "restore"]
+             "gmerge", "rename", "optimize", "restore", "mor_reorg",
+             "analyze"]
         )
         if op == "insert":
             n = rng.randrange(1, 5)
@@ -137,6 +138,18 @@ def test_sql_door_random_sequences_match_model(spark, tmp_path, seed):
             val_col = new
         elif op == "optimize":
             run("OPTIMIZE t")
+        elif op == "mor_reorg" and model:
+            # the r12 soft-delete pair: DV the matches (fast-delete
+            # door), then REORG PURGE through SQL — together they must
+            # mean exactly what a rewrite delete means
+            m = rng.randrange(2, 5)
+            txlog.tx_delete_where_mor(spark, t, f"k % {m} = 1")
+            run("REORG TABLE t APPLY (PURGE)")
+            assert txlog.snapshot_dvs(t) == {}, (seed, step)
+            model = {k: r for k, r in model.items() if k % m != 1}
+        elif op == "analyze":
+            # stats backfill is invisible to every later statement
+            run("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k")
         elif op == "restore" and len(history) > 1:
             ver, old_model, old_col = history[
                 rng.randrange(len(history))
