@@ -54,6 +54,7 @@ the whole table lifecycle through the SQL door:
     FSCK REPAIR TABLE t [DRY RUN]
     GENERATE symlink_format_manifest FOR TABLE t
     DESCRIBE DETAIL t | DESCRIBE HISTORY t
+    EXPLAIN [EXTENDED|FORMATTED] SELECT ...
     SELECT ... FROM table_changes('t', v1 [, v2]) ...
     SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
 
@@ -1252,6 +1253,20 @@ def tx_sql(
     if re.match(r"(?is)^(SELECT|WITH)\b", s):
         return spark.sql(_register_lake_views(spark, s, base_dir))
 
+    # EXPLAIN [EXTENDED|FORMATTED|COST|CODEGEN] <select>: rewrite the
+    # query part's lake references (snapshot views, time travel,
+    # table_changes) exactly like a SELECT, then let Spark explain it —
+    # the operator's plan-inspection loop over lake tables
+    m = re.match(
+        rf"(?is)^EXPLAIN({_WS}(?:EXTENDED|FORMATTED|COST|CODEGEN))?"
+        rf"{_WS}((?:SELECT|WITH)\b.*)$",
+        s,
+    )
+    if m:
+        mode = (m.group(1) or "").strip().upper()
+        body = _register_lake_views(spark, m.group(2), base_dir)
+        return spark.sql(f"EXPLAIN {mode} {body}".replace("  ", " "))
+
     raise ValueError(f"unsupported lake SQL statement: {sql!r}")
 
 
@@ -1270,6 +1285,6 @@ def is_lake_statement(sql: str) -> bool:
         r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
         r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES|TBLPROPERTIES|"
         r"COLUMNS)|"
-        r"DESCRIBE\s)\b",
+        r"DESCRIBE\s|EXPLAIN\s)\b",
         sql,
     ))
