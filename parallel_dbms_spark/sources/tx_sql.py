@@ -13,6 +13,7 @@ the whole table lifecycle through the SQL door:
     CREATE [OR REPLACE] TABLE t
         [PARTITIONED BY (p)] [CLUSTER BY (k)] AS SELECT ...
     CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n]
+    CREATE TABLE [IF NOT EXISTS] t2 LIKE t
     INSERT OVERWRITE [TABLE] t (SELECT ... | VALUES ...)
     CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (k, ...)
     INSERT INTO t VALUES (...) | INSERT INTO t SELECT ...
@@ -379,6 +380,55 @@ def tx_sql(
             version=int(m.group(3)) if m.group(3) else None,
         )
         return _result(spark, "clone", dst, v, f"from {src}")
+
+    # -------- CREATE TABLE ... LIKE src --------
+    m = re.match(
+        rf"(?is)^CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
+        rf"{_IDENT}{_WS}LIKE{_WS}{_IDENT}$",
+        s,
+    )
+    if m:
+        # empty table carrying the source's FULL declared metadata —
+        # schema, partitioning, clustering, defaults, generated
+        # columns, identity, constraints, row tracking — but none of
+        # its data or history (CLONE is the data-carrying sibling).
+        # Built from the metadata getters directly, NOT by replaying
+        # SHOW CREATE TABLE, whose text renders partitioning and
+        # generated columns as comments.
+        dst = _path(m.group(1), base_dir)
+        src = _path(m.group(2), base_dir)
+        if not _is_lake_table(src):
+            raise FileNotFoundError(f"not a lake table: {src}")
+        if _is_lake_table(dst):
+            if re.search(rf"(?i)IF{_WS}NOT{_WS}EXISTS", s):
+                return _result(spark, "create_table_like", dst,
+                               txlog.log_versions(dst)[-1], "exists")
+            raise ValueError(f"table already exists: {dst}")
+        schema = txlog.table_schema(src)
+        pb = txlog.table_partition_by(src)
+        v = txlog.tx_append(
+            spark.createDataFrame([], schema), dst,
+            partition_by=pb or None,
+        )
+        cb = txlog.table_cluster_by(src)
+        if cb:
+            v = txlog.tx_set_cluster_by(dst, cb)
+        for c, expr in sorted(txlog.table_column_defaults(src).items()):
+            v = txlog.tx_set_default(dst, c, expr)
+        for c, expr in sorted(
+            txlog.table_generated_columns(src).items()
+        ):
+            v = txlog.tx_set_generated(spark, dst, c, expr)
+        for c, spec in sorted(txlog.table_identity(src).items()):
+            v = txlog.tx_set_identity(
+                spark, dst, c, start=spec["start"], step=spec["step"],
+                always=spec["always"],
+            )
+        for n, pred in sorted(txlog.table_constraints(src).items()):
+            v = txlog.tx_set_constraint(spark, dst, n, pred)
+        if txlog.table_row_tracking(src):
+            v = txlog.tx_enable_row_tracking(dst)
+        return _result(spark, "create_table_like", dst, v, f"like {src}")
 
     # -------- CREATE [OR REPLACE] VIEW / DROP VIEW / DROP TABLE -----
     m = re.match(
