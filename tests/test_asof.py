@@ -624,3 +624,64 @@ def test_longest_prefix_join_hand_rules(spark):
         probe, rules, "addr", "prefix", "plen", bits=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_resample_interpolate_matches_python_reference(spark):
+    """Differential: random irregular multi-key series vs a pure-Python
+    bracketing + integer-lerp reference — grid membership AND every
+    interpolated value must match exactly (the operator's math is
+    integer-exact by construction, so equality is ==, not approx)."""
+    import datetime
+    import random
+
+    rng = random.Random(412)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for uid in range(6):
+        n = rng.randrange(2, 12)
+        ts_set = sorted(rng.sample(range(0, 72 * 3600), n))
+        for s in ts_set:
+            rows.append((
+                uid,
+                base + datetime.timedelta(seconds=s),
+                round(rng.uniform(-50, 50), 3),
+            ))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    from parallel_dbms_spark.operators import resample_interpolate
+
+    got = {
+        (r.user_id, r.grid_ts): r.r_value_e6
+        for r in resample_interpolate(df).collect()
+    }
+
+    # pure-Python reference
+    import math
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    for uid, ts, v in rows:
+        series[uid][ts] = max(series[uid].get(ts, float("-inf")), v)
+    want = {}
+    epoch = datetime.datetime(1970, 1, 1)
+    for uid, obs in series.items():
+        pts = sorted(
+            (int((t - epoch).total_seconds()),
+             math.floor(v * 1_000_000.0))
+            for t, v in obs.items()
+        )
+        t_lo = min(t for t, _ in pts)
+        t_hi = max(t for t, _ in pts)
+        g = (t_lo // 3600) * 3600
+        while g <= (t_hi // 3600) * 3600:
+            prev = [(t, v) for t, v in pts if t <= g]
+            nxt = [(t, v) for t, v in pts if t >= g]
+            if prev and nxt:
+                (tp, vp), (tn, vn) = prev[-1], nxt[0]
+                val = (
+                    float(vp) if tn == tp
+                    else (vp * (tn - g) + vn * (g - tp)) / (tn - tp)
+                )
+                want[(uid, epoch + datetime.timedelta(seconds=g))] = val
+            g += 3600
+    assert got == want

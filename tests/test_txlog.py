@@ -3531,3 +3531,30 @@ def test_analyze_leaves_statted_files_alone(spark, table):
     after = txlog.snapshot_stats(table)
     for f, s in before.items():
         assert after[f] == s, "already-statted file must be untouched"
+
+
+def test_analyze_translates_logical_names_under_mapping(spark, table):
+    """ANALYZE after a RENAME COLUMN: the caller passes the LOGICAL
+    name; the recorded stats keys are physical, and the skipping read
+    (also logical) still prunes."""
+    txlog.tx_append(
+        spark.createDataFrame([(i, i * 2) for i in range(10)],
+                              "k long, w long").coalesce(1), table,
+    )
+    txlog.tx_rename_column(spark, table, "w", "weight")
+    v, n = txlog.tx_analyze(table, ["weight"])
+    assert n == 1
+    st = txlog.snapshot_stats(table)
+    assert all("weight" in s["c"] for s in st.values())
+    txlog.tx_append(
+        spark.createDataFrame([(100, 999)], "k long, weight long")
+        .coalesce(1), table,
+    )
+    # probe a range DISJOINT from the analyzed file's [0, 18]: that
+    # file prunes on its backfilled stats; the stat-less fresh file is
+    # conservatively read (no stats -> must scan)
+    df, nread, ntotal = txlog.tx_read_skipping(
+        spark, table, "weight", lo=100, hi=2000
+    )
+    assert (nread, ntotal) == (1, 2)
+    assert {r.weight for r in df.collect()} == {999}
