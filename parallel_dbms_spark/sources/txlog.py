@@ -3419,6 +3419,13 @@ def tx_detail(
     )
     cm = table_column_mapping(table, v)
     schema = _schema_at(table, v)
+    # maintenance-debt gauges: how many live files a REORG PURGE would
+    # rewrite, and what fraction of live files an ANALYZE has (or any
+    # stats-collecting write had) already made skippable — the two
+    # numbers that tell an operator whether to run those verbs
+    live_set = set(files)
+    num_dv_files = sum(1 for f, p in dvs.items() if p and f in live_set)
+    stats_files = sum(1 for f in files if stats.get(f, {}).get("c"))
     row = (
         os.path.abspath(table),
         int(v),
@@ -3427,6 +3434,8 @@ def tx_detail(
         int(size),
         n_rows,
         sum(len(p) for p in dvs.values()),
+        num_dv_files,
+        stats_files,
         len(schema.fields) if schema is not None else 0,
         table_partition_by(table, v),
         table_cluster_by(table, v),
@@ -3441,7 +3450,8 @@ def tx_detail(
         [row],
         "location string, version long, commit_ts double, "
         "num_files int, size_bytes long, num_rows long, "
-        "num_dv_rows int, num_columns int, "
+        "num_dv_rows int, num_dv_files int, num_statted_files int, "
+        "num_columns int, "
         "partition_columns array<string>, cluster_by array<string>, "
         "constraints array<string>, column_defaults array<string>, "
         "generated_columns array<string>, identity_columns "

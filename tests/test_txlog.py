@@ -2717,6 +2717,16 @@ def test_describe_detail_summarizes_every_metadata_plane(spark, table):
     txlog.tx_compact(spark, table, num_files=1)
     r2 = txlog.tx_detail(spark, table).collect()[0]
     assert r2["num_rows"] in (20, None)
+    # maintenance-debt gauges: a MOR delete raises the purge gauge,
+    # REORG drains it; ANALYZE raises the stats gauge to every file
+    txlog.tx_delete_where_mor(spark, table, "val = 1.0")
+    g = txlog.tx_detail(spark, table).collect()[0]
+    assert g["num_dv_files"] == 1 and g["num_dv_rows"] >= 1
+    txlog.tx_reorg_purge(spark, table)
+    txlog.tx_analyze(table, ["val"])
+    g2 = txlog.tx_detail(spark, table).collect()[0]
+    assert g2["num_dv_files"] == 0 and g2["num_dv_rows"] == 0
+    assert g2["num_statted_files"] == g2["num_files"]
 
 
 def test_partition_scoped_incremental_optimize(spark, table):
