@@ -281,6 +281,12 @@ def bench_queries(spark, sf_dir):
         # resolution, metadata-only distinct, basket self-join
         "twap": lambda: _exec(REGISTRY["twap_user_value"].fn(spark, sf_dir)),
         "ohlc": lambda: _exec(REGISTRY["ohlc_hourly"].fn(spark, sf_dir)),
+        # r12: linear-interpolation gap-fill — tracked because its
+        # whole value is the one-exchange dual-window plan; a carry-in
+        # regression (second shuffle creeping back) shows up here
+        "resample_lerp": lambda: _exec(
+            REGISTRY["resample_interpolate_hourly"].fn(spark, sf_dir)
+        ),
         "rfm_segments": lambda: _exec(REGISTRY["rfm_segments"].fn(spark, sf_dir)),
         "basket_pairs": lambda: _exec(
             REGISTRY["basket_pairs_support"].fn(spark, sf_dir)
