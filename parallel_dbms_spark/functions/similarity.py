@@ -369,6 +369,122 @@ def lsh_topk(
     )
 
 
+def lsh_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = 6,
+    num_tables: int = 8,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLED TWIN of :func:`lsh_topk` — the same random-hyperplane
+    LSH pipeline shape (per-table signatures, any-table collision
+    candidates, re-rank of candidates only) under PINNED integer
+    parameters that make every value engine-exact (the
+    ivf/pq/int8_topk_exact pattern):
+
+    - vectors on the integer micro-grid ``floor(x * grid + 0.5)``;
+    - hyperplane component ``w(t, b, d) = (int(md5(f"{t},{b},{d}")
+      [:4], 16) % 17) - 8`` — small integers a SQL engine rebuilds
+      from its own ``md5()``, no PRNG state to ship;
+    - signature bit = ``1 iff <w, gv> >= 0`` (integer dot, exact in
+      any summation order), table signature = ``sum(bit << b)``;
+    - relevance = the exact integer dot product with id tie-break
+      (unnormalized, like the other pinned twins — the float norm is
+      an unordered float sum, exactly what pinning removes).
+
+    Output: (query_id, neighbor_id, rank int, dot_g bigint) — a
+    DuckDB oracle rebuilds planes, signatures, collisions, and the
+    re-rank and must land the identical rows. :func:`lsh_topk`
+    (float hyperplanes, cosine re-rank) stays the scale default; its
+    recall is pytest-asserted in test_similarity.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [
+            [
+                [
+                    (int(hashlib.md5(
+                        f"{t},{b},{d}".encode()
+                    ).hexdigest()[:4], 16) % 17) - 8
+                    for d in range(dim)
+                ]
+                for b in range(nbits)
+            ]
+            for t in range(num_tables)
+        ],
+        dtype=np.int64,
+    )  # (T, nbits, dim)
+    masks = 1 << np.arange(nbits, dtype=np.int64)
+
+    def _grid(df, name):
+        return df.select(
+            F.col(id_col).alias(name),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gv"),
+        )
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch guard (r11 convention)
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.int64)  # (n, dim)
+        D = np.tensordot(V, W, axes=([1], [2]))  # (n, T, nbits) int64
+        bits = (D >= 0).astype(np.int64)
+        return pd.Series(list((bits * masks).sum(axis=2)))  # (n, T)
+
+    gc = _grid(corpus, "neighbor_id")
+    gq = _grid(queries, "query_id")
+    cs = gc.select(
+        "neighbor_id", F.posexplode(sigs(F.col("gv"))).alias("tbl", "sig")
+    )
+    qs = gq.select(
+        "query_id", F.posexplode(sigs(F.col("gv"))).alias("tbl", "sig")
+    )
+    cand = (
+        cs.join(F.broadcast(qs), on=["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    qg = gq.select(F.col("query_id").alias("__qid"), F.col("gv").alias("qgv"))
+    scored = (
+        cand.join(gc, "neighbor_id")
+        .join(F.broadcast(qg), F.col("query_id") == F.col("__qid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("qgv"), F.col("gv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_g"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_g").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "dot_g",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ/ADC) — the memory-bound ANN scale path
 # --------------------------------------------------------------------------

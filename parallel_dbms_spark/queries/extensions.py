@@ -349,19 +349,69 @@ def sim_bruteforce_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+_LSH_EXACT_SQL = """WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                     AS BIGINT)) AS gv
+  FROM embeddings),
+planes AS (
+  SELECT t.t, b.b, d.d,
+         (CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ',' ||
+                                   CAST(b.b AS VARCHAR) || ',' ||
+                                   CAST(d.d AS VARCHAR)), 1, 4))
+               AS BIGINT) % 17) - 8 AS w
+  FROM range(8) t(t), range(6) b(b), range(64) d(d)),
+vx AS (SELECT vec_id, generate_subscripts(gv, 1) - 1 AS d,
+              unnest(gv) AS val FROM g),
+bits AS (
+  SELECT v.vec_id, p.t, p.b,
+         CASE WHEN SUM(v.val * p.w) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM vx v JOIN planes p ON p.d = v.d
+  GROUP BY 1, 2, 3),
+sigs AS (SELECT vec_id, t,
+                CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT)
+                    AS sig
+         FROM bits GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM sigs q JOIN sigs c ON c.t = q.t AND c.sig = q.sig
+         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+scored AS (SELECT cand.query_id, cand.neighbor_id,
+                  CAST(list_dot_product(gq.gv, gc.gv) AS BIGINT)
+                      AS dot_g
+           FROM cand
+           JOIN g gq ON gq.vec_id = cand.query_id
+           JOIN g gc ON gc.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, dot_g
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY dot_g DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5"""
+
+
 @register(
-    "sim_ann_lsh_topk", oracle=None,
+    "sim_ann_lsh_topk",
+    oracle=_LSH_EXACT_SQL,
     tags=("similarity", "lsh", "pandas_udf"),
 )
 def sim_ann_lsh_topk(spark, sf_dir):
-    # Rows-only: bucket membership depends on our hyperplane PRNG.
-    # Recall vs brute force is pytest-asserted (tests/test_similarity.py).
-    # 6 bits x 16 tables: measured 0.56 recall@5 on this near-uniform
-    # corpus at ~25% of brute-force candidate cost; raise nbits as the
-    # corpus grows (bucket size ~ n/2^nbits per table).
+    # Random-hyperplane LSH ANN, VALUE-HASH-CHECKED (round 12 — the
+    # 4th pinned-parameter twin, converted in place like sim_ivf_topk;
+    # was rows-only since r6 because bucket membership depended on a
+    # float-hyperplane PRNG): integer micro-grid vectors, md5-derived
+    # integer plane components in [-8, 8], sign-bit signatures,
+    # any-table collision candidates, exact integer-dot re-rank with
+    # id tie-break. DuckDB rebuilds planes/signatures/collisions from
+    # its own md5() and must land the identical top-k rows — bucket
+    # membership itself is graded, not just recall. lsh_topk (float
+    # hyperplanes, cosine re-rank) stays the scale default; its
+    # recall is pytest-asserted (tests/test_similarity.py).
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, k=5, nbits=6, num_tables=16)
+    return similarity.lsh_topk_exact(
+        emb, queries, k=5, nbits=6, num_tables=8
+    )
 
 
 @register(
