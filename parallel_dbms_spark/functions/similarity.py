@@ -485,6 +485,83 @@ def lsh_topk_exact(
     )
 
 
+def lsh_neardup_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    nbits: int = 4,
+    num_tables: int = 8,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLED TWIN of :func:`lsh_neardup_pairs` — same pipeline shape
+    (bucket-join candidates, exact cosine verify on candidates only,
+    never all-pairs) with BOTH halves engine-exact: candidates from
+    :func:`lsh_topk_exact`'s pinned md5 integer hyperplanes (bucket
+    membership replays verbatim), verification by the sequential-fold
+    cosine that is already bit-equal to the DuckDB ``_cos_sql``
+    convention (embedding_cosine_neardup's precedent), so the
+    threshold cut selects the identical pair set. Returns
+    (id_a, id_b, cos)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [
+            [
+                [
+                    (int(hashlib.md5(
+                        f"{t},{b},{d}".encode()
+                    ).hexdigest()[:4], 16) % 17) - 8
+                    for d in range(dim)
+                ]
+                for b in range(nbits)
+            ]
+            for t in range(num_tables)
+        ],
+        dtype=np.int64,
+    )
+    masks = 1 << np.arange(nbits, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.floor(
+            np.stack(vecs.to_numpy()).astype(np.float64) * float(grid)
+            + 0.5
+        ).astype(np.int64)
+        D = np.tensordot(V, W, axes=([1], [2]))
+        bits = (D >= 0).astype(np.int64)
+        return pd.Series(list((bits * masks).sum(axis=2)))
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = c.select("id", F.posexplode(sigs_udf("v")).alias("tbl", "sig"))
+    a = sigs.select(F.col("id").alias("id_a"), "tbl", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), "tbl", "sig")
+    cand = (
+        a.join(b, on=["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ/ADC) — the memory-bound ANN scale path
 # --------------------------------------------------------------------------

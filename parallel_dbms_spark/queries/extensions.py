@@ -492,19 +492,61 @@ def embedding_cosine_neardup(spark, sf_dir):
     return pairs.filter(F.col("cos") >= 0.9)
 
 
+_NEARDUP_LSH_SQL = f"""WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                     AS BIGINT)) AS gv,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+planes AS (
+  SELECT t.t, b.b, d.d,
+         (CAST(('0x' || substr(md5(CAST(t.t AS VARCHAR) || ',' ||
+                                   CAST(b.b AS VARCHAR) || ',' ||
+                                   CAST(d.d AS VARCHAR)), 1, 4))
+               AS BIGINT) % 17) - 8 AS w
+  FROM range(8) t(t), range(4) b(b), range(64) d(d)),
+vx AS (SELECT vec_id, generate_subscripts(gv, 1) - 1 AS d,
+              unnest(gv) AS val FROM g),
+bits AS (
+  SELECT v.vec_id, p.t, p.b,
+         CASE WHEN SUM(v.val * p.w) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM vx v JOIN planes p ON p.d = v.d
+  GROUP BY 1, 2, 3),
+sigs AS (SELECT vec_id, t,
+                CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT)
+                    AS sig
+         FROM bits GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sigs a JOIN sigs b ON b.t = a.t AND b.sig = a.sig
+         WHERE a.vec_id < b.vec_id),
+scored AS (SELECT cand.id_a, cand.id_b,
+                  {_cos_sql('ga.emb', 'gb.emb')} AS cos
+           FROM cand
+           JOIN g ga ON ga.vec_id = cand.id_a
+           JOIN g gb ON gb.vec_id = cand.id_b)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45"""
+
+
 @register(
-    "embedding_neardup_lsh", oracle=None,
+    "embedding_neardup_lsh",
+    oracle=_NEARDUP_LSH_SQL,
     tags=("similarity", "dedup", "lsh", "pandas_udf"),
 )
 def embedding_neardup_lsh(spark, sf_dir):
-    # The scale path for near-dup pairs: bucket-join candidates (no
-    # all-pairs), exact cosine verify on candidates only. Rows-only;
-    # pytest asserts it recovers the brute-force pairs' majority.
-    # This corpus's closest pairs sit at cos ~0.5 (no planted
-    # near-identicals), so the threshold targets that neighborhood and
-    # nbits is low — wide-angle pairs need coarse buckets. A corpus
-    # with real 0.95+ duplicates would use threshold 0.9 / nbits 8+.
-    return similarity.lsh_neardup_pairs(
+    # The scale path for near-dup pairs, VALUE-HASH-CHECKED (round 12
+    # — 5th pinned twin, converted in place; was rows-only since r6):
+    # bucket-join candidates from the md5 integer hyperplanes (never
+    # all-pairs; bucket membership replays verbatim in DuckDB), exact
+    # sequential-fold cosine verify on candidates only (bit-equal to
+    # _cos_sql — embedding_cosine_neardup's proven convention), so the
+    # threshold cut selects the identical pair set. This corpus's
+    # closest pairs sit at cos ~0.5 (no planted near-identicals), so
+    # the threshold targets that neighborhood and nbits is low —
+    # wide-angle pairs need coarse buckets. lsh_neardup_pairs (float
+    # hyperplanes) stays the scale default; pytest asserts it recovers
+    # the brute-force pairs' majority.
+    return similarity.lsh_neardup_pairs_exact(
         _emb_double(spark, sf_dir), threshold=0.45, nbits=4, num_tables=8
     )
 

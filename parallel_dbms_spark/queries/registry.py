@@ -43,13 +43,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # oracled-never-graded debt is ZERO, so rotation switches to the
 # VERDICT-r11 staleness policy: 30 keepers = the exact-minimal set
 # cover (branch-and-bound, scripts/rotate_window.py) of the families
-# only ever-graded rows carry, 8 slots take this round's conversions
+# only ever-graded rows carry, 9 slots take this round's conversions
 # (sim_int8_topk, sim_pq_topk, and sim_ivf_topk — the r11 note's
 # pinned-quantizer / pinned-codebook twins — plus
 # lake_sql_merge_clauses, the generalized SQL MERGE + view + DROP
 # lifecycle row; sample_weighted_k_per_group, the SPS-md5 sampling
 # conversion; and lake_sql_maintenance, the REORG/ANALYZE/RENAME
-# feature proof), and the remaining 12 slots
+# feature proof), and the remaining 11 slots
 # RE-GRADE the oracled rows whose latest green grade is the OLDEST
 # (all last graded r2) so no row's grade goes permanently stale.
 # Every incoming row oracle-verified at sf0.01 AND sf0.1 before
@@ -96,7 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
     "vector_centroid_drift",          # vectors + aggregate
-    # --- 8 round-12 conversions / feature proofs (never graded;
+    # --- 9 round-12 conversions / feature proofs (never graded;
     # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
     "lake_sql_merge_clauses",         # sql merge clauses + views + drop
     "sim_int8_topk",                  # quantization (pinned SQ8 twin)
@@ -122,12 +122,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
                                       #  planes; takes agg_variance_
                                       #  corr's slot — agg keeps two
                                       #  keepers + agg_operator_stats)
-    # --- 12 staleness re-grades: oracled rows whose latest green
+    "embedding_neardup_lsh",          # near-dup pairs converted in
+                                      #  place (5th twin: md5 planes +
+                                      #  the proven _cos_sql fold;
+                                      #  takes filter_date_range's slot
+                                      #  — filter family keeps the
+                                      #  pushdown keeper + disjunction,
+                                      #  datetime_functions keeps time)
+    # --- 11 staleness re-grades: oracled rows whose latest green
     # grade is the oldest on file (all r2) ---
     "agg_operator_stats",
     "asof_join_events",
     "datetime_functions",
-    "filter_date_range",
     "filter_disjunction",
     "grouping_cube",
     "grouping_sets",
