@@ -21,6 +21,8 @@ semantics (greatest r.ts <= l.ts), which the oracle uses.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -365,7 +367,12 @@ def resample_interpolate(
     points outside [first obs, last obs] lack a bracket and drop.
     Equal-timestamp observations pre-aggregate to MAX(value); an
     observation exactly ON a grid point brackets it on BOTH sides
-    (den=0 path serves the observation verbatim).
+    (den=0 path serves the observation verbatim). NULL-valued rows are
+    not observations: they are dropped BEFORE the timeline is built, so
+    a bracket's (sec, value) pair can never desynchronize — without the
+    filter an all-null timestamp would contribute a non-null ``__sec``
+    with a null ``__v_e6`` and the two independent last() calls would
+    lerp between mismatched endpoints.
 
     Determinism contract (repo-wide oracle convention): values
     quantize to integer MICRO-units and timestamps to whole epoch
@@ -384,8 +391,22 @@ def resample_interpolate(
     from pyspark.sql import Window
 
     tcol = F.col(ts)
+    # grid anchor granularity follows the step unit ('15 minutes' →
+    # minute-truncated bounds, '1 day' → midnight), not a hardcoded
+    # 'hour' — only whole-unit steps Spark's date_trunc knows are valid
+    m_step = re.match(
+        r"(?i)^\s*\d+\s+(second|minute|hour|day|week|month|year)s?\s*$",
+        step,
+    )
+    if not m_step:
+        raise ValueError(
+            f"resample_interpolate: unsupported step {step!r} — use "
+            "'<n> <second|minute|hour|day|week|month|year>'"
+        )
+    trunc_unit = m_step.group(1).lower()
+    ev = events.filter(F.col(value).isNotNull())
     obs = (
-        events.groupBy(F.col(key), tcol.alias("__t"))
+        ev.groupBy(F.col(key), tcol.alias("__t"))
         .agg(F.max(F.col(value)).alias("__v"))
         .select(
             key,
@@ -396,9 +417,9 @@ def resample_interpolate(
             .alias("__v_e6"),
         )
     )
-    bounds = events.groupBy(key).agg(
-        F.date_trunc("hour", F.min(tcol)).alias("__t0"),
-        F.date_trunc("hour", F.max(tcol)).alias("__t1"),
+    bounds = ev.groupBy(key).agg(
+        F.date_trunc(trunc_unit, F.min(tcol)).alias("__t0"),
+        F.date_trunc(trunc_unit, F.max(tcol)).alias("__t1"),
     )
     grid = bounds.select(
         key,

@@ -1315,9 +1315,147 @@ def tx_sql(
     if m:
         mode = (m.group(1) or "").strip().upper()
         body = _register_lake_views(spark, m.group(2), base_dir)
-        return spark.sql(f"EXPLAIN {mode} {body}".replace("  ", " "))
+        # assemble the prefix conditionally — a global "  "→" " replace
+        # would also rewrite string literals inside the explained query
+        prefix = "EXPLAIN" + (f" {mode}" if mode else "")
+        return spark.sql(f"{prefix} {body}")
+
+    # EXPLAIN <MERGE|UPDATE|DELETE>: plan inspection for the WRITE
+    # paths — the scans a user actually tunes on a big table. Returns
+    # one row per write-path phase (hit-file discovery, then the
+    # rewrite/clause projection) so the source-key join strategy and
+    # pushed filters are visible without committing anything.
+    m = re.match(
+        rf"(?is)^EXPLAIN({_WS}(?:EXTENDED|FORMATTED|COST|CODEGEN))?"
+        rf"{_WS}((?:MERGE|UPDATE|DELETE)\b.*)$",
+        s,
+    )
+    if m:
+        mode = (m.group(1) or "").strip().lower() or "simple"
+        return _explain_dml(spark, m.group(2), base_dir, mode)
 
     raise ValueError(f"unsupported lake SQL statement: {sql!r}")
+
+
+def _explain_plan_df(
+    spark: SparkSession, phases: list[tuple[str, DataFrame]], mode: str
+) -> DataFrame:
+    """(phase, plan) rows from representative DataFrames — the same
+    explainString the classic ``DataFrame.explain`` prints."""
+    jvm = spark.sparkContext._jvm
+    rows = [
+        (name, jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode))
+        for name, df in phases
+    ]
+    return spark.createDataFrame(rows, "phase string, plan string")
+
+
+def _explain_dml(
+    spark: SparkSession, body: str, base_dir: str, mode: str
+) -> DataFrame:
+    """Representative read plans for MERGE/UPDATE/DELETE without
+    executing the write: phase 1 is the hit-file discovery scan
+    (tx_merge's source-key leftsemi join / the predicate filter for
+    UPDATE-DELETE, `txlog.py` tx_merge/tx_update_where/tx_delete_where),
+    phase 2 the rewrite projection over the hit rows. The frames mirror
+    the write path's shape (same joins, same predicates over the same
+    snapshot scan) — broadcast decisions, pushed filters and the
+    absence of a cartesian show up exactly as the write would plan
+    them."""
+    from pyspark.sql import functions as F
+
+    m = re.match(
+        rf"(?is)^MERGE{_WS}INTO{_WS}{_IDENT}"
+        rf"(?:{_WS}(?:AS{_WS})?(?!USING\b)(\w+))?{_WS}USING{_WS}"
+        rf"(?:\((.*)\)|{_IDENT})(?:{_WS}(?:AS{_WS})?(?!ON\b)(\w+))?{_WS}"
+        rf"ON{_WS}(.*?)(?:{_WS}WHEN\b.*)?$",
+        body,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        if m.group(3):
+            src = spark.sql(
+                _register_lake_views(spark, m.group(3), base_dir)
+            )
+        else:
+            src_path = _path(m.group(4), base_dir)
+            if _is_lake_table(src_path):
+                src = txlog.read_snapshot(spark, src_path)
+            else:
+                src = spark.table(m.group(4).strip("`"))
+        on = m.group(6).strip()
+        km = re.fullmatch(r"\(([^)]*)\)", on)
+        if km:
+            keys = _split_cols(km.group(1))
+        else:
+            keys = []
+            for clause in re.split(r"(?i)\s+AND\s+", on):
+                cm = re.fullmatch(
+                    r"(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)",
+                    clause.strip(),
+                )
+                if not cm or cm.group(1) != cm.group(2):
+                    raise ValueError(
+                        "EXPLAIN MERGE ON supports same-named equality "
+                        f"conjunctions or a (key, ...) list, got: {on!r}"
+                    )
+                keys.append(cm.group(1))
+        tgt = txlog.read_snapshot(spark, path)
+        hit = tgt.join(src.select(*keys).distinct(), keys, "leftsemi")
+        jc = None
+        for k in keys:
+            e = F.col(f"t.{k}") == F.col(f"s.{k}")
+            jc = e if jc is None else (jc & e)
+        clause = tgt.alias("t").join(src.alias("s"), jc, "left_outer")
+        return _explain_plan_df(
+            spark,
+            [("hit_file_discovery", hit), ("clause_projection", clause)],
+            mode,
+        )
+
+    m = re.match(
+        rf"(?is)^UPDATE{_WS}{_IDENT}{_WS}SET{_WS}(.*?)"
+        rf"(?:{_WS}WHERE{_WS}(.*))?$",
+        body,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        pred = F.coalesce(F.expr(m.group(3) or "true"), F.lit(False))
+        snap = txlog.read_snapshot(spark, path)
+        rewrite = snap
+        for part in _split_top(m.group(2)):
+            col, _, expr = part.partition("=")
+            if not expr:
+                raise ValueError(f"bad SET clause: {part!r}")
+            col = col.strip().strip("`")
+            rewrite = rewrite.withColumn(
+                col,
+                F.when(pred, F.expr(expr.strip())).otherwise(F.col(col)),
+            )
+        return _explain_plan_df(
+            spark,
+            [("hit_file_discovery", snap.filter(pred)),
+             ("rewrite_projection", rewrite)],
+            mode,
+        )
+
+    m = re.match(
+        rf"(?is)^DELETE{_WS}FROM{_WS}{_IDENT}(?:{_WS}WHERE{_WS}(.*))?$",
+        body,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        pred = F.coalesce(F.expr(m.group(2) or "true"), F.lit(False))
+        snap = txlog.read_snapshot(spark, path)
+        return _explain_plan_df(
+            spark,
+            [("hit_file_discovery", snap.filter(pred)),
+             ("survivor_rewrite", snap.filter(~pred))],
+            mode,
+        )
+
+    raise ValueError(f"unsupported EXPLAIN DML statement: {body!r}")
 
 
 def is_lake_statement(sql: str) -> bool:
@@ -1335,6 +1473,10 @@ def is_lake_statement(sql: str) -> bool:
         r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
         r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES|TBLPROPERTIES|"
         r"COLUMNS)|"
-        r"DESCRIBE\s|EXPLAIN\s)\b",
+        r"DESCRIBE\s|"
+        # only the EXPLAIN bodies tx_sql implements — anything else
+        # (EXPLAIN INSERT, ...) falls through to plain spark.sql
+        r"EXPLAIN\s+(?:(?:EXTENDED|FORMATTED|COST|CODEGEN)\s+)?"
+        r"(?:SELECT|WITH|MERGE|UPDATE|DELETE))\b",
         sql,
     ))

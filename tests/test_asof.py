@@ -142,6 +142,62 @@ def test_resample_interpolate_semantics(spark):
     assert out4 == [(1, 7_500_000.0)]
 
 
+def test_resample_interpolate_null_values_and_step(spark):
+    # NULL-valued rows are NOT observations: an all-null timestamp at
+    # 01:00 between obs (00:00, v=1.0) and (02:00, v=5.0) must not
+    # desynchronize the bracket (the pre-fix bug lerped a non-null
+    # __sec from 01:00 against an older __v_e6) — the grid point at
+    # 01:00 still lerps 00:00..02:00 to the midpoint 3e6
+    import datetime
+    from pyspark.sql import Row
+    import pyspark.sql.types as T
+    from parallel_dbms_spark.operators import resample_interpolate
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = [
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 0), value=1.0),
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 1, 0), value=None),
+        Row(user_id=1, ts=datetime.datetime(2024, 1, 1, 2, 0), value=5.0),
+    ]
+    out = {
+        (r.user_id, r.grid_ts.hour): r.r_value_e6
+        for r in resample_interpolate(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out == {
+        (1, 0): 1_000_000.0, (1, 1): 3_000_000.0, (1, 2): 5_000_000.0,
+    }
+    # a key whose EVERY value is null contributes no grid at all
+    rows_all_null = rows + [
+        Row(user_id=9, ts=datetime.datetime(2024, 1, 1, 0, 30), value=None),
+    ]
+    out2 = resample_interpolate(
+        spark.createDataFrame(rows_all_null, schema)
+    )
+    assert out2.filter("user_id = 9").count() == 0
+    # generic step: '30 minutes' anchors the grid at the minute (not a
+    # hardcoded hour) and lerps the 00:30/01:30 midpoints exactly
+    out3 = {
+        (r.grid_ts.hour, r.grid_ts.minute): r.r_value_e6
+        for r in resample_interpolate(
+            spark.createDataFrame(rows, schema), step="30 minutes"
+        ).collect()
+    }
+    assert out3[(0, 30)] == 2_000_000.0
+    assert out3[(1, 30)] == 4_000_000.0
+    # unsupported step text raises instead of silently hour-anchoring
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported step"):
+        resample_interpolate(
+            spark.createDataFrame(rows, schema), step="90 sec"
+        ).collect()
+
+
 def test_forward_asof_picks_earliest_at_or_after(spark):
     from pyspark.sql import Row
 
