@@ -1608,3 +1608,116 @@ def mmr_topk(
             "query_id long, neighbor_id long, cos double, rank int",
         )
     )
+
+
+def mmr_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lambda_num: int = 1,
+    lambda_den: int = 2,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`mmr_topk` in the PINNED ORACLE MODE (the repo's
+    md5-band / integer-grid twin convention, 6th instance): the greedy
+    trade-off runs on INTEGER micro-unit cosines with a RATIONAL
+    lambda = lambda_num/lambda_den, so every selection comparison —
+    ``lambda*rel - (1-lambda)*redundancy`` scaled by lambda_den to
+    ``p*rel_e6 - (q-p)*red_e6`` — is exact int64 arithmetic that any
+    engine replays bit-identically (DuckDB unrolls the k greedy steps
+    as plain CTEs, see queries/extensions.py sim_mmr_topk).
+
+    What stays exact without being quantized: the cosines themselves.
+    Both the shortlist relevance and the pairwise redundancy use the
+    proven left-fold double cosine (``dot`` above ≡ DuckDB
+    ``list_reduce`` ≡ the Python loop below — IEEE ops in the same
+    order are bit-identical, the sim_bruteforce_topk precedent), and
+    only the final ``floor(cos * 1e6)`` lands in the comparison, so
+    quantization can never disagree between engines. Tie-breaks pin to
+    (score DESC, id ASC); the first pick ranks by rel_e6, exactly as
+    the oracle's step-1 CTE.
+
+    Scale shape = mmr_topk's, unchanged: distributed exact-cosine
+    shortlist, then grouped applyInPandas per query (O(k*shortlist)
+    memoized pair cosines per group — executor-side, never driver).
+    The float twin remains the serving default. Returns (query_id,
+    neighbor_id, rank, rel_e6).
+    """
+    p, q = lambda_num, lambda_den
+    if not (0 < p < q):
+        raise ValueError("need 0 < lambda_num < lambda_den")
+    cands = brute_force_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).withColumn(
+        "rel_e6",
+        F.floor(F.col("cos") * F.lit(1_000_000.0)).cast("long"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+
+    def greedy_exact(pdf):
+        import math
+
+        import pandas as pd
+
+        ids = [int(x) for x in pdf["neighbor_id"]]
+        rel = [int(x) for x in pdf["rel_e6"]]
+        V = [list(map(float, v)) for v in pdf["v"]]
+
+        def fold(u, v):
+            # the pinned left fold: acc starts 0.0, one (mul, add) per
+            # component in index order — bit-equal to F.aggregate and
+            # DuckDB list_reduce on the same doubles
+            acc = 0.0
+            for a, b in zip(u, v):
+                acc += a * b
+            return acc
+
+        nrm = [math.sqrt(fold(v, v)) for v in V]
+        memo: dict = {}
+
+        def red(i, j):
+            key = (i, j) if i < j else (j, i)
+            if key not in memo:
+                memo[key] = math.floor(
+                    fold(V[i], V[j]) / (nrm[i] * nrm[j]) * 1_000_000.0
+                )
+            return memo[key]
+
+        selected: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(selected) < k:
+            best, best_key = None, None
+            for i in remaining:
+                if selected:
+                    score = p * rel[i] - (q - p) * max(
+                        red(i, s) for s in selected
+                    )
+                else:
+                    score = p * rel[i]
+                key = (score, -ids[i])
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(),
+                "neighbor_id": [ids[i] for i in selected],
+                "rank": list(range(1, len(selected) + 1)),
+                "rel_e6": [rel[i] for i in selected],
+            }
+        )
+
+    return (
+        cands.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "rel_e6", "v")
+        .groupBy("query_id")
+        .applyInPandas(
+            greedy_exact,
+            "query_id long, neighbor_id long, rank int, rel_e6 long",
+        )
+    )

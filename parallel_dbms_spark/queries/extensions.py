@@ -45,12 +45,12 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the ENTIRE MinHash-LSH pipeline under md5
-    token hashing: token hash -> prime-field shingle fold (the same
-    lead-window arithmetic) -> 32 affine-permutation mins (params as
-    literals — the same driver-side LCG constants) -> md5 band buckets
-    -> candidate join -> estimated jaccard (k/32, float-exact)."""
+def _minhash_bands_ctes() -> str:
+    """The shared CTE chain replaying minhash banding under md5 token
+    hashing, ending at ``bands(id, band, bucket)`` — composed by the
+    pair oracle (dedup_minhash_lsh) and the streaming-kept oracle
+    (stream_neardup_dedup_docs), exactly as ``minhash_bands`` is the
+    shared Spark stage of both paths."""
     from ..functions.dedup import MINHASH_PRIME, _perm_params
 
     p = MINHASH_PRIME
@@ -58,7 +58,7 @@ def _minhash_oracle() -> str:
         f"({i}, {a}, {b})"
         for i, (a, b) in enumerate(_perm_params(32))
     )
-    return rf"""WITH params(i, a, b) AS (VALUES {rows}),
+    return rf"""params(i, a, b) AS (VALUES {rows}),
                toks AS (
                  SELECT doc_id AS id,
                         generate_subscripts(regexp_split_to_array(
@@ -88,7 +88,16 @@ def _minhash_oracle() -> str:
                  SELECT id, i // 4 AS band,
                         md5(string_agg(CAST(m AS VARCHAR), ','
                                        ORDER BY i)) AS bucket
-                 FROM sig GROUP BY id, i // 4),
+                 FROM sig GROUP BY id, i // 4)"""
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the ENTIRE MinHash-LSH pipeline under md5
+    token hashing: token hash -> prime-field shingle fold (the same
+    lead-window arithmetic) -> 32 affine-permutation mins (params as
+    literals — the same driver-side LCG constants) -> md5 band buckets
+    -> candidate join -> estimated jaccard (k/32, float-exact)."""
+    return f"""WITH {_minhash_bands_ctes()},
                cand AS (
                  SELECT DISTINCT x.id AS id_a, y.id AS id_b
                  FROM bands x JOIN bands y
@@ -646,12 +655,50 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "pandas_udf"))
+@register(
+    "multimodal_features",
+    # DuckDB replay of the byte-fold feature extractor from document
+    # characters (ASCII fixture: codepoint == payload byte, the
+    # multimodal_pcm_energy contract): the incremental
+    # ``acc = (acc + b) % 997`` fold is a MODULAR SUM per position
+    # class — order-free exact integer math — and the final /997.0 is
+    # one IEEE division on both engines. Docs contribute all 8 buckets
+    # even when empty (zero-fill via the grid LEFT JOIN, matching the
+    # Python [0]*dim initial accumulator).
+    oracle="""WITH chars AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ''), 1) - 1
+                         AS pos,
+                       unnest([unicode(ch)
+                               for ch in string_split(text, '')]) AS cp
+                FROM documents),
+         sums AS (SELECT doc_id, CAST(pos % 8 AS INTEGER) AS p,
+                         CAST(SUM(cp) % 997 AS BIGINT) AS m
+                  FROM chars WHERE cp >= 0 GROUP BY 1, 2),
+         grid AS (SELECT d.doc_id, length(d.text) AS byte_len, pp.p
+                  FROM documents d,
+                       (SELECT CAST(unnest(range(8)) AS INTEGER) AS p)
+                         pp)
+    SELECT g.doc_id, CAST(g.byte_len AS BIGINT) AS byte_len,
+           g.p AS pos,
+           COALESCE(s.m, 0) / 997.0 AS fval
+    FROM grid g LEFT JOIN sums s
+      ON s.doc_id = g.doc_id AND s.p = g.p""",
+    tags=("multimodal", "pandas_udf"),
+)
 def multimodal_features(spark, sf_dir):
-    # Rows-only: the deterministic fake feature vector lives in Python
-    # (mapInPandas); shape/stability asserted in pytest.
+    # mapInPandas feature extraction, VALUE-HASH-CHECKED (r13
+    # conversion, was rows-only): the deterministic byte-fold feature
+    # vector is a pure modular sum per position class, so the oracle
+    # replays every component exactly; the row presents the vector
+    # RELATIONALLY (posexplode) so the driver hashes scalar cells.
+    # Shape/stability stay pytest-asserted.
     mm = multimodal.attach_binary(_docs(spark, sf_dir), F.col("text"))
-    return multimodal.extract_features(mm)
+    out = multimodal.extract_features(mm)
+    return out.select(
+        "doc_id", "byte_len",
+        F.posexplode("feature").alias("pos", "fval"),
+    )
 
 
 @register(
@@ -1381,18 +1428,96 @@ def dedup_keep_canonical(spark, sf_dir):
     return dedup.keep_canonical(docs, dedup.duplicate_clusters(pairs))
 
 
-@register("sim_mmr_topk", oracle=None, tags=("similarity", "mmr", "retrieval"))
+def _mmr_oracle(k: int = 5, shortlist: int = 40, p: int = 1,
+                q: int = 2) -> str:
+    """DuckDB replay of the ENTIRE pinned-mode MMR greedy
+    (similarity.mmr_topk_exact): exact left-fold cosines -> integer
+    micro-unit relevance/redundancy -> the k greedy selections
+    UNROLLED as plain CTEs (step i scores every unselected shortlist
+    candidate as p*rel_e6 - (q-p)*max redundancy against the i-1
+    already-selected, then row_number picks (score DESC, id ASC)) —
+    no recursion, no floats in any comparison."""
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"selu{i - 1}"
+        steps.append(f"""sc{i} AS (
+           SELECT cc.query_id, cc.neighbor_id, cc.rel_e6,
+                  cc.rel_e6 * {p} - {q - p} * MAX(r.red_e6) AS score
+           FROM c cc
+           JOIN red r ON r.query_id = cc.query_id
+                     AND r.id_d = cc.neighbor_id
+           JOIN {prev} s ON s.query_id = r.query_id
+                        AND s.neighbor_id = r.id_s
+           LEFT JOIN {prev} x ON x.query_id = cc.query_id
+                             AND x.neighbor_id = cc.neighbor_id
+           WHERE x.neighbor_id IS NULL
+           GROUP BY cc.query_id, cc.neighbor_id, cc.rel_e6),
+         sel{i} AS (
+           SELECT query_id, neighbor_id, rel_e6, {i} AS rank FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id ASC) AS pk
+             FROM sc{i}) WHERE pk = 1),
+         selu{i} AS (SELECT * FROM {prev}
+                     UNION ALL SELECT * FROM sel{i})""")
+    return f"""WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         qs AS (SELECT vec_id AS query_id, emb AS qv
+                FROM e WHERE vec_id < 5),
+         s AS (SELECT qs.query_id, cand.vec_id AS neighbor_id,
+                      cand.emb AS v,
+                      {_cos_sql('qs.qv', 'cand.emb')} AS cos
+               FROM e cand, qs WHERE cand.vec_id <> qs.query_id),
+         sl AS (SELECT query_id, neighbor_id, v,
+                       CAST(FLOOR(cos * 1000000.0) AS BIGINT) AS rel_e6,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rk
+                FROM s),
+         c AS (SELECT query_id, neighbor_id, v, rel_e6
+               FROM sl WHERE rk <= {shortlist}),
+         red AS (SELECT a.query_id, a.neighbor_id AS id_d,
+                        b.neighbor_id AS id_s,
+                        CAST(FLOOR(({_cos_sql('a.v', 'b.v')})
+                                   * 1000000.0) AS BIGINT) AS red_e6
+                 FROM c a JOIN c b ON a.query_id = b.query_id
+                                  AND a.neighbor_id <> b.neighbor_id),
+         sel1 AS (
+           SELECT query_id, neighbor_id, rel_e6, 1 AS rank FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rel_e6 DESC, neighbor_id ASC) AS pk
+             FROM c) WHERE pk = 1),
+         selu1 AS (SELECT * FROM sel1),
+         {', '.join(steps)}
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, rel_e6
+    FROM selu{k}"""
+
+
+@register(
+    "sim_mmr_topk",
+    oracle=_mmr_oracle(k=5, shortlist=40, p=1, q=2),
+    tags=("similarity", "mmr", "retrieval"),
+)
 def sim_mmr_topk(spark, sf_dir):
-    # Diversified top-k (MMR): distributed exact-cosine shortlist +
-    # executor-side greedy re-rank (grouped applyInPandas per query)
-    # that trades relevance against redundancy — the retrieval-side
-    # mirror of SemDeDup. Rows-only: the greedy order beyond rank 1
-    # depends on float comparisons; the reference-differential and
-    # planted-redundancy tests are tests/test_similarity.py, and the
-    # rank-1 relevance half is exactly oracled as sim_mmr_rank1.
+    # Diversified top-k (MMR), VALUE-HASH-CHECKED end to end (r13
+    # conversion, was rows-only — the 6th pinned twin): distributed
+    # exact-cosine shortlist + executor-side greedy re-rank (grouped
+    # applyInPandas per query) trading relevance against redundancy —
+    # the retrieval-side mirror of SemDeDup. The pinned mode
+    # (similarity.mmr_topk_exact) runs the greedy on integer
+    # micro-unit cosines with lambda = 1/2 as a rational, so every
+    # selection comparison is exact int64 and the oracle above
+    # replays all 5 greedy steps as unrolled CTEs. The float twin
+    # (mmr_topk) stays the serving default; its planted-redundancy
+    # quality tests remain in tests/test_similarity.py.
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.mmr_topk(emb, queries, k=5, lambda_=0.5, shortlist=40)
+    return similarity.mmr_topk_exact(
+        emb, queries, k=5, lambda_num=1, lambda_den=2, shortlist=40
+    )
 
 
 @register(
@@ -2656,18 +2781,70 @@ def graph_sssp_weighted(spark, sf_dir):
 
 @register(
     "multimodal_phash_neardup",
-    oracle=None,
+    # DuckDB replay of the ENTIRE image near-dup pipeline from the
+    # document characters (ASCII fixture: codepoint == payload byte,
+    # the multimodal_pcm_energy contract): 16 pixel gray sums (the
+    # dHash compares (r+g+b)/3 float means, but /3 is monotone and
+    # exact-tie-preserving on sums <= 765, so comparing the INTEGER
+    # 3-byte sums is bit-equivalent), the 9x8 nearest-resize index
+    # gather replayed as closed-form (r//2)*4 + c*4//9 lattice
+    # lookups, MSB-first 64-bit packing with the sign bit as the
+    # two's-complement offset, then the naive all-pairs hamming <= 1
+    # join — which the pigeonhole block join must reproduce EXACTLY
+    # (lossless candidates, the dedup_simhash oracle pattern).
+    oracle="""WITH t AS (SELECT doc_id, substr(text, 1, 48) AS s
+                         FROM documents),
+         pix AS (
+           SELECT t.doc_id, kk.k,
+                  (CASE WHEN length(s) >= 3*kk.k + 1
+                        THEN unicode(substr(s, 3*kk.k + 1, 1))
+                        ELSE 120 END
+                 + CASE WHEN length(s) >= 3*kk.k + 2
+                        THEN unicode(substr(s, 3*kk.k + 2, 1))
+                        ELSE 120 END
+                 + CASE WHEN length(s) >= 3*kk.k + 3
+                        THEN unicode(substr(s, 3*kk.k + 3, 1))
+                        ELSE 120 END) AS s3
+           FROM t, (SELECT unnest(range(16)) AS k) kk),
+         arr AS (SELECT doc_id, list(s3 ORDER BY k) AS a
+                 FROM pix GROUP BY doc_id),
+         bits AS (
+           SELECT arr.doc_id, jj.j,
+                  CASE WHEN a[(jj.j // 8) // 2 * 4
+                              + ((jj.j % 8) + 1) * 4 // 9 + 1]
+                        > a[(jj.j // 8) // 2 * 4
+                            + (jj.j % 8) * 4 // 9 + 1]
+                       THEN 1 ELSE 0 END AS b
+           FROM arr, (SELECT unnest(range(64)) AS j) jj),
+         sig AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN b = 0 THEN 0
+                                WHEN j = 0
+                                THEN -9223372036854775807 - 1
+                                ELSE CAST(1 AS BIGINT) << (63 - j)
+                           END) AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 1""",
     tags=("multimodal", "dedup", "pandas_udf", "decode"),
 )
 def multimodal_phash_neardup(spark, sf_dir):
-    # Image near-dup end-to-end on REAL decoded pixels: each doc's
-    # text is packaged as a tiny P6 PPM (first 12 UTF-8 bytes = 2x2
-    # RGB), pHash signatures are computed in one Arrow pass, and the
-    # pigeonhole hamming-block join (shared with text SimHash) emits
-    # near-dup pairs — docs opening with the same words become
-    # identical/near-identical images, so pairs exist by construction.
-    # Rows-only: signatures live Python-side; pixel-exact behavior is
-    # asserted in tests/test_multimodal_decode.py.
+    # Image near-dup end-to-end on REAL decoded pixels, VALUE-HASH-
+    # CHECKED (r13 conversion, was rows-only): each doc's text is
+    # packaged as a tiny P6 PPM (header + first 48 UTF-8 bytes = 4x4
+    # RGB, 'x'-padded), the netpbm decoder parses it back
+    # (functions/multimodal.py decode_image — a real parser, not a
+    # byte copy), phash64 runs grayscale -> 9x8 nearest-resize ->
+    # difference bits in one Arrow pass, and the pigeonhole
+    # hamming-block join (shared with text SimHash) emits near-dup
+    # pairs. Every stage is integer-decidable (see the oracle note),
+    # so the full multimodal->dedup path — decode, resize lattice,
+    # bit packing, block join — grades under the driver's value hash;
+    # pixel-exact decoder behavior is additionally asserted in
+    # tests/test_multimodal_decode.py.
     from ..functions import multimodal
 
     docs = _docs(spark, sf_dir).select(
@@ -2681,7 +2858,9 @@ def multimodal_phash_neardup(spark, sf_dir):
             ),
         ).alias("payload"),
     )
-    return multimodal.image_neardup_pairs(docs, max_hamming=1, blocks=2)
+    return multimodal.image_neardup_pairs(
+        docs, max_hamming=1, blocks=2
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(

@@ -39,30 +39,31 @@ REGISTRY: dict[str, QuerySpec] = {}
 # produces. Entries not listed here follow in registration order.
 # tests/test_registry_window.py asserts the window's family coverage.
 #
-# ROUND-12 ROTATION (applied): all 50 r11 rows graded green and the
-# oracled-never-graded debt is ZERO, so rotation switches to the
-# VERDICT-r11 staleness policy: 30 keepers = the exact-minimal set
-# cover (branch-and-bound, scripts/rotate_window.py) of the families
-# only ever-graded rows carry, 9 slots take this round's conversions
-# (sim_int8_topk, sim_pq_topk, and sim_ivf_topk — the r11 note's
-# pinned-quantizer / pinned-codebook twins — plus
-# lake_sql_merge_clauses, the generalized SQL MERGE + view + DROP
-# lifecycle row; sample_weighted_k_per_group, the SPS-md5 sampling
-# conversion; and lake_sql_maintenance, the REORG/ANALYZE/RENAME
-# feature proof), and the remaining 11 slots
-# RE-GRADE the oracled rows whose latest green grade is the OLDEST
-# (all last graded r2) so no row's grade goes permanently stale.
-# Every incoming row oracle-verified at sf0.01 AND sf0.1 before
-# rotation. Rotated out (graded green r11, history in
-# CORRECTNESS_r11.json): sql_nulls_ordering, sql_recursive_balance_
-# paydown, stream_dq_report, stream_histogram_value,
-# vector_label_affinity, multimodal_audio_energy, text_bpe_apply, the
-# seven r10/11 dedup/freq conversions, lake_tx_type_widening/
-# column_defaults/generated_partition, and the judge-verified tail —
-# all still exported and oracled, just unwindowed.
+# ROUND-13 ROTATION (applied): all 50 r12 rows graded green and the
+# oracled-never-graded debt is again ZERO after this round's three
+# conversions, so the r12 staleness policy repeats: 29 keepers = the
+# exact-minimal set cover (branch-and-bound, scripts/rotate_window.py,
+# re-solved over the r12-enlarged graded history) of the families only
+# ever-graded rows carry; 3 slots take this round's conversions
+# (multimodal_phash_neardup — the integer-dHash decode->dedup twin;
+# sim_mmr_topk — the 6th pinned twin, integer micro-unit MMR greedy;
+# stream_neardup_dedup_docs — the md5-band streaming dedup whose
+# exactly-once survivor set now grades by value); and the remaining
+# 18 slots RE-GRADE the oracled rows whose latest green grade is the
+# OLDEST on file (15 last graded r2, plus the three stalest r3 rows
+# including typed_csv_roundtrip — the O1/O16 CSV face, VERDICT r12's
+# named stalest lineage). Every incoming row oracle-verified at
+# sf0.01 AND sf0.1 before rotation. Rotated out (graded green r12,
+# history in CORRECTNESS_r12.json): scan_project (projection/scan now
+# carried by sql_lateral_alias + project_expressions' re-grade slot),
+# multimodal_pcm_energy (multimodal/pandas_udf carried by the phash
+# conversion), stream_tx_change_feed (cdc-feed carried by
+# lake_tx_update_cdf_images, source by stream_tx_partitioned_sink),
+# and the r12 conversion/re-grade tail — all still exported and
+# oracled, just unwindowed.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- 30 keepers: exact-minimal set cover of the families no
-    # unwindowed row re-covers (all graded green r2-r11) ---
+    # --- 29 keepers: exact-minimal set cover of the families no
+    # unwindowed row re-covers (all graded green r2-r12) ---
     "agg_histogram_quantiles",        # histogram + sketch + window
     "agg_two_stage_distinct",         # distinct + skew
     "batch_session_window_native",    # session_window + streaming
@@ -79,69 +80,52 @@ DRIVER_WINDOW: tuple[str, ...] = (
                                       #  + retention + column-mapping
                                       #  + constraints + metadata
     "lake_tx_check_constraints",      # constraints + dq + versioned
-    "multimodal_pcm_energy",          # multimodal + aggregate
+    "lake_tx_update_cdf_images",      # cdc-feed + acid + versioned
     "mv_txlog_ivm",                   # cdc + ivm + mv + rollup
     "order_by_multikey",              # limit + sort
     "pipeline_hybrid_retrieval",      # bm25 + search + text
     "rfm_segments",                   # ntile + window
-    "scan_project",                   # projection + scan
     "scd2_pit_enrich",                # asof + cdc + scd2
     "search_phrase",                  # phrase + search
     "seasonal_profile_hourly",        # profiling + timeseries
     "set_except",                     # setop
+    "sql_lateral_alias",              # projection + scan + sql
     "sql_recursive_forest_rollup",    # recursive
     "stream_stream_left_outer",       # outer + streaming + watermark
-    "stream_tx_change_feed",          # cdc-feed + streaming + source
-    "stream_tx_partitioned_sink",     # sink + partition + data-skipping
+    "stream_tx_partitioned_sink",     # sink + source + partition +
+                                      #  data-skipping
     "text_tfidf_topk",                # tfidf
     "tpch_q22_shape",                 # anti + subquery + tpch
     "vector_centroid_drift",          # vectors + aggregate
-    # --- 9 round-12 conversions / feature proofs (never graded;
-    # oracle-verified at sf0.01 AND sf0.1 before rotation) ---
-    "lake_sql_merge_clauses",         # sql merge clauses + views + drop
-    "sim_int8_topk",                  # quantization (pinned SQ8 twin)
-    "sim_pq_topk",                    # pq + pandas_udf (pinned twin)
-    "sim_ivf_topk",                   # ivf + pandas_udf (pinned twin;
-                                      #  converted late-round, takes
-                                      #  set_union's re-grade slot —
-                                      #  never-graded debt stays 0)
-    "sample_weighted_k_per_group",    # weighted sampling (SPS md5 mode
-                                      #  — first VALUE grade; takes
-                                      #  set_intersect's re-grade slot)
-    "lake_sql_maintenance",           # REORG PURGE + ANALYZE + RENAME
-                                      #  TO + SHOW props/cols (takes
-                                      #  order_by_string's slot —
-                                      #  ordering stays covered by the
-                                      #  order_by_multikey keeper)
-    "resample_interpolate_hourly",    # linear gap-fill (integer lerp,
-                                      #  dual-direction ASOF oracle;
-                                      #  takes agg_percentiles' slot —
-                                      #  agg family keeps two keepers)
-    "sim_ann_lsh_topk",               # LSH ANN converted in place (4th
-                                      #  pinned twin: md5 integer
-                                      #  planes; takes agg_variance_
-                                      #  corr's slot — agg keeps two
-                                      #  keepers + agg_operator_stats)
-    "embedding_neardup_lsh",          # near-dup pairs converted in
-                                      #  place (5th twin: md5 planes +
-                                      #  the proven _cos_sql fold;
-                                      #  takes filter_date_range's slot
-                                      #  — filter family keeps the
-                                      #  pushdown keeper + disjunction,
-                                      #  datetime_functions keeps time)
-    # --- 11 staleness re-grades: oracled rows whose latest green
-    # grade is the oldest on file (all r2) ---
-    "agg_operator_stats",
-    "asof_join_events",
-    "datetime_functions",
-    "filter_disjunction",
-    "grouping_cube",
-    "grouping_sets",
-    "join_semi",
-    "join_theta_conj",
-    "pivot_status_counts",
-    "project_expressions",
-    "sql_comma_join",
+    # --- 3 round-13 conversions (never graded; oracle-verified at
+    # sf0.01 AND sf0.1 before rotation) ---
+    "multimodal_phash_neardup",       # multimodal + dedup + pandas_udf
+                                      #  + decode (integer-dHash twin)
+    "sim_mmr_topk",                   # similarity + mmr (6th pinned
+                                      #  twin: integer MMR greedy)
+    "stream_neardup_dedup_docs",      # streaming + dedup + lsh (md5
+                                      #  band mode: stream ≡ batch ≡
+                                      #  DuckDB by value)
+    # --- 18 staleness re-grades: oracled rows whose latest green
+    # grade is the oldest on file (15 x r2, 3 x r3) ---
+    "agg_percentiles",
+    "agg_variance_corr",
+    "filter_date_range",
+    "order_by_string",
+    "set_intersect",
+    "set_union",
+    "string_functions",
+    "tpch_q14_shape",
+    "tpch_q18_shape",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "window_range_frame",
+    "window_rank_lag",
+    "window_running_sum",
+    "window_topk_per_group",
+    "agg_grouped_q1",
+    "agg_ungrouped_all5",
+    "typed_csv_roundtrip",
 )
 
 

@@ -6701,12 +6701,17 @@ def lake_sql_lifecycle(spark, sf_dir):
     def run(s):
         return tx_sql(spark, s, base_dir=d)
 
-    run("CREATE TABLE t (okey BIGINT, o_orderstatus STRING, cents BIGINT)")
+    # r13: the CHECK constraint and the NOT NULL invariant declare
+    # INLINE at CREATE (the standard Delta DDL idiom, parsed by
+    # tx_sql._parse_create_columns into the same tx_set_* verbs a bare
+    # CREATE + ALTER sequence uses) — both laws are live BEFORE the
+    # first INSERT and must survive the renames below
+    run("CREATE TABLE t (okey BIGINT, o_orderstatus STRING, "
+        "cents BIGINT NOT NULL, CONSTRAINT cents_pos CHECK (cents >= 0))")
     run("ALTER TABLE t SET TBLPROPERTIES "
         "('delta.enableRowTracking'='true')")
     run("INSERT INTO t SELECT okey, o_orderstatus, cents "
         "FROM __lake_sql_src WHERE okey % 2 = 0")
-    run("ALTER TABLE t ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
     t = d + "/t"
     files_before = set(txlog.snapshot_files(t)[1])
     run("ALTER TABLE t RENAME COLUMN o_orderstatus TO status")
@@ -6714,7 +6719,11 @@ def lake_sql_lifecycle(spark, sf_dir):
     assert set(txlog.snapshot_files(t)[1]) == files_before, (
         "SQL rename must be metadata-only"
     )
-    assert txlog.table_constraints(t) == {"cents_pos": "price_cents >= 0"}
+    # BOTH inline-declared laws re-bound to the renamed column
+    assert txlog.table_constraints(t) == {
+        "cents_pos": "price_cents >= 0",
+        "cents_not_null": "price_cents IS NOT NULL",
+    }
     run("INSERT INTO t SELECT okey, o_orderstatus AS status, "
         "cents AS price_cents FROM __lake_sql_src WHERE okey % 2 = 1")
     # identity lifecycle through SQL: okey becomes BY DEFAULT identity,

@@ -283,15 +283,42 @@ def stream_trending_event_types(spark, sf_dir):
     )
 
 
-@register("stream_neardup_dedup_docs", oracle=None, tags=("streaming", "dedup", "lsh"))
+def _stream_neardup_oracle() -> str:
+    # DuckDB replay of the streaming dedup's GLOBAL semantics: a doc
+    # survives iff none of its md5 band buckets is claimed by a
+    # lower-id doc anywhere in the (id-ordered) stream — the
+    # documented stream ≡ batch contract (streaming/dedup.py module
+    # doc), over the same band CTE chain dedup_minhash_lsh proves.
+    from .extensions import _minhash_bands_ctes
+
+    return f"""WITH {_minhash_bands_ctes()},
+               dropped AS (
+                 SELECT DISTINCT y.id
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.id < y.id)
+              SELECT d.doc_id FROM documents d
+              LEFT JOIN dropped dr ON dr.id = d.doc_id
+              WHERE dr.id IS NULL"""
+
+
+@register(
+    "stream_neardup_dedup_docs",
+    oracle=_stream_neardup_oracle(),
+    tags=("streaming", "dedup", "lsh"),
+)
 def stream_neardup_dedup_docs(spark, sf_dir):
     # Streaming MinHash-LSH dedup over the documents table, REALLY run
     # as two id-ordered micro-batches with durable band state between
-    # them (streaming/dedup.py). Rows-only (LSH bucketing uses our
-    # hash PRNG); stream≡batch equivalence and cross-batch duplicate
-    # drops are pytest-asserted (tests/test_streaming.py). Fresh temp
-    # dirs per invocation: the band registry is stateful by design, so
-    # a rerun must not see the previous run's state.
+    # them (streaming/dedup.py), VALUE-HASH-CHECKED (r13 conversion,
+    # was rows-only): the md5 band mode makes the stream's admit/drop
+    # decisions — cross-batch state semi-join included — replayable by
+    # the batch oracle above, so stream ≡ batch ≡ DuckDB grades as one
+    # row and the exactly-once survivor set gets a value grade, not
+    # just a pytest. xxhash64 stays the scale default; cross-batch
+    # drop mechanics remain pytest-asserted (tests/test_streaming.py).
+    # Fresh temp dirs per invocation: the band registry is stateful by
+    # design, so a rerun must not see the previous run's state.
     import os
     import tempfile
 
@@ -324,6 +351,7 @@ def stream_neardup_dedup_docs(spark, sf_dir):
         os.path.join(root, "kept"),
         os.path.join(root, "state"),
         os.path.join(root, "ckpt"),
+        hash_fn="md5",
     )
     return (
         spark.read.parquet(os.path.join(root, "kept"))

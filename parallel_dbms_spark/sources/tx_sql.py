@@ -158,6 +158,89 @@ def _split_top(s: str) -> list[str]:
     return out
 
 
+_COL_SPEC_RE = re.compile(
+    r"(?i)\b(?:DEFAULT|GENERATED|NOT\s+NULL|CHECK|CONSTRAINT)\b"
+)
+
+
+def _parse_create_columns(src: str) -> tuple[str, dict]:
+    """CREATE TABLE column list with INLINE SPECS — the standard Delta
+    DDL idiom ``id BIGINT GENERATED ALWAYS AS IDENTITY, d BIGINT
+    DEFAULT 7 NOT NULL, v2 BIGINT GENERATED ALWAYS AS (d * 2),
+    CONSTRAINT pos CHECK (d >= 0)`` — parsed into a bare DDL schema
+    string plus the declaration actions the creating commit sequence
+    applies through the existing ``tx_set_*`` verbs. Supported per
+    column, any order after the type: ``NOT NULL`` (becomes an
+    enforced ``<col> IS NOT NULL`` CHECK), ``DEFAULT <expr>`` (expr
+    runs to the end of the item once other clauses are consumed),
+    ``GENERATED ALWAYS AS (<expr>)`` (balanced parens), ``GENERATED
+    {ALWAYS|BY DEFAULT} AS IDENTITY [(START WITH n INCREMENT BY m)]``;
+    table level: ``[CONSTRAINT name] CHECK (<pred>)``. Items are split
+    at paren-depth-0 commas, so a spec'd list may not also use bare
+    ``MAP<k, v>``-style commas inside angle brackets (wrap the type's
+    comma in parens or declare it via a bare CREATE + ALTER)."""
+    specs: dict = {
+        "defaults": {}, "generated": {}, "identity": {},
+        "constraints": [], "not_null": [],
+    }
+    cols: list[str] = []
+    for item in _split_top(src):
+        m = re.match(
+            r"(?is)^(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\((.*)\)$", item
+        )
+        if m:
+            specs["constraints"].append((
+                m.group(1) or f"check_{len(specs['constraints'])}",
+                m.group(2).strip(),
+            ))
+            continue
+        m = re.match(r"(?is)^(`[^`]+`|\w+)\s+(.*)$", item)
+        if not m:
+            raise ValueError(f"bad CREATE TABLE column spec: {item!r}")
+        name = m.group(1).strip("`")
+        rest = m.group(2).strip()
+
+        im = re.search(
+            r"(?is)\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+            r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+"
+            r"(-?\d+)\s*\))?",
+            rest,
+        )
+        if im:
+            specs["identity"][name] = {
+                "always": im.group(1).upper() == "ALWAYS",
+                "start": int(im.group(2) or 1),
+                "step": int(im.group(3) or 1),
+            }
+            rest = (rest[: im.start()] + " " + rest[im.end():]).strip()
+        gm = re.search(r"(?is)\bGENERATED\s+ALWAYS\s+AS\s*\(", rest)
+        if gm:
+            depth, i = 1, gm.end()
+            while i < len(rest) and depth:
+                depth += {"(": 1, ")": -1}.get(rest[i], 0)
+                i += 1
+            if depth:
+                raise ValueError(
+                    f"unbalanced GENERATED ALWAYS AS parens: {item!r}"
+                )
+            specs["generated"][name] = rest[gm.end(): i - 1].strip()
+            rest = (rest[: gm.start()] + " " + rest[i:]).strip()
+        nm = re.search(r"(?i)\bNOT\s+NULL\b", rest)
+        if nm:
+            specs["not_null"].append(name)
+            rest = (rest[: nm.start()] + " " + rest[nm.end():]).strip()
+        dm = re.search(r"(?is)\bDEFAULT\s+(.+)$", rest)
+        if dm:
+            specs["defaults"][name] = dm.group(1).strip()
+            rest = rest[: dm.start()].strip()
+        if not rest:
+            raise ValueError(f"column {name!r} is missing a type: {item!r}")
+        cols.append(f"{name} {rest}")
+    if not cols:
+        raise ValueError("CREATE TABLE needs at least one data column")
+    return ", ".join(cols), specs
+
+
 def _parse_partition_where(s: str) -> dict:
     """``col = v AND col2 IN (a, b)`` -> {col: v, col2: [a, b]} for
     txlog's partition_filter (equality/IN only — the strict scoping
@@ -529,7 +612,15 @@ def tx_sql(
                 return _result(spark, "create_table", path,
                                txlog.log_versions(path)[-1], "exists")
             raise ValueError(f"table already exists: {path}")
-        empty = spark.createDataFrame([], m.group(2))
+        # inline column specs (DEFAULT / GENERATED / IDENTITY / NOT
+        # NULL / CHECK) parse into the creating commit sequence; a
+        # bare column list passes through verbatim (nested MAP<k, v>
+        # commas and all)
+        specs = None
+        cols_src = m.group(2)
+        if _COL_SPEC_RE.search(cols_src):
+            cols_src, specs = _parse_create_columns(cols_src)
+        empty = spark.createDataFrame([], cols_src)
         # PARTITIONED BY on an empty create is the DECLARING append
         # (zero files staged, the declaration rides the commit) —
         # every later INSERT inherits it and stages value-pure
@@ -539,6 +630,22 @@ def tx_sql(
         )
         if m.group(4):
             v = txlog.tx_set_cluster_by(path, _split_cols(m.group(4)))
+        if specs:
+            for c, expr in sorted(specs["defaults"].items()):
+                v = txlog.tx_set_default(path, c, expr)
+            for c, expr in sorted(specs["generated"].items()):
+                v = txlog.tx_set_generated(spark, path, c, expr)
+            for c, ident in sorted(specs["identity"].items()):
+                v = txlog.tx_set_identity(
+                    spark, path, c, start=ident["start"],
+                    step=ident["step"], always=ident["always"],
+                )
+            for c in specs["not_null"]:
+                v = txlog.tx_set_constraint(
+                    spark, path, f"{c}_not_null", f"{c} IS NOT NULL"
+                )
+            for nm, pred in specs["constraints"]:
+                v = txlog.tx_set_constraint(spark, path, nm, pred)
         return _result(spark, "create_table", path, v,
                        empty.schema.simpleString())
 

@@ -79,17 +79,27 @@ def stream_neardup_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     trigger_available_now: bool = True,
+    hash_fn: str = "xxhash64",
 ):
     """Run the streaming near-dup dedup over ``docs_stream``; survivors
     land under ``out_path/batch_id=N/``, the band registry under
-    ``state_path``. Returns the finished StreamingQuery."""
+    ``state_path``. Returns the finished StreamingQuery.
+
+    ``hash_fn="md5"`` buckets bands by md5 hex string (the
+    oracle-replayable mode ``minhash_bands`` already carries — the
+    registry state then stores string buckets); xxhash64 stays the
+    scale default. The dedup DECISIONS are identical whenever the
+    bucketings collide identically — candidacy only needs bucket
+    equality."""
+    bucket_type = "string" if hash_fn == "md5" else "long"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         bands_df = minhash_bands(
-            batch_df, text_col, id_col, num_perm, bands, shingle_n
+            batch_df, text_col, id_col, num_perm, bands, shingle_n,
+            hash_fn=hash_fn,
         ).select("id", "band", "bucket")
         # foreachBatch re-plans per batch; the band rows feed three
         # consumers (claims, dups, registry append) — localCheckpoint
@@ -99,7 +109,9 @@ def stream_neardup_dedup(
         if os.path.exists(os.path.join(state_path, "_SUCCESS")) or any(
             f.endswith(".parquet") for f in _ls(state_path)
         ):
-            state = spark.read.schema("band int, bucket long").parquet(state_path)
+            state = spark.read.schema(
+                f"band int, bucket {bucket_type}"
+            ).parquet(state_path)
         drop_ids = _batch_verdict(bands_df, state)
         kept = batch_df.join(
             drop_ids, batch_df[id_col] == drop_ids["id"], "left_anti"
@@ -138,12 +150,16 @@ def neardup_reference_kept(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Batch reference for the streaming semantics: a doc survives iff
     none of its band buckets is claimed by a lower-id doc anywhere in
     the corpus. With id-ordered arrival this is exactly what the
     streaming pass computes — the stream≡batch oracle."""
-    bands_df = minhash_bands(docs, text_col, id_col, num_perm, bands, shingle_n)
+    bands_df = minhash_bands(
+        docs, text_col, id_col, num_perm, bands, shingle_n,
+        hash_fn=hash_fn,
+    )
     claims = bands_df.groupBy("band", "bucket").agg(F.min("id").alias("first_id"))
     dup = (
         bands_df.join(claims, ["band", "bucket"])
