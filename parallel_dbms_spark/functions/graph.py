@@ -66,6 +66,74 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """:func:`pagerank` in the PINNED ORACLE MODE (the repo's
+    integer-twin convention): ranks live on an integer pico-unit
+    lattice and damping is the RATIONAL ``damping_num/damping_den``,
+    so every round is exact int64 arithmetic — per-edge contribution
+    ``r div deg`` (floor), order-free integer sums, update
+    ``base + (num * s) div den`` — and any engine replays the run
+    bit-identically with the rounds unrolled (queries/extensions.py
+    graph_pagerank_neardup). The floors lose mass (ranks no longer sum
+    to ~scale) but preserve the centrality ORDERING the float twin
+    computes, which is what the hub-document consumer reads; the float
+    :func:`pagerank` stays the serving default.
+
+    Same distributed shape as the float twin: one join + one
+    aggregation per round over (node, value) tables, lineage truncated
+    per round. Overflow headroom: sums are bounded by the total mass
+    <= scale (1e12), so ``num * s`` stays under 1e14 << 2^63.
+    Returns (id, rank_e12).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    nodes = e.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    n = nodes.count()
+    deg = e.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e_deg = (
+        e.join(deg, e["u"] == deg["id"])
+        .select("u", "v", "deg")
+        .localCheckpoint()
+    )
+    r0 = scale // n
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.select("id", F.lit(r0).cast("long").alias("rank_e12"))
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg["u"] == ranks["id"])
+            .select(
+                F.col("v").alias("id"),
+                F.expr("rank_e12 div deg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + ({damping_num} * "
+                    f"COALESCE(s, CAST(0 AS BIGINT))) div {damping_den}"
+                ).alias("rank_e12"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def closed_wedges(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -198,6 +198,44 @@ def extract_features(df: DataFrame, dim: int = 8, use_stub: bool = True) -> Data
     return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
 
 
+def image_pooled_intensity(df: DataFrame, dim: int = 8) -> DataFrame:
+    """REAL-decode pooled intensity in the INTEGER contract (the
+    multimodal_pcm_energy trade applied to pixels): decode_image runs
+    the actual netpbm/BMP parser, each pixel contributes its integer
+    3-channel sum (3x the grayscale mean — exact, no thirds), and the
+    ``dim`` mean-pool buckets report (sum, count) integer pairs
+    instead of the float ratio — bit-equal on any engine, so the
+    decode -> pool path value-hashes against a SQL oracle. The float
+    feature twin (``extract_features(use_stub=False)``) stays for
+    consumers wanting [0,1] features; sums/counts carry the same
+    information losslessly. One mapInPandas Arrow pass, one output
+    row per (doc, bucket)."""
+    out_schema = "doc_id bigint, pos int, s3_sum bigint, n_px bigint"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, poss, sums, cnts = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                if img.ndim == 3:
+                    s3 = img.astype(np.int64).sum(axis=2).ravel()
+                else:
+                    s3 = (img.astype(np.int64) * 3).ravel()
+                idx = (np.arange(s3.size) * dim) // max(s3.size, 1)
+                acc = np.zeros(dim, dtype=np.int64)
+                np.add.at(acc, idx, s3)
+                npx = np.bincount(idx, minlength=dim)
+                ids += [did] * dim
+                poss += list(range(dim))
+                sums += acc.tolist()
+                cnts += npx.tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": poss, "s3_sum": sums, "n_px": cnts}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, schema=out_schema)
+
+
 def resize_images(
     df: DataFrame, width: int = 32, height: int = 32, use_stub: bool = True
 ) -> DataFrame:

@@ -1013,6 +1013,99 @@ def semantic_dedup(
     return c.groupBy("cell").applyInPandas(prune, schema=out_schema)
 
 
+def semantic_dedup_exact(
+    corpus: DataFrame,
+    threshold_e6: int = 950_000,
+    nlist: int = 16,
+    grid: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` in the PINNED ORACLE MODE (8th pinned
+    twin, the ivf_topk_exact recipe end to end): integer micro-grid
+    vectors, iters=0 md5-ordered centroid seed, (distance, index)
+    total-ordered assignment — then the SemDeDup greedy prune runs on
+    cosines whose every input is exact (int64 grid dots; one sqrt +
+    one multiply + one divide, correctly rounded identically in any
+    IEEE engine) and whose decision lattice is integer micro-units
+    (``floor(cos * 1e6)`` per pair, MAX over earlier members, compare
+    against ``threshold_e6``). DuckDB rebuilds centroids, cells, and
+    the per-pair floors and must land the identical keep set — cluster
+    membership AND the prune verdict are value-hash graded
+    (queries/extensions.py dedup_semantic). The learned-centroid float
+    :func:`semantic_dedup` stays the serving default.
+
+    Scale shape unchanged: one assignment pass, one groupBy(cell)
+    shuffle, O(cluster²) work confined per task; only the nlist x dim
+    centroid matrix reaches the driver. Returns (id, cell, keep,
+    max_cos_e6) for every corpus row; the first member of a cell
+    reports the pinned sentinel -1_000_000.
+    """
+    import numpy as np
+
+    def _grid(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gv"),
+        )
+
+    gc = _grid(corpus)
+    sample = (
+        gc.withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )  # model-sized driver collect, same class as ivf_train_centroids
+    C = np.array([list(r["gv"]) for r in sample], dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(vecs.to_numpy()).astype(np.int64)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1))  # first min = smallest idx
+
+    c = gc.select(
+        "id", "gv", assign(F.col("gv")).cast("long").alias("cell")
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        V = np.stack(pdf["gv"].to_numpy()).astype(np.int64)
+        G = V @ V.T  # exact int64 (grid dots bounded ~dim*grid² << 2^63)
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        # per-pair ops mirror the oracle exactly: int-dot -> /(norm_i *
+        # norm_j) -> *1e6 -> floor — elementwise IEEE, so vectorizing
+        # changes nothing (no reassociation happens inside np.floor/
+        # divide/multiply)
+        c_e6 = np.floor(
+            G.astype(np.float64) / np.outer(nrm, nrm) * 1_000_000.0
+        )
+        c_e6[np.triu_indices(len(V))] = -1_000_000.0  # self + later ids
+        mx = np.maximum(
+            c_e6.max(axis=1, initial=-1_000_000.0), -1_000_000.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "keep": mx < threshold_e6,
+                "max_cos_e6": mx,
+            }
+        )
+
+    out_schema = "id long, cell long, keep boolean, max_cos_e6 long"
+    return c.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
 def mean_vector(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
     """Distributed column-mean of an embedding column: posexplode ->
     groupBy(pos) -> avg. One map-side-combined shuffle of (pos,
@@ -1088,6 +1181,79 @@ def power_iteration_pc1(
         lam = sum(a * b for a, b in zip(x, y))  # Rayleigh: x . (A x)
         x = [c / nrm for c in y]
     return x, lam
+
+
+def power_iteration_pc1_exact(
+    corpus: DataFrame,
+    iters: int = 6,
+    q: int = 10_000,
+    grid: int = 1000,
+    vec_col: str = "embedding",
+) -> "list[int]":
+    """:func:`power_iteration_pc1` in the PINNED ORACLE MODE (9th
+    pinned twin): the iterate lives on an integer lattice — grid
+    vectors ``floor(x*grid + 0.5)``, start vector all-``q``, each
+    round ``s_i = <gv_i, x>`` then ``y_j = sum_i s_i * gv_ij`` in
+    exact int64, then renormalization by TRUNCATING division
+    ``(y_j * q) / max|y|`` (DuckDB's ``//`` truncates toward zero;
+    Python replicates with a sign-split floor) — so every round is
+    engine-replayable and the final direction value-hashes
+    (queries/extensions.py embedding_pca_pc1). Uncentered by design
+    (a float mean would break the lattice); the centered float twin
+    stays the serving default with its numpy-eigh differential tests.
+
+    Overflow audit at the registered parameters: |gv| <= ~grid,
+    |x| <= q, so s_i <= dim*grid*q ~ 6e11 and y_j <= n*s*grid ~ 4e17
+    at n=2000 — inside int64 with 20x headroom (ANSI mode would throw
+    on a violation, a built-in canary). The ``y*q`` renormalization
+    product runs in Python/HUGEINT where width is unbounded.
+
+    Same distributed shape as the float twin: per-round codegen dot +
+    one map-side-combined (pos, partial) shuffle; only the dim-length
+    iterate reaches the driver. Returns the final integer loading
+    vector (list of dim ints in [-q, q])."""
+
+    def tdiv(a: int, b: int) -> int:
+        # truncating integer division (DuckDB // semantics); Python's
+        # // floors, which differs on negative numerators
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    head = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is None:
+        raise ValueError("power_iteration_pc1_exact: empty corpus")
+    dim = head["d"]
+    gvec = corpus.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(grid)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("v")
+    )
+    x = [q] * dim
+    for _ in range(iters):
+        x_lit = F.array(*[F.lit(int(c)).cast("long") for c in x])
+        t = gvec.select(
+            F.aggregate(
+                F.zip_with(F.col("v"), x_lit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("s"),
+            F.posexplode(F.col("v")).alias("pos", "vj"),
+        )
+        rows = (
+            t.groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("vj")).alias("y"))
+            .collect()
+        )
+        y = [0] * dim
+        for r in rows:
+            y[r["pos"]] = int(r["y"])
+        mx = max(abs(c) for c in y)
+        if mx == 0:
+            break
+        x = [tdiv(c * q, mx) for c in y]
+    return x
 
 
 # ------------------------------------------------------------------ int8

@@ -562,36 +562,126 @@ def embedding_neardup_lsh(spark, sf_dir):
 
 @register(
     "dedup_semantic",
-    oracle=None,
+    # DuckDB replay of the ENTIRE pinned SemDeDup pipeline: the
+    # sim_ivf_topk centroid/cell CTEs (integer grid, md5-seeded
+    # centroids, (dist, idx)-ordered assignment) feed a within-cell
+    # earlier-member pair join whose per-pair cosine is exact-input
+    # IEEE (int dots, sqrt, one divide, one multiply) floored to
+    # micro-units; MAX + threshold gives the keep verdict.
+    oracle="""WITH g AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)) AS gv
+           FROM embeddings),
+     cent AS (SELECT * FROM (
+                SELECT vec_id, gv,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cidx
+                FROM g) WHERE cidx < 16),
+     cx AS (SELECT cidx, generate_subscripts(gv, 1) AS d,
+                   unnest(gv) AS val FROM cent),
+     vx AS (SELECT vec_id, generate_subscripts(gv, 1) AS d,
+                   unnest(gv) AS val FROM g),
+     d2 AS (SELECT vx.vec_id, cx.cidx,
+                   SUM((vx.val - cx.val) * (vx.val - cx.val)) AS dist
+            FROM vx JOIN cx ON cx.d = vx.d
+            GROUP BY 1, 2),
+     cells AS (SELECT vec_id, cidx AS cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+                 FROM d2) WHERE rn = 1),
+     pairs AS (SELECT a.vec_id AS id,
+                      FLOOR(CAST(list_dot_product(ga.gv, gb.gv)
+                                 AS DOUBLE)
+                            / (sqrt(CAST(list_dot_product(ga.gv, ga.gv)
+                                         AS DOUBLE))
+                               * sqrt(CAST(list_dot_product(gb.gv, gb.gv)
+                                           AS DOUBLE)))
+                            * 1000000.0) AS c_e6
+               FROM cells a JOIN cells b
+                 ON a.cell = b.cell AND b.vec_id < a.vec_id
+               JOIN g ga ON ga.vec_id = a.vec_id
+               JOIN g gb ON gb.vec_id = b.vec_id),
+     mx AS (SELECT id, CAST(MAX(c_e6) AS BIGINT) AS max_cos_e6
+            FROM pairs GROUP BY id)
+    SELECT c.vec_id AS id, c.cell,
+           COALESCE(m.max_cos_e6, -1000000) < 950000 AS keep,
+           COALESCE(m.max_cos_e6, -1000000) AS max_cos_e6
+    FROM cells c LEFT JOIN mx m ON m.id = c.vec_id""",
     tags=("similarity", "dedup", "semantic", "pandas_udf"),
 )
 def dedup_semantic(spark, sf_dir):
-    # SemDeDup (arXiv:2303.09540): k-means cluster the embeddings, then
-    # greedy within-cluster cosine pruning — drops documents that are
+    # SemDeDup (arXiv:2303.09540): cluster the embeddings, then greedy
+    # within-cluster cosine pruning — drops documents that are
     # *semantically* redundant even when no exact/minhash pass fires.
-    # Rows-only: cell assignment depends on our deterministic k-means
-    # seeding; survivor correctness is pytest-asserted on planted
-    # near-identical groups (tests/test_similarity.py). Every corpus
-    # row comes back classified, so the row count is the corpus size.
-    return similarity.semantic_dedup(
-        _emb_double(spark, sf_dir), threshold=0.95, nlist=16, iters=1
+    # VALUE-HASH-CHECKED (r13 conversion, was rows-only — the 8th
+    # pinned twin): similarity.semantic_dedup_exact runs the
+    # ivf_topk_exact centroid recipe plus a micro-unit prune lattice,
+    # so cluster membership AND every keep verdict grade by value.
+    # The learned-centroid float semantic_dedup stays the serving
+    # default; planted-redundancy survivor tests remain in
+    # tests/test_similarity.py. Every corpus row comes back
+    # classified, so the row count is the corpus size.
+    return similarity.semantic_dedup_exact(
+        _emb_double(spark, sf_dir), threshold_e6=950_000, nlist=16
     )
 
 
-@register("embedding_pca_pc1", oracle=None, tags=("similarity", "pca"))
+def _pca_oracle(iters: int = 6, q: int = 10_000, grid: int = 1000,
+                dim: int = 64) -> str:
+    """DuckDB replay of the integer-lattice power iteration: grid
+    vectors, all-q start, per-round exact integer s/y aggregations,
+    HUGEINT-widened truncating renormalization — every round an
+    unrolled CTE pair (power_iteration_pc1_exact term for term)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = f"x{t - 1}"
+        rounds.append(f"""s{t} AS (
+                 SELECT vx.vec_id, SUM(vx.val * x.xv) AS s
+                 FROM vx JOIN {prev} x ON x.d = vx.d GROUP BY 1),
+               y{t} AS (
+                 SELECT vx.d, CAST(SUM(s.s * vx.val) AS BIGINT) AS y
+                 FROM vx JOIN s{t} s ON s.vec_id = vx.vec_id
+                 GROUP BY 1),
+               m{t} AS (SELECT MAX(ABS(y)) AS mx FROM y{t}),
+               x{t} AS (SELECT d,
+                               CAST((CAST(y AS HUGEINT) * {q}) // mx
+                                    AS BIGINT) AS xv
+                        FROM y{t}, m{t})""")
+    return f"""WITH g AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * {grid} + 0.5)
+                              AS BIGINT)) AS gv
+           FROM embeddings),
+         vx AS (SELECT vec_id, generate_subscripts(gv, 1) AS d,
+                       unnest(gv) AS val FROM g),
+         x0 AS (SELECT unnest(range(1, {dim + 1})) AS d,
+                       CAST({q} AS BIGINT) AS xv),
+         {', '.join(rounds)}
+    SELECT CAST(d - 1 AS INTEGER) AS pos, xv AS loading_q
+    FROM x{iters}"""
+
+
+@register(
+    "embedding_pca_pc1",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca"),
+)
 def embedding_pca_pc1(spark, sf_dir):
-    # First principal component by distributed power iteration: the
-    # covariance matrix never exists; each step is a codegen dot
-    # product + one map-side-combined (pos, partial-sum) shuffle. The
-    # returned frame is the dim-length loading vector (model
-    # parameters) plus its explained sum of squares — numerics are
-    # differential-tested against numpy eigh in tests/test_similarity.py.
-    comp, lam = similarity.power_iteration_pc1(
+    # First principal component by distributed power iteration,
+    # VALUE-HASH-CHECKED (r13 conversion, was rows-only — the 9th
+    # pinned twin): the covariance matrix never exists; each step is
+    # a codegen dot product + one map-side-combined (pos, partial)
+    # shuffle, run on the integer lattice so the oracle unrolls all 6
+    # rounds exactly (power_iteration_pc1_exact). The centered float
+    # twin (power_iteration_pc1) stays the serving default, with its
+    # numpy-eigh differential tests in tests/test_similarity.py.
+    comp = similarity.power_iteration_pc1_exact(
         _emb_double(spark, sf_dir), iters=6
     )
     return spark.createDataFrame(
-        [(i, float(c), float(lam)) for i, c in enumerate(comp)],
-        "pos int, loading double, explained_ss double",
+        [(i, int(c)) for i, c in enumerate(comp)],
+        "pos int, loading_q long",
     )
 
 
@@ -703,16 +793,43 @@ def multimodal_features(spark, sf_dir):
 
 @register(
     "multimodal_decode_real",
-    oracle=None,
+    # DuckDB replay of the REAL decode -> mean-pool path from the
+    # document characters (ASCII contract): pixel k's integer
+    # 3-channel sum is the sum of payload bytes 3k..3k+2 ('x'=120
+    # pads), the dim=8 pool bucket of 16 pixels is (k*8)//16 = k//2,
+    # and the (sum, count) integer pair per bucket is order-free
+    # exact — the float ratio twin keeps its thirds, the graded
+    # contract doesn't need them.
+    oracle="""WITH t AS (SELECT doc_id, substr(text, 1, 48) AS s
+                         FROM documents),
+         pix AS (
+           SELECT t.doc_id, kk.k,
+                  (CASE WHEN length(s) >= 3*kk.k + 1
+                        THEN unicode(substr(s, 3*kk.k + 1, 1))
+                        ELSE 120 END
+                 + CASE WHEN length(s) >= 3*kk.k + 2
+                        THEN unicode(substr(s, 3*kk.k + 2, 1))
+                        ELSE 120 END
+                 + CASE WHEN length(s) >= 3*kk.k + 3
+                        THEN unicode(substr(s, 3*kk.k + 3, 1))
+                        ELSE 120 END) AS s3
+           FROM t, (SELECT unnest(range(16)) AS k) kk)
+    SELECT doc_id, CAST((k * 8) // 16 AS INTEGER) AS pos,
+           CAST(SUM(s3) AS BIGINT) AS s3_sum,
+           COUNT(*) AS n_px
+    FROM pix GROUP BY 1, 2""",
     tags=("multimodal", "pandas_udf", "decode"),
 )
 def multimodal_decode_real(spark, sf_dir):
-    # REAL image decode end-to-end: each doc's text is packaged as a
+    # REAL image decode end-to-end, VALUE-HASH-CHECKED (r13
+    # conversion, was rows-only): each doc's text is packaged as a
     # raw 4x4 P6 PPM payload (header + first 48 bytes, right-padded)
-    # using only JVM built-ins, then multimodal.extract_features with
-    # use_stub=False runs the actual netpbm decoder + grayscale pooled
-    # features inside mapInPandas. Rows-only (features are Python-side
-    # floats); decoder-correctness is pixel-asserted in
+    # using only JVM built-ins, then multimodal.image_pooled_intensity
+    # runs the actual netpbm decoder inside mapInPandas and pools the
+    # integer 3-channel pixel sums — the multimodal_pcm_energy trade:
+    # the graded row selects the integer (sum, count) contract while
+    # extract_features(use_stub=False) keeps the float features for
+    # consumers. Decoder pixel-correctness stays asserted in
     # tests/test_multimodal_decode.py.
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -727,7 +844,7 @@ def multimodal_decode_real(spark, sf_dir):
             ),
         ).alias("payload"),
     )
-    return multimodal.extract_features(docs, dim=4, use_stub=False)
+    return multimodal.image_pooled_intensity(docs, dim=8)
 
 
 @register(
@@ -1855,15 +1972,67 @@ def text_bigram_surprisal(spark, sf_dir):
     return text.bigram_surprisal(_docs(spark, sf_dir))
 
 
-@register("graph_pagerank_neardup", oracle=None, tags=("graph", "iterative"))
+def _pagerank_oracle(iters: int = 10, num: int = 85, den: int = 100,
+                     scale: int = 10**12) -> str:
+    """DuckDB replay of integer-lattice PageRank over the SAME
+    near-dup graph: the jaccard-pairs CTE builds the edges, then each
+    of the ``iters`` rounds is unrolled — contributions ``r // deg``
+    (floor), exact integer sums, update ``base + (num*s) // den`` —
+    matching graph.pagerank_exact term for term."""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""c{i} AS (
+                 SELECT e.v AS id, SUM(r.r // d.deg) AS s
+                 FROM e JOIN {prev} r ON r.id = e.u
+                 JOIN deg d ON d.u = e.u
+                 GROUP BY e.v),
+               r{i} AS (
+                 SELECT nd.id,
+                        CAST(b.base + ({num} * COALESCE(c.s, 0)) // {den}
+                             AS BIGINT) AS r
+                 FROM nodes nd CROSS JOIN basev b
+                 LEFT JOIN c{i} c ON c.id = nd.id)""")
+    return f"""WITH {_JACCARD_PAIRS_CTE},
+               nodes AS (SELECT DISTINCT id FROM (
+                   SELECT id_a AS id FROM pairs
+                   UNION ALL SELECT id_b FROM pairs)),
+               e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                     UNION SELECT id_b, id_a FROM pairs),
+               deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+               nn AS (SELECT COUNT(*) AS n FROM nodes),
+               basev AS (SELECT (({den} - {num}) * {scale})
+                                  // ({den} * n) AS base,
+                                {scale} // n AS r0
+                         FROM nn),
+               r0 AS (SELECT id, CAST(b.r0 AS BIGINT) AS r
+                      FROM nodes, basev b),
+               {', '.join(rounds)}
+              SELECT id, r AS rank_e12 FROM r{iters}"""
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
 def graph_pagerank_neardup(spark, sf_dir):
-    # PageRank centrality over the near-duplicate graph: hub documents
-    # of dense duplicate neighborhoods. Rows-only (iterative float
-    # accumulation); the algorithm is numpy-differential-tested.
-    from ..functions.graph import pagerank
+    # PageRank centrality over the near-duplicate graph, VALUE-HASH-
+    # CHECKED (r13 conversion, was rows-only — the 7th pinned twin):
+    # hub documents of dense duplicate neighborhoods, ranked by
+    # graph.pagerank_exact on the integer pico-unit lattice with
+    # damping 85/100 as a rational — every one of the 10 power rounds
+    # is exact int64, so the oracle unrolls them as plain CTEs over
+    # the SAME jaccard-pairs graph. The float pagerank stays the
+    # serving default (and numpy-differential-tested); the pinned
+    # twin's shape — one join + one aggregation per round — is
+    # identical.
+    from ..functions.graph import pagerank_exact
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
-    return pagerank(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return pagerank_exact(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
 
 
 @register(
@@ -2299,15 +2468,100 @@ def sample_contrastive_negatives(spark, sf_dir):
     return out.select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
 
 
-@register("pipeline_pretrain_mix", oracle=None, tags=("pipeline", "dedup", "text", "pandas_udf"))
+def _pretrain_mix_oracle() -> str:
+    """DuckDB replay of the FULL pretraining pipeline composition.
+    Every stage already has a proven oracle convention and they
+    compose: NFKC normalization is the IDENTITY on the ASCII fixture
+    (the codepoint==byte contract multimodal_pcm_energy pins — a
+    non-ASCII corpus would have failed that green row), so quality
+    (_QUALITY_SQL, expression-for-expression), language (_LANG_CASE),
+    token counts, the unigram-surprisal model (text_unigram_surprisal's
+    CTE chain), the min-id exact dedup (partition by trim(text) ≡ the
+    Spark md5-of-text partition), the md5-threshold corpus mix
+    (corpus_mix_weighted's rule), and the recursive packing walk
+    (pack_sequences_2k's CTE at budget 512) all replay exactly."""
+    evens = ", ".join(f"'src{i}'" for i in range(0, 20, 2))
+    odds = " OR ".join(
+        f"(source = 'src{i}' AND "
+        "substr(md5(CAST(doc_id AS VARCHAR) || '|mix0'), 1, 4)"
+        " < '8000')"
+        for i in range(1, 20, 2)
+    )
+    return rf"""WITH RECURSIVE toks AS (
+                 SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')) AS term
+                 FROM documents),
+               t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+               doc_tf AS (SELECT doc_id, term, COUNT(*) AS tf_doc
+                          FROM t2 GROUP BY 1, 2),
+               vocab AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf
+                         FROM doc_tf GROUP BY 1),
+               tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total
+                       FROM vocab),
+               sc AS (SELECT doc_tf.doc_id, doc_tf.tf_doc,
+                             CAST(FLOOR(-ln(CAST(tf AS DOUBLE) / total)
+                                        * 1000000.0) AS BIGINT) AS s_e6
+                      FROM doc_tf JOIN vocab
+                        ON doc_tf.term = vocab.term
+                      CROSS JOIN tot),
+               surp AS (SELECT doc_id,
+                               CAST(SUM(tf_doc * s_e6) AS DOUBLE)
+                                 / CAST(SUM(tf_doc) AS DOUBLE)
+                                 AS avg_surprisal_e6
+                        FROM sc GROUP BY 1),
+               q AS (SELECT doc_id, source, text,
+                            {_QUALITY_SQL} AS quality,
+                            {_LANG_CASE} AS lang_pred,
+                            CAST(len(regexp_extract_all(text, '\S+'))
+                                 AS BIGINT) AS n_tokens
+                     FROM documents),
+               filt AS (SELECT q.doc_id, q.source, q.text, q.n_tokens
+                        FROM q JOIN surp USING (doc_id)
+                        WHERE q.quality >= 0.5 AND q.lang_pred = 'en'
+                          AND surp.avg_surprisal_e6 < 12000000),
+               ded AS (SELECT doc_id, source, n_tokens FROM (
+                         SELECT f.*, MIN(doc_id) OVER (
+                           PARTITION BY trim(text)) AS keep
+                         FROM filt f) WHERE doc_id = keep),
+               mixed AS (SELECT doc_id, source, n_tokens FROM ded
+                         WHERE source IN ({evens}) OR {odds}),
+               r AS (SELECT source, doc_id, n_tokens,
+                            ROW_NUMBER() OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS rn
+                     FROM mixed),
+               walk AS (
+                 SELECT source, rn, doc_id, n_tokens,
+                        CAST(0 AS BIGINT) AS bin_id,
+                        n_tokens AS running
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.source, r.rn, r.doc_id, r.n_tokens,
+                        CASE WHEN w.running + r.n_tokens > 512
+                             THEN w.bin_id + 1 ELSE w.bin_id END,
+                        CASE WHEN w.running + r.n_tokens > 512
+                             THEN r.n_tokens
+                             ELSE w.running + r.n_tokens END
+                 FROM walk w JOIN r
+                   ON r.source = w.source AND r.rn = w.rn + 1)
+              SELECT doc_id, source, n_tokens, bin_id FROM walk"""
+
+
+@register(
+    "pipeline_pretrain_mix",
+    oracle=_pretrain_mix_oracle(),
+    tags=("pipeline", "dedup", "text", "pandas_udf"),
+)
 def pipeline_pretrain_mix(spark, sf_dir):
     # The FULL pretraining-data pipeline as one lazy composition:
     #   normalize (NFKC) -> language filter -> quality + LM-surprisal
     #   filters -> exact dedup (min-id survivor) -> per-source corpus
     #   mix -> context-window sequence packing.
-    # Every stage is an operator graded elsewhere on its own (oracle or
-    # pytest); this query grades the COMPOSITION end to end. Rows-only
-    # (NFKC runs in a pandas UDF); invariants are pytest-asserted
+    # VALUE-HASH-CHECKED end to end (r13 conversion, was rows-only):
+    # every stage already had a proven oracle convention and the
+    # composition replays exactly (see _pretrain_mix_oracle's note) —
+    # grading not just each operator but the hand-offs between them.
+    # Invariants remain pytest-asserted
     # (tests/test_sampling.py::test_pipeline_pretrain_mix_invariants).
     from pyspark.sql import Window
 
@@ -2956,17 +3210,59 @@ def event_transition_matrix(spark, sf_dir):
 
 @register(
     "graph_kcore_cooccurrence",
-    oracle=None,
+    # DuckDB replay of the peeling FIXPOINT by unrolled monotone
+    # rounds: recursive CTEs can't aggregate over the recursion, but
+    # peeling is monotone — once converged, extra rounds are no-ops —
+    # so R unrolled restriction rounds compute the exact k-core
+    # whenever the fixture converges within R. The fixture converges
+    # in ONE round (measured at sf0.001/sf0.01; the co-occurrence
+    # graph is dense); R=4 is margin, and the Spark side runs to true
+    # fixpoint either way, so agreement IS the convergence proof.
+    oracle="""WITH b AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                       user_id
+                FROM events),
+              p AS (
+                SELECT DISTINCT l.user_id AS src, r.user_id AS dst
+                FROM b l JOIN b r
+                  ON l.event_type = r.event_type AND l.hr = r.hr
+                 AND l.user_id < r.user_id),
+              e0 AS (SELECT src AS u, dst AS v FROM p
+                     UNION SELECT dst, src FROM p),
+              d1 AS (SELECT u, COUNT(*) AS degree FROM e0 GROUP BY u),
+              k1 AS (SELECT u FROM d1 WHERE degree >= 4),
+              e1 AS (SELECT e.u, e.v FROM e0 e
+                     JOIN k1 a ON a.u = e.u
+                     JOIN k1 bb ON bb.u = e.v),
+              d2 AS (SELECT u, COUNT(*) AS degree FROM e1 GROUP BY u),
+              k2 AS (SELECT u FROM d2 WHERE degree >= 4),
+              e2 AS (SELECT e.u, e.v FROM e1 e
+                     JOIN k2 a ON a.u = e.u
+                     JOIN k2 bb ON bb.u = e.v),
+              d3 AS (SELECT u, COUNT(*) AS degree FROM e2 GROUP BY u),
+              k3 AS (SELECT u FROM d3 WHERE degree >= 4),
+              e3 AS (SELECT e.u, e.v FROM e2 e
+                     JOIN k3 a ON a.u = e.u
+                     JOIN k3 bb ON bb.u = e.v),
+              d4 AS (SELECT u, COUNT(*) AS degree FROM e3 GROUP BY u),
+              k4 AS (SELECT u FROM d4 WHERE degree >= 4),
+              e4 AS (SELECT e.u, e.v FROM e3 e
+                     JOIN k4 a ON a.u = e.u
+                     JOIN k4 bb ON bb.u = e.v),
+              df AS (SELECT u, COUNT(*) AS degree FROM e4 GROUP BY u)
+             SELECT u AS node, degree FROM df WHERE degree >= 4""",
     tags=("graph", "iterative"),
 )
 def graph_kcore_cooccurrence(spark, sf_dir):
     # k-core decomposition (iterative peeling, functions/graph.py
     # kcore) of the user co-occurrence graph — the dense backbone that
     # survives after repeatedly shedding weakly-connected users.
-    # Iterative fixpoint with per-round lineage truncation; not
-    # SQL-expressible (DuckDB recursive CTEs cannot aggregate over the
-    # recursion), so rows-only here + a differential pytest against a
-    # pure-Python peeling reference (tests/test_graph_kcore.py).
+    # VALUE-HASH-CHECKED (r13 conversion, was rows-only): degrees and
+    # the peel decision are pure integer math, so the unrolled oracle
+    # above replays the fixpoint exactly (see its note). The
+    # differential pytest against a pure-Python peeling reference
+    # remains (tests/test_graph_kcore.py).
     from ..functions.graph import cooccurrence_edges, kcore
 
     ev = load_table(spark, sf_dir, "events").select(
