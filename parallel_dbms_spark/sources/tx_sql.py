@@ -241,6 +241,33 @@ def _parse_create_columns(src: str) -> tuple[str, dict]:
     return ", ".join(cols), specs
 
 
+def _apply_column_specs(spark: SparkSession, path: str, specs: dict) -> int:
+    """Apply a parsed inline-spec dict through the declaration verbs
+    (one commit each, same sequence a bare CREATE + ALTERs produces);
+    returns the final version."""
+    from . import txlog
+
+    v = None
+    for c, expr in sorted(specs["defaults"].items()):
+        v = txlog.tx_set_default(path, c, expr)
+    for c, expr in sorted(specs["generated"].items()):
+        v = txlog.tx_set_generated(spark, path, c, expr)
+    for c, ident in sorted(specs["identity"].items()):
+        v = txlog.tx_set_identity(
+            spark, path, c, start=ident["start"],
+            step=ident["step"], always=ident["always"],
+        )
+    for c in specs["not_null"]:
+        v = txlog.tx_set_constraint(
+            spark, path, f"{c}_not_null", f"{c} IS NOT NULL"
+        )
+    for nm, pred in specs["constraints"]:
+        v = txlog.tx_set_constraint(spark, path, nm, pred)
+    if v is None:
+        v = txlog.log_versions(path)[-1]
+    return v
+
+
 def _parse_partition_where(s: str) -> dict:
     """``col = v AND col2 IN (a, b)`` -> {col: v, col2: [a, b]} for
     txlog's partition_filter (equality/IN only — the strict scoping
@@ -275,9 +302,9 @@ def _mask_spans(sql: str) -> tuple[str, list[str]]:
     POSITION(...)``) with ``\\x00N\\x00`` placeholders so the table-
     reference rewriter can never match text inside them. Doubled
     quotes (``'it''s'``) mask as two adjacent literals — content is
-    restored verbatim by :func:`_unmask`. Function spans with NESTED
-    parens aren't masked (rare); they then fall back to the
-    is-lake-table resolve check, which no-ops on column names."""
+    restored verbatim by :func:`_unmask`. Function spans are matched
+    with a balanced-paren scan, so nested calls
+    (``EXTRACT(hour FROM coalesce(a, b))``) mask whole."""
     spans: list[str] = []
 
     def keep(m: re.Match) -> str:
@@ -285,17 +312,38 @@ def _mask_spans(sql: str) -> tuple[str, list[str]]:
         return f"\x00{len(spans) - 1}\x00"
 
     sql = re.sub(r"'[^']*'", keep, sql)
-    sql = re.sub(
-        r"(?i)\b(EXTRACT|TRIM|SUBSTRING|OVERLAY|POSITION)\s*\([^()]*\)",
-        keep, sql,
-    )
-    return sql, spans
+    out, pos = [], 0
+    for m in re.finditer(
+        r"(?i)\b(EXTRACT|TRIM|SUBSTRING|OVERLAY|POSITION)\s*\(", sql
+    ):
+        if m.start() < pos:
+            continue  # nested inside a span already taken
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        if depth:  # unbalanced — leave the tail alone
+            continue
+        spans.append(sql[m.start():i])
+        out.append(sql[pos:m.start()])
+        out.append(f"\x00{len(spans) - 1}\x00")
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out), spans
 
 
 def _unmask(sql: str, spans: list[str]) -> str:
-    return re.sub(
-        r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], sql
-    )
+    # to a FIXPOINT: function spans hold placeholders of the literals
+    # masked before them (EXTRACT(... 'lit' ...)), so one pass can
+    # leave nested markers behind. Terminates: span text never
+    # contains \x00 markers other than earlier-pass placeholders.
+    while True:
+        new = re.sub(
+            r"\x00(\d+)\x00", lambda m: spans[int(m.group(1))], sql
+        )
+        if new == sql:
+            return new
+        sql = new
 
 
 # one table reference: identifier, optional time travel, optional
@@ -598,54 +646,84 @@ def tx_sql(
 
     # ---------------- CREATE TABLE ----------------
     m = re.match(
-        rf"(?is)^CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
+        rf"(?is)^CREATE{_WS}(OR{_WS}REPLACE{_WS})?TABLE{_WS}"
+        rf"(?:IF{_WS}NOT{_WS}EXISTS{_WS})?"
         rf"{_IDENT}\s*\((.*?)\)"
         rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
-        rf"(?:{_WS}CLUSTER{_WS}BY\s*\(([^)]*)\))?$",
+        rf"(?:{_WS}CLUSTER{_WS}BY\s*\(([^)]*)\))?"
+        rf"(?:{_WS}TBLPROPERTIES\s*\(([^)]*)\))?$",
         s,
     )
     if m:
-        path = _path(m.group(1), base_dir)
+        replace = bool(m.group(1))
+        path = _path(m.group(2), base_dir)
         if_not_exists = re.search(rf"(?i)IF{_WS}NOT{_WS}EXISTS", s) is not None
-        if _is_lake_table(path):
-            if if_not_exists:
-                return _result(spark, "create_table", path,
-                               txlog.log_versions(path)[-1], "exists")
-            raise ValueError(f"table already exists: {path}")
+        pb = _split_cols(m.group(4)) if m.group(4) else None
+        cb = _split_cols(m.group(5)) if m.group(5) else None
+        # inline TBLPROPERTIES at CREATE: same support surface as
+        # ALTER TABLE SET TBLPROPERTIES (row tracking), applied as
+        # part of the creating commit sequence
+        row_tracking = False
+        if m.group(6):
+            props = dict(
+                (k.strip().strip("'\""), pv.strip().strip("'\""))
+                for k, _, pv in (
+                    p.partition("=") for p in m.group(6).split(",")
+                )
+            )
+            row_tracking = (
+                props.pop("delta.enableRowTracking", "").lower() == "true"
+            )
+            if props:
+                raise ValueError(
+                    f"unsupported TBLPROPERTIES {sorted(props)} — "
+                    "supported: 'delta.enableRowTracking'='true'"
+                )
         # inline column specs (DEFAULT / GENERATED / IDENTITY / NOT
         # NULL / CHECK) parse into the creating commit sequence; a
         # bare column list passes through verbatim (nested MAP<k, v>
         # commas and all)
         specs = None
-        cols_src = m.group(2)
+        cols_src = m.group(3)
         if _COL_SPEC_RE.search(cols_src):
             cols_src, specs = _parse_create_columns(cols_src)
+        if _is_lake_table(path):
+            if replace:
+                # Delta's CREATE OR REPLACE TABLE (definition form):
+                # one commit swaps in the new (empty) definition;
+                # history/time travel keep serving the pre-replace
+                # versions. As with the CTAS OR REPLACE path, declared
+                # laws (constraints/defaults/identity) survive the
+                # replace; the inline specs layer on top.
+                empty = spark.createDataFrame([], cols_src)
+                v, _ = txlog.tx_overwrite(
+                    spark, path, empty, overwrite_schema=True
+                )
+                if pb:
+                    v, _ = txlog.tx_repartition_table(spark, path, pb)
+                if cb is not None:
+                    v = txlog.tx_set_cluster_by(path, cb)
+                if specs:
+                    v = _apply_column_specs(spark, path, specs)
+                if row_tracking:
+                    v = txlog.tx_enable_row_tracking(path)
+                return _result(spark, "create_or_replace", path, v,
+                               empty.schema.simpleString())
+            if if_not_exists:
+                return _result(spark, "create_table", path,
+                               txlog.log_versions(path)[-1], "exists")
+            raise ValueError(f"table already exists: {path}")
         empty = spark.createDataFrame([], cols_src)
         # PARTITIONED BY on an empty create is the DECLARING append
         # (zero files staged, the declaration rides the commit) —
         # every later INSERT inherits it and stages value-pure
-        v = txlog.tx_append(
-            empty, path,
-            partition_by=_split_cols(m.group(3)) if m.group(3) else None,
-        )
-        if m.group(4):
-            v = txlog.tx_set_cluster_by(path, _split_cols(m.group(4)))
+        v = txlog.tx_append(empty, path, partition_by=pb)
+        if cb is not None:
+            v = txlog.tx_set_cluster_by(path, cb)
         if specs:
-            for c, expr in sorted(specs["defaults"].items()):
-                v = txlog.tx_set_default(path, c, expr)
-            for c, expr in sorted(specs["generated"].items()):
-                v = txlog.tx_set_generated(spark, path, c, expr)
-            for c, ident in sorted(specs["identity"].items()):
-                v = txlog.tx_set_identity(
-                    spark, path, c, start=ident["start"],
-                    step=ident["step"], always=ident["always"],
-                )
-            for c in specs["not_null"]:
-                v = txlog.tx_set_constraint(
-                    spark, path, f"{c}_not_null", f"{c} IS NOT NULL"
-                )
-            for nm, pred in specs["constraints"]:
-                v = txlog.tx_set_constraint(spark, path, nm, pred)
+            v = _apply_column_specs(spark, path, specs)
+        if row_tracking:
+            v = txlog.tx_enable_row_tracking(path)
         return _result(spark, "create_table", path, v,
                        empty.schema.simpleString())
 
@@ -1434,7 +1512,7 @@ def tx_sql(
     # pushed filters are visible without committing anything.
     m = re.match(
         rf"(?is)^EXPLAIN({_WS}(?:EXTENDED|FORMATTED|COST|CODEGEN))?"
-        rf"{_WS}((?:MERGE|UPDATE|DELETE)\b.*)$",
+        rf"{_WS}((?:MERGE|UPDATE|DELETE|INSERT)\b.*)$",
         s,
     )
     if m:
@@ -1562,6 +1640,29 @@ def _explain_dml(
             mode,
         )
 
+    # INSERT INTO t [(cols)] <SELECT|VALUES>: the append path's only
+    # plan is its input — replace-where/partition-overwrite variants
+    # additionally show the hit-partition scan their predicate prunes
+    m = re.match(
+        rf"(?is)^INSERT{_WS}INTO{_WS}{_IDENT}"
+        rf"(?:{_WS}REPLACE{_WS}WHERE{_WS}(.*?))?"
+        rf"(?:\s*\(([^)]*)\))?{_WS}?((?:SELECT|WITH|VALUES)\b.*)$",
+        body,
+    )
+    if m:
+        path = _path(m.group(1), base_dir)
+        ins = m.group(4).strip()
+        if re.match(r"(?i)^VALUES\b", ins):
+            df = spark.sql(f"SELECT * FROM ({ins})")
+        else:
+            df = spark.sql(_register_lake_views(spark, ins, base_dir))
+        phases = [("append_input", df)]
+        if m.group(2):
+            pred = F.coalesce(F.expr(m.group(2)), F.lit(False))
+            snap = txlog.read_snapshot(spark, path)
+            phases.append(("replaced_rows_scan", snap.filter(pred)))
+        return _explain_plan_df(spark, phases, mode)
+
     raise ValueError(f"unsupported EXPLAIN DML statement: {body!r}")
 
 
@@ -1582,8 +1683,8 @@ def is_lake_statement(sql: str) -> bool:
         r"COLUMNS)|"
         r"DESCRIBE\s|"
         # only the EXPLAIN bodies tx_sql implements — anything else
-        # (EXPLAIN INSERT, ...) falls through to plain spark.sql
+        # falls through to plain spark.sql
         r"EXPLAIN\s+(?:(?:EXTENDED|FORMATTED|COST|CODEGEN)\s+)?"
-        r"(?:SELECT|WITH|MERGE|UPDATE|DELETE))\b",
+        r"(?:SELECT|WITH|MERGE|UPDATE|DELETE|INSERT))\b",
         sql,
     ))
