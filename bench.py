@@ -187,7 +187,16 @@ def bench_queries(spark, sf_dir):
         ),
         # r5: MMR now runs its greedy stage executor-side (grouped
         # applyInPandas) — benched so the distributed re-rank is tracked
-        "sim_mmr": lambda: _exec(REGISTRY["sim_mmr_topk"].fn(spark, sf_dir)),
+        # pinned to the FLOAT serving path (similarity.mmr_topk): the
+        # registry row now runs the r13 integer twin — the bench phase
+        # keeps measuring the path production runs so round-over-round
+        # deltas stay comparable
+        "sim_mmr": lambda: _exec(
+            similarity.mmr_topk(
+                emb, emb.filter(F.col("vec_id") < 5),
+                k=5, lambda_=0.5, shortlist=40,
+            )
+        ),
         "hybrid_retrieval": lambda: _exec(
             REGISTRY["pipeline_hybrid_retrieval"].fn(spark, sf_dir)
         ),
@@ -206,7 +215,14 @@ def bench_queries(spark, sf_dir):
         "corpus_mix": lambda: _exec(REGISTRY["corpus_mix_weighted"].fn(spark, sf_dir)),
         # r3 additions: cluster-confined semantic dedup, conditional
         # bigram LM scoring, and the streaming LSH dedup end-to-end
-        "dedup_semantic": lambda: _exec(REGISTRY["dedup_semantic"].fn(spark, sf_dir)),
+        # pinned to the FLOAT serving path (similarity.semantic_dedup):
+        # the registry row now runs the r13 oracle twin — same
+        # rationale as sim_mmr above
+        "dedup_semantic": lambda: _exec(
+            similarity.semantic_dedup(
+                emb, threshold=0.95, nlist=16, iters=1
+            )
+        ),
         "bigram_surprisal": lambda: _exec(
             REGISTRY["text_bigram_surprisal"].fn(spark, sf_dir)
         ),
@@ -535,6 +551,12 @@ def main():
                 "for THIS registered row only — xxhash64 stays the "
                 "API default (bench's stream_neardup workload "
                 "unchanged, it calls the function directly)",
+            "serving_path_pinning": "sim_mmr and dedup_semantic "
+                "phases now call the float serving functions "
+                "directly — their registry rows switched to r13 "
+                "integer oracle twins, and the bench must keep "
+                "measuring the production path for comparability "
+                "(same move sim_pq_serve made in r12)",
         },
     }
     # The driver captures only a byte-limited TAIL of stdout and parses
@@ -544,8 +566,16 @@ def main():
     # into a local file; the FINAL stdout line stays a compact headline
     # that always fits the tail capture.
     print(json.dumps(detail))
+    # the committed repo artifact records the CANONICAL scale only —
+    # a sf0.001 smoke run must never clobber the adjudicated sf0.1
+    # record (it did once, r13); other scales write a suffixed file
+    sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    detail_name = (
+        "BENCH_DETAIL.json" if sf_tag == "0.1"
+        else f"BENCH_DETAIL_sf{sf_tag}.json"
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     out = {
         "metric": "headline_suite_wall",
