@@ -3774,17 +3774,20 @@ def lake_tx_partitioned_merge(spark, sf_dir):
     tags=("lake", "acid", "source", "import", "groupby"),
 )
 def lake_tx_convert_import(spark, sf_dir):
-    # CONVERT TO transactional (tx_convert_parquet_dir): an existing
-    # plain-parquet directory becomes the table's first commit through
-    # HARDLINKS — zero bytes copied (asserted in-query via inode
-    # identity), O(files) for a directory of any size — and the
-    # converted table immediately serves snapshot reads. The oracle is
-    # the plain aggregate over the source fact table, so the hash
-    # proves conversion is a pure metadata registration.
+    # CONVERT TO transactional, now THROUGH THE SQL DOOR (r13:
+    # ``CONVERT TO LAKE '<dir>' AS t`` routes to
+    # tx_convert_parquet_dir): an existing plain-parquet directory
+    # becomes the table's first commit through HARDLINKS — zero bytes
+    # copied (asserted in-query via inode identity), O(files) for a
+    # directory of any size — and the converted table immediately
+    # serves snapshot reads. The oracle is the plain aggregate over
+    # the source fact table, so the hash proves conversion is a pure
+    # metadata registration.
     import os as _os
     import tempfile
 
     from ..sources import txlog
+    from ..sources.tx_sql import tx_sql
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -3793,7 +3796,8 @@ def lake_tx_convert_import(spark, sf_dir):
     plain = base + "/plain"
     o.repartition(4).write.parquet(plain)
     t = base + "/orders_tx"
-    txlog.tx_convert_parquet_dir(spark, plain, t, stats_cols=["o_orderkey"])
+    tx_sql(spark, f"CONVERT TO LAKE '{plain}' AS orders_tx",
+           base_dir=base)
     src_inodes = {
         _os.stat(_os.path.join(dp, f)).st_ino
         for dp, _, fs in _os.walk(plain)

@@ -48,6 +48,8 @@ the whole table lifecycle through the SQL door:
     RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'
     COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         [PATTERN = '<glob>'] [FORCE = true]
+    CONVERT TO LAKE '<parquet dir>' AS t [PARTITIONED BY (a, b)]
+        [COPY] [MERGE SCHEMA]
     TRUNCATE TABLE t
     ALTER TABLE t RENAME TO t2
     SHOW CREATE TABLE t | SHOW PARTITIONS t
@@ -1238,6 +1240,32 @@ def tx_sql(
         return _result(spark, "copy_into", path,
                        v if n else None, f"{n} files loaded")
 
+    # ---------------- CONVERT TO LAKE ----------------
+    # Delta's CONVERT TO DELTA for this engine's layout: an existing
+    # plain-parquet directory becomes a transactional table WITHOUT
+    # copying bytes (hardlinked files + one founding commit; COPY pays
+    # the byte copy to sever inode sharing, MERGE SCHEMA accepts
+    # additive footer drift, PARTITIONED BY derives partitionValues
+    # from footer stats so the converted table prunes from day one)
+    m = re.match(
+        rf"(?is)^CONVERT{_WS}TO{_WS}LAKE{_WS}'([^']+)'{_WS}AS{_WS}"
+        rf"{_IDENT}"
+        rf"(?:{_WS}PARTITIONED{_WS}BY\s*\(([^)]*)\))?"
+        rf"((?:{_WS}COPY)?)((?:{_WS}MERGE{_WS}SCHEMA)?)$",
+        s,
+    )
+    if m:
+        path = _path(m.group(2), base_dir)
+        v = txlog.tx_convert_parquet_dir(
+            spark, m.group(1), path,
+            partition_by=_split_cols(m.group(3)) if m.group(3) else None,
+            copy=bool(m.group(4).strip()),
+            merge_schema=bool(m.group(5).strip()),
+        )
+        n = len(txlog.snapshot_files(path)[1])
+        return _result(spark, "convert", path, v,
+                       f"{n} files from {m.group(1)}")
+
     # ---------------- ANALYZE ----------------
     m = re.match(
         rf"(?is)^ANALYZE{_WS}TABLE{_WS}{_IDENT}{_WS}COMPUTE{_WS}"
@@ -1677,7 +1705,8 @@ def is_lake_statement(sql: str) -> bool:
         r"DELETE\s+FROM|ALTER\s+TABLE|OPTIMIZE\s|REORG\s+TABLE|"
         r"ANALYZE\s+TABLE|"
         r"VACUUM\s|RESTORE\s|"
-        r"COPY\s+INTO|FSCK\s+REPAIR|GENERATE\s+symlink\w*|"
+        r"COPY\s+INTO|CONVERT\s+TO\s+LAKE|FSCK\s+REPAIR|"
+        r"GENERATE\s+symlink\w*|"
         r"TRUNCATE\s+TABLE|DROP\s+(TABLE|VIEW)|"
         r"SHOW\s+(CREATE\s+TABLE|PARTITIONS|TABLES|TBLPROPERTIES|"
         r"COLUMNS)|"
