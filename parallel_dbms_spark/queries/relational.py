@@ -6894,11 +6894,14 @@ def lake_sql_maintenance(spark, sf_dir):
                 -- FLOOR before the cast: DuckDB rounds double->bigint,
                 -- Spark's unix_timestamp truncates; sub-second event
                 -- timestamps must land on the same whole second
+                -- NULL values are not observations (the r13 operator
+                -- contract: a null row must never desynchronize a
+                -- bracket) — the filter mirrors the Spark side's
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                        CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)))
                             AS BIGINT) AS sec,
                        CAST(FLOOR(MAX(value) * 1000000.0) AS BIGINT) AS v_e6
-                FROM events GROUP BY 1, 2, 3),
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
               b AS (
                 SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
                        date_trunc('hour', MAX(ts)) AS t1
