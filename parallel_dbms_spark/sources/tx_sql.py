@@ -1084,6 +1084,21 @@ def tx_sql(
             return _result(spark, "add_column", path, v,
                            f"{m2.group(1)} {m2.group(2)}")
 
+        m2 = re.match(rf"(?is)^ADD{_WS}COLUMN{_WS}(.+)$", rest)
+        if m2 and _COL_SPEC_RE.search(m2.group(1)):
+            # inline specs on ADD COLUMN (r13, same parser as CREATE):
+            # DEFAULT fills future writes (existing rows read NULL —
+            # Delta's add-column semantics); NOT NULL routes through
+            # tx_set_constraint, which correctly REJECTS it when
+            # existing rows violate (any non-empty table: the new
+            # column is NULL there). GENERATED likewise validates
+            # against the current snapshot.
+            ddl, specs = _parse_create_columns(m2.group(1))
+            col, _, typ = ddl.partition(" ")
+            v = txlog.tx_add_column(path, col, typ)
+            v = _apply_column_specs(spark, path, specs)
+            return _result(spark, "add_column", path, v, ddl)
+
         m2 = re.match(
             rf"(?is)^ADD{_WS}COLUMNS{_WS}?\(([^)]*)\)$", rest
         )
