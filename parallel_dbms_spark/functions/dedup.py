@@ -92,6 +92,63 @@ def shingle_postings(
     )
 
 
+def shingle_hash_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word-shingle postings ``(id, n_sh, shash)`` with the
+    shingle STRING replaced by a 64-bit hash computed straight from
+    the token tuple (multi-arg ``xxhash64`` over ``n`` consecutive
+    tokens) — for consumers that only ever compare shingles by
+    equality (the jaccard joins hash the string immediately anyway).
+
+    Why it exists (r13, guide §1.2 per-task work): profiling showed
+    ~75% of ``prefix_jaccard_pairs``' wall was ``shingle_postings``
+    building shingle strings (an interpreted concat per window
+    position, then array_distinct and xxhash64 over strings) only for
+    every consumer to discard them. Hashing the token tuple directly
+    skips the concat, the string distinct, and the second hash pass.
+
+    Equality is preserved: tokens contain no whitespace (split on
+    \\s+), so two shingle strings are equal iff their token-hash
+    tuples are (modulo 64-bit hash collisions, the same class as
+    hashing the string), and the short-doc fallback (one whole-text
+    shingle, a string hash) can never legitimately equal an
+    ``n``-token window either. The jaccard oracles re-prove the output
+    values against DuckDB's string-based replay.
+
+    Hash construction: tokens are hashed once (``transform`` +
+    ``xxhash64``), then window tuples are combined by chained
+    two-argument ``xxhash64`` over SHIFTED SLICES of the hash array
+    (``zip_with``) — all 64-bit, executor-side, no shuffle. Two
+    rejected shapes, both measured at sf0.1: per-window multi-arg
+    ``xxhash64`` over ``get(arr, i+j)`` lambdas ran ~2.5x SLOWER than
+    the string path it replaces (interpreted HOF eval of that
+    expression tree is pathologically per-call expensive), while the
+    zip_with slice chain runs ~4x FASTER than the string path.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d1 = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.transform(toks, lambda tk: F.xxhash64(tk)).alias("__hs"),
+    )
+    k = F.size("__hs") - (n - 1)
+    chain = F.slice("__hs", 1, k)
+    for j in range(1, n):
+        chain = F.zip_with(
+            chain,
+            F.slice("__hs", 1 + j, k),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    shs = F.when(
+        k <= 0, F.array(F.xxhash64(F.concat_ws(" ", F.col("__toks"))))
+    ).otherwise(F.array_distinct(chain))
+    sh = d1.select("id", shs.alias("sh"))
+    return sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shash")
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: groups with >1 identical (normalized) text.
     Returns (fingerprint group key, n_dups, keep_id) — the survivor is
@@ -133,39 +190,54 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[num_perm]).
 
-    Shape: posexplode TOKENS (cheap) -> hash each token once -> build
-    each shingle's hash from ``shingle_n`` consecutive token hashes
-    with window ``lead`` arithmetic in the prime field -> one
-    hash-aggregate computing all ``num_perm`` mins. Building shingle
-    STRINGS inside a higher-order transform (slice+concat_ws per
-    shingle) measured ~6x slower at sf0.1 — HOF lambdas evaluate
-    interpreted per element, and the string concat re-copies the
-    tokens; the window path is pure codegen arithmetic. The window and
-    the final groupBy share the ``id`` partitioning, so the whole
-    signature computation costs ONE shuffle.
+    Shape (r13): hash each token once INSIDE the row (higher-order
+    ``transform`` over the split array), fold each shingle's hash from
+    ``shingle_n`` consecutive token hashes in the prime field — still
+    per row, via ``get`` over the token-hash array — then explode the
+    shingle hashes and compute all ``num_perm`` mins in one
+    hash-aggregate. The aggregate partial-aggregates map-side, so the
+    ONLY shuffle is num_perm longs per doc. The previous shape
+    (posexplode + ``lead`` window) shuffled and sorted every token
+    hash — (id, pos, h) for the whole corpus — to reassemble windows
+    the array form gets for free; measured identical output at sf0.1
+    and ~equal wall locally, but the exchange it removes grows with
+    corpus size while the new shuffle grows with DOC COUNT (guide
+    §2.3/§2.4). Integer-only HOF lambdas avoid the interpreted string
+    building that made the original HOF shingle path 6x slower.
 
     Docs shorter than ``shingle_n`` tokens fold their available tokens
-    from position 0 (zero-padded) so every doc keeps a signature — the
-    same guarantee word_shingles' whole-text fallback gives.
+    from position 0 (zero-padded, ``get`` past the end is null ->
+    coalesce 0) so every doc keeps a signature — the same guarantee
+    word_shingles' whole-text fallback gives.
 
     All arithmetic stays inside int64 under ANSI mode: operands < 2^31
     so products+adds < 2^62 (see MINHASH_PRIME).
     """
     p = F.lit(MINHASH_PRIME)
     comb_base = F.lit(1_000_003)
-    tok = df.select(
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "tk"
-        ),
-    ).select("id", "pos", _token_hash(F.col("tk"), hash_fn).alias("h"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("h", j).over(w) for j in range(1, shingle_n)]
-    sh = F.col("h")
-    for ld in leads:
-        sh = F.pmod(sh * comb_base + F.coalesce(ld, F.lit(0)), p)
-    valid = leads[-1].isNotNull() | (F.col("pos") == 0) if leads else F.lit(True)
-    ex = tok.select("id", sh.alias("h"), valid.alias("ok")).filter("ok")
+        F.transform(toks, lambda tk: _token_hash(tk, hash_fn)).alias("__hs"),
+    )
+    # one shingle per window start; short docs keep exactly one
+    # (zero-padded) shingle — identical to the old pos==0 fallback
+    k = F.greatest(F.size("__hs") - (shingle_n - 1), F.lit(1))
+
+    def _fold(i):
+        sh = F.get("__hs", i)
+        for j in range(1, shingle_n):
+            sh = F.pmod(
+                sh * comb_base + F.coalesce(F.get("__hs", i + j), F.lit(0)), p
+            )
+        return sh
+
+    ex = hashed.select(
+        "id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), k - F.lit(1)), _fold)
+        ).alias("h"),
+    )
     params = _perm_params(num_perm)
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p)).alias(f"__m{i}")
@@ -253,6 +325,14 @@ def minhash_lsh_pairs(
     banded = minhash_bands(
         df, text_col, id_col, num_perm, bands, shingle_n, hash_fn
     )
+    # The banded frame feeds BOTH sides of the candidate self-join;
+    # without materialization the whole signature pipeline (token
+    # hashing, shingle fold, 32-min aggregate) plans and runs twice —
+    # Spark's ReusedExchange does not fire across the differently-
+    # aliased subtrees. localCheckpoint computes it once (spillable,
+    # released with the DataFrame); measured ~20% off the end-to-end
+    # pair generation at sf0.1 (guide §5 caching / §3.3 plan reuse).
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -492,8 +572,12 @@ def ngram_jaccard_pairs(
     can only *under*-estimate jaccard — the standard df-cap trade-off.
     The hot-shingle list is tiny by construction, so it broadcasts.
     """
-    sh = shingle_postings(df, text_col, id_col, shingle_n)
-    sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    # r13: tuple-hash postings — same equality semantics, no shingle
+    # strings ever built (see shingle_hash_postings). The posting list
+    # feeds up to four subtrees (df-cap aggregate, anti-join probe,
+    # both self-join sides) — materialize it once.
+    sh = shingle_hash_postings(df, text_col, id_col, shingle_n)
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shash")
@@ -707,6 +791,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Cross-document repeated n-gram spans — the exact-substring
     signal behind span-level training-data dedup (verbatim passages
@@ -725,33 +810,59 @@ def duplicate_spans(
     digest-keyed join back. The gram TEXT never moves — md5 digests
     do. A df-cap on ultra-hot grams (stop phrases) composes exactly
     like ``ngram_jaccard_pairs``' guard if needed.
+
+    ``gram_hash``: ``"md5"`` (default) keeps the engine-replayable hex
+    digest in the output — the registered ``dedup_duplicate_spans``
+    row exposes the column and its DuckDB oracle recomputes it.
+    ``"tuple"`` combines the token n-tuple's ``xxhash64`` hashes into
+    one 64-bit LONG key by chained two-argument ``xxhash64`` over
+    shifted slices (the same zip_with shape as
+    ``shingle_hash_postings`` — no per-position string concat, no md5)
+    for pipeline consumers that only use gram EQUALITY and drop the
+    column before output (``merge_span_intervals``/``cut_spans``) —
+    guide §1.2 per-task work.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(toks) - (n - 1)
+    if gram_hash == "md5":
+        grams = F.transform(
+            F.sequence(F.lit(1), F.col("__k")),
+            lambda i: F.md5(
+                F.encode(
+                    F.concat_ws(" ", F.slice(F.col("__t"), i, n)), "UTF-8"
+                )
+            ),
+        )
+        g0 = df.select(F.col(id_col), toks.alias("__t"), k.alias("__k"))
+    elif gram_hash == "tuple":
+        hs = F.transform(F.col("__t"), lambda tk: F.xxhash64(tk))
+        chain = F.slice(hs, 1, F.col("__k"))
+        for j in range(1, n):
+            chain = F.zip_with(
+                chain,
+                F.slice(hs, 1 + j, F.col("__k")),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        grams = chain
+        g0 = df.select(F.col(id_col), toks.alias("__t"), k.alias("__k"))
+    else:
+        raise ValueError(f"unknown gram_hash {gram_hash!r}")
     g = (
-        df.select(F.col(id_col), toks.alias("__t"), k.alias("__k"))
-        .filter(F.col("__k") >= 1)
+        g0.filter(F.col("__k") >= 1)
         .select(
             id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__k")),
-                    lambda i: F.struct(
-                        i.cast("int").alias("pos"),
-                        F.md5(
-                            F.encode(
-                                F.concat_ws(
-                                    " ", F.slice(F.col("__t"), i, n)
-                                ),
-                                "UTF-8",
-                            )
-                        ).alias("gram_md5"),
-                    ),
-                )
-            ).alias("s"),
+            F.posexplode(grams).alias("pos0", "gram_md5"),
         )
-        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gram_md5").alias("gram_md5"))
+        .select(
+            id_col,
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "gram_md5",
+        )
     )
+    # g feeds BOTH the df-stats aggregate and the join back; without
+    # materialization the positional gram generation (the dominant
+    # cost of this function) plans and runs twice (r13, guide §5).
+    g = g.localCheckpoint(eager=False)
     stats = (
         g.groupBy("gram_md5")
         .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
@@ -885,8 +996,10 @@ def prefix_jaccard_pairs(
     against full shingle sets. Everything is codegen built-ins; the
     only data shuffled twice is the (id, shingle-hash) pair list.
     """
-    sh = shingle_postings(df, text_col, id_col, shingle_n)
-    sh = sh.select("id", "n_sh", F.xxhash64("shingle").alias("shash"))
+    # r13: tuple-hash postings — same equality semantics, no shingle
+    # strings ever built (see shingle_hash_postings; ~75% of this
+    # function's wall was string building it immediately hashed away).
+    sh = shingle_hash_postings(df, text_col, id_col, shingle_n)
     # The (id, n_sh, shash) list feeds FOUR plan subtrees (df count,
     # rarity rank, and both verify sides); without materialization the
     # raw-text shingling recomputes each time. localCheckpoint stores

@@ -2190,8 +2190,14 @@ def dedup_span_intervals(spark, sf_dir):
     # The actionable form of span dedup: consecutive duplicated
     # positions merged into maximal cut/keep intervals per document
     # (gaps-and-islands, doc-partitioned). Both engines run the same
-    # island arithmetic, so intervals match exactly.
-    spans = dedup.duplicate_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+    # island arithmetic, so intervals match exactly. gram_hash="tuple"
+    # (r13): the gram key never reaches this output — only its
+    # equality matters — so the tuple-hash mode skips the per-position
+    # md5-string build (the md5 column stays the oracle-replayed
+    # surface of dedup_duplicate_spans, where it IS the output).
+    spans = dedup.duplicate_spans(
+        _docs(spark, sf_dir), n=8, min_docs=2, gram_hash="tuple"
+    )
     return dedup.merge_span_intervals(spans, n=8)
 
 
@@ -2239,7 +2245,9 @@ def dedup_cut_spans(spark, sf_dir):
     # strings (COALESCE: DuckDB stringifies an empty list to NULL,
     # Spark's concat_ws to '' — fully-cut docs hit that edge).
     docs = _docs(spark, sf_dir)
-    spans = dedup.duplicate_spans(docs, n=8, min_docs=2)
+    # gram_hash="tuple" (r13): same rationale as dedup_span_intervals
+    # — gram equality only, the digest never reaches the output.
+    spans = dedup.duplicate_spans(docs, n=8, min_docs=2, gram_hash="tuple")
     iv = dedup.merge_span_intervals(spans, n=8)
     return dedup.cut_spans(docs, iv)
 
