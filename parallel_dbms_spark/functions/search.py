@@ -249,6 +249,17 @@ def substring_search(
 
     Needles shorter than 3 chars have no trigrams — falls back to the
     full residual scan (still correct, just unpruned).
+
+    Index sourcing (r13, guide §1.2): with a PREBUILT ``index`` (the
+    serve path) the posting lists are read and intersected as before.
+    With no index, the needle's posting lists are GENERATED DIRECTLY —
+    one scan emitting, per doc, exactly the needle trigrams it
+    contains (explode of a filtered literal array, each membership a
+    native ``contains``) — instead of materializing every trigram of
+    every document (|corpus-chars| interpreted substr calls + an
+    explode) only to keep the ~|needle| trigrams the query asked for.
+    Same posting rows, same intersection pipeline, same answer;
+    measured 2.4 s -> ~0.6 s at sf0.1.
     """
     needle_l = needle.lower()
     tris = sorted({needle_l[i : i + 3] for i in range(len(needle_l) - 2)})
@@ -256,9 +267,23 @@ def substring_search(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     if tris:
-        idx = index if index is not None else build_trigram_index(docs, id_col, text_col)
+        if index is not None:
+            postings = index.filter(F.col("tri").isin(tris))
+        else:
+            postings = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.lower(F.col(text_col)).alias("__t"),
+            ).select(
+                "doc_id",
+                F.explode(
+                    F.filter(
+                        F.array(*[F.lit(s) for s in tris]),
+                        lambda tri: F.contains(F.col("__t"), tri),
+                    )
+                ).alias("tri"),
+            )
         cands = (
-            idx.filter(F.col("tri").isin(tris))
+            postings
             .groupBy("doc_id")
             .agg(F.count_distinct("tri").alias("n_tri"))
             .filter(F.col("n_tri") == len(tris))

@@ -1519,19 +1519,34 @@ def rfm_segments(spark, sf_dir):
 )
 def basket_pairs_support(spark, sf_dir):
     # Market-basket co-occurrence: parts ordered together, pair
-    # support >= 3. The self-join key is the ORDER key, so the
-    # quadratic blowup is bounded by items-per-order (~7 in TPC-H, a
-    # few dozen in real carts) squared within each order — a shuffled
-    # equi-join on l_orderkey, never a cross product; the pair rollup
-    # shuffles once more on the (a, b) pair. At 100 TB a frequent-item
-    # prefilter (drop parts below min item support) shrinks the join
-    # input first — the classic a-priori step.
+    # support >= 3. r13 shape (guide §2.4): ONE shuffle gathers each
+    # order's items (collect_list — state bounded by items-per-order,
+    # ~7 in TPC-H, a few dozen in real carts), pairs generate IN-ROW
+    # (nested array transform, all unordered pairs with part_a <
+    # part_b over the multiset — order-insensitive, so collect_list's
+    # nondeterministic ordering cannot reach the output), then one
+    # pair rollup. The previous self-join shuffled the item list
+    # twice (both join sides) before the same per-order quadratic;
+    # values proven identical (exceptAll = 0) and the oracle stays
+    # the self-join spelling. At 100 TB a frequent-item prefilter
+    # (drop parts below min item support) shrinks the input first —
+    # the classic a-priori step.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.filter("ps", lambda y: y > x),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        arr.select(F.explode(pairs_arr).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
@@ -4704,14 +4719,21 @@ def robust_zscore_prices(spark, sf_dir):
     # ~10^7 rows/group swap both passes to approx_percentile (same
     # plan shape, bounded state) or the mergeable histogram sketch —
     # exactness here is what makes the oracle bit-checkable.
+    # r13: med and mad are GROUP-CARDINALITY frames consumed by
+    # multiple subtrees (mad's deviation pass and the scoring join);
+    # without materialization the med percentile subtree replans
+    # inside each consumer — the static plan read 8 lineitem scans /
+    # 12 exchanges. localCheckpoint pins each tiny frame once: 3
+    # scans total at runtime (plan: 2 visible + the med checkpoint),
+    # 4 exchanges (guide §5; values proven identical, exceptAll = 0).
     li = _t(spark, sf_dir, "lineitem")
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.5).alias("med")
-    )
+    ).localCheckpoint(eager=False)
     dev = li.join(F.broadcast(med), "l_returnflag")
     mad = dev.groupBy("l_returnflag").agg(
         F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5).alias("mad")
-    )
+    ).localCheckpoint(eager=False)
     scored = (
         li.join(F.broadcast(med), "l_returnflag")
         .join(F.broadcast(mad), "l_returnflag")
@@ -4748,13 +4770,14 @@ def robust_zscore_prices_approx(spark, sf_dir):
     acc = F.lit(10000)
     med = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("med")
-    )
+    ).localCheckpoint(eager=False)  # r13: same dedup of the med/mad
+    # subtrees as robust_zscore_prices (8 scans -> 3 at runtime)
     dev = li.join(F.broadcast(med), "l_returnflag")
     mad = dev.groupBy("l_returnflag").agg(
         F.percentile_approx(
             F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5), acc
         ).alias("mad")
-    )
+    ).localCheckpoint(eager=False)
     scored = (
         li.join(F.broadcast(med), "l_returnflag")
         .join(F.broadcast(mad), "l_returnflag")
