@@ -46,23 +46,35 @@ def tokens(text: Column, lowercase: bool = True, pattern: str = TOKEN_PATTERN) -
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    # single-char class count by LENGTH DIFFERENCE after regexp_replace
+    # (r13): the same value as size(regexp_extract_all(...)) — each
+    # match is exactly one char — without allocating a one-string-per-
+    # char match array per row (guide §1.2 per-task work).
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\w\s]", "")
+    )
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
 def digit_ratio(text: Column) -> Column:
-    n = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]"), F.lit(0)))
+    n = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
     return n / F.greatest(F.length(text), F.lit(1))
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    text: Column,
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
+    """``toks``: optionally pass an already-computed ``tokens(text)``
+    array so a multi-metric projection (text_stats) tokenizes once."""
     sw = stopwords or EN_STOPWORDS
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: long enough, mostly words, some
     stopwords, not digit/punct soup. Weights are arbitrary but fixed —
     the point is a deterministic, scan-fused scoring pass."""
@@ -70,16 +82,16 @@ def quality_score(text: Column) -> Column:
     return (
         F.lit(0.4) * len_ok
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0)))
-        + F.lit(0.2) * F.least(stopword_ratio(text) * 4, F.lit(1.0))
+        + F.lit(0.2) * F.least(stopword_ratio(text, toks=toks) * 4, F.lit(1.0))
         + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio(text) * 5, F.lit(1.0)))
     )
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, toks: Column | None = None) -> Column:
     """Keyword-marker language ID: score = count of per-language marker
     words among the tokens; argmax wins, 'und' (undetermined) on zero.
     Expressed as a CASE over greatest() so it stays in codegen."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
 
     def has_marker(markers):
         # Factory closure: the HOF callback must have exactly one
@@ -143,18 +155,28 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One scan-fused pass computing the whole text-analysis surface."""
+    """One scan-fused pass computing the whole text-analysis surface.
+
+    r13: the lowered token array is projected ONCE as a bound column
+    and shared by every token-consuming metric (n_tokens, stopword
+    ratio, quality's stopword term, language-ID) — the previous shape
+    re-ran the tokenizing regex up to 5x per row. ``\\S+`` token count
+    is case-insensitive, so counting the lowered array is identical.
+    """
     t = F.col(text_col)
-    return df.select(
+    toks = F.col("__toks")
+    bound = df.select("doc_id", t.alias(text_col), tokens(t).alias("__toks"))
+    t = F.col(text_col)
+    return bound.select(
         "doc_id",
         F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         token_count(t, BPE_ISH_PATTERN).alias("n_bpe_tokens"),
         punct_ratio(t).alias("punct_ratio"),
         digit_ratio(t).alias("digit_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_pred"),
+        stopword_ratio(t, toks=toks).alias("stopword_ratio"),
+        quality_score(t, toks=toks).alias("quality"),
+        language_id(t, toks=toks).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
 
