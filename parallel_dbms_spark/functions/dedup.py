@@ -484,6 +484,10 @@ def hamming_neardup_pairs(
             )
         ).alias("c"),
     ).select("id", "sh", "c.blk", "c.chunk")
+    # both self-join sides consume the chunk frame; materialize it so
+    # the signature subtree (simhash's per-token vote fold, or pHash's
+    # image decode) computes once, not once per side (r13, guide §5)
+    chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
