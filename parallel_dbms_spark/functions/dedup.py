@@ -14,6 +14,22 @@ Scale: every candidate-generation step is a groupBy/join on a hash key
 (shuffle on bounded-size keys); verification only touches candidate
 pairs. At 100 TB the shingle explode is the big intermediate — it is
 linear in corpus token count and never materialized to the driver.
+
+Materialization note (r13/r14): the self-join inputs in this module
+(minhash bands, hamming chunks, jaccard postings, span grams) are
+pinned with ``localCheckpoint`` because Spark replans aliased
+self-join subtrees — without the pin the signature pipeline runs once
+per join side. The trade-off: local checkpoints are NOT replayable —
+the blocks live on the executors that computed them, so on a real
+cluster an executor loss (or dynamic-allocation decommission) after
+materialization fails the JOB instead of recomputing lineage, and the
+blocks persist until the DataFrame is GC'd. That is a retry-the-query
+cost, not a correctness issue, and within one query it is the right
+trade at any scale where the alternative is recomputing the dominant
+stage twice. Deployments that cannot eat a job retry should set
+``spark.checkpoint.dir`` to cluster-replicated storage and swap these
+sites to reliable ``checkpoint()`` (same truncation, replayable
+blocks, extra write cost). See SCALE.md §12.
 """
 
 from __future__ import annotations
@@ -817,14 +833,21 @@ def duplicate_spans(
 
     ``gram_hash``: ``"md5"`` (default) keeps the engine-replayable hex
     digest in the output — the registered ``dedup_duplicate_spans``
-    row exposes the column and its DuckDB oracle recomputes it.
-    ``"tuple"`` combines the token n-tuple's ``xxhash64`` hashes into
-    one 64-bit LONG key by chained two-argument ``xxhash64`` over
-    shifted slices (the same zip_with shape as
-    ``shingle_hash_postings`` — no per-position string concat, no md5)
-    for pipeline consumers that only use gram EQUALITY and drop the
-    column before output (``merge_span_intervals``/``cut_spans``) —
-    guide §1.2 per-task work.
+    row exposes the column (named ``gram_md5``) and its DuckDB oracle
+    recomputes it. ``"tuple"`` combines the token n-tuple's
+    ``xxhash64`` hashes into one 64-bit LONG key by chained
+    two-argument ``xxhash64`` over shifted slices (the same zip_with
+    shape as ``shingle_hash_postings`` — no per-position string
+    concat, no md5) for pipeline consumers that only use gram
+    EQUALITY and drop the column before output
+    (``merge_span_intervals``/``cut_spans``) — guide §8.3 per-task
+    work. The tuple key is named ``gram_key`` (it is a bigint, not a
+    digest). Collision bound: a 64-bit key birthday-collides at
+    ~2^32 DISTINCT grams (prob ≈ g²/2^65) — a collision can only
+    spuriously mark a position as duplicated, which matters when a
+    consumer CUTS text on the signal; at ≥ billions of grams use
+    ``"md5"`` (128-bit) for cut pipelines, as the registered digest
+    row does, or treat tuple mode's output as advisory.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(toks) - (n - 1)
@@ -851,16 +874,17 @@ def duplicate_spans(
         g0 = df.select(F.col(id_col), toks.alias("__t"), k.alias("__k"))
     else:
         raise ValueError(f"unknown gram_hash {gram_hash!r}")
+    key = "gram_md5" if gram_hash == "md5" else "gram_key"
     g = (
         g0.filter(F.col("__k") >= 1)
         .select(
             id_col,
-            F.posexplode(grams).alias("pos0", "gram_md5"),
+            F.posexplode(grams).alias("pos0", key),
         )
         .select(
             id_col,
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            "gram_md5",
+            key,
         )
     )
     # g feeds BOTH the df-stats aggregate and the join back; without
@@ -868,11 +892,11 @@ def duplicate_spans(
     # cost of this function) plans and runs twice (r13, guide §5).
     g = g.localCheckpoint(eager=False)
     stats = (
-        g.groupBy("gram_md5")
+        g.groupBy(key)
         .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    return g.join(stats, "gram_md5").select(id_col, "pos", "gram_md5", "n_docs")
+    return g.join(stats, key).select(id_col, "pos", key, "n_docs")
 
 
 def merge_span_intervals(

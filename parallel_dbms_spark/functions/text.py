@@ -164,9 +164,12 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     is case-insensitive, so counting the lowered array is identical.
     """
     t = F.col(text_col)
-    toks = F.col("__toks")
-    bound = df.select("doc_id", t.alias(text_col), tokens(t).alias("__toks"))
-    t = F.col(text_col)
+    # function-unique internal name so an input frame carrying a
+    # same-named column can never make the reference ambiguous
+    bound = df.select(
+        "doc_id", t.alias(text_col), tokens(t).alias("__ts_toks")
+    )
+    toks = F.col("__ts_toks")
     return bound.select(
         "doc_id",
         F.length(t).alias("n_chars"),

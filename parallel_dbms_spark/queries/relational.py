@@ -1528,9 +1528,14 @@ def basket_pairs_support(spark, sf_dir):
     # pair rollup. The previous self-join shuffled the item list
     # twice (both join sides) before the same per-order quadratic;
     # values proven identical (exceptAll = 0) and the oracle stays
-    # the self-join spelling. At 100 TB a frequent-item prefilter
-    # (drop parts below min item support) shrinks the input first —
-    # the classic a-priori step.
+    # the self-join spelling. Skew guard (ADVICE r13): the in-row
+    # quadratic concentrates each order's O(items²) blowup in ONE
+    # task/row — bounded and fine for TPC-H (~7 items/order), but a
+    # pathological mega-order (skewed cart data) needs a guard BEFORE
+    # this shape applies: cap items per order (size(ps) <= N filter,
+    # with the tail routed through the old equi-join spelling) and/or
+    # the classic a-priori prefilter (drop parts below min item
+    # support) to shrink every basket first.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     arr = li.groupBy("l_orderkey").agg(
         F.collect_list("l_partkey").alias("ps")
