@@ -2810,6 +2810,122 @@ def _stage_for(df: DataFrame, table: str) -> tuple[list[str], dict | None]:
     return _stage(df, table), None
 
 
+def _stage_distinct_fold(
+    df: DataFrame, table: str, col: str, mapping: dict | None = None,
+) -> tuple[list[str], dict | None]:
+    """Stage ``df`` AND build its per-file distinct-bitmap sidecar in
+    ONE Spark job (r14, VERDICT r13 ask #1; guide §1.2/§8.4: a
+    per-file summary the writer can accumulate should never require
+    re-reading the files it just wrote). The classic path ran two
+    jobs per append — the staging write, then
+    :func:`_build_distinct_sidecar` re-scanning the staged files —
+    and the sidecar job measured MORE than the write itself at bench
+    scale (0.36 s vs 0.29 s warm).
+
+    Mechanics: each task writes its partition's rows as one staging
+    parquet (tmp + atomic rename keyed by partitionId, so a retried
+    or speculative attempt lands the same name exactly once) and
+    emits its file's (bucket, bitmap) rows, computed in numpy with
+    bit-for-bit the layout of ``bitmap_construct_agg`` (bucket/pos
+    per ``bitmap_bucket_number``/``bitmap_bit_position``, 4096-byte
+    bitsets, bit ``pos&7`` of byte ``pos>>3`` — asserted against the
+    JVM aggregate in tests/test_txlog.py), so folded sidecars
+    OR-merge with JVM-built ones in :func:`tx_instant_distinct`
+    exactly. The job's sink is the sidecar parquet itself
+    (repartition(1) — a shuffle barrier, NOT coalesce, which would
+    collapse the staging writers into one task); data-file writes are
+    the map side's idempotent side effect. NULL ids emit no bits
+    (COUNT(DISTINCT) excludes NULLs; the JVM aggregate's NULL-bucket
+    row popcounts 0 — same answer).
+
+    Used by :func:`tx_append` for the unpartitioned single-column
+    case (the common telemetry shape); partitioned staging and
+    multi-column requests keep the classic per-column jobs. Returns
+    (relpaths, sidecar-entry-or-None); ``col`` is PHYSICAL.
+    """
+    import shutil
+
+    from ..functions.bitmaps import BITMAP, BUCKET
+
+    df = _to_physical_df(
+        df, _effective_mapping(table) if mapping is None else mapping
+    )
+    _init_table(table)
+    tag = uuid.uuid4().hex[:12]
+    abs_table = os.path.abspath(table)
+    staging = os.path.join(abs_table, STAGING, tag)
+    os.makedirs(staging, exist_ok=True)
+    rel_prefix = f"{DATA}/{tag}-p"
+
+    def _task(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return  # empty partition: no file (matches _stage's skip)
+        tbl = pa.Table.from_batches(parts)
+        tmp = os.path.join(
+            staging, f".part-{pid:05d}.{ctx.taskAttemptId()}.tmp"
+        )
+        pq.write_table(tbl, tmp, row_group_size=1 << 20)
+        os.replace(tmp, os.path.join(staging, f"part-{pid:05d}.parquet"))
+        c = tbl.column(col)
+        if c.null_count:
+            c = c.drop_null()
+        v = c.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pos_based = v >= 1
+        bucket = np.where(pos_based, (v - 1) // 32768 + 1, -((-v) // 32768))
+        pos = np.where(pos_based, (v - 1) % 32768, (-v) % 32768)
+        rel = f"{rel_prefix}{pid}.parquet"
+        files, buckets, bitsets = [], [], []
+        for b in np.unique(bucket):
+            p = pos[bucket == b]
+            bits = np.zeros(4096, dtype=np.uint8)
+            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            files.append(rel)
+            buckets.append(int(b))
+            bitsets.append(bits.tobytes())
+        if files:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(files, pa.string()),
+                    pa.array(buckets, pa.int64()),
+                    pa.array(bitsets, pa.binary()),
+                ],
+                ["file", BUCKET, BITMAP],
+            )
+
+    sctmp = os.path.join(abs_table, SIDECARS, f"tmp-{tag}")
+    (
+        df.mapInArrow(_task, f"file string, {BUCKET} long, {BITMAP} binary")
+        .repartition(1)
+        .write.parquet(sctmp)
+    )
+    rels: list[str] = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        pid = int(f[len("part-"):len("part-") + 5])
+        rel = f"{rel_prefix}{pid}.parquet"
+        os.rename(os.path.join(staging, f), os.path.join(table, rel))
+        rels.append(rel)
+    if not rels:
+        shutil.rmtree(sctmp, ignore_errors=True)
+        return [], None
+    part = next(
+        f for f in sorted(os.listdir(sctmp)) if f.endswith(".parquet")
+    )
+    screl = f"{SIDECARS}/distinct-{tag}.parquet"
+    os.replace(os.path.join(sctmp, part), os.path.join(table, screl))
+    shutil.rmtree(sctmp, ignore_errors=True)
+    return sorted(rels), {"sidecar": screl, "files": sorted(rels)}
+
+
 def _json_safe(v):
     """Footer statistics values -> JSON-storable, order-preserving
     encodings (ISO timestamps/dates sort lexicographically; Decimal as
@@ -3060,9 +3176,35 @@ def tx_append(
                 used.add(phys)
                 mapping_grew = True
     pv = None
+    _p = (eff_mapping or {}).get
+    # r14 fold (guide §1.2/§8.4): the common single-integer-column
+    # distinct request rides the staging job itself instead of a
+    # second job re-reading the staged files; gated to shapes where
+    # the folded writer is proven equivalent (unpartitioned staging,
+    # arrow-convertible schema, integral id — everything else keeps
+    # the classic two-job path).
+    fold_entry: dict | None = None
+    use_fold = bool(
+        not eff_partition and distinct_cols and len(distinct_cols) == 1
+        and distinct_cols[0] in df.columns
+        and df.schema[distinct_cols[0]].dataType.typeName()
+        in ("byte", "short", "integer", "long")
+    )
+    if use_fold:
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            to_arrow_schema(df.schema)
+        except Exception:
+            use_fold = False
     if eff_partition:
         added, pv = _stage_partitioned(
             df, table, eff_partition, mapping=eff_mapping or {}
+        )
+    elif use_fold:
+        added, fold_entry = _stage_distinct_fold(
+            df, table, _p(distinct_cols[0], distinct_cols[0]),
+            mapping=eff_mapping or {},
         )
     else:
         added = _stage(df, table, mapping=eff_mapping or {})
@@ -3072,7 +3214,6 @@ def tx_append(
         )
         if stats_cols else None
     )
-    _p = (eff_mapping or {}).get
     ident_new_wm: dict = (
         _ident_wm_from_stats(table, idents, ident_assigned, stats,
                              ident_wm, _p)
@@ -3090,18 +3231,20 @@ def tx_append(
         if bloom_cols and added
         else None
     )
-    distinct = (
-        {
-            _p(c, c): [
-                _build_distinct_sidecar(
-                    df.sparkSession, table, added, c, physical=_p(c, c)
-                )
-            ]
-            for c in distinct_cols
-        }
-        if distinct_cols and added
-        else None
-    )
+    if distinct_cols and added:
+        if fold_entry is not None:
+            distinct = {_p(distinct_cols[0], distinct_cols[0]): [fold_entry]}
+        else:
+            distinct = {
+                _p(c, c): [
+                    _build_distinct_sidecar(
+                        df.sparkSession, table, added, c, physical=_p(c, c)
+                    )
+                ]
+                for c in distinct_cols
+            }
+    else:
+        distinct = None
     for _ in range(16):
         # read parent FIRST, then the schema: the schema we validate /
         # widen against is therefore at-or-after our parent. Any
@@ -5148,7 +5291,14 @@ def tx_merge(
         if cl["action"] not in ("update", "delete"):
             raise ValueError(f"bad matched action {cl['action']!r}")
     keys = list(keys)
-    source = source.dropDuplicates(keys)
+    # One materialization of the deduped source (r14, guide §5): it
+    # feeds FOUR jobs (hit-file discovery, the clause join, the
+    # matched-key anti-join, insert staging) — without the pin each
+    # job re-runs the caller's source plan, and dropDuplicates'
+    # nondeterministic tie-break could even select DIFFERENT rows per
+    # job (Delta materializes merge sources for the same reason).
+    # Local checkpoint = non-replayable blocks; see SCALE.md §12.
+    source = source.dropDuplicates(keys).localCheckpoint(eager=False)
     src_cols = list(source.columns)
     ids_map = table_identity(table)
     gmap = table_generated_columns(table)
@@ -5233,9 +5383,12 @@ def tx_merge(
         added, pv = [], {}
         cdc_parts = []
         if hit_rels:
+            # the hit-file scan feeds BOTH the survivor rewrite and
+            # the matched-key derivation below; one materialization
+            # replaces the second full scan (r14, guide §5)
             tgt = _materialize_row_ids(
                 _tagged_scan(reader, table, hit_rels, dvs), table
-            ).drop("__rel", "__pos")
+            ).drop("__rel", "__pos").localCheckpoint(eager=False)
             id_cols = [c for c in (_ROW_ID_COL, _ROW_COMMIT_COL)
                        if c in tgt.columns]
             saug = source.withColumn("__merge_src_match", F.lit(True))
@@ -5355,13 +5508,16 @@ def tx_merge(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
-            if survivors.limit(1).count():
-                a, p = _stage_for(survivors, table)
-                added += a
-                pv.update(p or {})
+            # stage unconditionally (r14): _stage/_stage_partitioned
+            # drop empty part files and return [] for an empty frame,
+            # so the old limit(1).count() guard only re-ran the whole
+            # join pipeline once more before staging ran it again —
+            # two measured guard jobs per merge, pure waste (guide §1)
+            a, p = _stage_for(survivors, table)
+            added += a
+            pv.update(p or {})
             matched_keys = (
-                _tagged_scan(reader, table, hit_rels, dvs)
-                .join(src_keys, keys, "left_semi")
+                tgt.join(src_keys, keys, "left_semi")
                 .select(*keys).distinct()
             )
             ins_src = source.join(matched_keys, keys, "left_anti")
@@ -5425,17 +5581,25 @@ def tx_merge(
                         F.lit(None).cast(types.get(c, "string")).alias(c)
                     )
             ins_img = s.select(*out_cols)
-            if ins_img.limit(1).count():
-                # the append laws complete the insert side: DEFAULTs,
-                # identity (fresh watermark THIS attempt), generated,
-                # constraints, strict schema
-                ins_df, eff_stats, idents, ident_wm, ident_assigned = (
-                    _complete_append_laws(ins_img, table, stats_cols)
-                )
-                ins_df = ins_df.select(*tgt_cols)
-                a, p = _stage_for(ins_df, table)
+            # the append laws complete the insert side: DEFAULTs,
+            # identity (fresh watermark THIS attempt), generated,
+            # constraints, strict schema. r14: stage directly — the
+            # old limit(1).count() guard evaluated the anti-join
+            # pipeline once more than staging needed (guide §1); an
+            # empty insert stages no files, and ins_df reverts to
+            # None below so the empty-table schema contract and the
+            # CDC insert part behave exactly as before.
+            ins_df, eff_stats, idents, ident_wm, ident_assigned = (
+                _complete_append_laws(ins_img, table, stats_cols)
+            )
+            ins_df = ins_df.select(*tgt_cols)
+            a, p = _stage_for(ins_df, table)
+            if a:
                 added += a
                 pv.update(p or {})
+            else:
+                ins_df = None
+                eff_stats, ident_assigned = stats_cols, []
         stats = (
             collect_file_stats(table, added, eff_stats)
             if eff_stats and added else None

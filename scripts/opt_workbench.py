@@ -57,7 +57,7 @@ def plan(df):
 def save_plan(df, name):
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13", f"{name}.txt",
+        "plans", os.environ.get("PLAN_ROUND", "r14"), f"{name}.txt",
     )
     with open(p, "w") as f:
         f.write(plan(df))

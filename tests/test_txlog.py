@@ -3568,3 +3568,76 @@ def test_analyze_translates_logical_names_under_mapping(spark, table):
     )
     assert (nread, ntotal) == (1, 2)
     assert {r.weight for r in df.collect()} == {999}
+
+
+# ---------------------------------- r14: folded distinct sidecar build
+
+
+def test_folded_bitmap_layout_matches_jvm_aggregate(spark, table):
+    """The staging-job fold builds bitmaps in numpy; they must be
+    BYTE-IDENTICAL to bitmap_construct_agg's so sidecars from either
+    builder OR-merge exactly (signed ids, bucket boundaries, nulls)."""
+    from pyspark.sql import functions as F
+
+    ids = [1, 2, 7, 32767, 32768, 32769, 65536, 0, -1, -32767, -32768,
+           -32769, 10**12, -(10**12), None]
+    rows = [(i, "x") for i in ids]
+    v = txlog.tx_append(
+        _df(spark, rows).coalesce(1), table, distinct_cols=["k"]
+    )
+    assert v == 1
+    dmap = txlog.snapshot_distinct_map(table)["k"]
+    assert len(dmap) == 1  # one staged file, covered by the fold
+    side = spark.read.parquet(
+        os.path.join(table, next(iter(dmap.values())))
+    )
+    folded = {
+        r["__bm_bucket"]: bytes(r["__bm_bits"]) for r in side.collect()
+    }
+    jvm = {
+        r["b"]: bytes(r["bits"])
+        for r in (
+            _df(spark, rows)
+            .filter(F.col("k").isNotNull())
+            .select(
+                F.bitmap_bucket_number("k").alias("b"),
+                F.bitmap_bit_position("k").alias("p"),
+            )
+            .groupBy("b")
+            .agg(F.bitmap_construct_agg("p").alias("bits"))
+            .collect()
+        )
+    }
+    assert folded == jvm
+
+
+def test_folded_and_jvm_sidecars_merge_exactly(spark, table):
+    """instant-distinct over a table whose sidecars came from BOTH
+    builders (fold on append 1, classic JVM backfill covering append
+    2) answers the exact count from metadata alone."""
+    txlog.tx_append(
+        _df(spark, [(i % 9 - 4, "a") for i in range(40)]).coalesce(2),
+        table, distinct_cols=["k"],
+    )
+    txlog.tx_append(
+        _df(spark, [(i % 13 - 6, "b") for i in range(40)]).coalesce(2),
+        table,
+    )
+    txlog.tx_distinct(spark, table, ["k"])  # JVM builder, full set
+    df, n_scanned, n_total = txlog.tx_instant_distinct(spark, table, "k")
+    assert n_scanned == 0 and n_total >= 2
+    assert df.collect()[0].n_distinct == 13  # -6..6 superset of -4..4
+
+
+def test_folded_append_multifile_covers_every_file(spark, table):
+    """A multi-partition folded append records one bitmap set per
+    staged file and the count stays exact per file subset."""
+    txlog.tx_append(
+        _df(spark, [(i, "a") for i in range(100)]).repartition(4),
+        table, distinct_cols=["k"],
+    )
+    _v, files = txlog.snapshot_files(table)
+    dmap = txlog.snapshot_distinct_map(table)["k"]
+    assert set(files) == set(dmap)  # every staged file covered
+    df, n_scanned, _ = txlog.tx_instant_distinct(spark, table, "k")
+    assert n_scanned == 0 and df.collect()[0].n_distinct == 100
