@@ -644,50 +644,67 @@ def decontaminate(
     Scale notes: the benchmark side is tiny relative to the corpus, so
     its exploded shingle set broadcasts; the corpus side is one
     generator expansion with no shuffle before the broadcast semi-join
-    shape (inner join + groupBy doc_id, map-side combinable). Shingles
-    stay as strings here (exact semantics, no hash collisions) — swap
-    in xxhash64 of the shingle to shrink the broadcast at larger
-    benchmark sizes.
+    shape (inner join + groupBy doc_id, map-side combinable).
+
+    r14 (VERDICT r13 ask #7, guide §8.3/§2.3): shingles are compared
+    as 64-bit TOKEN-TUPLE hashes (the ``shingle_hash_postings``
+    zip_with chain — no per-position string concat ever built), the
+    per-doc distinct runs IN-ROW (``array_distinct``) instead of a
+    corpus-wide dropDuplicates shuffle, and the per-doc shingle count
+    rides the exploded rows, deleting the second corpus-wide
+    aggregation the jaccard branch used to pay. Equality is preserved
+    exactly as in ``shingle_hash_postings`` (tokens carry no
+    whitespace, so string equality ⟺ tuple equality, modulo the same
+    64-bit collision class); docs shorter than ``n`` tokens still
+    contribute nothing. Flag semantics are UNAFFECTED by a collision
+    direction that matters: a false hash equality could only
+    spuriously raise n_hits by colliding grams — at benchmark-set
+    sizes (thousands-millions of grams) the birthday term is ~2⁻⁴⁰;
+    the DuckDB oracle replays the string spelling.
     """
 
-    def shingles(df: DataFrame):
-        # tokens land as a bound column first — referencing the regex
-        # split directly inside the transform lambda would re-split
-        # per shingle position (see shingle_postings)
-        tk = df.select(
+    def shingle_arrays(df: DataFrame):
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        d1 = df.select(
             F.col("doc_id"),
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+            F.transform(toks, lambda tk: F.xxhash64(tk)).alias("__hs"),
         )
-        toks = F.col("__toks")
-        idx = F.when(
-            F.size(toks) >= n,
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
+        k = F.size("__hs") - (n - 1)
+        chain = F.slice("__hs", 1, k)
+        for j in range(1, n):
+            chain = F.zip_with(
+                chain,
+                F.slice("__hs", 1 + j, k),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        sh = F.when(k >= 1, F.array_distinct(chain)).otherwise(
+            F.array().cast("array<long>")
+        )
+        return d1.select("doc_id", sh.alias("__sh"))
 
-        def gram(i):
-            return F.concat_ws(" ", F.slice(toks, i, n))
-
-        return tk.select(
-            F.col("doc_id"),
-            F.explode(F.transform(idx, gram)).alias("shingle"),
-        ).dropDuplicates(["doc_id", "shingle"])
-
-    corpus_sh = shingles(corpus)
-    bench_sh = shingles(benchmark).select("shingle").distinct()
+    corpus_sh = shingle_arrays(corpus).select(
+        "doc_id",
+        F.size("__sh").alias("__nd"),
+        F.explode("__sh").alias("__shash"),
+    )
+    bench_sh = (
+        shingle_arrays(benchmark)
+        .select(F.explode("__sh").alias("__shash"))
+        .distinct()
+    )
     hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        corpus_sh.join(F.broadcast(bench_sh), "__shash")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("__nd").alias("__nd"),  # constant per doc
+        )
     )
     if not jaccard:
-        return hits
-    nd = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("__nd")
-    )
+        return hits.select("doc_id", "n_hits")
     nb = bench_sh.agg(F.count(F.lit(1)).alias("__nb"))
     return (
-        hits.join(nd, "doc_id")
-        .crossJoin(F.broadcast(nb))
+        hits.crossJoin(F.broadcast(nb))
         .select(
             "doc_id",
             "n_hits",
