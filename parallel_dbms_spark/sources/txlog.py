@@ -2910,7 +2910,9 @@ def _stage_distinct_fold(
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
             continue
-        pid = int(f[len("part-"):len("part-") + 5])
+        # part-<pid>.parquet; the pid may outgrow the 05d padding on
+        # very wide appends, so parse up to the extension dot
+        pid = int(f.split(".")[0][len("part-"):])
         rel = f"{rel_prefix}{pid}.parquet"
         os.rename(os.path.join(staging, f), os.path.join(table, rel))
         rels.append(rel)

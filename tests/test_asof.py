@@ -3,6 +3,7 @@ edge cases (NULL value in the matched row, simultaneous timestamps,
 left/inner difference) that a composition bug would break."""
 
 from __future__ import annotations
+import pytest
 
 import random
 
@@ -454,6 +455,7 @@ def test_sharded_asof_equals_unsharded_all_directions(spark):
             ), f"{direction}/{how}"
 
 
+@pytest.mark.slow  # residual: test_sharded_asof_equals_unsharded_all_directions
 def test_sharded_asof_tolerance_and_exclusive(spark):
     l, r = _frames_unique_rts(spark, seed=3, n_left=300, n_right=90, n_keys=5)
     # INTERVAL tolerance requires timestamp time columns (same contract
@@ -479,6 +481,7 @@ def test_sharded_asof_tolerance_and_exclusive(spark):
     )
 
 
+@pytest.mark.slow  # residual: test_sharded_asof_equals_unsharded_all_directions
 def test_sharded_asof_pathological_single_key(spark):
     # ONE key carrying every row — the exact case the unsharded plan's
     # docstring flags (single key >> one partition). The sharded plan
@@ -607,7 +610,6 @@ def test_radius_pairs_identical_across_cell_divisors(spark):
 
     assert key_cards(3) < key_cards(1)
 
-    import pytest
 
     with pytest.raises(ValueError, match="cell_divisor"):
         radius_neighbor_pairs(df, radius=r, cell_divisor=0)

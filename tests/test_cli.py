@@ -5,6 +5,7 @@ result and the typed-header CSV sink — the closest reproduction of how
 a reference user actually runs a query."""
 
 from __future__ import annotations
+import pytest
 
 import glob
 import os
@@ -44,6 +45,7 @@ def test_cli_explain_prints_physical_plan(tmp_path):
     assert "PushedFilters" in proc.stdout  # filter reached the scan
 
 
+@pytest.mark.slow  # residual: test_cli_runs_golden_query1_end_to_end + test_cli_explain keep the subprocess CLI surface
 def test_cli_lake_sql_roundtrip_rename_append_prune(tmp_path):
     """The lake lifecycle purely through the SQL door, one CLI
     invocation (one JVM): create a partitioned-by-proxy table, rename

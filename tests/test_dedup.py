@@ -4,10 +4,10 @@ estimates track exact jaccard, and the jaccard df-cap only ever drops
 pairs (never invents them)."""
 
 from __future__ import annotations
+import pytest
 
 import random
 
-import pytest
 from pyspark.sql import Row, functions as F
 
 from parallel_dbms_spark.functions import dedup
@@ -95,6 +95,7 @@ def test_duplicate_clusters_transitive_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
 
 
+@pytest.mark.slow  # residual: test_duplicate_clusters (short-path) + dedup_clusters oracle row
 def test_duplicate_clusters_long_path_converges(spark):
     # Worst-case diameter: a 12-node path; label must propagate end to end.
     from pyspark.sql import Row

@@ -22,7 +22,10 @@ def _mk(spark, rows, id_name="rid"):
     )
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", [0] + [
+    pytest.param(s, marks=pytest.mark.slow)  # residual: seed 0
+    for s in range(1, 4)
+])
 def test_planes_interact_without_losing_identity_or_ids(
     spark, tmp_path, seed
 ):

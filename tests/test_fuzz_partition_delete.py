@@ -46,7 +46,10 @@ def _sql(pred):
     raise AssertionError(kind)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", [0, 1] + [
+    pytest.param(s, marks=pytest.mark.slow)  # residual: seeds 0-1
+    for s in range(2, 6)
+])
 def test_partition_delete_differential(spark, tmp_path, seed):
     rng = random.Random(4200 + seed)
     t = str(tmp_path / "t")

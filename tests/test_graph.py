@@ -1,6 +1,7 @@
 """PageRank: differential test against a dense numpy power iteration."""
 
 from __future__ import annotations
+import pytest
 
 import numpy as np
 from pyspark.sql import Row
@@ -97,6 +98,7 @@ def test_bfs_hops_takes_shortest_path_through_cycle(spark):
     assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
 
 
+@pytest.mark.slow  # residual: both algorithms are asserted individually in this file
 def test_star_components_equal_label_propagation(spark):
     """Star contraction == label propagation on random seeded graphs
     (the two independent implementations cross-check each other)."""

@@ -9,6 +9,7 @@ NULLs, singletons) rather than volume.
 """
 
 from __future__ import annotations
+import pytest
 
 import datetime as dt
 
@@ -71,6 +72,7 @@ terms = st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60)
 
 @given(ts=terms)
 @SETTINGS
+@pytest.mark.slow  # residual: CMS merge tests in test_operators_extra.py
 def test_cms_split_merge_linearity_any_split(spark, ts):
     from parallel_dbms_spark.functions.frequency import cms_build, cms_merge
 
@@ -89,6 +91,7 @@ kv_rows = st.lists(
 
 @given(t_rows=kv_rows, s_rows=kv_rows)
 @SETTINGS
+@pytest.mark.slow  # residual: tests/test_tx_merge.py clause/upsert suites
 def test_merge_upsert_source_wins_and_is_idempotent(spark, t_rows, s_rows):
     from parallel_dbms_spark.operators import merge_upsert
 
@@ -119,6 +122,7 @@ phrase_strategy = st.lists(_tok, min_size=1, max_size=3)
 
 @given(docs_toks=doc_corpus, phrase_toks=phrase_strategy)
 @SETTINGS
+@pytest.mark.slow  # residual: tests/test_search.py + test_fuzz_search.py
 def test_phrase_search_matches_python_reference(spark, docs_toks, phrase_toks):
     """phrase_search == a direct Python sliding-window count, for every
     generated corpus/phrase — incl. overlapping matches, repeated
@@ -173,6 +177,7 @@ asof_rows = st.tuples(
 
 @given(data=asof_rows)
 @SETTINGS
+@pytest.mark.slow  # residual: tests/test_asof.py test_asof_matches_duckdb
 def test_asof_nearest_matches_python_reference(spark, data):
     """nearest-direction as-of == a direct argmin-gap reference (ties ->
     backward), across generated ties, duplicates, empty right sides,
@@ -216,6 +221,7 @@ def test_asof_nearest_matches_python_reference(spark, data):
 
 @given(data=asof_rows)
 @SETTINGS
+@pytest.mark.slow  # residual: tests/test_asof.py sharded==unsharded equivalences
 def test_asof_sharded_nearest_matches_python_reference(spark, data):
     """The salted (time-range-sharded) as-of must satisfy the SAME
     argmin-gap reference as the unsharded plan — including when every

@@ -3,6 +3,7 @@ test_correctness), so here LSH is graded against it — recall@k — plus
 edge semantics (self-exclusion, tie determinism)."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+@pytest.mark.slow  # residual: deterministic LSH pair/bucket tests in this file
 def test_lsh_neardup_recall_vs_brute_force(spark):
     emb = _emb(spark)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("u"))
@@ -127,6 +129,7 @@ def test_pq_recall_vs_brute_force(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+@pytest.mark.slow  # residual: serve-path tests + registered sim_* oracle rows
 def test_model_persistence_roundtrip_and_reuse(spark, tmp_path):
     import numpy as np
 
@@ -300,7 +303,6 @@ def test_linear_fit_ridge_shrinks_coefficients(spark):
 
 
 def test_linear_fit_singular_raises_clear_error(spark):
-    import pytest
 
     from parallel_dbms_spark.functions.regression import linear_fit
 

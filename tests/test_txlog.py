@@ -2782,7 +2782,10 @@ def test_incremental_optimize_honors_declared_clustering(spark, tmp_path):
     txlog.tx_set_cluster_by(t, ["x", "y"])
     # a small-file tail, as a streaming sink would leave: each file
     # covers the FULL x/y range, so nothing skips before re-layout
-    for j in range(16):
+    # (8 tail files prove the layout exactly as 16 did at half the
+    # commit latency — r14 suite-wall trim, assertions unchanged in
+    # kind: every tail file compacts, >1 output, stats + skipping)
+    for j in range(8):
         txlog.tx_append(
             spark.createDataFrame(
                 [(j * 250 + i, (i * 37) % 100, (i * 61) % 100)
@@ -2793,10 +2796,10 @@ def test_incremental_optimize_honors_declared_clustering(spark, tmp_path):
         )
     _, files = txlog.snapshot_files(t)
     total = sum(os.path.getsize(os.path.join(t, f)) for f in files)
-    # target ~ total/8: every tail file (~total/16) qualifies, and the
-    # bin-pack emits ~8 outputs — enough granularity to prove layout
-    v, replaced = txlog.tx_optimize(spark, t, target_file_bytes=total // 8)
-    assert replaced >= 16
+    # target ~ total/4: every tail file (~total/8) qualifies, and the
+    # bin-pack emits ~4 outputs — enough granularity to prove layout
+    v, replaced = txlog.tx_optimize(spark, t, target_file_bytes=total // 4)
+    assert replaced >= 8
     _, after = txlog.snapshot_files(t)
     st = txlog.snapshot_stats(t)
     assert len(after) > 1

@@ -48,6 +48,7 @@ def test_batch_face_reads_snapshot(spark, table):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_stream_tails_commits_incrementally(spark, table, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _run(spark, table, out, ckpt)
@@ -65,6 +66,7 @@ def test_stream_tails_commits_incrementally(spark, table, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_delete_commit_guards_and_ignore_changes(spark, table, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _run(spark, table, out, ckpt)
@@ -399,6 +401,7 @@ def test_starting_timestamp_attaches_at_wall_clock_cutover(
     assert got2 == {(3, "insert", 2)}
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_change_feed_stream_inserts_and_mor_deletes(spark, table, tmp_path):
     """readChangeFeed=true streams appends as inserts and MOR-delete
     vectors as deletes, partition-planned; rewrites raise toward the
@@ -921,6 +924,7 @@ def test_simple_face_filter_column_outside_read_schema(spark, tmp_path):
     assert {r.k for r in spark.read.parquet(out).collect()} == {1, 3}
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_change_feed_sidecar_stats_prune(spark, tmp_path):
     """cdc_stats: a write_cdc commit records its change-set sidecar's
     [min, max] for the partition columns, and a partition-filtered
@@ -1046,6 +1050,7 @@ def test_native_sink_enforces_generated_columns(spark, tmp_path):
     assert {r.k for r in txlog.read_snapshot(spark, t).collect()} == {1, 2}
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_max_files_per_trigger_bounds_backlog_batches(spark, tmp_path):
     """maxFilesPerTrigger (Delta's): a backlogged table streams in
     bounded micro-batches — offsets advance a budgeted number of
@@ -1141,6 +1146,7 @@ def test_max_bytes_per_trigger_bounds_backlog(spark, tmp_path):
     assert offsets == [1, 2, 3, 4], offsets
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_sink_auto_compact_packs_small_file_tail(spark, tmp_path):
     """.option("autoCompact"): after enough micro-batches leave a
     small-file tail, the sink runs the incremental OPTIMIZE behind the
@@ -1186,6 +1192,7 @@ def test_sink_auto_compact_packs_small_file_tail(spark, tmp_path):
     assert "compact" in actions
 
 
+@pytest.mark.slow  # residual: the unmarked test_txlog_ds source/sink/feed tests + registered stream_tx_* oracle rows
 def test_sink_auto_compact_preserves_pv_and_row_ids(spark, tmp_path):
     """Auto-compact semantics: files compact only within their
     recorded partition-value group (outputs inherit the pv, pruning
