@@ -3644,3 +3644,51 @@ def test_folded_append_multifile_covers_every_file(spark, table):
     assert set(files) == set(dmap)  # every staged file covered
     df, n_scanned, _ = txlog.tx_instant_distinct(spark, table, "k")
     assert n_scanned == 0 and df.collect()[0].n_distinct == 100
+
+
+def test_folded_append_on_column_mapped_table(spark, table):
+    """The fold stages PHYSICAL names: after a rename (which activates
+    column mapping and mints a fresh physical name), a distinct_cols
+    append on the renamed LOGICAL column still folds correctly and
+    instant-distinct answers from metadata."""
+    txlog.tx_append(_df(spark, [(i, "a") for i in range(6)]).coalesce(1),
+                    table)
+    txlog.tx_rename_column(spark, table, "k", "uid")
+    txlog.tx_append(
+        spark.createDataFrame([(i, "b") for i in range(4, 12)],
+                              "uid long, v string").coalesce(1),
+        table, distinct_cols=["uid"],
+    )
+    txlog.tx_distinct(spark, table, ["uid"])  # backfill covers file 1
+    df, n_scanned, _ = txlog.tx_instant_distinct(spark, table, "uid")
+    assert n_scanned == 0 and df.collect()[0].n_distinct == 12
+
+
+def test_partitioned_append_with_distinct_keeps_classic_path(spark, table):
+    """partition_by + distinct_cols must fall back to the classic
+    two-job sidecar build (value-pure staging can't ride the fold) —
+    and stay exact."""
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i % 5) for i in range(30)],
+            "k long, p string, g long",
+        ).repartition(2),
+        table, partition_by=["p"], distinct_cols=["g"],
+    )
+    dmap = txlog.snapshot_distinct_map(table).get("g", {})
+    _v, files = txlog.snapshot_files(table)
+    assert set(files) == set(dmap)
+    df, n_scanned, _ = txlog.tx_instant_distinct(spark, table, "g")
+    assert n_scanned == 0 and df.collect()[0].n_distinct == 5
+
+
+def test_folded_append_int32_ids(spark, table):
+    """Integral-but-not-long id column folds (astype int64 path)."""
+    txlog.tx_append(
+        spark.createDataFrame(
+            [(i, i % 7 - 3) for i in range(40)], "k long, g int"
+        ).coalesce(2),
+        table, distinct_cols=["g"],
+    )
+    df, n_scanned, _ = txlog.tx_instant_distinct(spark, table, "g")
+    assert n_scanned == 0 and df.collect()[0].n_distinct == 7
