@@ -23,7 +23,10 @@ from parallel_dbms_spark.queries import REGISTRY
 from parallel_dbms_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-spark = get_spark(app_name="opt_workbench", cpus=32)
+spark = get_spark(
+    app_name="opt_workbench",
+    cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+)
 
 
 def _exec(df):
